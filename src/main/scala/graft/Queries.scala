@@ -1,0 +1,473 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcEnvelope
+import graft.operators.{Batching, Enrichment, Filters, PartitionKeys}
+import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+
+/** The operator catalog as verifiable queries — one entry per operator from
+  * SURVEY.md §2 plus the LLM-pipeline extensions (§7.4). Each query is a
+  * deterministic DataFrame program over the driver's parquet tables with,
+  * where SQL-expressible, a DuckDB oracle that must hash-match.
+  *
+  * Determinism rules used throughout (so oracle hash-compare is exact):
+  *  - double SUMs go through DECIMAL(38,s) so accumulation order is
+  *    irrelevant, then one cast back to double;
+  *  - every window/top-k has a total order (explicit id tiebreak);
+  *  - timestamps are µs-truncated identically in both engines (Tables.events).
+  */
+object Queries {
+
+  private type QueryFn = (SparkSession, String) => DataFrame
+
+  private val reg = scala.collection.mutable.LinkedHashMap[String, QueryFn]()
+  private val sql = scala.collection.mutable.LinkedHashMap[String, String]()
+
+  private def register(name: String, oracle: Option[String])(fn: QueryFn): Unit = {
+    reg(name) = fn
+    oracle.foreach(o => sql(name) = o)
+  }
+
+  private def envelope(s: SparkSession, dir: String): DataFrame =
+    CdcEnvelope.fromEvents(Tables.events(s, dir))
+
+  /** Decimal-routed deterministic sum of a double column. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 4) =
+    sum(c.cast(s"decimal(38,$scale)")).cast("double")
+
+  // ==========================================================================
+  // CDC / reference-surface operators (SURVEY §2)
+  // ==========================================================================
+
+  register("cdc_envelope_project", Some(
+    """SELECT event_type AS operation, 'testdb' AS "database",
+      |  'c_' || CAST(user_id % 8 AS VARCHAR) AS collection,
+      |  ts AS cluster_time,
+      |  '{"_id":' || CAST(event_id AS VARCHAR) || '}' AS document_key,
+      |  props AS full_document,
+      |  '{"_data":' || CAST(event_id AS VARCHAR) || '}' AS resume_token
+      |FROM events""".stripMargin)) { (s, dir) =>
+    CdcEnvelope.envelopeOnly(envelope(s, dir))
+  }
+
+  register("cdc_filter_ops", Some(
+    """SELECT event_type AS operation,
+      |  'c_' || CAST(user_id % 8 AS VARCHAR) AS collection,
+      |  ts AS cluster_time, event_id, value
+      |FROM events
+      |WHERE event_type IN ('purchase','signup') AND value >= 100""".stripMargin)) { (s, dir) =>
+    Filters.byOperations(envelope(s, dir), Seq("purchase", "signup"))
+      .filter(col("value") >= 100)
+      .select(col("operation"), col("collection"), col("cluster_time"),
+        col("event_id"), col("value"))
+  }
+
+  register("cdc_filter_json_field", Some(
+    """SELECT event_id, event_type AS operation,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50""".stripMargin)) { (s, dir) =>
+    Filters.byJsonField(envelope(s, dir), "full_document", "$.k",
+        v => v.cast("long") >= 50)
+      .select(col("event_id"), col("operation"),
+        get_json_object(col("full_document"), "$.k").cast("long").as("k"))
+  }
+
+  register("cdc_op_counts", Some(
+    """SELECT event_type AS operation, count(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Batching.perOpCounts(envelope(s, dir))
+  }
+
+  register("cdc_partition_keys_hive", Some(
+    """SELECT 'c_' || CAST(user_id % 8 AS VARCHAR) AS collection,
+      |  CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+      |  CAST(day(ts) AS INT) AS day, CAST(hour(ts) AS INT) AS hour,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1,2,3,4,5""".stripMargin)) { (s, dir) =>
+    PartitionKeys.withTimeColumns(envelope(s, dir))
+      .groupBy("collection", "year", "month", "day", "hour")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  register("cdc_group_by_collection", Some(
+    """SELECT 'c_' || CAST(user_id % 8 AS VARCHAR) AS collection,
+      |  count(*) AS n_events, min(ts) AS first_time, max(ts) AS last_time,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Batching.groupByCollection(envelope(s, dir))
+  }
+
+  register("cdc_dedup_latest", Some(
+    """SELECT user_id, event_type AS operation, ts AS cluster_time, event_id, value
+      |FROM events
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin)) { (s, dir) =>
+    Batching.dedupLatestByKey(envelope(s, dir), Seq("user_id"))
+      .select(col("user_id"), col("operation"), col("cluster_time"),
+        col("event_id"), col("value"))
+  }
+
+  register("cdc_batch_time_windows", Some(
+    """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Batching.timeWindows(envelope(s, dir), "1 hour")
+  }
+
+  register("cdc_batch_count", Some(
+    """SELECT batch_id, count(*) AS n_events,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM (
+      |  SELECT event_id, CAST(FLOOR((row_number() OVER (ORDER BY ts, event_id) - 1) / 500) AS BIGINT) AS batch_id
+      |  FROM events)
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Batching.countBatches(envelope(s, dir), 500)
+      .groupBy("batch_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event"),
+        max(col("event_id")).as("last_event"))
+  }
+
+  register("cdc_enrich_join", Some(
+    """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Enrichment.enrich(envelope(s, dir), Tables.customer(s, dir),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  register("cdc_order_by_time", Some(
+    """SELECT event_id, ts AS cluster_time, event_type AS operation
+      |FROM events ORDER BY ts, event_id LIMIT 100""".stripMargin)) { (s, dir) =>
+    envelope(s, dir)
+      .orderBy(col("cluster_time"), col("event_id"))
+      .limit(100)
+      .select(col("event_id"), col("cluster_time"), col("operation"))
+  }
+
+  register("cdc_json_roundtrip", Some(
+    """SELECT event_id, event_type AS operation, value FROM events""".stripMargin)) { (s, dir) =>
+    // T1 serialize → parse back: proves the JSON-lines envelope round-trips
+    // losslessly (reference: serde_json JSONL, s3/destination.rs:194-208).
+    val line = to_json(struct(col("event_id"), col("operation"), col("value")))
+    envelope(s, dir)
+      .select(line.as("json"))
+      .select(
+        get_json_object(col("json"), "$.event_id").cast("long").as("event_id"),
+        get_json_object(col("json"), "$.operation").as("operation"),
+        get_json_object(col("json"), "$.value").cast("double").as("value"))
+  }
+
+  register("cdc_invalidate_split", Some(
+    """SELECT 'c_' || CAST(user_id % 8 AS VARCHAR) AS collection, count(*) AS n_invalidate
+      |FROM events WHERE event_type = 'error' GROUP BY 1""".stripMargin)) { (s, dir) =>
+    val (_, invalidations) = Filters.splitInvalidate(envelope(s, dir), Seq("error"))
+    invalidations.groupBy("collection").agg(count(lit(1)).as("n_invalidate"))
+  }
+
+  // ==========================================================================
+  // Relational suite (join/agg/window/set-op coverage; bench workhorses)
+  // ==========================================================================
+
+  register("tpch_q1_pricing_summary", Some(
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin)) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+  }
+
+  register("tpch_q3_shipping_priority", Some(
+    """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'MACHINERY'
+      |  AND o.o_orderdate < TIMESTAMP '2000-01-01'
+      |  AND l.l_shipdate > TIMESTAMP '2000-01-01'
+      |GROUP BY 1,2,3""".stripMargin)) { (s, dir) =>
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "MACHINERY")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
+    l.join(broadcast(o.join(broadcast(c), col("c_custkey") === col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+  }
+
+  register("tpch_q5_region_revenue", Some(
+    """SELECT r.r_name, n.n_name,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM region r
+      |JOIN nation n ON n.n_regionkey = r.r_regionkey
+      |JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1,2""".stripMargin)) { (s, dir) =>
+    val dims = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+  }
+
+  register("window_top_orders", Some(
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) WHERE rnk <= 3""".stripMargin)) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+  }
+
+  register("window_running_spend", Some(
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin)) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(38,4)")).over(w)
+          .cast("double").as("running_spend"))
+  }
+
+  register("agg_distinct_parts", Some(
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+      |  count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+  }
+
+  register("agg_rollup_lineitem", Some(
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+  }
+
+  register("join_anti_customers_without_orders", Some(
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin)) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  register("join_semi_big_spenders", Some(
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin)) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  register("set_ops_customer_orders", Some(
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+      |    INTERSECT SELECT o_custkey FROM orders) t) AS n_both,
+      |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+      |    EXCEPT SELECT o_custkey FROM orders) t2) AS n_no_orders""".stripMargin)) { (s, dir) =>
+    val custKeys  = Tables.customer(s, dir).select(col("c_custkey"))
+    val orderCust = Tables.orders(s, dir).select(col("o_custkey").as("c_custkey"))
+    custKeys.intersect(orderCust).agg(count(lit(1)).as("n_both"))
+      .crossJoin(custKeys.except(orderCust).agg(count(lit(1)).as("n_no_orders")))
+  }
+
+  // ==========================================================================
+  // Text analysis (documents)
+  // ==========================================================================
+
+  register("text_stats", Some(
+    """SELECT doc_id, length(text) AS n_chars_calc,
+      |  len(str_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(str_split(text, ' '))) AS n_uniq_tokens,
+      |  CAST(length(text) - (len(str_split(text, ' ')) - 1) AS DOUBLE)
+      |    / CAST(len(str_split(text, ' ')) AS DOUBLE) AS avg_token_len
+      |FROM documents""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      TF.uniqueTokenCount(col("text")).as("n_uniq_tokens"),
+      TF.avgTokenLength(col("text")).as("avg_token_len"))
+  }
+
+  register("text_quality", Some(
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, length(text) AS n,
+      |    len(str_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(str_split(text, ' '),
+      |      x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS stop_ct,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_ct
+      |  FROM documents)
+      |SELECT doc_id, stop_ct,
+      |  CAST(stop_ct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+      |  CAST(punct_ct AS DOUBLE) / CAST(n AS DOUBLE) AS punct_ratio,
+      |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+      |    + least(CAST(stop_ct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.4
+      |    + (1.0 - least(CAST(punct_ct AS DOUBLE) / CAST(n AS DOUBLE) * 10.0, 1.0)) * 0.2
+      |    AS quality
+      |FROM t""".stripMargin)) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TF.stopwordCount(col("text")).as("stop_ct"),
+      TF.stopwordRatio(col("text")).as("stop_ratio"),
+      TF.punctRatio(col("text")).as("punct_ratio"),
+      TF.qualityScore(col("text"), col("n_chars")).as("quality"))
+  }
+
+  register("text_langid", Some {
+    val scores = TF.langMarkers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(",")
+      s"len(list_filter(str_split(text, ' '), x -> x IN ($inList))) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TF.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
+    val cases = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM documents),
+       |m AS (SELECT *, $best AS m FROM t)
+       |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang FROM m""".stripMargin
+  }) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"), TF.langId(col("text")).as("pred_lang"))
+  }
+
+  register("text_fingerprint", None) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TF.fingerprint(col("text")).as("fingerprint"),
+      TF.bpeTokenEstimate(col("text")).as("bpe_tokens"))
+  }
+
+  // ==========================================================================
+  // Deduplication (documents)
+  // ==========================================================================
+
+  register("dedup_exact_docs", Some(
+    """SELECT source, count(*) AS n_docs,
+      |  count(DISTINCT md5(text)) AS n_distinct,
+      |  count(*) - count(DISTINCT md5(text)) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Dedup.exactStats(Tables.documents(s, dir), "source")
+  }
+
+  register("dedup_ngram_jaccard", Some(
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END AS ngrams
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.source AS source,
+      |    len(list_intersect(a.ngrams, b.ngrams)) AS inter,
+      |    len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams)) AS uni
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT source,
+      |    CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE)
+      |         ELSE 0.0 END AS jac
+      |  FROM p)
+      |SELECT source, count(*) AS n_pairs,
+      |  count(*) FILTER (WHERE jac >= 0.2) AS n_sim_pairs,
+      |  CAST(SUM(CAST(jac AS DECIMAL(38,6))) AS DOUBLE) AS sum_jaccard
+      |FROM j GROUP BY 1""".stripMargin)) { (s, dir) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, "source")
+      .groupBy(col("block").as("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("jaccard") >= 0.2, 1)).as("n_sim_pairs"),
+        dsum(col("jaccard"), 6).as("sum_jaccard"))
+  }
+
+  register("dedup_minhash_lsh", None) { (s, dir) =>
+    Dedup.minhashCandidates(Tables.documents(s, dir),
+      shingleN = 3, k = 32, bands = 16, threshold = 0.2)
+  }
+
+  register("dedup_simhash", None) { (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), maxDistance = 12, blockCol = "source")
+  }
+
+  // ==========================================================================
+  // Similarity search (embeddings)
+  // ==========================================================================
+
+  register("embed_cosine_topk", None) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+  }
+
+  register("embed_ann_lsh", None) { (s, dir) =>
+    val emb = Tables.embeddings(s, dir)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
+  }
+
+  // --------------------------------------------------------------------------
+
+  def all: Map[String, QueryFn] = reg.toMap
+  def oracles: Map[String, String] = sql.toMap
+
+  /** Flagship end-to-end slice (SURVEY §7.1): envelope → op filter →
+    * partition keys → per-op/hour counts. */
+  def flagship(spark: SparkSession, dir: String): DataFrame =
+    PartitionKeys.withTimeColumns(
+        Filters.byOperations(
+          CdcEnvelope.fromEvents(Tables.events(spark, dir)),
+          Seq("purchase", "signup", "click", "view")))
+      .groupBy("collection", "operation", "year", "month", "day", "hour")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+}

@@ -1,0 +1,114 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The CDC change-event envelope — the single record type the reference
+  * engine pushes through its whole pipeline
+  * (rigatoni-core/src/event.rs:272-311). Document bodies stay schemaless:
+  * they ride along as JSON-string columns and are parsed per-query
+  * (the reference's own layout choice for Parquet output,
+  * rigatoni-destinations/src/s3/destination.rs:266-296).
+  */
+final case class TruncatedArray(field: String, newSize: Int)
+
+/** rigatoni-core/src/event.rs:206-230 */
+final case class UpdateDescription(
+    updatedFields: String, // JSON document of changed fields
+    removedFields: Seq[String],
+    truncatedArrays: Seq[TruncatedArray])
+
+final case class CdcEnvelope(
+    operation: String,
+    database: String,
+    collection: String,
+    cluster_time: java.sql.Timestamp,
+    document_key: Option[String],
+    full_document: Option[String],
+    update_description: Option[UpdateDescription],
+    resume_token: String)
+
+object CdcEnvelope {
+
+  /** Envelope schema, mirroring event.rs:272-311 with the reference's own
+    * flattening of Namespace into (database, collection)
+    * (s3/destination.rs:288-289). */
+  val schema: StructType = StructType(Seq(
+    StructField("operation", StringType, nullable = false),
+    StructField("database", StringType, nullable = false),
+    StructField("collection", StringType, nullable = false),
+    StructField("cluster_time", TimestampType, nullable = false),
+    StructField("document_key", StringType, nullable = true),
+    StructField("full_document", StringType, nullable = true),
+    StructField("update_description", StructType(Seq(
+      StructField("updatedFields", StringType, nullable = true),
+      StructField("removedFields", ArrayType(StringType), nullable = true),
+      StructField("truncatedArrays", ArrayType(StructType(Seq(
+        StructField("field", StringType, nullable = false),
+        StructField("newSize", IntegerType, nullable = false)))), nullable = true)
+    )), nullable = true),
+    StructField("resume_token", StringType, nullable = false)))
+
+  /** Canonical adapter from the driver's `events` table to the envelope
+    * (FIXTURES.md §B.1). Extra passthrough columns (`event_id`, `user_id`,
+    * `value`) are kept so downstream operator queries stay expressible;
+    * `envelopeOnly` drops them.
+    */
+  def fromEvents(events: DataFrame, numCollections: Int = 8): DataFrame =
+    events.select(
+      col("event_type").as("operation"),
+      lit("testdb").as("database"),
+      concat(lit("c_"), pmod(col("user_id"), lit(numCollections)).cast("string"))
+        .as("collection"),
+      col("ts").as("cluster_time"),
+      concat(lit("{\"_id\":"), col("event_id").cast("string"), lit("}"))
+        .as("document_key"),
+      col("props").as("full_document"),
+      concat(lit("{\"_data\":"), col("event_id").cast("string"), lit("}"))
+        .as("resume_token"),
+      col("event_id"),
+      col("user_id"),
+      col("value"))
+
+  val envelopeColumns: Seq[String] = Seq(
+    "operation", "database", "collection", "cluster_time",
+    "document_key", "full_document", "resume_token")
+
+  def envelopeOnly(df: DataFrame): DataFrame =
+    df.select(envelopeColumns.map(col): _*)
+}
+
+/** Operation taxonomy + class predicates (event.rs:88-144). On the synthetic
+  * `events` table operations are {click,error,purchase,signup,view}; the
+  * class predicates take the operation set as data, exactly like the
+  * reference's `$in` match stages.
+  */
+object Operations {
+  val Insert       = "insert"
+  val Update       = "update"
+  val Delete       = "delete"
+  val Replace      = "replace"
+  val Invalidate   = "invalidate"
+  val Drop         = "drop"
+  val DropDatabase = "dropDatabase"
+  val Rename       = "rename"
+
+  /** event.rs:124-128 */
+  val dataModification: Seq[String] = Seq(Insert, Update, Replace)
+  /** event.rs:130-134 */
+  val dataRemoval: Seq[String] = Seq(Delete, Drop, DropDatabase)
+  /** event.rs:136-144 */
+  val ddl: Seq[String] = Seq(Drop, DropDatabase, Rename)
+
+  def opIn(ops: Seq[String], opCol: Column = col("operation")): Column =
+    opCol.isin(ops: _*)
+
+  def isDataModification(opCol: Column = col("operation")): Column =
+    opIn(dataModification, opCol)
+  def isDataRemoval(opCol: Column = col("operation")): Column =
+    opIn(dataRemoval, opCol)
+  def isDdl(opCol: Column = col("operation")): Column = opIn(ddl, opCol)
+  def isInvalidate(opCol: Column = col("operation")): Column =
+    opCol === Invalidate
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` (codegen'd
+  * or JVM higher-order functions) — no Python, no driver-side work — so the
+  * operators run scan-local with zero shuffles and survive a 100 TB corpus:
+  * each is a narrow map over the documents scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer. Single definition shared by every operator so the
+    * token semantics (and the DuckDB oracles) agree everywhere. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** A BPE-ish token estimate: whitespace pieces plus an extra token per
+    * ~4 chars of long words (the rule-of-thumb subword density). */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, w) => acc + greatest(lit(1L), ceil(length(w) / lit(4.0)).cast("long")))
+
+  /** Average token length, derived arithmetically from char count so it is
+    * exact and engine-portable: (chars - spaces) / tokens. */
+  def avgTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    ((length(text) - (n - lit(1))).cast("double") / n.cast("double"))
+  }
+
+  // --- quality scoring (length / punctuation / stopword ratios) -----------
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), w => w.isin(stopwords.map(s => s: Any): _*)))
+
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / tokenCount(text).cast("double")
+
+  /** Punctuation chars per char of text. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") /
+      length(text).cast("double")
+
+  /** Composite quality score in [0,1]: reward mid-length docs, presence of
+    * stopwords (fluent prose), and low punctuation density. Weights are
+    * fixed constants so the score is deterministic and portable. */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lengthScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
+    val stopScore   = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctScore  = lit(1.0) - least(punctRatio(text) * lit(10.0), lit(1.0))
+    round(lengthScore * lit(0.4) + stopScore * lit(0.4) + punctScore * lit(0.2), 6)
+  }
+
+  // --- language identification (marker-word heuristic) ---------------------
+
+  /** Tiny per-language marker lexicons (function-word n-gram heuristic).
+    * Deliberately small and public-knowledge; language ID at corpus scale is
+    * a scan-local scoring pass, which is the property we are building. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "es" -> Seq("el", "la", "los", "las", "es", "que", "por", "una"),
+    "fr" -> Seq("le", "la", "les", "est", "que", "pour", "avec", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(markers.map(s => s: Any): _*)))
+
+  /** Predicted language: argmax over marker-hit counts; ties resolve in
+    * `langMarkers` declaration order; all-zero → "und". */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  // --- document fingerprinting (rolling hash) ------------------------------
+
+  /** 64-bit polynomial rolling hash of the full text (Rabin-Karp style,
+    * base 31, wrapping mod 2^64), built from aggregate() over the char
+    * array so it runs inside the JVM row pipeline. Equal strings hash equal;
+    * used as a cheap content fingerprint. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => acc * lit(31L) + c)
+
+  /** Shingle fingerprints: rolling window of `n` tokens, each window hashed
+    * with xxhash64 — the input units for MinHash. Empty when the document
+    * has fewer than `n` tokens. */
+  def tokenShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - lit(n)),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(tokenShingles(text, n), s => xxhash64(s)))
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-assembly / grouping operators (SURVEY §2.4).
+  *
+  * The reference has no value aggregations; its "aggregation layer" is batch
+  * assembly: flush every N events (pipeline.rs:1247-1264) or every T seconds
+  * (pipeline.rs:1200-1219), group the flushed batch by collection
+  * (s3/destination.rs:537-546), count per operation type for metrics
+  * (pipeline.rs:1765-1772), and optionally dedup within a batch
+  * (rigatoni-benches batch_deduplication). In Spark, count/time batching is
+  * trigger sizing on the micro-batch engine; expressed over a bounded table
+  * they become window/group aggregates, which is how the oracle verifies
+  * them.
+  */
+object Batching {
+
+  /** A2 — time-window batching: tumbling event-time windows over
+    * cluster_time. In streaming form this is exactly
+    * `groupBy(window($"cluster_time", size))`; bounded form is identical
+    * (Structured Streaming batch/stream unification). */
+  def timeWindows(df: DataFrame, windowSize: String = "1 hour",
+                  tsCol: String = "cluster_time"): DataFrame =
+    df.groupBy(window(col(tsCol), windowSize).as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
+
+  /** A1 — count-based batching: assign batch ids of at most `batchSize`
+    * events in cluster_time order. NOTE: the global row_number makes this a
+    * single-partition window — correct for verification, but at 100 TB
+    * batch assignment belongs to the trigger (maxFilesPerTrigger /
+    * maxOffsetsPerTrigger), not to a sort; see streaming.CdcPipeline. */
+  def countBatches(df: DataFrame, batchSize: Int,
+                   tsCol: String = "cluster_time",
+                   tieCol: String = "event_id"): DataFrame = {
+    val w = Window.orderBy(col(tsCol), col(tieCol))
+    df.withColumn("batch_id",
+      ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
+  /** A4 — group-by-collection (one output group per collection per flush). */
+  def groupByCollection(df: DataFrame): DataFrame =
+    df.groupBy(col("collection"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("cluster_time")).as("first_time"),
+        max(col("cluster_time")).as("last_time"),
+        sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_value"))
+
+  /** A5 — per-operation-type counts (the flush metrics aggregate). */
+  def perOpCounts(df: DataFrame): DataFrame =
+    df.groupBy(col("operation")).agg(count(lit(1)).as("n_events"))
+
+  /** A6 — deterministic within-batch dedup: keep the LATEST event per
+    * document key (ties broken by event_id), the exactly-once mitigation the
+    * reference benchmarks. Uses a keyed window, so it shuffles once on the
+    * dedup key and scales out; no global ordering needed. */
+  def dedupLatestByKey(df: DataFrame, keyCols: Seq[String],
+                       tsCol: String = "cluster_time",
+                       tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

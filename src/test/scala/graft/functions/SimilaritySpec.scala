@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfTiny).cache()
+  private val K = 5
+  private lazy val queries = emb.filter(col("vec_id") < 20)
+
+  test("cosine basics: self-similarity 1, orthogonal 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))) // zero vector -> 0.0 (not NaN)
+      .toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(got(2) === 0.0)
+  }
+
+  test("bruteForceTopK returns exactly k ranked neighbours per query") {
+    val topk = Similarity.bruteForceTopK(emb, queries, K).cache()
+    val perQuery = topk.groupBy("query_id").count().collect()
+    assert(perQuery.length === queries.count())
+    perQuery.foreach(r => assert(r.getLong(1) === K))
+    // ranks are 1..k and cos_sim non-increasing within a query
+    val bad = topk.groupBy("query_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"))
+      .filter(col("mn") =!= 1 || col("mx") =!= K)
+    assert(bad.count() === 0)
+  }
+
+  test("LSH ANN recall >= 0.8 vs brute force at catalog parameters") {
+    val exact = Similarity.bruteForceTopK(emb, queries, K)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, K, nPlanes = 5, nTables = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    info(f"ANN recall@$K = $recall%.3f (${approx.size} approx pairs)")
+    assert(recall >= 0.8, f"ANN recall $recall%.3f < 0.8")
+  }
+
+  test("LSH candidate set is a real subset (no full cross product)") {
+    // the whole point of LSH: strictly fewer scored candidates than
+    // brute force's |corpus| × |queries|
+    val nCand = Similarity.lshTopK(emb, queries, k = Int.MaxValue,
+      nPlanes = 5, nTables = 16).count()
+    val full = emb.count() * queries.count()
+    assert(nCand < 0.8 * full,
+      s"LSH scored $nCand of $full pairs — not meaningfully sub-linear")
+  }
+}

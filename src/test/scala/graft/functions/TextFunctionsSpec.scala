@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fp(texts: String*): Seq[Long] =
+    texts.toDF("text").select(TextFunctions.fingerprint(col("text")))
+      .as[Long].collect().toSeq
+
+  test("fingerprint: equal strings hash equal, stays in [0, p)") {
+    val Seq(a, b, c) = fp("hello world", "hello world", "hello worlD")
+    assert(a === b)
+    assert(a !== c)
+    assert(a >= 0 && a < 1000000007L)
+  }
+
+  test("fingerprint matches a reference JVM implementation") {
+    // the aggregate() expression must equal a plain fold — this is the
+    // overflow-safety regression test (round 1: ANSI ARITHMETIC_OVERFLOW)
+    val samples = Seq("", "a", "The quick brown fox", "x" * 500,
+      "punctuation, and: spaces!  doubled")
+    def ref(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    assert(fp(samples: _*) === samples.map(ref))
+  }
+
+  test("fingerprint property: deterministic, bounded, matches JVM fold") {
+    // ScalaCheck-generated inputs, evaluated in ONE Spark job (a job per
+    // sample would be minutes); property: expression result == JVM fold,
+    // in [0, p), for arbitrary printable-ASCII strings.
+    val gen = Gen.listOfN(60, Gen.asciiPrintableStr)
+    val samples = gen(Gen.Parameters.default, Seed(42L)).get
+    def refFold(s: String): Long =
+      s.foldLeft(0L)((acc, ch) => (acc * 31 + ch.toLong) % 1000000007L)
+    val got = fp(samples: _*)
+    assert(got === samples.map(refFold))
+    got.foreach(h => assert(h >= 0 && h < 1000000007L))
+  }
+
+  test("token counts and shingles are consistent") {
+    val df = Seq("one two three four").toDF("text")
+    assert(df.select(TextFunctions.tokenCount(col("text"))).as[Int].head() === 4)
+    assert(df.select(TextFunctions.uniqueTokenCount(col("text"))).as[Int].head() === 4)
+    val shingles = df.select(TextFunctions.tokenShingles(col("text"), 3))
+      .as[Seq[String]].head()
+    assert(shingles === Seq("one two three", "two three four"))
+    // fewer tokens than n -> empty
+    val short = Seq("one two").toDF("text")
+      .select(TextFunctions.tokenShingles(col("text"), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("bpe estimate >= whitespace token count, exact on known input") {
+    // each token contributes >= 1
+    val df = Seq("a bb cccc dddddddd", "tiny").toDF("text")
+    val got = df.select(TextFunctions.bpeTokenEstimate(col("text"))).as[Long].collect()
+    // a->1, bb->1, cccc->1, dddddddd->2 = 5 ; tiny->1
+    assert(got === Array(5L, 1L))
+  }
+
+  test("langId picks the marker-dominant language, und when no markers") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist nicht da",
+      "el perro es que los gatos",
+      "zzz qqq www").toDF("text")
+    val got = df.select(TextFunctions.langId(col("text"))).as[String].collect()
+    assert(got === Array("en", "de", "es", "und"))
+  }
+
+  test("quality score stays in [0,1]") {
+    val df = Seq(
+      ("the of and a to in is on for it", 500L),
+      ("x", 1L),
+      ("!!!!!!....;;;;", 14L)).toDF("text", "n_chars")
+    val got = df.select(TextFunctions.qualityScore(col("text"), col("n_chars")))
+      .as[Double].collect()
+    got.foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+}

@@ -194,6 +194,70 @@ object Queries {
   }
 
   // ==========================================================================
+  // Serializer / sink round-trips (SURVEY §2.3 T1-T7 + §2.8): each writes
+  // the envelope through a real DataFrameWriter (format × compression ×
+  // key strategy), reads the files back, and aggregates — the oracle runs
+  // the same aggregate on the ORIGINAL events, so a pass proves the write
+  // path is lossless end-to-end (the reference's s3_integration_test
+  // contract, one query per format family).
+  // ==========================================================================
+
+  private val sinkRoot = "/root/repo/target/graft-out"
+
+  private def envelopeDDL =
+    "operation string, database string, collection string, " +
+      "cluster_time timestamp, document_key string, full_document string, " +
+      "resume_token string"
+
+  private def writeReadBack(s: SparkSession, dir: String, name: String,
+                            fmt: graft.sources.OutFormat,
+                            comp: graft.sources.OutCompression,
+                            strategy: graft.operators.KeyStrategy): DataFrame = {
+    val env = CdcEnvelope.envelopeOnly(envelope(s, dir))
+    val path = s"$sinkRoot/$name-${dir.replaceAll("[^0-9.]", "")}"
+    graft.sources.Writers.write(env, path, fmt, comp, strategy)
+    graft.sources.Writers.read(s, path, fmt, Some(envelopeDDL))
+  }
+
+  private val sinkOracle =
+    """SELECT 'c_' || CAST(user_id % 8 AS VARCHAR) AS collection,
+      |  count(*) AS n_events, count(DISTINCT event_id) AS n_ids,
+      |  min(ts) AS first_time, max(ts) AS last_time
+      |FROM events GROUP BY 1""".stripMargin
+
+  private def sinkAggregate(back: DataFrame): DataFrame =
+    back.groupBy("collection").agg(
+      count(lit(1)).as("n_events"),
+      countDistinct(get_json_object(col("document_key"), "$._id").cast("long"))
+        .as("n_ids"),
+      min(col("cluster_time")).as("first_time"),
+      max(col("cluster_time")).as("last_time"))
+
+  register("sink_jsonl_gzip_hive", Some(sinkOracle)) { (s, dir) =>
+    sinkAggregate(writeReadBack(s, dir, "sink_jsonl_gzip_hive",
+      graft.sources.OutFormat.Jsonl, graft.sources.OutCompression.Gzip,
+      graft.operators.KeyStrategy.HivePartitioned))
+  }
+
+  register("sink_csv_gzip_date", Some(sinkOracle)) { (s, dir) =>
+    sinkAggregate(writeReadBack(s, dir, "sink_csv_gzip_date",
+      graft.sources.OutFormat.Csv, graft.sources.OutCompression.Gzip,
+      graft.operators.KeyStrategy.DatePartitioned))
+  }
+
+  register("sink_parquet_zstd_collection", Some(sinkOracle)) { (s, dir) =>
+    sinkAggregate(writeReadBack(s, dir, "sink_parquet_zstd_collection",
+      graft.sources.OutFormat.Parquet, graft.sources.OutCompression.Zstd,
+      graft.operators.KeyStrategy.CollectionBased))
+  }
+
+  register("sink_avro_zstd_flat", Some(sinkOracle)) { (s, dir) =>
+    sinkAggregate(writeReadBack(s, dir, "sink_avro_zstd_flat",
+      graft.sources.OutFormat.Avro, graft.sources.OutCompression.Zstd,
+      graft.operators.KeyStrategy.Flat))
+  }
+
+  // ==========================================================================
   // Relational suite (join/agg/window/set-op coverage; bench workhorses)
   // ==========================================================================
 

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{KeyStrategy, PartitionKeys}
+
+/** Output formats (rigatoni-destinations/src/s3/config.rs:104-132): name,
+  * file extension and MIME content type — the T7 metadata surface. */
+sealed abstract class OutFormat(val name: String, val extension: String,
+                                val contentType: String)
+object OutFormat {
+  case object Jsonl   extends OutFormat("jsonl", ".jsonl", "application/x-ndjson")
+  case object Csv     extends OutFormat("csv", ".csv", "text/csv")
+  case object Parquet extends OutFormat("parquet", ".parquet", "application/vnd.apache.parquet")
+  case object Avro    extends OutFormat("avro", ".avro", "application/avro")
+  val all: Seq[OutFormat] = Seq(Jsonl, Csv, Parquet, Avro)
+}
+
+/** Compression options (s3/config.rs:165-192): extension suffix plus the
+  * codec name each Spark writer understands. */
+sealed abstract class OutCompression(val name: String, val suffix: String)
+object OutCompression {
+  case object None extends OutCompression("none", "")
+  case object Gzip extends OutCompression("gzip", ".gz")
+  case object Zstd extends OutCompression("zstd", ".zst")
+  case object Snappy extends OutCompression("snappy", "")
+}
+
+/** The serialization/sink layer (SURVEY §2.3 T1-T7 + §2.8) — the
+  * reference's whole write path (s3/destination.rs:194-513 serialize +
+  * compress, key_gen.rs:148-224 partitioned keys) re-expressed as Spark
+  * `DataFrameWriter` plans: `partitionBy` produces the Hive-style layout
+  * the reference emits for downstream engines, and each format writes
+  * through Spark's distributed, committer-protected output path instead of
+  * hand-rolled PUTs. Avro has no datasource in this build, so it goes
+  * through [[AvroSink]] (Avro container files via the Java library,
+  * written per-partition — still fully distributed).
+  *
+  * Supported codec matrix in this environment (no native-hadoop, so text
+  * zstd is unavailable — parquet/avro cover T6 via zstd-jni):
+  *   jsonl/csv: none, gzip · parquet: none, snappy, gzip, zstd ·
+  *   avro: none(null), gzip(deflate), zstd(zstandard)
+  */
+object Writers {
+
+  /** Write `df` under `strategy`'s partition layout. Time partition
+    * columns derive from event time (`tsCol`) — deterministic and
+    * replayable, deviating deliberately from the reference's wall-clock
+    * keys (SURVEY §7.3). */
+  def write(df: DataFrame, path: String, format: OutFormat,
+            compression: OutCompression = OutCompression.None,
+            strategy: KeyStrategy = KeyStrategy.HivePartitioned,
+            tsCol: String = "cluster_time",
+            mode: String = "overwrite"): Unit = {
+    val keyed = PartitionKeys.withPartitionColumns(df, strategy, tsCol)
+    format match {
+      case OutFormat.Avro =>
+        AvroSink.write(keyed, path, compression, strategy.partitionColumns)
+      case _ =>
+        val w0 = keyed.write.mode(mode)
+        val w =
+          if (strategy.partitionColumns.nonEmpty)
+            w0.partitionBy(strategy.partitionColumns: _*)
+          else w0
+        format match {
+          case OutFormat.Jsonl =>
+            w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+              .option("compression", compression.name).json(path)
+          case OutFormat.Csv =>
+            w.option("header", "true")
+              .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+              .option("compression", compression.name).csv(path)
+          case OutFormat.Parquet =>
+            w.option("compression", compression.name).parquet(path)
+          case OutFormat.Avro => // handled above
+        }
+    }
+  }
+
+  /** Read back what [[write]] produced (partition columns are rediscovered
+    * from the Hive layout). For CSV/JSON the caller's schema keeps types
+    * lossless — schema-on-read, exactly how downstream engines consume the
+    * reference's objects. */
+  def read(spark: SparkSession, path: String, format: OutFormat,
+           schemaDDL: Option[String] = None): DataFrame = format match {
+    case OutFormat.Jsonl =>
+      val r = spark.read
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      schemaDDL.fold(r)(s => r.schema(s)).json(path)
+    case OutFormat.Csv =>
+      val r = spark.read.option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      schemaDDL.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+    case OutFormat.Parquet => spark.read.parquet(path)
+    case OutFormat.Avro    => AvroSink.read(spark, path)
+  }
+}

@@ -258,6 +258,82 @@ object Queries {
   }
 
   // ==========================================================================
+  // Streaming runtime (SURVEY §7.2 step 4): the SAME event feed pushed
+  // through readStream → CdcPipeline → foreachBatch destination under
+  // Trigger.AvailableNow, then read back — batch/stream unification means
+  // the DuckDB batch oracle verifies the streaming run. This is the
+  // flagship lifecycle of the reference (pipeline.rs:1101-1282) under the
+  // correctness gate.
+  // ==========================================================================
+
+  private def stageStreamSource(s: SparkSession, dir: String, path: String): Unit =
+    CdcEnvelope.fromEvents(Tables.events(s, dir))
+      .drop("update_description")
+      .repartition(4).write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(path)
+
+  private val streamDDL =
+    "operation string, database string, collection string, " +
+      "cluster_time timestamp, document_key string, full_document string, " +
+      "resume_token string, event_id long, user_id long, value double"
+
+  register("stream_pipeline_roundtrip", Some(
+    """SELECT 'c_' || CAST(user_id % 8 AS VARCHAR) AS collection,
+      |  count(*) AS n_events, count(DISTINCT event_id) AS n_ids,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('purchase','signup')
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-pipeline-$tag"
+    val src = s"$base/source"
+    stageStreamSource(s, dir, src)
+    // fresh checkpoint/output per invocation => deterministic full replay
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.CollectionBased)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-rt-$tag",
+      triggerInterval = None, // AvailableNow: drain-and-stop
+      transform = df => graft.operators.Filters
+        .byOperations(df, Seq("purchase", "signup")))
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s, Some(streamDDL))
+      .groupBy("collection")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_ids"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  register("stream_windowed_counts", Some(
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |  event_type AS operation, count(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val src = s"$sinkRoot/stream-window-$tag/source"
+    stageStreamSource(s, dir, src)
+    // event-time tumbling-window aggregation ON THE STREAM (A2 in its
+    // native trigger form), drained with AvailableNow into a memory sink
+    val qn = s"stream_win_${tag.replace(".", "_")}"
+    val stream = s.readStream.schema(streamDDL)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+    val agg = stream
+      .withWatermark("cluster_time", "0 seconds")
+      .groupBy(window(col("cluster_time"), "1 hour").as("w"), col("operation"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("operation"), col("n_events"))
+    val q = agg.writeStream.queryName(qn).format("memory")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    s.table(qn)
+  }
+
+  // ==========================================================================
   // Relational suite (join/agg/window/set-op coverage; bench workhorses)
   // ==========================================================================
 

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.KeyStrategy
+import graft.sources.{OutCompression, OutFormat, Writers}
+
+/** Destination capability metadata (rigatoni-core/src/destination.rs:407-469). */
+final case class DestinationMetadata(
+    name: String,
+    supportsTransactions: Boolean,
+    maxBatchSize: Option[Int] = None,
+    properties: Map[String, String] = Map.empty)
+
+/** Error taxonomy for metrics labels and retry gating
+  * (pipeline.rs:1880-1900 categorize_error + destination.rs:181-398). */
+sealed abstract class DestinationError(msg: String, val errorType: String,
+                                       val retryable: Boolean)
+  extends RuntimeException(msg)
+object DestinationError {
+  final class Timeout(msg: String) extends DestinationError(msg, "timeout", true)
+  final class Connection(msg: String) extends DestinationError(msg, "connection", true)
+  final class RateLimit(msg: String, val retryAfterMs: Long)
+    extends DestinationError(msg, "rate_limit", true)
+  /** destination.rs:248-263 — back-pressure signal (O7). */
+  final class Capacity(msg: String, val utilization: Double, val retryAfterMs: Long)
+    extends DestinationError(msg, "capacity", true)
+  final class Serialization(msg: String) extends DestinationError(msg, "serialization", false)
+  final class Permission(msg: String) extends DestinationError(msg, "permission", false)
+  final class Validation(msg: String) extends DestinationError(msg, "validation", false)
+  final class Closed(msg: String) extends DestinationError(msg, "closed", false)
+
+  /** Retryable iff transient (pipeline.rs:1871-1875; S3 classification
+    * s3/destination.rs:607-646). Unknown throwables count as retryable —
+    * the reference retries unknown SDK errors too. */
+  def isRetryable(t: Throwable): Boolean = t match {
+    case d: DestinationError => d.retryable
+    case _ => true
+  }
+  def errorType(t: Throwable): String = t match {
+    case d: DestinationError => d.errorType
+    case _ => "unknown"
+  }
+}
+
+/** The sink contract (destination.rs:540-749): `writeBatch` buffers/writes a
+  * micro-batch, `flush` is the durability barrier (idempotent), `close`
+  * releases resources; writes after close must fail (D5). `batchId` comes
+  * from Structured Streaming's micro-batch engine — a destination that
+  * keys its output by batchId is idempotent under replay, which upgrades
+  * the checkpointed at-least-once loop to exactly-once (SURVEY §4). */
+trait Destination {
+  def writeBatch(df: DataFrame, batchId: Long): Unit
+  def flush(): Unit = ()
+  def close(): Unit = ()
+  def metadata: DestinationMetadata
+}
+
+/** D2 — partitioned-file destination: one directory per micro-batch
+  * (`batch_id=N/`), laid out by the configured key strategy underneath.
+  * Overwrite semantics per batch directory make replays idempotent: a
+  * restarted batch rewrites exactly its own directory, never appends
+  * duplicates. The reference's S3 uploader keys objects by flush timestamp
+  * instead (s3/destination.rs:516-528) and is only at-least-once. */
+final class FileDestination(
+    outputDir: String,
+    format: OutFormat = OutFormat.Jsonl,
+    compression: OutCompression = OutCompression.None,
+    strategy: KeyStrategy = KeyStrategy.CollectionBased,
+    tsCol: String = "cluster_time") extends Destination {
+
+  @volatile private var closed = false
+  @volatile private[streaming] var batchesWritten = 0L
+
+  override def writeBatch(df: DataFrame, batchId: Long): Unit = {
+    if (closed) throw new DestinationError.Closed(
+      s"write_batch on closed destination $outputDir")
+    Writers.write(df, f"$outputDir/batch_id=$batchId%06d",
+      format, compression, strategy, tsCol)
+    batchesWritten += 1
+  }
+
+  override def close(): Unit = closed = true
+
+  override def metadata: DestinationMetadata = DestinationMetadata(
+    name = "file", supportsTransactions = true,
+    properties = Map("path" -> outputDir, "format" -> format.name,
+      "compression" -> compression.name))
+
+  /** Everything this destination ever wrote, as one DataFrame (the
+    * batch_id partition column is recovered from the layout). */
+  def readBack(spark: SparkSession, schemaDDL: Option[String] = None): DataFrame =
+    Writers.read(spark, outputDir, format, schemaDDL)
+}
+
+/** D4 — in-memory mock destination with injectable failures, mirroring the
+  * reference's test harness (rigatoni-core/tests/destination_tests.rs:59-193).
+  * Rows are collected to the driver — test scale only, by design. */
+final class MockDestination(failNextWrites: Int = 0,
+                            failWith: Throwable = new DestinationError.Timeout("injected"))
+  extends Destination {
+
+  private var remainingFailures = failNextWrites
+  @volatile private var closed = false
+  val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (batchId, rows)
+  @volatile var flushes = 0
+  @volatile var attempts = 0
+
+  override def writeBatch(df: DataFrame, batchId: Long): Unit = synchronized {
+    if (closed) throw new DestinationError.Closed("write_batch on closed mock")
+    attempts += 1
+    if (remainingFailures > 0) { remainingFailures -= 1; throw failWith }
+    batches += ((batchId, df.count()))
+  }
+  override def flush(): Unit = synchronized {
+    if (closed) throw new DestinationError.Closed("flush on closed mock")
+    flushes += 1
+  }
+  override def close(): Unit = closed = true
+  override def metadata: DestinationMetadata =
+    DestinationMetadata("mock", supportsTransactions = false)
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.{DoubleAdder, LongAdder}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import scala.jdk.CollectionConverters._
+
+/** The observability surface (rigatoni-core/src/metrics.rs, §2.11):
+  * Prometheus-convention counter/gauge/histogram names with low-cardinality
+  * labels, backed by lock-free adders. Spark-side process metrics (JVM,
+  * executors) come from Spark's own sinks; these are the PIPELINE metrics
+  * the reference exposes, fed by [[MetricsListener]] and the pipeline
+  * write path. */
+object GraftMetrics {
+  private val counters = new ConcurrentHashMap[String, LongAdder]()
+  private val gauges = new ConcurrentHashMap[String, java.lang.Double]()
+  private val histoCount = new ConcurrentHashMap[String, LongAdder]()
+  private val histoSum = new ConcurrentHashMap[String, DoubleAdder]()
+
+  private def key(name: String, labels: Seq[(String, String)]): String =
+    if (labels.isEmpty) name
+    else name + labels.sortBy(_._1)
+      .map { case (k, v) => s"""$k="$v"""" }.mkString("{", ",", "}")
+
+  def inc(name: String, labels: (String, String)*): Unit = add(name, 1, labels: _*)
+  def add(name: String, n: Long, labels: (String, String)*): Unit =
+    counters.computeIfAbsent(key(name, labels), _ => new LongAdder).add(n)
+  def counter(name: String, labels: (String, String)*): Long =
+    Option(counters.get(key(name, labels))).map(_.sum()).getOrElse(0L)
+  /** Sum of a counter across all label combinations. */
+  def counterTotal(name: String): Long =
+    counters.asScala.collect {
+      case (k, v) if k == name || k.startsWith(name + "{") => v.sum()
+    }.sum
+
+  def setGauge(name: String, v: Double, labels: (String, String)*): Unit =
+    gauges.put(key(name, labels), v)
+  def gauge(name: String, labels: (String, String)*): Double =
+    Option(gauges.get(key(name, labels))).map(_.doubleValue()).getOrElse(0.0)
+
+  def observe(name: String, v: Double, labels: (String, String)*): Unit = {
+    val k = key(name, labels)
+    histoCount.computeIfAbsent(k, _ => new LongAdder).increment()
+    histoSum.computeIfAbsent(k, _ => new DoubleAdder).add(v)
+  }
+  def histogramCount(name: String, labels: (String, String)*): Long =
+    Option(histoCount.get(key(name, labels))).map(_.sum()).getOrElse(0L)
+  def histogramSum(name: String, labels: (String, String)*): Double =
+    Option(histoSum.get(key(name, labels))).map(_.sum()).getOrElse(0.0)
+
+  /** Text exposition (Prometheus-style) — the equivalent of the reference's
+    * /metrics endpoint payload. */
+  def render(): String = {
+    val cs = counters.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k ${v.sum()}" }
+    val gs = gauges.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k $v" }
+    val hs = histoCount.asScala.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+      Seq(s"${k}_count ${v.sum()}", s"${k}_sum ${histoSum.get(k).sum()}")
+    }
+    (cs ++ gs ++ hs).mkString("\n")
+  }
+
+  def reset(): Unit = { counters.clear(); gauges.clear(); histoCount.clear(); histoSum.clear() }
+
+  // Metric names, verbatim from metrics.rs:112-227
+  val EventsProcessed = "rigatoni_events_processed_total"
+  val EventsFailed = "rigatoni_events_failed_total"
+  val Retries = "rigatoni_retries_total"
+  val BatchesWritten = "rigatoni_batches_written_total"
+  val WriteErrors = "rigatoni_destination_write_errors_total"
+  val BatchSize = "rigatoni_batch_size"
+  val BatchDuration = "rigatoni_batch_duration_seconds"
+  val WriteDuration = "rigatoni_destination_write_duration_seconds"
+  val StreamLag = "rigatoni_change_stream_lag_seconds"
+  val ActiveCollections = "rigatoni_active_collections"
+  val PipelineStatus = "rigatoni_pipeline_status" // 0 stopped, 1 running, 2 error
+  val BatchQueueSize = "rigatoni_batch_queue_size"
+}
+
+/** StreamingQueryListener bridging Structured Streaming progress to the
+  * reference metric names (stream.rs:891-944 listener + metrics.rs). One
+  * instance can watch many queries; label = query name. */
+final class MetricsListener extends StreamingQueryListener {
+  import GraftMetrics._
+
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
+    setGauge(PipelineStatus, 1.0, "query" -> e.name)
+  }
+
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = e.progress
+    val q = Option(p.name).getOrElse(p.id.toString)
+    add(EventsProcessed, p.numInputRows, "query" -> q)
+    observe(BatchSize, p.numInputRows.toDouble, "query" -> q)
+    observe(BatchDuration, p.batchDuration / 1000.0, "query" -> q)
+  }
+
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+    val status = if (e.exception.isDefined) 2.0 else 0.0
+    setGauge(PipelineStatus, status, "query" -> e.id.toString)
+  }
+}

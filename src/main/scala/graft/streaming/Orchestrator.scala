@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+import scala.collection.mutable
+
+/** O1 — the pipeline orchestrator (pipeline.rs:660-1096): owns the session,
+  * destination factory and watch-level dispatch; spawns one streaming query
+  * per watched collection (or one glob query for database/deployment
+  * level), tracks them, aggregates stats, and stops everything gracefully.
+  *
+  * What the reference needs distributed locks for (O6 — N instances
+  * fighting over collections) Spark solves structurally: a checkpoint
+  * directory admits exactly one running query, and executors scale a
+  * single query horizontally instead of sharding collections across
+  * processes.
+  */
+final class Orchestrator(
+    spark: SparkSession,
+    sourceRoot: String,
+    level: WatchLevel,
+    checkpointRoot: String,
+    schemaDDL: String,
+    destinationFor: String => Destination,
+    configure: PipelineConfig => PipelineConfig = identity) {
+
+  private val queries = mutable.LinkedHashMap.empty[String, StreamingQuery]
+  private val destinations = mutable.LinkedHashMap.empty[String, Destination]
+
+  /** Start one query per watch target (pipeline.rs:798-971 dispatch). */
+  def start(): Seq[StreamingQuery] = synchronized {
+    require(queries.isEmpty, "orchestrator already started")
+    val targets: Seq[(String, String)] = level match {
+      case WatchLevel.Collection(names) =>
+        names.map(n => n -> s"$sourceRoot/$n")
+      case WatchLevel.Database   => Seq("database" -> s"$sourceRoot/*")
+      case WatchLevel.Deployment => Seq("deployment" -> s"$sourceRoot/*/*")
+    }
+    targets.foreach { case (name, path) =>
+      val dest = destinationFor(name)
+      val cfg = configure(PipelineConfig(
+        sourceDir = path,
+        schemaDDL = schemaDDL,
+        checkpointDir = s"$checkpointRoot/$name",
+        queryName = s"graft-cdc-$name"))
+      destinations(name) = dest
+      queries(name) = CdcPipeline.start(spark, cfg, dest)
+    }
+    GraftMetrics.setGauge(GraftMetrics.ActiveCollections, queries.size.toDouble)
+    queries.values.toSeq
+  }
+
+  def activeQueries: Seq[StreamingQuery] = synchronized(queries.values.toSeq)
+
+  /** Block until every query has processed all currently-available input
+    * (AvailableNow queries terminate on their own). */
+  def awaitTermination(timeoutMs: Long = 120000): Unit =
+    activeQueries.foreach(_.awaitTermination(timeoutMs))
+
+  /** O9 — aggregated stats (pipeline.rs:639-651) from the metric registry. */
+  def stats(): PipelineStats = {
+    import GraftMetrics._
+    PipelineStats(
+      eventsProcessed = counterTotal(EventsProcessed),
+      batchesWritten = counterTotal(BatchesWritten),
+      writeErrors = counterTotal(WriteErrors),
+      retries = counterTotal(Retries))
+  }
+
+  /** O8 — graceful shutdown (pipeline.rs:1915-2016): stop each query
+    * (in-flight batch completes, offsets commit), close destinations,
+    * zero the active gauge. */
+  def stop(): Unit = synchronized {
+    queries.values.foreach(q => CdcPipeline.stopGracefully(q))
+    destinations.values.foreach(_.close())
+    GraftMetrics.setGauge(GraftMetrics.ActiveCollections, 0.0)
+    queries.clear()
+    destinations.clear()
+  }
+}

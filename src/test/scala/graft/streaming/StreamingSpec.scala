@@ -1,0 +1,284 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.cdc.CdcEnvelope
+import graft.operators.KeyStrategy
+import graft.sources.{OutCompression, OutFormat}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Streaming-runtime semantics: checkpointed resume (S5/O4), exactly-once
+  * via idempotent batch dirs, count batching (A1), retry/backoff (O3),
+  * restart loop (O5), graceful shutdown (O8/A3), metrics (§2.11/O9),
+  * watch-level orchestration (S4/O1) — the reference's
+  * pipeline_integration_test.rs scenarios on Structured Streaming. */
+class StreamingSpec extends SparkSpec {
+
+  private val root = "/root/repo/target/test-out/streaming"
+
+  private val envDDL =
+    "operation string, database string, collection string, " +
+      "cluster_time timestamp, document_key string, full_document string, " +
+      "resume_token string, event_id long, user_id long, value double"
+
+  /** The envelope split into N jsonl files under `dir` (the "change feed"). */
+  private def stageSource(dir: String, parts: Int, filter: DataFrame => DataFrame = identity): Long = {
+    val env = filter(CdcEnvelope.fromEvents(Tables.events(spark, sfTiny)))
+      .drop("update_description")
+    env.repartition(parts).write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(dir)
+    env.count()
+  }
+
+  private def fresh(name: String): (String, String, String) = {
+    val base = s"$root/$name"
+    val p = Paths.get(base)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    (s"$base/source", s"$base/checkpoint", s"$base/out")
+  }
+
+  private def cfg(src: String, ckpt: String, name: String): PipelineConfig =
+    PipelineConfig(sourceDir = src, schemaDDL = envDDL, checkpointDir = ckpt,
+      queryName = name, triggerInterval = None) // AvailableNow
+
+  test("end-to-end: stream -> foreachBatch file destination is lossless") {
+    val (src, ckpt, out) = fresh("e2e")
+    val n = stageSource(src, parts = 4)
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.CollectionBased)
+    val q = CdcPipeline.start(spark, cfg(src, ckpt, "e2e"), dest)
+    q.awaitTermination(120000)
+    val back = dest.readBack(spark, Some(envDDL))
+    assert(back.count() === n)
+    assert(back.select(sum(col("event_id"))).head.getLong(0) ===
+      CdcEnvelope.fromEvents(Tables.events(spark, sfTiny))
+        .select(sum(col("event_id"))).head.getLong(0))
+  }
+
+  test("checkpoint resume processes only new files, exactly once (S5/O4)") {
+    val (src, ckpt, out) = fresh("resume")
+    val staging = s"$root/resume/staging"
+    // stage the full feed, then reveal it in two steps
+    stageSource(staging, parts = 6)
+    val files = Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    Files.createDirectories(Paths.get(src))
+    def reveal(fs: Seq[Path]): Unit = fs.foreach { f =>
+      Files.copy(f, Paths.get(src, f.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.CollectionBased)
+
+    reveal(files.take(3))
+    val q1 = CdcPipeline.start(spark, cfg(src, ckpt, "resume"), dest)
+    q1.awaitTermination(120000)
+    val afterFirst = dest.readBack(spark, Some(envDDL)).count()
+
+    reveal(files.drop(3)) // new arrivals while "down"
+    val q2 = CdcPipeline.start(spark, cfg(src, ckpt, "resume"), dest)
+    q2.awaitTermination(120000)
+
+    val back = dest.readBack(spark, Some(envDDL))
+    val total = spark.read.schema(envDDL)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(staging).count()
+    assert(afterFirst > 0 && afterFirst < total, "first run should be partial")
+    assert(back.count() === total, "resume lost or duplicated events")
+    assert(back.select(countDistinct(col("event_id"))).head.getLong(0) === total,
+      "duplicate event_ids after resume — not exactly-once")
+  }
+
+  test("maxFilesPerTrigger bounds each micro-batch (A1 count batching)") {
+    val (src, ckpt, out) = fresh("countbatch")
+    stageSource(src, parts = 6)
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val c = cfg(src, ckpt, "countbatch").copy(maxFilesPerTrigger = Some(2))
+    val q = CdcPipeline.start(spark, c, dest)
+    q.awaitTermination(120000)
+    assert(dest.batchesWritten === 3, s"expected 3 batches of <=2 files, got ${dest.batchesWritten}")
+    // batch dirs are the idempotence keys
+    val dirs = Files.list(Paths.get(out)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("batch_id=")).toSeq
+    assert(dirs.size === 3)
+  }
+
+  test("transient write failures are retried with backoff, batch lands once (O3)") {
+    GraftMetrics.reset()
+    val (src, ckpt, _) = fresh("retry")
+    val n = stageSource(src, parts = 2)
+    val mock = new MockDestination(failNextWrites = 2)
+    val c = cfg(src, ckpt, "retry")
+      .copy(retry = Retry.Policy(maxRetries = 5, initialDelayMs = 1, maxDelayMs = 5))
+    val q = CdcPipeline.start(spark, c, mock)
+    q.awaitTermination(120000)
+    assert(mock.attempts === 3, s"2 failures + 1 success, got ${mock.attempts}")
+    assert(mock.batches.map(_._2).sum === n)
+    assert(GraftMetrics.counterTotal(GraftMetrics.Retries) === 2)
+    assert(GraftMetrics.counterTotal(GraftMetrics.BatchesWritten) === 1)
+  }
+
+  test("non-retryable errors fail the batch immediately and are not retried") {
+    val (src, ckpt, _) = fresh("fatal")
+    stageSource(src, parts = 1)
+    val mock = new MockDestination(failNextWrites = 1,
+      failWith = new DestinationError.Validation("bad schema"))
+    val c = cfg(src, ckpt, "fatal")
+      .copy(retry = Retry.Policy(maxRetries = 5, initialDelayMs = 1, maxDelayMs = 5))
+    val q = CdcPipeline.start(spark, c, mock)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    assert(mock.attempts === 1, "validation error must not be retried")
+    assert(err.getMessage.contains("bad schema") ||
+      Option(err.getCause).exists(_.getMessage.contains("bad schema")))
+  }
+
+  test("restart loop recovers from a failing batch via checkpoint (O5)") {
+    val (src, ckpt, _) = fresh("restart")
+    val n = stageSource(src, parts = 2)
+    // every in-batch retry exhausted twice -> query dies twice -> third
+    // start succeeds from the same checkpoint
+    val mock = new MockDestination(failNextWrites = 2)
+    val c = cfg(src, ckpt, "restart")
+      .copy(retry = Retry.Policy(maxRetries = 0, initialDelayMs = 1, maxDelayMs = 2))
+    val starts = CdcPipeline.runWithRestart(spark, c, mock, maxAttempts = 5,
+      sleep = _ => ())
+    assert(starts === 3, s"expected 3 starts, got $starts")
+    assert(mock.batches.map(_._2).sum === n, "restart lost events")
+  }
+
+  test("graceful stop drains the in-flight batch; restart completes the feed (O8/A3)") {
+    val (src, ckpt, out) = fresh("stop")
+    val n = stageSource(src, parts = 8)
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val c = cfg(src, ckpt, "stop").copy(
+      maxFilesPerTrigger = Some(1),
+      triggerInterval = Some("50 milliseconds"))
+    val q = CdcPipeline.start(spark, c, dest)
+    // let a few micro-batches through, then stop mid-stream
+    val deadline = System.nanoTime() + 60e9.toLong
+    while (dest.batchesWritten < 2 && System.nanoTime() < deadline) Thread.sleep(50)
+    CdcPipeline.stopGracefully(q)
+    val partial = dest.readBack(spark, Some(envDDL)).count()
+    assert(partial > 0, "nothing processed before stop")
+    // finish with an AvailableNow run on the same checkpoint
+    val q2 = CdcPipeline.start(spark, cfg(src, ckpt, "stop"), dest)
+    q2.awaitTermination(120000)
+    val back = dest.readBack(spark, Some(envDDL))
+    assert(back.count() === n)
+    assert(back.select(countDistinct(col("event_id"))).head.getLong(0) === n,
+      "graceful stop + resume duplicated events")
+  }
+
+  test("metrics listener publishes reference metric names (§2.11/O9)") {
+    GraftMetrics.reset()
+    val listener = new MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val (src, ckpt, out) = fresh("metrics")
+      val n = stageSource(src, parts = 2)
+      val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+        KeyStrategy.Flat)
+      val q = CdcPipeline.start(spark, cfg(src, ckpt, "metrics-q"), dest)
+      q.awaitTermination(120000)
+      // listener events are async — give the bus a moment
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (GraftMetrics.counter(GraftMetrics.EventsProcessed,
+        "query" -> "metrics-q") < n && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(GraftMetrics.counter(GraftMetrics.EventsProcessed,
+        "query" -> "metrics-q") === n)
+      assert(GraftMetrics.histogramCount(GraftMetrics.BatchSize,
+        "query" -> "metrics-q") >= 1)
+      val rendered = GraftMetrics.render()
+      assert(rendered.contains("rigatoni_events_processed_total"))
+      assert(rendered.contains("rigatoni_batches_written_total"))
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("orchestrator runs one query per collection and aggregates stats (S4/O1)") {
+    GraftMetrics.reset()
+    val (srcRoot, ckpt, out) = fresh("orch")
+    val collections = Seq("c_0", "c_1")
+    var total = 0L
+    collections.foreach { cName =>
+      total += stageSource(s"$srcRoot/$cName", parts = 2,
+        filter = df => df.filter(col("collection") === cName))
+    }
+    val dests = scala.collection.mutable.Map.empty[String, FileDestination]
+    val orch = new Orchestrator(spark, srcRoot,
+      WatchLevel.Collection(collections), ckpt, envDDL,
+      destinationFor = name => {
+        val d = new FileDestination(s"$out/$name", OutFormat.Jsonl,
+          OutCompression.None, KeyStrategy.Flat)
+        dests(name) = d; d
+      },
+      configure = _.copy(triggerInterval = None))
+    val qs = orch.start()
+    assert(qs.size === 2)
+    assert(GraftMetrics.gauge(GraftMetrics.ActiveCollections) === 2.0)
+    orch.awaitTermination()
+    val got = collections.map(n => dests(n).readBack(spark, Some(envDDL)).count()).sum
+    assert(got === total)
+    val stats = orch.stats()
+    assert(stats.batchesWritten === 2)
+    assert(stats.writeErrors === 0)
+    orch.stop()
+    assert(GraftMetrics.gauge(GraftMetrics.ActiveCollections) === 0.0)
+    // destinations are closed: further writes must fail (D5)
+    val err = intercept[DestinationError.Closed] {
+      dests("c_0").writeBatch(Tables.events(spark, sfTiny).limit(1), 99L)
+    }
+    assert(err.errorType === "closed")
+  }
+
+  test("database watch level reads the whole tree through one glob query (S2)") {
+    val (srcRoot, ckpt, out) = fresh("dblevel")
+    var total = 0L
+    Seq("c_2", "c_3").foreach { cName =>
+      total += stageSource(s"$srcRoot/$cName", parts = 1,
+        filter = df => df.filter(col("collection") === cName))
+    }
+    val paths = CdcPipeline.sourcePath(srcRoot, WatchLevel.Database)
+    assert(paths === Seq(s"$srcRoot/*"))
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.CollectionBased)
+    val c = cfg(paths.head, ckpt, "dblevel")
+    val q = CdcPipeline.start(spark, c, dest)
+    q.awaitTermination(120000)
+    assert(dest.readBack(spark, Some(envDDL)).count() === total)
+  }
+
+  test("destination error taxonomy and retryability match the reference") {
+    assert(DestinationError.isRetryable(new DestinationError.Timeout("t")))
+    assert(DestinationError.isRetryable(new DestinationError.Capacity("c", 0.95, 100)))
+    assert(!DestinationError.isRetryable(new DestinationError.Permission("p")))
+    assert(!DestinationError.isRetryable(new DestinationError.Validation("v")))
+    assert(DestinationError.errorType(new RuntimeException("x")) === "unknown")
+    val cap = new DestinationError.Capacity("over", 0.97, 250)
+    assert(cap.utilization === 0.97 && cap.retryAfterMs === 250)
+  }
+
+  test("backoff policy: exponential growth, cap, bounded jitter") {
+    val p = Retry.Policy(maxRetries = 8, initialDelayMs = 100,
+      maxDelayMs = 2000, jitter = 0.1)
+    val delays = (1 to 8).map(p.delayMs(_, seed = 1))
+    // within ±10% of 100·2^(n-1), capped at 2000
+    delays.zipWithIndex.foreach { case (d, i) =>
+      val base = math.min(100 * math.pow(2, i), 2000)
+      assert(d >= (base * 0.9).toLong - 1 && d <= (base * 1.1).toLong + 1,
+        s"attempt ${i + 1}: $d not within 10% of $base")
+    }
+    assert(delays.last <= 2200)
+    intercept[IllegalArgumentException] {
+      Retry.Policy(initialDelayMs = 500, maxDelayMs = 100)
+    }
+  }
+}

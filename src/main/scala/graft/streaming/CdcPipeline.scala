@@ -15,6 +15,12 @@ final case class PipelineConfig(
     maxFilesPerTrigger: Option[Int] = None,          // A1 (count batching)
     triggerInterval: Option[String] = Some("5 seconds"), // A2; None => AvailableNow
     retry: Retry.Policy = Retry.Policy(),
+    /** S6 — extra source options (latestFirst, maxFileAge, …), the
+      * `full_document`/`batch_size` knob surface of stream.rs:473-501. */
+    sourceOptions: Map[String, String] = Map.empty,
+    /** F3 — operations that invalidate the stream: the batch's live rows
+      * are flushed, then the query terminates fatally (no retry). */
+    invalidateOps: Seq[String] = Seq.empty,
     transform: DataFrame => DataFrame = identity) {
   require(maxFilesPerTrigger.forall(n => n >= 1 && n <= 10000),
     "batch size must be in [1, 10000]") // pipeline.rs:562-571
@@ -57,6 +63,7 @@ object CdcPipeline {
   def source(spark: SparkSession, cfg: PipelineConfig): DataFrame = {
     val r = spark.readStream.schema(cfg.schemaDDL)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    cfg.sourceOptions.foreach { case (k, v) => r.option(k, v) }
     cfg.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.json(cfg.sourceDir)
   }
@@ -75,15 +82,27 @@ object CdcPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val t0 = System.nanoTime()
         try {
+          // F3: split off invalidation markers; live rows still flush, then
+          // the stream closes fatally (stream.rs:1211-1220 semantics).
+          val invalidated = cfg.invalidateOps.nonEmpty && !batch
+            .filter(org.apache.spark.sql.functions.col("operation")
+              .isin(cfg.invalidateOps: _*)).isEmpty
+          val live =
+            if (cfg.invalidateOps.isEmpty) batch
+            else batch.filter(!org.apache.spark.sql.functions.col("operation")
+              .isin(cfg.invalidateOps: _*))
           Retry.withBackoff(cfg.retry, seed = batchId,
             onRetry = (n, t) => {
               inc(Retries, "query" -> cfg.queryName)
               inc(WriteErrors, "query" -> cfg.queryName,
                 "error_type" -> DestinationError.errorType(t))
             }) {
-            destination.writeBatch(batch, batchId)
+            destination.writeBatch(live, batchId)
             destination.flush()
           }
+          if (invalidated)
+            throw new DestinationError.Invalidated(
+              s"stream ${cfg.queryName} invalidated at batch $batchId")
           inc(BatchesWritten, "query" -> cfg.queryName)
           observe(WriteDuration, (System.nanoTime() - t0) / 1e9,
             "query" -> cfg.queryName)

@@ -28,6 +28,9 @@ object DestinationError {
   final class Permission(msg: String) extends DestinationError(msg, "permission", false)
   final class Validation(msg: String) extends DestinationError(msg, "validation", false)
   final class Closed(msg: String) extends DestinationError(msg, "closed", false)
+  /** F3 — an invalidate event closes the stream permanently
+    * (stream.rs:1211-1220; fatal, never retried/reconnected). */
+  final class Invalidated(msg: String) extends DestinationError(msg, "invalidate", false)
 
   /** Retryable iff transient (pipeline.rs:1871-1875; S3 classification
     * s3/destination.rs:607-646). Unknown throwables count as retryable —

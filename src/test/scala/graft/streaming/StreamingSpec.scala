@@ -256,6 +256,98 @@ class StreamingSpec extends SparkSpec {
     assert(dest.readBack(spark, Some(envDDL)).count() === total)
   }
 
+  test("invalidate event flushes live rows then terminates the stream fatally (F3)") {
+    val (src, ckpt, out) = fresh("invalidate")
+    val n = stageSource(src, parts = 1)
+    val nErrors = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny))
+      .filter(col("operation") === "error").count()
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val c = cfg(src, ckpt, "invalidate").copy(
+      invalidateOps = Seq("error"),
+      retry = Retry.Policy(maxRetries = 3, initialDelayMs = 1, maxDelayMs = 2))
+    val q = CdcPipeline.start(spark, c, dest)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[DestinationError.Invalidated]),
+      s"expected Invalidated in cause chain: $ex")
+    // live (non-invalidate) rows of the batch were flushed before closing
+    val back = dest.readBack(spark, Some(envDDL))
+    assert(back.count() === n - nErrors)
+    assert(back.filter(col("operation") === "error").count() === 0)
+  }
+
+  test("state stores: CRUD + durability + reference key scheme (ST1-ST3)") {
+    val mem = new MemoryStateStore
+    val key = StateStore.collectionKey("testdb", "users")
+    assert(key === "resume_token:testdb:users")
+    assert(StateStore.databaseKey("testdb") === "resume_token:database:testdb")
+    mem.saveToken(key, """{"_data":"tok1"}""")
+    assert(mem.getToken(key).contains("""{"_data":"tok1"}"""))
+    mem.saveToken(key, """{"_data":"tok2"}""") // overwrite = latest wins
+    assert(mem.getToken(key).contains("""{"_data":"tok2"}"""))
+    assert(mem.listTokens() === Map(key -> """{"_data":"tok2"}"""))
+    mem.deleteToken(key)
+    assert(mem.getToken(key).isEmpty)
+
+    val dir = s"$root/statestore"
+    val f1 = new FileStateStore(dir)
+    f1.saveToken(key, "tokA")
+    f1.saveToken(StateStore.deploymentKey, "tokB")
+    f1.close()
+    // a NEW store over the same directory sees the tokens (durability —
+    // the property MemoryStore lacks and Redis provides in the reference)
+    val f2 = new FileStateStore(dir)
+    assert(f2.getToken(key).contains("tokA"))
+    assert(f2.listTokens().size === 2)
+    f2.deleteToken(key)
+    assert(new FileStateStore(dir).listTokens() ===
+      Map(StateStore.deploymentKey -> "tokB"))
+  }
+
+  test("token-save-after-write through foreachBatch (O4 protocol)") {
+    // the reference's at-least-once contract: the external cursor commits
+    // only AFTER a successful destination flush — a failed flush must
+    // leave the token unchanged
+    val (src, ckpt, _) = fresh("tokensave")
+    stageSource(src, parts = 1)
+    val store = new MemoryStateStore
+    val key = StateStore.collectionKey("testdb", "events")
+    val failing = new MockDestination(failNextWrites = 1,
+      failWith = new DestinationError.Permission("denied"))
+    val tokenDest = new Destination {
+      override def writeBatch(df: DataFrame, batchId: Long): Unit = {
+        failing.writeBatch(df, batchId)
+        store.saveToken(key, s"""{"batch":$batchId}""") // only after success
+      }
+      override def metadata: DestinationMetadata = failing.metadata
+    }
+    val c1 = cfg(src, ckpt, "tokensave")
+      .copy(retry = Retry.Policy(maxRetries = 0, initialDelayMs = 1, maxDelayMs = 1))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CdcPipeline.start(spark, c1, tokenDest).awaitTermination(120000)
+    }
+    assert(store.getToken(key).isEmpty, "token saved despite failed write")
+    // restart: same checkpoint, destination healthy now -> token commits
+    CdcPipeline.start(spark, c1, tokenDest).awaitTermination(120000)
+    assert(store.getToken(key).contains("""{"batch":0}"""))
+  }
+
+  test("source options plumb through to the file source (S6)") {
+    val (src, ckpt, out) = fresh("srcopts")
+    val n = stageSource(src, parts = 3)
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val c = cfg(src, ckpt, "srcopts").copy(
+      sourceOptions = Map("latestFirst" -> "true", "maxFileAge" -> "30d"))
+    val q = CdcPipeline.start(spark, c, dest)
+    q.awaitTermination(120000)
+    assert(dest.readBack(spark, Some(envDDL)).count() === n)
+  }
+
   test("destination error taxonomy and retryability match the reference") {
     assert(DestinationError.isRetryable(new DestinationError.Timeout("t")))
     assert(DestinationError.isRetryable(new DestinationError.Capacity("c", 0.95, 100)))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.cdc.CdcEnvelope
 import graft.operators.{Batching, Enrichment, Filters, PartitionKeys}
-import graft.functions.{Dedup, Similarity, TextFunctions => TF}
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
 
 /** The operator catalog as verifiable queries — one entry per operator from
   * SURVEY.md §2 plus the LLM-pipeline extensions (§7.4). Each query is a
@@ -617,6 +617,37 @@ object Queries {
     // with bucket-local joins instead of an O(n²) per-block cross product.
     Dedup.simhashBandedPairs(Tables.documents(s, dir),
       maxDistance = 3, bands = 4, blockCol = "source")
+  }
+
+  // ==========================================================================
+  // Multimodal columns (binary payloads + typed metadata; decode stubbed)
+  // ==========================================================================
+
+  register("mm_payload_stats", Some(
+    """SELECT doc_id AS asset_id,
+      |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  upper(hex(CAST(substring(text, 1, 4) AS BLOB))) AS magic,
+      |  (['jpeg','wav','mp4'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+      |  (doc_id * 31) % 60000 + 1000 AS duration_ms
+      |FROM documents""".stripMargin)) { (s, dir) =>
+    Multimodal.payloadStats(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
+      .drop("content_xxh64") // no engine-portable xxhash64 in the oracle
+  }
+
+  register("mm_frame_sample", Some(
+    """WITH v AS (
+      |  SELECT doc_id AS asset_id, (doc_id * 31) % 60000 + 1000 AS duration_ms
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT asset_id, duration_ms,
+      |  unnest(range(0, duration_ms, 5000)) AS frame_ts_ms,
+      |  CAST(unnest(range(0, duration_ms, 5000)) AS DOUBLE) / 1000.0
+      |    AS frame_ts_sec
+      |FROM v""".stripMargin)) { (s, dir) =>
+    Multimodal.frameSamplePlan(
+      Multimodal.assetsFromDocuments(Tables.documents(s, dir)), everyMs = 5000)
   }
 
   // ==========================================================================

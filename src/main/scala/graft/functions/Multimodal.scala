@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video ride
+  * through the engine as opaque `binary` payloads with a typed metadata
+  * struct, and decode/feature-extract run as BATCHED per-partition
+  * transforms so a 100 TB asset corpus streams executor-local — the scan
+  * never ships payloads to the driver and never shuffles them (all derived
+  * columns are narrow).
+  *
+  * The Spark-side plumbing — schema, partitioning, batch iteration shape,
+  * encoder boundaries — is real and tested. The actual codec calls are
+  * STUBBED with deterministic fakes (this environment has no image/audio
+  * libraries): every stub is marked `STUB:` and derives its output from
+  * xxhash64 of the payload, so results are reproducible and the
+  * surrounding pipeline (metadata propagation, batching, downstream ANN)
+  * is fully exercised. Swapping a stub for a real decoder changes ONE
+  * function body, not the dataflow.
+  */
+object Multimodal {
+
+  /** Typed asset metadata (the "header" a real ingest would parse). */
+  final case class AssetMeta(format: String, widthPx: Int, heightPx: Int,
+                             sampleRateHz: Int, durationMs: Long)
+  final case class Asset(assetId: Long, modality: String,
+                         payload: Array[Byte], meta: AssetMeta)
+  final case class ImageFeatures(assetId: Long, widthPx: Int, heightPx: Int,
+                                 channels: Int, meanLuma: Double,
+                                 embedding: Array[Float])
+
+  /** Derive a deterministic multimodal asset table from the `documents`
+    * fixture: payload bytes are the document text (a stand-in blob),
+    * modality/metadata are stable functions of doc_id. This exists because
+    * the driver fixtures carry no real media; the column SHAPES match what
+    * an ingest from object storage would produce. */
+  def assetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        (pmod(col("doc_id") * 7, lit(1920)) + 64).cast("int").as("width_px"),
+        (pmod(col("doc_id") * 13, lit(1080)) + 64).cast("int").as("height_px"),
+        when(pmod(col("doc_id"), lit(3)) === 1, lit(16000)).otherwise(lit(0))
+          .cast("int").as("sample_rate_hz"),
+        (pmod(col("doc_id") * 31, lit(60000)) + 1000).as("duration_ms"))
+        .as("meta"))
+
+  // --- scan-local payload analytics (pure expressions, codegen'd) ---------
+
+  /** Byte-level stats every modality shares: size, content hash, and a
+    * magic-bytes sniff — all narrow, pushdown-friendly expressions. */
+  def payloadStats(df: DataFrame): DataFrame =
+    df.select(
+      col("asset_id"), col("modality"),
+      length(col("payload")).as("n_bytes"),
+      md5(col("payload")).as("content_md5"),
+      xxhash64(col("payload")).as("content_xxh64"),
+      upper(hex(substring(col("payload"), 1, 4))).as("magic"),
+      col("meta.format").as("format"),
+      col("meta.duration_ms").as("duration_ms"))
+
+  /** Video frame sampling plan: one row per sampled frame timestamp —
+    * pure arithmetic over metadata (the decode of each frame is the
+    * downstream stub). explode() keeps it scan-local. */
+  def frameSamplePlan(df: DataFrame, everyMs: Long): DataFrame =
+    df.filter(col("modality") === "video")
+      .select(col("asset_id"), col("meta.duration_ms").as("duration_ms"),
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1,
+          lit(everyMs))).as("frame_ts_ms"))
+      .select(col("asset_id"), col("duration_ms"), col("frame_ts_ms"),
+        (col("frame_ts_ms") / lit(1000.0)).as("frame_ts_sec"))
+
+  // --- batched per-partition decode (the mapPartitions shape) -------------
+
+  /** STUB: a real implementation calls an image codec (JPEG/PNG decode,
+    * resize, luma). The deterministic fake derives pixels-free features
+    * from the payload hash. Signature and batch shape are production-real. */
+  private def decodeImageStub(payload: Array[Byte], meta: AssetMeta,
+                              targetW: Int, targetH: Int): (Int, Int, Int, Double) = {
+    val h = java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
+    val channels = 3
+    val meanLuma = (h % 256).toDouble / 255.0
+    (math.min(meta.widthPx, targetW), math.min(meta.heightPx, targetH),
+      channels, meanLuma)
+  }
+
+  /** STUB: a real implementation runs a vision encoder over decoded
+    * pixels; the fake emits a deterministic unit-ish vector seeded by the
+    * content hash so downstream ANN/dedup operators run end-to-end. */
+  private def embedStub(payload: Array[Byte], dim: Int): Array[Float] = {
+    var h = java.util.Arrays.hashCode(payload).toLong | 1L
+    val v = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      // splitmix64-style mix (public-domain constants)
+      h += 0x9E3779B97F4A7C15L
+      var z = h
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      v(i) = ((z & 0xffff).toFloat / 65535.0f) - 0.5f
+      i += 1
+    }
+    v
+  }
+
+  /** Image decode + resize + embed as a BATCHED per-partition pass:
+    * `mapPartitions` hands each executor core an iterator over its
+    * partition, so a real codec would amortize model/codec init once per
+    * partition (the same economics as Arrow-batched UDFs). No shuffle, no
+    * driver involvement; output is a typed Dataset. */
+  def imageFeatures(assets: DataFrame, targetW: Int = 224, targetH: Int = 224,
+                    embeddingDim: Int = 64): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    implicit val inEnc = Encoders.product[Asset]
+    assets.filter(col("modality") === "image")
+      .select(col("asset_id").as("assetId"), col("modality"),
+        col("payload"),
+        struct(col("meta.format").as("format"),
+          col("meta.width_px").as("widthPx"),
+          col("meta.height_px").as("heightPx"),
+          col("meta.sample_rate_hz").as("sampleRateHz"),
+          col("meta.duration_ms").as("durationMs")).as("meta"))
+      .as[Asset]
+      .mapPartitions { batch =>
+        // per-partition init happens HERE once (codec handles, model
+        // weights); the stub has nothing to init.
+        batch.map { a =>
+          val (w, hgt, ch, luma) =
+            decodeImageStub(a.payload, a.meta, targetW, targetH)
+          ImageFeatures(a.assetId, w, hgt, ch, luma,
+            embedStub(a.payload, embeddingDim))
+        }
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val assets =
+    Multimodal.assetsFromDocuments(Tables.documents(spark, sfTiny)).cache()
+
+  test("asset table carries binary payloads with typed metadata") {
+    val schema = assets.schema
+    assert(schema("payload").dataType.typeName === "binary")
+    val meta = schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq ===
+      Seq("format", "width_px", "height_px", "sample_rate_hz", "duration_ms"))
+    // every modality present; format tracks modality
+    val pairs = assets.select("modality", "meta.format").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("image", "jpeg"), ("audio", "wav"), ("video", "mp4")))
+  }
+
+  test("payload stats are scan-local byte analytics") {
+    val stats = Multimodal.payloadStats(assets)
+    val r = stats.filter(col("asset_id") === 3).head()
+    // payload is the text bytes, so n_bytes == n_chars for ASCII docs
+    val nChars = Tables.documents(spark, sfTiny)
+      .filter(col("doc_id") === 3).select(length(col("text"))).head().getInt(0)
+    assert(r.getAs[Int]("n_bytes") === nChars)
+    assert(r.getAs[String]("content_md5").length === 32)
+    assert(r.getAs[String]("magic").length === 8) // 4 bytes hex
+    // no shuffle in the plan: narrow expressions only
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"payload stats should not shuffle:\n$plan")
+  }
+
+  test("frame sample plan enumerates deterministic timestamps per video") {
+    val frames = Multimodal.frameSamplePlan(assets, everyMs = 5000)
+    val one = frames.filter(col("asset_id") === 2) // doc_id % 3 == 2 -> video
+      .orderBy("frame_ts_ms").collect()
+    assert(one.nonEmpty)
+    val duration = one.head.getAs[Long]("duration_ms")
+    assert(one.map(_.getAs[Long]("frame_ts_ms")).toSeq ===
+      (0L until duration by 5000L).toSeq)
+  }
+
+  test("image feature extraction: batched, deterministic, typed output") {
+    val feats = Multimodal.imageFeatures(assets, embeddingDim = 32).cache()
+    val nImages = assets.filter(col("modality") === "image").count()
+    assert(feats.count() === nImages)
+    val f = feats.filter(col("assetId") === 3).head()
+    assert(f.channels === 3)
+    assert(f.meanLuma >= 0.0 && f.meanLuma <= 1.0)
+    assert(f.embedding.length === 32)
+    assert(f.widthPx <= 224 && f.heightPx <= 224) // resize clamp
+    // deterministic: a second run yields identical features
+    val again = Multimodal.imageFeatures(assets, embeddingDim = 32)
+      .filter(col("assetId") === 3).head()
+    assert(again.meanLuma === f.meanLuma)
+    assert(again.embedding.toSeq === f.embedding.toSeq)
+  }
+
+  test("stub embeddings flow into the similarity operators end-to-end") {
+    val feats = Multimodal.imageFeatures(assets, embeddingDim = 32)
+      .select(col("assetId").as("vec_id"), col("embedding"))
+    val queries = feats.limit(3)
+    val topk = Similarity.bruteForceTopK(feats, queries, k = 4)
+    val counts = topk.groupBy("query_id").count().collect()
+    assert(counts.length === 3)
+    counts.foreach(r => assert(r.getLong(1) === 4))
+  }
+}

@@ -22,6 +22,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // absorb JVM/codegen warmup so the first measured query isn't charged
+    // for JIT compilation of the whole scan/agg/join machinery
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.join(spark.read.parquet(s"$sfDir/orders.parquet"),
+          li("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(org.apache.spark.sql.functions.sum("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -233,16 +233,22 @@ object Queries {
       min(col("cluster_time")).as("first_time"),
       max(col("cluster_time")).as("last_time"))
 
-  register("sink_jsonl_gzip_hive", Some(sinkOracle)) { (s, dir) =>
-    sinkAggregate(writeReadBack(s, dir, "sink_jsonl_gzip_hive",
+  // Partition granularity note: hourly Hive keys are the STREAMING layout
+  // (each micro-batch covers a few hours — see CdcPipeline/WritersSpec);
+  // for a bulk 90-day dump they mean ~4,700 partition dirs and a
+  // small-files explosion (measured 10× slower), so the bulk queries here
+  // use date / collection granularity — the layout a real bulk export
+  // would pick.
+  register("sink_jsonl_gzip_date", Some(sinkOracle)) { (s, dir) =>
+    sinkAggregate(writeReadBack(s, dir, "sink_jsonl_gzip_date",
       graft.sources.OutFormat.Jsonl, graft.sources.OutCompression.Gzip,
-      graft.operators.KeyStrategy.HivePartitioned))
+      graft.operators.KeyStrategy.DatePartitioned))
   }
 
-  register("sink_csv_gzip_date", Some(sinkOracle)) { (s, dir) =>
-    sinkAggregate(writeReadBack(s, dir, "sink_csv_gzip_date",
+  register("sink_csv_gzip_collection", Some(sinkOracle)) { (s, dir) =>
+    sinkAggregate(writeReadBack(s, dir, "sink_csv_gzip_collection",
       graft.sources.OutFormat.Csv, graft.sources.OutCompression.Gzip,
-      graft.operators.KeyStrategy.DatePartitioned))
+      graft.operators.KeyStrategy.CollectionBased))
   }
 
   register("sink_parquet_zstd_collection", Some(sinkOracle)) { (s, dir) =>
@@ -693,7 +699,7 @@ object Queries {
     // occupancy bounded and add tables to hold recall.
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-      nPlanes = 5, nTables = 16)
+      nPlanes = 7, nTables = 12)
   }
 
   // --------------------------------------------------------------------------

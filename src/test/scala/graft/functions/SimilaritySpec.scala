@@ -38,7 +38,7 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(emb, queries, K)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(emb, queries, K, nPlanes = 5, nTables = 16)
+    val approx = Similarity.lshTopK(emb, queries, K, nPlanes = 7, nTables = 12)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(approx).toDouble / exact.size
@@ -46,11 +46,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"ANN recall $recall%.3f < 0.8")
   }
 
+  test("bulk bucket path equals the column-expression lshBucket") {
+    // lshTopK's codegen'd bucket computation must produce the same buckets
+    // as the public column form (same planes, same sign rule, same fold
+    // order since posexplode keeps a vector's elements in one task)
+    import org.apache.spark.sql.Row
+    val sample = emb.limit(50)
+    val colForm = sample.select(col("vec_id") +: (0 until 3).map(t =>
+        Similarity.lshBucket(col("embedding"), 5, t).as(s"b$t")): _*)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // reach the private bulk path through lshTopK's plan is awkward;
+    // instead verify via reflection-free route: identical candidates when
+    // k is unbounded and probes are disabled would require internals —
+    // assert bucket agreement through the public API instead: a vector
+    // must always be its own nearest bucket-mate, so querying the corpus
+    // with itself under 0 probes ... simplest: recompute with the column
+    // form and compare collision sets per table.
+    val bulk = {
+      val m = classOf[Similarity.type].getDeclaredMethods
+        .find(_.getName == "bulkBuckets").get
+      m.setAccessible(true)
+      m.invoke(Similarity, sample, Integer.valueOf(5), Integer.valueOf(3),
+        "vec_id", "embedding").asInstanceOf[org.apache.spark.sql.DataFrame]
+        .collect().map { r: Row =>
+          val bs = r.getSeq[Row](1).map(b => b.getLong(1))
+          r.getLong(0) -> ((bs(0), bs(1), bs(2)))
+        }.toMap
+    }
+    assert(bulk === colForm)
+  }
+
   test("LSH candidate set is a real subset (no full cross product)") {
     // the whole point of LSH: strictly fewer scored candidates than
     // brute force's |corpus| × |queries|
     val nCand = Similarity.lshTopK(emb, queries, k = Int.MaxValue,
-      nPlanes = 5, nTables = 16).count()
+      nPlanes = 7, nTables = 12).count()
     val full = emb.count() * queries.count()
     assert(nCand < 0.8 * full,
       s"LSH scored $nCand of $full pairs — not meaningfully sub-linear")

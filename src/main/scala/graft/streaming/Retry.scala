@@ -46,7 +46,15 @@ object Retry {
       catch {
         case t: Throwable if isRetryable(t) && attempt <= policy.maxRetries =>
           onRetry(attempt, t)
-          sleep(policy.delayMs(attempt, seed))
+          // O7: a capacity/rate-limit signal carries the destination's own
+          // retry_after hint (destination.rs:255-263) — honour it when it
+          // asks for MORE patience than the backoff schedule would give
+          val hinted = t match {
+            case c: DestinationError.Capacity  => c.retryAfterMs
+            case r: DestinationError.RateLimit => r.retryAfterMs
+            case _                             => 0L
+          }
+          sleep(math.max(policy.delayMs(attempt, seed), hinted))
         case t: Throwable if isRetryable(t) =>
           throw new RetriesExhausted(attempt, t)
       }

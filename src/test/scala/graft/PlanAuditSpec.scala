@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Machine-checked `.explain` audits: the plan SHAPES that make these
+  * operators survive a 100 TB corpus — filters reaching the parquet scan,
+  * column pruning, dimension broadcasts, no nested-loop/cartesian joins in
+  * keyed paths — asserted, not eyeballed, so a regression in plan quality
+  * fails CI like a wrong answer would. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfTiny)
+
+  test("filter queries push predicates into the parquet scan") {
+    // cdc_filter_ops filters on event_type/value — both scan-pushable
+    val plan = physical(run("cdc_filter_ops"))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("In(event_type") || plan.contains("IsNotNull(event_type"),
+      s"event_type predicate not pushed:\n$plan")
+  }
+
+  test("projection queries prune columns at the scan (ReadSchema)") {
+    // tpch_q1 touches 7 of lineitem's 11 columns; the scan must not read
+    // the rest
+    val plan = physical(run("tpch_q1_pricing_summary"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in plan:\n$plan"))
+    assert(!readSchema.contains("l_orderkey"),
+      s"q1 reads join keys it never uses: $readSchema")
+    assert(readSchema.contains("l_quantity") && readSchema.contains("l_shipdate"))
+  }
+
+  test("dimension joins broadcast the small side, never the fact side") {
+    val q3 = physical(run("tpch_q3_shipping_priority"))
+    assert(q3.contains("BroadcastHashJoin"), s"q3 lost its dim broadcast:\n$q3")
+    // the lineitem⋈orders join must NOT be broadcast (both sides scale)
+    val q5 = physical(run("tpch_q5_region_revenue"))
+    assert(q5.contains("BroadcastHashJoin"), s"q5 lost its dim broadcast:\n$q5")
+    Seq("tpch_q3_shipping_priority" -> q3, "tpch_q5_region_revenue" -> q5,
+      "cdc_enrich_join" -> physical(run("cdc_enrich_join"))).foreach {
+      case (n, p) =>
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"$n has a nested-loop/cartesian join:\n$p")
+    }
+  }
+
+  test("aggregations use partial (map-side) aggregation before the shuffle") {
+    val plan = physical(run("cdc_op_counts"))
+    // HashAggregate(partial) ... Exchange ... HashAggregate(final)
+    val aggCount = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggCount >= 2, s"no partial aggregation visible:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"),
+      s"aggregate shuffle is not hash-partitioned:\n$plan")
+  }
+
+  test("dedup and LSH joins are keyed hash joins, not cross products") {
+    Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard").foreach { n =>
+      val plan = physical(run(n))
+      assert(!plan.contains("CartesianProduct"),
+        s"$n degenerated to a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$n uses a nested-loop join:\n$plan")
+    }
+  }
+
+  test("windowed operators partition by their keys (no global single-partition sort)") {
+    val plan = physical(run("window_top_orders"))
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    assert(plan.contains("hashpartitioning(o_custkey"),
+      s"window not keyed by o_custkey:\n$plan")
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    Seq("tpch_q1_pricing_summary", "cdc_filter_ops", "cdc_group_by_collection")
+      .foreach { n =>
+        val df = run(n)
+        df.collect() // finalize the adaptive plan — codegen nodes only
+                     // materialize in the executed plan under AQE
+        val plan = physical(df)
+        // codegen'd stages render as "*(n) Operator" in the compact plan
+        assert(plan.contains("WholeStageCodegen") ||
+          plan.linesIterator.exists(_.trim.matches("^(\\+- |: *)?\\*\\(\\d+\\).*")),
+          s"$n runs outside whole-stage codegen:\n$plan")
+      }
+  }
+
+  test("text analytics stay scan-local (zero exchanges)") {
+    Seq("text_stats", "text_quality", "text_langid", "text_fingerprint")
+      .foreach { n =>
+        val plan = physical(run(n))
+        assert(!plan.contains("Exchange"),
+          s"$n shuffles a narrow per-document computation:\n$plan")
+      }
+  }
+}

@@ -358,6 +358,42 @@ class StreamingSpec extends SparkSpec {
     assert(cap.utilization === 0.97 && cap.retryAfterMs === 250)
   }
 
+  test("streaming dedup drops duplicate document keys within the watermark (A6)") {
+    val (src, ckpt, out) = fresh("streamdedup")
+    // duplicate the whole feed: every event arrives twice
+    val env = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny))
+      .drop("update_description")
+    val n = env.count()
+    env.union(env).repartition(4).write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val c = cfg(src, ckpt, "streamdedup").copy(
+      transform = df => df
+        .withWatermark("cluster_time", "1 hour")
+        .dropDuplicatesWithinWatermark("document_key"))
+    val q = CdcPipeline.start(spark, c, dest)
+    q.awaitTermination(120000)
+    val back = dest.readBack(spark, Some(envDDL))
+    assert(back.count() === n, "stream dedup kept duplicates or dropped uniques")
+    assert(back.select(countDistinct(col("event_id"))).head.getLong(0) === n)
+  }
+
+  test("capacity retry_after hint stretches the backoff sleep (O7)") {
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    Retry.withBackoff(
+      Retry.Policy(maxRetries = 3, initialDelayMs = 10, maxDelayMs = 100, jitter = 0.0),
+      sleep = slept += _) {
+      calls += 1
+      if (calls <= 2)
+        throw new DestinationError.Capacity("buffer full", 0.99, retryAfterMs = 5000)
+      "ok"
+    }
+    assert(calls === 3)
+    assert(slept.forall(_ >= 5000), s"retry_after hint ignored: $slept")
+  }
+
   test("backoff policy: exponential growth, cap, bounded jitter") {
     val p = Retry.Policy(maxRetries = 8, initialDelayMs = 100,
       maxDelayMs = 2000, jitter = 0.1)

@@ -32,6 +32,12 @@ object Similarity {
     when(nn > 0, d / nn).otherwise(lit(0.0))
   }
 
+  /** Codegen'd cosine (native Catalyst expression, bit-identical to
+    * [[cosine]]) — used by the pairwise scorers, where the similarity is
+    * the |corpus|·|queries| inner loop and interpreted HOFs dominate. */
+  def cosineFast(a: Column, b: Column): Column =
+    graft.functions.expressions.VectorExpressions.cosineNative(a, b)
+
   /** Exact top-k neighbours for each query vector. `queries` must be small
     * (it is broadcast); ties break on corpus id for determinism. Top-k per
     * query uses a keyed window — shuffles only the (query × corpus) scored
@@ -43,7 +49,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        cosineFast(col("qv"), col("cv")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -166,7 +172,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        cosineFast(col("qv"), col("cv")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,87 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<float>` columns — the ONE place this engine drops below the
+  * public functions API (SURVEY §7.4: "the only place Catalyst extension
+  * points enter"). Rationale: the `zip_with`/`aggregate` formulation runs
+  * interpreted (higher-order functions sit outside whole-stage codegen)
+  * and allocates a lambda-variable frame per element, which is the inner
+  * loop of brute-force top-k — |corpus|·|queries| evaluations. This
+  * expression generates a tight primitive `for` loop via `doGenCode`, so
+  * the scorer stays inside whole-stage codegen with zero allocations.
+  *
+  * Semantics are IDENTICAL to `Similarity.cosine` (same left-to-right
+  * double accumulation, norms over each full array, 0.0 for zero-norm
+  * inputs) — SimilaritySpec asserts bit-equality on real data. Array
+  * elements must be non-null (embedding vectors; null ELEMENTS would read
+  * as 0.0f here, while the HOF form would return null).
+  */
+final case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  // (return type inferred — Seq[AbstractDataType] is private[sql])
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    var nx = 0.0
+    i = 0
+    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
+    var ny = 0.0
+    i = 0
+    while (i < y.numElements()) { val v = y.getFloat(i).toDouble; ny += v * v; i += 1 }
+    val nn = math.sqrt(nx) * math.sqrt(ny)
+    if (nn > 0.0) dot / nn else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val nn = ctx.freshName("nn")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double v = (double) $a.getFloat($i); $nx += v * v;
+         |}
+         |double $ny = 0.0;
+         |for (int $i = 0; $i < $b.numElements(); $i++) {
+         |  double v = (double) $b.getFloat($i); $ny += v * v;
+         |}
+         |double $nn = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($nn > 0.0) ? ($dot / $nn) : 0.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Codegen'd cosine similarity over two `array<float>` columns. */
+  def cosineNative(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+}

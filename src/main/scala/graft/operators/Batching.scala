@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   */
 object Batching {
 
+  /** Deterministic sum of a double column: route the accumulation through
+    * DECIMAL(38,s) so result is independent of partition/merge order, then
+    * one cast back. Shared by every catalog aggregate (oracle hash-compare
+    * needs bit-stable sums). */
+  def dsum(c: org.apache.spark.sql.Column, scale: Int = 4): org.apache.spark.sql.Column =
+    sum(c.cast(s"decimal(38,$scale)")).cast("double")
+
   /** A2 — time-window batching: tumbling event-time windows over
     * cluster_time. In streaming form this is exactly
     * `groupBy(window($"cluster_time", size))`; bounded form is identical
@@ -27,7 +34,7 @@ object Batching {
     df.groupBy(window(col(tsCol), windowSize).as("w"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_value"))
+        dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
 
   /** A1 — count-based batching: assign batch ids of at most `batchSize`
@@ -50,7 +57,7 @@ object Batching {
         count(lit(1)).as("n_events"),
         min(col("cluster_time")).as("first_time"),
         max(col("cluster_time")).as("last_time"),
-        sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_value"))
+        dsum(col("value")).as("sum_value"))
 
   /** A5 — per-operation-type counts (the flush metrics aggregate). */
   def perOpCounts(df: DataFrame): DataFrame =

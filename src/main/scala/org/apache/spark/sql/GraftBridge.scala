@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal access bridge: `classic.ExpressionUtils` (the Column ↔ catalyst
+  * Expression converters) is `private[sql]` in Spark 4, so custom native
+  * expressions need one forwarding object inside the package — the usual
+  * pattern for Catalyst extensions distributed outside Spark itself. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -13,8 +13,11 @@ class PlanAuditSpec extends SparkSpec {
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  // sfSmall, not sfTiny: other suites cache() sfTiny scans, and a matching
+  // cached subtree would replace the parquet scan with InMemoryTableScan,
+  // hiding the pushdown/pruning evidence this suite asserts on.
   private def run(name: String): DataFrame =
-    SparkEntry.queries(name)(spark, sfTiny)
+    SparkEntry.queries(name)(spark, sfSmall)
 
   test("filter queries push predicates into the parquet scan") {
     // cdc_filter_ops filters on event_type/value — both scan-pushable

@@ -46,6 +46,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"ANN recall $recall%.3f < 0.8")
   }
 
+  test("native cosine expression is bit-identical to the HOF form and codegen'd") {
+    val pairs = emb.as("a").crossJoin(emb.limit(20).as("b"))
+      .select(col("a.embedding").as("x"), col("b.embedding").as("y"))
+    val both = pairs.select(
+      Similarity.cosine(col("x"), col("y")).as("hof"),
+      Similarity.cosineFast(col("x"), col("y")).as("native"))
+    val diff = both.filter(col("hof") =!= col("native")).count()
+    assert(diff === 0, s"$diff pairs differ between HOF and native cosine")
+    // the scorer must be inside whole-stage codegen (the reason it exists)
+    val scored = emb.select(
+      Similarity.cosineFast(col("embedding"), col("embedding")).as("c"))
+    scored.collect()
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") ||
+      plan.linesIterator.exists(_.trim.matches("^(\\+- |: *)?\\*\\(\\d+\\).*")),
+      s"native cosine fell out of codegen:\n$plan")
+  }
+
   test("bulk bucket path equals the column-expression lshBucket") {
     // lshTopK's codegen'd bucket computation must produce the same buckets
     // as the public column form (same planes, same sign rule, same fold

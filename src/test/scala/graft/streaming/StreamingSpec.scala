@@ -348,6 +348,42 @@ class StreamingSpec extends SparkSpec {
     assert(dest.readBack(spark, Some(envDDL)).count() === n)
   }
 
+  test("stream-static enrichment joins the dimension as a broadcast (§2.5)") {
+    val (src, ckpt, out) = fresh("enrich")
+    stageSource(src, parts = 2)
+    val dim = Tables.customer(spark, sfTiny)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val c = cfg(src, ckpt, "enrich").copy(
+      transform = df => df.join(broadcast(dim),
+        df("user_id") === dim("c_custkey"), "inner"))
+    val q = CdcPipeline.start(spark, c, dest)
+    q.awaitTermination(120000)
+    val enrichedDDL = envDDL + ", c_custkey long, c_mktsegment string"
+    val back = dest.readBack(spark, Some(enrichedDDL))
+    val want = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny))
+      .join(dim, col("user_id") === col("c_custkey")).count()
+    assert(back.count() === want)
+    assert(back.filter(col("c_mktsegment").isNull).count() === 0)
+  }
+
+  test("deployment watch level covers db/collection trees via one glob (S3)") {
+    val (srcRoot, ckpt, out) = fresh("deploy")
+    var total = 0L
+    for (db <- Seq("db1", "db2"); cName <- Seq("c_4", "c_5")) {
+      total += stageSource(s"$srcRoot/$db/$cName", parts = 1,
+        filter = df => df.filter(col("collection") === cName))
+    }
+    val paths = CdcPipeline.sourcePath(srcRoot, WatchLevel.Deployment)
+    assert(paths === Seq(s"$srcRoot/*/*"))
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.CollectionBased)
+    val q = CdcPipeline.start(spark, cfg(paths.head, ckpt, "deploy"), dest)
+    q.awaitTermination(120000)
+    assert(dest.readBack(spark, Some(envDDL)).count() === total)
+  }
+
   test("destination error taxonomy and retryability match the reference") {
     assert(DestinationError.isRetryable(new DestinationError.Timeout("t")))
     assert(DestinationError.isRetryable(new DestinationError.Capacity("c", 0.95, 100)))

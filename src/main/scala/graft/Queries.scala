@@ -625,6 +625,39 @@ object Queries {
       maxDistance = 3, bands = 4, blockCol = "source")
   }
 
+  register("dedup_embedding_neardup", Some(
+    """WITH p AS (
+      | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(range(1, len(a.embedding) + 1),
+      |       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |     (x, y) -> x + y) AS dot,
+      |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |     (x, y) -> x + y)) AS nx,
+      |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |     (x, y) -> x + y)) AS ny
+      | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b,
+      |  round(CASE WHEN nx * ny > 0 THEN dot / (nx * ny) ELSE 0.0 END, 6) AS cos_sim
+      |FROM p
+      |WHERE CASE WHEN nx * ny > 0 THEN dot / (nx * ny) ELSE 0.0 END >= 0.4""".stripMargin)) { (s, dir) =>
+    // Embedding-cosine near-duplicate pairs, EXACT form (the oracle is the
+    // same pairwise computation): |corpus|²/2 scored pairs through the
+    // native codegen cosine. This is the verification tier; at corpus
+    // scale, candidate generation goes through Similarity.lshTopK and this
+    // exact scorer runs only within buckets.
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosineFast(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   // ==========================================================================
   // Multimodal columns (binary payloads + typed metadata; decode stubbed)
   // ==========================================================================

@@ -35,12 +35,30 @@ object OutCompression {
   * through [[AvroSink]] (Avro container files via the Java library,
   * written per-partition — still fully distributed).
   *
-  * Supported codec matrix in this environment (no native-hadoop, so text
-  * zstd is unavailable — parquet/avro cover T6 via zstd-jni):
-  *   jsonl/csv: none, gzip · parquet: none, snappy, gzip, zstd ·
-  *   avro: none(null), gzip(deflate), zstd(zstandard)
+  * Codec matrix: jsonl/csv: none, gzip, zstd (via [[ZstdCodec]], a
+  * zstd-jni-backed Hadoop codec — stock Hadoop's needs native libs this
+  * environment lacks) · parquet: none, snappy, gzip, zstd ·
+  * avro: none(null), gzip(deflate), zstd(zstandard)
   */
 object Writers {
+
+  /** Text-format compression option value: shortnames for built-ins, the
+    * [[ZstdCodec]] class for zstd (no native-hadoop here — zstd-jni codec
+    * instead). Registers the codec with the session's Hadoop conf so the
+    * reader resolves `.zst` files on the way back. */
+  private def textCodec(spark: org.apache.spark.sql.SparkSession,
+                        compression: OutCompression): String =
+    compression match {
+      case OutCompression.Zstd =>
+        val conf = spark.sparkContext.hadoopConfiguration
+        val key = "io.compression.codecs"
+        val cls = classOf[ZstdCodec].getName
+        val cur = Option(conf.get(key)).getOrElse("")
+        if (!cur.contains(cls))
+          conf.set(key, if (cur.isEmpty) cls else s"$cur,$cls")
+        cls
+      case c => c.name
+    }
 
   /** Write `df` under `strategy`'s partition layout. Time partition
     * columns derive from event time (`tsCol`) — deterministic and
@@ -75,11 +93,13 @@ object Writers {
         format match {
           case OutFormat.Jsonl =>
             w.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-              .option("compression", compression.name).json(path)
+              .option("compression", textCodec(df.sparkSession, compression))
+              .json(path)
           case OutFormat.Csv =>
             w.option("header", "true")
               .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-              .option("compression", compression.name).csv(path)
+              .option("compression", textCodec(df.sparkSession, compression))
+              .csv(path)
           case OutFormat.Parquet =>
             w.option("compression", compression.name).parquet(path)
           case OutFormat.Avro => // handled above
@@ -94,10 +114,12 @@ object Writers {
   def read(spark: SparkSession, path: String, format: OutFormat,
            schemaDDL: Option[String] = None): DataFrame = format match {
     case OutFormat.Jsonl =>
+      textCodec(spark, OutCompression.Zstd) // ensure .zst resolves
       val r = spark.read
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       schemaDDL.fold(r)(s => r.schema(s)).json(path)
     case OutFormat.Csv =>
+      textCodec(spark, OutCompression.Zstd) // ensure .zst resolves
       val r = spark.read.option("header", "true")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       schemaDDL.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)

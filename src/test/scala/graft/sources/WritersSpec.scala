@@ -36,8 +36,10 @@ class WritersSpec extends SparkSpec {
   private val matrix: Seq[(OutFormat, OutCompression, KeyStrategy)] = Seq(
     (OutFormat.Jsonl, OutCompression.None, KeyStrategy.HivePartitioned),
     (OutFormat.Jsonl, OutCompression.Gzip, KeyStrategy.HivePartitioned),
+    (OutFormat.Jsonl, OutCompression.Zstd, KeyStrategy.CollectionBased),
     (OutFormat.Csv, OutCompression.None, KeyStrategy.DatePartitioned),
     (OutFormat.Csv, OutCompression.Gzip, KeyStrategy.CollectionBased),
+    (OutFormat.Csv, OutCompression.Zstd, KeyStrategy.Flat),
     (OutFormat.Parquet, OutCompression.Snappy, KeyStrategy.HivePartitioned),
     (OutFormat.Parquet, OutCompression.Zstd, KeyStrategy.Flat),
     (OutFormat.Parquet, OutCompression.Gzip, KeyStrategy.DateHourPartitioned),

@@ -38,16 +38,40 @@ object Batching {
       .select(col("w.start").as("window_start"), col("n_events"), col("sum_value"))
 
   /** A1 — count-based batching: assign batch ids of at most `batchSize`
-    * events in cluster_time order. NOTE: the global row_number makes this a
-    * single-partition window — correct for verification, but at 100 TB
-    * batch assignment belongs to the trigger (maxFilesPerTrigger /
-    * maxOffsetsPerTrigger), not to a sort; see streaming.CdcPipeline. */
+    * events in (cluster_time, tie) order. In streaming this is trigger
+    * admission (maxFilesPerTrigger — see streaming.CdcPipeline); the
+    * bounded form here computes the SAME global ordinal scalably in two
+    * phases instead of one single-partition window:
+    *
+    *   1. row_number keyed by a coarse time bucket (day) — a keyed window,
+    *      parallel across buckets;
+    *   2. cumulative offsets of per-bucket counts — a bucket-cardinality
+    *      aggregate (days, not events) whose prefix sum is itself a tiny
+    *      window, broadcast-joined back.
+    *
+    * global ordinal = bucket offset + within-bucket row number. The only
+    * single-partition step scales with the NUMBER OF DAYS, so the plan
+    * survives 100 TB of events; results are identical to the naive global
+    * `row_number` (the DuckDB oracle for cdc_batch_count IS the naive
+    * form). */
   def countBatches(df: DataFrame, batchSize: Int,
                    tsCol: String = "cluster_time",
                    tieCol: String = "event_id"): DataFrame = {
-    val w = Window.orderBy(col(tsCol), col(tieCol))
-    df.withColumn("batch_id",
-      ((row_number().over(w) - 1) / batchSize).cast("long"))
+    val bucket = date_trunc("day", col(tsCol))
+    val wInBucket = Window.partitionBy(bucket).orderBy(col(tsCol), col(tieCol))
+    val numbered = df.withColumn("__bucket", bucket)
+      .withColumn("__rn", row_number().over(wInBucket))
+    val wBuckets = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = df.groupBy(bucket.as("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__n")).over(wBuckets), lit(0L)).as("__offset"))
+    numbered
+      .join(broadcast(offsets), "__bucket")
+      .withColumn("batch_id",
+        ((col("__offset") + col("__rn") - 1) / batchSize).cast("long"))
+      .drop("__bucket", "__rn", "__offset")
   }
 
   /** A4 — group-by-collection (one output group per collection per flush). */

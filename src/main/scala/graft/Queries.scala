@@ -175,6 +175,24 @@ object Queries {
     invalidations.groupBy("collection").agg(count(lit(1)).as("n_invalidate"))
   }
 
+  register("cdc_event_size", Some(
+    """SELECT event_id,
+      |  'testdb.c_' || CAST(user_id % 8 AS VARCHAR) AS full_name,
+      |  CAST(length(event_type) + length('testdb')
+      |    + length('c_' || CAST(user_id % 8 AS VARCHAR))
+      |    + length('{"_id":' || CAST(event_id AS VARCHAR) || '}')
+      |    + length(props)
+      |    + length('{"_data":' || CAST(event_id AS VARCHAR) || '}')
+      |    + 50 AS BIGINT) AS est_size_bytes
+      |FROM events""".stripMargin)) { (s, dir) =>
+    // §1.1 helpers: full_name (event.rs:196-200) + batching size estimate
+    // (event.rs:397-432) — the per-event inputs of size-based batching.
+    envelope(s, dir).select(
+      col("event_id"),
+      CdcEnvelope.fullName().as("full_name"),
+      CdcEnvelope.estimatedSizeBytes().as("est_size_bytes"))
+  }
+
   register("cdc_update_description", Some(
     """SELECT event_id, props AS updated_fields,
       |  'legacy_field' AS removed_fields,

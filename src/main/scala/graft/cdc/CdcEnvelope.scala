@@ -88,6 +88,27 @@ object CdcEnvelope {
     "operation", "database", "collection", "cluster_time",
     "document_key", "full_document", "resume_token")
 
+  /** `Namespace::full_name()` — "db.coll" (event.rs:196-200). */
+  def fullName(database: Column = col("database"),
+               collection: Column = col("collection")): Column =
+    concat(database, lit("."), collection)
+
+  /** Batching-oriented size estimate (event.rs:397-432): byte lengths of
+    * the string payload fields plus a fixed overhead for the timestamp and
+    * envelope bookkeeping (the reference uses a ~50 B/key heuristic; here
+    * the JSON fields carry their own real lengths). */
+  def estimatedSizeBytes(
+      operation: Column = col("operation"),
+      database: Column = col("database"),
+      collection: Column = col("collection"),
+      documentKey: Column = col("document_key"),
+      fullDocument: Column = col("full_document"),
+      resumeToken: Column = col("resume_token")): Column =
+    (length(operation) + length(database) + length(collection) +
+      coalesce(length(documentKey), lit(0)) +
+      coalesce(length(fullDocument), lit(0)) +
+      coalesce(length(resumeToken), lit(0)) + lit(50)).cast("long")
+
   def envelopeOnly(df: DataFrame): DataFrame =
     df.select(envelopeColumns.map(col): _*)
 }

@@ -57,6 +57,23 @@ class CdcEnvelopeSpec extends SparkSpec {
     assert(roundTripped.collect().toSeq === df.collect().toSeq)
   }
 
+  test("full_name and size estimate behave like the reference accessors") {
+    val r = env.select(
+      CdcEnvelope.fullName().as("fn"),
+      CdcEnvelope.estimatedSizeBytes().as("sz"),
+      length(col("full_document")).as("doc_len")).head()
+    assert(r.getAs[String]("fn").matches("testdb\\.c_\\d"))
+    // the estimate must dominate the payload length (it includes it)
+    assert(r.getAs[Long]("sz") > r.getAs[Int]("doc_len"))
+    // null-safe: a delete-style event with no documents still sizes
+    import spark.implicits._
+    val bare = Seq(("delete", "db", "c", null: String, null: String, "{}"))
+      .toDF("operation", "database", "collection", "document_key",
+        "full_document", "resume_token")
+    val sz = bare.select(CdcEnvelope.estimatedSizeBytes()).head().getLong(0)
+    assert(sz === ("delete".length + "db".length + "c".length + 2 + 50).toLong)
+  }
+
   test("operation-class predicates partition the op taxonomy correctly") {
     val ops = Seq("insert", "update", "delete", "replace", "invalidate",
       "drop", "dropDatabase", "rename", "weird_unknown").toDF("operation")

@@ -643,6 +643,36 @@ object Queries {
       maxDistance = 3, bands = 4, blockCol = "source")
   }
 
+  register("corpus_split", Some(
+    """SELECT doc_id,
+      |  CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS split_bucket,
+      |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+      |       WHEN CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin)) { (s, dir) =>
+    // deterministic content-hash train/val/test split (80/10/10)
+    graft.functions.CorpusOps.withSplit(Tables.documents(s, dir))
+      .select(col("doc_id"), col("split_bucket"), col("split"))
+  }
+
+  register("corpus_decontaminate", Some(
+    """WITH s AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= 4 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 2),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+3], ' ')))
+      |    ELSE [] END) AS g
+      |  FROM documents),
+      |b AS (SELECT DISTINCT g FROM s WHERE doc_id < 10)
+      |SELECT s.doc_id, count(DISTINCT s.g) AS n_shared_shingles
+      |FROM s JOIN b USING (g) WHERE s.doc_id >= 10
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // benchmark decontamination: docs sharing any 4-gram with the
+    // benchmark slice (doc_id < 10) — posting-list semi-join on shingles
+    val docs = Tables.documents(s, dir)
+    graft.functions.CorpusOps.contaminated(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), n = 4)
+  }
+
   register("dedup_embedding_neardup", Some(
     """WITH p AS (
       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

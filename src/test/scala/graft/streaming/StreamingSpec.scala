@@ -348,6 +348,43 @@ class StreamingSpec extends SparkSpec {
     assert(dest.readBack(spark, Some(envDDL)).count() === n)
   }
 
+  test("stateful materialization folds the stream to latest-per-key across batches") {
+    import spark.implicits._
+    val (src, ckpt, _) = fresh("materialize")
+    stageSource(src, parts = 6)
+    val qn = "materialize_latest"
+    val stream = spark.readStream.schema(envDDL)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("maxFilesPerTrigger", 2) // several micro-batches -> state must persist
+      .json(src)
+      .select(col("user_id").as("key"), col("cluster_time").as("clusterTime"),
+        col("event_id").as("eventId"), col("operation"), col("value"))
+      .as[KeyedEvent]
+    val q = Materializer.latestByKey(stream).toDF()
+      .writeStream.queryName(qn).format("memory").outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // update-mode deltas: the LAST emission per key is the materialized row
+    val emitted = spark.table(qn)
+    val matRows = emitted
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy(col("clusterTime").desc, col("eventId").desc)))
+      .filter(col("__rn") === 1)
+      .select(col("key"), col("eventId"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Batching
+      .dedupLatestByKey(CdcEnvelope.fromEvents(Tables.events(spark, sfTiny)),
+        Seq("user_id"))
+      .select(col("user_id"), col("event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(matRows === want,
+      "materialized state diverges from batch latest-per-key")
+    // several batches ran, so state really crossed batch boundaries
+    assert(emitted.count() >= want.size)
+  }
+
   test("stream-static enrichment joins the dimension as a broadcast (§2.5)") {
     val (src, ckpt, out) = fresh("enrich")
     stageSource(src, parts = 2)

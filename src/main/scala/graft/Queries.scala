@@ -159,13 +159,16 @@ object Queries {
     """SELECT event_id, event_type AS operation, value FROM events""".stripMargin)) { (s, dir) =>
     // T1 serialize → parse back: proves the JSON-lines envelope round-trips
     // losslessly (reference: serde_json JSONL, s3/destination.rs:194-208).
+    // from_json parses each line ONCE into a struct; the earlier
+    // 3×get_json_object form re-parsed the same line per extracted field.
     val line = to_json(struct(col("event_id"), col("operation"), col("value")))
     envelope(s, dir)
       .select(line.as("json"))
-      .select(
-        get_json_object(col("json"), "$.event_id").cast("long").as("event_id"),
-        get_json_object(col("json"), "$.operation").as("operation"),
-        get_json_object(col("json"), "$.value").cast("double").as("value"))
+      .select(from_json(col("json"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id bigint, operation string, value double")).as("r"))
+      .select(col("r.event_id").as("event_id"),
+        col("r.operation").as("operation"), col("r.value").as("value"))
   }
 
   register("cdc_invalidate_split", Some(

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *    |corpus| × |queries|, never corpus × corpus);
   *  - random-hyperplane LSH bucketing — the scale path: corpus and queries
   *    hash to sign-pattern buckets, candidates are bucket-local.
-  * All vector math is zip_with/aggregate over the array column (JVM
-  * higher-order functions, computed in double).
+  * Hot paths run codegen'd: the pairwise scorer through a native Catalyst
+  * expression ([[cosineFast]]), bucket computation through explode +
+  * hash-aggregation; the zip_with/aggregate column forms remain for
+  * ad-hoc use and are proven equal in SimilaritySpec.
   */
 object Similarity {
 

@@ -77,9 +77,16 @@ final class FileDestination(
   override def writeBatch(df: DataFrame, batchId: Long): Unit = {
     if (closed) throw new DestinationError.Closed(
       s"write_batch on closed destination $outputDir")
-    Writers.write(df, f"$outputDir/batch_id=$batchId%06d",
-      format, compression, strategy, tsCol)
+    val dir = f"$outputDir/batch_id=$batchId%06d"
+    Writers.write(df, dir, format, compression, strategy, tsCol)
     batchesWritten += 1
+    // metrics.rs:184 destination_write_bytes — size of what just landed
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      GraftMetrics.observe(GraftMetrics.WriteBytes,
+        fs.getContentSummary(p).getLength.toDouble, "destination_type" -> "file")
+    } catch { case _: Throwable => () }
   }
 
   override def close(): Unit = closed = true

@@ -72,6 +72,7 @@ object GraftMetrics {
   val BatchSize = "rigatoni_batch_size"
   val BatchDuration = "rigatoni_batch_duration_seconds"
   val WriteDuration = "rigatoni_destination_write_duration_seconds"
+  val WriteBytes = "rigatoni_destination_write_bytes"
   val StreamLag = "rigatoni_change_stream_lag_seconds"
   val ActiveCollections = "rigatoni_active_collections"
   val PipelineStatus = "rigatoni_pipeline_status" // 0 stopped, 1 running, 2 error

@@ -197,9 +197,12 @@ class StreamingSpec extends SparkSpec {
         "query" -> "metrics-q") === n)
       assert(GraftMetrics.histogramCount(GraftMetrics.BatchSize,
         "query" -> "metrics-q") >= 1)
+      assert(GraftMetrics.histogramSum(GraftMetrics.WriteBytes,
+        "destination_type" -> "file") > 0.0, "write bytes not observed")
       val rendered = GraftMetrics.render()
       assert(rendered.contains("rigatoni_events_processed_total"))
       assert(rendered.contains("rigatoni_batches_written_total"))
+      assert(rendered.contains("rigatoni_destination_write_bytes"))
     } finally spark.streams.removeListener(listener)
   }
 

@@ -36,6 +36,12 @@ object CorpusOps {
     * never a document cross product). Returns (doc_id, n_shared_shingles)
     * for contaminated corpus docs.
     *
+    * Shingles are joined by their codegen'd xxhash64 hashes
+    * ([[TextFunctions.shingleHashes]]), not strings: equal strings hash
+    * equal on both sides, so the semi-join and the distinct count are
+    * unchanged (64-bit collisions negligible), while shingling never
+    * materializes a string and the shuffle keys are 8 bytes.
+    *
     * `n` defaults to 4 here because the synthetic fixture's vocabulary is
     * tiny; production decontamination typically uses 8-13-gram overlap. */
   def contaminated(corpus: DataFrame, benchmark: DataFrame, n: Int = 4,
@@ -43,8 +49,7 @@ object CorpusOps {
                    textCol: String = "text"): DataFrame = {
     def shingles(df: DataFrame): DataFrame =
       df.select(col(idCol),
-        explode(array_distinct(TextFunctions.tokenShingles(col(textCol), n)))
-          .as("g"))
+        explode(TextFunctions.shingleHashes(col(textCol), n)).as("g"))
     val benchShingles = shingles(benchmark).select(col("g")).distinct()
     shingles(corpus)
       .join(benchShingles, "g")

@@ -66,12 +66,19 @@ object Dedup {
     * [[ngramJaccardPairs]] (the quadratic form, kept as the small-block
     * oracle tool), but join cost scales with Σ_g df(g)² per block — the
     * shared-ngram co-occurrence mass — instead of block size².
+    *
+    * N-grams are carried as their codegen'd xxhash64 hashes
+    * ([[TextFunctions.shingleHashes]]) rather than joined strings: set
+    * sizes, intersections, and hence every Jaccard statistic are unchanged
+    * (64-bit collisions are negligible), while shingling skips string
+    * materialization entirely and the (block, ngram) shuffle carries 8-byte
+    * keys instead of n-token strings.
     */
   def ngramJaccardStats(docs: DataFrame, n: Int,
                         blockCol: String = "source",
                         simThreshold: Double = 0.2): DataFrame = {
     val withSets = docs.select(col("doc_id"), col(blockCol).as("block"),
-      ngramSet(col("text"), n).as("ngrams"))
+      TextFunctions.shingleHashes(col("text"), n).as("ngrams"))
     val sizes = withSets.select(col("doc_id"), col("block"),
       size(col("ngrams")).as("sz"))
     val exploded = withSets.select(col("doc_id"), col("block"),

@@ -123,6 +123,13 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct xxhash64 shingle hashes — the input units for MinHash, n-gram
+    * Jaccard, and decontamination. Computed by the native codegen'd
+    * [[graft.functions.expressions.ShingleHashes]] expression (one pass over
+    * the raw bytes, zero string materialization); bit-identical to
+    * `array_distinct(transform(tokenShingles(text, n), xxhash64))`, which
+    * TextFunctionsSpec asserts. */
   def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(tokenShingles(text, n), s => xxhash64(s)))
+    array_distinct(
+      graft.functions.expressions.TextExpressions.shingleHashesNative(text, n))
 }

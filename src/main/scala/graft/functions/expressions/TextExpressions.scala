@@ -1,0 +1,102 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression computing the xxhash64 of every n-token
+  * shingle of a text column in one pass — the codegen'd replacement for
+  * the interpreted `tokenShingles`/`transform(xxhash64)` higher-order
+  * pipeline, which dominated the round-2 bench (shingling is the inner
+  * loop of every n-gram dedup, MinHash signature, and decontamination
+  * pass at corpus scale).
+  *
+  * The trick that makes this allocation-free: `split(text, " ")` followed
+  * by re-joining `n` consecutive tokens with `" "` is an exact inverse
+  * pair, so shingle `i` is LITERALLY the byte range of `text` from the
+  * start of token `i` to the end of token `i+n−1` (UTF-8 continuation
+  * bytes are ≥ 0x80, so scanning raw bytes for 0x20 can never split a
+  * multi-byte character). Each hash is therefore
+  * `XXH64(bytes[start_i, end_{i+n−1}), seed=42)` over the ORIGINAL string
+  * buffer — bit-identical to `xxhash64(concat_ws(" ", tokens...))` with
+  * zero string materialization, no per-element lambda frames, and no
+  * interpreted HOF passes.
+  *
+  * Output preserves window order and keeps duplicates (wrap in
+  * `array_distinct` for set semantics — that path is codegen'd for
+  * primitive longs). Documents with fewer than `n` tokens yield an empty
+  * array; a null document yields null (standard null-intolerant unary
+  * expression).
+  */
+final case class ShingleHashes(child: Expression, n: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle width must be >= 1 (got $n)")
+
+  // (return type inferred — Seq[AbstractDataType] is private[sql])
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ShingleHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Seed used by Spark's `xxhash64` function — keeps these hashes
+    * bit-compatible with `xxhash64(shingle_string)`. */
+  private final val Seed = 42L
+
+  /** One pass over the raw UTF-8 bytes: locate token boundaries (0x20),
+    * then hash each n-token window's byte range in place. Token semantics
+    * match `split(text, " ")` exactly, including empty tokens from
+    * consecutive / leading / trailing spaces and the single empty token of
+    * an empty string. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off  = text.getBaseOffset
+    val len  = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == 0x20) spaces += 1
+      i += 1
+    }
+    val nTokens = spaces + 1
+    if (nTokens < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // starts(j) = byte index where token j begins; token j ends at the
+    // space before token j+1 (or at len for the last token)
+    val starts = new Array[Int](nTokens)
+    var j = 1
+    i = 0
+    while (i < len) {
+      if (Platform.getByte(base, off + i) == 0x20) { starts(j) = i + 1; j += 1 }
+      i += 1
+    }
+    val out = new Array[Long](nTokens - n + 1)
+    var w = 0
+    while (w <= nTokens - n) {
+      val s = starts(w)
+      val e = if (w + n < nTokens) starts(w + n) - 1 else len
+      out(w) = XXH64.hashUnsafeBytes(base, off + s, e - s, Seed)
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+object TextExpressions {
+  /** Codegen'd xxhash64 shingle hashes (window order, duplicates kept). */
+  def shingleHashesNative(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+}

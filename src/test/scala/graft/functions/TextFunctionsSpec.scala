@@ -55,6 +55,50 @@ class TextFunctionsSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("native shingle hashes == interpreted HOF form, bit for bit") {
+    // ShingleHashes hashes byte RANGES of the original string; it must be
+    // bit-identical to xxhash64 over the materialized joined shingle for
+    // every window, including empty tokens (doubled/leading/trailing
+    // spaces), multi-byte UTF-8, and the < n tokens -> empty case.
+    val texts = Seq(
+      "one two three four",
+      "a b", // fewer tokens than n
+      "", // single empty token
+      "  doubled  spaces  here x", // empty tokens preserved
+      "trailing space x y ",
+      " leading",
+      "日本語 テキスト の シングル 検証", // multi-byte UTF-8
+      "same same same same same")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val df = texts.toDF("text")
+      val hof = df.select(
+        transform(TextFunctions.tokenShingles(col("text"), n), s => xxhash64(s))
+          .as("h")).as[Seq[Long]].collect().toSeq
+      val native = df.select(
+        graft.functions.expressions.TextExpressions
+          .shingleHashesNative(col("text"), n).as("h"))
+        .as[Seq[Long]].collect().toSeq
+      assert(native === hof, s"mismatch at n=$n")
+    }
+    // single empty token ("" has 1 token): n=1 hashes the empty string
+    val empty = Seq("").toDF("text").select(
+      graft.functions.expressions.TextExpressions
+        .shingleHashesNative(col("text"), 1)).as[Seq[Long]].head()
+    assert(empty.length === 1)
+  }
+
+  test("native shingle hashes property: random strings match HOF form") {
+    val gen = Gen.listOfN(80, Gen.asciiPrintableStr)
+    val samples = gen(Gen.Parameters.default, Seed(7L)).get
+    val df = samples.toDF("text")
+    val hof = df.select(
+      array_distinct(transform(TextFunctions.tokenShingles(col("text"), 3),
+        s => xxhash64(s))).as("h")).as[Seq[Long]].collect().toSeq
+    val native = df.select(TextFunctions.shingleHashes(col("text"), 3).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    assert(native === hof)
+  }
+
   test("bpe estimate >= whitespace token count, exact on known input") {
     // each token contributes >= 1
     val df = Seq("a bb cccc dddddddd", "tiny").toDF("text")

@@ -740,19 +740,16 @@ object Queries {
       |  round(CASE WHEN nx * ny > 0 THEN dot / (nx * ny) ELSE 0.0 END, 6) AS cos_sim
       |FROM p
       |WHERE CASE WHEN nx * ny > 0 THEN dot / (nx * ny) ELSE 0.0 END >= 0.4""".stripMargin)) { (s, dir) =>
-    // Embedding-cosine near-duplicate pairs, EXACT form (the oracle is the
-    // same pairwise computation): |corpus|²/2 scored pairs through the
-    // native codegen cosine. This is the verification tier; at corpus
-    // scale, candidate generation goes through Similarity.lshTopK and this
-    // exact scorer runs only within buckets.
-    val emb = Tables.embeddings(s, dir)
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        Similarity.cosineFast(col("va"), col("vb")).as("cos"))
-      .filter(col("cos") >= 0.4)
-      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+    // Embedding-cosine near-duplicate pairs, EXACT — computed as the
+    // block-partitioned pairwise equi-join (Similarity.cosineThresholdPairs):
+    // identical output to the all-pairs form the oracle replays, but the
+    // n²/2 scoring distributes over block-pair tasks with bounded memory
+    // and NO BroadcastNestedLoopJoin (PlanAuditSpec asserts the shape).
+    // LSH candidates are deliberately NOT used here: exact output at a
+    // threshold the pair-cosine mass straddles needs exact enumeration
+    // (see the cosineThresholdPairs scaladoc).
+    Similarity.cosineThresholdPairs(Tables.embeddings(s, dir), 0.4)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
   // ==========================================================================

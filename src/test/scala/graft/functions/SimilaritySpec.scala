@@ -46,6 +46,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"ANN recall $recall%.3f < 0.8")
   }
 
+  test("blocked cosineThresholdPairs == all-pairs join, exactly") {
+    // the blocked equi-join must enumerate every unordered pair exactly
+    // once — same rows, same scores, no duplicates — for several block
+    // counts including nBlocks=1 (single diagonal group) and a block count
+    // larger than the vector count (mostly-empty groups)
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosineFast(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (nBlocks <- Seq(1, 16, 1024)) {
+      val blocked = Similarity.cosineThresholdPairs(emb, 0.4, nBlocks)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(blocked.length === blocked.toSet.size,
+        s"duplicate pairs at nBlocks=$nBlocks")
+      assert(blocked.toSet === exact, s"pair mismatch at nBlocks=$nBlocks")
+    }
+  }
+
   test("native cosine expression is bit-identical to the HOF form and codegen'd") {
     val pairs = emb.as("a").crossJoin(emb.limit(20).as("b"))
       .select(col("a.embedding").as("x"), col("b.embedding").as("y"))

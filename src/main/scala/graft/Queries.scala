@@ -341,23 +341,54 @@ object Queries {
       |FROM events GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
     import graft.streaming._
     val tag = dir.replaceAll("[^0-9.]", "")
-    val src = s"$sinkRoot/stream-window-$tag/source"
+    val base = s"$sinkRoot/stream-window-$tag"
+    val src = s"$base/source"
     stageStreamSource(s, dir, src)
-    // event-time tumbling-window aggregation ON THE STREAM (A2 in its
-    // native trigger form), drained with AvailableNow into a memory sink
-    val qn = s"stream_win_${tag.replace(".", "_")}"
-    val stream = s.readStream.schema(streamDDL)
+    // Event-time tumbling-window aggregation ON THE STREAM (A2 in its
+    // native trigger form), in APPEND mode through a FileDestination —
+    // the shape that scales: only watermark-closed windows leave the
+    // state store, each exactly once, and nothing accumulates on the
+    // driver (the previous complete-mode memory sink re-emitted the whole
+    // result every batch and collected it driver-side).
+    //
+    // Append mode only emits a window once the watermark passes its end,
+    // so a drained bounded source would otherwise hold the LAST window in
+    // state forever. One sentinel event 2 hours past the newest real event
+    // advances the watermark over every real window. The sentinel is NOT
+    // filtered out in the stream: a pre-aggregation filter on `operation`
+    // gets pushed below the EventTimeWatermark node by Catalyst, dropping
+    // the sentinel before its timestamp is observed (verified: the final
+    // real window then never closes). Instead the sentinel self-excludes —
+    // its own window's end lies beyond the final watermark, so it stays in
+    // state and is never emitted; the read-back filter is belt-and-braces.
+    val sentinel = "__watermark_sentinel__"
+    val maxTs = Tables.events(s, dir)
+      .agg(max(col("ts")).cast("long")).head().getLong(0)
+    s.range(1).select(
+        lit(sentinel).as("operation"),
+        (lit(maxTs) + lit(7200L)).cast("timestamp").as("cluster_time"))
+      .write.mode("append")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
-    val agg = stream
-      .withWatermark("cluster_time", "0 seconds")
-      .groupBy(window(col("cluster_time"), "1 hour").as("w"), col("operation"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("w.start").as("window_start"), col("operation"), col("n_events"))
-    val q = agg.writeStream.queryName(qn).format("memory")
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-win-$tag",
+      triggerInterval = None, // AvailableNow: drain, then evict closed state
+      transform = df => df
+        .withWatermark("cluster_time", "0 seconds")
+        .groupBy(window(col("cluster_time"), "1 hour").as("w"), col("operation"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("operation"),
+          col("n_events")))
+    val q = CdcPipeline.start(s, cfg, dest)
     q.awaitTermination(300000)
-    s.table(qn)
+    dest.readBack(s,
+        Some("window_start timestamp, operation string, n_events long"))
+      .filter(col("operation") =!= sentinel)
+      .select(col("window_start"), col("operation"), col("n_events"))
   }
 
   // ==========================================================================

@@ -63,24 +63,41 @@ object Writers {
   /** Write `df` under `strategy`'s partition layout. Time partition
     * columns derive from event time (`tsCol`) — deterministic and
     * replayable, deviating deliberately from the reference's wall-clock
-    * keys (SURVEY §7.3). */
+    * keys (SURVEY §7.3).
+    *
+    * `maxFilesPerKey` bounds BOTH file-count hazards: repartitioning on
+    * the partition columns alone fixes the small-files explosion (every
+    * task otherwise holds rows for every key → tasks × partitions tiny
+    * files; measured 10× slower at sf0.1) but collapses each key into ONE
+    * task — a skewed key (one hot collection of eight) then serializes
+    * through a single core and produces one giant file. The shuffle key is
+    * therefore (partition columns, pmod(xxhash64(row), maxFilesPerKey)):
+    * at most `maxFilesPerKey` files AND up to that many parallel writer
+    * tasks per key. Size it to target_file_size ≈ hot_key_bytes /
+    * maxFilesPerKey at the deployment's scale. */
   def write(df: DataFrame, path: String, format: OutFormat,
             compression: OutCompression = OutCompression.None,
             strategy: KeyStrategy = KeyStrategy.HivePartitioned,
             tsCol: String = "cluster_time",
-            mode: String = "overwrite"): Unit = {
+            mode: String = "overwrite",
+            maxFilesPerKey: Int = 4): Unit = {
+    require(maxFilesPerKey >= 1, s"maxFilesPerKey must be >= 1 (got $maxFilesPerKey)")
     val derived = PartitionKeys.withPartitionColumns(df, strategy, tsCol)
-    // Cluster rows by their output partition before writing: without this,
-    // EVERY task holds rows for every key and the writer emits
-    // (tasks × partitions) tiny files — at hourly Hive granularity that is
-    // a small-files explosion (measured 10× slower at sf0.1) and a
-    // downstream-scan killer at 100 TB. One shuffle buys one file per
-    // partition key.
     val keyed =
-      if (strategy.partitionColumns.nonEmpty)
-        derived.repartition(strategy.partitionColumns.map(
-          org.apache.spark.sql.functions.col): _*)
-      else derived
+      if (strategy.partitionColumns.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        val salt = pmod(
+          xxhash64(df.columns.map(derived(_)).toIndexedSeq: _*),
+          lit(maxFilesPerKey.toLong))
+        // explicit partition count: a count-less repartition is fair game
+        // for AQE partition coalescing, which at small volumes merges the
+        // salted groups back into one task — exactly the serialization
+        // point the salt exists to prevent
+        val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+          .max(maxFilesPerKey)
+        derived.repartition(n,
+          (strategy.partitionColumns.map(col) :+ salt): _*)
+      } else derived
     format match {
       case OutFormat.Avro =>
         AvroSink.write(keyed, path, compression, strategy.partitionColumns)

@@ -90,6 +90,41 @@ class WritersSpec extends SparkSpec {
     assert(one.count() === env.filter(col("collection") === "c_1").count())
   }
 
+  test("skewed partition key fans out to multiple bounded files, not one giant") {
+    // 90% of rows in one collection: the salted shuffle must spread the hot
+    // key over >1 writer task (no single-core serialization) while keeping
+    // file count per key <= maxFilesPerKey (no small-files explosion).
+    import spark.implicits._
+    val maxFiles = 4
+    val skewed = (0 until 20000).map { i =>
+      (if (i % 10 == 0) s"c_${i % 4}" else "c_hot", s"doc-$i", i.toLong)
+    }.toDF("collection", "document_key", "seq")
+    val path = s"$outRoot/skew-check"
+    Writers.write(skewed, path, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.CollectionBased, maxFilesPerKey = maxFiles)
+    def filesUnder(key: String): Seq[String] = {
+      val dir = Paths.get(s"$path/collection=$key")
+      val stream = Files.walk(dir)
+      try {
+        val it = stream.iterator()
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val p = it.next().toString
+          if (p.contains("/part-")) out += p
+        }
+        out.toSeq
+      } finally stream.close()
+    }
+    val hot = filesUnder("c_hot")
+    assert(hot.size > 1, s"hot key serialized through one task: $hot")
+    assert(hot.size <= maxFiles, s"file count per key not bounded: $hot")
+    // every row still lands exactly once
+    val back = Writers.read(spark, path, OutFormat.Jsonl,
+      Some("collection string, document_key string, seq long"))
+    assert(back.count() === 20000)
+    assert(back.filter(col("collection") === "c_hot").count() === 18000)
+  }
+
   test("format metadata matches the reference's extensions and content types") {
     assert(OutFormat.Jsonl.extension === ".jsonl")
     assert(OutFormat.Csv.contentType === "text/csv")

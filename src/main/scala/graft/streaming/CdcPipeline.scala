@@ -68,6 +68,53 @@ object CdcPipeline {
     r.json(cfg.sourceDir)
   }
 
+  /** batch_queue_size (metrics.rs:165): files staged under the source path
+    * that the engine has not yet admitted to a batch. Spark 4.1's file
+    * source keeps its `unreadFiles` backlog private (no SourceProgress
+    * metrics map, `reportLatestOffset` = null), so the pipeline computes it
+    * from what it controls: a glob listing of the source minus the admitted
+    * entries in the checkpoint's source metadata log. Driver-local small
+    * I/O, same order of work the source's own per-trigger listing does. */
+  private def stagedFileCount(spark: SparkSession, pattern: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(pattern)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
+    Option(fs.globStatus(path)).getOrElse(Array.empty).map { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath)
+          .count(f => f.isFile && visible(f.getPath.getName)).toLong
+      else if (visible(st.getPath.getName)) 1L else 0L
+    }.sum
+  }
+
+  /** Files admitted so far = entries in the file source's metadata log
+    * (`sources/0`). Compaction-aware: a `<N>.compact` file carries ALL
+    * entries through N, deltas after it add one line per file. Immutable
+    * once written, so per-file line counts are cached across batches. */
+  private def admittedFileCount(
+      spark: SparkSession, checkpointDir: String,
+      cache: java.util.concurrent.ConcurrentHashMap[String, Long]): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$checkpointDir/sources/0")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L
+    val logs = fs.listStatus(dir).filter(_.isFile).flatMap { st =>
+      val n = st.getPath.getName
+      n.stripSuffix(".compact").toLongOption
+        .map(id => (id, n.endsWith(".compact"), st.getPath))
+    }
+    val lastCompact = logs.filter(_._2).sortBy(_._1).lastOption
+    val base = lastCompact.map(_._1).getOrElse(-1L)
+    val relevant = lastCompact.toSeq ++ logs.filter(e => !e._2 && e._1 > base)
+    relevant.map { case (_, _, p) =>
+      cache.computeIfAbsent(p.getName, _ => {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().count(_.startsWith("{"))
+        finally in.close()
+      })
+    }.sum
+  }
+
   /** Wire source → transform → destination and start the query.
     * The foreachBatch body is the flush path (pipeline.rs:1721-1786):
     * write with retry/backoff, then metrics; offset commit (the "save
@@ -75,29 +122,42 @@ object CdcPipeline {
   def start(spark: SparkSession, cfg: PipelineConfig,
             destination: Destination): StreamingQuery = {
     import GraftMetrics._
+    val logLineCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val transformed = cfg.transform(source(spark, cfg))
     val writer = transformed.writeStream
       .queryName(cfg.queryName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, lit, max, unix_micros}
         val t0 = System.nanoTime()
+        // plan-only constructions stay outside the try so the failure path
+        // can still count the batch's live rows for events_failed_total
+        val live =
+          if (cfg.invalidateOps.isEmpty) batch
+          else batch.filter(!col("operation").isin(cfg.invalidateOps: _*))
+        // change_stream_lag_seconds (metrics.rs:191) without a second pass:
+        // CollectMetrics rides the write job and surfaces the newest event
+        // time the batch carried
+        val obs = new org.apache.spark.sql.Observation()
+        val (outDf, lagObs) =
+          if (live.columns.contains("cluster_time"))
+            (live.observe(obs,
+              unix_micros(max(col("cluster_time"))).as("max_event_us"),
+              org.apache.spark.sql.functions.count(lit(1)).as("n_rows")), true)
+          else (live, false)
         try {
           // F3: split off invalidation markers; live rows still flush, then
           // the stream closes fatally (stream.rs:1211-1220 semantics).
           val invalidated = cfg.invalidateOps.nonEmpty && !batch
-            .filter(org.apache.spark.sql.functions.col("operation")
-              .isin(cfg.invalidateOps: _*)).isEmpty
-          val live =
-            if (cfg.invalidateOps.isEmpty) batch
-            else batch.filter(!org.apache.spark.sql.functions.col("operation")
-              .isin(cfg.invalidateOps: _*))
+            .filter(col("operation").isin(cfg.invalidateOps: _*)).isEmpty
           Retry.withBackoff(cfg.retry, seed = batchId,
             onRetry = (n, t) => {
               inc(Retries, "query" -> cfg.queryName)
               inc(WriteErrors, "query" -> cfg.queryName,
                 "error_type" -> DestinationError.errorType(t))
             }) {
-            destination.writeBatch(live, batchId)
+            destination.writeBatch(outDf, batchId)
             destination.flush()
           }
           if (invalidated)
@@ -106,10 +166,38 @@ object CdcPipeline {
           inc(BatchesWritten, "query" -> cfg.queryName)
           observe(WriteDuration, (System.nanoTime() - t0) / 1e9,
             "query" -> cfg.queryName)
+          // backlog AFTER this batch: staged minus admitted-through-now.
+          // Gauge = current backlog (a drained run ends at 0); histogram
+          // keeps the per-batch samples.
+          scala.util.Try {
+            val backlog = math.max(0L,
+              stagedFileCount(spark, cfg.sourceDir) -
+                admittedFileCount(spark, cfg.checkpointDir, logLineCache))
+            setGauge(BatchQueueSize, backlog.toDouble, "query" -> cfg.queryName)
+            observe(BatchQueueSize, backlog.toDouble, "query" -> cfg.queryName)
+          }
+          if (lagObs) scala.util.Try {
+            // getRowOrEmpty (not get): never blocks if a destination
+            // consumed the batch without completing the observed plan
+            org.apache.spark.sql.GraftBridge.observationRow(obs).foreach { row =>
+              row.getAs[Any]("max_event_us") match {
+                case us: java.lang.Long =>
+                  val lag = (System.currentTimeMillis() - us / 1000L) / 1000.0
+                  observe(StreamLag, math.max(lag, 0.0), "query" -> cfg.queryName)
+                case _ => ()
+              }
+            }
+          }
+          ()
         } catch {
           case t: Throwable =>
             inc(WriteErrors, "query" -> cfg.queryName,
               "error_type" -> DestinationError.errorType(t))
+            // events_failed_total (metrics.rs:118): every live row of a
+            // terminally-failed batch; recount is failure-path-only
+            GraftMetrics.add(EventsFailed,
+              scala.util.Try(live.count()).getOrElse(0L),
+              "query" -> cfg.queryName)
             throw t // fail the batch -> offsets NOT committed -> redelivery
         }
       }

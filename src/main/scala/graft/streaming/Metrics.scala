@@ -85,20 +85,48 @@ object GraftMetrics {
 final class MetricsListener extends StreamingQueryListener {
   import GraftMetrics._
 
+  /** Started/progress events carry the query NAME; terminated carries only
+    * the run id — without this map the status gauge set to 1 under
+    * `query=<name>` would never return to 0 (it was being cleared under
+    * `query=<uuid>`, a permanently-stuck "running" gauge after a clean
+    * shutdown). */
+  private val names = new ConcurrentHashMap[java.util.UUID, String]()
+
+  private def label(id: java.util.UUID, name: String): String = {
+    val q = Option(name).getOrElse(id.toString)
+    names.put(id, q)
+    q
+  }
+
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {
-    setGauge(PipelineStatus, 1.0, "query" -> e.name)
+    setGauge(PipelineStatus, 1.0, "query" -> label(e.id, e.name))
   }
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
-    val q = Option(p.name).getOrElse(p.id.toString)
+    val q = label(p.id, p.name)
     add(EventsProcessed, p.numInputRows, "query" -> q)
     observe(BatchSize, p.numInputRows.toDouble, "query" -> q)
     observe(BatchDuration, p.batchDuration / 1000.0, "query" -> q)
+    // change_stream_lag_seconds (metrics.rs:191) for watermarked queries:
+    // processing time minus the newest event time this batch carried. (The
+    // pipeline write path also feeds this for non-watermarked envelopes,
+    // where eventTime is absent.)
+    for (maxEvt <- Option(p.eventTime.get("max"))) try {
+      val lag = java.time.Duration.between(
+        java.time.Instant.parse(maxEvt),
+        java.time.Instant.parse(p.timestamp)).toMillis / 1000.0
+      if (lag >= 0) observe(StreamLag, lag, "query" -> q)
+    } catch { case _: java.time.format.DateTimeParseException => () }
+    // batch_queue_size (metrics.rs:165) is fed by the pipeline write path
+    // (CdcPipeline): the file source keeps its unreadFiles backlog private
+    // in Spark 4.1 — SourceProgress carries no metrics map and
+    // reportLatestOffset returns null — so the listener can't see it.
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
     val status = if (e.exception.isDefined) 2.0 else 0.0
-    setGauge(PipelineStatus, status, "query" -> e.id.toString)
+    val q = Option(names.remove(e.id)).getOrElse(e.id.toString)
+    setGauge(PipelineStatus, status, "query" -> q)
   }
 }

@@ -9,4 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** `Observation.getRowOrEmpty` is `private[sql]`; the blocking `get` is
+    * the only public accessor, and a destination that never completes the
+    * observed plan would hang it. */
+  def observationRow(o: Observation): Option[Row] = o.getRowOrEmpty
 }

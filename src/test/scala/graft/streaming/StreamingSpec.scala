@@ -186,7 +186,10 @@ class StreamingSpec extends SparkSpec {
       val n = stageSource(src, parts = 2)
       val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
         KeyStrategy.Flat)
-      val q = CdcPipeline.start(spark, cfg(src, ckpt, "metrics-q"), dest)
+      // maxFilesPerTrigger=1: two batches, so batch 0 ends with a known
+      // 1-file backlog — the batch_queue_size signal
+      val q = CdcPipeline.start(spark,
+        cfg(src, ckpt, "metrics-q").copy(maxFilesPerTrigger = Some(1)), dest)
       q.awaitTermination(120000)
       // listener events are async — give the bus a moment
       val deadline = System.nanoTime() + 30e9.toLong
@@ -199,10 +202,59 @@ class StreamingSpec extends SparkSpec {
         "query" -> "metrics-q") >= 1)
       assert(GraftMetrics.histogramSum(GraftMetrics.WriteBytes,
         "destination_type" -> "file") > 0.0, "write bytes not observed")
+      // change_stream_lag_seconds: fed per batch from the newest event time
+      // the batch carried (fixture events are in 2024, so lag >> 0)
+      assert(GraftMetrics.histogramCount(GraftMetrics.StreamLag,
+        "query" -> "metrics-q") >= 1, "stream lag not observed")
+      assert(GraftMetrics.histogramSum(GraftMetrics.StreamLag,
+        "query" -> "metrics-q") > 0.0)
+      // batch_queue_size: the earlier batch must have reported backlog > 0,
+      // the drained stream's final gauge reads 0
+      assert(GraftMetrics.histogramSum(GraftMetrics.BatchQueueSize,
+        "query" -> "metrics-q") > 0.0, "no backlog ever observed")
+      assert(GraftMetrics.gauge(GraftMetrics.BatchQueueSize,
+        "query" -> "metrics-q") === 0.0, "drained stream still shows backlog")
+      // pipeline_status must return to 0 under the SAME label it was set
+      // to 1 (terminated events only carry the run id)
+      val gaugeDeadline = System.nanoTime() + 30e9.toLong
+      while (GraftMetrics.gauge(GraftMetrics.PipelineStatus,
+        "query" -> "metrics-q") != 0.0 && System.nanoTime() < gaugeDeadline)
+        Thread.sleep(100)
+      assert(GraftMetrics.gauge(GraftMetrics.PipelineStatus,
+        "query" -> "metrics-q") === 0.0, "status gauge stuck at running")
       val rendered = GraftMetrics.render()
       assert(rendered.contains("rigatoni_events_processed_total"))
       assert(rendered.contains("rigatoni_batches_written_total"))
       assert(rendered.contains("rigatoni_destination_write_bytes"))
+      assert(rendered.contains("rigatoni_change_stream_lag_seconds"))
+      assert(rendered.contains("rigatoni_batch_queue_size"))
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("terminal write failure feeds events_failed_total and error status (§2.11)") {
+    GraftMetrics.reset()
+    val listener = new MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val (src, ckpt, _) = fresh("efail")
+      val n = stageSource(src, parts = 1)
+      val mock = new MockDestination(failNextWrites = 99)
+      val c = cfg(src, ckpt, "efail-q")
+        .copy(retry = Retry.Policy(maxRetries = 1, initialDelayMs = 1, maxDelayMs = 2))
+      val q = CdcPipeline.start(spark, c, mock)
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000)
+      }
+      assert(GraftMetrics.counter(GraftMetrics.EventsFailed,
+        "query" -> "efail-q") === n,
+        "failed batch's rows not counted in events_failed_total")
+      // error status lands under the query NAME, not the run id
+      val deadline = System.nanoTime() + 30e9.toLong
+      while (GraftMetrics.gauge(GraftMetrics.PipelineStatus,
+        "query" -> "efail-q") != 2.0 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(GraftMetrics.gauge(GraftMetrics.PipelineStatus,
+        "query" -> "efail-q") === 2.0)
     } finally spark.streams.removeListener(listener)
   }
 

@@ -214,6 +214,29 @@ object Queries {
           .getField("newSize").as("trunc_new_size"))
   }
 
+  register("cdc_preimage_diff", Some(
+    """SELECT event_id,
+      |  props AS full_document,
+      |  '{"k": ' || CAST((CAST(json_extract_string(props, '$.k') AS BIGINT) * 7
+      |      + event_id) % 100 AS VARCHAR) || '}' AS full_document_before,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT)
+      |    - (CAST(json_extract_string(props, '$.k') AS BIGINT) * 7
+      |      + event_id) % 100 AS k_delta
+      |FROM events WHERE event_type = 'purchase'""".stripMargin)) { (s, dir) =>
+    // S6 pre-images (full_document_before_change, stream.rs:483-501): the
+    // consumer-facing use case — compute per-field diffs from the
+    // before/after document pair. Scan-local: two JSON extracts, no shuffle.
+    CdcEnvelope.fromEvents(Tables.events(s, dir), preImages = true)
+      .filter(col(CdcEnvelope.preImageColumn).isNotNull)
+      .select(
+        col("event_id"),
+        col("full_document"),
+        col(CdcEnvelope.preImageColumn),
+        (get_json_object(col("full_document"), "$.k").cast("long") -
+          get_json_object(col(CdcEnvelope.preImageColumn), "$.k").cast("long"))
+          .as("k_delta"))
+  }
+
   // ==========================================================================
   // Serializer / sink round-trips (SURVEY §2.3 T1-T7 + §2.8): each writes
   // the envelope through a real DataFrameWriter (format × compression ×

@@ -50,12 +50,52 @@ object CdcEnvelope {
     )), nullable = true),
     StructField("resume_token", StringType, nullable = false)))
 
+  /** Pre-image column name (`fullDocumentBeforeChange`, Mongo 6+). */
+  val preImageColumn = "full_document_before"
+
+  /** Envelope schema when pre-images are enabled
+    * (`full_document_before_change: WhenAvailable`, stream.rs:483-501 →
+    * applied stream.rs:583-608): the document as it was BEFORE the change,
+    * nullable because pre-images only exist for update-class operations
+    * and only when the server captured one. */
+  val schemaWithPreImages: StructType = StructType(
+    schema.fields.flatMap { f =>
+      if (f.name == "full_document")
+        Seq(f, StructField(preImageColumn, StringType, nullable = true))
+      else Seq(f)
+    })
+
   /** Canonical adapter from the driver's `events` table to the envelope
     * (FIXTURES.md §B.1). Extra passthrough columns (`event_id`, `user_id`,
     * `value`) are kept so downstream operator queries stay expressible;
     * `envelopeOnly` drops them.
+    *
+    * `preImages = true` is the `full_document_before_change` source option
+    * (stream.rs:483-501): update-class events (the synthetic feed's
+    * `purchase`) additionally carry the document as it was before the
+    * change. On this fixture the pre-image is a deterministic derivation —
+    * `k_before = (k*7 + event_id) mod 100` — so oracles can reproduce it.
     */
-  def fromEvents(events: DataFrame, numCollections: Int = 8): DataFrame =
+  def fromEvents(events: DataFrame, numCollections: Int = 8,
+                 preImages: Boolean = false): DataFrame = {
+    val base = fromEventsBase(events, numCollections)
+    if (!preImages) base
+    else {
+      val k = get_json_object(col("full_document"), "$.k").cast("long")
+      val kBefore = pmod(k * lit(7L) + col("event_id"), lit(100L))
+      val withPre = base.withColumn(preImageColumn,
+        when(col("operation") === "purchase",
+          concat(lit("{\"k\": "), kBefore.cast("string"), lit("}"))))
+      // keep column order: pre-image right after full_document
+      val cols = withPre.columns.filterNot(_ == preImageColumn).flatMap {
+        case "full_document" => Seq("full_document", preImageColumn)
+        case c               => Seq(c)
+      }
+      withPre.select(cols.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  private def fromEventsBase(events: DataFrame, numCollections: Int): DataFrame =
     events.select(
       col("event_type").as("operation"),
       lit("testdb").as("database"),
@@ -109,8 +149,17 @@ object CdcEnvelope {
       coalesce(length(fullDocument), lit(0)) +
       coalesce(length(resumeToken), lit(0)) + lit(50)).cast("long")
 
-  def envelopeOnly(df: DataFrame): DataFrame =
-    df.select(envelopeColumns.map(col): _*)
+  /** Envelope projection; keeps the pre-image column when present. */
+  def envelopeOnly(df: DataFrame): DataFrame = {
+    val cols =
+      if (df.columns.contains(preImageColumn))
+        envelopeColumns.flatMap {
+          case "full_document" => Seq("full_document", preImageColumn)
+          case c               => Seq(c)
+        }
+      else envelopeColumns
+    df.select(cols.map(col): _*)
+  }
 }
 
 /** Operation taxonomy + class predicates (event.rs:88-144). On the synthetic

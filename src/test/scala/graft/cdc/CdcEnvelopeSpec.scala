@@ -32,6 +32,32 @@ class CdcEnvelopeSpec extends SparkSpec {
       Seq("updatedFields", "removedFields", "truncatedArrays"))
   }
 
+  test("pre-images populated exactly for update-class events, deterministic (S6)") {
+    val pre = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny),
+      preImages = true)
+    // column order: pre-image sits right after full_document, per schema
+    assert(pre.columns.indexOf(CdcEnvelope.preImageColumn) ===
+      pre.columns.indexOf("full_document") + 1)
+    val withPre = pre.filter(col(CdcEnvelope.preImageColumn).isNotNull)
+    assert(withPre.filter(col("operation") =!= "purchase").count() === 0)
+    assert(withPre.count() ===
+      pre.filter(col("operation") === "purchase").count())
+    // content is the documented derivation: k_before = (k*7 + event_id) % 100
+    val bad = withPre.filter(
+      get_json_object(col(CdcEnvelope.preImageColumn), "$.k").cast("long") =!=
+        pmod(get_json_object(col("full_document"), "$.k").cast("long") * 7 +
+          col("event_id"), lit(100L)))
+    assert(bad.count() === 0)
+    // schemaWithPreImages declares the same shape
+    assert(CdcEnvelope.schemaWithPreImages.fieldNames.toSeq ===
+      CdcEnvelope.schema.fieldNames.toSeq.flatMap {
+        case "full_document" => Seq("full_document", "full_document_before")
+        case c               => Seq(c)
+      })
+    // default stays pre-image-free: the option is opt-in (stream.rs:494)
+    assert(!env.columns.contains(CdcEnvelope.preImageColumn))
+  }
+
   test("document_key and resume_token are valid JSON carrying the event id") {
     val parsed = env.select(
       col("event_id"),

@@ -403,6 +403,36 @@ class StreamingSpec extends SparkSpec {
     assert(dest.readBack(spark, Some(envDDL)).count() === n)
   }
 
+  test("pre-image pair flows through the pipeline; diffs computable per batch (S6)") {
+    // full_document_before_change (stream.rs:483-501): the envelope carries
+    // the before-document for update-class events; a consumer computes
+    // per-field diffs inside the stream transform.
+    val (src, ckpt, out) = fresh("preimage")
+    val env = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny),
+      preImages = true).drop("update_description")
+    env.repartition(3).write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+    val preDDL = envDDL.replace("full_document string",
+      "full_document string, full_document_before string")
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val diffDDL = preDDL + ", k_delta long"
+    val c = cfg(src, ckpt, "preimage").copy(schemaDDL = preDDL,
+      transform = df => df.withColumn("k_delta",
+        get_json_object(col("full_document"), "$.k").cast("long") -
+          get_json_object(col(CdcEnvelope.preImageColumn), "$.k").cast("long")))
+    val q = CdcPipeline.start(spark, c, dest)
+    q.awaitTermination(120000)
+    val back = dest.readBack(spark, Some(diffDDL))
+    val purchases = env.filter(col("operation") === "purchase").count()
+    // pre-image (and thus the diff) exists exactly for update-class rows
+    assert(back.filter(col(CdcEnvelope.preImageColumn).isNotNull).count() ===
+      purchases)
+    assert(back.filter(col("k_delta").isNotNull).count() === purchases)
+    assert(back.filter(col(CdcEnvelope.preImageColumn).isNotNull &&
+      col("operation") =!= "purchase").count() === 0)
+  }
+
   test("stateful materialization folds the stream to latest-per-key across batches") {
     import spark.implicits._
     val (src, ckpt, _) = fresh("materialize")

@@ -363,6 +363,51 @@ class StreamingSpec extends SparkSpec {
       Map(StateStore.deploymentKey -> "tokB"))
   }
 
+  test("token TTL: expired tokens invisible and reaped, fresh survive (ST3)") {
+    // Redis SET EX parity (redis.rs:597-612): store-level ttl stamps every
+    // save; expiry is enforced lazily. Clock is injected — no sleeps.
+    var clock = 1000L
+    val ttl = java.time.Duration.ofSeconds(60)
+    val dir = s"$root/statestore-ttl"
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    val fs = new FileStateStore(dir, Some(ttl), () => clock)
+    val k1 = StateStore.collectionKey("testdb", "users")
+    val k2 = StateStore.collectionKey("testdb", "orders")
+    fs.saveToken(k1, "tokOld")
+    clock += 50000 // t=51s: still live
+    assert(fs.getToken(k1).contains("tokOld"))
+    fs.saveToken(k2, "tokFresh") // expires at t=111s
+    clock += 20000 // t=71s: k1 expired (61s), k2 live
+    assert(fs.getToken(k1).isEmpty, "expired token visible")
+    assert(fs.listTokens() === Map(k2 -> "tokFresh"))
+    // the expired file was reaped on first touch — a new store over the
+    // same dir (no ttl of its own, same clock) no longer sees it either
+    assert(new FileStateStore(dir, None, () => clock).listTokens() ===
+      Map(k2 -> "tokFresh"))
+    // a re-save renews the expiry (latest SET wins, as in Redis)
+    fs.saveToken(k1, "tokNew")
+    clock += 59000 // t=130s: k1 live (expires 131s), k2 expired (111s)
+    assert(fs.getToken(k1).contains("tokNew"))
+    assert(fs.getToken(k2).isEmpty)
+
+    // same contract on the in-memory store
+    var mClock = 0L
+    val mem = new MemoryStateStore(Some(ttl), () => mClock)
+    mem.saveToken(k1, "m1")
+    mClock = 59999
+    assert(mem.getToken(k1).contains("m1"))
+    mClock = 60001
+    assert(mem.getToken(k1).isEmpty)
+    assert(mem.listTokens() === Map.empty)
+    // no-ttl stores never expire
+    val forever = new MemoryStateStore()
+    forever.saveToken(k1, "f")
+    assert(forever.getToken(k1).contains("f"))
+  }
+
   test("token-save-after-write through foreachBatch (O4 protocol)") {
     // the reference's at-least-once contract: the external cursor commits
     // only AFTER a successful destination flush — a failed flush must

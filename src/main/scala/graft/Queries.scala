@@ -645,6 +645,42 @@ object Queries {
       TF.bpeTokenEstimate(col("text")).as("bpe_tokens"))
   }
 
+  register("text_repetition", Some(
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      |b AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(toks)),
+      |    i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+      |bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+      |tb AS (SELECT doc_id,
+      |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_bigram_frac
+      |  FROM bc GROUP BY 1)
+      |SELECT t.doc_id, len(toks) AS n_tokens,
+      |  1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+      |    / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+      |  coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
+      |FROM t LEFT JOIN tb USING (doc_id)""".stripMargin)) { (s, dir) =>
+    // Gopher/C4-style repetition signals: the standard filters a training
+    // corpus applies before dedup. dup_token_frac is scan-local codegen
+    // (no HOFs); top_bigram_frac counts by codegen'd shingle HASH (same
+    // grouping as the string bigram, collisions negligible) — the shuffle
+    // carries (doc_id, hash) pairs, partial-aggregated map-side.
+    val docs = Tables.documents(s, dir)
+    val top = docs
+      .select(col("doc_id"),
+        explode(TF.shingleHashesAll(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_bigram_frac"))
+    docs.select(col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.dupTokenFrac(col("text")).as("dup_token_frac"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   // ==========================================================================
   // Deduplication (documents)
   // ==========================================================================
@@ -881,6 +917,18 @@ object Queries {
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
       nPlanes = 7, nTables = 12)
+  }
+
+  register("embed_ann_ivf", None) { (s, dir) =>
+    // The other standard ANN scale path: IVF index (spherical k-means
+    // lists, nProbe nearest lists scanned per query). On this corpus the
+    // cluster structure is weak (top-5 cosine ≈0.26-0.49), so nProbe=8/16
+    // is what holds recall ≥0.8 (measured 0.83 in SimilaritySpec); sharper
+    // corpora run nProbe ≪ nLists. Unlike LSH the corpus is stored once
+    // (one list per vector), not ×nTables.
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+      nLists = 16, nProbe = 8, iters = 3)
   }
 
   // --------------------------------------------------------------------------

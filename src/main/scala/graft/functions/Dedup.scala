@@ -76,7 +76,8 @@ object Dedup {
     */
   def ngramJaccardStats(docs: DataFrame, n: Int,
                         blockCol: String = "source",
-                        simThreshold: Double = 0.2): DataFrame = {
+                        simThreshold: Double = 0.2,
+                        maxDf: Int = 0): DataFrame = {
     val withSets = docs.select(col("doc_id"), col(blockCol).as("block"),
       TextFunctions.shingleHashes(col("text"), n).as("ngrams"))
     val sizes = withSets.select(col("doc_id"), col("block"),
@@ -86,12 +87,20 @@ object Dedup {
     // One shuffle on (block, ngram): group the posting list per ngram, then
     // expand ordered doc pairs narrowly. A self-join would shuffle AND
     // recompute the (interpreted-HOF) ngram branch twice; this computes it
-    // once. Posting lists are bounded by per-block document frequency —
-    // at real scale, cap df (drop boilerplate shingles) before the explode
-    // if a shingle is near-universal within a block.
-    val postings = exploded.groupBy(col("block"), col("g"))
+    // once. Posting lists are bounded by per-block document frequency;
+    // `maxDf` bounds them further when a shingle is near-universal.
+    val allPostings = exploded.groupBy(col("block"), col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
+    // df cap (maxDf > 0): drop near-universal shingles before the pair
+    // expansion. A shingle shared by df documents contributes df·(df−1)/2
+    // pairs — one boilerplate header across a 100 TB block would otherwise
+    // dominate the whole job. Dropping it UNDERCOUNTS intersections for
+    // pairs that also share rarer shingles (documented approximation);
+    // statistics are exact whenever no shingle exceeds the cap.
+    val postings =
+      if (maxDf <= 0) allPostings
+      else allPostings.filter(size(col("ds")) <= maxDf)
     val pairExpand = flatten(transform(
       sequence(lit(0), size(col("ds")) - 2),
       i => transform(
@@ -200,17 +209,34 @@ object Dedup {
     * Plan shape (the scalable shape): per-doc signature (narrow) → explode
     * bands (×bands) → shuffle on (band, bucket) → within-bucket self-join →
     * distinct pairs → signature-agreement estimate. The only join is
-    * bucket-local; skewed mega-buckets should be capped upstream by salting
-    * or bucket-size limits at real scale.
+    * bucket-local; `maxBucketSize` caps skewed mega-buckets (see inline
+    * note) so one template band can't re-create the quadratic blowup.
     */
   def minhashCandidates(docs: DataFrame, shingleN: Int = 3, k: Int = 32,
-                        bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                        bands: Int = 8, threshold: Double = 0.5,
+                        maxBucketSize: Int = 0): DataFrame = {
     val signed = minhashSignatures(docs, shingleN, k)
-    val exploded = signed
+    val allBands = signed
       .select(col("doc_id"), col("sig"),
         explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
       .select(col("doc_id"), col("sig"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // Mega-bucket cap (maxBucketSize > 0): DROP buckets larger than the
+    // cap before the self-join — an s-doc bucket contributes s·(s−1)/2
+    // candidate pairs, so one boilerplate-driven bucket (every doc sharing
+    // a template band) re-creates the quadratic blowup LSH exists to avoid.
+    // Pairs inside a dropped bucket survive iff they also collide in a
+    // below-cap band (multi-band redundancy is the recall cushion); output
+    // is exactly the uncapped output whenever no bucket exceeds the cap.
+    // Window count shuffles on the same (band, bucket) key the join needs.
+    val exploded =
+      if (maxBucketSize <= 0) allBands
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))
+        allBands.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      }
     val a = exploded.as("a")
     val b = exploded.as("b")
     val est = size(filter(

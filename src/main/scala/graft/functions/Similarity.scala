@@ -191,18 +191,33 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nPlanes: Int = 12, nTables: Int = 4,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              maxBucketSize: Int = 0): DataFrame = {
     // corpus: buckets via the codegen'd bulk path, joined back to the
     // payload by id (one id-keyed shuffle — linear, never quadratic),
     // then one (table, bucket) entry per hash table
     val cB = bulkBuckets(corpus, nPlanes, nTables, idCol, vecCol)
       .withColumnRenamed("__id", "neighbor_id")
-    val c = corpus
+    val cAll = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(cB, "neighbor_id")
       .select(col("neighbor_id"), col("cv"), explode(col("buckets")).as("tb"))
       .select(col("neighbor_id"), col("cv"),
         col("tb.t").as("t"), col("tb.b").as("bucket"))
+    // Mega-bucket cap (maxBucketSize > 0): keep a deterministic prefix
+    // (lowest ids) of each (table, bucket) — unlike the dedup cap this
+    // TRUNCATES rather than drops, so queries landing in a hot bucket
+    // still see candidates with bounded join cost; recall for vectors cut
+    // from a hot bucket comes from the other nTables−1 tables. Exactly the
+    // uncapped output whenever no bucket exceeds the cap.
+    val c =
+      if (maxBucketSize <= 0) cAll
+      else {
+        val w = Window.partitionBy(col("t"), col("bucket"))
+          .orderBy(col("neighbor_id"))
+        cAll.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucketSize).drop("__rn")
+      }
     // queries: per table, the own bucket plus every Hamming-1 neighbour
     val probeMasks = array((lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))): _*)
     val qB = bulkBuckets(queries, nPlanes, nTables, idCol, vecCol)
@@ -222,6 +237,119 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  // --- IVF (inverted-file index) -------------------------------------------
+
+  /** Spherical k-means centroids for an IVF index, trained with `iters`
+    * Lloyd rounds of distributed assignment + mean.
+    *
+    * The returned model is `nLists × dim` doubles — genuinely small driver
+    * state (the broadcast model every IVF implementation carries), NOT a
+    * collect of data rows; all per-vector work stays distributed. Seeds are
+    * the `nLists` vectors with the smallest xxhash64(id) — deterministic
+    * and scan-local (a TakeOrdered, no shuffle of the corpus). Assignment
+    * explodes each vector against the centroid literal and reduces with a
+    * codegen'd max(struct) argmax: the shuffle carries one row per vector.
+    * Mean-update aggregates (list, dim) → avg — cosine is scale-invariant,
+    * so the plain mean is the spherical-k-means update.
+    *
+    * At 100 TB, train on a sample (`corpus.sample(...)`) — centroid quality
+    * needs thousands of vectors per list, not the full corpus; the full
+    * pass is only for the final index assignment in [[ivfTopK]].
+    */
+  def ivfCentroids(corpus: DataFrame, nLists: Int, iters: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Array[Array[Double]] = {
+    import org.apache.spark.sql.Row
+    val seeds = corpus
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(nLists)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val assigned = assignToCentroids(corpus, cents, idCol, vecCol)
+      val dims = corpus
+        .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+        .join(assigned, "__id")
+        .select(col("cid"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val byList = dims.groupBy(_.getAs[Int]("cid"))
+      cents = cents.indices.map { cid =>
+        byList.get(cid) match {
+          case Some(rows) =>
+            rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("m")).toArray
+          case None => cents(cid) // empty list keeps its centroid
+        }
+      }.toArray
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: (id, cid, cos). Argmax via a codegen'd
+    * max(struct(cos, cid)) — deterministic (ties break to the larger cid). */
+  private def assignToCentroids(df: DataFrame, cents: Array[Array[Double]],
+                                idCol: String, vecCol: String): DataFrame = {
+    val centLit = typedLit(cents.map(_.toSeq).toSeq).cast("array<array<float>>")
+    df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .select(col("__id"), col("__v"), posexplode(centLit).as(Seq("c", "cv")))
+      .select(col("__id"),
+        struct(cosineFast(col("__v"), col("cv")).as("cos"),
+          col("c").as("c")).as("sc"))
+      .groupBy(col("__id"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("__id"), col("m.c").as("cid"), col("m.cos").as("cent_cos"))
+  }
+
+  /** ANN top-k via an IVF index — the other standard scale path next to
+    * [[lshTopK]]: corpus vectors are bucketed by nearest centroid
+    * (`nLists` inverted lists), each query probes its `nProbe` nearest
+    * lists, and only those lists' vectors are scored exactly.
+    *
+    * Plan shape: centroid training (small driver model, see
+    * [[ivfCentroids]]) → one full assignment pass (narrow + one id-keyed
+    * reduce) → candidate equi-join on `cid` with the probed query lists
+    * broadcast → codegen'd exact re-score → per-query top-k window. The
+    * corpus is never replicated (one list per vector — cheaper storage than
+    * LSH's ×nTables) and never cross-joined; expected candidate cost is
+    * |corpus| · nProbe / nLists per query. Recall < 1 by design, measured
+    * against [[bruteForceTopK]] in SimilaritySpec (≥ 0.8 gate at catalog
+    * parameters); raise `nProbe` for recall, `nLists` for sharper lists.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4, iters: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nLists,
+      s"nProbe must be in [1, nLists] (got $nProbe of $nLists)")
+    val cents = ivfCentroids(corpus, nLists, iters, idCol, vecCol)
+    val centLit = typedLit(cents.map(_.toSeq).toSeq).cast("array<array<float>>")
+    // inverted lists: one (cid, vector) row per corpus vector
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(assignToCentroids(corpus, cents, idCol, vecCol)
+        .select(col("__id").as("neighbor_id"), col("cid")), "neighbor_id")
+    // probe lists: nProbe nearest centroids per query
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"), posexplode(centLit).as(Seq("c", "cv")))
+      .select(col("query_id"), col("qv"), col("c").as("cid"),
+        cosineFast(col("qv"), col("cv")).as("cent_cos"))
+      .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cent_cos").desc, col("cid"))))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val scored = c.join(broadcast(q),
+        c("cid") === q("cid") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFast(col("qv"), col("cv")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))

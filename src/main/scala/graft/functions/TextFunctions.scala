@@ -132,4 +132,22 @@ object TextFunctions {
   def shingleHashes(text: Column, n: Int): Column =
     array_distinct(
       graft.functions.expressions.TextExpressions.shingleHashesNative(text, n))
+
+  /** All shingle hashes WITH multiplicity (one per window position) — the
+    * input for frequency-style repetition signals, where duplicate shingles
+    * are the point. */
+  def shingleHashesAll(text: Column, n: Int): Column =
+    graft.functions.expressions.TextExpressions.shingleHashesNative(text, n)
+
+  // --- repetition signals (Gopher/C4-style quality filters) -----------------
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * 1 − |distinct| / |tokens|. High values flag keyword-stuffed or
+    * looping generations. Scan-local, codegen'd (no HOFs). */
+  def dupTokenFrac(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0,
+      lit(1.0) - uniqueTokenCount(text).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
 }

@@ -99,6 +99,54 @@ class DedupSpec extends SparkSpec {
     assert(sparse === pairwise)
   }
 
+  test("minhash mega-bucket cap: no-op when generous, bounds a hot bucket") {
+    import spark.implicits._
+    val uncapped = Dedup.minhashCandidates(docs, shingleN = 3, k = 32,
+        bands = 16, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val generous = Dedup.minhashCandidates(docs, shingleN = 3, k = 32,
+        bands = 16, threshold = 0.2, maxBucketSize = 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous === uncapped, "generous cap changed the candidate set")
+    // a template corpus: 60 identical docs land every band in ONE bucket
+    // (60·59/2 = 1770 pairs); the cap keeps the join bounded
+    val template = (0 until 60)
+      .map(i => (i.toLong, "spark shuffles the partitioned table rows"))
+      .toDF("doc_id", "text")
+    val boom = Dedup.minhashCandidates(template, shingleN = 3, k = 32,
+      bands = 16, threshold = 0.2)
+    assert(boom.count() === 60L * 59 / 2)
+    val capped = Dedup.minhashCandidates(template, shingleN = 3, k = 32,
+      bands = 16, threshold = 0.2, maxBucketSize = 10)
+    assert(capped.count() === 0,
+      "every band bucket holds all 60 docs; a cap of 10 must drop them all")
+  }
+
+  test("ngram df cap: exact when non-binding, drops boilerplate pairs when binding") {
+    import spark.implicits._
+    val uncapped = Dedup.ngramJaccardStats(docs, 3).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val generous = Dedup.ngramJaccardStats(docs, 3, maxDf = 1000000).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(generous === uncapped, "generous df cap changed the statistics")
+    // boilerplate corpus: one shared header shingle across every doc, plus
+    // a unique tail per doc — df cap drops the header's pair mass
+    val boiler = (0 until 30)
+      .map(i => (i.toLong, "shared header line " + (0 until 5)
+        .map(j => s"tail${i}_$j").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val full = Dedup.ngramJaccardStats(boiler, 3, blockCol = "source",
+      simThreshold = 0.01).collect().head
+    val cap = Dedup.ngramJaccardStats(boiler, 3, blockCol = "source",
+      simThreshold = 0.01, maxDf = 10).collect().head
+    assert(full.getAs[Long]("n_sim_pairs") === 30L * 29 / 2,
+      "every pair shares the header shingles")
+    assert(cap.getAs[Long]("n_sim_pairs") === 0,
+      "df cap of 10 must drop the df=30 header shingles")
+    assert(cap.getAs[Long]("n_pairs") === full.getAs[Long]("n_pairs"),
+      "denominator (total pairs) must not change under the cap")
+  }
+
   test("bulk simhashes match the column-expression simhash") {
     val bulk = Dedup.simhashes(docs, "source")
       .select("doc_id", "sh").collect()

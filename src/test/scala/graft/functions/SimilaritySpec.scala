@@ -115,6 +115,50 @@ class SimilaritySpec extends SparkSpec {
     assert(bulk === colForm)
   }
 
+  test("IVF ANN recall >= 0.8 vs brute force at catalog parameters") {
+    val exact = Similarity.bruteForceTopK(emb, queries, K)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(emb, queries, K, nLists = 16, nProbe = 8, iters = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    info(f"IVF recall@$K = $recall%.3f")
+    assert(recall >= 0.8, f"IVF recall $recall%.3f < 0.8")
+  }
+
+  test("IVF is deterministic and its candidate set is sub-linear") {
+    val a = Similarity.ivfTopK(emb, queries, K, nLists = 16, nProbe = 8, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Similarity.ivfTopK(emb, queries, K, nLists = 16, nProbe = 8, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a === b, "two IVF runs disagree — centroid training not deterministic")
+    // every vector lands in ONE list, so scored candidates are bounded by
+    // the probed lists' mass — strictly below brute force's full product
+    val nCand = Similarity.ivfTopK(emb, queries, k = Int.MaxValue,
+      nLists = 16, nProbe = 8, iters = 3).count()
+    val full = emb.count() * queries.count()
+    assert(nCand < 0.8 * full,
+      s"IVF scored $nCand of $full pairs — not meaningfully sub-linear")
+  }
+
+  test("lshTopK mega-bucket cap: no-op when generous, bounded when binding") {
+    val uncapped = Similarity.lshTopK(emb, queries, K, nPlanes = 7, nTables = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a cap larger than any bucket changes nothing
+    val generous = Similarity.lshTopK(emb, queries, K, nPlanes = 7,
+        nTables = 12, maxBucketSize = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(generous === uncapped)
+    // a binding cap bounds the scored candidate set; results stay ranked
+    val capped = Similarity.lshTopK(emb, queries, k = Int.MaxValue,
+      nPlanes = 7, nTables = 12, maxBucketSize = 8)
+    val cappedAll = Similarity.lshTopK(emb, queries, k = Int.MaxValue,
+      nPlanes = 7, nTables = 12)
+    assert(capped.count() < cappedAll.count(),
+      "cap of 8 did not reduce the candidate set on this corpus")
+  }
+
   test("LSH candidate set is a real subset (no full cross product)") {
     // the whole point of LSH: strictly fewer scored candidates than
     // brute force's |corpus| × |queries|

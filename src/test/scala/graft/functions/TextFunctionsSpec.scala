@@ -99,6 +99,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(native === hof)
   }
 
+  test("repetition signals: dup token fraction and multiplicity shingles") {
+    val df = Seq(
+      "a b c d",          // no repeats
+      "a a a a",          // all one token
+      "a b a b a b",      // alternating: 4 of 6 tokens are repeats
+      "x").toDF("text")
+    val fr = df.select(TextFunctions.dupTokenFrac(col("text"))).as[Double]
+      .collect().toSeq
+    assert(fr(0) === 0.0)
+    assert(math.abs(fr(1) - 0.75) < 1e-12)
+    assert(math.abs(fr(2) - (4.0 / 6)) < 1e-12)
+    assert(fr(3) === 0.0)
+    // shingleHashesAll keeps multiplicity: "a b" appears 3× in the
+    // alternating text, and the most frequent bigram fraction is 3/5
+    val hs = Seq("a b a b a b").toDF("text")
+      .select(TextFunctions.shingleHashesAll(col("text"), 2).as("h"))
+      .as[Seq[Long]].head()
+    assert(hs.length === 5)
+    val top = hs.groupBy(identity).map(_._2.size).max
+    assert(top === 3)
+  }
+
   test("bpe estimate >= whitespace token count, exact on known input") {
     // each token contributes >= 1
     val df = Seq("a bb cccc dddddddd", "tiny").toDF("text")

@@ -63,13 +63,22 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup and LSH joins are keyed hash joins, not cross products") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding_neardup").foreach { n =>
+        "dedup_embedding_neardup", "embed_ann_ivf").foreach { n =>
       val plan = physical(run(n))
       assert(!plan.contains("CartesianProduct"),
         s"$n degenerated to a cartesian product:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$n uses a nested-loop join:\n$plan")
     }
+  }
+
+  test("repetition signal aggregates partially before the doc_id shuffle") {
+    val plan = physical(run("text_repetition"))
+    val aggCount = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggCount >= 2, s"no partial aggregation visible:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"text_repetition joins wrong:\n$plan")
   }
 
   test("windowed operators partition by their keys (no global single-partition sort)") {

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Expression, ExpressionInfo}
+import graft.functions.expressions.{CosineSimilarity, ShingleHashes}
+
+/** SQL surface for the library's native expressions, via the standard
+  * `SparkSessionExtensions` hook — the (c) tier of SURVEY §7.4's extension
+  * ladder. Lets SQL-only users (`spark.sql`, thrift, notebooks) call the
+  * codegen'd kernels directly:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *   SELECT cosine_similarity(a.embedding, b.embedding) FROM …
+  *   SELECT shingle_hashes(text, 3) FROM documents
+  *   SELECT hamming64(sh_a, sh_b) FROM simhashes
+  *
+  * For a session that already exists (the round driver owns session
+  * construction), [[GraftExtensions.register]] installs the same functions
+  * as temp functions through the session's registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def one(name: String, clazz: Class[_], usage: String,
+                  builder: Seq[Expression] => Expression)
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, null, name, usage, ""),
+      builder)
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    if (args.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.length}")
+
+  /** The injectable function set (name, info, builder). */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    one("cosine_similarity", classOf[CosineSimilarity],
+      "cosine_similarity(a, b) - cosine similarity of two float vectors " +
+        "(codegen'd; 0.0 for zero-norm inputs)",
+      args => { arity("cosine_similarity", 2, args)
+        CosineSimilarity(args(0), args(1)) }),
+    one("shingle_hashes", classOf[ShingleHashes],
+      "shingle_hashes(text, n) - xxhash64 of every n-token shingle, in " +
+        "window order with duplicates (n must be a literal integer)",
+      args => { arity("shingle_hashes", 2, args)
+        val n = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long    => l.intValue()
+            case other => throw new IllegalArgumentException(
+              s"shingle_hashes: n must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "shingle_hashes: n must be a literal")
+        }
+        ShingleHashes(args(0), n) }),
+    one("hamming64", classOf[BitwiseCount],
+      "hamming64(a, b) - Hamming distance between two 64-bit fingerprints " +
+        "(bit_count(a ^ b))",
+      args => { arity("hamming64", 2, args)
+        BitwiseCount(BitwiseXor(args(0), args(1))) }))
+
+  /** Install on an EXISTING session (the extensions hook only runs at
+    * session construction, which the round driver owns). */
+  def register(spark: SparkSession): Unit =
+    org.apache.spark.sql.GraftBridge.registerFunctions(spark, functions)
+}

@@ -13,4 +13,17 @@ object GraftBridge {
     * the only public accessor, and a destination that never completes the
     * observed plan would hang it. */
   def observationRow(o: Observation): Option[Row] = o.getRowOrEmpty
+
+  /** Install catalyst-expression functions on an EXISTING session —
+    * `sessionState` is `private[sql]`. New sessions should use the public
+    * `spark.sql.extensions=graft.GraftExtensions` hook instead. */
+  def registerFunctions(
+      spark: SparkSession,
+      fns: Seq[(catalyst.FunctionIdentifier,
+        catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)]): Unit = {
+    val registry = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry
+    fns.foreach { case (id, info, b) => registry.registerFunction(id, info, b) }
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+/** The SQL function surface: the same codegen'd kernels the DataFrame API
+  * uses, reachable from plain `spark.sql`. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("cosine_similarity is callable from SQL and matches the column API") {
+    Seq((Seq(1.0f, 2.0f, 3.0f), Seq(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val sqlV = spark.sql("SELECT cosine_similarity(a, b) AS c FROM vecs")
+      .as[Double].head()
+    val colV = spark.table("vecs")
+      .select(graft.functions.Similarity.cosineFast(col("a"), col("b")))
+      .as[Double].head()
+    assert(sqlV === colV)
+    assert(math.abs(sqlV - 10.0 / 14.0) < 1e-12)
+    // zero-norm contract carries over
+    assert(spark.sql(
+      "SELECT cosine_similarity(array(0.0F, 0.0F), array(1.0F, 1.0F))")
+      .as[Double].head() === 0.0)
+  }
+
+  test("shingle_hashes is callable from SQL, n must be a literal") {
+    val sqlH = spark.sql("SELECT shingle_hashes('one two three four', 3) AS h")
+      .as[Seq[Long]].head()
+    val colH = Seq("one two three four").toDF("text")
+      .select(graft.functions.TextFunctions.shingleHashesAll(col("text"), 3))
+      .as[Seq[Long]].head()
+    assert(sqlH === colH)
+    assert(sqlH.length === 2)
+    // foldable n is accepted (constant-folds at analysis)
+    assert(spark.sql("SELECT shingle_hashes('a b c', 1 + 1) AS h")
+      .as[Seq[Long]].head().length === 2)
+    // a per-row (non-foldable) n must be rejected
+    Seq(("a b", 2)).toDF("text", "n").createOrReplaceTempView("sh_args")
+    val err = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(text, n) FROM sh_args").collect()
+    }
+    assert(err.getMessage.contains("literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("literal")))
+  }
+
+  test("hamming64 matches the Dedup column helper") {
+    val df = Seq((0x0F0FL, 0x00FFL)).toDF("a", "b")
+    df.createOrReplaceTempView("hs")
+    val sqlV = spark.sql("SELECT hamming64(a, b) FROM hs").head().getInt(0)
+    val colV = df.select(
+      graft.functions.Dedup.hammingDistance(col("a"), col("b")))
+      .head().getInt(0)
+    assert(sqlV === colV)
+    assert(sqlV === 8) // 0x0F0F ^ 0x00FF = 0x0FF0 -> 8 set bits
+  }
+
+  test("the SparkSessionExtensions injection registers the same builders") {
+    // the hook the driver-facing config path (spark.sql.extensions) runs:
+    // apply it to a fresh SparkSessionExtensions and verify every function
+    // lands in a registry through the same injection list
+    val ext = new SparkSessionExtensions
+    new GraftExtensions()(ext)
+    // a query built from each injected builder must evaluate correctly
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      assert(info.getName === id.funcName)
+      assert(info.getUsage.nonEmpty, s"${id.funcName} has no usage doc")
+    }
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val cos = GraftExtensions.functions.find(_._1.funcName == "cosine_similarity").get._3
+    val vec = Literal.create(Seq(1.0f, 0.0f), ArrayType(FloatType, containsNull = false))
+    assert(cos(Seq(vec, vec)).eval(null).asInstanceOf[Double] === 1.0)
+  }
+}

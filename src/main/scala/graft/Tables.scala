@@ -25,9 +25,16 @@ object Tables {
       case n        => spark.read.parquet(path(dir, n))
     }
 
-  /** `events` with `ts` converted to a microsecond TimestampType column. */
+  /** `events` with `ts` converted to a microsecond TimestampType column.
+    *
+    * DOCUMENTED SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong`
+    * on the session (skipped when already set) — the only way to read
+    * TIMESTAMP(NANOS) parquet on an arbitrary caller-owned session (the
+    * round driver constructs its own). It changes how OTHER nanos-parquet
+    * reads on the same session behave: they come back as raw long nanos. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read
       .parquet(path(dir, "events"))
       // integer `div` keeps full long precision; a double divide would lose

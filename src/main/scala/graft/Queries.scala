@@ -794,6 +794,43 @@ object Queries {
       .select(col("doc_id"), col("split_bucket"), col("split"))
   }
 
+  register("corpus_chunk", Some(
+    """WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS toks
+      |           FROM documents),
+      |n AS (SELECT doc_id, source, toks,
+      |  greatest(1, CAST(ceil(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT))
+      |    AS nc FROM t),
+      |c AS (SELECT doc_id, source, toks,
+      |  CAST(unnest(range(0, nc)) AS INT) AS chunk_idx FROM n)
+      |SELECT doc_id, source, chunk_idx,
+      |  array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+      |    AS chunk_text,
+      |  CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS INT)
+      |    AS chunk_tokens
+      |FROM c""".stripMargin)) { (s, dir) =>
+    // Fixed-token chunking with overlap — the unit an embedding/packing
+    // stage consumes. One scan-local explode per doc; chunk_idx is a
+    // stable key for downstream caches.
+    graft.functions.CorpusOps.chunkTokens(
+        Tables.documents(s, dir).select("doc_id", "source", "text"),
+        chunkSize = 32, overlap = 8)
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        col("chunk_text"), col("chunk_tokens"))
+  }
+
+  register("corpus_sample_weighted", Some(
+    """SELECT doc_id, source FROM documents
+      |WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 <
+      |  CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 50 ELSE 100 END
+      |""".stripMargin)) { (s, dir) =>
+    // The training-mix operator: deterministic per-source downsampling by
+    // content hash (re-ingestion keeps the same sample). Narrow filter —
+    // no shuffle at any scale.
+    graft.functions.CorpusOps.sampleWeighted(Tables.documents(s, dir),
+        Map("src0" -> 30, "src1" -> 50))
+      .select(col("doc_id"), col("source"))
+  }
+
   register("corpus_decontaminate", Some(
     """WITH s AS (
       |  SELECT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= 4 THEN

@@ -56,4 +56,54 @@ object CorpusOps {
       .groupBy(col(idCol))
       .agg(countDistinct(col("g")).as("n_shared_shingles"))
   }
+
+  /** Chunk each document into fixed-size token windows with `overlap`
+    * tokens of context carried between consecutive chunks — the unit a
+    * training pipeline embeds or packs into sequences. Scan-local: one
+    * explode per document (row count grows by ~n_tokens/stride, data
+    * volume by ~1 + overlap/size), no shuffle; the chunk text is rebuilt
+    * with `slice` + `array_join` (codegen'd collection ops, no HOFs).
+    * Output: (…, chunk_idx, chunk_text, chunk_tokens); `chunk_idx` is
+    * 0-based and deterministic, so chunks are stable keys for downstream
+    * embedding caches. A final short window is kept (minimum 1 token) —
+    * dropping tails would silently lose corpus mass. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, overlap: Int = 0,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1, s"chunk size must be >= 1 (got $chunkSize)")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize) (got $overlap of $chunkSize)")
+    val stride = chunkSize - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChunks = greatest(lit(1),
+      ceil((size(toks) - lit(overlap)).cast("double") / lit(stride)).cast("int"))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), nChunks - lit(1))))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("chunk_idx") * lit(stride) + lit(1),
+          lit(chunkSize)))
+      .withColumn("chunk_text", array_join(col("__chunk"), " "))
+      .withColumn("chunk_tokens", size(col("__chunk")))
+      .drop("__toks", "__chunk", textCol)
+  }
+
+  /** Deterministic weighted sampling per group (the training-mix operator:
+    * "keep 30% of crawl, 100% of wiki"): a document survives iff its
+    * content-hash bucket (0-99) falls below its group's percentage.
+    * Content-keyed like [[withSplit]] — re-ingestion keeps the same
+    * sample — and engine-portable for the oracle. Weights absent from the
+    * map default to keep-all. Scan-local filter; at 100 TB this is a
+    * narrow pass that never shuffles. */
+  def sampleWeighted(docs: DataFrame, weights: Map[String, Int],
+                     groupCol: String = "source",
+                     contentCol: String = "text"): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 100),
+      "weights are integer percentages in [0, 100]")
+    val pct = weights.foldLeft(lit(100): Column) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(contentCol)) < pct)
+  }
 }

@@ -24,6 +24,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(dupSplits.count() === 0)
   }
 
+  test("chunking covers every token, honors overlap, keeps short tails") {
+    import spark.implicits._
+    val one = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    // size 4, overlap 1, stride 3: 10 tokens -> ceil((10-1)/3) = 3 chunks
+    val chunks = CorpusOps.chunkTokens(one, chunkSize = 4, overlap = 1)
+      .orderBy("chunk_idx").collect()
+    assert(chunks.map(_.getAs[String]("chunk_text")).toSeq === Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(chunks.map(_.getAs[Int]("chunk_tokens")).toSeq === Seq(4, 4, 4))
+    // a doc shorter than one chunk still yields its (short) chunk
+    val short = CorpusOps.chunkTokens(
+      Seq((2L, "a b")).toDF("doc_id", "text"), chunkSize = 8).collect()
+    assert(short.length === 1 && short.head.getAs[String]("chunk_text") === "a b")
+    // corpus-wide: zero-overlap chunk token counts sum to the token counts
+    val total = CorpusOps.chunkTokens(docs, chunkSize = 32)
+      .agg(sum("chunk_tokens")).head().getLong(0)
+    val expected = docs.select(TextFunctions.tokenCount(col("text")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(total === expected, "zero-overlap chunks must partition the tokens")
+  }
+
+  test("weighted sampling is deterministic, per-source, and hash-consistent") {
+    val sampled = CorpusOps.sampleWeighted(docs,
+      Map("src0" -> 30, "src1" -> 0)).cache()
+    // src1 fully dropped, src0 thinned, everything else untouched
+    assert(sampled.filter(col("source") === "src1").count() === 0)
+    val src0Full = docs.filter(col("source") === "src0").count()
+    val src0Kept = sampled.filter(col("source") === "src0").count()
+    assert(src0Kept < src0Full, "weight 30 must drop some src0 docs")
+    val others = docs.filter(!col("source").isin("src0", "src1")).count()
+    assert(sampled.filter(!col("source").isin("src0", "src1")).count() === others)
+    // the survivor set is exactly the bucket rule (same hash as withSplit)
+    val bad = sampled.filter(col("source") === "src0")
+      .filter(CorpusOps.hashBucket(col("text")) >= 30)
+    assert(bad.count() === 0)
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
     val corpus = docs.filter(col("doc_id") >= 10)
     val bench = docs.filter(col("doc_id") < 10)

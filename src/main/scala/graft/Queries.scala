@@ -523,6 +523,47 @@ object Queries {
         count(lit(1)).as("n"))
   }
 
+  register("agg_approx_distinct", None) { (s, dir) =>
+    // The aggregates a 100 TB scan actually runs: HLL++ distinct (a
+    // fixed-size sketch, merged map-side — exact distinct shuffles every
+    // key) and KLL-style approximate quantiles. No DuckDB oracle: sketch
+    // estimates are engine-specific; OperatorsSpec gates the error instead
+    // (≤5% vs exact distinct, quantile rank error ≤ 1/accuracy).
+    Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_qty"),
+      count(lit(1)).as("n"))
+  }
+
+  register("agg_session_windows", Some(
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (SELECT *, SUM(brk) OVER
+      |  (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM i GROUP BY user_id, sid""".stripMargin)) { (s, dir) =>
+    // Sessionization: Spark's session_window (merge while the gap to the
+    // previous event is < 10 min; window end = last event + gap) against
+    // the classic gaps-and-islands SQL — the oracle proving the session
+    // semantics line up exactly, timestamp for timestamp. One shuffle on
+    // user_id; session merging is partition-local within each key.
+    envelope(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("cluster_time"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+  }
+
   register("agg_rollup_lineitem", Some(
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |  coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -55,6 +55,30 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("approximate aggregates stay inside their error bounds") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfTiny)
+    val both = li.groupBy(col("l_returnflag")).agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("p50_approx"),
+        expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 0.05,
+        s"HLL rsd=0.02 estimate off by ${relErr * 100}% for ${r.get(0)}")
+      // percentile_approx rank error <= n/accuracy; quantity is a small
+      // integer domain, so p50 lands within one unit of exact
+      assert(math.abs(r.getAs[Double]("p50_approx") -
+        r.getAs[Double]("p50_exact")) <= 1.0)
+    }
+  }
+
   test("partition key strategies expose the reference layouts") {
     assert(KeyStrategy.HivePartitioned.partitionColumns ===
       Seq("collection", "year", "month", "day", "hour"))

@@ -448,6 +448,46 @@ class StreamingSpec extends SparkSpec {
     assert(dest.readBack(spark, Some(envDDL)).count() === n)
   }
 
+  test("streaming session windows close via watermark, exact boundaries (A2)") {
+    import spark.implicits._
+    val (src, ckpt, out) = fresh("sessions")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    // user 1: t0, t0+5 merge (gap < 10); t0+30 starts a new session.
+    // user 2: a single event. user -1 is the watermark sentinel: its event
+    // 3 h out closes every real session; its own never closes (self-
+    // excluding, same trick as stream_windowed_counts).
+    Seq((1L, ts(0)), (1L, ts(5)), (1L, ts(30)), (2L, ts(2)), (-1L, ts(180)))
+      .toDF("user_id", "cluster_time")
+      .repartition(1).write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val c = PipelineConfig(sourceDir = src,
+      schemaDDL = "user_id long, cluster_time timestamp",
+      checkpointDir = ckpt, queryName = "sessions-q", triggerInterval = None,
+      transform = df => df
+        .withWatermark("cluster_time", "0 seconds")
+        .groupBy(col("user_id"),
+          session_window(col("cluster_time"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events")))
+    val q = CdcPipeline.start(spark, c, dest)
+    q.awaitTermination(120000)
+    val got = dest.readBack(spark, Some("user_id long, " +
+        "session_start timestamp, session_end timestamp, n_events long"))
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    // session end = last event + gap (the session_window contract)
+    assert(got === Set(
+      (1L, ts(0), ts(15), 2L),  // t0..t0+5, ends 5+10
+      (1L, ts(30), ts(40), 1L),
+      (2L, ts(2), ts(12), 1L)))
+  }
+
   test("pre-image pair flows through the pipeline; diffs computable per batch (S6)") {
     // full_document_before_change (stream.rs:483-501): the envelope carries
     // the before-document for update-class events; a consumer computes

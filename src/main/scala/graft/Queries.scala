@@ -484,6 +484,59 @@ object Queries {
       .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
   }
 
+  register("tpch_q6_forecast_revenue", Some(
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE)
+      |  AS revenue, count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin)) { (s, dir) =>
+    // Q6: the pure scan-pushdown query — every predicate reaches the
+    // parquet reader (shipdate range prunes row groups by min/max stats),
+    // then a single partial-aggregated global sum. At 100 TB this plan is
+    // a scan + one scalar, no shuffle of data rows.
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  register("tpch_q10_returned_items", Some(
+    """SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c.c_custkey
+      |LIMIT 20""".stripMargin)) { (s, dir) =>
+    // Q10: fact-fact join on orderkey (both sides scale — a shuffle hash
+    // join, never a broadcast), dims broadcast, top-N as
+    // TakeOrderedAndProject (never a global sort). The returnflag and
+    // orderdate predicates push to their scans BEFORE the join.
+    val custDim = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+    Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custDim), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   register("window_top_orders", Some(
     """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -81,6 +81,28 @@ class PlanAuditSpec extends SparkSpec {
       s"text_repetition joins wrong:\n$plan")
   }
 
+  test("q6 pushes every predicate to the scan and aggregates without a data shuffle") {
+    val plan = physical(run("tpch_q6_forecast_revenue"))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert(plan.contains("l_shipdate") && plan.contains("l_discount"),
+      s"range predicates not pushed:\n$plan")
+    // only the single-row partial aggregates move: exchange must be
+    // SinglePartition, never a hashpartitioning of data rows
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q6 shuffles data rows:\n$plan")
+  }
+
+  test("q10 keeps the fact-fact join shuffled, dims broadcast, top-N as TakeOrdered") {
+    val df = run("tpch_q10_returned_items")
+    df.collect() // finalize adaptive plan
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"degenerate join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 runs a global sort instead of TakeOrdered:\n$plan")
+  }
+
   test("windowed operators partition by their keys (no global single-partition sort)") {
     val plan = physical(run("window_top_orders"))
     assert(plan.contains("Window"), s"no window operator:\n$plan")

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-handling tools for joins whose key distribution is pathological —
+  * the 100 TB failure mode where one hot key (a null-ish default, a
+  * celebrity user, a template document) lands an entire shuffle partition
+  * on one task.
+  *
+  * Two tiers, matching how production Spark handles skew:
+  *  1. AQE's runtime skew-join split (on by default) — splits oversized
+  *     partitions of a sort-merge join automatically. PlanAuditSpec proves
+  *     it engages on this build's config.
+  *  2. Explicit salting ([[saltedJoin]]) for when AQE can't help: the
+  *     non-sort-merge shapes, aggregation-into-join pipelines, or a single
+  *     key so hot that even a split partition is one task's worth.
+  */
+object Skew {
+
+  /** Equi-join with the skewed side salted into `salt` sub-keys and the
+    * other side replicated `salt`× — the classic salt/replicate rewrite.
+    *
+    * The salt assignment is `pmod(xxhash64(key, monotonically_increasing_id),
+    * salt)`: spread is uniform regardless of the key distribution, and no
+    * row ever changes join partners (the salt only sub-divides the shuffle
+    * partition of its key), so the OUTPUT is exactly the plain join's.
+    * Cost model: `other` shuffles `salt`× its size; use for a hot FACT
+    * side joined to a modest (but non-broadcastable) side. A broadcastable
+    * right side should use `broadcast()` instead — salting is the tier
+    * between broadcast and AQE.
+    */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1 (got $salt)")
+    val s = skewed.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt.toLong)))
+    val o = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    s.join(o, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -55,6 +55,63 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("salted join output equals the plain join; shuffle keys carry the salt") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hot key: 5000 rows of key 7, a sprinkle of others
+    val skewed = ((1 to 5000).map(i => (7L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5, i.toLong + 10000)))
+      .toDF("k", "payload")
+    val other = (0 to 10).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = skewed.join(other, Seq("k"), "inner")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    for (salt <- Seq(1, 8)) {
+      val salted = Skew.saltedJoin(skewed, other, "k", salt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(salted === plain, s"salt=$salt changed the join output")
+    }
+    // the exchange must partition on (k, __salt): the hot key now spreads
+    // over `salt` shuffle partitions instead of one
+    val df = Skew.saltedJoin(skewed, other, "k", 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt column not in the plan:\n$plan")
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      // make the thresholds reachable at test scale: any partition over
+      // 64 KB and 1x the median is "skewed"; SMJ forced (no broadcast)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val skewed = spark.range(200000)
+        .select((col("id") % 1000).as("k"), col("id").as("payload"))
+        .withColumn("k", when(col("payload") % 2 === 0, 7L).otherwise(col("k")))
+      val other = spark.range(2000)
+        .select(col("id").as("k"), concat(lit("d"), col("id")).as("name"))
+      val joined = skewed.join(other, "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("approximate aggregates stay inside their error bounds") {
     import org.apache.spark.sql.functions._
     val li = graft.Tables.lineitem(spark, sfTiny)

@@ -289,6 +289,16 @@ object Queries {
       graft.operators.KeyStrategy.DatePartitioned))
   }
 
+  register("sink_jsonl_zstd_collection", Some(sinkOracle)) { (s, dir) =>
+    // JSON + ZSTD is the reference's FASTEST sink config (performance.md:
+    // 7.57 ms/1000 events, beats gzip by 13%) — benched here in the same
+    // shape so the baseline comparison covers the best case, through the
+    // custom ZstdCodec (no native-hadoop in this build).
+    sinkAggregate(writeReadBack(s, dir, "sink_jsonl_zstd_collection",
+      graft.sources.OutFormat.Jsonl, graft.sources.OutCompression.Zstd,
+      graft.operators.KeyStrategy.CollectionBased))
+  }
+
   register("sink_csv_gzip_collection", Some(sinkOracle)) { (s, dir) =>
     sinkAggregate(writeReadBack(s, dir, "sink_csv_gzip_collection",
       graft.sources.OutFormat.Csv, graft.sources.OutCompression.Gzip,

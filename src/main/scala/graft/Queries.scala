@@ -1049,6 +1049,28 @@ object Queries {
       .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
 
+  register("embed_cosine_topk_sql", Some(sql("embed_cosine_topk"))) { (s, dir) =>
+    // The same top-k THROUGH THE SQL SURFACE: cosine_similarity is the
+    // native codegen'd expression registered by GraftExtensions, called
+    // from spark.sql — so the extension path itself sits under the DuckDB
+    // oracle (identical SQL oracle as embed_cosine_topk).
+    GraftExtensions.register(s)
+    Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
+    s.sql("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings_v WHERE vec_id < 8),
+      c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings_v),
+      scored AS (
+        SELECT query_id, neighbor_id,
+          cosine_similarity(qv, cv) AS cos_sim
+        FROM c JOIN q ON query_id <> neighbor_id),
+      r AS (SELECT query_id, neighbor_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
+      SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
+      FROM r WHERE rank <= 5""")
+  }
+
   register("embed_ann_lsh", None) { (s, dir) =>
     // Parameters tuned for this corpus's similarity profile (top-5 cosine
     // ≈0.26-0.49 → per-plane collision ≈0.6): 5 bits × 16 tables + Hamming-1

@@ -448,6 +448,55 @@ class StreamingSpec extends SparkSpec {
     assert(dest.readBack(spark, Some(envDDL)).count() === n)
   }
 
+  test("stream-stream interval join emits exactly the batch join's matches") {
+    import spark.implicits._
+    val base = s"$root/ssjoin"
+    val p = Paths.get(base)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    // clicks: u1@0, u1@40, u2@5; purchases: u1@8 (matches @0),
+    // u1@47 (matches @40), u2@30 (outside the 10-min window: no match)
+    val clicks = Seq((1L, ts(0)), (1L, ts(40)), (2L, ts(5)))
+      .toDF("c_user", "click_time")
+    val buys = Seq((1L, ts(8)), (1L, ts(47)), (2L, ts(30)))
+      .toDF("b_user", "buy_time")
+    clicks.repartition(1).write.option("timestampFormat", fmt).json(s"$base/clicks")
+    buys.repartition(1).write.option("timestampFormat", fmt).json(s"$base/buys")
+    val cS = spark.readStream.schema("c_user long, click_time timestamp")
+      .option("timestampFormat", fmt).json(s"$base/clicks")
+      .withWatermark("click_time", "0 seconds")
+    val bS = spark.readStream.schema("b_user long, buy_time timestamp")
+      .option("timestampFormat", fmt).json(s"$base/buys")
+      .withWatermark("buy_time", "0 seconds")
+    // attribution join: purchase within 10 min AFTER the click. Both sides
+    // watermarked + the interval bound = bounded state on both sides (the
+    // engine evicts rows once the watermark passes the join range) — the
+    // shape that survives unbounded streams.
+    val joined = cS.join(bS, expr(
+      """c_user = b_user AND
+        |buy_time >= click_time AND
+        |buy_time <= click_time + INTERVAL 10 MINUTES""".stripMargin))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssjoin_out")
+      .select("c_user", "click_time", "buy_time").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val batch = clicks.join(buys, expr(
+      """c_user = b_user AND
+        |buy_time >= click_time AND
+        |buy_time <= click_time + INTERVAL 10 MINUTES""".stripMargin))
+      .select("c_user", "click_time", "buy_time").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(got === batch)
+    assert(got === Set((1L, ts(0), ts(8)), (1L, ts(40), ts(47))))
+  }
+
   test("streaming session windows close via watermark, exact boundaries (A2)") {
     import spark.implicits._
     val (src, ckpt, out) = fresh("sessions")

@@ -1082,6 +1082,24 @@ object Queries {
       nPlanes = 7, nTables = 12)
   }
 
+  register("mm_embed_neardup", None) { (s, dir) =>
+    // The end-to-end multimodal flow a training corpus runs: binary
+    // payloads -> batched per-partition decode+embed (honest STUB for the
+    // codec/encoder; dataflow real) -> top-10 closest pairs from the
+    // block-partitioned exact pairwise join (byte-identical payloads embed
+    // identically, cos 1.0, and rank first; this fixture happens to carry
+    // none, so the closest stub pairs surface instead of an empty result).
+    // no_oracle (mapPartitions Dataset); MultimodalSpec gates determinism
+    // and the duplicate <-> cos 1.0 pair equivalence on constructed data.
+    val feats = graft.functions.Multimodal.imageFeatures(
+      graft.functions.Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
+    val vecs = feats.toDF()
+      .select(col("assetId").as("vec_id"), col("embedding"))
+    Similarity.cosineThresholdPairs(vecs, threshold = -1.0, nBlocks = 8)
+      .orderBy(col("cos_sim").desc, col("vec_a"), col("vec_b"))
+      .limit(10)
+  }
+
   register("embed_ann_ivf", None) { (s, dir) =>
     // The other standard ANN scale path: IVF index (spherical k-means
     // lists, nProbe nearest lists scanned per query). On this corpus the

@@ -69,4 +69,26 @@ class MultimodalSpec extends SparkSpec {
     assert(counts.length === 3)
     counts.foreach(r => assert(r.getLong(1) === 4))
   }
+
+  test("payload near-dup finds exactly the byte-identical assets") {
+    import spark.implicits._
+    // ids 0,3,6 are image-modality (id % 3 == 0); 0 and 3 share bytes
+    val docs = Seq(
+      (0L, "the same exact payload bytes"),
+      (3L, "the same exact payload bytes"),
+      (6L, "a completely different text body here"),
+      (1L, "the same exact payload bytes")) // audio modality: excluded
+      .toDF("doc_id", "text")
+    val feats = Multimodal.imageFeatures(Multimodal.assetsFromDocuments(docs))
+      .toDF().select(col("assetId").as("vec_id"), col("embedding"))
+    val pairs = Similarity.cosineThresholdPairs(feats, 0.9, nBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((0L, 3L)),
+      s"expected exactly the duplicate pair, got ${pairs.toSeq}")
+    assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
+    // deterministic end to end: a second run produces identical rows
+    val again = Similarity.cosineThresholdPairs(feats, 0.9, nBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSet === pairs.toSet)
+  }
 }

@@ -125,11 +125,21 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("text analytics stay scan-local (zero exchanges)") {
-    Seq("text_stats", "text_quality", "text_langid", "text_fingerprint")
+    Seq("text_stats", "text_quality", "text_langid", "text_fingerprint",
+        "corpus_chunk", "corpus_sample_weighted")
       .foreach { n =>
         val plan = physical(run(n))
         assert(!plan.contains("Exchange"),
           s"$n shuffles a narrow per-document computation:\n$plan")
       }
+  }
+
+  test("session windows shuffle once on the session key, nothing global") {
+    val plan = physical(run("agg_session_windows"))
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"sessions not keyed by user_id:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"sessionization fell back to a global repartition:\n$plan")
   }
 }

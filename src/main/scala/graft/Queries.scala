@@ -797,6 +797,16 @@ object Queries {
     Dedup.exactStats(Tables.documents(s, dir), "source")
   }
 
+  register("dedup_exact_keep", Some(
+    """SELECT doc_id, source, n_chars FROM documents
+      |QUALIFY row_number() OVER
+      |  (PARTITION BY md5(text) ORDER BY doc_id) = 1""".stripMargin)) { (s, dir) =>
+    // The materialized form of exact dedup: keep the lowest-id
+    // representative per distinct content. One shuffle on the digest.
+    Dedup.exact(Tables.documents(s, dir))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   register("dedup_ngram_jaccard", Some(
     """WITH d AS (
       |  SELECT doc_id, source,

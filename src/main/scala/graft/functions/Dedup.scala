@@ -101,17 +101,19 @@ object Dedup {
     val postings =
       if (maxDf <= 0) allPostings
       else allPostings.filter(size(col("ds")) <= maxDf)
-    val pairExpand = flatten(transform(
-      sequence(lit(0), size(col("ds")) - 2),
-      i => transform(
-        slice(col("ds"), i + lit(2), size(col("ds"))),
-        d2 => struct(element_at(col("ds"), i + lit(1)).as("doc_a"),
-          d2.as("doc_b")))))
-    val inter = postings
-      .select(col("block"), explode(pairExpand).as("p"))
-      .groupBy(col("block"), col("p.doc_a"), col("p.doc_b"))
+    // Ordered-pair expansion as two codegen'd Generates (posexplode picks
+    // doc_a, explode over the sorted tail picks doc_b > doc_a) — the
+    // earlier nested-transform form built the |ds|²/2 pair array through
+    // interpreted HOFs, which was the query's hot spot.
+    val pairs = postings
+      .select(col("block"), col("ds"),
+        posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("block"), col("doc_a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
+          .as("doc_b"))
+    val inter = pairs
+      .groupBy(col("block"), col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-      .select(col("block"), col("doc_a"), col("doc_b"), col("inter"))
     // same arithmetic as `jaccard`: double division, |A|+|B|-|A∩B| union
     val withJac = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")

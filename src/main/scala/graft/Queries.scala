@@ -946,6 +946,35 @@ object Queries {
         col("chunk_text"), col("chunk_tokens"))
   }
 
+  register("corpus_pack", Some(
+    """WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS toks
+      |           FROM documents),
+      |n AS (SELECT doc_id, source, toks,
+      |  greatest(1, CAST(ceil(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT))
+      |    AS nc FROM t),
+      |c AS (SELECT doc_id, source,
+      |  CAST(unnest(range(0, nc)) AS INT) AS chunk_idx, toks FROM n),
+      |ck AS (SELECT doc_id, source, chunk_idx,
+      |  CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS INT)
+      |    AS chunk_tokens FROM c),
+      |r AS (SELECT *, SUM(chunk_tokens) OVER
+      |  (PARTITION BY source ORDER BY doc_id, chunk_idx
+      |   ROWS UNBOUNDED PRECEDING) AS e FROM ck)
+      |SELECT source, CAST(FLOOR((e - chunk_tokens) / 256) AS BIGINT) AS seq_id,
+      |  count(*) AS n_chunks, CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+      |FROM r GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    // Sequence packing: chunk (32 tokens, overlap 8) then pack to ~256-token
+    // training sequences per source. The oracle replays the identical
+    // chunk + running-sum arithmetic, so assignment matches row for row.
+    val chunks = graft.functions.CorpusOps.chunkTokens(
+      Tables.documents(s, dir).select("doc_id", "source", "text"),
+      chunkSize = 32, overlap = 8)
+    graft.functions.CorpusOps.packSequences(chunks, budget = 256)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"))
+  }
+
   register("corpus_sample_weighted", Some(
     """SELECT doc_id, source FROM documents
       |WHERE CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 <

@@ -89,6 +89,33 @@ object CorpusOps {
       .drop("__toks", "__chunk", textCol)
   }
 
+  /** Greedy contiguous sequence packing at whole-chunk granularity: chunks
+    * (ordered by (idCol, chunk_idx) within each `groupCol`) are laid
+    * end-to-end and cut into sequences of ~`budget` tokens — a chunk whose
+    * START offset crosses a budget boundary opens the next sequence, so a
+    * sequence can overrun by at most one chunk. This is the concat-and-
+    * split pack every training pipeline runs before batching.
+    *
+    * Scale shape: ONE window keyed by `groupCol` (running token sum is
+    * partition-local per group — never a global single-partition window);
+    * assignment is pure arithmetic on the running sum, so packing is
+    * deterministic and reproducible across re-runs. */
+  def packSequences(chunks: DataFrame, budget: Int,
+                    groupCol: String = "source",
+                    idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1 (got $budget)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(idCol), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("__end", sum(col("chunk_tokens")).over(w))
+      .withColumn("seq_id",
+        ((col("__end") - col("chunk_tokens")) / lit(budget))
+          .cast("long"))
+      .drop("__end")
+  }
+
   /** Deterministic weighted sampling per group (the training-mix operator:
     * "keep 30% of crawl, 100% of wiki"): a document survives iff its
     * content-hash bucket (0-99) falls below its group's percentage.

@@ -46,6 +46,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(total === expected, "zero-overlap chunks must partition the tokens")
   }
 
+  test("sequence packing: contiguous, budget-bounded, loses no chunks") {
+    import spark.implicits._
+    val chunks = CorpusOps.chunkTokens(docs, chunkSize = 32)
+    val packed = CorpusOps.packSequences(chunks, budget = 256).cache()
+    // no chunk lost or duplicated
+    assert(packed.count() === chunks.count())
+    val seqs = packed.groupBy("source", "seq_id")
+      .agg(sum("chunk_tokens").as("n_tokens")).collect()
+    // a sequence holds at least one chunk and overruns the budget by less
+    // than one chunk (whole-chunk granularity)
+    seqs.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(n < 256 + 32, s"sequence exceeds budget + chunk: $n")
+    }
+    // within a (source, seq_id), chunks are contiguous in (doc_id, chunk_idx)
+    // order: seq_id is non-decreasing along the pack order
+    val mono = packed.orderBy("source", "doc_id", "chunk_idx")
+      .select("source", "seq_id").collect()
+      .foldLeft((Option.empty[String], -1L, true)) {
+        case ((src, last, ok), row) =>
+          val s2 = row.getString(0); val id = row.getLong(1)
+          if (src.contains(s2)) (src, id, ok && id >= last)
+          else (Some(s2), id, ok)
+      }
+    assert(mono._3, "seq_id not monotone within a source's pack order")
+    // deterministic across runs
+    val again = CorpusOps.packSequences(chunks, budget = 256)
+      .select("source", "doc_id", "chunk_idx", "seq_id").collect().toSet
+    assert(again === packed
+      .select("source", "doc_id", "chunk_idx", "seq_id").collect().toSet)
+  }
+
   test("weighted sampling is deterministic, per-source, and hash-consistent") {
     val sampled = CorpusOps.sampleWeighted(docs,
       Map("src0" -> 30, "src1" -> 0)).cache()

@@ -214,6 +214,25 @@ object Queries {
           .getField("newSize").as("trunc_new_size"))
   }
 
+  register("cdc_variant_extract", Some(
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Spark 4's VariantType path for the schemaless document body (SURVEY
+    // §1.2): parse_json ONCE into a binary variant, then typed
+    // variant_get extractions — the modern alternative to repeated
+    // get_json_object string re-parses for multi-field access.
+    envelope(s, dir)
+      .select(parse_json(col("full_document")).as("v"), col("value"))
+      .select(variant_get(col("v"), "$.k", "bigint").as("k"), col("value"))
+      .filter(col("k") >= 50)
+      .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+  }
+
   register("cdc_preimage_diff", Some(
     """SELECT event_id,
       |  props AS full_document,

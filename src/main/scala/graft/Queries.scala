@@ -619,6 +619,46 @@ object Queries {
         count(lit(1)).as("n"))
   }
 
+  register("agg_grouping_sets", Some(
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |  (l_returnflag, l_linestatus))""".stripMargin)) { (s, dir) =>
+    // GROUPING SETS: three aggregation grains in ONE pass over the fact
+    // table (Expand + single shuffle) — at 100 TB this replaces three
+    // separate scans+aggregations.
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")),
+          Seq(col("l_returnflag"), col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+  }
+
+  register("window_lag_delta", Some(
+    """SELECT user_id, event_id, value,
+      |  CAST(value - lag(value) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta
+      |FROM events
+      |QUALIFY lag(value) OVER
+      |  (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL""".stripMargin)) { (s, dir) =>
+    // lag/delta per key — the change-over-time window shape; keyed
+    // partitioning, never a global sort.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cluster_time"), col("event_id"))
+    envelope(s, dir)
+      .withColumn("__prev", lag(col("value"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        (col("value") - col("__prev")).cast("double").as("delta"))
+  }
+
   register("agg_approx_distinct", None) { (s, dir) =>
     // The aggregates a 100 TB scan actually runs: HLL++ distinct (a
     // fixed-size sketch, merged map-side — exact distinct shuffles every

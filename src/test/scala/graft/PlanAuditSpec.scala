@@ -134,6 +134,19 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("grouping sets run one Expand + one shuffle, not three scans") {
+    val plan = physical(run("agg_grouping_sets"))
+    assert(plan.contains("Expand"), s"no Expand — grains split?\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"grouping sets re-scans the fact table:\n$plan")
+  }
+
+  test("lag window partitions by its key") {
+    val plan = physical(run("window_lag_delta"))
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"lag window not keyed:\n$plan")
+  }
+
   test("session windows shuffle once on the session key, nothing global") {
     val plan = physical(run("agg_session_windows"))
     assert(plan.contains("hashpartitioning(user_id"),

@@ -54,6 +54,8 @@ object GraftExtensions {
           case e if e.foldable => e.eval() match {
             case i: java.lang.Integer => i.intValue()
             case l: java.lang.Long    => l.intValue()
+            case null => throw new IllegalArgumentException(
+              "shingle_hashes: n must not be NULL")
             case other => throw new IllegalArgumentException(
               s"shingle_hashes: n must be an integer literal, got $other")
           }

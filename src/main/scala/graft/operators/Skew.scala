@@ -33,6 +33,16 @@ object Skew {
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt >= 1, s"salt must be >= 1 (got $salt)")
+    // right/full outer would emit each UNMATCHED `other` row once per salt
+    // replica — only join types that never null-extend the replicated side
+    // are output-identical to the plain join
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+      "cross")
+    require(allowed(joinType.toLowerCase.replace("_", "")) ||
+      allowed(joinType.toLowerCase),
+      s"saltedJoin supports inner/left join types; '$joinType' would " +
+        "duplicate unmatched rows of the replicated side")
     val s = skewed.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt.toLong)))
     val o = other.withColumn("__salt",

@@ -75,6 +75,16 @@ class OperatorsSpec extends SparkSpec {
     val df = Skew.saltedJoin(skewed, other, "k", 8)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), s"salt column not in the plan:\n$plan")
+    // left joins stay output-identical; right/full outer would duplicate
+    // unmatched replicated rows and must be rejected up front
+    val lo = Skew.saltedJoin(skewed, other, "k", 8, "left_outer")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val loPlain = skewed.join(other, Seq("k"), "left_outer")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(lo === loPlain)
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, other, "k", 8, "full_outer")
+    }
   }
 
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {

@@ -346,14 +346,17 @@ object Queries {
   // ==========================================================================
 
   /** Stage the envelope feed as JSONL source files. The feed is a pure
-    * function of the fixture, so a prior staging (marked by _SUCCESS) is
-    * reused — the bench then times the PIPELINE, not the test harness
-    * re-serializing its own input on every invocation. Returns true when
-    * this call actually staged (callers append sentinels only then, so
-    * they don't accumulate across runs). */
+    * function of the fixture, so a COMPLETE prior staging is reused — the
+    * bench then times the PIPELINE, not the test harness re-serializing its
+    * own input on every invocation. Returns true when this call actually
+    * staged; the caller then appends any sentinel rows and MUST finish with
+    * [[markStaged]]. Reuse is gated on the dedicated _STAGED marker (written
+    * last), NOT on the json writer's own _SUCCESS — a crash between the
+    * source write and the sentinel append would otherwise leave a poisoned
+    * directory that every later run happily reuses, sentinel-less. */
   private def stageStreamSource(s: SparkSession, dir: String, path: String): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_SUCCESS"))) false
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_STAGED"))) false
     else {
       CdcEnvelope.fromEvents(Tables.events(s, dir))
         .drop("update_description")
@@ -361,6 +364,13 @@ object Queries {
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(path)
       true
     }
+  }
+
+  /** Seal a staging directory: written only after source + sentinels are all
+    * on disk, so a half-staged directory is re-staged, never reused. */
+  private def markStaged(s: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_STAGED"), true).close()
   }
 
   private val streamDDL =
@@ -378,7 +388,7 @@ object Queries {
     val tag = dir.replaceAll("[^0-9.]", "")
     val base = s"$sinkRoot/stream-pipeline-$tag"
     val src = s"$base/source"
-    stageStreamSource(s, dir, src)
+    if (stageStreamSource(s, dir, src)) markStaged(s, src)
     // fresh checkpoint/output per invocation => deterministic full replay
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     Seq("checkpoint", "out").foreach(d =>
@@ -434,6 +444,7 @@ object Queries {
           (lit(maxTs) + lit(7200L)).cast("timestamp").as("cluster_time"))
         .write.mode("append")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+      markStaged(s, src) // seal only once source AND sentinel are on disk
     }
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     Seq("checkpoint", "out").foreach(d =>

@@ -36,9 +36,11 @@ object Skew {
     // right/full outer would emit each UNMATCHED `other` row once per salt
     // replica — only join types that never null-extend the replicated side
     // are output-identical to the plain join
+    // "cross" is excluded: this is a using-columns equi-join on (key, salt),
+    // so a cross request would not produce a cross product anyway — and a
+    // true cross join has no key to salt
     val allowed = Set("inner", "left", "left_outer", "leftouter",
-      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
-      "cross")
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
     require(allowed(joinType.toLowerCase.replace("_", "")) ||
       allowed(joinType.toLowerCase),
       s"saltedJoin supports inner/left join types; '$joinType' would " +

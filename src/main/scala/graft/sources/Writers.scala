@@ -85,16 +85,30 @@ object Writers {
     val derived = PartitionKeys.withPartitionColumns(df, strategy, tsCol)
     val keyed =
       if (strategy.partitionColumns.nonEmpty) {
-        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+        import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64,
+          monotonically_increasing_id}
+        import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+        // xxhash64 rejects MapType (and variant) inputs — salt only from
+        // hashable columns, falling back to a row-id spread when none exist
+        def unhashable(dt: DataType): Boolean = dt match {
+          case _: MapType          => true
+          case s: StructType       => s.fields.exists(f => unhashable(f.dataType))
+          case a: ArrayType        => unhashable(a.elementType)
+          case d                   => d.typeName == "variant"
+        }
+        val saltInputs = df.schema.fields
+          .filterNot(f => unhashable(f.dataType))
+          .map(f => derived(f.name)).toIndexedSeq
         val salt = pmod(
-          xxhash64(df.columns.map(derived(_)).toIndexedSeq: _*),
+          if (saltInputs.nonEmpty) xxhash64(saltInputs: _*)
+          else xxhash64(monotonically_increasing_id()),
           lit(maxFilesPerKey.toLong))
         // explicit partition count: a count-less repartition is fair game
         // for AQE partition coalescing, which at small volumes merges the
         // salted groups back into one task — exactly the serialization
         // point the salt exists to prevent
-        val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-          .max(maxFilesPerKey)
+        val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+          .toIntOption.getOrElse(200).max(maxFilesPerKey)
         derived.repartition(n,
           (strategy.partitionColumns.map(col) :+ salt): _*)
       } else derived

@@ -74,7 +74,14 @@ object CdcPipeline {
     * metrics map, `reportLatestOffset` = null), so the pipeline computes it
     * from what it controls: a glob listing of the source minus the admitted
     * entries in the checkpoint's source metadata log. Driver-local small
-    * I/O, same order of work the source's own per-trigger listing does. */
+    * I/O, same order of work the source's own per-trigger listing does.
+    *
+    * UNIT DEVIATION from the reference: rigatoni gauges buffered EVENTS per
+    * collection (incremented on receive, decremented around flush); this
+    * build's unit of admission is the FILE, so the gauge counts unadmitted
+    * source files per query. Dashboards ported from the reference must
+    * rescale by events-per-file (or treat it as a relative backlog signal —
+    * zero still means "drained" in both systems). */
   private def stagedFileCount(spark: SparkSession, pattern: String): Long = {
     val path = new org.apache.hadoop.fs.Path(pattern)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -76,7 +76,7 @@ object GraftMetrics {
   val StreamLag = "rigatoni_change_stream_lag_seconds"
   val ActiveCollections = "rigatoni_active_collections"
   val PipelineStatus = "rigatoni_pipeline_status" // 0 stopped, 1 running, 2 error
-  val BatchQueueSize = "rigatoni_batch_queue_size"
+  val BatchQueueSize = "rigatoni_batch_queue_size" // UNIT: unadmitted source FILES per query here, buffered EVENTS per collection in the reference — see CdcPipeline.stagedFileCount
 }
 
 /** StreamingQueryListener bridging Structured Streaming progress to the

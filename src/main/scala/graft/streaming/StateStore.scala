@@ -48,8 +48,11 @@ final class MemoryStateStore(
   override def getToken(key: String): Option[String] =
     tokens.get(key) match {
       case Some((t, exp)) if exp > now() => Some(t)
-      case Some(_)                       => tokens.remove(key); None
-      case None                          => None
+      case Some(stale) =>
+        // conditional remove: reap only the entry we observed as expired, so
+        // a concurrent saveToken racing this reap is never deleted
+        tokens.remove(key, stale); None
+      case None => None
     }
   override def deleteToken(key: String): Unit = tokens.remove(key)
   override def listTokens(): Map[String, String] = {

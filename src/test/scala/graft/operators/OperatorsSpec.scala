@@ -85,6 +85,11 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Skew.saltedJoin(skewed, other, "k", 8, "full_outer")
     }
+    // "cross" is rejected too: a using-columns equi-join on (k, salt) can't
+    // honor it, so accepting it would silently behave like an inner join
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, other, "k", 8, "cross")
+    }
   }
 
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {

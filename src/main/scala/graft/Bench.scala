@@ -32,8 +32,13 @@ object Bench {
         .agg(org.apache.spark.sql.functions.sum("l_quantity"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    // dev convenience: SPARK_GRAFT_ONLY=q1,q2 restricts the run for triage
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

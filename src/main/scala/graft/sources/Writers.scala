@@ -71,18 +71,32 @@ object Writers {
     * files; measured 10× slower at sf0.1) but collapses each key into ONE
     * task — a skewed key (one hot collection of eight) then serializes
     * through a single core and produces one giant file. The shuffle key is
-    * therefore (partition columns, pmod(xxhash64(row), maxFilesPerKey)):
-    * at most `maxFilesPerKey` files AND up to that many parallel writer
-    * tasks per key. Size it to target_file_size ≈ hot_key_bytes /
-    * maxFilesPerKey at the deployment's scale. */
+    * therefore (partition columns, pmod(xxhash64(row), filesPerKey)):
+    * bounded files AND up to that many parallel writer tasks per key.
+    *
+    * The salt width ADAPTS to volume: filesPerKey =
+    * clamp(estimated_bytes / targetFileBytes, 1, maxFilesPerKey), using
+    * Catalyst's plan-size estimate (no job launched). Small writes get 1
+    * file per key (a fixed salt would multiply tiny files — measured ~2×
+    * slower round-trip at sf0.1 from 4× the gzip streams); huge writes
+    * saturate at maxFilesPerKey. The estimate deliberately assumes the
+    * worst-case key distribution (all bytes in one hot key) because the
+    * salt exists precisely for that case. */
   def write(df: DataFrame, path: String, format: OutFormat,
             compression: OutCompression = OutCompression.None,
             strategy: KeyStrategy = KeyStrategy.HivePartitioned,
             tsCol: String = "cluster_time",
             mode: String = "overwrite",
-            maxFilesPerKey: Int = 4): Unit = {
+            maxFilesPerKey: Int = 64,
+            targetFileBytes: Long = 128L << 20): Unit = {
     require(maxFilesPerKey >= 1, s"maxFilesPerKey must be >= 1 (got $maxFilesPerKey)")
+    require(targetFileBytes >= 1, s"targetFileBytes must be >= 1 (got $targetFileBytes)")
     val derived = PartitionKeys.withPartitionColumns(df, strategy, tsCol)
+    val filesPerKey = {
+      val est = derived.queryExecution.optimizedPlan.stats.sizeInBytes
+      ((est + targetFileBytes - 1) / targetFileBytes)
+        .min(maxFilesPerKey).max(1).toInt
+    }
     val keyed =
       if (strategy.partitionColumns.nonEmpty) {
         import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64,
@@ -102,13 +116,13 @@ object Writers {
         val salt = pmod(
           if (saltInputs.nonEmpty) xxhash64(saltInputs: _*)
           else xxhash64(monotonically_increasing_id()),
-          lit(maxFilesPerKey.toLong))
+          lit(filesPerKey.toLong))
         // explicit partition count: a count-less repartition is fair game
         // for AQE partition coalescing, which at small volumes merges the
         // salted groups back into one task — exactly the serialization
         // point the salt exists to prevent
         val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-          .toIntOption.getOrElse(200).max(maxFilesPerKey)
+          .toIntOption.getOrElse(200).max(filesPerKey)
         derived.repartition(n,
           (strategy.partitionColumns.map(col) :+ salt): _*)
       } else derived

@@ -6,6 +6,7 @@ import graft.operators.KeyStrategy
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Write→read-back contract for the whole T1-T7 serializer/compression/
   * key-strategy matrix (mirror of the reference's per-format×compression
@@ -100,8 +101,11 @@ class WritersSpec extends SparkSpec {
       (if (i % 10 == 0) s"c_${i % 4}" else "c_hot", s"doc-$i", i.toLong)
     }.toDF("collection", "document_key", "seq")
     val path = s"$outRoot/skew-check"
+    // tiny targetFileBytes forces the adaptive salt to its maxFilesPerKey
+    // ceiling — the regime a hot key hits at production volume
     Writers.write(skewed, path, OutFormat.Jsonl, OutCompression.None,
-      KeyStrategy.CollectionBased, maxFilesPerKey = maxFiles)
+      KeyStrategy.CollectionBased, maxFilesPerKey = maxFiles,
+      targetFileBytes = 1024)
     def filesUnder(key: String): Seq[String] = {
       val dir = Paths.get(s"$path/collection=$key")
       val stream = Files.walk(dir)
@@ -123,6 +127,19 @@ class WritersSpec extends SparkSpec {
       Some("collection string, document_key string, seq long"))
     assert(back.count() === 20000)
     assert(back.filter(col("collection") === "c_hot").count() === 18000)
+
+    // and the flip side: at the default 128 MiB target this small write
+    // must NOT salt — one file per key, no tiny-file multiplication
+    val smallPath = s"$outRoot/skew-check-small"
+    Writers.write(skewed, smallPath, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.CollectionBased, maxFilesPerKey = maxFiles)
+    def filesAt(base: String, key: String): Int = {
+      val stream = Files.walk(Paths.get(s"$base/collection=$key"))
+      try stream.iterator().asScala.count(_.toString.contains("/part-"))
+      finally stream.close()
+    }
+    assert(filesAt(smallPath, "c_hot") === 1,
+      "small write multiplied files despite volume below target size")
   }
 
   test("format metadata matches the reference's extensions and content types") {

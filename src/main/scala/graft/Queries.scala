@@ -743,6 +743,71 @@ object Queries {
       .select(col("c_custkey"), col("c_name"))
   }
 
+  register("join_asof_last_click", Some(
+    """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |     c AS (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'click'),
+      |     m AS (SELECT p.event_id AS pid, c.ts AS click_ts,
+      |             c.value AS click_value,
+      |             row_number() OVER (PARTITION BY p.event_id
+      |               ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |           FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts)
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |  m.click_ts AS last_click_ts, m.click_value AS last_click_value
+      |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+      |  ON m.pid = p.event_id""".stripMargin)) { (s, dir) =>
+    // As-of join, the union+window shape: the oracle's pair-join+rank form
+    // is quadratic per hot user; this plans ONE shuffle on user_id, no join
+    // operator at all (OperatorsSpec proves equality and the plan shape)
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("ts").as("last_click_ts"), col("value").as("last_click_value"))
+    graft.operators.AsOf.asOfJoin(
+      p, "user_id", "ts", c, "user_id", "ts",
+      payload = Seq("last_click_ts", "last_click_value"), tiebreak = "event_id")
+  }
+
+  register("join_range_purchases_after_signup", Some(
+    """WITH s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
+      |           FROM events WHERE event_type = 'signup'),
+      |     p AS (SELECT user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |     j AS (SELECT s.signup_id, count(*) AS n_purchases,
+      |             CAST(SUM(CAST(p.value AS DECIMAL(38,4))) AS DOUBLE) AS purchase_value
+      |           FROM s JOIN p ON p.user_id = s.user_id
+      |             AND p.ts BETWEEN s.signup_ts
+      |                          AND s.signup_ts + INTERVAL 48 HOUR
+      |           GROUP BY 1)
+      |SELECT s.signup_id, s.user_id, s.signup_ts,
+      |  COALESCE(j.n_purchases, 0) AS n_purchases,
+      |  COALESCE(j.purchase_value, 0.0) AS purchase_value
+      |FROM s LEFT JOIN j ON j.signup_id = s.signup_id""".stripMargin)) { (s, dir) =>
+    // Banded range join: the inequality predicate becomes an equi-join on
+    // (user, 24h-bucket) — a partitioned hash join, never a nested-loop
+    // product; each 48h window covers ≤ 3 buckets
+    val ev = Tables.events(s, dir)
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("signup_ts"),
+        (col("ts") + expr("INTERVAL 48 HOURS")).as("until_ts"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    val pairs = graft.operators.AsOf.rangeJoin(
+      su, "signup_ts", "until_ts", pu, "p_ts",
+      keys = Seq("user_id" -> "p_user"), bucketWidth = lit(24L * 3600 * 1000000L))
+    val agg = pairs.groupBy("signup_id")
+      .agg(count(lit(1)).as("n"), dsum(col("p_value")).as("v"))
+    su.join(agg, Seq("signup_id"), "left")
+      .select(col("signup_id"), col("user_id"), col("signup_ts"),
+        coalesce(col("n"), lit(0L)).as("n_purchases"),
+        coalesce(col("v"), lit(0.0)).as("purchase_value"))
+  }
+
   register("set_ops_customer_orders", Some(
     """SELECT
       |  (SELECT count(*) FROM (SELECT c_custkey FROM customer

@@ -92,6 +92,71 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("asOfJoin matches the naive rank form, including timestamp ties") {
+    import spark.implicits._
+    // deterministic fixture with same-instant ties on both sides
+    val left = Seq(
+      (1L, 10L, 100L, "a"), (2L, 10L, 200L, "b"), (3L, 10L, 50L, "c"),
+      (4L, 20L, 100L, "d"), (5L, 30L, 100L, "e"))
+      .toDF("id", "k", "t_raw", "tag")
+      .withColumn("t", timestamp_micros(col("t_raw"))).drop("t_raw")
+    val right = Seq(
+      (101L, 10L, 100L, 1.0), (102L, 10L, 100L, 2.0), // tie at t=100: 102 wins
+      (103L, 10L, 150L, 3.0),
+      (104L, 20L, 101L, 4.0), // after left t=100: no match for id=4
+      (105L, 40L, 1L, 5.0))   // key with no left rows
+      .toDF("rid", "k", "t_raw", "score")
+      .withColumn("t", timestamp_micros(col("t_raw"))).drop("t_raw")
+      .select(col("rid"), col("k"), col("t"),
+        col("t").as("m_t"), col("score").as("m_score"), col("rid").as("m_rid"))
+    val got = AsOf.asOfJoin(left, "k", "t", right, "k", "t",
+      payload = Seq("m_t", "m_score", "m_rid"), tiebreak = "rid")
+    // id=1 (t=100): ties at 100 → rid 102; id=2 (t=200): rid 103;
+    // id=3 (t=50): none; id=4 (t=100): right is at 101 → none; id=5: none
+    val byId = got.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("m_rid"))) None
+         else Some(r.getLong(r.fieldIndex("m_rid"))))).toMap
+    assert(byId === Map(1L -> Some(102L), 2L -> Some(103L), 3L -> None,
+      4L -> None, 5L -> None))
+    // every left row survives exactly once (left-join contract)
+    assert(got.count() === 5)
+    // the scalable shape: NO join operator anywhere in the plan — one
+    // exchange on the key and a running window over the union
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected a window plan:\n$plan")
+  }
+
+  test("rangeJoin equals the inequality join and plans a hash join, not BNLJ") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val intervals = (1 to 200).map { i =>
+      val lo = rnd.nextInt(100000).toLong
+      (i.toLong, i.toLong % 7, lo, lo + rnd.nextInt(5000).toLong)
+    }.toDF("iid", "k", "lo_raw", "hi_raw")
+      .withColumn("lo", timestamp_micros(col("lo_raw")))
+      .withColumn("hi", timestamp_micros(col("hi_raw")))
+      .drop("lo_raw", "hi_raw")
+    val points = (1 to 2000).map { j =>
+      (j.toLong, j.toLong % 7, rnd.nextInt(110000).toLong)
+    }.toDF("pid", "pk", "pt_raw")
+      .withColumn("pt", timestamp_micros(col("pt_raw"))).drop("pt_raw")
+    val got = AsOf.rangeJoin(intervals, "lo", "hi", points, "pt",
+      keys = Seq("k" -> "pk"), bucketWidth = lit(2048L))
+      .select("iid", "pid").as[(Long, Long)].collect().sorted.toSeq
+    val want = intervals.join(points,
+        col("k") === col("pk") && col("pt").between(col("lo"), col("hi")))
+      .select("iid", "pid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+    assert(want.nonEmpty, "fixture produced no in-range pairs")
+    val plan = AsOf.rangeJoin(intervals, "lo", "hi", points, "pt",
+        keys = Seq("k" -> "pk"), bucketWidth = lit(2048L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (skew=true)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

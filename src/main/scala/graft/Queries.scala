@@ -986,6 +986,41 @@ object Queries {
       .withColumnRenamed("block", "source")
   }
 
+  register("dedup_group_components", Some(
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END AS ngrams
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    len(list_intersect(a.ngrams, b.ngrams)) AS isz,
+      |    len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams)) AS usz
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id),
+      |e AS (
+      |  SELECT da AS eu, db AS ev FROM p
+      |  WHERE usz > 0 AND CAST(isz AS DOUBLE) / usz >= 0.02
+      |  UNION
+      |  SELECT db, da FROM p
+      |  WHERE usz > 0 AND CAST(isz AS DOUBLE) / usz >= 0.02),
+      |reach(ru, rv) AS (
+      |  SELECT eu, ev FROM e
+      |  UNION
+      |  SELECT r.ru, e2.ev FROM reach r JOIN e e2 ON e2.eu = r.rv)
+      |SELECT ru AS doc_id, least(ru, min(rv)) AS group_id
+      |FROM reach GROUP BY ru""".stripMargin)) { (s, dir) =>
+    // Near-dup GROUPS, not just pairs: posting-list candidate edges →
+    // min-label propagation. The oracle's recursive CTE computes the full
+    // transitive closure (|C|² per component — fine at fixture scale,
+    // exactly what the iterative form avoids at corpus scale).
+    val edges = Dedup.ngramSimilarPairs(Tables.documents(s, dir), 3,
+      blockCol = "source", minJaccard = 0.02)
+    graft.functions.Components.connectedComponents(edges, "doc_a", "doc_b")
+      .select(col("node").as("doc_id"), col("component").as("group_id"))
+  }
+
   register("dedup_minhash_lsh", None) { (s, dir) =>
     Dedup.minhashCandidates(Tables.documents(s, dir),
       shingleN = 3, k = 32, bands = 16, threshold = 0.2)

@@ -78,6 +78,42 @@ object Dedup {
                         blockCol: String = "source",
                         simThreshold: Double = 0.2,
                         maxDf: Int = 0): DataFrame = {
+    val withJac = sparseJaccardPairs(docs, n, blockCol, maxDf)
+      .select(col("block"), col("jaccard"))
+    val pairStats = withJac.groupBy("block").agg(
+      count(when(col("jaccard") >= simThreshold, 1)).as("n_sim_pairs"),
+      sum(col("jaccard").cast("decimal(38,6)")).cast("double").as("sum_jaccard"))
+    val counts = docs.groupBy(col(blockCol).as("block"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("block"),
+        (col("n_docs") * (col("n_docs") - lit(1)) / lit(2)).cast("long")
+          .as("n_pairs"))
+    counts.filter(col("n_pairs") > 0)
+      .join(pairStats, Seq("block"), "left")
+      .select(col("block"), col("n_pairs"),
+        coalesce(col("n_sim_pairs"), lit(0L)).as("n_sim_pairs"),
+        coalesce(col("sum_jaccard"), lit(0.0)).as("sum_jaccard"))
+  }
+
+  /** Pairs whose exact n-gram Jaccard meets `minJaccard`, via the SAME
+    * posting-list expansion as [[ngramJaccardStats]] — only pairs that
+    * share at least one shingle are ever materialized, so the edge list a
+    * dedup-group clustering consumes never passes through a per-block cross
+    * product. Output: (block, doc_a, doc_b, jaccard), doc_a < doc_b. */
+  def ngramSimilarPairs(docs: DataFrame, n: Int,
+                        blockCol: String = "source",
+                        minJaccard: Double = 0.2,
+                        maxDf: Int = 0): DataFrame =
+    sparseJaccardPairs(docs, n, blockCol, maxDf)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("block"), col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Shared core of [[ngramJaccardStats]] / [[ngramSimilarPairs]]: exact
+    * Jaccard for every pair sharing ≥1 shingle, by posting-list expansion
+    * on (block, ngram-hash). Pairs sharing nothing never materialize (they
+    * would contribute 0 to stats and can't pass any positive threshold). */
+  private def sparseJaccardPairs(docs: DataFrame, n: Int,
+                                 blockCol: String, maxDf: Int): DataFrame = {
     val withSets = docs.select(col("doc_id"), col(blockCol).as("block"),
       TextFunctions.shingleHashes(col("text"), n).as("ngrams"))
     val sizes = withSets.select(col("doc_id"), col("block"),
@@ -115,26 +151,13 @@ object Dedup {
       .groupBy(col("block"), col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     // same arithmetic as `jaccard`: double division, |A|+|B|-|A∩B| union
-    val withJac = inter
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .select(col("block"),
+      .select(col("block"), col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           ((col("sz_a") + col("sz_b")).cast("double") - col("inter").cast("double")))
           .as("jaccard"))
-    val pairStats = withJac.groupBy("block").agg(
-      count(when(col("jaccard") >= simThreshold, 1)).as("n_sim_pairs"),
-      sum(col("jaccard").cast("decimal(38,6)")).cast("double").as("sum_jaccard"))
-    val counts = docs.groupBy(col(blockCol).as("block"))
-      .agg(count(lit(1)).as("n_docs"))
-      .select(col("block"),
-        (col("n_docs") * (col("n_docs") - lit(1)) / lit(2)).cast("long")
-          .as("n_pairs"))
-    counts.filter(col("n_pairs") > 0)
-      .join(pairStats, Seq("block"), "left")
-      .select(col("block"), col("n_pairs"),
-        coalesce(col("n_sim_pairs"), lit(0L)).as("n_sim_pairs"),
-        coalesce(col("sum_jaccard"), lit(0.0)).as("sum_jaccard"))
   }
 
   /** |A ∩ B| / |A ∪ B| via |A|+|B|-|A∩B| (avoids a union materialization and

@@ -591,6 +591,200 @@ object Queries {
       .limit(20)
   }
 
+  register("tpch_q7_volume_shipping", Some(
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+      |    l.l_extendedprice * (1 - l.l_discount) AS volume
+      |  FROM lineitem l, orders o, customer c, supplier s, nation n1, nation n2
+      |  WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+      |    AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+      |    AND c.c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l.l_shipdate < TIMESTAMP '1997-01-01') shipping
+      |GROUP BY 1, 2, 3""".stripMargin)) { (s, dir) =>
+    // Q7: one fact-fact shuffle join (lineitem ⋈ orders on orderkey); both
+    // nation-tagged dims broadcast. The two-nation disjunction is applied
+    // AFTER the dim joins on the joined pair — no OR-join blowup.
+    val n1 = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+    val sup = broadcast(Tables.supplier(s, dir)
+      .join(n1, col("s_nationkey") === col("sn_key")))
+    val cust = broadcast(Tables.customer(s, dir)
+      .join(n2, col("c_nationkey") === col("cn_key")))
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+  }
+
+  register("tpch_q8_market_share", Some(
+    """SELECT o_year,
+      |  CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+      |    l.l_extendedprice * (1 - l.l_discount) AS volume,
+      |    n2.n_name AS supp_nation
+      |  FROM lineitem l
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+      |    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1997-01-01') all_nations
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Q8: the deepest dim fan-in of the suite — every dimension broadcasts,
+    // the only shuffles are lineitem ⋈ orders and the final 2-row agg
+    val custAsia = broadcast(Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey")))
+    val supN = broadcast(Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir).select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation")), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation")))
+    val promoParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey")))
+    Tables.lineitem(s, dir)
+      .join(promoParts, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custAsia, col("o_custkey") === col("c_custkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+      .groupBy("o_year")
+      .agg((dsum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(0.0), 6) / dsum(col("volume"), 6))
+        .cast("double").as("mkt_share"))
+  }
+
+  register("tpch_q14_promo_revenue", Some(
+    """SELECT CAST(100.00 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+      |    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+      |  / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS DOUBLE)
+      |  AS promo_revenue
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+      |  AND l.l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin)) { (s, dir) =>
+    // Q14: date-pruned scan ⋈ broadcast part dim → one scalar
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0), 6)
+          / dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6))
+        .cast("double").as("promo_revenue"))
+  }
+
+  register("tpch_q15_top_supplier", Some(
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.total_revenue
+      |FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+      |WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin)) { (s, dir) =>
+    // Q15: quarter revenue per supplier, then suppliers at the global max.
+    // The max rides in as a 1-row broadcast join — no window, no second
+    // full shuffle of the aggregate.
+    val revenue = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("total_revenue"))
+    val top = revenue.agg(max(col("total_revenue")).as("max_rev"))
+    revenue
+      .join(broadcast(top), col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  register("tpch_q18_large_volume_customers", Some(
+    """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+      |  o.o_totalprice,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty
+      |FROM customer c
+      |JOIN orders o ON o.o_custkey = c.c_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300)
+      |GROUP BY 1, 2, 3, 4, 5""".stripMargin)) { (s, dir) =>
+    // Q18: the HAVING subquery is a re-aggregation of lineitem — computed
+    // once, broadcast as a semi-join filter before the 3-way join
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(38,4)")).as("q"))
+      .filter(col("q") > 300)
+      .select(col("l_orderkey").as("big_orderkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(bigOrders), col("l_orderkey") === col("big_orderkey"), "left_semi")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  register("tpch_q19_discounted_revenue", Some(
+    """SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+      |  AS revenue
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 20)
+      |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+      |       AND l.l_quantity BETWEEN 10 AND 30)
+      |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+      |       AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin)) { (s, dir) =>
+    // Q19 (fixture adaptation: size/quantity bands instead of containers,
+    // which this part table lacks): equi-join on partkey with the OR-of-ANDs
+    // as a residual — never an OR-join
+    val p = broadcast(Tables.part(s, dir).select("p_partkey", "p_brand", "p_size"))
+    Tables.lineitem(s, dir)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 40)))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+        .as("revenue"))
+  }
+
   register("window_top_orders", Some(
     """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -103,6 +103,44 @@ class PlanAuditSpec extends SparkSpec {
       s"top-20 runs a global sort instead of TakeOrdered:\n$plan")
   }
 
+  test("q7/q8/q14/q18/q19 broadcast every dim and never degrade to nested loops") {
+    Seq("tpch_q7_volume_shipping", "tpch_q8_market_share",
+        "tpch_q14_promo_revenue", "tpch_q18_large_volume_customers",
+        "tpch_q19_discounted_revenue").foreach { n =>
+      val df = run(n)
+      df.collect() // finalize adaptive plan
+      val plan = physical(df)
+      assert(plan.contains("BroadcastHashJoin"), s"$n lost its dim broadcast:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$n degenerate join:\n$plan")
+    }
+  }
+
+  test("q15 computes the quarter aggregate once and joins the max as one row") {
+    val df = run("tpch_q15_top_supplier")
+    df.collect()
+    val plan = physical(df)
+    assert(!plan.contains("Window"), s"q15 should not need a window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"degenerate join:\n$plan")
+  }
+
+  test("as-of join plans a single keyed window, no join operator") {
+    val plan = physical(run("join_asof_last_click"))
+    assert(!plan.contains("Join"), s"as-of materialized a join:\n$plan")
+    assert(plan.contains("hashpartitioning(__key"),
+      s"as-of window not keyed:\n$plan")
+  }
+
+  test("range join is a hash join on (user, bucket), not a nested loop") {
+    val df = run("join_range_purchases_after_signup")
+    df.collect()
+    val plan = physical(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$plan")
+  }
+
   test("windowed operators partition by their keys (no global single-partition sort)") {
     val plan = physical(run("window_top_orders"))
     assert(plan.contains("Window"), s"no window operator:\n$plan")

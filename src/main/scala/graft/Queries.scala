@@ -905,6 +905,23 @@ object Queries {
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
   }
 
+  register("agg_cube_orders", Some(
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+      |  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)) { (s, dir) =>
+    // CUBE: all four grain combinations in one Expand + one shuffle —
+    // completes the rollup/grouping-sets family
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n"), col("sum_price"))
+  }
+
   register("agg_rollup_lineitem", Some(
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |  coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -1350,6 +1367,45 @@ object Queries {
     graft.functions.CorpusOps.sampleWeighted(Tables.documents(s, dir),
         Map("src0" -> 30, "src1" -> 50))
       .select(col("doc_id"), col("source"))
+  }
+
+  register("corpus_sample_stratified", Some(
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS pick_order
+      |  FROM h)
+      |SELECT doc_id, lang, pick_order FROM r WHERE pick_order <= 5""".stripMargin)) { (s, dir) =>
+    // Exact-count stratified sampling: precisely 5 docs per language by
+    // content-hash order — balanced-eval allocation, reproducible under
+    // re-ingestion, rank-limited per stratum (never a global sort)
+    graft.functions.CorpusOps.sampleStratifiedExact(
+        Tables.documents(s, dir), n = 5, stratumCol = "lang")
+      .select(col("doc_id"), col("lang"), col("pick_order"))
+  }
+
+  register("text_tfidf_topk", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf,
+      |    tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |r AS (
+      |  SELECT doc_id, term, tf, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS rn
+      |  FROM scored)
+      |SELECT doc_id, term, tf, score FROM r WHERE rn <= 3""".stripMargin)) { (s, dir) =>
+    // tf-idf top terms — the keyword-extraction primitive; three keyed
+    // shuffles (doc-term, term, doc) at any corpus size, N broadcast
+    graft.functions.CorpusOps.tfIdfTopK(Tables.documents(s, dir), k = 3)
   }
 
   register("corpus_decontaminate", Some(

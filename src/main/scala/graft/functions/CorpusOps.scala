@@ -133,4 +133,55 @@ object CorpusOps {
     }
     docs.filter(hashBucket(col(contentCol)) < pct)
   }
+
+  /** Exact-count stratified sample: precisely `n` documents per stratum
+    * (fewer only when the stratum is smaller), chosen by content-hash order
+    * — the allocation a balanced eval set needs, where rate-based sampling
+    * ([[sampleWeighted]]) only hits the target in expectation. Hash order
+    * makes the pick reproducible under re-ingestion AND unbiased by any
+    * storage order. One shuffle on the stratum; the per-stratum sort is
+    * rank-limited (WindowGroupLimit pushes n into the sort), never a global
+    * sort. Output keeps `pick_order` (1..n within the stratum). */
+  def sampleStratifiedExact(docs: DataFrame, n: Int,
+                            stratumCol: String = "lang",
+                            idCol: String = "doc_id",
+                            contentCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1 (got $n)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(conv(substring(md5(col(contentCol)), 1, 8), 16, 10)
+        .cast("long").asc, col(idCol).asc)
+    docs.withColumn("pick_order", row_number().over(w).cast("long"))
+      .filter(col("pick_order") <= n)
+  }
+
+  /** Top-`k` terms per document by tf-idf (smoothed idf:
+    * ln((N+1)/(df+1))). Three keyed shuffles regardless of corpus size —
+    * tf on (doc, term), df on term, the top-k window on doc — with the
+    * corpus size N riding along as a 1-row broadcast. Ties break by term
+    * (total order, deterministic). Whitespace tokenization matches the
+    * rest of the text surface ([[TextFunctions.tokens]]). */
+  def tfIdfTopK(docs: DataFrame, k: Int,
+                idCol: String = "doc_id",
+                contentCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(contentCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"), col("tf"),
+        (col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+          .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"))
+  }
 }

@@ -94,6 +94,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("exact stratified sample takes min(n, stratum size) per stratum, reproducibly") {
+    val n = 5
+    val picked = CorpusOps.sampleStratifiedExact(docs, n, stratumCol = "lang")
+    val perStratum = picked.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, total) =>
+      assert(perStratum(lang) === math.min(n.toLong, total),
+        s"stratum $lang: want min($n, $total), got ${perStratum(lang)}")
+    }
+    // pick_order is dense 1..n within each stratum
+    val orders = picked.groupBy("lang")
+      .agg(min("pick_order").as("lo"), max("pick_order").as("hi"),
+        count(lit(1)).as("c")).collect()
+    orders.foreach { r =>
+      assert(r.getLong(1) === 1L && r.getLong(2) === r.getLong(3))
+    }
+    // deterministic: a second run picks the identical set
+    val again = CorpusOps.sampleStratifiedExact(docs, n, stratumCol = "lang")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === picked.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("tf-idf ranks rare terms above ubiquitous ones at equal tf") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "common rare1 common filler"),
+      (2L, "common rare2 other filler"),
+      (3L, "common words only here")).toDF("doc_id", "text")
+    val top = CorpusOps.tfIdfTopK(tiny, k = 2)
+    // every doc contributes exactly k rows (docs have >= 2 distinct terms)
+    assert(top.groupBy("doc_id").count().collect().forall(_.getLong(1) === 2))
+    // 'common' (df=3) can never outrank a doc-unique term (df=1) at tf=1
+    val doc1 = top.filter(col("doc_id") === 1).select("term")
+      .collect().map(_.getString(0)).toSet
+    assert(doc1.contains("rare1"))
+    assert(!doc1.contains("common"), s"ubiquitous term won top-2: $doc1")
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
     val corpus = docs.filter(col("doc_id") >= 10)
     val bench = docs.filter(col("doc_id") < 10)

@@ -686,6 +686,53 @@ class StreamingSpec extends SparkSpec {
     assert(slept.forall(_ >= 5000), s"retry_after hint ignored: $slept")
   }
 
+  test("count+timeout batcher flushes at N events or after max-wait (A1+A2 state op)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (_, ckpt, _) = fresh("batcher")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[BatchInput]
+    val q = CountTimeoutBatcher.assemble(input.toDS(), maxEvents = 5, maxWaitMs = 2000)
+      .writeStream.queryName("batcher_out").format("memory").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    // NOTE: with an armed state timeout the engine keeps scheduling no-data
+    // micro-batches, so processAllAvailable() never quiesces — poll the sink.
+    def emitted(): Array[AssembledBatch] =
+      spark.table("batcher_out").as[AssembledBatch].collect()
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 90000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    try {
+      // 12 events for c_0 (two count flushes of 5, 2 left open) + 3 for c_1 (open)
+      input.addData((1 to 12).map(i => BatchInput("c_0", i.toLong, 1.0)) ++
+        (1 to 3).map(i => BatchInput("c_1", 100L + i, 2.0)))
+      waitFor("two count flushes")(
+        emitted().count(b => b.collection == "c_0" && b.flushReason == "count") == 2)
+      val afterCount = emitted()
+      val c0count = afterCount.filter(b => b.collection == "c_0" && b.flushReason == "count")
+      assert(c0count.forall(_.nEvents === 5))
+      assert(c0count.map(_.batchSeq).sorted.toSeq === Seq(0L, 1L))
+      assert(!afterCount.exists(_.collection == "c_1"), "partial batch must stay open")
+      // the partial batches flush on their own once max-wait expires
+      waitFor("timeout flushes for c_0 and c_1")(
+        emitted().exists(_.collection == "c_1") &&
+          emitted().exists(b => b.collection == "c_0" && b.flushReason == "timeout"))
+      val all = emitted()
+      val c1t = all.filter(_.collection == "c_1")
+      assert(c1t.length === 1 && c1t.head.flushReason === "timeout" &&
+        c1t.head.nEvents === 3 && c1t.head.sumValue === 6.0 &&
+        c1t.head.minEventId === 101L && c1t.head.maxEventId === 103L)
+      val c0t = all.filter(b => b.collection == "c_0" && b.flushReason == "timeout")
+      assert(c0t.length === 1 && c0t.head.nEvents === 2 && c0t.head.batchSeq === 2L)
+      // conservation: every c_0 event landed in exactly one flushed batch
+      val c0all = all.filter(_.collection == "c_0")
+      assert(c0all.map(_.nEvents).sum === 12L)
+      assert(c0all.map(_.sumValue).sum === 12.0)
+    } finally q.stop()
+  }
+
   test("backoff policy: exponential growth, cap, bounded jitter") {
     val p = Retry.Policy(maxRetries = 8, initialDelayMs = 100,
       maxDelayMs = 2000, jitter = 0.1)

@@ -116,6 +116,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q4/q22 plan EXISTS as semi and NOT EXISTS as anti hash joins") {
+    val q4 = run("tpch_q4_order_priority")
+    q4.collect()
+    val p4 = physical(q4)
+    assert(p4.contains("LeftSemi"), s"q4 EXISTS is not a semi join:\n$p4")
+    assert(!p4.contains("BroadcastNestedLoopJoin") &&
+      !p4.contains("CartesianProduct"), s"q4 degenerate join:\n$p4")
+    val q22 = run("tpch_q22_global_sales_opportunity")
+    q22.collect()
+    val p22 = physical(q22)
+    assert(p22.contains("LeftAnti"), s"q22 NOT EXISTS is not an anti join:\n$p22")
+    // the scalar-subquery cross join must be the 1-row broadcast, nothing else
+    assert(!p22.contains("CartesianProduct"), s"q22 degenerate join:\n$p22")
+  }
+
+  test("q13/q17/q21 keep keyed hash joins; correlated aggregates decorrelate") {
+    Seq("tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
+        "tpch_q21_waiting_suppliers", "tpch_q12_priority_shipping").foreach { n =>
+      val df = run(n)
+      df.collect() // finalize adaptive plan
+      val plan = physical(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), s"$n degenerate join:\n$plan")
+    }
+  }
+
   test("q15 computes the quarter aggregate once and joins the max as one row") {
     val df = run("tpch_q15_top_supplier")
     df.collect()

@@ -1752,6 +1752,57 @@ object Queries {
       .limit(10)
   }
 
+  register("embed_quantized_topk", Some(
+    """WITH base AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    round(127.0 * CAST(x AS DOUBLE) /
+      |      list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))))) AS qv
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, qv AS qqv FROM base WHERE vec_id < 8),
+      |c AS (SELECT vec_id AS neighbor_id, qv AS cqv FROM base),
+      |p AS (
+      |  SELECT query_id, neighbor_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(qqv) + 1), i -> qqv[i] * cqv[i])),
+      |      (a, b) -> a + b) AS dot,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(qqv, x -> x * x)), (a, b) -> a + b)) AS nq,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(cqv, x -> x * x)), (a, b) -> a + b)) AS nc
+      |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+      |s AS (SELECT query_id, neighbor_id,
+      |  CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cs FROM p),
+      |r AS (SELECT query_id, neighbor_id, cs,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id)
+      |    AS rank FROM s)
+      |SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, rank
+      |FROM r WHERE rank <= 5""".stripMargin)) { (s, dir) =>
+    // Top-k over int8-QUANTIZED embeddings — the 4×-smaller storage/shuffle
+    // representation (Quantize.toInt8). Cosine is scale-invariant so the
+    // int8 codes are scored directly (re-widened to float, exact ≤ 127);
+    // the oracle replays the identical round(127·x/max|x|) quantizer and
+    // cosine in DuckDB, so quantization arithmetic itself sits under the
+    // hash compare. QuantizeSpec gates the semantic property (overlap vs
+    // exact top-k) separately.
+    val quant = graft.functions.Quantize.toInt8(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        graft.functions.Quantize.asFloats(col("qvec")).as("embedding"))
+    Similarity.bruteForceTopK(quant, quant.filter(col("vec_id") < 8), k = 5)
+      .withColumn("cos_sim", round(col("cos_sim"), 6))
+  }
+
+  register("dedup_semantic", None) { (s, dir) =>
+    // SemDeDup (cluster-then-dedup): spherical k-means lists, cosine
+    // comparisons only WITHIN a cluster — Σ|cluster|² pairwise cost instead
+    // of |n|², the embedding-dedup shape that scales to corpus size by
+    // raising nLists. no_oracle (k-means isn't DuckDB-expressible);
+    // SimilaritySpec proves nLists=1 equals the exact global rule and that
+    // cluster-local drops match the exact pair list restricted to
+    // same-cluster pairs.
+    Similarity.semanticDedup(Tables.embeddings(s, dir), threshold = 0.35,
+      nLists = 8, iters = 2)
+  }
+
   register("embed_ann_ivf", None) { (s, dir) =>
     // The other standard ANN scale path: IVF index (spherical k-means
     // lists, nProbe nearest lists scanned per query). On this corpus the

@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 quantization for embedding columns.
+  *
+  * `scale = max|x| / 127`, `q_i = round(127 · x_i / max|x|) ∈ [-127, 127]`
+  * stored as TINYINT — 4× smaller than float32 at rest and, more important
+  * at 100 TB, 4× fewer shuffle bytes for every embedding exchange (LSH
+  * table replication, block-pair dedup joins, ANN candidate joins).
+  *
+  * Cosine is scale-invariant, so quantized similarity search needs NO
+  * dequantization: cos(q_a, q_b) approximates cos(a, b) with both scales
+  * cancelling — only consumers of magnitudes (not angles) dequantize.
+  *
+  * Zero vectors quantize to all-zero with scale 0 (guarded — the unguarded
+  * division would produce NaN components that ANSI mode rejects at the
+  * tinyint cast).
+  */
+object Quantize {
+
+  /** (idCol, qvec: array<tinyint>, scale: float). The 127·x/max ordering
+    * of operations is part of the contract — the DuckDB oracle replays the
+    * identical IEEE expression. */
+  def toInt8(df: DataFrame, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val mab = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.select(col(idCol),
+      when(mab > 0,
+        transform(col(vecCol), x =>
+          round(lit(127.0) * x.cast("double") / mab).cast("tinyint")))
+        .otherwise(transform(col(vecCol), _ => lit(0).cast("tinyint")))
+        .as("qvec"),
+      when(mab > 0, mab / 127.0).otherwise(lit(0.0)).cast("float").as("scale"))
+  }
+
+  /** The int8 vector as array<float>, the input type of the codegen'd
+    * cosine scorer ([[Similarity.cosineFast]]); values ≤ 127 are exact in
+    * float, so no precision is lost re-widening. */
+  def asFloats(qv: Column): Column = transform(qv, x => x.cast("float"))
+
+  /** Dequantized vector, for consumers that need magnitudes. */
+  def dequantize(qv: Column, scale: Column): Column =
+    transform(qv, x => x.cast("float") * scale)
+}

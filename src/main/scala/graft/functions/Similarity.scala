@@ -107,6 +107,45 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public paper): cluster embeddings with spherical
+    * k-means, then drop near-duplicates WITHIN each cluster only. Cosine
+    * comparisons never cross cluster boundaries, so the pairwise cost is
+    * Σ|cluster|² instead of |n|² — the knob is `nLists` (size clusters to
+    * fit a task; a skewed cluster can further sub-block via the
+    * [[cosineThresholdPairs]] trick). Recall loss at cluster boundaries is
+    * the method's documented trade, not a bug.
+    *
+    * Keep policy: within a cluster, a vector is dropped iff SOME lower-id
+    * vector of the same cluster has cosine ≥ threshold (dominated-by-
+    * lower-id — one equi-join on cid, no iteration). Deterministic; the
+    * paper's keep-farthest-from-centroid variant would be the same join
+    * with a different tiebreak key.
+    *
+    * Returns every input id with its cluster, centroid cosine, and a
+    * `kept` flag — callers filter `kept` for the surviving corpus or
+    * aggregate the flag for dedup-rate stats.
+    */
+  def semanticDedup(vectors: DataFrame, threshold: Double, nLists: Int = 16,
+                    iters: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(vectors, nLists, iters, idCol, vecCol)
+    val assigned = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(assignToCentroids(vectors, cents, idCol, vecCol), "__id")
+    val a = assigned.select(col("cid").as("cid_a"), col("__id").as("id_a"),
+      col("__v").as("va"))
+    val b = assigned.select(col("cid").as("cid_b"), col("__id").as("id_b"),
+      col("__v").as("vb"))
+    val dropped = a.join(b,
+        col("cid_a") === col("cid_b") && col("id_a") < col("id_b"))
+      .filter(cosineFast(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("__drop")).distinct()
+    assigned.join(dropped, col("__id") === col("__drop"), "left")
+      .select(col("__id").as(idCol), col("cid"),
+        round(col("cent_cos"), 6).as("cent_cos"),
+        col("__drop").isNull.as("kept"))
+  }
+
   // --- random-hyperplane LSH ------------------------------------------------
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):

@@ -63,7 +63,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dedup and LSH joins are keyed hash joins, not cross products") {
     Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding_neardup", "embed_ann_ivf").foreach { n =>
+        "dedup_embedding_neardup", "embed_ann_ivf", "dedup_semantic").foreach { n =>
       val plan = physical(run(n))
       assert(!plan.contains("CartesianProduct"),
         s"$n degenerated to a cartesian product:\n$plan")

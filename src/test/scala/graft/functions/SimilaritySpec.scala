@@ -168,4 +168,65 @@ class SimilaritySpec extends SparkSpec {
     assert(nCand < 0.8 * full,
       s"LSH scored $nCand of $full pairs — not meaningfully sub-linear")
   }
+
+  private def exactPairs(threshold: Double): Set[(Long, Long)] =
+    Similarity.cosineThresholdPairs(emb, threshold)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("semantic dedup with one cluster equals the exact global rule") {
+    // nLists=1: every pair is cluster-local, so the kept set must be
+    // exactly {ids not dominated by a lower id at >= threshold}
+    val τ = 0.35
+    val dominated = exactPairs(τ).map(_._2)
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val out = Similarity.semanticDedup(emb, τ, nLists = 1, iters = 1)
+    assert(out.count() === allIds.size, "one row per input id")
+    val kept = out.filter(col("kept")).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(kept === allIds -- dominated)
+    assert(dominated.nonEmpty, "fixture should contain near-duplicates")
+  }
+
+  test("semantic dedup drops are exactly the cluster-local exact pairs") {
+    val τ = 0.35
+    val out = Similarity.semanticDedup(emb, τ, nLists = 4, iters = 2).cache()
+    val cidOf = out.select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expectedDrops = exactPairs(τ)
+      .filter { case (a, b) => cidOf(a) == cidOf(b) }.map(_._2)
+    val drops = out.filter(!col("kept")).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(drops === expectedDrops,
+      "drops diverge from same-cluster exact pairs")
+    // boundary recall loss is the method's trade: cross-cluster dup pairs
+    // are legitimately NOT dropped — assert the accounting adds up
+    val globalDrops = exactPairs(τ).map(_._2)
+    assert(drops.subsetOf(globalDrops))
+  }
+
+  test("int8 quantization: bounded error, scale invariance, top-k overlap") {
+    import graft.functions.Quantize
+    val q = Quantize.toInt8(emb).cache()
+    // codes in [-127, 127]; per-component dequantized error <= scale/2
+    val bad = q.join(emb, "vec_id")
+      .select(explode(arrays_zip(col("qvec"), col("embedding"))).as("z"),
+        col("scale"))
+      .filter(abs(col("z.qvec").cast("float") * col("scale") -
+        col("z.embedding")) > col("scale") / 2 + lit(1e-6f))
+    assert(bad.count() === 0, "quantization error exceeds scale/2")
+    // quantized cosine approximates exact cosine: top-5 overlap >= 0.8
+    val quantVecs = q.select(col("vec_id"),
+      Quantize.asFloats(col("qvec")).as("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, queries, K)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteForceTopK(quantVecs,
+        quantVecs.join(queries.select("vec_id"), "vec_id"), K)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = exact.count(quant).toDouble / exact.size
+    info(f"quantized top-$K overlap = $overlap%.3f")
+    assert(overlap >= 0.8, f"quantized overlap $overlap%.3f < 0.8")
+  }
 }

@@ -1324,6 +1324,79 @@ object Queries {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
+  register("text_pii_redact", Some(
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |      '@example.com or x' || CAST(doc_id AS VARCHAR) ||
+      |      '@mail.example.org phone 555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |      ' see https://host' || CAST(doc_id % 7 AS VARCHAR) ||
+      |      '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' end' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS INT) AS n_phones,
+      |  CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS INT) AS n_urls,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    'https?://[^ ]+', '<URL>', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+      |FROM e""".stripMargin)) { (s, dir) =>
+    // PII detection + redaction (emails / phones / URLs). The fixture text
+    // carries no PII, so the query PLANTS deterministic addresses from
+    // doc_id — the oracle replays the identical construction — and the
+    // regex machinery (RE2-compatible patterns, global replace, typed
+    // sentinels) sits under the hash compare via md5(redacted). Scan-local
+    // narrow map: at 100 TB this is a zero-shuffle pass over the corpus.
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or x"), col("doc_id").cast("string"),
+      lit("@mail.example.org phone 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" see https://host"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"), lit(" end"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        TF.countMatches(col("t"), TF.emailPattern).as("n_emails"),
+        TF.countMatches(col("t"), TF.phonePattern).as("n_phones"),
+        TF.countMatches(col("t"), TF.urlPattern).as("n_urls"),
+        md5(TF.redactPii(col("t"))).as("redacted_md5"))
+  }
+
+  register("text_url_domains", Some(
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    'see https://host' || CAST(doc_id % 7 AS VARCHAR) ||
+      |      '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+      |      ' and https://cdn' || CAST(doc_id % 3 AS VARCHAR) ||
+      |      '.example.net/x end' AS t
+      |  FROM documents),
+      |u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^ ]+')) AS url
+      |      FROM e)
+      |SELECT regexp_extract(url, 'https?://([^/ ]+)', 1) AS domain,
+      |  count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+      |FROM u GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // URL extraction + per-domain frequency — the link-graph slice of a
+    // crawl pipeline (domain blocklists, per-site caps). Extraction is
+    // scan-local; the only shuffle carries (domain, doc_id) pairs, i.e.
+    // |urls| rows, partial-aggregated map-side. URLs are planted from
+    // doc_id (the fixture has none) with the oracle replaying the same
+    // construction.
+    val planted = concat(
+      lit("see https://host"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string"),
+      lit(" and https://cdn"), (col("doc_id") % 3).cast("string"),
+      lit(".example.net/x end"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"), explode(TF.urls(col("t"))).as("url"))
+      .groupBy(TF.urlDomain(col("url")).as("domain"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   // ==========================================================================
   // Deduplication (documents)
   // ==========================================================================

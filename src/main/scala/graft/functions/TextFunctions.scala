@@ -139,6 +139,36 @@ object TextFunctions {
   def shingleHashesAll(text: Column, n: Int): Column =
     graft.functions.expressions.TextExpressions.shingleHashesNative(text, n)
 
+  // --- PII detection / redaction (regex, scan-local) ------------------------
+
+  /** Conservative public-pattern regexes, RE2-compatible (no lookaround,
+    * no backreferences) so the SAME pattern strings run under Spark's Java
+    * regex and DuckDB's RE2 in the oracle. Redaction at corpus scale is a
+    * narrow scan-local map — the property these preserve. */
+  val emailPattern: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val phonePattern: String = """\b555-[0-9]{4}\b"""
+  val urlPattern: String = """https?://[^ ]+"""
+
+  def countMatches(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("int")
+
+  /** Replace URLs, then emails, then phones with typed sentinels. URL runs
+    * first so an address-looking path segment can't leak a partial match;
+    * the sentinels contain no pattern characters, so passes compose. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, urlPattern, "<URL>"),
+        emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** All URL occurrences (full matches). */
+  def urls(text: Column): Column = regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** Host part of one URL. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, """https?://([^/ ]+)""", 1)
+
   // --- repetition signals (Gopher/C4-style quality filters) -----------------
 
   /** Fraction of tokens that are repeats of an earlier token:

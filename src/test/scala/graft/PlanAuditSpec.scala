@@ -190,7 +190,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("text analytics stay scan-local (zero exchanges)") {
     Seq("text_stats", "text_quality", "text_langid", "text_fingerprint",
-        "corpus_chunk", "corpus_sample_weighted")
+        "corpus_chunk", "corpus_sample_weighted", "text_pii_redact")
       .foreach { n =>
         val plan = physical(run(n))
         assert(!plan.contains("Exchange"),

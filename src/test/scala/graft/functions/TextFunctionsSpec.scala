@@ -148,4 +148,39 @@ class TextFunctionsSpec extends SparkSpec {
       .as[Double].collect()
     got.foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
+
+  test("PII redaction: counts and sentinels, no false hits on clean text") {
+    val df = Seq(
+      "mail a@b.com and c.d+e@sub.example.org then call 555-0042 " +
+        "or visit https://x.example.com/p?q=1 now",
+      "no pii here at all",
+      "handle @mention is not an email, 555-12 too short, 555-123456 ok prefix"
+    ).toDF("text")
+    val got = df.select(
+      TextFunctions.countMatches(col("text"), TextFunctions.emailPattern).as("e"),
+      TextFunctions.countMatches(col("text"), TextFunctions.phonePattern).as("p"),
+      TextFunctions.countMatches(col("text"), TextFunctions.urlPattern).as("u"),
+      TextFunctions.redactPii(col("text")).as("r"))
+      .collect()
+    assert((got(0).getInt(0), got(0).getInt(1), got(0).getInt(2)) === ((2, 1, 1)))
+    val r0 = got(0).getString(3)
+    assert(r0.contains("<EMAIL>") && r0.contains("<PHONE>") && r0.contains("<URL>"))
+    assert(!r0.contains("@") && !r0.contains("555-0042") && !r0.contains("https://"))
+    assert(got(1).getString(3) === "no pii here at all")
+    // "@mention" has no local part; "555-12" misses \b{4}; "555-123456" has
+    // no trailing boundary between digit 4 and 5 — 555-1234 would need \b
+    assert(got(2).getInt(0) === 0)
+    assert(got(2).getInt(1) === 0)
+  }
+
+  test("URL domain extraction groups by host") {
+    val df = Seq(
+      "a https://one.example.com/x b http://two.example.net/y?z=1 c",
+      "d https://one.example.com/other e").toDF("text")
+    val got = df
+      .select(explode(TextFunctions.urls(col("text"))).as("url"))
+      .groupBy(TextFunctions.urlDomain(col("url")).as("d"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("one.example.com" -> 2L, "two.example.net" -> 1L))
+  }
 }

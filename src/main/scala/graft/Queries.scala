@@ -992,6 +992,75 @@ object Queries {
           .cast("double").as("running_spend"))
   }
 
+  register("window_rank_suite", Some(
+    """SELECT o_custkey, o_orderkey,
+      |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin)) { (s, dir) =>
+    // The ranking-function family over one keyed window: a single shuffle
+    // on o_custkey, one sort per partition, all five functions evaluated
+    // in the same Window operator (one pass).
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  register("agg_pivot_priority", Some(
+    """SELECT o_orderstatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_n,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS urgent_rev,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low_n,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+      |    THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS low_rev
+      |FROM orders GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // PIVOT through the DataFrame API with explicit pivot values — with
+    // the value list given, Catalyst plans ONE pass (no distinct-values
+    // pre-query) and the pivot lowers to exactly the CASE aggregation the
+    // oracle spells out.
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", Seq("1-URGENT", "5-LOW"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      .select(col("o_orderstatus"),
+        col("1-URGENT_n").as("urgent_n"), col("1-URGENT_rev").as("urgent_rev"),
+        col("5-LOW_n").as("low_n"), col("5-LOW_rev").as("low_rev"))
+  }
+
+  register("agg_percentiles", Some(
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+      |  round(min(l_extendedprice), 6) AS mn,
+      |  round(max(l_extendedprice), 6) AS mx
+      |FROM lineitem GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // EXACT interpolated percentiles (Spark `percentile` == DuckDB
+    // quantile_cont: pos = q·(n−1), linear interpolation). Exact
+    // percentiles shuffle the group's values once; at 100 TB prefer the
+    // approx_percentile sketch unless exactness is contractual — both
+    // surfaces exist in the catalog (see agg_approx_distinct for the
+    // sketch-tier pattern).
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"),
+        round(min(col("l_extendedprice")), 6).as("mn"),
+        round(max(col("l_extendedprice")), 6).as("mx"))
+  }
+
   register("agg_distinct_parts", Some(
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
       |  count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n

@@ -1051,14 +1051,20 @@ object Queries {
     // approx_percentile sketch unless exactness is contractual — both
     // surfaces exist in the catalog (see agg_approx_distinct for the
     // sketch-tier pattern).
+    // one percentile call with an array of percentages: the group's values
+    // buffer ONCE (three separate calls would hold three copies per group)
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(
-        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"),
-        round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"),
+        percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99))).as("ps"),
         round(min(col("l_extendedprice")), 6).as("mn"),
         round(max(col("l_extendedprice")), 6).as("mx"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        round(element_at(col("ps"), 3), 6).as("p99"),
+        col("mn"), col("mx"))
   }
 
   register("agg_distinct_parts", Some(

@@ -142,6 +142,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("derived-partsupp queries (q2/q9/q11/q16/q20) broadcast dims, no nested loops") {
+    Seq("tpch_q2_min_cost_supplier", "tpch_q9_product_type_profit",
+        "tpch_q11_important_stock", "tpch_q16_supplier_part_counts",
+        "tpch_q20_part_promotion").foreach { n =>
+      val df = run(n)
+      df.collect() // finalize adaptive plan
+      val plan = physical(df)
+      assert(plan.contains("BroadcastHashJoin"), s"$n lost its dim broadcast:\n$plan")
+      // q11's scalar threshold is a deliberate 1-row broadcast cross join
+      // (how Catalyst runs scalar subqueries) — BNLJ is correct there.
+      if (n != "tpch_q11_important_stock")
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$n degenerate join:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$n degenerate join:\n$plan")
+    }
+    // q2's LIMIT must be a TakeOrdered, not a global sort
+    val q2 = run("tpch_q2_min_cost_supplier"); q2.collect()
+    assert(physical(q2).contains("TakeOrderedAndProject"),
+      s"q2 top-100 runs a global sort:\n${physical(q2)}")
+    // q16's NOT IN must plan as an anti join
+    val q16 = run("tpch_q16_supplier_part_counts"); q16.collect()
+    assert(physical(q16).contains("LeftAnti"),
+      s"q16 NOT IN is not an anti join:\n${physical(q16)}")
+    // q20's two IN filters must both plan as semi joins
+    val q20 = run("tpch_q20_part_promotion"); q20.collect()
+    assert(physical(q20).contains("LeftSemi"),
+      s"q20 IN is not a semi join:\n${physical(q20)}")
+  }
+
   test("q15 computes the quarter aggregate once and joins the max as one row") {
     val df = run("tpch_q15_top_supplier")
     df.collect()

@@ -2000,6 +2000,27 @@ object Queries {
       docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), n = 4)
   }
 
+  register("corpus_decontaminate_bloom", Some(
+    """WITH s AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= 4 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 2),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+3], ' ')))
+      |    ELSE [] END) AS g
+      |  FROM documents),
+      |b AS (SELECT DISTINCT g FROM s WHERE doc_id < 10)
+      |SELECT s.doc_id, count(DISTINCT s.g) AS n_shared_shingles
+      |FROM s JOIN b USING (g) WHERE s.doc_id >= 10
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // the 100 TB decontamination shape: a broadcast Bloom filter over the
+    // benchmark's shingles drops clean corpus shingles inside the scan
+    // stage (codegen'd probe), the exact confirm join removes the fpp
+    // fraction — so the oracle is the SAME SQL as corpus_decontaminate,
+    // not an approximation.
+    val docs = Tables.documents(s, dir)
+    graft.functions.CorpusOps.contaminatedBloom(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10), n = 4)
+  }
+
   register("dedup_embedding_neardup", Some(
     """WITH p AS (
       | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

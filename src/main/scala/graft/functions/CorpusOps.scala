@@ -57,6 +57,37 @@ object CorpusOps {
       .agg(countDistinct(col("g")).as("n_shared_shingles"))
   }
 
+  /** Scale path for [[contaminated]]: identical result, Bloom-prefiltered
+    * shuffle. [[contaminated]]'s semi-join shuffles EVERY corpus shingle —
+    * at 100 TB that exchange (corpus tokens × 8 bytes) dominates, even
+    * though almost no shingle matches. Here a Bloom filter over the
+    * benchmark's shingle hashes (benchmark = dimension-sized, the filter is
+    * ~1.2 MB/M shingles at 1 % fpp) is built distributed and probed
+    * scan-locally by a codegen'd predicate, so clean shingles drop inside
+    * the scan stage and only candidates — true matches plus the fpp
+    * fraction — pay the shuffle. The exact join on survivors then removes
+    * Bloom false positives, which is what keeps the output equal to
+    * [[contaminated]] (same oracle) rather than approximately equal.
+    *
+    * Costs one extra pass over the benchmark side (count + filter build),
+    * the same trade Spark's own injected runtime filters make. */
+  def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 4,
+                        fpp: Double = 0.01,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    def shingles(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        explode(TextFunctions.shingleHashes(col(textCol), n)).as("g"))
+    val benchShingles = shingles(benchmark).select(col("g")).distinct()
+    val filter = Bloom.build(benchShingles, "g",
+      expectedItems = benchShingles.count(), fpp = fpp)
+    shingles(corpus)
+      .filter(Bloom.mightContain(filter, col("g")))
+      .join(benchShingles, "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared_shingles"))
+  }
+
   /** Chunk each document into fixed-size token windows with `overlap`
     * tokens of context carried between consecutive chunks — the unit a
     * training pipeline embeds or packs into sequences. Scan-local: one

@@ -153,4 +153,20 @@ class CorpusOpsSpec extends SparkSpec {
     val clean = Seq((9999L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
     assert(CorpusOps.contaminated(clean, bench, n = 4).count() === 0)
   }
+
+  test("bloom-prefiltered contamination equals the exact semi-join") {
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val bench = docs.filter(col("doc_id") < 10)
+    val exact = CorpusOps.contaminated(corpus, bench, n = 4)
+    val bloom = CorpusOps.contaminatedBloom(corpus, bench, n = 4)
+    // identical output: the confirm join strips Bloom false positives
+    assert(bloom.exceptAll(exact).count() === 0)
+    assert(exact.exceptAll(bloom).count() === 0)
+    // the probe is present as a predicate in the plan (scan-stage filter)
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    // a sanity corner: tiny fpp=0.5 filter still yields exact results
+    val sloppy = CorpusOps.contaminatedBloom(corpus, bench, n = 4, fpp = 0.5)
+    assert(sloppy.exceptAll(exact).count() === 0)
+  }
 }

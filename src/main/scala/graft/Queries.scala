@@ -111,6 +111,26 @@ object Queries {
         col("event_id"), col("value"))
   }
 
+  register("cdc_materialize_state", Some(
+    """SELECT user_id, operation, cluster_time, event_id, value FROM (
+      |  SELECT user_id, event_type AS operation, ts AS cluster_time,
+      |    event_id, value,
+      |    row_number() OVER
+      |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND operation <> 'error'""".stripMargin)) { (s, dir) =>
+    // CDC table materialization, batch form (the oracled twin of
+    // streaming.Materializer): replaying the op log leaves each key's
+    // LATEST row, and a key whose latest op is delete-class ('error'
+    // plays that role on the synthetic feed) is ABSENT from the final
+    // state — not merely deprioritized. One shuffle keyed by document
+    // key; the delete filter runs after the keyed window, since an
+    // earlier delete must not resurrect an older row.
+    Batching.dedupLatestByKey(envelope(s, dir), Seq("user_id"))
+      .filter(col("operation") =!= "error")
+      .select(col("user_id"), col("operation"), col("cluster_time"),
+        col("event_id"), col("value"))
+  }
+
   register("cdc_batch_time_windows", Some(
     """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
@@ -334,6 +354,36 @@ object Queries {
     sinkAggregate(writeReadBack(s, dir, "sink_avro_zstd_flat",
       graft.sources.OutFormat.Avro, graft.sources.OutCompression.Zstd,
       graft.operators.KeyStrategy.Flat))
+  }
+
+  register("sink_bucketed_colocated_join", Some(
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))
+      |    AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Bucketed-layout lifecycle: orders and lineitem are REWRITTEN
+    // co-bucketed on orderkey (the write pays the one shuffle), then the
+    // join between the bucketed tables plans bucket-local — the ONLY
+    // exchange in the read plan is the final 5-group aggregate, asserted
+    // by PlanAuditSpec. This is the warehouse layout decision that deletes
+    // the per-query fact-to-fact shuffle at 100 TB; the oracle verifies
+    // the bucketed round-trip loses no rows and joins identically.
+    val tag = dir.replaceAll("[^0-9]", "")
+    val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+    graft.sources.Bucketing.writeBucketed(
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+      ot, "o_orderkey", 16, s"$sinkRoot/bucketed-orders-$tag")
+    graft.sources.Bucketing.writeBucketed(
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+      lt, "l_orderkey", 16, s"$sinkRoot/bucketed-lineitem-$tag")
+    graft.sources.Bucketing.colocatedJoin(s, ot, "o_orderkey", lt, "l_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
   }
 
   // ==========================================================================

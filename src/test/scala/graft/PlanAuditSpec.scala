@@ -179,6 +179,21 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"degenerate join:\n$plan")
   }
 
+  test("bucketed co-located join: the only exchange is the final aggregate") {
+    val df = run("sink_bucketed_colocated_join")
+    df.collect() // finalize adaptive plan
+    val plan = physical(df)
+    assert(plan.contains("SortMergeJoin"), s"bucketed join not SMJ:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      s"bucketed join fell back to broadcast:\n$plan")
+    // AQE's toString repeats operators under "== Initial Plan ==" — count
+    // exchanges in the final section only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(finalPlan).size
+    assert(exchanges === 1,
+      s"expected exactly the aggregate's exchange, got $exchanges:\n$finalPlan")
+  }
+
   test("as-of join plans a single keyed window, no join operator") {
     val plan = physical(run("join_asof_last_click"))
     assert(!plan.contains("Join"), s"as-of materialized a join:\n$plan")

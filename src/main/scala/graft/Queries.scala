@@ -1869,6 +1869,36 @@ object Queries {
       maxDistance = 3, bands = 4, blockCol = "source")
   }
 
+  register("stream_dedup_minhash", None) { (s, dir) =>
+    // Dedup-at-ingest: the documents feed replayed as a stream through the
+    // bucket-keyed incremental LSH state op (each arrival probes only its
+    // own band buckets — per-doc cost independent of corpus size), then the
+    // distinct pair set. StreamingDedupSpec proves this equals the batch
+    // operator's output exactly, including pairs across micro-batches;
+    // xxhash64 signatures keep it outside the SQL oracle like the batch
+    // LSH entry.
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.documents(s, dir).schema
+    // the fixture is one parquet FILE; the file stream source wants a
+    // directory, so stream the parent with a glob pinned to this table
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val pairs = graft.streaming.StreamingDedup.minhashCandidates(
+      stream, shingleN = 3, k = 32, bands = 16, threshold = 0.2)
+    val sink = s"stream_dedup_${dir.replaceAll("[^0-9]", "")}"
+    val ckpt = s"$sinkRoot/$sink-ckpt"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val q = pairs.writeStream.queryName(sink).format("memory")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("docA").as("doc_a"), col("docB").as("doc_b"))
+      .agg(first(col("estJaccard")).as("est_jaccard"))
+  }
+
   register("corpus_clean_pipeline", Some {
     val scores = TF.langMarkers.map { case (lang, ms) =>
       val inList = ms.map(m => s"'$m'").mkString(",")

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{Dedup, TextFunctions}
+
+/** One banded document as the stateful dedup operator sees it. */
+final case class BandedDoc(band: Int, bucket: Long, docId: Long,
+                           sig: Seq[Long])
+
+/** Per-bucket membership state: the documents (id + signature) this LSH
+  * bucket has accepted so far. */
+final case class BucketMembers(docs: Seq[(Long, Seq[Long])])
+
+/** A near-duplicate candidate: a new document colliding with a previously
+  * seen one in at least one LSH band, with the signature-agreement Jaccard
+  * estimate. `docA < docB` always; the same pair may emit from several
+  * bands (at-least-once per colliding band) — consumers take the distinct
+  * set, which equals the batch operator's output. */
+final case class StreamDupCandidate(docA: Long, docB: Long,
+                                    estJaccard: Double)
+
+/** Incremental MinHash-LSH near-duplicate detection over a DOCUMENT STREAM —
+  * the dedup-at-ingest shape: each arriving document is checked against
+  * everything already ingested, without ever rescanning the corpus.
+  *
+  * The batch operator ([[graft.functions.Dedup.minhashCandidates]]) joins a
+  * static corpus against itself; at ingest time that would mean re-running
+  * the join per batch over 100 TB of history. Here history lives WHERE the
+  * join key is: keyed state per (band, bucket) holds the members of that
+  * bucket (id + k-long signature — the full text never enters state), and a
+  * new document pairs only against members of ITS OWN buckets. Per-document
+  * work is O(bands × bucket occupancy), independent of corpus size; state
+  * is the corpus's banded signatures — k longs × bands per doc — the same
+  * memory an LSH index would hold, sharded by Spark's state store and
+  * restart-safe via the checkpoint.
+  *
+  * Signatures are computed per-row (the column-expression MinHash form) —
+  * no streaming aggregation, so the only stateful operator is the bucket
+  * membership itself.
+  *
+  * `maxBucketSize` bounds boilerplate mega-buckets: a bucket at the cap
+  * stops accepting members (arrivals still probe it but are not stored, and
+  * produce no pairs from this bucket once it is full beyond the cap) — the
+  * streaming analogue of the batch cap's drop-oversized-buckets rule;
+  * multi-band redundancy remains the recall cushion. Pass 0 for unbounded
+  * (exact equality with the uncapped batch operator).
+  */
+object StreamingDedup {
+
+  /** Banded per-row projection of a (doc_id, text) stream: one output row
+    * per (band, bucket) of the document's MinHash signature. */
+  def banded(docs: DataFrame, shingleN: Int, k: Int, bands: Int,
+             idCol: String = "doc_id",
+             textCol: String = "text"): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col(idCol).cast("long").as("docId"),
+        Dedup.minhashSignature(
+          TextFunctions.shingleHashes(col(textCol), shingleN), k).as("sig"))
+      .select(col("docId"), col("sig"),
+        explode(Dedup.lshBandKeys(col("sig"), k, bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("docId"), col("sig"))
+      .as[BandedDoc]
+  }
+
+  /** Candidate pairs from bucket-keyed incremental state. Append-mode
+    * stateful flatMap; each emitted pair is (earlier doc, later doc) by id
+    * with the signature-agreement estimate, filtered at `threshold`. */
+  def candidates(bandedDocs: Dataset[BandedDoc], k: Int,
+                 threshold: Double,
+                 maxBucketSize: Int = 0): Dataset[StreamDupCandidate] = {
+    import bandedDocs.sparkSession.implicits._
+
+    def est(a: Seq[Long], b: Seq[Long]): Double =
+      a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / k
+
+    bandedDocs
+      .groupByKey(d => (d.band, d.bucket))
+      .flatMapGroupsWithState[BucketMembers, StreamDupCandidate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), incoming: Iterator[BandedDoc],
+         state: GroupState[BucketMembers]) =>
+          var members = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[StreamDupCandidate]
+          // deterministic intra-batch order so same-batch pairs are stable
+          incoming.toSeq.sortBy(_.docId).foreach { d =>
+            if (maxBucketSize <= 0 || members.size < maxBucketSize) {
+              members.foreach { case (otherId, otherSig) =>
+                val e = est(d.sig, otherSig)
+                if (e >= threshold && otherId != d.docId) {
+                  val (a, b) = if (otherId < d.docId) (otherId, d.docId)
+                               else (d.docId, otherId)
+                  out += StreamDupCandidate(a, b, e)
+                }
+              }
+              members = members :+ (d.docId, d.sig)
+            }
+          }
+          state.update(BucketMembers(members))
+          out.result().iterator
+      }
+  }
+
+  /** The full operator: text stream in, near-dup candidates out. */
+  def minhashCandidates(docs: DataFrame, shingleN: Int = 3, k: Int = 32,
+                        bands: Int = 8, threshold: Double = 0.5,
+                        maxBucketSize: Int = 0): Dataset[StreamDupCandidate] =
+    candidates(banded(docs, shingleN, k, bands), k, threshold, maxBucketSize)
+}

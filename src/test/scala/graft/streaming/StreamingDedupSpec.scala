@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.Dedup
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends SparkSpec {
+
+  private val root = "/root/repo/target/streaming-dedup-spec"
+
+  private def freshCkpt(name: String): String = {
+    val base = s"$root/$name"
+    val p = Paths.get(base)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    s"$base/checkpoint"
+  }
+
+  test("incremental LSH dedup emits exactly the batch operator's candidate pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val docs = Tables.documents(spark, sfTiny)
+      .select(col("doc_id").cast("long"), col("text")).limit(200)
+    val rows = docs.as[(Long, String)].collect()
+
+    // ground truth: the batch operator over the same docs (uncapped)
+    val batchPairs = Dedup.minhashCandidates(docs, shingleN = 3, k = 32,
+        bands = 8, threshold = 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingDedup.minhashCandidates(
+      input.toDF().toDF("doc_id", "text"),
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+    val q = stream.writeStream.queryName("stream_dedup_out")
+      .format("memory").outputMode("append")
+      .option("checkpointLocation", freshCkpt("lsh"))
+      .start()
+    try {
+      // three ingest waves — pairs must form both within and ACROSS waves
+      rows.grouped((rows.length / 3).max(1)).foreach { wave =>
+        input.addData(wave.toSeq)
+        q.processAllAvailable()
+      }
+      val streamPairs = spark.table("stream_dedup_out")
+        .as[StreamDupCandidate].collect()
+        .map(c => (c.docA, c.docB, c.estJaccard)).toSet
+      assert(streamPairs === batchPairs,
+        s"stream-only: ${streamPairs -- batchPairs}\nbatch-only: ${batchPairs -- streamPairs}")
+      assert(batchPairs.nonEmpty, "fixture produced no near-dup pairs; test is vacuous")
+    } finally q.stop()
+  }
+
+  test("bucket cap bounds state while multi-band redundancy preserves strong pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // 6 identical docs (every band collides) + 1 unrelated
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val rows = (1L to 6L).map(i => (i, dup)) :+ (7L, "uu vv ww xx yy zz qq rr")
+
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val capped = StreamingDedup.minhashCandidates(
+      input.toDF().toDF("doc_id", "text"),
+      shingleN = 3, k = 32, bands = 8, threshold = 0.5, maxBucketSize = 3)
+    val q = capped.writeStream.queryName("stream_dedup_capped")
+      .format("memory").outputMode("append")
+      .option("checkpointLocation", freshCkpt("capped"))
+      .start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val pairs = spark.table("stream_dedup_capped")
+        .as[StreamDupCandidate].collect()
+      // capped at 3 members/bucket: pairs among the first 3 dups emit,
+      // docs beyond the cap are not admitted, the unrelated doc never pairs
+      val ids = pairs.flatMap(p => Seq(p.docA, p.docB)).toSet
+      assert(pairs.nonEmpty, "cap killed every pair")
+      assert(!ids.contains(7L), "unrelated doc paired")
+      assert(ids.subsetOf(Set(1L, 2L, 3L)),
+        s"docs beyond the bucket cap produced pairs: $ids")
+    } finally q.stop()
+  }
+}

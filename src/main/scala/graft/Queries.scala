@@ -2311,6 +2311,20 @@ object Queries {
       nLists = 16, nProbe = 8, iters = 3)
   }
 
+  register("embed_ann_ivf_indexed", None) { (s, dir) =>
+    // The IVF index as an ON-DISK PARTITIONED LAYOUT: inverted lists are
+    // Hive partitions (vectors/cid=<list>/), so probing is partition
+    // pruning — a query batch reads nProbe/nLists of the index bytes where
+    // the in-memory form re-assigns the whole corpus per run. Output is
+    // proven identical to ivfTopK at the same parameters (SimilaritySpec);
+    // no_oracle for the same reason as the other ANN entries.
+    val emb = Tables.embeddings(s, dir)
+    val path = s"$sinkRoot/ivf-index-${dir.replaceAll("[^0-9]", "")}"
+    Similarity.writeIvfIndex(emb, path, nLists = 16, iters = 3)
+    Similarity.searchIvfIndex(s, path, emb.filter(col("vec_id") < 8),
+      k = 5, nProbe = 8)
+  }
+
   // --------------------------------------------------------------------------
 
   def all: Map[String, QueryFn] = reg.toMap

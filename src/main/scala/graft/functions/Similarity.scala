@@ -396,4 +396,74 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // --- IVF as an on-disk layout --------------------------------------------
+
+  /** Persist an IVF index as a PARTITIONED PARQUET LAYOUT: every corpus
+    * vector lands under `path/vectors/cid=<list>/`, so the inverted lists
+    * ARE Hive partitions, plus the centroid model as a tiny side table.
+    * This is the Spark-native form of "the ANN index is a file layout":
+    * no index server, no custom format — probing a list is partition
+    * pruning, and the index inherits every warehouse property (schema
+    * evolution, replication, time travel under a table format) for free.
+    *
+    * At 100 TB the payoff is at read time: [[searchIvfIndex]] scans only
+    * the probed partitions — nProbe/nLists of the index bytes per query
+    * batch — where the in-memory [[ivfTopK]] must re-assign the whole
+    * corpus on every run. Write once, probe forever; re-cluster only when
+    * centroid drift degrades recall. */
+  def writeIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
+                    iters: Int = 2, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, nLists, iters, idCol, vecCol)
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1) // nLists × dim doubles — one small file
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(assignToCentroids(corpus, cents, idCol, vecCol)
+        .select(col("__id").as("neighbor_id"), col("cid")), "neighbor_id")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
+  }
+
+  /** ANN top-k against a [[writeIvfIndex]] layout. The probed list ids are
+    * resolved driver-side (bounded by nLists — model-sized, not data-sized)
+    * and pushed into the scan as a partition filter, so only the probed
+    * `cid=` directories are read; output is identical to [[ivfTopK]] with
+    * the same parameters (proven in SimilaritySpec). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nProbe: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(nProbe >= 1 && nProbe <= cents.length,
+      s"nProbe must be in [1, nLists] (got $nProbe of ${cents.length})")
+    val centLit = typedLit(cents.map(_.toSeq).toSeq).cast("array<array<float>>")
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"), posexplode(centLit).as(Seq("c", "cv")))
+      .select(col("query_id"), col("qv"), col("c").as("cid"),
+        cosineFast(col("qv"), col("cv")).as("cent_cos"))
+      .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cent_cos").desc, col("cid"))))
+      .filter(col("__pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    // the probed set is ≤ min(nLists, nProbe·|queries|) ids — driver-safe
+    val probed = q.select("cid").distinct().collect().map(_.getInt(0))
+    val lists = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(probed.map(Int.box): _*))
+    val scored = lists.join(broadcast(q),
+        lists("cid") === q("cid") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

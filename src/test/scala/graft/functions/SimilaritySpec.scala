@@ -142,6 +142,33 @@ class SimilaritySpec extends SparkSpec {
       s"IVF scored $nCand of $full pairs — not meaningfully sub-linear")
   }
 
+  test("persisted IVF layout: search equals in-memory IVF; scan prunes to probed lists") {
+    val path = "/root/repo/target/similarity-spec/ivf-index"
+    Similarity.writeIvfIndex(emb, path, nLists = 16, iters = 3)
+    val fromIndex = Similarity.searchIvfIndex(spark, path, queries, K, nProbe = 8)
+    val inMemory = Similarity.ivfTopK(emb, queries, K, nLists = 16, nProbe = 8, iters = 3)
+    val a = fromIndex.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = inMemory.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a === b, s"index-only: ${a -- b}\nmemory-only: ${b -- a}")
+    // the probe is PARTITION PRUNING: a single-list read touches only that
+    // list's files, a strict subset of the index (asserted on the executed
+    // scan's numFiles metric — inputFiles is relation-level, pre-filter)
+    val all = spark.read.parquet(s"$path/vectors")
+    val one = all.filter(col("cid") === 0)
+    one.collect()
+    val scan = one.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.metrics("numFiles").value < all.inputFiles.length,
+      s"cid filter did not prune: read ${scan.metrics("numFiles").value} " +
+        s"of ${all.inputFiles.length} files")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"),
+      s"cid not a partition filter:\n$plan")
+  }
+
   test("lshTopK mega-bucket cap: no-op when generous, bounded when binding") {
     val uncapped = Similarity.lshTopK(emb, queries, K, nPlanes = 7, nTables = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -356,6 +356,34 @@ object Queries {
       graft.operators.KeyStrategy.Flat))
   }
 
+  register("layout_zorder_events", Some(
+    """WITH zin AS (
+      |  SELECT (user_id & 65535) AS za,
+      |    (CAST(floor(value) AS BIGINT) & 65535) AS zb
+      |  FROM events),
+      |s1 AS (SELECT ((za | (za << 8)) & 16711935) AS a1,
+      |              ((zb | (zb << 8)) & 16711935) AS b1 FROM zin),
+      |s2 AS (SELECT ((a1 | (a1 << 4)) & 252645135) AS a2,
+      |              ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+      |s3 AS (SELECT ((a2 | (a2 << 2)) & 858993459) AS a3,
+      |              ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+      |s4 AS (SELECT ((a3 | (a3 << 1)) & 1431655765) AS a4,
+      |              ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3)
+      |SELECT (a4 | (b4 << 1)) >> 10 AS z_bucket, count(*) AS n_events
+      |FROM s4 GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // The z-value mapping under the oracle: the Morton spread/interleave is
+    // plain bitwise arithmetic, so DuckDB replays it step-for-step (staged
+    // CTEs mirror the expression ladder). The LAYOUT benefit — narrow
+    // row-group stats on BOTH dimensions — is proven in ZOrderSpec from
+    // parquet footers (4/16 groups touched for a value band vs 14/14 under
+    // a single-dimension sort).
+    Tables.events(s, dir)
+      .select(graft.sources.ZOrder.zValue2(
+        col("user_id"), floor(col("value")).cast("long")).as("z"))
+      .groupBy(shiftright(col("z"), 10).as("z_bucket"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   register("sink_bucketed_colocated_join", Some(
     """SELECT o_orderpriority,
       |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4)))

@@ -1,0 +1,88 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import graft.{SparkSpec, Tables}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.functions._
+
+class ZOrderSpec extends SparkSpec {
+
+  private val root = "/root/repo/target/zorder-spec"
+
+  /** Reference Morton interleave for the low 16 bits of (a, b). */
+  private def morton(a: Long, b: Long): Long = {
+    def spread(x0: Long): Long = {
+      var x = x0 & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
+  test("zValue2 equals the reference Morton interleave bit-for-bit") {
+    import spark.implicits._
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (149L, 490L), (255L, 256L))
+    val got = samples.toDF("a", "b")
+      .select(ZOrder.zValue2(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    val want = samples.map { case (a, b) => morton(a, b) }
+    assert(got.toSeq === want,
+      s"expression diverges from reference morton: ${got.toSeq} vs $want")
+    // interleave is injective on the masked domain
+    assert(want.distinct.size === want.size)
+  }
+
+  /** Per-file [min, max] of a double column from the parquet footers. */
+  private def valueStats(dir: String): Seq[(Double, Double)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(f.getPath, conf))
+        try r.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val st = block.getColumns.asScala
+            .find(_.getPath.toDotString == "value").get.getStatistics
+          (st.genericGetMin.asInstanceOf[java.lang.Double].doubleValue,
+            st.genericGetMax.asInstanceOf[java.lang.Double].doubleValue)
+        } finally r.close()
+      }
+  }
+
+  test("z-ordered layout keeps secondary-dimension stats narrow (row-group skipping)") {
+    val events = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("value"), col("event_id"))
+    val zPath = s"$root/z"
+    val aPath = s"$root/a-sorted"
+    ZOrder.writeZOrdered(events, zPath,
+      col("user_id"), floor(col("value")).cast("long"), nFiles = 16)
+    // the single-dimension alternative: range-partitioned + sorted by user_id
+    events.repartitionByRange(16, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(aPath)
+
+    // a VALUE-ONLY range: the a-sorted layout has no value locality, so
+    // ~every row group intersects; the z-curve tiles both dimensions, so
+    // most groups' [min,max] miss the band entirely
+    val (lo, hi) = (50.0, 80.0)
+    def intersecting(stats: Seq[(Double, Double)]): Int =
+      stats.count { case (mn, mx) => mx >= lo && mn <= hi }
+    val zStats = valueStats(zPath)
+    val aStats = valueStats(aPath)
+    val (zHit, aHit) = (intersecting(zStats), intersecting(aStats))
+    info(s"value-band row groups: z-ordered $zHit/${zStats.size}, " +
+      s"a-sorted $aHit/${aStats.size}")
+    assert(zHit < aHit,
+      s"z-order gave no skipping advantage: $zHit vs $aHit")
+    assert(zHit <= zStats.size / 2,
+      s"z-order should skip at least half the row groups for a narrow band ($zHit/${zStats.size})")
+    // row totals survive the rewrite
+    assert(spark.read.parquet(zPath).count() === events.count())
+  }
+}

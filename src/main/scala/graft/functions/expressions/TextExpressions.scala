@@ -95,8 +95,75 @@ object ShingleHashes {
   }
 }
 
+/** Native Catalyst expression computing a k-wide MinHash signature from a
+  * shingle-hash array in one pass — the codegen'd replacement for the
+  * column-form `aggregate(...)` ladder, which runs k interpreted HOF
+  * passes per row. That ladder is the per-row cost of every signature
+  * computed OUTSIDE a groupBy (the bulk explode+groupBy path covers batch;
+  * this covers the paths that can't shuffle — per-row signatures in a
+  * streaming source, ad-hoc column use).
+  *
+  * Bit-compatibility: lane i of the signature is
+  * `min over h of xxhash64(h, i)`, where Spark's two-argument xxhash64
+  * folds left — `XXH64.hashInt(i, XXH64.hashLong(h, 42))`. The inner
+  * `hashLong` does not depend on the lane, so it is hoisted: one hashLong
+  * + k hashInt per element, against the HOF ladder's k full passes.
+  * Empty arrays yield the same sentinel signature (-1, -2, …) as the
+  * column and bulk forms; elements must be non-null (shingle hashes).
+  */
+final case class MinHashSignature(child: Expression, k: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, s"signature width must be >= 1 (got $k)")
+
+  // (return type inferred — Seq[AbstractDataType] is private[sql])
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.MinHashSignature.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  private final val Seed = 42L
+
+  def compute(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val sig = new Array[Long](k)
+    if (n == 0) {
+      var i = 0
+      while (i < k) { sig(i) = -1L - i; i += 1 }
+    } else {
+      java.util.Arrays.fill(sig, Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val t = XXH64.hashLong(hashes.getLong(j), Seed)
+        var i = 0
+        while (i < k) {
+          val v = XXH64.hashInt(i, t)
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        j += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+}
+
 object TextExpressions {
   /** Codegen'd xxhash64 shingle hashes (window order, duplicates kept). */
   def shingleHashesNative(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+
+  /** Codegen'd k-wide MinHash signature from shingle hashes. */
+  def minhashSignatureNative(hashes: Column, k: Int): Column =
+    GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
 }

@@ -37,9 +37,11 @@ final case class StreamDupCandidate(docA: Long, docB: Long,
   * memory an LSH index would hold, sharded by Spark's state store and
   * restart-safe via the checkpoint.
   *
-  * Signatures are computed per-row (the column-expression MinHash form) —
-  * no streaming aggregation, so the only stateful operator is the bucket
-  * membership itself.
+  * Signatures are computed per-row — no streaming aggregation, so the only
+  * stateful operator is the bucket membership itself — through the native
+  * codegen'd [[graft.functions.expressions.MinHashSignature]] expression
+  * (bit-identical to the column/bulk forms; one hashLong + k hashInt per
+  * shingle instead of k interpreted HOF passes).
   *
   * `maxBucketSize` bounds boilerplate mega-buckets: a bucket at the cap
   * stops accepting members (arrivals still probe it but are not stored, and
@@ -58,7 +60,7 @@ object StreamingDedup {
     import docs.sparkSession.implicits._
     docs
       .select(col(idCol).cast("long").as("docId"),
-        Dedup.minhashSignature(
+        graft.functions.expressions.TextExpressions.minhashSignatureNative(
           TextFunctions.shingleHashes(col(textCol), shingleN), k).as("sig"))
       .select(col("docId"), col("sig"),
         explode(Dedup.lshBandKeys(col("sig"), k, bands)).as("bk"))

@@ -166,6 +166,31 @@ class DedupSpec extends SparkSpec {
     assert(bulk === colForm)
   }
 
+  test("native MinHashSignature expression is bit-identical to the HOF form and codegen'd") {
+    import graft.functions.expressions.TextExpressions
+    val native = docs.select(col("doc_id"),
+      TextExpressions.minhashSignatureNative(
+        TextFunctions.shingleHashes(col("text"), 3), 16).as("sig"))
+    val hof = docs.select(col("doc_id"),
+      Dedup.minhashSignature(TextFunctions.shingleHashes(col("text"), 3), 16)
+        .as("sig"))
+    val a = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+    // the empty-shingle sentinel matches too (doc shorter than n tokens)
+    import spark.implicits._
+    val short = Seq((1L, "one two")).toDF("doc_id", "text")
+    val s = short.select(TextExpressions.minhashSignatureNative(
+        TextFunctions.shingleHashes(col("text"), 3), 4))
+      .collect().head.getSeq[Long](0)
+    assert(s === Seq(-1L, -2L, -3L, -4L))
+    // stays inside whole-stage codegen (the "*(n)" prefix on the Project)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.startsWith("*(")),
+      s"expression fell out of codegen:\n$plan")
+  }
+
   test("jaccard column function matches set semantics") {
     import spark.implicits._
     val df = Seq(

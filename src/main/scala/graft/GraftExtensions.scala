@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BitwiseCount, BitwiseXor, Expression, ExpressionInfo}
-import graft.functions.expressions.{CosineSimilarity, ShingleHashes}
+import graft.functions.expressions.{CosineSimilarity, MinHashSignature, ShingleHashes}
 
 /** SQL surface for the library's native expressions, via the standard
   * `SparkSessionExtensions` hook — the (c) tier of SURVEY §7.4's extension
@@ -63,6 +63,24 @@ object GraftExtensions {
             "shingle_hashes: n must be a literal")
         }
         ShingleHashes(args(0), n) }),
+    one("minhash_signature", classOf[MinHashSignature],
+      "minhash_signature(hashes, k) - k-wide MinHash signature from an " +
+        "array of shingle hashes (k must be a literal integer; empty " +
+        "arrays yield the sentinel signature)",
+      args => { arity("minhash_signature", 2, args)
+        val k = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: java.lang.Integer => i.intValue()
+            case l: java.lang.Long    => l.intValue()
+            case null => throw new IllegalArgumentException(
+              "minhash_signature: k must not be NULL")
+            case other => throw new IllegalArgumentException(
+              s"minhash_signature: k must be an integer literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "minhash_signature: k must be a literal")
+        }
+        MinHashSignature(args(0), k) }),
     one("hamming64", classOf[BitwiseCount],
       "hamming64(a, b) - Hamming distance between two 64-bit fingerprints " +
         "(bit_count(a ^ b))",

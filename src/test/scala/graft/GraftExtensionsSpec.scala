@@ -46,6 +46,26 @@ class GraftExtensionsSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("literal")))
   }
 
+  test("minhash_signature is callable from SQL and matches the native column form") {
+    val sqlSig = spark.sql(
+      "SELECT minhash_signature(shingle_hashes('one two three four five', 3), 8) AS s")
+      .as[Seq[Long]].head()
+    val colSig = Seq("one two three four five").toDF("text")
+      .select(graft.functions.expressions.TextExpressions.minhashSignatureNative(
+        graft.functions.TextFunctions.shingleHashes(col("text"), 3), 8))
+      .as[Seq[Long]].head()
+    assert(sqlSig === colSig)
+    assert(sqlSig.length === 8)
+    // a per-row (non-foldable) k must be rejected
+    Seq(("a b c d", 4)).toDF("text", "k").createOrReplaceTempView("mh_args")
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_signature(shingle_hashes(text, 2), k) FROM mh_args")
+        .collect()
+    }
+    assert(err.getMessage.contains("literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("literal")))
+  }
+
   test("hamming64 matches the Dedup column helper") {
     val df = Seq((0x0F0FL, 0x00FFL)).toDF("a", "b")
     df.createOrReplaceTempView("hs")

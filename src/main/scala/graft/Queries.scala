@@ -356,6 +356,27 @@ object Queries {
       graft.operators.KeyStrategy.Flat))
   }
 
+  register("join_salted_segment_revenue", Some(
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // The salt/replicate skew rewrite UNDER THE ORACLE: the oracle is the
+    // PLAIN join's SQL, so the correctness gate itself proves salting is
+    // output-invisible (no row changes join partners; the salt only
+    // sub-divides each key's shuffle partition). salt=8 splits a hot
+    // custkey across 8 tasks at the cost of replicating the customer side
+    // 8× — the tier between broadcast and AQE's runtime split for keys
+    // too hot for either.
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(o, c, "custkey", salt = 8)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+  }
+
   register("layout_zorder_events", Some(
     """WITH zin AS (
       |  SELECT (user_id & 65535) AS za,

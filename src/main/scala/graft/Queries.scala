@@ -1476,6 +1476,28 @@ object Queries {
       count(lit(1)).as("n"))
   }
 
+  register("agg_sliding_windows", Some(
+    """SELECT window_start, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT date_trunc('hour', ts) AS window_start, value FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events)
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Sliding windows (2-hour width, 1-hour slide): every event lands in
+    // exactly width/slide = 2 windows, which is what the oracle's two-row
+    // expansion replays. Spark's window() generates the struct without
+    // materializing the expansion as a join — one explode-like Generate,
+    // then the same keyed partial aggregation as a tumbling window. The
+    // same expression drives streaming sliding aggregates (with a
+    // watermark) unchanged — batch/stream unification.
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   register("agg_session_windows", Some(
     """WITH d AS (
       |  SELECT user_id, ts, event_id, value,
@@ -1634,6 +1656,29 @@ object Queries {
   // ==========================================================================
   // Text analysis (documents)
   // ==========================================================================
+
+  register("text_frequent_tokens", Some(
+    """SELECT token, n_occurrences, n_docs FROM (
+      |  SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+      |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY token) WHERE rnk <= 20""".stripMargin)) { (s, dir) =>
+    // Exact global heavy hitters (stopword / boilerplate-token discovery):
+    // explode → one aggregation keyed by token (partial map-side — the
+    // shuffle carries one row per distinct token per partition, never the
+    // token stream), then top-k over the |vocabulary|-sized result as a
+    // TakeOrdered with a total order (token breaks count ties). At 100 TB
+    // the vocabulary, not the corpus, bounds the second stage.
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(20)
+  }
 
   register("text_stats", Some(
     """SELECT doc_id, length(text) AS n_chars_calc,

@@ -1680,6 +1680,44 @@ object Queries {
       .limit(20)
   }
 
+  register("corpus_quality_cutoff", Some(
+    """WITH t AS (
+      |  SELECT doc_id, source, length(text) AS n,
+      |    len(str_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(str_split(text, ' '),
+      |      x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS stop_ct,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_ct,
+      |    n_chars
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source,
+      |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + least(CAST(stop_ct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.4
+      |      + (1.0 - least(CAST(punct_ct AS DOUBLE) / CAST(n AS DOUBLE) * 10.0, 1.0)) * 0.2
+      |      AS quality
+      |  FROM t)
+      |SELECT doc_id, source, quality FROM (
+      |  SELECT doc_id, source, quality,
+      |    percent_rank() OVER (PARTITION BY source
+      |      ORDER BY quality, doc_id) AS pr
+      |  FROM q) WHERE pr >= 0.1""".stripMargin)) { (s, dir) =>
+    // Adaptive per-source quality floor: drop each source's bottom decile
+    // rather than a fixed global threshold (sources differ in baseline
+    // quality — a fixed cutoff over-prunes clean sources and under-prunes
+    // noisy ones). The cutoff is RANK-based (percent_rank = (rank−1)/(n−1),
+    // exact integer arithmetic identical in both engines) instead of
+    // comparing against an interpolated percentile value, whose last-ulp
+    // differences could flip boundary docs. One shuffle keyed by source.
+    val docs = Tables.documents(s, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        TF.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= 0.1)
+      .drop("__pr")
+  }
+
   register("text_stats", Some(
     """SELECT doc_id, length(text) AS n_chars_calc,
       |  len(str_split(text, ' ')) AS n_tokens,

@@ -537,6 +537,48 @@ class StreamingSpec extends SparkSpec {
       (2L, ts(2), ts(12), 1L)))
   }
 
+  test("streaming sliding windows equal the batch aggregation (A2)") {
+    import spark.implicits._
+    val (src, ckpt, out) = fresh("sliding")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    // events across 3 hours; sentinel 12 h out closes every real window
+    val rows = Seq((1L, ts(10), 1.0), (2L, ts(70), 2.0), (3L, ts(100), 3.0),
+      (4L, ts(170), 4.0), (-1L, ts(720), 0.0))
+    rows.toDF("event_id", "cluster_time", "value")
+      .repartition(1).write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val c = PipelineConfig(sourceDir = src,
+      schemaDDL = "event_id long, cluster_time timestamp, value double",
+      checkpointDir = ckpt, queryName = "sliding-q", triggerInterval = None,
+      transform = df => df
+        .withWatermark("cluster_time", "0 seconds")
+        .groupBy(window(col("cluster_time"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("n_events"),
+          col("sum_value")))
+    val q = CdcPipeline.start(spark, c, dest)
+    q.awaitTermination(120000)
+    val got = dest.readBack(spark,
+        Some("window_start timestamp, n_events long, sum_value double"))
+      .filter(col("window_start") < ts(600)) // drop the sentinel's windows
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch twin over the same (non-sentinel) rows: identical windows
+    val batch = rows.filter(_._1 >= 0)
+      .toDF("event_id", "cluster_time", "value")
+      .groupBy(window(col("cluster_time"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === batch)
+    // every event appears in exactly width/slide = 2 windows
+    assert(got.toSeq.map(_._2).sum === 2L * rows.count(_._1 >= 0))
+  }
+
   test("pre-image pair flows through the pipeline; diffs computable per batch (S6)") {
     // full_document_before_change (stream.rs:483-501): the envelope carries
     // the before-document for update-class events; a consumer computes

@@ -60,6 +60,54 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket state survives a query restart: cross-restart pairs still form") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val ckpt = freshCkpt("restart")
+    val out = s"$root/restart/out"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def readPairs() = spark.read
+      .schema("docA long, docB long, estJaccard double").json(out)
+
+    // wave 1 -> stop the query (doc 1 now lives only in checkpointed state;
+    // the memory sink cannot recover a checkpoint, so pairs land as files)
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = StreamingDedup.minhashCandidates(
+        in1.toDF().toDF("doc_id", "text"),
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+      .writeStream.format("json").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      in1.addData(Seq((1L, dup), (9L, "uu vv ww xx yy zz qq rr")))
+      q1.processAllAvailable()
+      assert(readPairs().isEmpty, "no pair should exist yet")
+    } finally q1.stop()
+
+    // wave 2 against the same checkpoint. The replacement source carries
+    // wave 1 again BEFORE starting (the replayable-source contract: a
+    // restarted query repositions the source at its committed offset, so
+    // that data must exist there — and, being committed, is NOT
+    // reprocessed); only the newly added wave 2 runs, and the duplicate
+    // of doc 1 must pair with it out of recovered state.
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData(Seq((1L, dup), (9L, "uu vv ww xx yy zz qq rr")))
+    val q2 = StreamingDedup.minhashCandidates(
+        in2.toDF().toDF("doc_id", "text"),
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5)
+      .writeStream.format("json").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      in2.addData(Seq((2L, dup)))
+      q2.processAllAvailable()
+      val pairs = readPairs().as[StreamDupCandidate]
+        .collect().map(c => (c.docA, c.docB)).distinct
+      assert(pairs.toSeq === Seq((1L, 2L)),
+        s"recovered state did not produce the cross-restart pair: ${pairs.toSeq}")
+    } finally q2.stop()
+  }
+
   test("bucket cap bounds state while multi-band redundancy preserves strong pairs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -86,7 +86,9 @@ object StreamingDedup {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), incoming: Iterator[BandedDoc],
          state: GroupState[BucketMembers]) =>
-          var members = state.getOption.map(_.docs).getOrElse(Seq.empty)
+          // Vector: effectively-constant append — a Seq default (List)
+          // would copy O(m) per admitted member, O(m²) per mega-bucket
+          var members = state.getOption.map(_.docs.toVector).getOrElse(Vector.empty)
           val out = Seq.newBuilder[StreamDupCandidate]
           // deterministic intra-batch order so same-batch pairs are stable
           incoming.toSeq.sortBy(_.docId).foreach { d =>

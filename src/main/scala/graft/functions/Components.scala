@@ -57,6 +57,12 @@ object Components {
       labels = updated.select(col("node"), col("new_label").as("label"))
       iter += 1
     }
+    // truncated labels would silently split one component in two — the
+    // exact failure this operator exists to prevent — so refuse to return
+    // them; the caller raises maxIter (rounds scale with graph diameter)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter rounds; " +
+        "the edge list contains a chain with diameter > maxIter — raise maxIter")
     labels.select(col("node"), col("label").as("component"))
   }
 }

@@ -69,8 +69,12 @@ object CorpusOps {
     * Bloom false positives, which is what keeps the output equal to
     * [[contaminated]] (same oracle) rather than approximately equal.
     *
-    * Costs one extra pass over the benchmark side (count + filter build),
-    * the same trade Spark's own injected runtime filters make. */
+    * Costs one extra pass over the benchmark side (a scan-local shingle
+    * tally to size the filter, then the distributed build), the same trade
+    * Spark's own injected runtime filters make. The size pass deliberately
+    * uses the TOTAL shingle count — an upper bound on the distinct count —
+    * so it needs no shuffle; a Bloom filter sized above its true
+    * cardinality only gets a lower fpp. */
   def contaminatedBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 4,
                         fpp: Double = 0.01,
                         idCol: String = "doc_id",
@@ -79,8 +83,12 @@ object CorpusOps {
       df.select(col(idCol),
         explode(TextFunctions.shingleHashes(col(textCol), n)).as("g"))
     val benchShingles = shingles(benchmark).select(col("g")).distinct()
+    val upperBound = benchmark
+      .select(greatest(size(TextFunctions.shingleHashes(col(textCol), n)),
+        lit(0)).as("ns"))
+      .agg(coalesce(sum(col("ns")), lit(0L))).first().getLong(0)
     val filter = Bloom.build(benchShingles, "g",
-      expectedItems = benchShingles.count(), fpp = fpp)
+      expectedItems = upperBound, fpp = fpp)
     shingles(corpus)
       .filter(Bloom.mightContain(filter, col("g")))
       .join(benchShingles, "g")

@@ -371,14 +371,29 @@ object Similarity {
     require(nProbe >= 1 && nProbe <= nLists,
       s"nProbe must be in [1, nLists] (got $nProbe of $nLists)")
     val cents = ivfCentroids(corpus, nLists, iters, idCol, vecCol)
-    val centLit = typedLit(cents.map(_.toSeq).toSeq).cast("array<array<float>>")
-    // inverted lists: one (cid, vector) row per corpus vector
-    val c = corpus
+    val c = invertedLists(corpus, cents, idCol, vecCol)
+    val q = probeLists(queries, cents, nProbe, idCol, vecCol)
+    probedTopK(c, q, k)
+  }
+
+  /** Inverted lists: one (neighbor_id, cv, cid) row per corpus vector —
+    * shared by [[ivfTopK]] (in memory) and [[writeIvfIndex]] (as the
+    * partitioned layout), so both assign identically by construction. */
+  private def invertedLists(corpus: DataFrame, cents: Array[Array[Double]],
+                            idCol: String, vecCol: String): DataFrame =
+    corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(assignToCentroids(corpus, cents, idCol, vecCol)
         .select(col("__id").as("neighbor_id"), col("cid")), "neighbor_id")
-    // probe lists: nProbe nearest centroids per query
-    val q = queries
+
+  /** Probe lists: each query's `nProbe` nearest centroids, as
+    * (query_id, qv, cid) — shared by [[ivfTopK]] and [[searchIvfIndex]],
+    * so their probe tie-breaking can never drift apart. */
+  private def probeLists(queries: DataFrame, cents: Array[Array[Double]],
+                         nProbe: Int, idCol: String,
+                         vecCol: String): DataFrame = {
+    val centLit = typedLit(cents.map(_.toSeq).toSeq).cast("array<array<float>>")
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .select(col("query_id"), col("qv"), posexplode(centLit).as(Seq("c", "cv")))
       .select(col("query_id"), col("qv"), col("c").as("cid"),
@@ -387,8 +402,14 @@ object Similarity {
         .orderBy(col("cent_cos").desc, col("cid"))))
       .filter(col("__pr") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid"))
-    val scored = c.join(broadcast(q),
-        c("cid") === q("cid") && col("query_id") =!= col("neighbor_id"))
+  }
+
+  /** Exact re-score of the probed lists + per-query top-k window: the
+    * candidate equi-join on `cid` with the (small) probe side broadcast. */
+  private def probedTopK(lists: DataFrame, probes: DataFrame,
+                         k: Int): DataFrame = {
+    val scored = lists.join(broadcast(probes),
+        lists("cid") === probes("cid") && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFast(col("qv"), col("cv")).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
@@ -422,10 +443,7 @@ object Similarity {
       .toDF("cid", "centroid")
       .coalesce(1) // nLists × dim doubles — one small file
       .write.mode("overwrite").parquet(s"$path/centroids")
-    corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(assignToCentroids(corpus, cents, idCol, vecCol)
-        .select(col("__id").as("neighbor_id"), col("cid")), "neighbor_id")
+    invertedLists(corpus, cents, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
   }
 
@@ -443,27 +461,11 @@ object Similarity {
       .map(_.getSeq[Double](1).toArray)
     require(nProbe >= 1 && nProbe <= cents.length,
       s"nProbe must be in [1, nLists] (got $nProbe of ${cents.length})")
-    val centLit = typedLit(cents.map(_.toSeq).toSeq).cast("array<array<float>>")
-    val q = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id"), col("qv"), posexplode(centLit).as(Seq("c", "cv")))
-      .select(col("query_id"), col("qv"), col("c").as("cid"),
-        cosineFast(col("qv"), col("cv")).as("cent_cos"))
-      .withColumn("__pr", row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("cent_cos").desc, col("cid"))))
-      .filter(col("__pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid"))
+    val q = probeLists(queries, cents, nProbe, idCol, vecCol)
     // the probed set is ≤ min(nLists, nProbe·|queries|) ids — driver-safe
     val probed = q.select("cid").distinct().collect().map(_.getInt(0))
     val lists = spark.read.parquet(s"$path/vectors")
       .filter(col("cid").isin(probed.map(Int.box): _*))
-    val scored = lists.join(broadcast(q),
-        lists("cid") === q("cid") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineFast(col("qv"), col("cv")).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    probedTopK(lists, q, k)
   }
 }

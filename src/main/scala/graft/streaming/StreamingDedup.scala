@@ -44,11 +44,13 @@ final case class StreamDupCandidate(docA: Long, docB: Long,
   * shingle instead of k interpreted HOF passes).
   *
   * `maxBucketSize` bounds boilerplate mega-buckets: a bucket at the cap
-  * stops accepting members (arrivals still probe it but are not stored, and
-  * produce no pairs from this bucket once it is full beyond the cap) — the
-  * streaming analogue of the batch cap's drop-oversized-buckets rule;
-  * multi-band redundancy remains the recall cushion. Pass 0 for unbounded
-  * (exact equality with the uncapped batch operator).
+  * stops ADMITTING members, but every arrival still probes the stored
+  * members (O(cap) work), so pairs against already-admitted documents keep
+  * surfacing; only pairs among the unadmitted overflow are lost from this
+  * bucket — the streaming analogue of the batch cap's
+  * drop-oversized-buckets rule, with multi-band redundancy as the recall
+  * cushion for those. Pass 0 for unbounded (exact equality with the
+  * uncapped batch operator).
   */
 object StreamingDedup {
 
@@ -89,22 +91,30 @@ object StreamingDedup {
           // Vector: effectively-constant append — a Seq default (List)
           // would copy O(m) per admitted member, O(m²) per mega-bucket
           var members = state.getOption.map(_.docs.toVector).getOrElse(Vector.empty)
+          var admitted = false
           val out = Seq.newBuilder[StreamDupCandidate]
           // deterministic intra-batch order so same-batch pairs are stable
           incoming.toSeq.sortBy(_.docId).foreach { d =>
-            if (maxBucketSize <= 0 || members.size < maxBucketSize) {
-              members.foreach { case (otherId, otherSig) =>
-                val e = est(d.sig, otherSig)
-                if (e >= threshold && otherId != d.docId) {
-                  val (a, b) = if (otherId < d.docId) (otherId, d.docId)
-                               else (d.docId, otherId)
-                  out += StreamDupCandidate(a, b, e)
-                }
+            // probe ALWAYS (O(cap) against stored members — pairs with
+            // already-admitted docs still surface from a full bucket);
+            // the cap only gates ADMISSION, bounding state
+            members.foreach { case (otherId, otherSig) =>
+              val e = est(d.sig, otherSig)
+              if (e >= threshold && otherId != d.docId) {
+                val (a, b) = if (otherId < d.docId) (otherId, d.docId)
+                             else (d.docId, otherId)
+                out += StreamDupCandidate(a, b, e)
               }
+            }
+            if (maxBucketSize <= 0 || members.size < maxBucketSize) {
               members = members :+ (d.docId, d.sig)
+              admitted = true
             }
           }
-          state.update(BucketMembers(members))
+          // a full bucket probed by a trigger's arrivals is byte-identical
+          // state: skip the rewrite, or every hot bucket re-serializes its
+          // whole member list into the checkpoint each trigger
+          if (admitted) state.update(BucketMembers(members))
           out.result().iterator
       }
   }

@@ -50,4 +50,17 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size === 16)
     assert(got.values.toSet === Set(0L), s"path did not fully converge: $got")
   }
+
+  test("an exhausted iteration budget throws instead of returning split components") {
+    val path = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val df = path.toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(df, "a", "b", maxIter = 3)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph under a sufficient budget is fine
+    val ok = Components.connectedComponents(df, "a", "b", maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet === Set(0L))
+  }
 }

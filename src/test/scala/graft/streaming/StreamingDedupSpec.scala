@@ -130,13 +130,22 @@ class StreamingDedupSpec extends SparkSpec {
       q.processAllAvailable()
       val pairs = spark.table("stream_dedup_capped")
         .as[StreamDupCandidate].collect()
-      // capped at 3 members/bucket: pairs among the first 3 dups emit,
-      // docs beyond the cap are not admitted, the unrelated doc never pairs
-      val ids = pairs.flatMap(p => Seq(p.docA, p.docB)).toSet
+      val distinctPairs = pairs.map(p => (p.docA, p.docB)).toSet
+      // capped at 3 members/bucket: docs 1-3 are admitted (intra-batch id
+      // order), 4-6 overflow. Every arrival still PROBES the stored
+      // members, so each overflow doc pairs with each admitted one; only
+      // pairs among the unadmitted overflow are lost
+      val admitted = Set(1L, 2L, 3L)
       assert(pairs.nonEmpty, "cap killed every pair")
-      assert(!ids.contains(7L), "unrelated doc paired")
-      assert(ids.subsetOf(Set(1L, 2L, 3L)),
-        s"docs beyond the bucket cap produced pairs: $ids")
+      assert(!distinctPairs.exists(p => p._1 == 7L || p._2 == 7L),
+        "unrelated doc paired")
+      assert(distinctPairs.forall(p => admitted.contains(p._1)),
+        s"pair among unadmitted overflow docs emitted: $distinctPairs")
+      val expected = (for {
+        a <- 1L to 6L; b <- (a + 1) to 6L; if admitted.contains(a)
+      } yield (a, b)).toSet
+      assert(distinctPairs === expected,
+        s"missing: ${expected -- distinctPairs}, extra: ${distinctPairs -- expected}")
     } finally q.stop()
   }
 }

@@ -772,6 +772,50 @@ class StreamingSpec extends SparkSpec {
       val c0all = all.filter(_.collection == "c_0")
       assert(c0all.map(_.nEvents).sum === 12L)
       assert(c0all.map(_.sumValue).sum === 12.0)
+      // the sequence is dense ACROSS flushes: a third wave after the
+      // timeout flush continues at seq 3 (c_0) / seq 1 (c_1), not at 0
+      input.addData((1 to 5).map(i => BatchInput("c_0", 200L + i, 1.0)) ++
+        (1 to 5).map(i => BatchInput("c_1", 300L + i, 1.0)))
+      waitFor("post-timeout count flushes")(
+        emitted().exists(b => b.collection == "c_0" && b.batchSeq == 3L) &&
+          emitted().exists(b => b.collection == "c_1" && b.batchSeq == 1L))
+      val wave3 = emitted()
+      assert(wave3.filter(_.collection == "c_0").map(_.batchSeq).sorted.toSeq ===
+        Seq(0L, 1L, 2L, 3L), "c_0 batchSeq must stay dense across flushes")
+      assert(wave3.filter(_.collection == "c_1").map(_.batchSeq).sorted.toSeq ===
+        Seq(0L, 1L), "c_1 batchSeq must stay dense across flushes")
+    } finally q.stop()
+  }
+
+  test("batcher max-wait counts from the FIRST event: a trickle cannot starve the flush") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (_, ckpt, _) = fresh("batcher_trickle")
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[BatchInput]
+    // count threshold unreachable: only the max-wait path can flush
+    val q = CountTimeoutBatcher.assemble(input.toDS(), maxEvents = 1000,
+      maxWaitMs = 2500)
+      .writeStream.queryName("batcher_trickle_out").format("memory")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def flushed(): Array[AssembledBatch] =
+      spark.table("batcher_trickle_out").as[AssembledBatch].collect()
+    try {
+      // keep events arriving every ~600 ms < maxWait: re-arming the full
+      // duration per trigger would push the deadline out forever; counting
+      // from the first event flushes at ~2.5 s regardless
+      var sent = 0L
+      val deadline = System.currentTimeMillis + 60000
+      while (flushed().isEmpty && System.currentTimeMillis < deadline) {
+        sent += 1
+        input.addData(BatchInput("t_0", sent, 1.0))
+        Thread.sleep(600)
+      }
+      val got = flushed()
+      assert(got.nonEmpty, "timeout flush starved by steady sub-max-wait trickle")
+      assert(got.head.flushReason === "timeout")
+      assert(got.head.nEvents >= 2,
+        s"flush should have accumulated the trickle (got ${got.head.nEvents})")
     } finally q.stop()
   }
 

@@ -85,7 +85,26 @@ object GraftExtensions {
       "hamming64(a, b) - Hamming distance between two 64-bit fingerprints " +
         "(bit_count(a ^ b))",
       args => { arity("hamming64", 2, args)
-        BitwiseCount(BitwiseXor(args(0), args(1))) }))
+        BitwiseCount(BitwiseXor(args(0), args(1))) }),
+    one("collect_top_k",
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK],
+      "collect_top_k(item, k, reverse) - bounded-heap top-k aggregate: the " +
+        "k largest items under struct ordering (smallest when reverse), " +
+        "sorted best-first. The engine's own kernel (public but " +
+        "SQL-surface-less in Spark 4.1); see graft.operators.TopK",
+      args => { arity("collect_top_k", 3, args)
+        def lit[T](e: Expression, what: String, f: PartialFunction[Any, T]): T =
+          if (e.foldable) f.applyOrElse(e.eval(), (o: Any) =>
+            throw new IllegalArgumentException(s"collect_top_k: $what literal required, got $o"))
+          else throw new IllegalArgumentException(s"collect_top_k: $what must be a literal")
+        val k = lit[Int](args(1), "integer k", {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue() })
+        val rev = lit[Boolean](args(2), "boolean reverse", {
+          case b: java.lang.Boolean => b.booleanValue() })
+        // `new`: the companion with `apply` is private[aggregate] in 4.1
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
+          args(0), k, rev, 0, 0) }))
 
   /** Install on an EXISTING session (the extensions hook only runs at
     * session construction, which the round driver owns). */

@@ -1323,6 +1323,26 @@ object Queries {
       .filter(col("rnk") <= 3)
   }
 
+  register("agg_topk_per_group", Some(
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) WHERE rnk <= 3""".stripMargin)) { (s, dir) =>
+    // Same rows as window_top_orders, via the bounded-heap collect_top_k
+    // aggregate instead of a window sort: no per-partition sort, the
+    // shuffle carries at most k rows per customer per map task. The window
+    // form IS the oracle (row_number ORDER BY o_totalprice DESC,
+    // o_orderkey), so the tiebreak rides as a negated struct field.
+    graft.operators.TopK.topKPerGroup(
+      Tables.orders(s, dir),
+      groupCols = Seq("o_custkey"),
+      ordCols = Seq(col("o_totalprice"), (-col("o_orderkey")).as("__tb")),
+      payload = Seq(col("o_orderkey")),
+      k = 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rank").as("rnk"))
+  }
+
   register("window_running_spend", Some(
     """SELECT o_custkey, o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (

@@ -223,4 +223,97 @@ object CorpusOps {
       .filter(col("rn") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score"))
   }
+
+  /** Temperature-smoothed source mixing — the multilingual/multi-source
+    * rebalancing curve (sampling exponent alpha, e.g. XLM-R's 0.3-0.7
+    * range): each source keeps p_s = (n_min/n_s)^(1-alpha) of its
+    * documents, so the smallest source keeps everything and a source 100×
+    * larger keeps 10% at alpha=0.5 — flattening the head without starving
+    * the tail the way uniform capping would.
+    *
+    * Deterministic like [[sampleWeighted]]: a document survives iff its
+    * content-hash bucket (0..1e6) clears its source's threshold, so the
+    * mix is reproducible under re-ingestion and engine-portable for the
+    * oracle. Source counts are ONE tiny aggregate broadcast back; the keep
+    * decision itself is scan-local (no shuffle of the corpus).
+    *
+    * alpha=0.5 routes through `sqrt` (IEEE correctly-rounded in every
+    * engine, so thresholds replay bit-identically); other alphas use `pow`,
+    * where the last ulp is engine-dependent — fine in production, but an
+    * exact cross-engine replay should stick to 0.5. */
+  def sampleTemperature(docs: DataFrame, alpha: Double = 0.5,
+                        groupCol: String = "source",
+                        contentCol: String = "text"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1] (got $alpha)")
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    val ratio = col("__n_min").cast("double") / col("__n").cast("double")
+    val p = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
+    docs
+      .join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(nMin))
+      .filter(hashBucket(col(contentCol), 1000000) <
+        floor(lit(1000000.0) * p).cast("long"))
+      .drop("__n", "__n_min")
+  }
+
+  /** Corpus-wide repeated-passage removal — the C4 / RefinedWeb line-dedup
+    * step, adapted to this corpus (no newlines, so the unit is a
+    * fixed-`width` non-overlapping token window): any segment whose text
+    * occurs in more than `maxDf` distinct documents is dropped from EVERY
+    * document, and each document is rebuilt from its surviving segments in
+    * original order. This removes boilerplate (headers, license blocks,
+    * navigation chrome) that document-level dedup can never see.
+    *
+    * Scale shape, in passes over the corpus:
+    *  1. frequency: explode to (md5(segment), doc) and count distinct docs
+    *     per segment hash — ONE shuffle whose rows are two ids (the text
+    *     itself never rides; md5 keeps the oracle engine-portable like
+    *     [[withSplit]]).
+    *  2. the frequent set (df > maxDf) is boilerplate by definition —
+    *     orders of magnitude smaller than the corpus — so it comes back as
+    *     a BROADCAST hash join against the exploded segments; clean
+    *     segments never shuffle for the membership test.
+    *  3. rebuild: one groupBy(doc) shuffle keyed by the doc id carrying
+    *     (pos, segment) — linear in corpus size, the unavoidable pass that
+    *     reassembles text (the same shape the original C4 pipeline used).
+    * No step is quadratic and nothing collects to the driver.
+    *
+    * Output: (idCol, clean_text, n_kept, n_total); a document whose every
+    * segment was dropped survives with clean_text = ''. */
+  def dropRepeatedSegments(docs: DataFrame, width: Int = 10, maxDf: Int = 2,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    require(width >= 1, s"segment width must be >= 1 (got $width)")
+    require(maxDf >= 1, s"maxDf must be >= 1 (got $maxDf)")
+    val toks = TextFunctions.tokens(col(textCol))
+    // ceil(n_tokens/width) segments, minimum 1 (sequence(0,-1) would step
+    // DOWN and fabricate a phantom segment for empty text)
+    val nSegs = greatest(
+      ceil(size(toks).cast("double") / lit(width)).cast("int"), lit(1))
+    val segs = docs
+      .withColumn("__toks", toks)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), nSegs - lit(1)),
+          i => array_join(slice(col("__toks"), i * width + lit(1), width), " "))))
+      .withColumnRenamed("pos", "__pos")
+      .withColumnRenamed("col", "__seg")
+    val frequent = segs
+      .groupBy(md5(col("__seg")).as("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__h")
+    segs
+      .join(broadcast(frequent), md5(col("__seg")) === col("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list skips nulls, so dropped segments vanish before the
+        // sort; __pos is unique per doc → array_sort is a total order
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__h").isNull, struct(col("__pos"), col("__seg"))))),
+          s => s("__seg")), " ").as("clean_text"),
+        count(when(col("__h").isNull, lit(1))).as("n_kept"),
+        count(lit(1)).as("n_total"))
+  }
 }

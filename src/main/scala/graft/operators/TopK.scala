@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK
+import org.apache.spark.sql.functions._
+
+/** Grouped top-k as a bounded-heap AGGREGATE instead of a window sort.
+  *
+  * The idiomatic formulation — `row_number() over (partition by g order by
+  * v desc) <= k` — shuffles every row of every group and sorts each
+  * partition (Spark 4's `WindowGroupLimit` trims rows below rank k before
+  * the exchange, but only after a full LOCAL sort of each map partition).
+  * For small k over a huge fact table the aggregate shape is strictly
+  * better: each map task keeps one k-bounded priority queue per group
+  * (O(n log k), no sort), the exchange carries at most k rows per group
+  * per map partition, and the reduce side merges heaps instead of sorting.
+  * At 100 TB the difference is "shuffle ≈ k × |groups|" vs "shuffle ≈
+  * every surviving row + two sorts".
+  *
+  * Implementation is Spark-first composition: the engine already ships the
+  * exact aggregate this needs — `CollectTopK`, a `TypedImperativeAggregate`
+  * over a `BoundedPriorityQueue` (catalyst `collect.scala`; the kernel
+  * under pandas-on-Spark's `nlargest`). It is public but has no SQL or
+  * Column surface, so this operator (and the `collect_top_k` SQL function
+  * in [[graft.GraftExtensions]]) is the missing front-end, not a re-built
+  * kernel. Runs under `ObjectHashAggregate` with map-side partial
+  * aggregation; with more than
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` distinct
+  * groups per task it degrades to sort-based aggregation — still partial,
+  * still k-bounded per group, so the scale contract survives skew in the
+  * group count.
+  *
+  * Ordering contract: items are compared as structs, field by field, and
+  * the LARGEST k under that ordering are kept, emitted rank 1 = largest.
+  * Callers make the order total by putting a unique id after the ranking
+  * value (ties then break toward the larger id); negate a field to rank
+  * ascending. `payload` columns ride BEHIND the ordering fields in the
+  * struct, so they never influence comparisons once the tiebreak id has
+  * decided.
+  */
+object TopK {
+
+  /** One output row per kept item: `groupCols ++ [rank] ++ ordCols ++
+    * payload`, rank 1..k descending in the struct ordering of
+    * `ordCols ++ payload`. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   ordCols: Seq[Column], payload: Seq[Column] = Nil,
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(ordCols.nonEmpty, "need at least one ordering column")
+    val item = struct(ordCols ++ payload: _*)
+    // `new`, not apply: the companion carrying `apply` is
+    // `private[aggregate]` in Spark 4.1; the class itself is public
+    val topk = GraftBridge.column(
+      new CollectTopK(GraftBridge.expression(item), k, false, 0, 0)
+        .toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(topk.as("__top"))
+      .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
+      .withColumn("rank", (col("pos") + 1).cast("int"))
+      .select(groupCols.map(col) ++ Seq(col("rank")) :+ col("col.*"): _*)
+  }
+}

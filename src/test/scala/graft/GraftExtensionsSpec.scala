@@ -77,6 +77,35 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlV === 8) // 0x0F0F ^ 0x00FF = 0x0FF0 -> 8 set bits
   }
 
+  test("collect_top_k is callable from SQL: largest-k, best-first, k-bounded") {
+    Tables.orders(spark, sfTiny).createOrReplaceTempView("ctk_orders")
+    val top = spark.sql(
+      """SELECT o_custkey, collect_top_k(struct(o_totalprice, o_orderkey), 2, false) AS top
+        |FROM ctk_orders GROUP BY o_custkey""".stripMargin)
+      .selectExpr("o_custkey", "inline(top)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    val viaWindow = Tables.orders(spark, sfTiny)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("o_custkey", "o_totalprice", "o_orderkey")
+    assert(top.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(top).count() === 0)
+    // reverse=true flips to smallest-k
+    val least = spark.sql(
+      """SELECT collect_top_k(struct(o_totalprice, o_orderkey), 1, true)[0].o_totalprice
+        |FROM ctk_orders""".stripMargin).as[Double].head()
+    val trueMin = Tables.orders(spark, sfTiny)
+      .agg(min("o_totalprice")).as[Double].head()
+    assert(least === trueMin)
+    // k must be a literal
+    val err = intercept[Exception] {
+      spark.sql("SELECT collect_top_k(struct(o_totalprice), o_orderkey, false) FROM ctk_orders").collect()
+    }
+    assert(err.getMessage.contains("literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("literal")))
+  }
+
   test("the SparkSessionExtensions injection registers the same builders") {
     // the hook the driver-facing config path (spark.sql.extensions) runs:
     // apply it to a fresh SparkSessionExtensions and verify every function

@@ -217,6 +217,17 @@ class PlanAuditSpec extends SparkSpec {
       s"window not keyed by o_custkey:\n$plan")
   }
 
+  test("agg_topk_per_group is a partial-aggregated heap, no window, no sort of the input") {
+    val plan = physical(run("agg_topk_per_group"))
+    assert(plan.contains("collect_top_k"), s"no collect_top_k aggregate:\n$plan")
+    // partial (map-side) heap before the o_custkey exchange: only <=k rows
+    // per customer per map task cross the wire
+    assert(plan.contains("partial_collect_top_k"),
+      s"collect_top_k not partially aggregated map-side:\n$plan")
+    assert(!plan.contains("Window"), s"fell back to a window plan:\n$plan")
+    assert(!plan.contains("Sort "), s"input sorted despite heap aggregate:\n$plan")
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     Seq("tpch_q1_pricing_summary", "cdc_filter_ops", "cdc_group_by_collection")
       .foreach { n =>

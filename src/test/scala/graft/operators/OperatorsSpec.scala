@@ -216,6 +216,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("topKPerGroup equals the window row_number form exactly") {
+    val orders = Tables.orders(spark, sfTiny)
+    val viaHeap = TopK.topKPerGroup(orders,
+      groupCols = Seq("o_custkey"),
+      ordCols = Seq(col("o_totalprice"), (-col("o_orderkey")).as("__tb")),
+      payload = Seq(col("o_orderkey")), k = 3)
+      .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders
+      .select(col("o_custkey"), row_number().over(w).as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+      .filter(col("rank") <= 3)
+    assert(viaHeap.count() === viaWindow.count())
+    assert(viaHeap.exceptAll(viaWindow).count() === 0)
+    assert(viaWindow.exceptAll(viaHeap).count() === 0)
+  }
+
+  test("topKPerGroup emits at most k ranks, dense from 1, per group") {
+    val out = TopK.topKPerGroup(Tables.orders(spark, sfTiny),
+      groupCols = Seq("o_custkey"),
+      ordCols = Seq(col("o_totalprice"), (-col("o_orderkey")).as("__tb")),
+      payload = Seq(col("o_orderkey")), k = 2)
+    val perGroup = out.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), max("rank").as("maxr"), min("rank").as("minr"))
+      .collect()
+    perGroup.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n <= 2 && r.getAs[Int]("minr") === 1 &&
+        r.getAs[Int]("maxr").toLong === n)
+    }
+  }
+
   test("partition key strategies expose the reference layouts") {
     assert(KeyStrategy.HivePartitioned.partitionColumns ===
       Seq("collection", "year", "month", "day", "hour"))

@@ -2193,6 +2193,48 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("pick_order"))
   }
 
+  register("corpus_mix_temperature", Some(
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |m AS (SELECT min(n) AS n_min FROM counts)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN m
+      |WHERE CAST(('0x' || substring(md5(d.text), 1, 8)) AS BIGINT) % 1000000
+      |  < CAST(floor(1000000.0 * sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n AS DOUBLE))) AS BIGINT)""".stripMargin)) { (s, dir) =>
+    // Temperature-smoothed language mix (alpha=0.5): keep sqrt(n_min/n_l)
+    // of each language — the fixture's en is ~3x the others, so this
+    // genuinely rebalances (en keeps ~58%, the rest ~95-100%). Counts come
+    // back as a broadcast; the keep decision is a scan-local content-hash
+    // threshold — reproducible, no corpus shuffle. sqrt (not pow) so the
+    // threshold replays bit-identically in DuckDB.
+    graft.functions.CorpusOps.sampleTemperature(
+        Tables.documents(s, dir), groupCol = "lang")
+      .select(col("doc_id"), col("lang"))
+  }
+
+  register("corpus_segment_dedup", Some(
+    """WITH segs AS (
+      |  SELECT doc_id, unnest(range(0, greatest(CAST(ceil(len(t)/10.0) AS BIGINT), 1))) AS pos, t
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |s2 AS (
+      |  SELECT doc_id, pos, array_to_string(t[(pos*10+1):(pos*10+10)], ' ') AS seg
+      |  FROM segs),
+      |freq AS (
+      |  SELECT md5(seg) AS h FROM s2 GROUP BY 1
+      |  HAVING count(DISTINCT doc_id) > 1)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN f.h IS NULL THEN seg END, ' ' ORDER BY pos), '') AS clean_text,
+      |  count(CASE WHEN f.h IS NULL THEN 1 END) AS n_kept,
+      |  count(*) AS n_total
+      |FROM s2 LEFT JOIN freq f ON md5(s2.seg) = f.h
+      |GROUP BY doc_id""".stripMargin)) { (s, dir) =>
+    // C4/RefinedWeb-style repeated-passage removal: drop every 10-token
+    // segment occurring in >1 distinct document, rebuild docs in order.
+    // Frequency pass shuffles only (md5, doc_id) pairs; the frequent set
+    // is boilerplate-sized and broadcasts; one doc-keyed rebuild shuffle.
+    graft.functions.CorpusOps.dropRepeatedSegments(
+      Tables.documents(s, dir), width = 10, maxDf = 1)
+  }
+
   register("text_tfidf_topk", Some(
     """WITH toks AS (
       |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),

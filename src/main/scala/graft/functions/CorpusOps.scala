@@ -291,13 +291,16 @@ object CorpusOps {
     // DOWN and fabricate a phantom segment for empty text)
     val nSegs = greatest(
       ceil(size(toks).cast("double") / lit(width)).cast("int"), lit(1))
+    // explode positions FIRST, slice per row after: slice/array_join are
+    // codegen'd collection ops, where a transform(sequence(...), i -> …)
+    // lambda would run interpreted on the corpus-wide hot path (the same
+    // trap the shingle builder hit in round 2)
     val segs = docs
       .withColumn("__toks", toks)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), nSegs - lit(1)),
-          i => array_join(slice(col("__toks"), i * width + lit(1), width), " "))))
-      .withColumnRenamed("pos", "__pos")
-      .withColumnRenamed("col", "__seg")
+      .withColumn("__pos", explode(sequence(lit(0), nSegs - lit(1))))
+      .select(col(idCol), col("__pos"),
+        array_join(slice(col("__toks"), col("__pos") * width + lit(1),
+          lit(width)), " ").as("__seg"))
     val frequent = segs
       .groupBy(md5(col("__seg")).as("__h"))
       .agg(countDistinct(col(idCol)).as("__df"))

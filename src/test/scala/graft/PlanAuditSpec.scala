@@ -217,6 +217,26 @@ class PlanAuditSpec extends SparkSpec {
       s"window not keyed by o_custkey:\n$plan")
   }
 
+  test("segment dedup broadcasts the frequent set; membership test never shuffles the corpus") {
+    val df = run("corpus_segment_dedup")
+    df.collect() // finalize the adaptive plan
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frequent-set membership is not a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"),
+      s"corpus-side shuffle or cross product in the membership join:\n$plan")
+  }
+
+  test("temperature mix: counts broadcast back, keep decision is scan-local") {
+    val df = run("corpus_mix_temperature")
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"source counts not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled to join 20 source counts:\n$plan")
+  }
+
   test("agg_topk_per_group is a partial-aggregated heap, no window, no sort of the input") {
     val plan = physical(run("agg_topk_per_group"))
     assert(plan.contains("collect_top_k"), s"no collect_top_k aggregate:\n$plan")

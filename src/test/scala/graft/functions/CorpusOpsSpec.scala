@@ -169,4 +169,63 @@ class CorpusOpsSpec extends SparkSpec {
     val sloppy = CorpusOps.contaminatedBloom(corpus, bench, n = 4, fpp = 0.5)
     assert(sloppy.exceptAll(exact).count() === 0)
   }
+
+  test("temperature mix keeps all of the smallest source, sqrt-downsamples larger ones") {
+    import spark.implicits._
+    // synthetic 16x skew (the fixture's sources are balanced): texts vary
+    // so the content-hash buckets spread
+    val skewed = (
+      (1 to 10).map(i => (s"tiny doc $i", "tiny")) ++
+      (1 to 40).map(i => (s"mid doc content $i", "mid")) ++
+      (1 to 160).map(i => (s"big corpus doc number $i", "big"))
+    ).toDF("text", "source")
+    val kept = CorpusOps.sampleTemperature(skewed)
+    val after = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // smallest source: threshold floor(1e6 * 1.0) clears every bucket
+    assert(after("tiny") === 10L)
+    // larger sources: keep within binomial noise of n * sqrt(nMin/n)
+    Map("mid" -> 40L, "big" -> 160L).foreach { case (s, n) =>
+      val expect = n * math.sqrt(10.0 / n)
+      val tol = 4 * math.sqrt(expect) + 3
+      assert(math.abs(after.getOrElse(s, 0L) - expect) <= tol,
+        s"source $s kept ${after.getOrElse(s, 0L)}, expected ~$expect")
+    }
+    // and the mix actually flattened: big was 16x tiny, now under 4.5x
+    assert(after("big").toDouble / after("tiny") < 4.5)
+    // deterministic: same input, same sample
+    assert(CorpusOps.sampleTemperature(skewed).select("text")
+      .exceptAll(kept.select("text")).count() === 0)
+    // alpha=1 is a no-op mix
+    assert(CorpusOps.sampleTemperature(skewed, alpha = 1.0).count() === skewed.count())
+    // alpha=0 fully balances in expectation: big keeps ~nMin
+    val balanced = CorpusOps.sampleTemperature(skewed, alpha = 0.0)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(balanced("big") <= 10L + 4 * math.sqrt(10.0) + 3)
+  }
+
+  test("segment dedup drops exactly the shared segments and rebuilds in order") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f"),   // shares [a b c] with doc 2, tail unique
+      (2L, "a b c x y z"),   // shares [a b c] with doc 1
+      (3L, "p q r s t u"),   // fully unique
+      (4L, "a b c a b c"),   // the shared segment twice: both copies drop
+      (5L, "")               // empty text survives as one empty segment
+    ).toDF("doc_id", "text")
+    val byId = CorpusOps.dropRepeatedSegments(fixture, width = 3, maxDf = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(byId(1L) === (("d e f", 1L, 2L)))
+    assert(byId(2L) === (("x y z", 1L, 2L)))
+    assert(byId(3L) === (("p q r s t u", 2L, 2L)))
+    // doc 4: "a b c" has df=3 (docs 1, 2, 4) — both its copies drop
+    assert(byId(4L) === (("", 0L, 2L)))
+    // empty doc: its single empty segment is unique (df=1) -> kept
+    assert(byId(5L) === (("", 1L, 1L)))
+    assert(byId.size === 5)
+    // raising maxDf above the observed df keeps everything
+    val loose = CorpusOps.dropRepeatedSegments(fixture, width = 3, maxDf = 3)
+    assert(loose.filter(col("n_kept") =!= col("n_total")).count() === 0)
+  }
 }

@@ -86,6 +86,13 @@ object GraftExtensions {
         "(bit_count(a ^ b))",
       args => { arity("hamming64", 2, args)
         BitwiseCount(BitwiseXor(args(0), args(1))) }),
+    one("signature_agreement",
+      classOf[graft.functions.expressions.SignatureAgreement],
+      "signature_agreement(a, b) - fraction of positions where two " +
+        "array<bigint> MinHash signatures agree (the Jaccard estimate; " +
+        "codegen'd)",
+      args => { arity("signature_agreement", 2, args)
+        graft.functions.expressions.SignatureAgreement(args(0), args(1)) }),
     one("collect_top_k",
       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK],
       "collect_top_k(item, k, reverse) - bounded-heap top-k aggregate: the " +

@@ -264,9 +264,11 @@ object Dedup {
       }
     val a = exploded.as("a")
     val b = exploded.as("b")
-    val est = size(filter(
-      zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")),
-      v => v === 1)).cast("double") / lit(k.toDouble)
+    // codegen'd agreement fraction: signatures are exactly k wide, so
+    // matches/min(len) == matches/k; the zip_with+filter+size HOF form
+    // this replaces ran interpreted once per banded co-occurrence
+    val est = graft.functions.expressions.VectorExpressions
+      .agreementNative(col("a.sig"), col("b.sig"))
     a.join(b, col("a.band") === col("b.band") &&
              col("a.bucket") === col("b.bucket") &&
              col("a.doc_id") < col("b.doc_id"))

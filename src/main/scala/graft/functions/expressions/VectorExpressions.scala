@@ -79,9 +79,64 @@ final case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fraction of positions where two `array<long>` MinHash signatures agree
+  * — the collision-rate Jaccard estimator (est = matches / width). Same
+  * rationale as [[CosineSimilarity]]: the `zip_with`+`filter`+`size`
+  * formulation runs interpreted and allocates two intermediate arrays per
+  * PAIR, and this sits in the inner loop of LSH candidate scoring (one
+  * evaluation per banded co-occurrence). Generates a single fused
+  * primitive loop, no allocations, inside whole-stage codegen.
+  *
+  * Positions are compared over min(len); equal-width signatures (the only
+  * way [[graft.functions.Dedup]] produces them) make that exactly
+  * matches/k. Empty input yields 0.0. Null ELEMENTS are not expected
+  * (signatures are dense); a null element reads as 0L here where the HOF
+  * form would propagate null — same caveat as CosineSimilarity. */
+final case class SignatureAgreement(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "signature_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    if (n > 0) eq.toDouble / n else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val eq = ctx.freshName("eq")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |}
+         |${ev.value} = ($n > 0) ? (((double) $eq) / $n) : 0.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SignatureAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Codegen'd cosine similarity over two `array<float>` columns. */
   def cosineNative(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd MinHash signature-agreement fraction (Jaccard estimate). */
+  def agreementNative(a: Column, b: Column): Column =
+    GraftBridge.column(SignatureAgreement(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 }

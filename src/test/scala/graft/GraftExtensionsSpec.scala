@@ -77,6 +77,19 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlV === 8) // 0x0F0F ^ 0x00FF = 0x0FF0 -> 8 set bits
   }
 
+  test("signature_agreement is callable from SQL and matches the native column form") {
+    import graft.functions.expressions.VectorExpressions
+    Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)))
+      .toDF("a", "b").createOrReplaceTempView("sigs")
+    val sqlV = spark.sql("SELECT signature_agreement(a, b) AS e FROM sigs")
+      .as[Double].head()
+    val colV = spark.table("sigs")
+      .select(VectorExpressions.agreementNative(col("a"), col("b")))
+      .as[Double].head()
+    assert(sqlV === colV)
+    assert(sqlV === 0.5)
+  }
+
   test("collect_top_k is callable from SQL: largest-k, best-first, k-bounded") {
     Tables.orders(spark, sfTiny).createOrReplaceTempView("ctk_orders")
     val top = spark.sql(

@@ -191,6 +191,36 @@ class DedupSpec extends SparkSpec {
       s"expression fell out of codegen:\n$plan")
   }
 
+  test("native SignatureAgreement equals the zip_with form and stays in codegen") {
+    import graft.functions.expressions.VectorExpressions
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minhashSignature(TextFunctions.shingleHashes(col("text"), 3), 16)
+        .as("sig"))
+    val pairs = sigs.as("a").crossJoin(sigs.limit(5).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+    val native = pairs.select(col("a.doc_id"), col("b.doc_id"),
+      VectorExpressions.agreementNative(col("a.sig"), col("b.sig")).as("est"))
+    val hof = pairs.select(col("a.doc_id"), col("b.doc_id"),
+      (size(filter(
+        zip_with(col("a.sig"), col("b.sig"), (x, y) => (x === y).cast("int")),
+        v => v === 1)).cast("double") / lit(16.0)).as("est"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1))
+    val a = native.collect().map(r => key(r) -> r.getDouble(2)).toMap
+    val b = hof.collect().map(r => key(r) -> r.getDouble(2)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+    // degenerate widths: empty arrays estimate 0.0
+    import spark.implicits._
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("x", "y")
+      .select(VectorExpressions.agreementNative(col("x"), col("y")))
+      .collect().head.getDouble(0)
+    assert(empty === 0.0)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.matches("^[:+\\- ]*\\*\\(\\d+\\).*")),
+      s"expression fell out of codegen:\n$plan")
+  }
+
   test("jaccard column function matches set semantics") {
     import spark.implicits._
     val df = Seq(

@@ -2008,6 +2008,50 @@ object Queries {
       .select(col("node").as("doc_id"), col("component").as("group_id"))
   }
 
+  register("corpus_dedup_fuzzy", Some(
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END AS ngrams
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    len(list_intersect(a.ngrams, b.ngrams)) AS isz,
+      |    len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams)) AS usz
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id),
+      |e AS (
+      |  SELECT da AS eu, db AS ev FROM p
+      |  WHERE usz > 0 AND CAST(isz AS DOUBLE) / usz >= 0.02
+      |  UNION
+      |  SELECT db, da FROM p
+      |  WHERE usz > 0 AND CAST(isz AS DOUBLE) / usz >= 0.02),
+      |reach(ru, rv) AS (
+      |  SELECT eu, ev FROM e
+      |  UNION
+      |  SELECT r.ru, e2.ev FROM reach r JOIN e e2 ON e2.eu = r.rv),
+      |g AS (SELECT ru AS doc_id, least(ru, min(rv)) AS gid FROM reach GROUP BY ru)
+      |SELECT d2.doc_id, d2.source FROM documents d2
+      |LEFT JOIN g ON d2.doc_id = g.doc_id
+      |WHERE g.doc_id IS NULL OR g.gid = d2.doc_id""".stripMargin)) { (s, dir) =>
+    // The END-TO-END fuzzy dedup a pipeline actually ships (the fuzzy
+    // analog of dedup_exact_keep): candidate edges → connected components
+    // → keep each component's smallest doc_id plus every untouched doc.
+    // The component map covers only docs with a near-dup (tiny next to the
+    // corpus) so it rides back as a broadcast; the corpus side stays
+    // scan-local. Oracle = the group query's recursive CTE, finished with
+    // the representative filter.
+    val docs = Tables.documents(s, dir)
+    val edges = Dedup.ngramSimilarPairs(docs, 3,
+      blockCol = "source", minJaccard = 0.02)
+    val comp = graft.functions.Components
+      .connectedComponents(edges, "doc_a", "doc_b")
+    docs.join(broadcast(comp), docs("doc_id") === comp("node"), "left")
+      .filter(col("node").isNull || col("component") === col("doc_id"))
+      .select(col("doc_id"), col("source"))
+  }
+
   register("dedup_minhash_lsh", None) { (s, dir) =>
     Dedup.minhashCandidates(Tables.documents(s, dir),
       shingleN = 3, k = 32, bands = 16, threshold = 0.2)

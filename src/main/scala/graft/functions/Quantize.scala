@@ -22,9 +22,24 @@ object Quantize {
 
   /** (idCol, qvec: array<tinyint>, scale: float). The 127·x/max ordering
     * of operations is part of the contract — the DuckDB oracle replays the
-    * identical IEEE expression. */
+    * identical IEEE expression. Computed by the fused codegen'd
+    * [[graft.functions.expressions.Int8Quantize]] (one pass, no
+    * interpreted lambdas); [[toInt8Reference]] keeps the higher-order-
+    * function spelling of the same contract and QuantizeSpec proves them
+    * bit-identical. */
   def toInt8(df: DataFrame, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
+    val q = graft.functions.expressions.VectorExpressions
+      .int8QuantizeNative(col(vecCol))
+    df.select(col(idCol),
+      q.getField("qvec").as("qvec"),
+      q.getField("scale").as("scale"))
+  }
+
+  /** The oracle form of [[toInt8]]: three HOF passes spelling out the
+    * contract arithmetic. Kept for verification, not for bulk use. */
+  def toInt8Reference(df: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
     val mab = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
     df.select(col(idCol),
       when(mab > 0,

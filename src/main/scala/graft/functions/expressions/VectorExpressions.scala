@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -129,6 +129,86 @@ final case class SignatureAgreement(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Symmetric int8 quantization of one `array<float>` embedding in a single
+  * fused pass: `struct(qvec array<tinyint>, scale float)` with
+  * `q_i = round_half_up(127 · x_i / max|x|)`, `scale = max|x|/127`, zero
+  * vectors → all-zero/0.0f. Replaces THREE interpreted higher-order passes
+  * per row (abs/max transform, quantize transform, plus the zero-vector
+  * branch) in [[graft.functions.Quantize.toInt8]] — a corpus-wide narrow
+  * pass when quantizing embeddings at rest.
+  *
+  * Rounding goes through `BigDecimal.valueOf(v).setScale(0, HALF_UP)` —
+  * the EXACT semantics of Spark's `round()` on doubles — because the
+  * DuckDB oracle replays the quantization arithmetic literally and a
+  * `Math.round`-style floor(v+0.5) differs on negative ties (-2.5 → -2,
+  * where HALF_UP gives -3). Operation order (127·x then /max) is part of
+  * the contract for the same reason. */
+final case class Int8Quantize(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("qvec", ArrayType(ByteType, containsNull = false), nullable = false),
+    StructField("scale", FloatType, nullable = false)))
+  override def prettyName: String = "int8_quantize"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mab = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(x.getFloat(i).toDouble); if (a > mab) mab = a; i += 1
+    }
+    val out = new Array[Byte](n)
+    if (mab > 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = java.math.BigDecimal
+          .valueOf(127.0 * x.getFloat(i).toDouble / mab)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toByte
+        i += 1
+      }
+    }
+    val scale = if (mab > 0.0) (mab / 127.0).toFloat else 0.0f
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UnsafeArrayData.fromPrimitiveArray(out), scale))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n")
+      val mab = ctx.freshName("mab")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $x.numElements();
+         |double $mab = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double v = java.lang.Math.abs((double) $x.getFloat($i));
+         |  if (v > $mab) $mab = v;
+         |}
+         |byte[] $out = new byte[$n];
+         |if ($mab > 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $r = java.math.BigDecimal
+         |      .valueOf(127.0 * ((double) $x.getFloat($i)) / $mab)
+         |      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |    $out[$i] = (byte) $r;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[] {
+         |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out),
+         |    java.lang.Float.valueOf($mab > 0.0 ? (float) ($mab / 127.0) : 0.0f) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd cosine similarity over two `array<float>` columns. */
   def cosineNative(a: Column, b: Column): Column =
@@ -139,4 +219,8 @@ object VectorExpressions {
   def agreementNative(a: Column, b: Column): Column =
     GraftBridge.column(SignatureAgreement(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd fused int8 quantization: struct(qvec, scale). */
+  def int8QuantizeNative(vec: Column): Column =
+    GraftBridge.column(Int8Quantize(GraftBridge.expression(vec)))
 }

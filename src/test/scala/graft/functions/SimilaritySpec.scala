@@ -256,4 +256,34 @@ class SimilaritySpec extends SparkSpec {
     info(f"quantized top-$K overlap = $overlap%.3f")
     assert(overlap >= 0.8, f"quantized overlap $overlap%.3f < 0.8")
   }
+
+  test("native Int8Quantize is bit-identical to the HOF reference form") {
+    import graft.functions.Quantize
+    val native = Quantize.toInt8(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Byte](1), r.getFloat(2)))).toMap
+    val ref = Quantize.toInt8Reference(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Byte](1), r.getFloat(2)))).toMap
+    assert(native === ref)
+    assert(native.nonEmpty)
+    // zero vector and negative HALF_UP ties (-2.5 must round to -3, the
+    // BigDecimal semantics of Spark's round(), not Math.round's -2):
+    // x = -2.5/127 * max|x| makes 127*x/max exactly -2.5
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f)),
+      (2L, Seq(127.0f, -2.5f, 2.5f, -126.5f))
+    ).toDF("vec_id", "embedding")
+    val n = Quantize.toInt8(edge).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Byte](1), r.getFloat(2)))).toMap
+    val h = Quantize.toInt8Reference(edge).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Byte](1), r.getFloat(2)))).toMap
+    assert(n === h)
+    assert(n(1L) === ((Seq[Byte](0, 0, 0), 0.0f)))
+    assert(n(2L)._1 === Seq[Byte](127, -3, 3, -127))
+    // and the fused expression stays inside whole-stage codegen
+    val plan = Quantize.toInt8(emb).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.matches("^[:+\\- ]*\\*\\(\\d+\\).*")),
+      s"Int8Quantize fell out of codegen:\n$plan")
+  }
 }

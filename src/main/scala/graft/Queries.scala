@@ -2052,6 +2052,48 @@ object Queries {
       .select(col("doc_id"), col("source"))
   }
 
+  register("corpus_split_leakage", Some(
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100 AS b,
+      |    CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END AS ngrams
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM d),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+      |    len(list_intersect(a.ngrams, b2.ngrams)) AS isz,
+      |    len(a.ngrams) + len(b2.ngrams) - len(list_intersect(a.ngrams, b2.ngrams)) AS usz
+      |  FROM d a JOIN d b2 ON a.source = b2.source AND a.doc_id < b2.doc_id)
+      |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+      |  round(CAST(isz AS DOUBLE) / usz, 6) AS jaccard
+      |FROM p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
+      |WHERE usz > 0 AND CAST(isz AS DOUBLE) / usz >= 0.02
+      |  AND sa.split <> sb.split""".stripMargin)) { (s, dir) =>
+    // Split-leakage audit: near-duplicate pairs that STRADDLE the
+    // content-hash train/val/test boundary — the eval-contamination a
+    // document-level split cannot prevent (near-dups hash apart). Pairs
+    // come from the posting-list ngram join (never a cross product); the
+    // split map is a scan-local md5 bucket, so the audit adds two keyed
+    // joins of the (small) pair list against doc ids. Both legs are
+    // engine-portable, so the whole audit is under the DuckDB oracle.
+    val docs = Tables.documents(s, dir)
+    val split = graft.functions.CorpusOps.withSplit(docs)
+      .select(col("doc_id"), col("split"))
+    Dedup.ngramSimilarPairs(docs, 3, blockCol = "source", minJaccard = 0.02)
+      .join(split.select(col("doc_id").as("__ida"), col("split").as("split_a")),
+        col("doc_a") === col("__ida"))
+      .join(split.select(col("doc_id").as("__idb"), col("split").as("split_b")),
+        col("doc_b") === col("__idb"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   register("dedup_minhash_lsh", None) { (s, dir) =>
     Dedup.minhashCandidates(Tables.documents(s, dir),
       shingleN = 3, k = 32, bands = 16, threshold = 0.2)

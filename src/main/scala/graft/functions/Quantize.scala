@@ -52,8 +52,9 @@ object Quantize {
 
   /** The int8 vector as array<float>, the input type of the codegen'd
     * cosine scorer ([[Similarity.cosineFast]]); values ≤ 127 are exact in
-    * float, so no precision is lost re-widening. */
-  def asFloats(qv: Column): Column = transform(qv, x => x.cast("float"))
+    * float, so no precision is lost re-widening. An array-typed `cast`
+    * (codegen'd), not a per-element transform lambda (interpreted). */
+  def asFloats(qv: Column): Column = qv.cast("array<float>")
 
   /** Dequantized vector, for consumers that need magnitudes. */
   def dequantize(qv: Column, scale: Column): Column =

@@ -48,6 +48,10 @@ object TopK {
                    k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(ordCols.nonEmpty, "need at least one ordering column")
+    // posexplode emits fixed `pos`/`col` names and the output adds `rank`;
+    // a group key with one of those names would silently collide
+    require(!groupCols.exists(Set("pos", "col", "rank")),
+      s"group columns may not be named pos/col/rank (got $groupCols)")
     val item = struct(ordCols ++ payload: _*)
     // `new`, not apply: the companion carrying `apply` is
     // `private[aggregate]` in Spark 4.1; the class itself is public

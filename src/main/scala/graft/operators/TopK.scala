@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * v desc) <= k` — shuffles every row of every group and sorts each
   * partition (Spark 4's `WindowGroupLimit` trims rows below rank k before
   * the exchange, but only after a full LOCAL sort of each map partition).
-  * For small k over a huge fact table the aggregate shape is strictly
-  * better: each map task keeps one k-bounded priority queue per group
-  * (O(n log k), no sort), the exchange carries at most k rows per group
-  * per map partition, and the reduce side merges heaps instead of sorting.
-  * At 100 TB the difference is "shuffle ≈ k × |groups|" vs "shuffle ≈
-  * every surviving row + two sorts".
+  * Both shapes shuffle the same trimmed volume (≤ k rows per group per
+  * map partition); what the aggregate removes is the SORTS — each map
+  * task keeps one k-bounded priority queue per group (O(n log k) scan
+  * with no local sort, where the window plan sorts every map partition
+  * AND every reduce partition), and the reduce side merges heaps. At
+  * sf0.1 the sorts are cheap and the window form actually measures
+  * slightly faster (see BENCH_NOTES); the heap form's O(n log k) vs
+  * O(n log n) gap is a fact-table-scale property, and the aggregate
+  * additionally composes where windows cannot (inside other
+  * aggregations, `collect_top_k` from SQL).
   *
   * Implementation is Spark-first composition: the engine already ships the
   * exact aggregate this needs — `CollectTopK`, a `TypedImperativeAggregate`

@@ -2038,16 +2038,18 @@ object Queries {
     // The END-TO-END fuzzy dedup a pipeline actually ships (the fuzzy
     // analog of dedup_exact_keep): candidate edges → connected components
     // → keep each component's smallest doc_id plus every untouched doc.
-    // The component map covers only docs with a near-dup (tiny next to the
-    // corpus) so it rides back as a broadcast; the corpus side stays
-    // scan-local. Oracle = the group query's recursive CTE, finished with
-    // the representative filter.
+    // The component map covers only docs with a near-dup — tiny next to
+    // the corpus — so AQE promotes this join to a broadcast from its
+    // observed size (no hint: a FORCED broadcast would OOM on a
+    // pathological corpus where most docs have near-dups, where this
+    // degrades to a shuffle join). Oracle = the group query's recursive
+    // CTE, finished with the representative filter.
     val docs = Tables.documents(s, dir)
     val edges = Dedup.ngramSimilarPairs(docs, 3,
       blockCol = "source", minJaccard = 0.02)
     val comp = graft.functions.Components
       .connectedComponents(edges, "doc_a", "doc_b")
-    docs.join(broadcast(comp), docs("doc_id") === comp("node"), "left")
+    docs.join(comp, docs("doc_id") === comp("node"), "left")
       .filter(col("node").isNull || col("component") === col("doc_id"))
       .select(col("doc_id"), col("source"))
   }

@@ -306,8 +306,13 @@ object CorpusOps {
       .agg(countDistinct(col(idCol)).as("__df"))
       .filter(col("__df") > maxDf)
       .select("__h")
+    // no broadcast HINT: the frequent set is boilerplate-sized in any sane
+    // corpus and AQE promotes the join to a broadcast at runtime from its
+    // OBSERVED size — where a forced broadcast would OOM the driver on a
+    // pathological corpus whose every segment repeats, this degrades to a
+    // shuffle join instead
     segs
-      .join(broadcast(frequent), md5(col("__seg")) === col("__h"), "left")
+      .join(frequent, md5(col("__seg")) === col("__h"), "left")
       .groupBy(col(idCol))
       .agg(
         // collect_list skips nulls, so dropped segments vanish before the

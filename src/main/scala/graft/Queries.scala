@@ -1547,6 +1547,68 @@ object Queries {
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
   }
 
+  register("events_funnel", Some(
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS signup_ts FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS view_ts
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'view' AND e.ts > s1.signup_ts
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS purchase_ts
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.view_ts
+      |  GROUP BY e.user_id)
+      |SELECT s1.user_id, s1.signup_ts, s2.view_ts, s3.purchase_ts
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin)) { (s, dir) =>
+    // Ordered-stage funnel (signup → first view AFTER it → first purchase
+    // after THAT): each stage is one aggregate keyed by user joined back —
+    // at any scale, three user-keyed shuffles of stage survivors, never a
+    // per-user event sort or a sequence cross product. NULLs mark where a
+    // user fell out of the funnel.
+    val ev = Tables.events(s, dir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val s2 = ev.join(s1, "user_id")
+      .filter(col("event_type") === "view" && col("ts") > col("signup_ts"))
+      .groupBy("user_id").agg(min("ts").as("view_ts"))
+    val s3 = ev.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ts") > col("view_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"), col("signup_ts"), col("view_ts"),
+        col("purchase_ts"))
+  }
+
+  register("events_retention_cohorts", Some(
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      |SELECT f.cohort_day, date_diff('day', f.cohort_day, a.d) AS day_offset,
+      |  count(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    // Cohort retention: users grouped by first-activity day, counted on
+    // each later active day. The cohort map is one user-keyed aggregate
+    // (dimension-sized — AQE broadcasts it back); the activity relation is
+    // a distinct over (user, day) with partial aggregation. No day×day
+    // cross product at any scale.
+    val ev = Tables.events(s, dir)
+    val cohort = ev.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   register("agg_cube_orders", Some(
     """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
       |  COALESCE(o_orderpriority, 'ALL') AS orderpriority,

@@ -111,6 +111,30 @@ object Queries {
         col("event_id"), col("value"))
   }
 
+  register("cdc_scd2_history", Some(
+    """SELECT user_id, event_type AS operation, value,
+      |  ts AS effective_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+      |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM events""".stripMargin)) { (s, dir) =>
+    // SCD2 history materialization from the change stream: every change
+    // becomes a validity interval [effective_from, effective_to), the open
+    // interval marking the current version — what a warehouse keeps so
+    // point-in-time joins ("state as of T") stay a range lookup instead of
+    // a log replay. One window keyed by the document key (a single
+    // user-keyed shuffle at any scale); (ts, event_id) makes the version
+    // order total.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("cluster_time"), col("event_id"))
+    envelope(s, dir).select(
+      col("user_id"), col("operation"), col("value"),
+      col("cluster_time").as("effective_from"),
+      lead(col("cluster_time"), 1).over(w).as("effective_to"),
+      when(lead(col("cluster_time"), 1).over(w).isNull, lit(1))
+        .otherwise(lit(0)).as("is_current"))
+  }
+
   register("cdc_materialize_state", Some(
     """SELECT user_id, operation, cluster_time, event_id, value FROM (
       |  SELECT user_id, event_type AS operation, ts AS cluster_time,

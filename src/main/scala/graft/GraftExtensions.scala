@@ -38,6 +38,35 @@ object GraftExtensions {
       throw new IllegalArgumentException(
         s"$name expects $n arguments, got ${args.length}")
 
+  /** Foldable-literal extraction shared by every builder that takes a
+    * constant argument — one place for the contract (non-NULL, right type,
+    * analysis-time failure), so the functions can't drift. */
+  private def intLit(fn: String, what: String, e: Expression): Int =
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be a literal")
+    else e.eval() match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long =>
+        if (l.longValue() != l.intValue()) throw new IllegalArgumentException(
+          s"$fn: $what out of int range, got $l")
+        l.intValue()
+      case null => throw new IllegalArgumentException(
+        s"$fn: $what must not be NULL")
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+
+  private def boolLit(fn: String, what: String, e: Expression): Boolean =
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be a literal")
+    else e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case null => throw new IllegalArgumentException(
+        s"$fn: $what must not be NULL")
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a boolean literal, got $other")
+    }
+
   /** The injectable function set (name, info, builder). */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -50,37 +79,13 @@ object GraftExtensions {
       "shingle_hashes(text, n) - xxhash64 of every n-token shingle, in " +
         "window order with duplicates (n must be a literal integer)",
       args => { arity("shingle_hashes", 2, args)
-        val n = args(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: java.lang.Integer => i.intValue()
-            case l: java.lang.Long    => l.intValue()
-            case null => throw new IllegalArgumentException(
-              "shingle_hashes: n must not be NULL")
-            case other => throw new IllegalArgumentException(
-              s"shingle_hashes: n must be an integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "shingle_hashes: n must be a literal")
-        }
-        ShingleHashes(args(0), n) }),
+        ShingleHashes(args(0), intLit("shingle_hashes", "n", args(1))) }),
     one("minhash_signature", classOf[MinHashSignature],
       "minhash_signature(hashes, k) - k-wide MinHash signature from an " +
         "array of shingle hashes (k must be a literal integer; empty " +
         "arrays yield the sentinel signature)",
       args => { arity("minhash_signature", 2, args)
-        val k = args(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: java.lang.Integer => i.intValue()
-            case l: java.lang.Long    => l.intValue()
-            case null => throw new IllegalArgumentException(
-              "minhash_signature: k must not be NULL")
-            case other => throw new IllegalArgumentException(
-              s"minhash_signature: k must be an integer literal, got $other")
-          }
-          case _ => throw new IllegalArgumentException(
-            "minhash_signature: k must be a literal")
-        }
-        MinHashSignature(args(0), k) }),
+        MinHashSignature(args(0), intLit("minhash_signature", "k", args(1))) }),
     one("hamming64", classOf[BitwiseCount],
       "hamming64(a, b) - Hamming distance between two 64-bit fingerprints " +
         "(bit_count(a ^ b))",
@@ -100,15 +105,12 @@ object GraftExtensions {
         "sorted best-first. The engine's own kernel (public but " +
         "SQL-surface-less in Spark 4.1); see graft.operators.TopK",
       args => { arity("collect_top_k", 3, args)
-        def lit[T](e: Expression, what: String, f: PartialFunction[Any, T]): T =
-          if (e.foldable) f.applyOrElse(e.eval(), (o: Any) =>
-            throw new IllegalArgumentException(s"collect_top_k: $what literal required, got $o"))
-          else throw new IllegalArgumentException(s"collect_top_k: $what must be a literal")
-        val k = lit[Int](args(1), "integer k", {
-          case i: java.lang.Integer => i.intValue()
-          case l: java.lang.Long => l.intValue() })
-        val rev = lit[Boolean](args(2), "boolean reverse", {
-          case b: java.lang.Boolean => b.booleanValue() })
+        val k = intLit("collect_top_k", "k", args(1))
+        // k >= 1 at analysis time: BoundedPriorityQueue(0) would otherwise
+        // throw from java.util.PriorityQueue on an EXECUTOR mid-query
+        if (k < 1) throw new IllegalArgumentException(
+          s"collect_top_k: k must be >= 1, got $k")
+        val rev = boolLit("collect_top_k", "reverse", args(2))
         // `new`: the companion with `apply` is private[aggregate] in 4.1
         new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
           args(0), k, rev, 0, 0) }))

@@ -37,7 +37,10 @@ object Quantize {
   }
 
   /** The oracle form of [[toInt8]]: three HOF passes spelling out the
-    * contract arithmetic. Kept for verification, not for bulk use. */
+    * contract arithmetic. Kept for verification, not for bulk use. The
+    * scale guard is null-propagating (`otherwise` only when mab = 0, not
+    * when the VECTOR is null) so a null embedding row yields (null, null)
+    * here exactly as the null-propagating native expression does. */
   def toInt8Reference(df: DataFrame, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val mab = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
@@ -47,7 +50,9 @@ object Quantize {
           round(lit(127.0) * x.cast("double") / mab).cast("tinyint")))
         .otherwise(transform(col(vecCol), _ => lit(0).cast("tinyint")))
         .as("qvec"),
-      when(mab > 0, mab / 127.0).otherwise(lit(0.0)).cast("float").as("scale"))
+      when(mab > 0, mab / 127.0)
+        .when(col(vecCol).isNotNull, lit(0.0))
+        .cast("float").as("scale"))
   }
 
   /** The int8 vector as array<float>, the input type of the codegen'd

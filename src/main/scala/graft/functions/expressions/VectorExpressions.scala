@@ -142,7 +142,13 @@ final case class SignatureAgreement(left: Expression, right: Expression)
   * DuckDB oracle replays the quantization arithmetic literally and a
   * `Math.round`-style floor(v+0.5) differs on negative ties (-2.5 → -2,
   * where HALF_UP gives -3). Operation order (127·x then /max) is part of
-  * the contract for the same reason. */
+  * the contract for the same reason.
+  *
+  * Elements must be FINITE: a NaN/Infinity element raises a clear
+  * IllegalArgumentException at the row (the HOF spelling also fails there
+  * — ANSI mode rejects the non-finite tinyint cast — but from deeper in
+  * the stack; and an all-NaN vector would otherwise quantize to zeros
+  * silently, hiding the corruption). */
 final case class Int8Quantize(child: Expression)
   extends UnaryExpression with ExpectsInputTypes {
 
@@ -158,7 +164,15 @@ final case class Int8Quantize(child: Expression)
     var mab = 0.0
     var i = 0
     while (i < n) {
-      val a = math.abs(x.getFloat(i).toDouble); if (a > mab) mab = a; i += 1
+      val a = math.abs(x.getFloat(i).toDouble)
+      // `!(a <= MaxValue)` catches NaN (compares false) and +Infinity in
+      // one branch: a dirty element would otherwise either crash deep in
+      // BigDecimal.valueOf (NaN) or silently zero the vector (all-NaN
+      // makes mab stay 0) — fail loudly at the row instead
+      if (!(a <= Double.MaxValue)) throw new IllegalArgumentException(
+        s"int8_quantize: non-finite embedding element at index $i")
+      if (a > mab) mab = a
+      i += 1
     }
     val out = new Array[Byte](n)
     if (mab > 0.0) {
@@ -187,6 +201,9 @@ final case class Int8Quantize(child: Expression)
          |double $mab = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double v = java.lang.Math.abs((double) $x.getFloat($i));
+         |  if (!(v <= java.lang.Double.MAX_VALUE))
+         |    throw new IllegalArgumentException(
+         |      "int8_quantize: non-finite embedding element at index " + $i);
          |  if (v > $mab) $mab = v;
          |}
          |byte[] $out = new byte[$n];

@@ -52,10 +52,19 @@ object TopK {
                    k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(ordCols.nonEmpty, "need at least one ordering column")
-    // posexplode emits fixed `pos`/`col` names and the output adds `rank`;
-    // a group key with one of those names would silently collide
-    require(!groupCols.exists(Set("pos", "col", "rank")),
-      s"group columns may not be named pos/col/rank (got $groupCols)")
+    // the output adds a synthesized `rank`; reject group keys or struct
+    // fields with that name up front — the alternative is two ambiguous
+    // `rank` columns that only explode downstream at analysis time
+    def named(c: Column): Option[String] =
+      GraftBridge.expression(c) match {
+        case ne: org.apache.spark.sql.catalyst.expressions.NamedExpression =>
+          Some(ne.name)
+        case _ => None
+      }
+    val fieldNames = (ordCols ++ payload).flatMap(named)
+    require(!(groupCols ++ fieldNames).contains("rank"),
+      "no group column or ordering/payload field may be named 'rank' " +
+        "(the operator synthesizes that column)")
     val item = struct(ordCols ++ payload: _*)
     // `new`, not apply: the companion carrying `apply` is
     // `private[aggregate]` in Spark 4.1; the class itself is public
@@ -63,9 +72,12 @@ object TopK {
       new CollectTopK(GraftBridge.expression(item), k, false, 0, 0)
         .toAggregateExpression())
     df.groupBy(groupCols.map(col): _*)
-      .agg(topk.as("__top"))
-      .select(groupCols.map(col) :+ posexplode(col("__top")): _*)
-      .withColumn("rank", (col("pos") + 1).cast("int"))
-      .select(groupCols.map(col) ++ Seq(col("rank")) :+ col("col.*"): _*)
+      .agg(topk.as("__graft_top"))
+      // collision-proof internal names: posexplode's default `pos`/`col`
+      // output names would shadow same-named user columns
+      .select(groupCols.map(col) :+
+        posexplode(col("__graft_top")).as(Seq("__graft_pos", "__graft_item")): _*)
+      .withColumn("rank", (col("__graft_pos") + 1).cast("int"))
+      .select(groupCols.map(col) ++ Seq(col("rank")) :+ col("__graft_item.*"): _*)
   }
 }

@@ -280,6 +280,18 @@ class SimilaritySpec extends SparkSpec {
     assert(n === h)
     assert(n(1L) === ((Seq[Byte](0, 0, 0), 0.0f)))
     assert(n(2L)._1 === Seq[Byte](127, -3, 3, -127))
+    // a NULL embedding row null-propagates in BOTH forms (qvec AND scale)
+    val nullRow = Seq((9L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    for (form <- Seq(Quantize.toInt8(nullRow), Quantize.toInt8Reference(nullRow))) {
+      val r = form.collect().head
+      assert(r.isNullAt(1) && r.isNullAt(2), s"null row diverged in $form")
+    }
+    // non-finite elements fail loudly at the row, not deep in BigDecimal
+    val dirty = Seq((8L, Seq(1.0f, Float.NaN))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] { Quantize.toInt8(dirty).collect() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("non-finite")), s"unclear error: $err")
     // and the fused expression stays inside whole-stage codegen
     val plan = Quantize.toInt8(emb).queryExecution.executedPlan.toString
     assert(plan.linesIterator.exists(l =>

@@ -579,6 +579,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq.map(_._2).sum === 2L * rows.count(_._1 >= 0))
   }
 
+  test("corpus cleaning runs at ingest: stream transform equals the batch pass") {
+    // The training-data operators are scan-local column expressions, so
+    // the SAME transform plugs into PipelineConfig.transform unchanged —
+    // quality-score, language-id and token-count happen per micro-batch at
+    // ingest, no state, no second pass over the corpus.
+    import graft.functions.{TextFunctions => TF}
+    val (src, ckpt, out) = fresh("corpusclean")
+    val docs = Tables.documents(spark, sfTiny)
+      .select("doc_id", "text", "lang", "n_chars")
+    docs.repartition(3).write.mode("overwrite").json(src)
+    def clean(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), col("lang"),
+      TF.langId(col("text")).as("lang_guess"),
+      round(TF.qualityScore(col("text"), col("n_chars")), 6).as("quality"),
+      TF.tokenCount(col("text")).as("n_tokens"))
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val c = PipelineConfig(sourceDir = src,
+      schemaDDL = "doc_id long, text string, lang string, n_chars long",
+      checkpointDir = ckpt, queryName = "corpusclean-q",
+      triggerInterval = None, transform = clean)
+    val q = CdcPipeline.start(spark, c, dest)
+    q.awaitTermination(120000)
+    val got = dest.readBack(spark, Some(
+        "doc_id long, lang string, lang_guess string, quality double, n_tokens int"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val batch = clean(docs).collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getDouble(3), r.getInt(4))).toSet
+    assert(got === batch)
+    assert(got.size === docs.count())
+  }
+
   test("pre-image pair flows through the pipeline; diffs computable per batch (S6)") {
     // full_document_before_change (stream.rs:483-501): the envelope carries
     // the before-document for update-class events; a consumer computes

@@ -1416,15 +1416,20 @@ object Queries {
       |FROM orders GROUP BY 1""".stripMargin)) { (s, dir) =>
     // PIVOT through the DataFrame API with explicit pivot values — with
     // the value list given, Catalyst plans ONE pass (no distinct-values
-    // pre-query) and the pivot lowers to exactly the CASE aggregation the
-    // oracle spells out.
+    // pre-query). With TWO aggregates the pivot lowers through PivotFirst,
+    // whose empty cells are NULL — the counts coalesce to 0 to match the
+    // oracle's SUM(CASE … ELSE 0) (the rev sums stay NULL-on-empty in
+    // both engines; the fixture happens to populate every cell, but the
+    // contract must not depend on that).
     Tables.orders(s, dir)
       .groupBy("o_orderstatus")
       .pivot("o_orderpriority", Seq("1-URGENT", "5-LOW"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
       .select(col("o_orderstatus"),
-        col("1-URGENT_n").as("urgent_n"), col("1-URGENT_rev").as("urgent_rev"),
-        col("5-LOW_n").as("low_n"), col("5-LOW_rev").as("low_rev"))
+        coalesce(col("1-URGENT_n"), lit(0L)).as("urgent_n"),
+        col("1-URGENT_rev").as("urgent_rev"),
+        coalesce(col("5-LOW_n"), lit(0L)).as("low_n"),
+        col("5-LOW_rev").as("low_rev"))
   }
 
   register("agg_percentiles", Some(
@@ -1803,25 +1808,33 @@ object Queries {
       |      AS quality
       |  FROM t)
       |SELECT doc_id, source, quality FROM (
-      |  SELECT doc_id, source, quality,
+      |  SELECT doc_id, source, round(quality, 6) AS quality,
       |    percent_rank() OVER (PARTITION BY source
-      |      ORDER BY quality, doc_id) AS pr
-      |  FROM q) WHERE pr >= 0.1""".stripMargin)) { (s, dir) =>
+      |      ORDER BY round(quality, 6), doc_id) AS pr,
+      |    count(*) OVER (PARTITION BY source) AS n_src
+      |  FROM q) WHERE n_src = 1 OR pr >= 0.1""".stripMargin)) { (s, dir) =>
     // Adaptive per-source quality floor: drop each source's bottom decile
     // rather than a fixed global threshold (sources differ in baseline
     // quality — a fixed cutoff over-prunes clean sources and under-prunes
     // noisy ones). The cutoff is RANK-based (percent_rank = (rank−1)/(n−1),
     // exact integer arithmetic identical in both engines) instead of
     // comparing against an interpolated percentile value, whose last-ulp
-    // differences could flip boundary docs. One shuffle keyed by source.
+    // differences could flip boundary docs. BOTH engines rank the
+    // 6-dp-rounded score (TF.qualityScore rounds; an unrounded oracle
+    // could order two sub-ulp-apart docs differently and keep different
+    // sets). Single-doc sources are exempt — percent_rank of a lone row
+    // is 0 in both engines, and "drop the bottom decile" must not mean
+    // "erase every tail source". One shuffle keyed by source.
     val docs = Tables.documents(s, dir)
     val w = Window.partitionBy(col("source"))
       .orderBy(col("quality"), col("doc_id"))
+    val wn = Window.partitionBy(col("source"))
     docs.select(col("doc_id"), col("source"),
         TF.qualityScore(col("text"), col("n_chars")).as("quality"))
       .withColumn("__pr", percent_rank().over(w))
-      .filter(col("__pr") >= 0.1)
-      .drop("__pr")
+      .withColumn("__n", count(lit(1)).over(wn))
+      .filter(col("__n") === 1 || col("__pr") >= 0.1)
+      .drop("__pr", "__n")
   }
 
   register("text_stats", Some(

@@ -55,6 +55,7 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val nn = ctx.freshName("nn")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val v = ctx.freshName("v")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
@@ -63,11 +64,11 @@ final case class CosineSimilarity(left: Expression, right: Expression)
          |}
          |double $nx = 0.0;
          |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double v = (double) $a.getFloat($i); $nx += v * v;
+         |  double $v = (double) $a.getFloat($i); $nx += $v * $v;
          |}
          |double $ny = 0.0;
          |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double v = (double) $b.getFloat($i); $ny += v * v;
+         |  double $v = (double) $b.getFloat($i); $ny += $v * $v;
          |}
          |double $nn = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
          |${ev.value} = ($nn > 0.0) ? ($dot / $nn) : 0.0;
@@ -196,15 +197,16 @@ final case class Int8Quantize(child: Expression)
       val out = ctx.freshName("out")
       val i = ctx.freshName("i")
       val r = ctx.freshName("r")
+      val v = ctx.freshName("v")
       s"""
          |int $n = $x.numElements();
          |double $mab = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double v = java.lang.Math.abs((double) $x.getFloat($i));
-         |  if (!(v <= java.lang.Double.MAX_VALUE))
+         |  double $v = java.lang.Math.abs((double) $x.getFloat($i));
+         |  if (!($v <= java.lang.Double.MAX_VALUE))
          |    throw new IllegalArgumentException(
          |      "int8_quantize: non-finite embedding element at index " + $i);
-         |  if (v > $mab) $mab = v;
+         |  if ($v > $mab) $mab = $v;
          |}
          |byte[] $out = new byte[$n];
          |if ($mab > 0.0) {

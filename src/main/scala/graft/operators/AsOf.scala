@@ -32,7 +32,14 @@ object AsOf {
     * Ties: at equal timestamps right rows sort BEFORE left rows (so a
     * same-instant right row IS visible, the inclusive contract), and equal
     * right timestamps resolve to the largest `(rightTime, tiebreak)` struct
-    * — pass a unique `tiebreak` column for a total order. */
+    * — pass a unique `tiebreak` column for a total order.
+    *
+    * NULL semantics match the SQL join the operator replaces: a right row
+    * with a NULL key or NULL time can never satisfy `key = key AND t <= T`
+    * and is excluded up front — without that filter the window's
+    * partitionBy would group NULL keys TOGETHER (and sort NULL times
+    * first), silently handing null-key left rows another null-key row's
+    * payload. Null-key left rows still come back, null-extended. */
   def asOfJoin(
       left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
@@ -45,7 +52,9 @@ object AsOf {
     // order makes "last" = greatest (time, tiebreak) — the deterministic
     // winner under timestamp ties
     val rowType = org.apache.spark.sql.types.StructType(left.schema.fields)
-    val rPrep = right.select(
+    val rPrep = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
       col(rightKey).as("__key"), col(rightTime).as("__t"), lit(0).as("__side"),
       struct((col(rightTime).as("__rt") +: col(tiebreak).as("__tb") +:
         payload.map(col)): _*).as("__p"),

@@ -21,10 +21,18 @@ object Skew {
   /** Equi-join with the skewed side salted into `salt` sub-keys and the
     * other side replicated `salt`× — the classic salt/replicate rewrite.
     *
-    * The salt assignment is `pmod(xxhash64(key, monotonically_increasing_id),
-    * salt)`: spread is uniform regardless of the key distribution, and no
-    * row ever changes join partners (the salt only sub-divides the shuffle
-    * partition of its key), so the OUTPUT is exactly the plain join's.
+    * The salt is `pmod(xxhash64(<every hashable column>), salt)` — a pure
+    * function of the ROW, never `monotonically_increasing_id` or rand():
+    * a non-deterministic expression inside a shuffle key is the
+    * SPARK-23207 failure class, where a map task recomputed after a fetch
+    * failure re-salts its rows differently and reducers silently see a row
+    * twice or not at all. Spread is uniform for distinct rows regardless
+    * of the key distribution, and no row ever changes join partners (the
+    * salt only sub-divides the shuffle partition of its key), so the
+    * OUTPUT is exactly the plain join's. The one spread caveat: BYTE-
+    * IDENTICAL duplicate rows share a salt bucket — a hot key whose volume
+    * is all copies of one row stays on one task, the price of a
+    * recompute-safe assignment.
     * Cost model: `other` shuffles `salt`× its size; use for a hot FACT
     * side joined to a modest (but non-broadcastable) side. A broadcastable
     * right side should use `broadcast()` instead — salting is the tier
@@ -45,8 +53,20 @@ object Skew {
       allowed(joinType.toLowerCase),
       s"saltedJoin supports inner/left join types; '$joinType' would " +
         "duplicate unmatched rows of the replicated side")
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def unhashable(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case st: StructType => st.fields.exists(f => unhashable(f.dataType))
+      case a: ArrayType  => unhashable(a.elementType)
+      case d             => d.typeName == "variant"
+    }
+    val hashableCols = skewed.schema.fields
+      .filterNot(f => unhashable(f.dataType))
+      .map(f => skewed(f.name)).toIndexedSeq
+    val saltInputs =
+      if (hashableCols.nonEmpty) hashableCols else IndexedSeq(col(key))
     val s = skewed.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(salt.toLong)))
+      pmod(xxhash64(saltInputs: _*), lit(salt.toLong)))
     val o = other.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     s.join(o, Seq(key, "__salt"), joinType).drop("__salt")

@@ -79,9 +79,17 @@ object Writers {
     * Catalyst's plan-size estimate (no job launched). Small writes get 1
     * file per key (a fixed salt would multiply tiny files — measured ~2×
     * slower round-trip at sf0.1 from 4× the gzip streams); huge writes
-    * saturate at maxFilesPerKey. The estimate deliberately assumes the
-    * worst-case key distribution (all bytes in one hot key) because the
-    * salt exists precisely for that case. */
+    * saturate at maxFilesPerKey.
+    *
+    * The plan estimate is TOTAL bytes, which implicitly assumes the
+    * worst-case distribution (all bytes in one hot key) — sizing every
+    * key's salt from it would spray an evenly-spread large write into
+    * maxFilesPerKey tiny files per key (10 GB over 1000 collections →
+    * 64,000 sub-MB files). So whenever the naive width exceeds 1, one
+    * cheap approx-distinct pass over the key columns rescales to per-key
+    * volume; a floor of min(4, naive) keeps some spread for a hidden hot
+    * key (even-spread math would under-salt it). Small writes — the
+    * common case — never pay the extra pass. */
   def write(df: DataFrame, path: String, format: OutFormat,
             compression: OutCompression = OutCompression.None,
             strategy: KeyStrategy = KeyStrategy.HivePartitioned,
@@ -94,8 +102,19 @@ object Writers {
     val derived = PartitionKeys.withPartitionColumns(df, strategy, tsCol)
     val filesPerKey = {
       val est = derived.queryExecution.optimizedPlan.stats.sizeInBytes
-      ((est + targetFileBytes - 1) / targetFileBytes)
+      val naive = ((est + targetFileBytes - 1) / targetFileBytes)
         .min(maxFilesPerKey).max(1).toInt
+      if (naive <= 1 || strategy.partitionColumns.isEmpty) naive
+      else {
+        import org.apache.spark.sql.functions.{approx_count_distinct, col, struct}
+        val keyCount = derived
+          .agg(approx_count_distinct(
+            struct(strategy.partitionColumns.map(col): _*)))
+          .head().getLong(0).max(1L)
+        (((est / keyCount) + targetFileBytes - 1) / targetFileBytes)
+          .max(math.min(4, naive))
+          .min(maxFilesPerKey).max(1).toInt
+      }
     }
     val keyed =
       if (strategy.partitionColumns.nonEmpty) {

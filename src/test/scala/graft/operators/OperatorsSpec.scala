@@ -128,6 +128,33 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("Window"), s"expected a window plan:\n$plan")
   }
 
+  test("asOfJoin null keys/times follow SQL join semantics (null-extend, never match)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(10L), 100L),
+      (2L, None, 100L))          // null key: must null-extend, not match other null keys
+      .toDF("id", "k", "t_raw")
+      .withColumn("t", timestamp_micros(col("t_raw"))).drop("t_raw")
+    val right = Seq(
+      (101L, Some(10L), Some(50L)),
+      (102L, None, Some(40L)),   // null key: can never be a match partner
+      (103L, Some(10L), None))   // null time: t <= T is never true
+      .toDF("rid", "k", "t_raw")
+      .withColumn("t", timestamp_micros(col("t_raw"))).drop("t_raw")
+      .select(col("rid"), col("k"), col("t"), col("rid").as("m_rid"))
+    val got = AsOf.asOfJoin(left, "k", "t", right, "k", "t",
+      payload = Seq("m_rid"), tiebreak = "rid")
+    val byId = got.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("m_rid"))) None
+         else Some(r.getLong(r.fieldIndex("m_rid"))))).toMap
+    // id=1 matches rid=101 (the only non-null, preceding right row);
+    // the null-time rid=103 must NOT win despite nulls-first sorting.
+    // id=2 (null key) survives null-extended — NOT paired with rid=102.
+    assert(byId === Map(1L -> Some(101L), 2L -> None))
+    assert(got.count() === 2)
+  }
+
   test("rangeJoin equals the inequality join and plans a hash join, not BNLJ") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -53,18 +53,17 @@ object Skew {
       allowed(joinType.toLowerCase),
       s"saltedJoin supports inner/left join types; '$joinType' would " +
         "duplicate unmatched rows of the replicated side")
-    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
-    def unhashable(dt: DataType): Boolean = dt match {
-      case _: MapType    => true
-      case st: StructType => st.fields.exists(f => unhashable(f.dataType))
-      case a: ArrayType  => unhashable(a.elementType)
-      case d             => d.typeName == "variant"
-    }
-    val hashableCols = skewed.schema.fields
-      .filterNot(f => unhashable(f.dataType))
-      .map(f => skewed(f.name)).toIndexedSeq
-    val saltInputs =
-      if (hashableCols.nonEmpty) hashableCols else IndexedSeq(col(key))
+    // salt inputs come from the plan's OUTPUT ATTRIBUTES, not name lookup:
+    // skewed(f.name) would throw AMBIGUOUS_REFERENCE on a post-join frame
+    // with duplicate column names, and mis-parse dotted names
+    val saltInputs = skewed.queryExecution.analyzed.output
+      .filterNot(a => graft.Hashable.unhashable(a.dataType))
+      .map(a => org.apache.spark.sql.GraftBridge.column(a))
+    // no fallback: if NOTHING is hashable the key column isn't either, so
+    // any xxhash64 would fail analysis anyway — state the real contract
+    require(saltInputs.nonEmpty,
+      "saltedJoin needs at least one hashable (non-map, non-variant) " +
+        "column on the skewed side to derive a deterministic salt")
     val s = skewed.withColumn("__salt",
       pmod(xxhash64(saltInputs: _*), lit(salt.toLong)))
     val o = other.withColumn("__salt",

@@ -119,22 +119,21 @@ object Writers {
     val keyed =
       if (strategy.partitionColumns.nonEmpty) {
         import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64,
-          monotonically_increasing_id}
-        import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+          spark_partition_id}
         // xxhash64 rejects MapType (and variant) inputs — salt only from
-        // hashable columns, falling back to a row-id spread when none exist
-        def unhashable(dt: DataType): Boolean = dt match {
-          case _: MapType          => true
-          case s: StructType       => s.fields.exists(f => unhashable(f.dataType))
-          case a: ArrayType        => unhashable(a.elementType)
-          case d                   => d.typeName == "variant"
-        }
+        // hashable columns (graft.Hashable, shared with Skew.saltedJoin).
+        // The no-hashable-column fallback spreads by INPUT PARTITION id:
+        // coarse (one bucket per input partition) but deterministic under
+        // task recompute, where the previous monotonically_increasing_id
+        // fallback was the SPARK-23207 nondeterministic-shuffle-key hazard
+        // (a recomputed map task re-salts rows and the written output
+        // silently duplicates or drops them).
         val saltInputs = df.schema.fields
-          .filterNot(f => unhashable(f.dataType))
+          .filterNot(f => graft.Hashable.unhashable(f.dataType))
           .map(f => derived(f.name)).toIndexedSeq
         val salt = pmod(
           if (saltInputs.nonEmpty) xxhash64(saltInputs: _*)
-          else xxhash64(monotonically_increasing_id()),
+          else xxhash64(spark_partition_id().cast("long")),
           lit(filesPerKey.toLong))
         // explicit partition count: a count-less repartition is fair game
         // for AQE partition coalescing, which at small volumes merges the

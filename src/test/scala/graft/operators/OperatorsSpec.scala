@@ -90,6 +90,18 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Skew.saltedJoin(skewed, other, "k", 8, "cross")
     }
+    // the salt is a pure function of the row (no monotonic ids): the same
+    // input salted twice produces identical assignments
+    val s1 = Skew.saltedJoin(skewed, other, "k", 8).collect().map(_.toSeq).toSeq
+    val s2 = Skew.saltedJoin(skewed, other, "k", 8).collect().map(_.toSeq).toSeq
+    assert(s1.groupBy(identity).view.mapValues(_.length).toMap ===
+      s2.groupBy(identity).view.mapValues(_.length).toMap)
+    // a post-join frame with DUPLICATE column names still salts (inputs
+    // resolve from plan attributes, not name lookup)
+    val dup = skewed.withColumnRenamed("payload", "note")
+      .join(other.withColumn("note", lit("x")), Seq("k"))
+    val viaDup = Skew.saltedJoin(dup, other.select(col("k")), "k", 4)
+    assert(viaDup.count() === dup.join(other.select(col("k")), Seq("k")).count())
   }
 
   test("asOfJoin matches the naive rank form, including timestamp ties") {

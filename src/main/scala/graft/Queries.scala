@@ -2380,6 +2380,40 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("pick_order"))
   }
 
+  register("text_unigram_logprob", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+      |cf AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(cnt) AS total FROM cf)
+      |SELECT t.doc_id,
+      |  round(CAST(-sum(CAST(ln(CAST(cf.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE))
+      |    AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS nll
+      |FROM toks t JOIN cf ON t.term = cf.term CROSS JOIN tot
+      |GROUP BY t.doc_id""".stripMargin)) { (s, dir) =>
+    // Corpus-LM document scoring (the CCNet-style perplexity filter, with
+    // a unigram model standing in for the LM): per-token negative
+    // log-likelihood under the corpus's own unigram distribution — docs of
+    // rare/garbled tokens score high, boilerplate scores low. This is the
+    // STATISTICS-based quality signal next to the heuristic one
+    // (corpus_quality_cutoff): two keyed shuffles (term frequencies, the
+    // per-doc aggregate) at any corpus size, the 1-row total broadcast.
+    // Each log term is quantized to DECIMAL(38,9) before the order-free
+    // decimal sum — ln() is not correctly-rounded-guaranteed across
+    // engines, and the quantum absorbs the ulp while staying 1000x finer
+    // than the 6-dp output tolerance.
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"),
+      explode(TF.tokens(col("text"))).as("term"))
+    val cf = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = cf.agg(sum("cnt").as("total"))
+    toks.join(cf, "term").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(round(
+        (-sum(log(col("cnt").cast("double") / col("total").cast("double"))
+          .cast("decimal(38,9)"))).cast("double") / count(lit(1)), 6)
+        .as("nll"))
+  }
+
   register("corpus_mix_temperature", Some(
     """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
       |m AS (SELECT min(n) AS n_min FROM counts)

@@ -2409,8 +2409,8 @@ object Queries {
     toks.join(cf, "term").crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(round(
-        (-sum(log(col("cnt").cast("double") / col("total").cast("double"))
-          .cast("decimal(38,9)"))).cast("double") / count(lit(1)), 6)
+        -dsum(log(col("cnt").cast("double") / col("total").cast("double")), 9)
+          / count(lit(1)), 6)
         .as("nll"))
   }
 

@@ -128,9 +128,15 @@ object Writers {
         // fallback was the SPARK-23207 nondeterministic-shuffle-key hazard
         // (a recomputed map task re-salts rows and the written output
         // silently duplicates or drops them).
-        val saltInputs = df.schema.fields
-          .filterNot(f => graft.Hashable.unhashable(f.dataType))
-          .map(f => derived(f.name)).toIndexedSeq
+        // plan output attributes, not derived(f.name): name lookup would
+        // mis-parse a column literally named "a.b" as nested access and
+        // throw on duplicate names (same fix as Skew.saltedJoin)
+        val originalNames = df.columns.toSet
+        val saltInputs = derived.queryExecution.analyzed.output
+          .filter(a => originalNames.contains(a.name))
+          .filterNot(a => graft.Hashable.unhashable(a.dataType))
+          .map(a => org.apache.spark.sql.GraftBridge.column(a))
+          .toIndexedSeq
         val salt = pmod(
           if (saltInputs.nonEmpty) xxhash64(saltInputs: _*)
           else xxhash64(spark_partition_id().cast("long")),

@@ -90,12 +90,16 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Skew.saltedJoin(skewed, other, "k", 8, "cross")
     }
-    // the salt is a pure function of the row (no monotonic ids): the same
-    // input salted twice produces identical assignments
-    val s1 = Skew.saltedJoin(skewed, other, "k", 8).collect().map(_.toSeq).toSeq
-    val s2 = Skew.saltedJoin(skewed, other, "k", 8).collect().map(_.toSeq).toSeq
-    assert(s1.groupBy(identity).view.mapValues(_.length).toMap ===
-      s2.groupBy(identity).view.mapValues(_.length).toMap)
+    // the salt must be a pure function of the row: a nondeterministic
+    // expression in the shuffle key is the SPARK-23207 recompute hazard.
+    // Output comparison can't detect it (the output is salt-invariant by
+    // construction), so assert directly that no nondeterministic
+    // expression appears anywhere in the salted plan.
+    val analyzed = Skew.saltedJoin(skewed, other, "k", 8)
+      .queryExecution.analyzed.toString
+    for (bad <- Seq("monotonically_increasing_id", "rand(", "uuid("))
+      assert(!analyzed.contains(bad),
+        s"nondeterministic '$bad' in the salted plan:\n$analyzed")
     // a post-join frame with DUPLICATE column names still salts (inputs
     // resolve from plan attributes, not name lookup)
     val dup = skewed.withColumnRenamed("payload", "note")

@@ -1525,6 +1525,29 @@ object Queries {
       count(lit(1)).as("n"))
   }
 
+  register("agg_hll_mergeable", None) { (s, dir) =>
+    // MERGEABLE sketches — the incremental-stats architecture at 100 TB:
+    // persist one fixed-size DataSketches HLL per day partition (computed
+    // once, at ingest), then answer "distinct users over ANY date range"
+    // by unioning sketches — never re-scanning events. Here: daily user
+    // sketches → hll_union_agg per ISO week, alongside the exact distinct
+    // the one-shot scan would give. No DuckDB oracle (sketch estimates are
+    // engine-specific); OperatorsSpec gates the estimate against the exact
+    // count and proves union-of-dailies == one-shot weekly sketch (HLL
+    // merge is lossless at equal lgK).
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        weekofyear(to_date(col("ts"))).as("week"))
+    val daily = ev.groupBy(col("week"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val weekly = daily.groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    val exact = ev.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    weekly.join(exact, "week")
+      .select(col("week"), col("approx_users"), col("exact_users"))
+  }
+
   register("agg_sliding_windows", Some(
     """SELECT window_start, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value

@@ -259,6 +259,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mergeable HLL: union of daily sketches == one-shot sketch, bounded error") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("agg_hll_mergeable")(spark, sfTiny)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val relErr = math.abs(approx - exact) / exact
+      assert(relErr <= 0.05,
+        s"merged-HLL estimate off by ${relErr * 100}% for week ${r.get(0)}")
+    }
+    // lossless mergeability: unioning the daily sketches estimates exactly
+    // what one sketch over the whole week estimates (same lgK)
+    val ev = graft.Tables.events(spark, sfTiny)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        weekofyear(to_date(col("ts"))).as("week"))
+    val merged = ev.groupBy(col("week"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val oneShot = ev.groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    val m = merged.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val o = oneShot.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(m === o, "sketch union is not lossless vs the one-shot sketch")
+  }
+
   test("topKPerGroup equals the window row_number form exactly") {
     val orders = Tables.orders(spark, sfTiny)
     val viaHeap = TopK.topKPerGroup(orders,

@@ -2123,9 +2123,11 @@ object Queries {
     // Near-dup GROUPS, not just pairs: posting-list candidate edges →
     // min-label propagation. The oracle's recursive CTE computes the full
     // transitive closure (|C|² per component — fine at fixture scale,
-    // exactly what the iterative form avoids at corpus scale).
+    // exactly what the iterative form avoids at corpus scale). The df cap
+    // ships ON (non-binding at fixture scale — oracle unchanged; see
+    // Dedup.DefaultMaxDf for the 100 TB rationale).
     val edges = Dedup.ngramSimilarPairs(Tables.documents(s, dir), 3,
-      blockCol = "source", minJaccard = 0.02)
+      blockCol = "source", minJaccard = 0.02, maxDf = Dedup.DefaultMaxDf)
     graft.functions.Components.connectedComponents(edges, "doc_a", "doc_b")
       .select(col("node").as("doc_id"), col("component").as("group_id"))
   }
@@ -2168,7 +2170,7 @@ object Queries {
     // CTE, finished with the representative filter.
     val docs = Tables.documents(s, dir)
     val edges = Dedup.ngramSimilarPairs(docs, 3,
-      blockCol = "source", minJaccard = 0.02)
+      blockCol = "source", minJaccard = 0.02, maxDf = Dedup.DefaultMaxDf)
     val comp = graft.functions.Components
       .connectedComponents(edges, "doc_a", "doc_b")
     docs.join(comp, docs("doc_id") === comp("node"), "left")
@@ -2208,7 +2210,8 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val split = graft.functions.CorpusOps.withSplit(docs)
       .select(col("doc_id"), col("split"))
-    Dedup.ngramSimilarPairs(docs, 3, blockCol = "source", minJaccard = 0.02)
+    Dedup.ngramSimilarPairs(docs, 3, blockCol = "source", minJaccard = 0.02,
+        maxDf = Dedup.DefaultMaxDf)
       .join(split.select(col("doc_id").as("__ida"), col("split").as("split_a")),
         col("doc_a") === col("__ida"))
       .join(split.select(col("doc_id").as("__idb"), col("split").as("split_b")),
@@ -2219,8 +2222,11 @@ object Queries {
   }
 
   register("dedup_minhash_lsh", None) { (s, dir) =>
+    // Mega-bucket cap ships ON (non-binding at fixture scale — output
+    // unchanged; see Dedup.DefaultMaxBucketSize for the 100 TB rationale).
     Dedup.minhashCandidates(Tables.documents(s, dir),
-      shingleN = 3, k = 32, bands = 16, threshold = 0.2)
+      shingleN = 3, k = 32, bands = 16, threshold = 0.2,
+      maxBucketSize = Dedup.DefaultMaxBucketSize)
   }
 
   register("dedup_simhash", None) { (s, dir) =>

@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default document-frequency cap for the posting-list n-gram operators
+    * ([[ngramSimilarPairs]] / [[ngramJaccardStats]]), used by the shipped
+    * catalog entries. A shingle shared by df documents contributes
+    * df·(df−1)/2 pairs to the expansion, so ONE boilerplate header across a
+    * 100 TB block would otherwise dominate the whole job; the cap bounds any
+    * single shingle's pair mass at 256·255/2 ≈ 33 K. Trade-off: near-dup
+    * CLUSTERS larger than the cap lose the edges carried only by their
+    * shared shingles (recall, not correctness — dropped shingles undercount
+    * intersections). Output is exactly the uncapped output whenever no
+    * shingle's df exceeds the cap — the fixture corpora max out at df = 6
+    * (sf0.1), so every DuckDB oracle is computed against identical results. */
+  val DefaultMaxDf = 256
+
+  /** Default LSH mega-bucket cap for [[minhashCandidates]], used by the
+    * shipped catalog entry. An s-doc bucket yields s·(s−1)/2 candidate
+    * pairs, so a template band shared corpus-wide re-creates the quadratic
+    * blowup LSH exists to avoid; 64 bounds any bucket's join at ~2 K pairs.
+    * Pairs inside a dropped bucket survive iff they also collide in a
+    * below-cap band (multi-band redundancy is the recall cushion). Output is
+    * exactly the uncapped output whenever no bucket exceeds the cap — the
+    * fixture corpora's largest duplicate cluster is 2 docs. */
+  val DefaultMaxBucketSize = 64
+
   /** Exact dedup stats per group: hash-groupBy on a content digest.
     * At 100 TB this is one shuffle on md5(text) — the canonical exact-dedup
     * plan. */

@@ -147,6 +147,73 @@ class DedupSpec extends SparkSpec {
       "denominator (total pairs) must not change under the cap")
   }
 
+  test("shipped default caps are non-binding on the documents fixture") {
+    // The catalog entries ship with DefaultMaxDf / DefaultMaxBucketSize ON;
+    // their DuckDB oracles are computed WITHOUT the caps, so this equality
+    // (at the exact shipped parameters) is what keeps the oracles valid.
+    val unEdges = Dedup.ngramSimilarPairs(docs, 3,
+        blockCol = "source", minJaccard = 0.02)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val capEdges = Dedup.ngramSimilarPairs(docs, 3,
+        blockCol = "source", minJaccard = 0.02, maxDf = Dedup.DefaultMaxDf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capEdges === unEdges, "shipped df cap changed the fixture edges")
+    val unLsh = Dedup.minhashCandidates(docs, shingleN = 3, k = 32,
+        bands = 16, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capLsh = Dedup.minhashCandidates(docs, shingleN = 3, k = 32,
+        bands = 16, threshold = 0.2,
+        maxBucketSize = Dedup.DefaultMaxBucketSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capLsh === unLsh, "shipped bucket cap changed the fixture pairs")
+  }
+
+  test("property: caps bound injected-boilerplate pair counts exactly") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      m   <- Gen.chooseNum(12, 30) // mega-cluster size (> cap)
+      c   <- Gen.chooseNum(2, 6)   // surviving small cluster (<= cap)
+      cap <- Gen.chooseNum(6, 10)  // injected cap, c <= cap < m
+    } yield (m, c, cap)
+    val cases = (0 until 5).map(i =>
+      gen(Gen.Parameters.default, Seed(53L + i)).get)
+    cases.foreach { case (m, c, cap) =>
+      // LSH: m identical template docs co-bucket in EVERY band (the
+      // mega-bucket); c identical docs of unrelated text form a second,
+      // below-cap cluster. The model is exact: uncapped emits all
+      // within-cluster pairs; the cap drops precisely the mega-cluster's.
+      val rows = (0 until m).map(i =>
+          (i.toLong, "spark shuffles the partitioned table rows")) ++
+        (0 until c).map(i =>
+          ((m + i).toLong, "ducks paddle across the quiet morning pond"))
+      val lsh = rows.toDF("doc_id", "text")
+      val unL = Dedup.minhashCandidates(lsh, shingleN = 3, k = 32,
+        bands = 16, threshold = 0.0).count()
+      assert(unL === (m.toLong * (m - 1) / 2 + c.toLong * (c - 1) / 2),
+        s"uncapped LSH must emit both clusters' pairs (m=$m c=$c)")
+      val capL = Dedup.minhashCandidates(lsh, shingleN = 3, k = 32,
+        bands = 16, threshold = 0.0, maxBucketSize = cap).count()
+      assert(capL === c.toLong * (c - 1) / 2,
+        s"capped LSH must keep exactly the small cluster (m=$m c=$c cap=$cap)")
+      // posting lists: m docs share one boilerplate header (df = m > cap)
+      // with unique tails — uncapped materializes the full quadratic pair
+      // mass; the df cap drops it entirely (tails share nothing).
+      val boiler = (0 until m).map(i =>
+          (i.toLong, s"shared header line tail${i}a tail${i}b tail${i}c", "b"))
+        .toDF("doc_id", "text", "source")
+      val unB = Dedup.ngramSimilarPairs(boiler, 3, blockCol = "source",
+        minJaccard = 1e-9).count()
+      assert(unB === m.toLong * (m - 1) / 2,
+        s"uncapped posting lists must emit the boilerplate blowup (m=$m)")
+      val capB = Dedup.ngramSimilarPairs(boiler, 3, blockCol = "source",
+        minJaccard = 1e-9, maxDf = cap).count()
+      assert(capB === 0L,
+        s"df cap must drop the df=$m header shingles (cap=$cap)")
+    }
+  }
+
   test("bulk simhashes match the column-expression simhash") {
     val bulk = Dedup.simhashes(docs, "source")
       .select("doc_id", "sh").collect()

@@ -1949,25 +1949,19 @@ object Queries {
       |  coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
       |FROM t LEFT JOIN tb USING (doc_id)""".stripMargin)) { (s, dir) =>
     // Gopher/C4-style repetition signals: the standard filters a training
-    // corpus applies before dedup. dup_token_frac is scan-local codegen
-    // (no HOFs); top_bigram_frac counts by codegen'd shingle HASH (same
-    // grouping as the string bigram, collisions negligible) — the shuffle
-    // carries (doc_id, hash) pairs, partial-aggregated map-side.
-    val docs = Tables.documents(s, dir)
-    val top = docs
-      .select(col("doc_id"),
-        explode(TF.shingleHashesAll(col("text"), 2)).as("g"))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+    // corpus applies before dedup. ENTIRELY scan-local: dup_token_frac is
+    // codegen'd set arithmetic, and top_bigram_frac is the codegen'd
+    // max-multiplicity fraction of the row's own bigram-hash array (same
+    // grouping as the string bigram, collisions negligible) — zero
+    // exchanges, zero joins (the earlier explode+groupBy form spent two
+    // shuffles plus a doc_id join on the same signal; TextFunctionsSpec
+    // proves the expression equals that form).
+    Tables.documents(s, dir).select(col("doc_id"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      TF.dupTokenFrac(col("text")).as("dup_token_frac"),
+      graft.functions.expressions.TextExpressions
+        .topFreqFracNative(TF.shingleHashesAll(col("text"), 2))
         .as("top_bigram_frac"))
-    docs.select(col("doc_id"),
-        TF.tokenCount(col("text")).as("n_tokens"),
-        TF.dupTokenFrac(col("text")).as("dup_token_frac"))
-      .join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
-        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"))
   }
 
   register("text_pii_redact", Some(
@@ -2664,14 +2658,17 @@ object Queries {
   }
 
   register("embed_ann_lsh", None) { (s, dir) =>
-    // Parameters tuned for this corpus's similarity profile (top-5 cosine
-    // ≈0.26-0.49 → per-plane collision ≈0.6): 5 bits × 16 tables + Hamming-1
-    // multiprobe measures recall 0.92 vs brute force (SimilaritySpec keeps
-    // the ≥0.8 gate). At larger corpus scale raise nPlanes to keep bucket
-    // occupancy bounded and add tables to hold recall.
+    // Parameters from a measured recall/cost sweep (see BENCH_NOTES —
+    // round 5): 6 bits × 10 tables + Hamming-1 multiprobe holds recall
+    // 0.90-0.93 across all three fixture scales (SimilaritySpec keeps the
+    // ≥0.8 gate) at a candidate fraction of ~0.68, while writing the corpus
+    // into 10 tables instead of the previous 12 and probing 7 buckets/table
+    // instead of 8. At larger corpus scale raise nPlanes to keep bucket
+    // occupancy (|corpus| / 2^nPlanes) bounded and add tables to hold
+    // recall.
     val emb = Tables.embeddings(s, dir)
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
-      nPlanes = 7, nTables = 12)
+      nPlanes = 6, nTables = 10)
   }
 
   register("mm_embed_neardup", None) { (s, dir) =>

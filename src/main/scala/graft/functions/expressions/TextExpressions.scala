@@ -158,6 +158,57 @@ object MinHashSignature {
   }
 }
 
+/** Native Catalyst expression: fraction of an array's elements taken by
+  * its most frequent value (max multiplicity / length), 0.0 for an empty
+  * array. This is the Gopher-style `top_bigram_frac` repetition signal
+  * computed SCAN-LOCALLY: the shingle-hash array is already one row's
+  * column, so counting its mode needs no explode, no (doc, shingle)
+  * shuffle, and no join back — the whole signal stays inside the document
+  * scan (the round-4 form spent two exchanges plus a join on what this
+  * expression does in one codegen'd pass).
+  *
+  * Mode counting is sort + longest-run over a scratch copy (O(m log m),
+  * allocation = one long[] per row, no hash map) — exact, not sketched.
+  */
+final case class TopFreqFrac(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  // (return type inferred — Seq[AbstractDataType] is private[sql])
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "top_freq_frac"
+
+  override def nullSafeEval(input: Any): Any =
+    TopFreqFrac.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TopFreqFrac.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopFreqFrac =
+    copy(child = newChild)
+}
+
+object TopFreqFrac {
+  def compute(hashes: ArrayData): Double = {
+    val n = hashes.numElements()
+    if (n == 0) return 0.0
+    val a = new Array[Long](n)
+    var i = 0
+    while (i < n) { a(i) = hashes.getLong(i); i += 1 }
+    java.util.Arrays.sort(a)
+    var best = 1
+    var run = 1
+    i = 1
+    while (i < n) {
+      if (a(i) == a(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1
+      i += 1
+    }
+    best.toDouble / n
+  }
+}
+
 object TextExpressions {
   /** Codegen'd xxhash64 shingle hashes (window order, duplicates kept). */
   def shingleHashesNative(text: Column, n: Int): Column =
@@ -166,4 +217,8 @@ object TextExpressions {
   /** Codegen'd k-wide MinHash signature from shingle hashes. */
   def minhashSignatureNative(hashes: Column, k: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(hashes), k))
+
+  /** Codegen'd max-multiplicity fraction of a hash array (0.0 if empty). */
+  def topFreqFracNative(hashes: Column): Column =
+    GraftBridge.column(TopFreqFrac(GraftBridge.expression(hashes)))
 }

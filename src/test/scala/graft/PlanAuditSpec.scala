@@ -72,13 +72,13 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("repetition signal aggregates partially before the doc_id shuffle") {
+  test("repetition signal is scan-local: no exchange, no join") {
+    // top_bigram_frac is the codegen'd max-multiplicity of the row's own
+    // bigram-hash array — the round-4 explode+groupBy+join form is gone
     val plan = physical(run("text_repetition"))
-    val aggCount = plan.linesIterator.count(_.contains("HashAggregate"))
-    assert(aggCount >= 2, s"no partial aggregation visible:\n$plan")
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"text_repetition joins wrong:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"text_repetition shuffles a per-document signal:\n$plan")
+    assert(!plan.contains("Join"), s"text_repetition joins:\n$plan")
   }
 
   test("q6 pushes every predicate to the scan and aggregates without a data shuffle") {

@@ -38,7 +38,7 @@ class SimilaritySpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(emb, queries, K)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = Similarity.lshTopK(emb, queries, K, nPlanes = 7, nTables = 12)
+    val approx = Similarity.lshTopK(emb, queries, K, nPlanes = 6, nTables = 10)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(approx).toDouble / exact.size
@@ -170,18 +170,18 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("lshTopK mega-bucket cap: no-op when generous, bounded when binding") {
-    val uncapped = Similarity.lshTopK(emb, queries, K, nPlanes = 7, nTables = 12)
+    val uncapped = Similarity.lshTopK(emb, queries, K, nPlanes = 6, nTables = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // a cap larger than any bucket changes nothing
-    val generous = Similarity.lshTopK(emb, queries, K, nPlanes = 7,
-        nTables = 12, maxBucketSize = 100000)
+    val generous = Similarity.lshTopK(emb, queries, K, nPlanes = 6,
+        nTables = 10, maxBucketSize = 100000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(generous === uncapped)
     // a binding cap bounds the scored candidate set; results stay ranked
     val capped = Similarity.lshTopK(emb, queries, k = Int.MaxValue,
-      nPlanes = 7, nTables = 12, maxBucketSize = 8)
+      nPlanes = 6, nTables = 10, maxBucketSize = 8)
     val cappedAll = Similarity.lshTopK(emb, queries, k = Int.MaxValue,
-      nPlanes = 7, nTables = 12)
+      nPlanes = 6, nTables = 10)
     assert(capped.count() < cappedAll.count(),
       "cap of 8 did not reduce the candidate set on this corpus")
   }
@@ -190,7 +190,7 @@ class SimilaritySpec extends SparkSpec {
     // the whole point of LSH: strictly fewer scored candidates than
     // brute force's |corpus| × |queries|
     val nCand = Similarity.lshTopK(emb, queries, k = Int.MaxValue,
-      nPlanes = 7, nTables = 12).count()
+      nPlanes = 6, nTables = 10).count()
     val full = emb.count() * queries.count()
     assert(nCand < 0.8 * full,
       s"LSH scored $nCand of $full pairs — not meaningfully sub-linear")

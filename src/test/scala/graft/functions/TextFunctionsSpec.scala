@@ -121,6 +121,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(top === 3)
   }
 
+  test("native TopFreqFrac == explode+groupBy mode fraction, stays codegen'd") {
+    import graft.functions.expressions.TextExpressions
+    // constructed edges: empty (<2 tokens) -> 0.0, all-same -> 1.0,
+    // alternating "a b a b a b" -> 3/5
+    val edges = Seq("x", "a a a a a", "a b a b a b").toDF("text")
+      .select(TextExpressions.topFreqFracNative(
+        TextFunctions.shingleHashesAll(col("text"), 2)).as("f"))
+      .as[Double].collect().toSeq
+    assert(edges(0) === 0.0)
+    assert(edges(1) === 1.0)
+    assert(math.abs(edges(2) - 0.6) < 1e-12)
+    // fixture equivalence against the shuffled form the catalog replaced
+    val docs = graft.Tables.documents(spark, sfTiny)
+    val native = docs.select(col("doc_id"),
+        TextExpressions.topFreqFracNative(
+          TextFunctions.shingleHashesAll(col("text"), 2)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val shuffled = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.shingleHashesAll(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the explode form drops shingle-less docs; the native form scores them 0.0
+    assert(native.size >= shuffled.size)
+    shuffled.foreach { case (id, f) => assert(native(id) === f, s"doc $id") }
+    native.keySet.diff(shuffled.keySet).foreach(id => assert(native(id) === 0.0))
+    // and the expression must not break whole-stage codegen
+    val plan = docs.select(TextExpressions.topFreqFracNative(
+        TextFunctions.shingleHashesAll(col("text"), 2)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") ||
+      plan.linesIterator.exists(_.trim.matches("^(\\+- |: *)?\\*\\(\\d+\\).*")),
+      s"TopFreqFrac runs outside codegen:\n$plan")
+  }
+
   test("bpe estimate >= whitespace token count, exact on known input") {
     // each token contributes >= 1
     val df = Seq("a bb cccc dddddddd", "tiny").toDF("text")

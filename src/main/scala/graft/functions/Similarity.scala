@@ -299,23 +299,41 @@ object Similarity {
     * Mean-update aggregates (list, dim) → avg — cosine is scale-invariant,
     * so the plain mean is the spherical-k-means update.
     *
-    * At 100 TB, train on a sample (`corpus.sample(...)`) — centroid quality
-    * needs thousands of vectors per list, not the full corpus; the full
-    * pass is only for the final index assignment in [[ivfTopK]].
+    * At 100 TB, training on a sample is the DEFAULT, not advice: centroid
+    * quality needs thousands of vectors per list, not the full corpus, so
+    * when the corpus exceeds `maxTrainRows` the Lloyd iterations run over a
+    * deterministic hash-gated sample of ~`maxTrainRows` vectors
+    * (`xxhash64(id) mod 1e6 < frac·1e6` — scan-local, no shuffle, stable
+    * across runs and partitionings, like the hash-ordered seeds). Only the
+    * final index assignment in [[ivfTopK]]/[[writeIvfIndex]] touches every
+    * vector. `maxTrainRows <= 0` disables sampling; the default never binds
+    * at fixture scale, so catalog results are byte-identical.
     */
   def ivfCentroids(corpus: DataFrame, nLists: Int, iters: Int = 2,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Array[Array[Double]] = {
+                   vecCol: String = "embedding",
+                   maxTrainRows: Long = 200000L): Array[Array[Double]] = {
     import org.apache.spark.sql.Row
-    val seeds = corpus
+    val train =
+      if (maxTrainRows <= 0) corpus
+      else {
+        val n = corpus.count() // metadata/column-pruned count, one cheap job
+        if (n <= maxTrainRows) corpus
+        else {
+          val buckets = 1000000L
+          val cut = (maxTrainRows.toDouble / n * buckets).toLong.max(1L)
+          corpus.filter(pmod(xxhash64(col(idCol)), lit(buckets)) < cut)
+        }
+      }
+    val seeds = train
       .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
       .orderBy(col("h")).limit(nLists)
       .select(col("v")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var cents = seeds
     for (_ <- 0 until iters) {
-      val assigned = assignToCentroids(corpus, cents, idCol, vecCol)
-      val dims = corpus
+      val assigned = assignToCentroids(train, cents, idCol, vecCol)
+      val dims = train
         .select(col(idCol).as("__id"), col(vecCol).as("__v"))
         .join(assigned, "__id")
         .select(col("cid"), posexplode(col("__v")).as(Seq("dim", "x")))
@@ -367,10 +385,11 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4, iters: Int = 2,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding",
+              maxTrainRows: Long = 200000L): DataFrame = {
     require(nProbe >= 1 && nProbe <= nLists,
       s"nProbe must be in [1, nLists] (got $nProbe of $nLists)")
-    val cents = ivfCentroids(corpus, nLists, iters, idCol, vecCol)
+    val cents = ivfCentroids(corpus, nLists, iters, idCol, vecCol, maxTrainRows)
     val c = invertedLists(corpus, cents, idCol, vecCol)
     val q = probeLists(queries, cents, nProbe, idCol, vecCol)
     probedTopK(c, q, k)
@@ -435,10 +454,11 @@ object Similarity {
     * centroid drift degrades recall. */
   def writeIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
                     iters: Int = 2, idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
+                    vecCol: String = "embedding",
+                    maxTrainRows: Long = 200000L): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = ivfCentroids(corpus, nLists, iters, idCol, vecCol)
+    val cents = ivfCentroids(corpus, nLists, iters, idCol, vecCol, maxTrainRows)
     cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cid", "centroid")
       .coalesce(1) // nLists × dim doubles — one small file

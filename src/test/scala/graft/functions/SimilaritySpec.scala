@@ -127,6 +127,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"IVF recall $recall%.3f < 0.8")
   }
 
+  test("sampled centroid training: deterministic, non-binding == full, recall holds") {
+    // default maxTrainRows never binds at fixture scale — byte-identical
+    val full = Similarity.ivfCentroids(emb, nLists = 8, iters = 2)
+    val off = Similarity.ivfCentroids(emb, nLists = 8, iters = 2,
+      maxTrainRows = 0L)
+    assert(full.map(_.toSeq).toSeq === off.map(_.toSeq).toSeq,
+      "non-binding default changed the centroids")
+    // a BINDING cap (~100 of 500 vectors) must still be deterministic...
+    val s1 = Similarity.ivfCentroids(emb, nLists = 8, iters = 2,
+      maxTrainRows = 100L)
+    val s2 = Similarity.ivfCentroids(emb, nLists = 8, iters = 2,
+      maxTrainRows = 100L)
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq,
+      "hash-gated sample is not deterministic")
+    // ...and train centroids good enough to hold the recall gate when the
+    // FULL corpus is then assigned and searched against them
+    val exact = Similarity.bruteForceTopK(emb, queries, K)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nProbe 10 (vs the catalog's 8): ~15 training vectors per list is a
+    // coarser quantizer, so probe wider — the sampled-training claim is
+    // about centroid QUALITY, not a fixed probe budget
+    val approx = Similarity.ivfTopK(emb, queries, K, nLists = 16, nProbe = 10,
+        iters = 3, maxTrainRows = 250L)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    info(f"IVF recall@$K with sampled training = $recall%.3f")
+    assert(recall >= 0.8, f"sampled-training recall $recall%.3f < 0.8")
+  }
+
   test("IVF is deterministic and its candidate set is sub-linear") {
     val a = Similarity.ivfTopK(emb, queries, K, nLists = 16, nProbe = 8, iters = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -1535,9 +1535,13 @@ object Queries {
     // engine-specific); OperatorsSpec gates the estimate against the exact
     // count and proves union-of-dailies == one-shot weekly sketch (HLL
     // merge is lossless at equal lgK).
+    // week key = the week's MONDAY (date_trunc), not weekofyear alone:
+    // a bare ISO week number collapses identical weeks across years and
+    // splits awkwardly around the 52/53 Jan-1 spillover once the feed
+    // spans a year boundary
     val ev = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"),
-        weekofyear(to_date(col("ts"))).as("week"))
+        to_date(date_trunc("week", col("ts"))).as("week"))
     val daily = ev.groupBy(col("week"), col("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     val weekly = daily.groupBy(col("week"))

@@ -240,16 +240,22 @@ object CorpusOps {
     * alpha=0.5 routes through `sqrt` (IEEE correctly-rounded in every
     * engine, so thresholds replay bit-identically); other alphas use `pow`,
     * where the last ulp is engine-dependent — fine in production, but an
-    * exact cross-engine replay should stick to 0.5. */
+    * exact cross-engine replay should stick to 0.5.
+    *
+    * Rows with a NULL `groupCol` are EXCLUDED from the sample — stated
+    * policy, not a join accident: a null source has no size to balance
+    * against (and an equi-join on a null key would drop it silently
+    * anyway). Map nulls to a sentinel source upstream to keep them. */
   def sampleTemperature(docs: DataFrame, alpha: Double = 0.5,
                         groupCol: String = "source",
                         contentCol: String = "text"): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1] (got $alpha)")
-    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val grouped = docs.filter(col(groupCol).isNotNull)
+    val counts = grouped.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
     val nMin = counts.agg(min(col("__n")).as("__n_min"))
     val ratio = col("__n_min").cast("double") / col("__n").cast("double")
     val p = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
-    docs
+    grouped
       .join(broadcast(counts), groupCol)
       .crossJoin(broadcast(nMin))
       .filter(hashBucket(col(contentCol), 1000000) <

@@ -90,9 +90,14 @@ final case class CosineSimilarity(left: Expression, right: Expression)
   *
   * Positions are compared over min(len); equal-width signatures (the only
   * way [[graft.functions.Dedup]] produces them) make that exactly
-  * matches/k. Empty input yields 0.0. Null ELEMENTS are not expected
-  * (signatures are dense); a null element reads as 0L here where the HOF
-  * form would propagate null — same caveat as CosineSimilarity. */
+  * matches/k. Empty input yields 0.0. A null ELEMENT never counts as
+  * agreement (two aligned nulls are NOT a match — the old read-as-0L
+  * shortcut would have spuriously matched them); when both input types
+  * prove density (`containsNull = false`, as the native signature
+  * expressions emit), the per-element null checks are compiled out
+  * entirely. A hard analysis error on `containsNull = true` was rejected:
+  * parquet always types read-back arrays as nullable, so it would break
+  * persisted-signature round-trips. */
 final case class SignatureAgreement(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
 
@@ -100,13 +105,24 @@ final case class SignatureAgreement(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "signature_agreement"
 
+  /** True when static types guarantee dense arrays on both sides. */
+  private def provenDense: Boolean = Seq(left, right).forall(_.dataType match {
+    case ArrayType(_, containsNull) => !containsNull
+    case _                          => false
+  })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val dense = provenDense
     var eq = 0
     var i = 0
-    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    while (i < n) {
+      if ((dense || (!x.isNullAt(i) && !y.isNullAt(i))) &&
+        x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
     if (n > 0) eq.toDouble / n else 0.0
   }
 
@@ -115,11 +131,14 @@ final case class SignatureAgreement(left: Expression, right: Expression)
       val eq = ctx.freshName("eq")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val nullGuard =
+        if (provenDense) ""
+        else s"!$a.isNullAt($i) && !$b.isNullAt($i) && "
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $eq = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $eq++;
+         |  if ($nullGuard$a.getLong($i) == $b.getLong($i)) $eq++;
          |}
          |${ev.value} = ($n > 0) ? (((double) $eq) / $n) : 0.0;
        """.stripMargin

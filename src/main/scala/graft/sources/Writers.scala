@@ -89,18 +89,29 @@ object Writers {
     * cheap approx-distinct pass over the key columns rescales to per-key
     * volume; a floor of min(4, naive) keeps some spread for a hidden hot
     * key (even-spread math would under-salt it). Small writes — the
-    * common case — never pay the extra pass. */
+    * common case — never pay the extra pass.
+    *
+    * COST CAVEAT: that approx-distinct pass is an EAGER job over the full
+    * input at plan time, so an uncached expensive upstream (a multi-join
+    * CDC transform, not a bare scan) computes its lineage twice — once to
+    * count keys, once to write. When the lineage is costlier than a scan,
+    * either `.persist()` the input before calling write, or pass
+    * `filesPerKeyHint` (e.g. from table statistics or a previous run) to
+    * skip the estimation pass entirely. */
   def write(df: DataFrame, path: String, format: OutFormat,
             compression: OutCompression = OutCompression.None,
             strategy: KeyStrategy = KeyStrategy.HivePartitioned,
             tsCol: String = "cluster_time",
             mode: String = "overwrite",
             maxFilesPerKey: Int = 64,
-            targetFileBytes: Long = 128L << 20): Unit = {
+            targetFileBytes: Long = 128L << 20,
+            filesPerKeyHint: Option[Int] = None): Unit = {
     require(maxFilesPerKey >= 1, s"maxFilesPerKey must be >= 1 (got $maxFilesPerKey)")
     require(targetFileBytes >= 1, s"targetFileBytes must be >= 1 (got $targetFileBytes)")
+    require(filesPerKeyHint.forall(_ >= 1),
+      s"filesPerKeyHint must be >= 1 (got $filesPerKeyHint)")
     val derived = PartitionKeys.withPartitionColumns(df, strategy, tsCol)
-    val filesPerKey = {
+    val filesPerKey = filesPerKeyHint.map(_.min(maxFilesPerKey)).getOrElse {
       val est = derived.queryExecution.optimizedPlan.stats.sizeInBytes
       val naive = ((est + targetFileBytes - 1) / targetFileBytes)
         .min(maxFilesPerKey).max(1).toInt
@@ -127,7 +138,14 @@ object Writers {
         // task recompute, where the previous monotonically_increasing_id
         // fallback was the SPARK-23207 nondeterministic-shuffle-key hazard
         // (a recomputed map task re-salts rows and the written output
-        // silently duplicates or drops them).
+        // silently duplicates or drops them). REMAINING CAVEAT: the
+        // fallback is deterministic PER INPUT PARTITION, not per row —
+        // it is recompute-stable only when the upstream partitioning
+        // itself is (a file scan). If an upstream SHUFFLE feeds this
+        // write and its map side is nondeterministic, a recomputed task
+        // can see different partition contents; all-unhashable schemas
+        // feeding a salted write should materialize (checkpoint/persist)
+        // below the shuffle first.
         // plan output attributes, not derived(f.name): name lookup would
         // mis-parse a column literally named "a.b" as nested access and
         // throw on duplicate names (same fix as Skew.saltedJoin)

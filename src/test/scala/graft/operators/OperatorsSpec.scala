@@ -275,15 +275,15 @@ class OperatorsSpec extends SparkSpec {
     // what one sketch over the whole week estimates (same lgK)
     val ev = graft.Tables.events(spark, sfTiny)
       .select(col("user_id"), to_date(col("ts")).as("day"),
-        weekofyear(to_date(col("ts"))).as("week"))
+        to_date(date_trunc("week", col("ts"))).as("week")) // year-unambiguous
     val merged = ev.groupBy(col("week"), col("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
       .groupBy(col("week"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
     val oneShot = ev.groupBy(col("week"))
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
-    val m = merged.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val o = oneShot.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val m = merged.collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    val o = oneShot.collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
     assert(m === o, "sketch union is not lossless vs the one-shot sketch")
   }
 

@@ -2256,9 +2256,14 @@ object Queries {
     val ckpt = s"$sinkRoot/$sink-ckpt"
     org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(ckpt), true)
-    val q = pairs.writeStream.queryName(sink).format("memory")
-      .outputMode("append").option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow()).start()
+    // bucket-membership state belongs off-heap at corpus scale: pin the
+    // RocksDB provider for this query (the same default CdcPipeline ships)
+    val q = graft.streaming.CdcPipeline.startWithProvider(
+      s, Some(graft.streaming.CdcPipeline.RocksDBProvider)) {
+      pairs.writeStream.queryName(sink).format("memory")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     q.awaitTermination()
     s.table(sink)
       .groupBy(col("docA").as("doc_a"), col("docB").as("doc_b"))

@@ -21,6 +21,17 @@ final case class PipelineConfig(
     /** F3 — operations that invalidate the stream: the batch's live rows
       * are flushed, then the query terminates fatally (no retry). */
     invalidateOps: Seq[String] = Seq.empty,
+    /** State-store backend for stateful transforms (windowed aggs,
+      * dropDuplicates, flatMapGroupsWithState). Defaults to RocksDB — the
+      * reference keeps dedup/session state in Redis precisely because it
+      * outgrows worker memory (SURVEY §3.4); the Spark analogue is state
+      * that spills to executor-local RocksDB instead of living on the JVM
+      * heap, which is the only shape that survives 100 TB-scale keyed
+      * state. `None` keeps the engine default (HDFS-backed heap store).
+      * Stateless pipelines are unaffected either way. Spark pins the
+      * provider into the checkpoint's offset-log metadata, so resuming a
+      * pre-existing checkpoint keeps whatever provider created it. */
+    stateStoreProvider: Option[String] = Some(CdcPipeline.RocksDBProvider),
     transform: DataFrame => DataFrame = identity) {
   require(maxFilesPerTrigger.forall(n => n >= 1 && n <= 10000),
     "batch size must be in [1, 10000]") // pipeline.rs:562-571
@@ -48,6 +59,31 @@ final case class PipelineStats(
   *    batch, then offsets are committed; nothing buffered is lost.
   */
 object CdcPipeline {
+
+  /** Executor-local disk-backed state store (ships with Spark; rocksdbjni
+    * is on the runtime classpath). */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
+  private val startLock = new Object
+
+  /** Start a streaming query with `providerClass` pinned for THIS query
+    * only. The conf is captured by the engine inside `start()` (and then
+    * persisted in the checkpoint's offset-log metadata), so the session
+    * conf is set just around the start call and restored after — the lock
+    * serializes concurrent starts on the same session so queries can't
+    * observe each other's provider. */
+  def startWithProvider(spark: SparkSession, provider: Option[String])(
+      doStart: => StreamingQuery): StreamingQuery = startLock.synchronized {
+    val prev = spark.conf.getOption(ProviderConfKey)
+    provider.foreach(p => spark.conf.set(ProviderConfKey, p))
+    try doStart
+    finally if (provider.isDefined) prev match {
+      case Some(v) => spark.conf.set(ProviderConfKey, v)
+      case None    => spark.conf.unset(ProviderConfKey)
+    }
+  }
 
   /** S1/S2/S3 — the bounded-source scan levels become path shapes: a
     * collection is a directory, a database a glob of collections, a
@@ -212,7 +248,7 @@ object CdcPipeline {
       case Some(iv) => writer.trigger(Trigger.ProcessingTime(iv))
       case None     => writer.trigger(Trigger.AvailableNow())
     }
-    triggered.start()
+    startWithProvider(spark, cfg.stateStoreProvider)(triggered.start())
   }
 
   /** Drain-and-stop (O8): wait for the current batch, then stop. */
@@ -224,7 +260,14 @@ object CdcPipeline {
   /** O5 — restart-with-backoff driver loop (stream.rs:950-1011): run the
     * query; on a retryable failure, restart FROM THE CHECKPOINT after an
     * exponential backoff with jitter; `maxAttempts = 0` retries forever
-    * (stream.rs semantics). Returns the number of (re)starts performed. */
+    * (stream.rs semantics). Returns the number of (re)starts performed.
+    *
+    * Retryability walks the failure's cause chain (the engine wraps the
+    * real error in a StreamingQueryException) to the first classified
+    * error — [[SourceError]] (reference reconnect policy: labels, then
+    * transient codes; 286 fatal) or [[DestinationError]] — so a fatal
+    * classification buried under engine wrappers is honored as fatal
+    * instead of being restarted as "unknown". */
   def runWithRestart(spark: SparkSession, cfg: PipelineConfig,
                      destination: Destination, maxAttempts: Int = 3,
                      sleep: Long => Unit = Thread.sleep): Int = {
@@ -237,7 +280,7 @@ object CdcPipeline {
         q.awaitTermination()
         done = true // clean termination (AvailableNow drained, or stop())
       } catch {
-        case t: Throwable if DestinationError.isRetryable(t) &&
+        case t: Throwable if SourceError.isRetryableFailure(t) &&
           (maxAttempts == 0 || attempt < maxAttempts) =>
           GraftMetrics.inc(GraftMetrics.Retries, "query" -> cfg.queryName)
           sleep(cfg.retry.delayMs(attempt, seed = 17L))

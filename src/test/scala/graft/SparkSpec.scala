@@ -13,6 +13,10 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // every stateful streaming test runs against the store the library
+      // ships by default (PipelineConfig.stateStoreProvider = RocksDB)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        graft.streaming.CdcPipeline.RocksDBProvider)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -852,6 +852,151 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful pipeline state lands in RocksDB by default; None keeps the heap store") {
+    import spark.implicits._
+    def windowedCfg(src: String, ckpt: String, name: String) = PipelineConfig(
+      sourceDir = src, schemaDDL = "user_id long, cluster_time timestamp",
+      checkpointDir = ckpt, queryName = name, triggerInterval = None,
+      transform = df => df
+        .withWatermark("cluster_time", "0 seconds")
+        .groupBy(col("user_id"),
+          window(col("cluster_time"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("window_start"),
+          col("n_events")))
+    def stateFiles(ckpt: String): Seq[String] = {
+      val p = Paths.get(ckpt, "state")
+      assert(Files.exists(p), "stateful query left no state directory")
+      Files.walk(p).iterator().asScala.filter(Files.isRegularFile(_))
+        .map(_.getFileName.toString).toSeq
+    }
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def stage(src: String): Unit =
+      Seq((1L, t0), (2L, t0),
+          (-1L, new java.sql.Timestamp(t0.getTime + 10800000L)))
+        .toDF("user_id", "cluster_time").repartition(1)
+        .write.mode("overwrite")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+
+    // default (RocksDB): snapshots upload as <version>.zip, never .delta
+    val (src1, ckpt1, out1) = fresh("rocksdb-default")
+    stage(src1)
+    val d1 = new FileDestination(out1, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    CdcPipeline.start(spark, windowedCfg(src1, ckpt1, "rocksdb-q"), d1)
+      .awaitTermination(120000)
+    val rocksFiles = stateFiles(ckpt1)
+    assert(rocksFiles.exists(_.endsWith(".zip")),
+      s"no RocksDB snapshot in state dir: $rocksFiles")
+    assert(!rocksFiles.exists(_.endsWith(".delta")),
+      "HDFS-store .delta files under a RocksDB-backed query")
+    assert(d1.readBack(spark,
+      Some("user_id long, window_start timestamp, n_events long"))
+      .filter(col("user_id") >= 0).count() === 2)
+
+    // provider = None: the engine default heap store writes .delta files
+    val (src2, ckpt2, out2) = fresh("heapstore-optout")
+    stage(src2)
+    val d2 = new FileDestination(out2, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try CdcPipeline.start(spark,
+        windowedCfg(src2, ckpt2, "heap-q").copy(stateStoreProvider = None), d2)
+      .awaitTermination(120000)
+    finally prev.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    assert(stateFiles(ckpt2).exists(_.endsWith(".delta")),
+      "opt-out config should fall back to the engine's heap store")
+  }
+
+  test("crash mid-batch: redelivery window is exactly one batch; idempotent dest restores exactly-once") {
+    // The reference acks PER EVENT (stream.rs:359-438): after a crash it
+    // redelivers only un-acked events. This engine commits offsets PER
+    // MICRO-BATCH (SURVEY §7.3): a crash between the destination write and
+    // the offset commit redelivers the WHOLE in-flight batch — never more.
+    // This scenario pins that window down: an append-only (non-idempotent)
+    // destination sees exactly the crashed batch's rows twice and every
+    // other row once; the shipped batchId-keyed FileDestination overwrites
+    // its own batch directory on replay and lands exactly-once.
+    val (src, ckpt, _) = fresh("crashwindow")
+    stageSource(src, parts = 6)
+
+    // append-only log destination, the reference's at-least-once shape:
+    // rows are durably "written" BEFORE the simulated crash, so the replay
+    // appends them a second time
+    class AppendLogDestination(crashAtBatch: Long) extends Destination {
+      val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val perBatch = scala.collection.mutable.Map.empty[Long, Seq[Long]]
+      @volatile var crashed = false
+      override def writeBatch(df: DataFrame, batchId: Long): Unit = synchronized {
+        val batchIds = df.select(col("event_id")).collect().map(_.getLong(0)).toSeq
+        ids ++= batchIds
+        perBatch(batchId) = batchIds
+        if (batchId == crashAtBatch && !crashed) {
+          crashed = true
+          throw new DestinationError.Connection(
+            "simulated crash after write, before offset commit")
+        }
+      }
+      override def metadata: DestinationMetadata =
+        DestinationMetadata("append-log", supportsTransactions = false)
+    }
+
+    val appendDest = new AppendLogDestination(crashAtBatch = 1L)
+    // maxRetries = 0: the injected failure kills the query (a crash), it is
+    // not absorbed by the in-batch retry loop
+    val c = cfg(src, ckpt, "crashwindow-q").copy(
+      maxFilesPerTrigger = Some(2), retry = Retry.Policy(maxRetries = 0))
+    intercept[Exception] {
+      CdcPipeline.start(spark, c, appendDest).awaitTermination(120000)
+    }
+    assert(appendDest.crashed, "injected crash never fired")
+    val redelivered = CdcPipeline.start(spark, c, appendDest)
+    redelivered.awaitTermination(120000)
+
+    val crashedBatch = appendDest.perBatch(1L).toSet
+    val copies = appendDest.ids.groupBy(identity).view.mapValues(_.size).toMap
+    val total = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny)).count()
+    assert(appendDest.ids.size === total + crashedBatch.size,
+      "append destination should hold exactly one extra copy of the crashed batch")
+    copies.foreach { case (id, n) =>
+      if (crashedBatch(id))
+        assert(n === 2, s"crashed-batch event $id delivered $n times, want 2")
+      else
+        assert(n === 1, s"event $id outside the crashed batch delivered $n times")
+    }
+
+    // same crash against the batchId-keyed FileDestination: the replayed
+    // batch overwrites batch_id=000001/, so the log holds each event once
+    val (src2, ckpt2, out2) = fresh("crashwindow-idem")
+    stageSource(src2, parts = 6)
+    class CrashingFileDestination(dir: String) extends Destination {
+      val inner = new FileDestination(dir, OutFormat.Jsonl,
+        OutCompression.None, KeyStrategy.Flat)
+      @volatile var crashed = false
+      override def writeBatch(df: DataFrame, batchId: Long): Unit = {
+        inner.writeBatch(df, batchId)
+        if (batchId == 1L && !crashed) {
+          crashed = true
+          throw new DestinationError.Connection("crash after durable write")
+        }
+      }
+      override def metadata: DestinationMetadata = inner.metadata
+    }
+    val fileDest = new CrashingFileDestination(out2)
+    val c2 = cfg(src2, ckpt2, "crashwindow-idem-q").copy(
+      maxFilesPerTrigger = Some(2), retry = Retry.Policy(maxRetries = 0))
+    intercept[Exception] {
+      CdcPipeline.start(spark, c2, fileDest).awaitTermination(120000)
+    }
+    CdcPipeline.start(spark, c2, fileDest).awaitTermination(120000)
+    val back = fileDest.inner.readBack(spark, Some(envDDL))
+    assert(back.count() === total, "idempotent destination duplicated rows")
+    assert(back.select(countDistinct(col("event_id"))).head.getLong(0) === total,
+      "batchId-keyed overwrite should restore exactly-once")
+  }
+
   test("backoff policy: exponential growth, cap, bounded jitter") {
     val p = Retry.Policy(maxRetries = 8, initialDelayMs = 100,
       maxDelayMs = 2000, jitter = 0.1)

@@ -11,13 +11,17 @@ import org.apache.spark.sql.functions._
   * columns are narrow).
   *
   * The Spark-side plumbing — schema, partitioning, batch iteration shape,
-  * encoder boundaries — is real and tested. The actual codec calls are
-  * STUBBED with deterministic fakes (this environment has no image/audio
-  * libraries): every stub is marked `STUB:` and derives its output from
-  * xxhash64 of the payload, so results are reproducible and the
-  * surrounding pipeline (metadata propagation, batching, downstream ANN)
-  * is fully exercised. Swapping a stub for a real decoder changes ONE
-  * function body, not the dataflow.
+  * encoder boundaries — is real and tested. IMAGE decode is real: payloads
+  * any registered `javax.imageio` reader accepts (JPEG/PNG/GIF/BMP — the
+  * JDK ships the codecs) yield true pixel dimensions and mean luma.
+  * Payloads no reader recognizes (the driver fixtures carry text bytes as
+  * a stand-in blob) fall back to a deterministic hash STUB, as do the
+  * audio/video codecs and the vision-encoder embedding (no media/model
+  * libraries in this environment): every stub is marked `STUB:` and
+  * derives its output from a payload hash, so results are reproducible
+  * and the surrounding pipeline (metadata propagation, batching,
+  * downstream ANN) is fully exercised. Swapping a stub for a real decoder
+  * changes ONE function body, not the dataflow.
   */
 object Multimodal {
 
@@ -78,9 +82,8 @@ object Multimodal {
 
   // --- batched per-partition decode (the mapPartitions shape) -------------
 
-  /** STUB: a real implementation calls an image codec (JPEG/PNG decode,
-    * resize, luma). The deterministic fake derives pixels-free features
-    * from the payload hash. Signature and batch shape are production-real. */
+  /** STUB fallback for payloads no image reader accepts: derives
+    * pixels-free features from the payload hash, deterministically. */
   private def decodeImageStub(payload: Array[Byte], meta: AssetMeta,
                               targetW: Int, targetH: Int): (Int, Int, Int, Double) = {
     val h = java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
@@ -88,6 +91,42 @@ object Multimodal {
     val meanLuma = (h % 256).toDouble / 255.0
     (math.min(meta.widthPx, targetW), math.min(meta.heightPx, targetH),
       channels, meanLuma)
+  }
+
+  /** REAL image decode via `javax.imageio` (JDK-resident codecs; headless-
+    * safe). Decoded path: true pixel dimensions clamped to the resize
+    * target, channel count from the color model, mean Rec.601 luma over a
+    * nearest-neighbor sample grid of the resized frame — work per asset is
+    * bounded by targetW×targetH regardless of source resolution, which is
+    * what keeps a mixed-resolution 100 TB corpus's per-task cost flat.
+    * Metadata is NOT trusted for dimensions; pixels win. Undecodable
+    * payloads fall back to the deterministic stub. */
+  private[functions] def decodeImage(payload: Array[Byte], meta: AssetMeta,
+                                     targetW: Int, targetH: Int): (Int, Int, Int, Double) = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) decodeImageStub(payload, meta, targetW, targetH)
+    else {
+      val w = math.min(img.getWidth, targetW)
+      val h = math.min(img.getHeight, targetH)
+      val channels = img.getColorModel.getNumComponents
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        val sy = y * img.getHeight / h
+        var x = 0
+        while (x < w) {
+          val sx = x * img.getWidth / w
+          val rgb = img.getRGB(sx, sy)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, channels, sum / (w.toLong * h) / 255.0)
+    }
   }
 
   /** STUB: a real implementation runs a vision encoder over decoded
@@ -133,7 +172,7 @@ object Multimodal {
         // weights); the stub has nothing to init.
         batch.map { a =>
           val (w, hgt, ch, luma) =
-            decodeImageStub(a.payload, a.meta, targetW, targetH)
+            decodeImage(a.payload, a.meta, targetW, targetH)
           ImageFeatures(a.assetId, w, hgt, ch, luma,
             embedStub(a.payload, embeddingDim))
         }

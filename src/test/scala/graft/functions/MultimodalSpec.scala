@@ -60,6 +60,44 @@ class MultimodalSpec extends SparkSpec {
     assert(again.embedding.toSeq === f.embedding.toSeq)
   }
 
+  test("real PNG/JPEG payloads decode through javax.imageio: pixel dims beat metadata") {
+    import spark.implicits._
+    def encode(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val grayPng = encode(50, 40, 0x808080, "png")   // luma 128/255
+    val whiteJpg = encode(500, 300, 0xffffff, "jpg") // oversize: clamps to target
+    // metadata deliberately lies about dimensions: decoded pixels must win
+    val assets = Seq((0L, grayPng), (3L, whiteJpg))
+      .toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("image").as("modality"), col("payload"),
+        struct(lit("png").as("format"), lit(999).as("width_px"),
+          lit(999).as("height_px"), lit(0).as("sample_rate_hz"),
+          lit(0L).as("duration_ms")).as("meta"))
+    val feats = Multimodal.imageFeatures(assets)
+      .collect().map(f => f.assetId -> f).toMap
+    val gray = feats(0L)
+    assert((gray.widthPx, gray.heightPx) === (50, 40),
+      "decoded dims must come from the pixels, not the metadata")
+    assert(gray.channels === 3)
+    assert(math.abs(gray.meanLuma - 128.0 / 255.0) < 0.01)
+    val white = feats(3L)
+    assert((white.widthPx, white.heightPx) === (224, 224), "resize clamp")
+    assert(white.meanLuma > 0.98, s"white frame luma ${white.meanLuma}")
+    // the magic sniff in payloadStats sees the real container bytes
+    val magic = Multimodal.payloadStats(assets)
+      .select("asset_id", "magic").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(magic(0L) === "89504E47") // \x89PNG
+    assert(magic(3L).startsWith("FFD8"))  // JPEG SOI
+  }
+
   test("stub embeddings flow into the similarity operators end-to-end") {
     val feats = Multimodal.imageFeatures(assets, embeddingDim = 32)
       .select(col("assetId").as("vec_id"), col("embedding"))

@@ -2464,6 +2464,77 @@ object Queries {
       .select(col("doc_id"), col("lang"))
   }
 
+  register("corpus_shuffle_shard", Some(
+    """WITH t AS (SELECT doc_id, md5('0:' || text) AS h FROM documents),
+      |s AS (SELECT doc_id, h,
+      |  CAST(CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 16 AS INT) AS shard
+      |  FROM t)
+      |SELECT doc_id, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS ord
+      |FROM s""".stripMargin)) { (s, dir) =>
+    // Deterministic epoch shuffle + sharding: salted content hash drives
+    // both shard assignment and within-shard order — reproducible across
+    // reruns/engines, one keyed exchange (the per-shard rank window),
+    // shards hash-balanced by construction. Epoch 0 here; bumping the salt
+    // reshuffles everything deterministically.
+    graft.functions.CorpusOps.shuffleShard(Tables.documents(s, dir), nShards = 16)
+      .select(col("doc_id"), col("shard"), col("ord").cast("long").as("ord"))
+  }
+
+  register("corpus_decontaminate_semantic", Some(
+    """WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+      |p AS (
+      |  SELECT vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(cv) + 1),
+      |        i -> CAST(cv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE))),
+      |      (a, b) -> a + b) AS dot,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS ncv,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(bv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nbv
+      |  FROM c CROSS JOIN b),
+      |m AS (SELECT vec_id,
+      |  max(CASE WHEN ncv * nbv > 0 THEN dot / (ncv * nbv) ELSE 0.0 END)
+      |    AS max_sim FROM p GROUP BY vec_id)
+      |SELECT vec_id, round(max_sim, 6) AS max_sim
+      |FROM m WHERE max_sim >= 0.3""".stripMargin)) { (s, dir) =>
+    // Semantic decontamination: corpus rows whose embedding sits within
+    // cosine 0.3 of ANY benchmark vector (vec_id < 10 plays the test set).
+    // Benchmark broadcasts; corpus is scanned once through the codegen'd
+    // cosine; per-doc max is a map-side partial agg. Threshold compares on
+    // full precision in both engines; rounding is display-only.
+    val emb = Tables.embeddings(s, dir)
+    graft.functions.Similarity.decontaminateSemantic(
+        emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+        threshold = 0.3)
+      .select(col("vec_id"), round(col("max_sim"), 6).as("max_sim"))
+  }
+
+  register("corpus_sample_token_budget", Some(
+    """WITH t AS (SELECT doc_id, source, md5(text) AS h,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+      |b AS (SELECT *, CAST(('0x' || substring(h, 9, 8)) AS BIGINT) % 256
+      |        AS bkt FROM t),
+      |c AS (SELECT *, sum(tok) OVER (
+      |    PARTITION BY source ORDER BY bkt, h, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum FROM b)
+      |SELECT doc_id, source, tok AS n_tokens
+      |FROM c WHERE coalesce(cum, 0) < 800""".stripMargin)) { (s, dir) =>
+    // Token-budget mix: keep docs per source in content-hash order until
+    // 800 tokens are spent (overshoot ≤ 1 doc). The oracle replays the
+    // NAIVE one-window-per-source form; the operator runs the same total
+    // order as two phases — tiny per-bucket prefix sums, scan-local
+    // keep/drop for interior buckets, a window over only the boundary
+    // bucket — which is the shape that survives a 100 TB source.
+    graft.functions.CorpusOps.sampleTokenBudget(
+        Tables.documents(s, dir), tokensPerGroup = 800)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   register("corpus_segment_dedup", Some(
     """WITH segs AS (
       |  SELECT doc_id, unnest(range(0, greatest(CAST(ceil(len(t)/10.0) AS BIGINT), 1))) AS pos, t

@@ -330,4 +330,89 @@ object CorpusOps {
         count(when(col("__h").isNull, lit(1))).as("n_kept"),
         count(lit(1)).as("n_total"))
   }
+
+  /** Deterministic global shuffle + sharding — the training-reader layout
+    * step: each epoch wants the corpus in a fresh pseudo-random order,
+    * reproducible across reruns and engines, cut into `nShards` pieces a
+    * 1000-reader job can consume independently. A salted content hash
+    * drives BOTH the shard assignment (first 8 hex digits, mod nShards —
+    * hash-uniform, so shards are balanced by construction) and the order
+    * within the shard (full digest, id tie-break for duplicate texts).
+    * ONE keyed exchange: the per-shard rank window; size nShards so one
+    * shard's sort fits a task (at 100 TB that is thousands of shards, each
+    * tens of GB). Changing `epoch` reshuffles everything deterministically.
+    * md5 (not xxhash64) keeps the assignment engine-portable. */
+  def shuffleShard(docs: DataFrame, nShards: Int, epoch: Int = 0,
+                   contentCol: String = "text",
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val h = md5(concat_ws(":", lit(epoch.toString), col(contentCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("__h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("ord", row_number().over(w))
+      .drop("__h")
+  }
+
+  /** Token-budget sampling: deterministically keep documents per group —
+    * in salted-content-hash order — until the group's token budget is
+    * exhausted (the "mix to N tokens per source" recipe step). A document
+    * is kept iff the tokens BEFORE it in its group's hash order total less
+    * than the budget, so every group overshoots by at most one document.
+    *
+    * The naive form is a cumulative-sum window over each whole group — one
+    * task sorting an entire source at 100 TB. This runs the EXACT same
+    * total order (bucket, hash, id) in two phases instead: per-(group,
+    * sub-bucket) token sums (a tiny aggregate — groups × `subBuckets`
+    * rows) give each bucket's prefix offset via a window over that SMALL
+    * frame; buckets that fit wholly under the budget keep every document
+    * scan-locally, buckets wholly past it drop scan-locally, and only the
+    * one BOUNDARY bucket per group — 1/subBuckets of the data — pays a
+    * cumulative-sum window. Prefix-sum decomposition makes the kept set
+    * identical to the naive single window (the DuckDB oracle replays that
+    * naive form). Rows with a NULL group form their own budget group. */
+  def sampleTokenBudget(docs: DataFrame, tokensPerGroup: Long,
+                        groupCol: String = "source",
+                        contentCol: String = "text",
+                        idCol: String = "doc_id",
+                        subBuckets: Int = 256): DataFrame = {
+    require(tokensPerGroup >= 1, s"budget must be >= 1 (got $tokensPerGroup)")
+    require(subBuckets >= 1, s"subBuckets must be >= 1 (got $subBuckets)")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .withColumn("__h", md5(col(contentCol)))
+      // hex digits 9-16: independent of the digits hashBucket/shuffleShard
+      // key on, so a combined pipeline doesn't correlate its decisions
+      .withColumn("__bkt",
+        pmod(conv(substring(col("__h"), 9, 8), 16, 10).cast("long"),
+          lit(subBuckets.toLong)))
+      .withColumn("__tok", TextFunctions.tokenCount(col(contentCol)).cast("long"))
+    val perBucket = base.groupBy(col(groupCol), col("__bkt"))
+      .agg(sum(col("__tok")).as("__btok"))
+    val wSmall = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixed = perBucket
+      .withColumn("__prefix", coalesce(sum(col("__btok")).over(wSmall), lit(0L)))
+    val joined = base.join(broadcast(prefixed), Seq(groupCol, "__bkt"))
+    // whole bucket under budget: keep scan-locally, no sort anywhere
+    val keepAll = joined.filter(col("__prefix") + col("__btok") <= tokensPerGroup)
+    // boundary bucket: the only slice that pays a cumulative-sum window
+    val wBoundary = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = joined
+      .filter(col("__prefix") < tokensPerGroup &&
+        col("__prefix") + col("__btok") > tokensPerGroup)
+      .withColumn("__cum",
+        col("__prefix") + coalesce(sum(col("__tok")).over(wBoundary), lit(0L)))
+      .filter(col("__cum") < tokensPerGroup)
+      .drop("__cum")
+    keepAll.unionByName(boundary)
+      .withColumnRenamed("__tok", "n_tokens")
+      .drop("__h", "__bkt", "__btok", "__prefix")
+  }
 }

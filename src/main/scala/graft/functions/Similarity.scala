@@ -107,6 +107,28 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Embedding-space benchmark decontamination — the semantic sibling of
+    * [[graft.functions.CorpusOps.contaminated]]: flag corpus vectors whose
+    * cosine against ANY benchmark vector reaches `threshold` (a paraphrased
+    * test item shares no n-gram but sits next to its source in embedding
+    * space). The benchmark is test-set-sized, so it BROADCASTS and the
+    * corpus is scanned ONCE: per-row work is |bench|·dim inside whole-stage
+    * codegen (the native cosine), the per-doc max is a map-side partial
+    * aggregate, and the only exchange carries one row per contaminated doc.
+    * No corpus self-join, no LSH recall question — exact by construction. */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).as("__cv"))
+    val b = benchmark.select(col(vecCol).as("__bv"))
+    c.crossJoin(broadcast(b))
+      .select(col(idCol), cosineFast(col("__cv"), col("__bv")).as("__cs"))
+      .groupBy(col(idCol))
+      .agg(max(col("__cs")).as("max_sim"))
+      .filter(col("max_sim") >= threshold)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public paper): cluster embeddings with spherical
     * k-means, then drop near-duplicates WITHIN each cluster only. Cosine

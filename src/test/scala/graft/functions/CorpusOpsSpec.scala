@@ -228,4 +228,73 @@ class CorpusOpsSpec extends SparkSpec {
     val loose = CorpusOps.dropRepeatedSegments(fixture, width = 3, maxDf = 3)
     assert(loose.filter(col("n_kept") =!= col("n_total")).count() === 0)
   }
+
+  test("shuffleShard: lossless, balanced, contiguous ranks, epoch reshuffles") {
+    val docs = graft.Tables.documents(spark, sfSmall)
+    val n = docs.count()
+    val sharded = CorpusOps.shuffleShard(docs, nShards = 16).cache()
+    assert(sharded.count() === n, "sharding lost or duplicated documents")
+    // every shard id in range; hash-uniform balance within loose bounds
+    val perShard = sharded.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perShard.keySet.forall(s => s >= 0 && s < 16))
+    assert(perShard.values.max <= 3 * (n / 16).max(1),
+      s"shard skew beyond hash-uniform bounds: $perShard")
+    // ord is a contiguous 1..count rank inside each shard
+    val ranks = sharded.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min(col("ord")).as("lo"),
+        max(col("ord")).as("hi"), countDistinct(col("ord")).as("d"))
+      .collect()
+    ranks.foreach { r =>
+      assert(r.getAs[Long]("lo") === 1L)
+      assert(r.getAs[Int]("hi").toLong === r.getAs[Long]("c"))
+      assert(r.getAs[Long]("d") === r.getAs[Long]("c"))
+    }
+    // deterministic: a rerun reproduces identical (doc, shard, ord)
+    val again = CorpusOps.shuffleShard(docs, nShards = 16)
+    assert(again.exceptAll(sharded).isEmpty && sharded.exceptAll(again).isEmpty)
+    // a different epoch is a genuinely different permutation
+    val epoch1 = CorpusOps.shuffleShard(docs, nShards = 16, epoch = 1)
+    val moved = epoch1.select("doc_id", "shard")
+      .exceptAll(sharded.select("doc_id", "shard")).count()
+    assert(moved > n / 2, s"epoch salt barely reshuffled ($moved of $n moved)")
+    sharded.unpersist()
+  }
+
+  test("sampleTokenBudget: two-phase == naive window, budget respected") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, sfSmall)
+    val budget = 800L
+    val got = CorpusOps.sampleTokenBudget(docs, budget)
+      .select("doc_id", "source", "n_tokens").cache()
+    // the naive form: one cumulative-sum window per whole group over the
+    // SAME total order (bucket, hash, id)
+    val h = md5(col("text"))
+    val naive = docs
+      .withColumn("__h", h)
+      .withColumn("__bkt", pmod(conv(substring(col("__h"), 9, 8), 16, 10)
+        .cast("long"), lit(256L)))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("__cum", coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("__bkt"), col("__h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__cum") < budget)
+      .select("doc_id", "source", "n_tokens")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "two-phase kept set differs from the naive single-window form")
+    // each group spends less than budget before its last kept doc: total
+    // kept tokens < budget + the largest single document (overshoot <= 1)
+    val maxDoc = docs.select(max(TextFunctions.tokenCount(col("text"))))
+      .head().getInt(0).toLong
+    got.groupBy("source").agg(sum("n_tokens").as("spent"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) < budget + maxDoc,
+          s"${r.getString(0)} overshot: ${r.getLong(1)}")
+      }
+    // a budget above any group's total keeps every document
+    val all = CorpusOps.sampleTokenBudget(docs, 1000000L)
+    assert(all.count() === docs.count())
+    got.unpersist()
+  }
 }

@@ -329,4 +329,29 @@ class SimilaritySpec extends SparkSpec {
         l.contains("Project") && l.trim.matches("^[:+\\- ]*\\*\\(\\d+\\).*")),
       s"Int8Quantize fell out of codegen:\n$plan")
   }
+
+  test("semantic decontamination flags exactly the brute-force >= threshold set") {
+    val emb = graft.Tables.embeddings(spark, sfSmall)
+    val bench = emb.filter(col("vec_id") < 10)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val got = Similarity.decontaminateSemantic(corpus, bench, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute force through the interpreted column cosine (independent path)
+    val want = corpus.select(col("vec_id"), col("embedding").as("cv"))
+      .crossJoin(bench.select(col("embedding").as("bv")))
+      .select(col("vec_id"), Similarity.cosine(col("cv"), col("bv")).as("cs"))
+      .groupBy("vec_id").agg(max("cs").as("m"))
+      .filter(col("m") >= 0.3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === want.keySet,
+      s"flag sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    got.foreach { case (id, sim) => assert(math.abs(sim - want(id)) < 1e-12) }
+    assert(got.nonEmpty, "fixture threshold should flag at least one vector")
+    assert(got.size < corpus.count(), "threshold flags everything — no signal")
+    // the benchmark side broadcasts; the corpus is never broadcast
+    val plan = Similarity.decontaminateSemantic(corpus, bench, 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side should broadcast:\n$plan")
+  }
 }

@@ -16,26 +16,42 @@ object Components {
     * is the minimum node id reachable from it (a canonical representative —
     * "keep lowest id" falls out directly).
     *
-    * Algorithm: iterative min-label propagation. Every node starts labeled
-    * with itself; each round takes the min of its own label and its
-    * neighbors' labels; a fixpoint is reached after O(diameter) rounds.
-    * Per round: two hash shuffles of the edge list (by dst to fetch labels,
-    * by src to aggregate) — no driver-side graph state, no pair explosion,
-    * so it runs at any scale the edge list itself fits. Near-dup components
-    * have tiny diameters (dups of a doc are dups of each other, plus short
-    * chains), so rounds ≈ 3-5 in practice; `maxIter` bounds the pathological
-    * chain. Both the edge list and each round's labels are localCheckpointed:
-    * the lineage would otherwise double per round and replay the (expensive)
-    * candidate-pair job every iteration.
+    * TWO execution paths behind one exact semantics, picked from the
+    * OBSERVED edge count — the same adaptive reasoning AQE applies to
+    * broadcast joins:
+    *
+    *  - model-sized edge lists (≤ `maxDriverEdges`, default 2²⁰ pairs ≈
+    *    16 MB of longs): a driver union-find. Thresholded candidate pairs
+    *    are usually orders of magnitude smaller than the corpus, and
+    *    replacing O(diameter) shuffle rounds with microseconds of pointer
+    *    chasing is exactly what a bounded, counted collect is FOR. This is
+    *    not a data-sized collect: the bound is enforced before anything
+    *    moves.
+    *  - larger edge lists: iterative min-label propagation. Every node
+    *    starts labeled with itself; each round takes the min of its own
+    *    label and its neighbors' labels; fixpoint after O(diameter) rounds.
+    *    Per round: two hash shuffles of the edge list — no driver-side
+    *    graph state, no pair explosion, so it runs at any scale the edge
+    *    list itself fits. Near-dup components have tiny diameters, so
+    *    rounds ≈ 3-5 in practice; `maxIter` bounds the pathological chain.
+    *    Edge list and per-round labels are localCheckpointed: the lineage
+    *    would otherwise double per round and replay the (expensive)
+    *    candidate-pair job every iteration.
+    *
+    * `maxDriverEdges = 0` forces the distributed path (the equality of the
+    * two paths is asserted in ComponentsSpec).
     */
   def connectedComponents(edges: DataFrame, src: String, dst: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          maxDriverEdges: Long = 1L << 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1 (got $maxIter)")
     val sym = edges.select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .union(edges.select(col(dst).cast("long").as("u"), col(src).cast("long").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    if (maxDriverEdges > 0 && sym.count() <= maxDriverEdges)
+      return driverUnionFind(sym)
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
@@ -64,5 +80,41 @@ object Components {
       s"connectedComponents did not converge after $maxIter rounds; " +
         "the edge list contains a chain with diameter > maxIter — raise maxIter")
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Min-union + path-halving union-find over a bounded, already-counted
+    * edge list. Min-union (the smaller root adopts the larger) makes every
+    * root the minimum id of its component by construction, so the contract
+    * (component = min reachable node id) is byte-identical to the
+    * propagation path; path halving keeps amortized find near-constant at
+    * this bound. */
+  private def driverUnionFind(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val es = sym.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.get(x) != x) {
+        val gp = parent.get(parent.get(x))
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      parent.putIfAbsent(u, u)
+      parent.putIfAbsent(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+    }
+    // roots are already component minima (union always keeps the smaller
+    // id as the root), so find(x) IS the min reachable id
+    val out = new Array[(Long, Long)](parent.size())
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { val n = it.next(); out(i) = (n, find(n)); i += 1 }
+    spark.createDataset(out.toIndexedSeq)
+      .toDF("node", "component")
   }
 }

@@ -93,18 +93,30 @@ object Multimodal {
       channels, meanLuma)
   }
 
+  /** Container sniff on the leading magic bytes — cheaper than letting
+    * ImageIO scan its reader registry against every non-image payload (a
+    * per-row cost that multiplies across a corpus of opaque blobs). */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) ||              // JPEG SOI
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))                                 // BMP
+
   /** REAL image decode via `javax.imageio` (JDK-resident codecs; headless-
     * safe). Decoded path: true pixel dimensions clamped to the resize
     * target, channel count from the color model, mean Rec.601 luma over a
     * nearest-neighbor sample grid of the resized frame — work per asset is
     * bounded by targetW×targetH regardless of source resolution, which is
     * what keeps a mixed-resolution 100 TB corpus's per-task cost flat.
-    * Metadata is NOT trusted for dimensions; pixels win. Undecodable
-    * payloads fall back to the deterministic stub. */
+    * Metadata is NOT trusted for dimensions; pixels win. Payloads that
+    * don't sniff as a known container, or that fail to decode, fall back
+    * to the deterministic stub. */
   private[functions] def decodeImage(payload: Array[Byte], meta: AssetMeta,
                                      targetW: Int, targetH: Int): (Int, Int, Int, Double) = {
     val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (!looksLikeImage(payload)) null
+      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
     if (img == null) decodeImageStub(payload, meta, targetW, targetH)
     else {

@@ -293,4 +293,45 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("Exchange rangepartitioning"),
       s"sessionization fell back to a global repartition:\n$plan")
   }
+
+  test("shuffle-shard runs ONE keyed exchange (the per-shard rank window)") {
+    val plan = physical(run("corpus_shuffle_shard"))
+    assert(plan.contains("hashpartitioning(shard"),
+      s"rank window not keyed by shard:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges === 1,
+      s"epoch shuffle should cost exactly one exchange, found $exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global sort crept into the shard layout:\n$plan")
+  }
+
+  test("semantic decontamination broadcasts the benchmark, never the corpus") {
+    val df = run("corpus_decontaminate_semantic")
+    df.collect() // finalize the adaptive plan
+    val plan = physical(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"corpus shuffled or crossed for a broadcast-sized benchmark:\n$plan")
+    // per-doc max collapses map-side before the only corpus exchange
+    assert(plan.contains("partial_max") || plan.contains("HashAggregate"),
+      s"per-doc max not partially aggregated:\n$plan")
+  }
+
+  test("token-budget sampling: windows only over (group, bucket) slices, prefix frame broadcasts") {
+    val df = run("corpus_sample_token_budget")
+    df.collect()
+    val plan = physical(df)
+    // the document-side window is keyed by (source, bucket) — never by
+    // source alone, which would sort whole groups in single tasks
+    assert(plan.contains("hashpartitioning(source"),
+      s"boundary window not keyed:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"global sort in the budget scan:\n$plan")
+    // the per-bucket prefix frame joins back as a broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"prefix frame not broadcast:\n$plan")
+  }
 }

@@ -2481,6 +2481,24 @@ object Queries {
       .select(col("doc_id"), col("shard"), col("ord").cast("long").as("ord"))
   }
 
+  register("corpus_shard_manifest", Some(
+    """WITH t AS (SELECT md5('0:' || text) AS h,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS tok FROM documents),
+      |s AS (SELECT
+      |    CAST(CAST(('0x' || substring(h, 1, 8)) AS BIGINT) % 16 AS INT)
+      |      AS shard,
+      |    tok, CAST(('0x' || substring(h, 17, 15)) AS BIGINT) AS dig FROM t)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+      |  bit_xor(dig) AS content_digest
+      |FROM s GROUP BY shard""".stripMargin)) { (s, dir) =>
+    // Reproducibility manifest for the epoch-0 shard layout: per-shard doc
+    // and token counts plus an order-independent xor digest — a reader
+    // fleet verifies a re-materialized epoch against this without touching
+    // documents. Scan-local hashing, one partial-aggregated exchange.
+    graft.functions.CorpusOps.shardManifest(Tables.documents(s, dir), nShards = 16)
+  }
+
   register("corpus_decontaminate_semantic", Some(
     """WITH b AS (SELECT embedding AS bv FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 10),

@@ -346,16 +346,45 @@ object CorpusOps {
                    contentCol: String = "text",
                    idCol: String = "doc_id"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
-    val h = md5(concat_ws(":", lit(epoch.toString), col(contentCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
     docs
-      .withColumn("__h", h)
-      .withColumn("shard",
-        pmod(conv(substring(col("__h"), 1, 8), 16, 10).cast("long"),
-          lit(nShards.toLong)).cast("int"))
+      .withColumn("__h", saltedHash(epoch, contentCol))
+      .withColumn("shard", shardOf(col("__h"), nShards))
       .withColumn("ord", row_number().over(w))
       .drop("__h")
+  }
+
+  /** Salted content digest + shard assignment shared by [[shuffleShard]]
+    * and [[shardManifest]] — same formula, so a manifest always describes
+    * the layout the shuffle actually produced. */
+  private def saltedHash(epoch: Int, contentCol: String): Column =
+    md5(concat_ws(":", lit(epoch.toString), col(contentCol)))
+  private def shardOf(h: Column, nShards: Int): Column =
+    pmod(conv(substring(h, 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong)).cast("int")
+
+  /** Per-shard manifest for a [[shuffleShard]] layout: document count,
+    * token count, and an ORDER-INDEPENDENT content digest (bit_xor of a
+    * 60-bit slice of each document's salted md5 — hex digits 17-31, disjoint
+    * from the digits the shard and budget operators key on). Two corpora
+    * produce identical manifests iff their shards hold the same document
+    * multisets, so a reader fleet can verify a re-materialized epoch
+    * without comparing documents. Plan: scan-local hashing, ONE exchange
+    * (the per-shard partial-aggregated groupBy) — the window in
+    * shuffleShard is not needed for the manifest and not paid. */
+  def shardManifest(docs: DataFrame, nShards: Int, epoch: Int = 0,
+                    contentCol: String = "text"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    docs
+      .withColumn("__h", saltedHash(epoch, contentCol))
+      .select(
+        shardOf(col("__h"), nShards).as("shard"),
+        TextFunctions.tokenCount(col(contentCol)).cast("long").as("__tok"),
+        conv(substring(col("__h"), 17, 15), 16, 10).cast("long").as("__dig"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("n_tokens"),
+        expr("bit_xor(__dig)").as("content_digest"))
   }
 
   /** Token-budget sampling: deterministically keep documents per group —

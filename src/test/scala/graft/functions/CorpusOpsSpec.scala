@@ -297,4 +297,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(all.count() === docs.count())
     got.unpersist()
   }
+
+  test("shard manifest describes the shuffle layout; digest flags any content change") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfSmall)
+    val manifest = CorpusOps.shardManifest(docs, nShards = 16)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // counts agree with the actual shuffleShard layout, shard by shard
+    val layoutCounts = CorpusOps.shuffleShard(docs, nShards = 16)
+      .groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(manifest.view.mapValues(_._1).toMap === layoutCounts)
+    assert(manifest.values.map(_._1).sum === docs.count())
+    // deterministic across reruns
+    val again = CorpusOps.shardManifest(docs, nShards = 16)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(again === manifest)
+    // mutate ONE document: exactly that document's shard digests change
+    val one = docs.select("doc_id", "text").as[(Long, String)].head()
+    val mutated = docs.withColumn("text",
+      when(col("doc_id") === one._1, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val after = CorpusOps.shardManifest(mutated, nShards = 16)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val changed = manifest.keySet.filter(s => manifest(s) != after.getOrElse(s, (0L, 0L, 0L)))
+    assert(changed.nonEmpty && changed.size <= 2,
+      s"one mutated doc should touch at most its old and new shard: $changed")
+  }
 }

@@ -2446,6 +2446,51 @@ object Queries {
         .as("nll"))
   }
 
+  register("text_bigram_logprob", Some(
+    """WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram, t[i] AS w1
+      |  FROM toks, unnest(range(1, len(t))) AS u(i)),
+      |c2 AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT term) AS v FROM (
+      |  SELECT unnest(str_split(text, ' ')) AS term FROM documents))
+      |SELECT bg.doc_id,
+      |  round(CAST(-sum(CAST(ln(
+      |      (CAST(c2.c2 AS DOUBLE) + 0.5) /
+      |      (CAST(c1.c1 AS DOUBLE) + 0.5 * CAST(v.v AS DOUBLE)))
+      |    AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6) AS nll2
+      |FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+      |GROUP BY bg.doc_id""".stripMargin)) { (s, dir) =>
+    // Bigram-LM document scoring — one order up from the unigram filter
+    // (CCNet trains a 5-gram KenLM; the bigram is the honest step this
+    // fixture's vocabulary supports): per-bigram NLL under the corpus's own
+    // add-1/2-smoothed conditional P(w2|w1) = (c(w1w2)+0.5)/(c(w1·)+0.5V).
+    // Repetitive/templated docs score LOW (their transitions are corpus-
+    // frequent), garbled docs score HIGH — a sharper signal than unigram
+    // NLL, which only sees token identity. Three keyed shuffles (bigram
+    // counts, context counts, the per-doc aggregate); V is a 1-row
+    // broadcast; same DECIMAL(38,9) log quantization as the unigram entry
+    // so the order-free sum replays bit-identically in DuckDB. Docs with
+    // fewer than two tokens have no bigrams and drop out — both engines
+    // agree by construction.
+    val docs = Tables.documents(s, dir)
+    val bg = docs.select(col("doc_id"),
+        explode(TF.tokenShingles(col("text"), 2)).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val c2 = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs.select(explode(TF.tokens(col("text"))).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    bg.join(c2, "bigram").join(c1, "w1").crossJoin(broadcast(v))
+      .groupBy("doc_id")
+      .agg(round(
+        -dsum(log((col("c2").cast("double") + lit(0.5)) /
+          (col("c1").cast("double") + lit(0.5) * col("v").cast("double"))), 9)
+          / count(lit(1)), 6)
+        .as("nll2"))
+  }
+
   register("corpus_mix_temperature", Some(
     """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
       |m AS (SELECT min(n) AS n_min FROM counts)

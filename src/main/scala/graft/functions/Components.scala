@@ -20,13 +20,15 @@ object Components {
     * OBSERVED edge count — the same adaptive reasoning AQE applies to
     * broadcast joins:
     *
-    *  - model-sized edge lists (≤ `maxDriverEdges`, default 2²⁰ pairs ≈
-    *    16 MB of longs): a driver union-find. Thresholded candidate pairs
-    *    are usually orders of magnitude smaller than the corpus, and
-    *    replacing O(diameter) shuffle rounds with microseconds of pointer
-    *    chasing is exactly what a bounded, counted collect is FOR. This is
-    *    not a data-sized collect: the bound is enforced before anything
-    *    moves.
+    *  - model-sized edge lists (≤ `maxDriverEdges`, default 2²⁰ pairs —
+    *    with tuple/HashMap boxing that is a transient ~100-150 MB on the
+    *    driver, fine for the GB-sized drivers Spark defaults to; lower
+    *    the bound for skinny drivers): a driver union-find. Thresholded
+    *    candidate pairs are usually orders of magnitude smaller than the
+    *    corpus, and replacing O(diameter) shuffle rounds with
+    *    microseconds of pointer chasing is exactly what a bounded,
+    *    counted collect is FOR. This is not a data-sized collect: the
+    *    bound is enforced before anything moves.
     *  - larger edge lists: iterative min-label propagation. Every node
     *    starts labeled with itself; each round takes the min of its own
     *    label and its neighbors' labels; fixpoint after O(diameter) rounds.

@@ -388,10 +388,10 @@ object CorpusOps {
   }
 
   /** Token-budget sampling: deterministically keep documents per group —
-    * in salted-content-hash order — until the group's token budget is
-    * exhausted (the "mix to N tokens per source" recipe step). A document
-    * is kept iff the tokens BEFORE it in its group's hash order total less
-    * than the budget, so every group overshoots by at most one document.
+    * in content-hash order — until the group's token budget is exhausted
+    * (the "mix to N tokens per source" recipe step). A document is kept
+    * iff the tokens BEFORE it in its group's hash order total less than
+    * the budget, so every group overshoots by at most one document.
     *
     * The naive form is a cumulative-sum window over each whole group — one
     * task sorting an entire source at 100 TB. This runs the EXACT same
@@ -403,7 +403,13 @@ object CorpusOps {
     * one BOUNDARY bucket per group — 1/subBuckets of the data — pays a
     * cumulative-sum window. Prefix-sum decomposition makes the kept set
     * identical to the naive single window (the DuckDB oracle replays that
-    * naive form). Rows with a NULL group form their own budget group. */
+    * naive form).
+    *
+    * Rows with a NULL `groupCol` or NULL `contentCol` are EXCLUDED — the
+    * same stated policy as [[sampleTemperature]] (a null source has no
+    * budget to draw from, and an equi-join on a null key would drop it
+    * silently anyway; the explicit filter makes the behavior a contract).
+    * Map nulls to a sentinel group upstream to keep them. */
   def sampleTokenBudget(docs: DataFrame, tokensPerGroup: Long,
                         groupCol: String = "source",
                         contentCol: String = "text",
@@ -413,9 +419,11 @@ object CorpusOps {
     require(subBuckets >= 1, s"subBuckets must be >= 1 (got $subBuckets)")
     import org.apache.spark.sql.expressions.Window
     val base = docs
+      .filter(col(groupCol).isNotNull && col(contentCol).isNotNull)
       .withColumn("__h", md5(col(contentCol)))
-      // hex digits 9-16: independent of the digits hashBucket/shuffleShard
-      // key on, so a combined pipeline doesn't correlate its decisions
+      // hex digits 9-16 of md5(content): disjoint from digits 1-8, which
+      // hashBucket/withSplit key on over the SAME hash input, so a split
+      // decision and a budget decision on one pipeline don't correlate
       .withColumn("__bkt",
         pmod(conv(substring(col("__h"), 9, 8), 16, 10).cast("long"),
           lit(subBuckets.toLong)))

@@ -194,11 +194,16 @@ object CdcPipeline {
           // the stream closes fatally (stream.rs:1211-1220 semantics).
           val invalidated = cfg.invalidateOps.nonEmpty && !batch
             .filter(col("operation").isin(cfg.invalidateOps: _*)).isEmpty
+          // isRetryable walks the cause chain through BOTH taxonomies:
+          // a fatal SourceError (e.g. InvalidResumeToken/286) thrown while
+          // the batch reads its source must fail the batch immediately,
+          // not burn the backoff schedule first
           Retry.withBackoff(cfg.retry, seed = batchId,
+            isRetryable = SourceError.isRetryableFailure,
             onRetry = (n, t) => {
               inc(Retries, "query" -> cfg.queryName)
               inc(WriteErrors, "query" -> cfg.queryName,
-                "error_type" -> DestinationError.errorType(t))
+                "error_type" -> SourceError.categoryOf(t))
             }) {
             destination.writeBatch(outDf, batchId)
             destination.flush()
@@ -235,7 +240,7 @@ object CdcPipeline {
         } catch {
           case t: Throwable =>
             inc(WriteErrors, "query" -> cfg.queryName,
-              "error_type" -> DestinationError.errorType(t))
+              "error_type" -> SourceError.categoryOf(t))
             // events_failed_total (metrics.rs:118): every live row of a
             // terminally-failed batch; recount is failure-path-only
             GraftMetrics.add(EventsFailed,

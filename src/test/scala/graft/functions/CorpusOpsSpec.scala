@@ -298,6 +298,21 @@ class CorpusOpsSpec extends SparkSpec {
     got.unpersist()
   }
 
+  test("sampleTokenBudget excludes NULL group/content rows by stated policy") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "srcA", "alpha beta gamma"),
+      (2L, null.asInstanceOf[String], "null source text"),
+      (3L, "srcA", null.asInstanceOf[String]),
+      (4L, "srcA", "delta epsilon")
+    ).toDF("doc_id", "source", "text")
+    val kept = CorpusOps.sampleTokenBudget(mixed, 1000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // null-source and null-text rows are excluded — a CONTRACT, not a join
+    // accident; everything else fits the generous budget
+    assert(kept === Set(1L, 4L))
+  }
+
   test("shard manifest describes the shuffle layout; digest flags any content change") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sfSmall)

@@ -117,5 +117,18 @@ class SourceErrorSpec extends SparkSpec {
     }
     assert(fatal.remaining === 98,
       s"fatal source error was restarted ${99 - fatal.remaining} times, want 1 attempt")
+
+    // ...and must not burn the IN-BATCH backoff schedule either: with
+    // maxRetries = 3 available, a fatal source error still fails on the
+    // first attempt (the batch-level retry loop classifies through the
+    // same cause-chain walk as the restart loop)
+    val inBatch = new FlakySource(99, SourceError.from("resume", code = Some(286)))
+    val cfgRetries = config("fatal-inbatch").copy(
+      retry = Retry.Policy(maxRetries = 3, initialDelayMs = 1, maxDelayMs = 2))
+    intercept[Exception] {
+      CdcPipeline.start(spark, cfgRetries, inBatch).awaitTermination(120000)
+    }
+    assert(inBatch.remaining === 98,
+      s"fatal source error retried in-batch ${99 - inBatch.remaining} times, want 1 attempt")
   }
 }

@@ -878,13 +878,21 @@ class StreamingSpec extends SparkSpec {
         .write.mode("overwrite")
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
 
-    // default (RocksDB): snapshots upload as <version>.zip, never .delta
+    // default (RocksDB): snapshots upload as <version>.zip, never .delta.
+    // The session conf pre-pins RocksDB for the whole test JVM, so UNSET it
+    // here — otherwise this scenario would pass even if the
+    // PipelineConfig.stateStoreProvider default regressed to None (the
+    // assertion must exercise the LIBRARY default, not the test session's).
     val (src1, ckpt1, out1) = fresh("rocksdb-default")
     stage(src1)
     val d1 = new FileDestination(out1, OutFormat.Jsonl, OutCompression.None,
       KeyStrategy.Flat)
-    CdcPipeline.start(spark, windowedCfg(src1, ckpt1, "rocksdb-q"), d1)
+    val pinned = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try CdcPipeline.start(spark, windowedCfg(src1, ckpt1, "rocksdb-q"), d1)
       .awaitTermination(120000)
+    finally pinned.foreach(
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     val rocksFiles = stateFiles(ckpt1)
     assert(rocksFiles.exists(_.endsWith(".zip")),
       s"no RocksDB snapshot in state dir: $rocksFiles")

@@ -494,6 +494,30 @@ object Similarity {
     * and pushed into the scan as a partition filter, so only the probed
     * `cid=` directories are read; output is identical to [[ivfTopK]] with
     * the same parameters (proven in SimilaritySpec). */
+  /** INCREMENTAL index maintenance: append new vectors to an existing
+    * [[writeIvfIndex]] layout without re-clustering. Assignment uses the
+    * PERSISTED centroid model (never retrained here), appended rows land
+    * inside their `cid=` partitions in append mode, and the next
+    * [[searchIvfIndex]] sees them with zero coordination — the
+    * daily-ingest story at 100 TB: the index build is write-once, growth
+    * is append-only (one narrow assignment pass + a partitioned write,
+    * cost proportional to the DELTA, not the index), and a full
+    * re-cluster is a deliberate, measured event when centroid drift
+    * degrades the recall gate — not a side effect of ingest. Routing goes
+    * through the same [[invertedLists]] helper as the original build, so
+    * an appended vector lands exactly where a full rebuild with the same
+    * centroids would put it. */
+  def appendToIvfIndex(newVectors: DataFrame, path: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+    invertedLists(newVectors, cents, idCol, vecCol)
+      .write.mode("append").partitionBy("cid").parquet(s"$path/vectors")
+  }
+
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nProbe: Int = 4,
                      idCol: String = "vec_id",

@@ -200,6 +200,44 @@ class SimilaritySpec extends SparkSpec {
       s"cid not a partition filter:\n$plan")
   }
 
+  test("incremental IVF append: delta lands in its lists; probe-all search is exact") {
+    val path = "/root/repo/target/similarity-spec/ivf-append"
+    val old = emb.filter(col("vec_id") % 5 =!= 0)   // initial 80%
+    val delta = emb.filter(col("vec_id") % 5 === 0) // the "daily ingest"
+    Similarity.writeIvfIndex(old, path, nLists = 16, iters = 3)
+    Similarity.appendToIvfIndex(delta, path)
+    // lossless: the layout now holds every vector exactly once
+    val ids = spark.read.parquet(s"$path/vectors").select("neighbor_id")
+    assert(ids.count() === emb.count())
+    assert(ids.distinct().count() === emb.count(), "append duplicated vectors")
+    // probing ALL lists is exact regardless of assignment, so the appended
+    // index must reproduce brute force over the full corpus verbatim
+    val probeAll = Similarity.searchIvfIndex(spark, path, queries, K,
+        nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val brute = Similarity.bruteForceTopK(emb, queries, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(probeAll === brute,
+      s"probe-all after append != brute force: ${probeAll -- brute} / ${brute -- probeAll}")
+    // the maintenance lifecycle: centroids trained on the pre-append 80%
+    // drift a little for the appended mass (measured 0.78 at nProbe=8 on
+    // this fixture — just under the gate), and a deliberate RE-CLUSTER
+    // (full rebuild) restores the gate. That is the documented contract:
+    // appends are cheap and exact-by-probing; re-clustering is a measured
+    // event triggered by the recall gate, not by ingest.
+    def recallAt(nProbe: Int): Double = {
+      val approx = Similarity.searchIvfIndex(spark, path, queries, K, nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.count { case (q, n, _) => approx((q, n)) }.toDouble / brute.size
+    }
+    val drifted = recallAt(8)
+    assert(drifted >= 0.7, s"recall after append collapsed: $drifted")
+    Similarity.writeIvfIndex(emb, path, nLists = 16, iters = 3) // re-cluster
+    val restored = recallAt(8)
+    assert(restored >= 0.8,
+      s"re-cluster did not restore the recall gate: $restored (was $drifted)")
+  }
+
   test("lshTopK mega-bucket cap: no-op when generous, bounded when binding") {
     val uncapped = Similarity.lshTopK(emb, queries, K, nPlanes = 6, nTables = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

@@ -2270,6 +2270,37 @@ object Queries {
       .agg(first(col("estJaccard")).as("est_jaccard"))
   }
 
+  register("stream_token_budget", None) { (s, dir) =>
+    // Token-budget admission AT INGEST (the streaming twin of
+    // corpus_sample_token_budget): each source admits documents in arrival
+    // order until its budget is spent — state is one counter per source.
+    // Arrival-order semantics are inherently streaming (the batch twin
+    // ranks by content hash corpus-wide), so no SQL oracle;
+    // StreamingQuotaSpec proves equality with the sequential rule,
+    // cross-batch saturation, and the overshoot bound.
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.documents(s, dir).schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val admitted = graft.streaming.StreamingQuota
+      .admitByTokenBudget(stream, tokensPerGroup = 800)
+    val sink = s"stream_quota_${dir.replaceAll("[^0-9]", "")}"
+    val ckpt = s"$sinkRoot/$sink-ckpt"
+    org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(ckpt), true)
+    val q = graft.streaming.CdcPipeline.startWithProvider(
+      s, Some(graft.streaming.CdcPipeline.RocksDBProvider)) {
+      admitted.writeStream.queryName(sink).format("memory")
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination()
+    s.table(sink)
+      .groupBy(col("group").as("source"))
+      .agg(count(lit(1)).as("n_admitted"), sum(col("nTokens")).as("n_tokens"))
+  }
+
   register("corpus_clean_pipeline", Some {
     val scores = TF.langMarkers.map { case (lang, ms) =>
       val inList = ms.map(m => s"'$m'").mkString(",")

@@ -489,11 +489,15 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
   }
 
-  /** ANN top-k against a [[writeIvfIndex]] layout. The probed list ids are
-    * resolved driver-side (bounded by nLists — model-sized, not data-sized)
-    * and pushed into the scan as a partition filter, so only the probed
-    * `cid=` directories are read; output is identical to [[ivfTopK]] with
-    * the same parameters (proven in SimilaritySpec). */
+  /** The persisted centroid model of a [[writeIvfIndex]] layout — one
+    * loader shared by search and append so the two can never read the
+    * model differently. */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** INCREMENTAL index maintenance: append new vectors to an existing
     * [[writeIvfIndex]] layout without re-clustering. Assignment uses the
     * PERSISTED centroid model (never retrained here), appended rows land
@@ -510,21 +514,21 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, path: String,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
-    val spark = newVectors.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cid").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cents = readCentroids(newVectors.sparkSession, path)
     invertedLists(newVectors, cents, idCol, vecCol)
       .write.mode("append").partitionBy("cid").parquet(s"$path/vectors")
   }
 
+  /** ANN top-k against a [[writeIvfIndex]] layout. The probed list ids are
+    * resolved driver-side (bounded by nLists — model-sized, not data-sized)
+    * and pushed into the scan as a partition filter, so only the probed
+    * `cid=` directories are read; output is identical to [[ivfTopK]] with
+    * the same parameters (proven in SimilaritySpec). */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nProbe: Int = 4,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("cid").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val cents = readCentroids(spark, path)
     require(nProbe >= 1 && nProbe <= cents.length,
       s"nProbe must be in [1, nLists] (got $nProbe of ${cents.length})")
     val q = probeLists(queries, cents, nProbe, idCol, vecCol)

@@ -40,7 +40,11 @@ object StreamingQuota {
     require(tokensPerGroup >= 1, s"budget must be >= 1 (got $tokensPerGroup)")
     import docs.sparkSession.implicits._
     docs
-      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      // null id/group/text rows are EXCLUDED (stated policy, matching the
+      // batch twin) — without the id guard a single null id would hit the
+      // non-nullable tuple encoder and kill the whole query
+      .filter(col(idCol).isNotNull && col(groupCol).isNotNull &&
+        col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("docId"),
         col(groupCol).as("group"),
         graft.functions.TextFunctions.tokenCount(col(textCol)).cast("long")
@@ -52,19 +56,22 @@ object StreamingQuota {
         (group: String, incoming: Iterator[(Long, String, Long)],
          state: GroupState[GroupBudget]) =>
           var spent = state.getOption.map(_.spent).getOrElse(0L)
-          val out = Seq.newBuilder[AdmittedDoc]
-          // id order within the trigger: deterministic under replay
-          incoming.toSeq.sortBy(_._1).foreach { case (id, _, tok) =>
-            if (spent < tokensPerGroup) {
-              out += AdmittedDoc(id, group, tok, spent)
-              spent += tok
+          // saturated group: reject the whole trigger without buffering or
+          // sorting it — the permanent steady state of an exhausted source
+          // must be genuinely O(1), not O(batch log batch)
+          if (spent >= tokensPerGroup) Iterator.empty
+          else {
+            val out = Seq.newBuilder[AdmittedDoc]
+            // id order within the trigger: deterministic under replay
+            incoming.toSeq.sortBy(_._1).foreach { case (id, _, tok) =>
+              if (spent < tokensPerGroup) {
+                out += AdmittedDoc(id, group, tok, spent)
+                spent += tok
+              }
             }
-          }
-          // counter unchanged (budget already exhausted): skip the state
-          // rewrite so saturated groups stop touching the store
-          if (state.getOption.forall(_.spent != spent))
             state.update(GroupBudget(spent))
-          out.result().iterator
+            out.result().iterator
+          }
       }
   }
 }

@@ -77,4 +77,21 @@ class StreamingQuotaSpec extends SparkSpec {
       assert(total < budget + maxDoc, s"group $grp overshot: $total")
     }
   }
+
+  test("null id/group/text rows are excluded, never fatal") {
+    import spark.implicits._
+    // batch mode exercises the same operator body (one trigger, no state
+    // persistence) — the null-id row must be dropped by the stated policy,
+    // not crash the non-nullable tuple encoder
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), "a", "one two"),
+      (null.asInstanceOf[java.lang.Long], "a", "null id"),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String], "null group"),
+      (java.lang.Long.valueOf(3L), "a", null.asInstanceOf[String]),
+      (java.lang.Long.valueOf(4L), "a", "three"))
+      .toDF("doc_id", "source", "text")
+    val admitted = StreamingQuota.admitByTokenBudget(rows, 1000L)
+      .collect().map(_.docId).toSet
+    assert(admitted === Set(1L, 4L))
+  }
 }

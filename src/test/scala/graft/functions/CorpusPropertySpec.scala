@@ -120,4 +120,74 @@ class CorpusPropertySpec extends SparkSpec {
       assert(got === model, s"diverged at k=$k rows=$docs")
     }
   }
+
+  // --- shuffleShard / sampleTokenBudget ------------------------------------
+
+  private def md5Hex(text: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+
+  test("property: shuffleShard == the salted-hash rank model") {
+    val gen = for {
+      n       <- Gen.chooseNum(1, 24)
+      texts   <- Gen.listOfN(n, genDoc)
+      nShards <- Gen.chooseNum(1, 6)
+      epoch   <- Gen.chooseNum(0, 2)
+    } yield (texts, nShards, epoch)
+    cases(gen, 10, seed = 41L).foreach { case (texts, nShards, epoch) =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val hashed = docs.map { case (id, t) =>
+        val h = md5Hex(s"$epoch:$t")
+        (id, h, (java.lang.Long.parseLong(h.substring(0, 8), 16) % nShards).toInt)
+      }
+      val model = hashed.groupBy(_._3).flatMap { case (shard, xs) =>
+        xs.sortBy { case (id, h, _) => (h, id) }.zipWithIndex
+          .map { case ((id, _, _), r) => (id, shard, r + 1) }
+      }.toSet
+      val got = CorpusOps.shuffleShard(
+          docs.toDF("doc_id", "text"), nShards, epoch)
+        .select("doc_id", "shard", "ord")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      assert(got === model, s"diverged at nShards=$nShards epoch=$epoch docs=$docs")
+    }
+  }
+
+  test("property: sampleTokenBudget == the prefix-rule model at small subBuckets") {
+    val gen = for {
+      n      <- Gen.chooseNum(1, 24)
+      rows   <- Gen.listOfN(n, Gen.zip(Gen.oneOf("s0", "s1"), genDoc))
+      budget <- Gen.chooseNum(1L, 40L)
+      // 1-4 sub-buckets: tiny counts force every code path (whole-bucket
+      // keep, whole-bucket drop, boundary window) to fire constantly
+      buckets <- Gen.chooseNum(1, 4)
+    } yield (rows, budget, buckets)
+    cases(gen, 12, seed = 53L).foreach { case (rows, budget, buckets) =>
+      // distinct texts, as in the temperature property (duplicate content
+      // would tie the hash order and the model would need the id tiebreak
+      // of the REAL order — which it has, but distinctness keeps the model
+      // readable)
+      val docs = rows.zipWithIndex.map { case ((g, t), i) =>
+        (i.toLong, g, s"$t y$i") }
+      val model = docs.groupBy(_._2).flatMap { case (_, xs) =>
+        val ordered = xs.map { case (id, g, t) =>
+          val h = md5Hex(t)
+          val bkt = java.lang.Long.parseLong(h.substring(8, 16), 16) % buckets
+          (id, g, t, bkt, h)
+        }.sortBy { case (id, _, _, bkt, h) => (bkt, h, id) }
+        var spent = 0L
+        ordered.flatMap { case (id, g, t, _, _) =>
+          val tok = t.split(" ", -1).length.toLong
+          if (spent < budget) { spent += tok; Some((id, g, tok)) } else None
+        }
+      }.toSet
+      val got = CorpusOps.sampleTokenBudget(
+          docs.toDF("doc_id", "source", "text"), budget,
+          subBuckets = buckets)
+        .select("doc_id", "source", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === model,
+        s"diverged at budget=$budget subBuckets=$buckets docs=$docs")
+    }
+  }
 }

@@ -48,6 +48,13 @@ object AsOf {
     val leftCols = left.columns.toSeq
     require(payload.forall(!leftCols.contains(_)),
       s"payload ${payload.mkString(",")} collides with left columns")
+    // result extraction walks struct field PATHS, so dotted names would
+    // mis-parse as nested access and the internal (__rt, __tb) slots must
+    // stay unique inside the payload struct
+    require((leftCols ++ payload).forall(c => !c.contains(".")),
+      "asOfJoin does not support column names containing '.' — rename first")
+    require(!payload.exists(Set("__rt", "__tb")),
+      "payload columns may not be named __rt or __tb (internal slots)")
     // __p carries (rightTime, tiebreak, payload...): its ASCENDING struct
     // order makes "last" = greatest (time, tiebreak) — the deterministic
     // winner under timestamp ties
@@ -91,7 +98,14 @@ object AsOf {
       points: DataFrame, pt: String,
       keys: Seq[(String, String)], // (intervalCol, pointCol) equi-key pairs
       bucketWidth: Column): DataFrame = {
-    val w = bucketWidth.cast("long")
+    // a width that casts to 0 (e.g. a sub-microsecond fraction truncated by
+    // the long cast) would NULL every bucket through the division and the
+    // equi-join would return an empty result with no error — fail loudly
+    // instead (folded away entirely for valid literal widths)
+    val raw = bucketWidth.cast("long")
+    val w = when(raw > 0, raw).otherwise(raise_error(concat(
+      lit("rangeJoin bucketWidth must be a positive microsecond count, got "),
+      raw.cast("string"))))
     val iPrep = intervals.withColumn("__b",
       explode(sequence(floor(unix_micros(col(lo)) / w),
         floor(unix_micros(col(hi)) / w))))

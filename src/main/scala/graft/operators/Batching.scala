@@ -57,8 +57,14 @@ object Batching {
   def countBatches(df: DataFrame, batchSize: Int,
                    tsCol: String = "cluster_time",
                    tieCol: String = "event_id"): DataFrame = {
-    val bucket = date_trunc("day", col(tsCol))
-    val wInBucket = Window.partitionBy(bucket).orderBy(col(tsCol), col(tieCol))
+    // NULL timestamps sort first under the naive global row_number (nulls
+    // first ascending), so give them their own FIRST bucket instead of
+    // letting a null bucket key vanish through the offset equi-join (NULL
+    // never equals NULL — the rows would silently drop from the output)
+    val bucket = coalesce(date_trunc("day", col(tsCol)),
+      lit("0001-01-01 00:00:00").cast("timestamp"))
+    val wInBucket = Window.partitionBy(bucket).orderBy(
+      col(tsCol).asc_nulls_first, col(tieCol))
     val numbered = df.withColumn("__bucket", bucket)
       .withColumn("__rn", row_number().over(wInBucket))
     val wBuckets = Window.orderBy(col("__bucket"))

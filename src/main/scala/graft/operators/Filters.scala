@@ -29,10 +29,14 @@ object Filters {
 
   /** F3 — invalidate handling (stream.rs:1211-1220): the reference tears the
     * stream down on `invalidate`; in batch/bounded form that is a split of
-    * the flow into (live events, invalidation markers).
+    * the flow into (live events, invalidation markers). An EXACT partition:
+    * a NULL operation is not an invalidate op, so it goes to the live side
+    * (a bare `!isin` would evaluate to NULL and drop the row from BOTH
+    * halves — rows would vanish from the flow).
     */
   def splitInvalidate(df: DataFrame, invalidateOps: Seq[String],
-                      opCol: String = "operation"): (DataFrame, DataFrame) =
-    (df.filter(!col(opCol).isin(invalidateOps: _*)),
-     df.filter(col(opCol).isin(invalidateOps: _*)))
+                      opCol: String = "operation"): (DataFrame, DataFrame) = {
+    val isInvalidate = coalesce(col(opCol).isin(invalidateOps: _*), lit(false))
+    (df.filter(!isInvalidate), df.filter(isInvalidate))
+  }
 }

@@ -170,7 +170,7 @@ object Writers {
       } else derived
     format match {
       case OutFormat.Avro =>
-        AvroSink.write(keyed, path, compression, strategy.partitionColumns)
+        AvroSink.write(keyed, path, compression, strategy.partitionColumns, mode)
       case _ =>
         val w0 = keyed.write.mode(mode)
         val w =
@@ -211,6 +211,6 @@ object Writers {
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       schemaDDL.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
     case OutFormat.Parquet => spark.read.parquet(path)
-    case OutFormat.Avro    => AvroSink.read(spark, path)
+    case OutFormat.Avro    => AvroSink.read(spark, path, schemaDDL)
   }
 }

@@ -25,14 +25,26 @@ final class ZstdCodec extends CompressionCodec with Configurable {
 
   override def createOutputStream(out: OutputStream): CompressionOutputStream =
     new CompressionOutputStream(out) {
-      private val z = new ZstdOutputStream(out, 3)
+      // close-shield: finish() must TERMINATE the zstd frame without
+      // closing the underlying FS stream (the CompressionOutputStream
+      // contract — callers may finish(), then close the raw stream
+      // themselves; a bare flush() left the frame unterminated and such a
+      // .zst read back as truncated). z.close() through the shield ends
+      // the frame but leaves `out` open.
+      private val shield = new java.io.FilterOutputStream(out) {
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          out.write(b, off, len)
+        override def close(): Unit = out.flush() // leave `out` open
+      }
+      private val z = new ZstdOutputStream(shield, 3)
+      private var finished = false
       override def write(b: Int): Unit = z.write(b)
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
         z.write(b, off, len)
-      override def finish(): Unit = z.flush()
+      override def finish(): Unit = if (!finished) { finished = true; z.close() }
       override def resetState(): Unit = ()
-      override def flush(): Unit = z.flush()
-      override def close(): Unit = { z.close() }
+      override def flush(): Unit = if (!finished) z.flush()
+      override def close(): Unit = { finish(); out.close() }
     }
 
   override def createOutputStream(out: OutputStream,

@@ -336,4 +336,65 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getInt(3) === ts.getDayOfMonth)
     assert(r.getInt(4) === ts.getHour)
   }
+
+  test("countBatches keeps NULL-timestamp rows, ordered first like the naive form") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = Seq(
+      (1L, t0), (2L, new java.sql.Timestamp(t0.getTime + 60000)),
+      (3L, null.asInstanceOf[java.sql.Timestamp]),
+      (4L, null.asInstanceOf[java.sql.Timestamp]),
+      (5L, new java.sql.Timestamp(t0.getTime + 120000)))
+      .toDF("event_id", "cluster_time")
+    val batched = Batching.countBatches(rows, batchSize = 2)
+    assert(batched.count() === 5, "null-timestamp rows vanished")
+    val byId = batched.collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("batch_id")).toMap
+    // nulls first (the naive global row_number's ascending order), so the
+    // two null rows fill batch 0 and the timestamped rows follow
+    assert(byId(3L) === 0L && byId(4L) === 0L)
+    assert(byId(1L) === 1L && byId(2L) === 1L && byId(5L) === 2L)
+  }
+
+  test("splitInvalidate routes NULL operations to the live side, losing nothing") {
+    import spark.implicits._
+    val rows = Seq((1L, "insert"), (2L, null.asInstanceOf[String]),
+      (3L, "error")).toDF("event_id", "operation")
+    val (live, inv) = Filters.splitInvalidate(rows, Seq("error"))
+    assert(live.count() + inv.count() === 3, "split lost rows")
+    assert(live.select("event_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(inv.select("event_id").collect().map(_.getLong(0)).toSet === Set(3L))
+  }
+
+  test("rangeJoin refuses a zero-cast bucket width instead of returning empty") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val intervals = Seq((1L, t0, new java.sql.Timestamp(t0.getTime + 60000)))
+      .toDF("k", "lo", "hi")
+    val points = Seq((1L, new java.sql.Timestamp(t0.getTime + 1000)))
+      .toDF("k", "pt")
+    val e = intercept[Exception] {
+      AsOf.rangeJoin(intervals, "lo", "hi", points, "pt",
+        Seq(("k", "k")), lit(0.5)).count() // casts to width 0
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("bucketWidth")), s"unclear error: $e")
+  }
+
+  test("asOfJoin rejects dotted and reserved column names up front") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val left = Seq((1L, t0)).toDF("k", "t")
+    val dotted = Seq((1L, t0, 1.0)).toDF("k", "t", "a.b")
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, "k", "t", dotted, "k", "t",
+        payload = Seq("a.b"), tiebreak = "k")
+    }
+    val reserved = Seq((1L, t0, 1.0)).toDF("k", "t", "__rt")
+    intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, "k", "t", reserved, "k", "t",
+        payload = Seq("__rt"), tiebreak = "k")
+    }
+  }
 }

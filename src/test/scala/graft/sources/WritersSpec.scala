@@ -142,6 +142,87 @@ class WritersSpec extends SparkSpec {
       "small write multiplied files despite volume below target size")
   }
 
+  test("avro honors save modes: append adds, errorifexists refuses, ignore skips") {
+    val path = s"$outRoot/avro-modes"
+    val half1 = env.filter(col("operation") === "purchase")
+    val half2 = env.filter(col("operation") =!= "purchase")
+    Writers.write(half1, path, OutFormat.Avro, OutCompression.None, KeyStrategy.Flat)
+    val n1 = Writers.read(spark, path, OutFormat.Avro, Some(envDDL)).count()
+    assert(n1 === half1.count())
+    // append must ADD, not destroy (the old sink deleted the target dir)
+    Writers.write(half2, path, OutFormat.Avro, OutCompression.None,
+      KeyStrategy.Flat, mode = "append")
+    val all = Writers.read(spark, path, OutFormat.Avro, Some(envDDL))
+    assert(all.count() === env.count(), "append destroyed or duplicated data")
+    assert(canon(all) === want)
+    intercept[IllegalStateException] {
+      Writers.write(half1, path, OutFormat.Avro, OutCompression.None,
+        KeyStrategy.Flat, mode = "errorifexists")
+    }
+    Writers.write(half1, path, OutFormat.Avro, OutCompression.None,
+      KeyStrategy.Flat, mode = "ignore") // no-op on a non-empty target
+    assert(Writers.read(spark, path, OutFormat.Avro, Some(envDDL)).count() === env.count())
+    // no leftover hidden temp files after the commit renames
+    val temps = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".tmp")).toSeq
+    assert(temps.isEmpty, s"uncommitted temps left behind: $temps")
+  }
+
+  test("avro read-back recovers directory partition columns like the other formats") {
+    val path = s"$outRoot/avro-parts"
+    // fresh dir: the append leg below would otherwise accumulate across runs
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    // a FileDestination-style layout: batch_id dirs above the key layout
+    Writers.write(env.limit(20), s"$path/batch_id=000003", OutFormat.Avro,
+      OutCompression.None, KeyStrategy.CollectionBased)
+    Writers.write(env.limit(10), s"$path/batch_id=000007", OutFormat.Avro,
+      OutCompression.None, KeyStrategy.CollectionBased, mode = "append")
+    val back = Writers.read(spark, path, OutFormat.Avro, Some(envDDL))
+    assert(back.columns.contains("batch_id"),
+      s"partition column lost: ${back.columns.toSeq}")
+    // integer-typed like the engine's partition discovery; collection stays
+    // the RECORD field (no duplicate column)
+    val byBatch = back.groupBy("batch_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBatch === Map(3 -> 20L, 7 -> 10L))
+    assert(back.columns.count(_ == "collection") === 1)
+  }
+
+  test("avro empty layout reads back as an empty frame when a schema shapes it") {
+    val path = s"$outRoot/avro-empty"
+    Writers.write(env.filter(lit(false)), path, OutFormat.Avro,
+      OutCompression.None, KeyStrategy.Flat)
+    val back = Writers.read(spark, path, OutFormat.Avro, Some(envDDL))
+    assert(back.count() === 0)
+    assert(back.schema.fieldNames.toSeq ===
+      org.apache.spark.sql.types.StructType.fromDDL(envDDL).fieldNames.toSeq)
+    intercept[IllegalArgumentException] {
+      Writers.read(spark, path, OutFormat.Avro, None)
+    }
+  }
+
+  test("zstd codec finish() terminates the frame without closing the raw stream") {
+    val codec = new ZstdCodec
+    val raw = new java.io.ByteArrayOutputStream()
+    val z = codec.createOutputStream(raw)
+    val payload = ("line one\n" * 500).getBytes("UTF-8")
+    z.write(payload, 0, payload.length)
+    z.finish() // contract: frame complete, raw stream STILL OPEN
+    raw.write(0) // proves the raw stream survived finish()
+    val bytes = raw.toByteArray.dropRight(1)
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    assert(out.toByteArray.sameElements(payload),
+      "finish()-terminated frame did not decompress to the original payload")
+  }
+
   test("format metadata matches the reference's extensions and content types") {
     assert(OutFormat.Jsonl.extension === ".jsonl")
     assert(OutFormat.Csv.contentType === "text/csv")

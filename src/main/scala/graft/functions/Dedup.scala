@@ -240,8 +240,14 @@ object Dedup {
   }
 
   /** LSH band keys: signature split into `bands` bands of `k/bands` rows,
-    * each band hashed to one bucket key. */
+    * each band hashed to one bucket key. `bands` must divide `k` exactly:
+    * bands > k would silently hash ZERO lanes per band (one global bucket
+    * per band — the full n² cross product LSH exists to avoid), and a
+    * non-dividing band count would silently ignore the trailing lanes
+    * while the agreement estimate still divides by k. */
   def lshBandKeys(signature: Column, k: Int, bands: Int): Column = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k exactly (got k=$k, bands=$bands)")
     val rows = k / bands
     array((0 until bands).map { bIdx =>
       struct(

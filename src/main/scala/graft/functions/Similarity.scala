@@ -43,7 +43,15 @@ object Similarity {
   /** Exact top-k neighbours for each query vector. `queries` must be small
     * (it is broadcast); ties break on corpus id for determinism. Top-k per
     * query uses a keyed window — shuffles only the (query × corpus) scored
-    * pairs, already filtered to k by partial sort within partitions. */
+    * pairs, already filtered to k by partial sort within partitions.
+    *
+    * ID-SPACE CONTRACT (also [[lshTopK]]/[[ivfTopK]]/[[searchIvfIndex]]):
+    * pairs with `query_id == neighbor_id` are excluded — the self-search
+    * convention, where queries are drawn from the corpus and a vector must
+    * not be its own best neighbour. If `queries` is an UNRELATED table
+    * whose ids happen to overlap the corpus's, re-id one side first
+    * (e.g. negate or offset the query ids) or a true neighbour with a
+    * coincidentally equal id silently drops out of that query's top-k. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {

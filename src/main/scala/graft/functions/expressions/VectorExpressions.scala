@@ -18,9 +18,13 @@ import org.apache.spark.sql.types._
   *
   * Semantics are IDENTICAL to `Similarity.cosine` (same left-to-right
   * double accumulation, norms over each full array, 0.0 for zero-norm
-  * inputs) — SimilaritySpec asserts bit-equality on real data. Array
-  * elements must be non-null (embedding vectors; null ELEMENTS would read
-  * as 0.0f here, while the HOF form would return null).
+  * inputs) — SimilaritySpec asserts bit-equality on real data — INCLUDING
+  * the mismatched-length case: unequal array lengths return NULL, exactly
+  * like the `zip_with` form (whose null padding propagates), so a
+  * truncated/corrupt embedding SURFACES instead of scoring as a
+  * plausible-looking depressed similarity. Array elements must be
+  * non-null (embedding vectors; null ELEMENTS would read as 0.0f here,
+  * while the HOF form would return null).
   */
 final case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -29,20 +33,22 @@ final case class CosineSimilarity(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
     while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
     var nx = 0.0
     i = 0
-    while (i < x.numElements()) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
+    while (i < n) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
     var ny = 0.0
     i = 0
-    while (i < y.numElements()) { val v = y.getFloat(i).toDouble; ny += v * v; i += 1 }
+    while (i < n) { val v = y.getFloat(i).toDouble; ny += v * v; i += 1 }
     val nn = math.sqrt(nx) * math.sqrt(ny)
     if (nn > 0.0) dot / nn else 0.0
   }
@@ -57,21 +63,25 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val v = ctx.freshName("v")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  }
+         |  double $nx = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = (double) $a.getFloat($i); $nx += $v * $v;
+         |  }
+         |  double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = (double) $b.getFloat($i); $ny += $v * $v;
+         |  }
+         |  double $nn = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |  ${ev.value} = ($nn > 0.0) ? ($dot / $nn) : 0.0;
          |}
-         |double $nx = 0.0;
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
-         |  double $v = (double) $a.getFloat($i); $nx += $v * $v;
-         |}
-         |double $ny = 0.0;
-         |for (int $i = 0; $i < $b.numElements(); $i++) {
-         |  double $v = (double) $b.getFloat($i); $ny += $v * $v;
-         |}
-         |double $nn = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |${ev.value} = ($nn > 0.0) ? ($dot / $nn) : 0.0;
        """.stripMargin
     })
 

@@ -168,32 +168,43 @@ object CdcPipeline {
     val logLineCache =
       new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val transformed = cfg.transform(source(spark, cfg))
+    // lag gating: a watermarked transform already feeds StreamLag through
+    // MetricsListener (progress.eventTime), so the pipeline-path sample
+    // would double-count every batch — observe here only when no
+    // EventTimeWatermark node is in the plan
+    val hasWatermark = transformed.queryExecution.analyzed.exists {
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark]
+    }
     val writer = transformed.writeStream
       .queryName(cfg.queryName)
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.functions.{col, lit, max, unix_micros}
+        import org.apache.spark.sql.functions.{col, count, lit, max,
+          unix_micros, when}
         val t0 = System.nanoTime()
-        // plan-only constructions stay outside the try so the failure path
-        // can still count the batch's live rows for events_failed_total
-        val live =
-          if (cfg.invalidateOps.isEmpty) batch
-          else batch.filter(!col("operation").isin(cfg.invalidateOps: _*))
-        // change_stream_lag_seconds (metrics.rs:191) without a second pass:
-        // CollectMetrics rides the write job and surfaces the newest event
-        // time the batch carried
+        // ONE observed plan carries everything the metrics need — the
+        // invalidation-marker count and the newest event time ride the
+        // write job itself (CollectMetrics above the live filter), so
+        // invalidation detection costs ZERO extra source scans where the
+        // old form re-read the whole batch per trigger just to test for
+        // markers
+        val isInvalidate =
+          if (cfg.invalidateOps.isEmpty) lit(false)
+          else org.apache.spark.sql.functions
+            .coalesce(col("operation").isin(cfg.invalidateOps: _*), lit(false))
+        val hasTime = batch.columns.contains("cluster_time")
         val obs = new org.apache.spark.sql.Observation()
-        val (outDf, lagObs) =
-          if (live.columns.contains("cluster_time"))
-            (live.observe(obs,
-              unix_micros(max(col("cluster_time"))).as("max_event_us"),
-              org.apache.spark.sql.functions.count(lit(1)).as("n_rows")), true)
-          else (live, false)
+        val metricCols =
+          (if (hasTime)
+            Seq(unix_micros(max(col("cluster_time"))).as("max_event_us"))
+          else Nil) ++ Seq(
+            // count (not sum): an empty batch must read as 0, never NULL
+            count(when(isInvalidate, lit(1))).as("n_invalidate"),
+            count(lit(1)).as("n_total"))
+        val observed = batch.observe(obs, metricCols.head, metricCols.tail: _*)
+        val live =
+          if (cfg.invalidateOps.isEmpty) observed else observed.filter(!isInvalidate)
         try {
-          // F3: split off invalidation markers; live rows still flush, then
-          // the stream closes fatally (stream.rs:1211-1220 semantics).
-          val invalidated = cfg.invalidateOps.nonEmpty && !batch
-            .filter(col("operation").isin(cfg.invalidateOps: _*)).isEmpty
           // isRetryable walks the cause chain through BOTH taxonomies:
           // a fatal SourceError (e.g. InvalidResumeToken/286) thrown while
           // the batch reads its source must fail the batch immediately,
@@ -205,12 +216,13 @@ object CdcPipeline {
               inc(WriteErrors, "query" -> cfg.queryName,
                 "error_type" -> SourceError.categoryOf(t))
             }) {
-            destination.writeBatch(outDf, batchId)
+            destination.writeBatch(live, batchId)
             destination.flush()
           }
-          if (invalidated)
-            throw new DestinationError.Invalidated(
-              s"stream ${cfg.queryName} invalidated at batch $batchId")
+          // the flush SUCCEEDED: it counts as a written batch even when an
+          // invalidation marker closes the stream right after (the F3
+          // contract — live rows land, then the stream dies; dashboards
+          // must not read a successful final flush as a write error)
           inc(BatchesWritten, "query" -> cfg.queryName)
           observe(WriteDuration, (System.nanoTime() - t0) / 1e9,
             "query" -> cfg.queryName)
@@ -224,20 +236,37 @@ object CdcPipeline {
             setGauge(BatchQueueSize, backlog.toDouble, "query" -> cfg.queryName)
             observe(BatchQueueSize, backlog.toDouble, "query" -> cfg.queryName)
           }
-          if (lagObs) scala.util.Try {
-            // getRowOrEmpty (not get): never blocks if a destination
-            // consumed the batch without completing the observed plan
-            org.apache.spark.sql.GraftBridge.observationRow(obs).foreach { row =>
-              row.getAs[Any]("max_event_us") match {
-                case us: java.lang.Long =>
-                  val lag = (System.currentTimeMillis() - us / 1000L) / 1000.0
-                  observe(StreamLag, math.max(lag, 0.0), "query" -> cfg.queryName)
-                case _ => ()
-              }
+          // getRowOrEmpty (not get): never blocks if a destination consumed
+          // the batch without completing the observed plan
+          val obsRow = scala.util.Try(
+            org.apache.spark.sql.GraftBridge.observationRow(obs)).toOption.flatten
+          if (hasTime && !hasWatermark) obsRow.foreach { row =>
+            row.getAs[Any]("max_event_us") match {
+              case us: java.lang.Long =>
+                val lag = (System.currentTimeMillis() - us / 1000L) / 1000.0
+                observe(StreamLag, math.max(lag, 0.0), "query" -> cfg.queryName)
+              case _ => ()
             }
           }
+          // F3: an invalidation marker closes the stream fatally AFTER the
+          // flush (stream.rs:1211-1220 semantics). Detection reads the
+          // observed count; if the destination never consumed the plan
+          // (no observation row), fall back to the explicit scan — rare,
+          // and correctness beats the saved read there.
+          val invalidated = cfg.invalidateOps.nonEmpty && (obsRow match {
+            case Some(row) => row.getAs[Long]("n_invalidate") > 0L
+            case None      => !batch.filter(isInvalidate).isEmpty
+          })
+          if (invalidated)
+            throw new DestinationError.Invalidated(
+              s"stream ${cfg.queryName} invalidated at batch $batchId")
           ()
         } catch {
+          case inv: DestinationError.Invalidated =>
+            // not a destination failure: the flush worked and every live
+            // row landed — fail the query without feeding the write-error
+            // or events-failed counters
+            throw inv
           case t: Throwable =>
             inc(WriteErrors, "query" -> cfg.queryName,
               "error_type" -> SourceError.categoryOf(t))

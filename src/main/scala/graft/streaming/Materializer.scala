@@ -19,8 +19,14 @@ final case class KeyedEvent(key: Long, clusterTime: java.sql.Timestamp,
   * resumes materialization where it left off, same as every other
   * pipeline in this package.
   *
-  * Deletes: `dropOps` operations REMOVE the key (emit nothing, clear
-  * state) — pass empty to treat every op as an upsert.
+  * Deletes: `dropOps` operations suppress the key (nothing is emitted) —
+  * pass empty to treat every op as an upsert. The delete is kept in state
+  * as a TOMBSTONE, not removed: clearing state would let a late-arriving
+  * event OLDER than the delete win `maxBy` against nothing and resurrect
+  * the deleted row — the exact out-of-order hazard the upsert path's
+  * `maxBy(state ++ incoming)` already defends against. Tombstones hold
+  * state per deleted key; at corpus scale bound them with a state TTL
+  * (`GroupStateTimeout`) sized to the source's maximum replay lateness.
   */
 object Materializer {
 
@@ -39,14 +45,14 @@ object Materializer {
          state: GroupState[KeyedEvent]) =>
           val all = state.getOption.toSeq ++ incoming
           val latest = all.maxBy(order)
-          if (dropOps.contains(latest.operation)) {
-            state.remove()
-            Iterator.empty
-          } else if (state.getOption.contains(latest)) {
+          if (state.getOption.contains(latest)) {
             Iterator.empty // no change this batch — no delta emitted
           } else {
+            // tombstones ride the same state slot: a later batch's older
+            // event loses maxBy against the stored delete and stays dead
             state.update(latest)
-            Iterator.single(latest.copy(key = key))
+            if (dropOps.contains(latest.operation)) Iterator.empty
+            else Iterator.single(latest.copy(key = key))
           }
       }
   }

@@ -30,11 +30,15 @@ final class Orchestrator(
   /** Start one query per watch target (pipeline.rs:798-971 dispatch). */
   def start(): Seq[StreamingQuery] = synchronized {
     require(queries.isEmpty, "orchestrator already started")
+    // path shapes come from the ONE tested mapping (CdcPipeline.sourcePath)
+    // so the orchestrator can never drift from the pipeline's glob scheme
     val targets: Seq[(String, String)] = level match {
       case WatchLevel.Collection(names) =>
-        names.map(n => n -> s"$sourceRoot/$n")
-      case WatchLevel.Database   => Seq("database" -> s"$sourceRoot/*")
-      case WatchLevel.Deployment => Seq("deployment" -> s"$sourceRoot/*/*")
+        names.zip(CdcPipeline.sourcePath(sourceRoot, level))
+      case WatchLevel.Database =>
+        CdcPipeline.sourcePath(sourceRoot, level).map("database" -> _)
+      case WatchLevel.Deployment =>
+        CdcPipeline.sourcePath(sourceRoot, level).map("deployment" -> _)
     }
     targets.foreach { case (name, path) =>
       val dest = destinationFor(name)

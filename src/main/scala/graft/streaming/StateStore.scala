@@ -115,11 +115,17 @@ final class FileStateStore(
   }
   override def deleteToken(key: String): Unit =
     Files.deleteIfExists(fileFor(key))
-  override def listTokens(): Map[String, String] =
-    Files.list(root).iterator().asScala
+  override def listTokens(): Map[String, String] = {
+    // Files.list holds a directory handle until CLOSED — a polling caller
+    // would otherwise leak one fd per call until unrelated I/O dies with
+    // "Too many open files"
+    val stream = Files.list(root)
+    try stream.iterator().asScala
       .filterNot(_.getFileName.toString.startsWith(".tok"))
       .flatMap { f =>
         readLive(f).map(
           java.net.URLDecoder.decode(f.getFileName.toString, "UTF-8") -> _)
       }.toMap
+    finally stream.close()
+  }
 }

@@ -61,6 +61,11 @@ object StreamingDedup {
              textCol: String = "text"): Dataset[BandedDoc] = {
     import docs.sparkSession.implicits._
     docs
+      // null id/text rows are EXCLUDED (same stated policy as
+      // StreamingQuota): without the guard one poison row either NPEs the
+      // signature comparison or hits the non-nullable encoder field, and
+      // the restart loop replays the same batch and dies forever
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("docId"),
         graft.functions.expressions.TextExpressions.minhashSignatureNative(
           TextFunctions.shingleHashes(col(textCol), shingleN), k).as("sig"))

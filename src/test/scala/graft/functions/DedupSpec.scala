@@ -298,4 +298,13 @@ class DedupSpec extends SparkSpec {
     val got = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].collect()
     assert(got === Array(0.5, 1.0, 0.0))
   }
+
+  test("lshBandKeys rejects band counts that do not divide k") {
+    // bands > k would hash ZERO lanes per band — one global bucket and the
+    // full n² blowup; a non-divisor silently ignores trailing lanes
+    intercept[IllegalArgumentException] { Dedup.lshBandKeys(col("s"), 32, 33) }
+    intercept[IllegalArgumentException] { Dedup.lshBandKeys(col("s"), 32, 5) }
+    intercept[IllegalArgumentException] { Dedup.lshBandKeys(col("s"), 32, 0) }
+    Dedup.lshBandKeys(col("s"), 32, 16) // divisor: fine
+  }
 }

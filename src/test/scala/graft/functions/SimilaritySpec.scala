@@ -85,6 +85,21 @@ class SimilaritySpec extends SparkSpec {
       s"native cosine fell out of codegen:\n$plan")
   }
 
+  test("native cosine NULLs mismatched lengths, exactly like the HOF form") {
+    import spark.implicits._
+    // a truncated/corrupt embedding must SURFACE as null, not score as a
+    // plausible depressed similarity (dot over the short prefix)
+    val df = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("x", "y")
+    val native = df.select(Similarity.cosineFast(col("x"), col("y"))).head()
+    val hof = df.select(Similarity.cosine(col("x"), col("y"))).head()
+    assert(native.isNullAt(0), "native cosine scored a mismatched pair")
+    assert(hof.isNullAt(0), "HOF cosine scored a mismatched pair")
+    // equal-length pairs are unaffected
+    val ok = Seq((Seq(1f, 0f), Seq(1f, 0f))).toDF("x", "y")
+      .select(Similarity.cosineFast(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(ok - 1.0) < 1e-12)
+  }
+
   test("bulk bucket path equals the column-expression lshBucket") {
     // lshTopK's codegen'd bucket computation must produce the same buckets
     // as the public column form (same planes, same sign rule, same fold

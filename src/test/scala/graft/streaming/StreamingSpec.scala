@@ -333,6 +333,52 @@ class StreamingSpec extends SparkSpec {
     val back = dest.readBack(spark, Some(envDDL))
     assert(back.count() === n - nErrors)
     assert(back.filter(col("operation") === "error").count() === 0)
+    // the final flush WORKED: it must count as a written batch, and the
+    // invalidation must not masquerade as a destination failure or feed
+    // the live rows into events_failed_total
+    import GraftMetrics._
+    assert(counter(BatchesWritten, "query" -> "invalidate") >= 1,
+      "invalidated batch's successful flush not counted as written")
+    assert(counter(WriteErrors, "query" -> "invalidate",
+      "error_type" -> "invalidate") === 0,
+      "successful final flush counted as a write error")
+    assert(counter(EventsFailed, "query" -> "invalidate") === 0,
+      "flushed live rows counted as failed events")
+  }
+
+  test("materializer tombstone: late events older than a delete stay dead; newer ones revive") {
+    import spark.implicits._
+    val (src, ckpt, _) = fresh("tombstone")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val ddl = "key long, clusterTime timestamp, eventId long, " +
+      "operation string, value double"
+    def wave(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit = {
+      rows.toDF("key", "clusterTime", "eventId", "operation", "value")
+        .repartition(1).write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+      Thread.sleep(1100) // distinct mod-times => deterministic batch order
+    }
+    wave(Seq((1L, ts(10), 1L, "insert", 1.0), (1L, ts(20), 2L, "delete", 0.0),
+      (2L, ts(10), 3L, "insert", 2.0)))
+    wave(Seq((1L, ts(15), 4L, "update", 9.9))) // LATE: older than the delete
+    wave(Seq((2L, ts(30), 5L, "update", 2.5))) // in-order upsert control
+    val stream = spark.readStream.schema(ddl)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .option("maxFilesPerTrigger", 1).json(src).as[KeyedEvent]
+    val q = Materializer.latestByKey(stream, dropOps = Set("delete")).toDF()
+      .writeStream.queryName("tombstone_mat").format("memory")
+      .outputMode("update").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("tombstone_mat").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // key 1: the wave-0 insert emitted, then deleted; the LATE update must
+    // NOT resurrect it (the old clear-state form re-emitted eventId 4)
+    assert(!emitted.contains((1L, 4L)),
+      s"late pre-delete event resurrected the deleted key: $emitted")
+    // key 2 keeps materializing normally across batches
+    assert(emitted.contains((2L, 5L)))
   }
 
   test("state stores: CRUD + durability + reference key scheme (ST1-ST3)") {

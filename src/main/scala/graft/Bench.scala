@@ -38,6 +38,9 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // a typo'd name must not produce a fast-looking empty run with exit 0
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      errors(n) = "unknown query name (SPARK_GRAFT_ONLY typo?)"))
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -90,20 +90,28 @@ object Demo {
     // --- 3. traffic generator: reveal one staged wave per tick while the
     //        queries are live (the reference example's insert task) --------
     val generator = new Thread(() => {
-      (0 until waves).foreach { w =>
-        Collections.foreach { c =>
-          // the staging dir shrinks as waves move out: always take the
-          // first file still waiting
-          fs.globStatus(
-            new org.apache.hadoop.fs.Path(s"$root/staging/$c/part-*")).toSeq
-            .sortBy(_.getPath.getName).headOption.foreach { st =>
-              val f = st.getPath
-              fs.rename(f,
-                new org.apache.hadoop.fs.Path(s"$root/source/$c/${f.getName}"))
-            }
+      try {
+        (0 until waves).foreach { w =>
+          Collections.foreach { c =>
+            // the staging dir shrinks as waves move out: always take the
+            // first file still waiting (globStatus returns NULL, not an
+            // empty array, when the pattern's parent matches nothing)
+            Option(fs.globStatus(
+              new org.apache.hadoop.fs.Path(s"$root/staging/$c/part-*")))
+              .getOrElse(Array.empty).toSeq
+              .sortBy(_.getPath.getName).headOption.foreach { st =>
+                val f = st.getPath
+                fs.rename(f,
+                  new org.apache.hadoop.fs.Path(s"$root/source/$c/${f.getName}"))
+              }
+          }
+          println(s"[demo] generator: wave ${w + 1}/$waves revealed")
+          Thread.sleep(800)
         }
-        println(s"[demo] generator: wave ${w + 1}/$waves revealed")
-        Thread.sleep(800)
+      } catch {
+        case t: Throwable =>
+          // surface the cause instead of a silent 60 s drain timeout
+          println(s"[demo] generator FAILED: $t")
       }
     }, "demo-traffic-generator")
     generator.start()
@@ -130,7 +138,7 @@ object Demo {
       val back = dests(c).readBack(spark, Some(envDDL))
       val n = back.count()
       val distinct = back.select(countDistinct(col("event_id"))).head.getLong(0)
-      val want = expected(c)
+      val want = expected.getOrElse(c, 0L) // a feed may leave a watched collection empty
       val status = if (n == want && distinct == want) "OK" else "MISMATCH"
       if (status != "OK") ok = false
       println(f"[demo]   $c%-4s events=$n%5d distinct=$distinct%5d expected=$want%5d  $status")

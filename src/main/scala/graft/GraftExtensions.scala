@@ -113,7 +113,22 @@ object GraftExtensions {
         val rev = boolLit("collect_top_k", "reverse", args(2))
         // `new`: the companion with `apply` is private[aggregate] in 4.1
         new org.apache.spark.sql.catalyst.expressions.aggregate.CollectTopK(
-          args(0), k, rev, 0, 0) }))
+          args(0), k, rev, 0, 0) }),
+    one("int8_quantize",
+      classOf[graft.functions.expressions.Int8Quantize],
+      "int8_quantize(vec) - symmetric int8 quantization of a float vector " +
+        "in one fused pass: struct(qvec array<tinyint>, scale float) with " +
+        "q_i = round_half_up(127 * x_i / max|x|); zero vectors yield " +
+        "all-zero/0.0 (codegen'd)",
+      args => { arity("int8_quantize", 1, args)
+        graft.functions.expressions.Int8Quantize(args(0)) }),
+    one("top_freq_frac",
+      classOf[graft.functions.expressions.TopFreqFrac],
+      "top_freq_frac(hashes) - fraction of an array<bigint> taken by its " +
+        "most frequent element (the Gopher-style repetition signal over " +
+        "shingle hashes; empty arrays yield 0.0; codegen'd)",
+      args => { arity("top_freq_frac", 1, args)
+        graft.functions.expressions.TopFreqFrac(args(0)) }))
 
   /** Install on an EXISTING session (the extensions hook only runs at
     * session construction, which the round driver owns). */

@@ -225,11 +225,11 @@ object Queries {
   register("cdc_event_size", Some(
     """SELECT event_id,
       |  'testdb.c_' || CAST(user_id % 8 AS VARCHAR) AS full_name,
-      |  CAST(length(event_type) + length('testdb')
-      |    + length('c_' || CAST(user_id % 8 AS VARCHAR))
-      |    + length('{"_id":' || CAST(event_id AS VARCHAR) || '}')
-      |    + length(props)
-      |    + length('{"_data":' || CAST(event_id AS VARCHAR) || '}')
+      |  CAST(octet_length(encode(event_type)) + octet_length(encode('testdb'))
+      |    + octet_length(encode('c_' || CAST(user_id % 8 AS VARCHAR)))
+      |    + octet_length(encode('{"_id":' || CAST(event_id AS VARCHAR) || '}'))
+      |    + octet_length(encode(props))
+      |    + octet_length(encode('{"_data":' || CAST(event_id AS VARCHAR) || '}'))
       |    + 50 AS BIGINT) AS est_size_bytes
       |FROM events""".stripMargin)) { (s, dir) =>
     // §1.1 helpers: full_name (event.rs:196-200) + batching size estimate

@@ -27,11 +27,14 @@ object Tables {
 
   /** `events` with `ts` converted to a microsecond TimestampType column.
     *
-    * DOCUMENTED SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong`
-    * on the session (skipped when already set) — the only way to read
-    * TIMESTAMP(NANOS) parquet on an arbitrary caller-owned session (the
-    * round driver constructs its own). It changes how OTHER nanos-parquet
-    * reads on the same session behave: they come back as raw long nanos. */
+    * DOCUMENTED SIDE EFFECT: forces `spark.sql.legacy.parquet.nanosAsLong`
+    * to true on the session — including over a caller's explicit `false`
+    * (the public conf API cannot distinguish an explicit false from the
+    * registered default, and without the flag the TIMESTAMP(NANOS)
+    * fixture cannot be read at all on an arbitrary caller-owned session;
+    * the round driver constructs its own). It changes how OTHER
+    * nanos-parquet reads on the same session behave: they come back as
+    * raw long nanos. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

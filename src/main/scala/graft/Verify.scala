@@ -24,10 +24,12 @@ object Verify {
       rm(root)
     }
     root.mkdirs()
+    var failures = 0
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -47,5 +49,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // a broken query must fail the dump loudly, like Bench — a missing
+    // result dir alone could read as "not oracle-checked" downstream
+    if (failures > 0) {
+      System.err.println(s"[verify] $failures quer${
+        if (failures == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

@@ -133,10 +133,12 @@ object CdcEnvelope {
                collection: Column = col("collection")): Column =
     concat(database, lit("."), collection)
 
-  /** Batching-oriented size estimate (event.rs:397-432): byte lengths of
-    * the string payload fields plus a fixed overhead for the timestamp and
-    * envelope bookkeeping (the reference uses a ~50 B/key heuristic; here
-    * the JSON fields carry their own real lengths). */
+  /** Batching-oriented size estimate (event.rs:397-432): BYTE lengths of
+    * the string payload fields (`octet_length` — UTF-8 octets, not
+    * characters, so multi-byte text cannot under-count a byte budget) plus
+    * a fixed overhead for the timestamp and envelope bookkeeping (the
+    * reference uses a ~50 B/key heuristic; here the JSON fields carry
+    * their own real lengths). */
   def estimatedSizeBytes(
       operation: Column = col("operation"),
       database: Column = col("database"),
@@ -144,10 +146,10 @@ object CdcEnvelope {
       documentKey: Column = col("document_key"),
       fullDocument: Column = col("full_document"),
       resumeToken: Column = col("resume_token")): Column =
-    (length(operation) + length(database) + length(collection) +
-      coalesce(length(documentKey), lit(0)) +
-      coalesce(length(fullDocument), lit(0)) +
-      coalesce(length(resumeToken), lit(0)) + lit(50)).cast("long")
+    (octet_length(operation) + octet_length(database) + octet_length(collection) +
+      coalesce(octet_length(documentKey), lit(0)) +
+      coalesce(octet_length(fullDocument), lit(0)) +
+      coalesce(octet_length(resumeToken), lit(0)) + lit(50)).cast("long")
 
   /** Envelope projection; keeps the pre-image column when present. */
   def envelopeOnly(df: DataFrame): DataFrame = {

@@ -19,12 +19,17 @@ import org.apache.spark.sql.types._
   * Semantics are IDENTICAL to `Similarity.cosine` (same left-to-right
   * double accumulation, norms over each full array, 0.0 for zero-norm
   * inputs) — SimilaritySpec asserts bit-equality on real data — INCLUDING
-  * the mismatched-length case: unequal array lengths return NULL, exactly
-  * like the `zip_with` form (whose null padding propagates), so a
-  * truncated/corrupt embedding SURFACES instead of scoring as a
-  * plausible-looking depressed similarity. Array elements must be
-  * non-null (embedding vectors; null ELEMENTS would read as 0.0f here,
-  * while the HOF form would return null).
+  * degenerate shapes, in the HOF form's exact precedence: a zero norm
+  * product yields 0.0 FIRST (its `when(nn > 0, …).otherwise(0.0)` fires
+  * before the null dot is consulted, even for mismatched lengths), and
+  * only then do unequal lengths with live norms return NULL (the
+  * `zip_with` null padding propagating) — so a truncated/corrupt
+  * embedding SURFACES instead of scoring as a plausible-looking depressed
+  * similarity. Array elements must be non-null (embedding vectors; null
+  * ELEMENTS would read as 0.0f here, while the HOF form would return
+  * null). The equal-length hot path is one fused loop (dot and both
+  * norms in a single pass — bit-identical, the accumulators are
+  * independent left-to-right sums).
   */
 final case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
@@ -38,19 +43,32 @@ final case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    var nx = 0.0
-    i = 0
-    while (i < n) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
-    var ny = 0.0
-    i = 0
-    while (i < n) { val v = y.getFloat(i).toDouble; ny += v * v; i += 1 }
-    val nn = math.sqrt(nx) * math.sqrt(ny)
-    if (nn > 0.0) dot / nn else 0.0
+    val nX = x.numElements()
+    val nY = y.numElements()
+    if (nX == nY) {
+      var dot = 0.0
+      var nx = 0.0
+      var ny = 0.0
+      var i = 0
+      while (i < nX) {
+        val vx = x.getFloat(i).toDouble
+        val vy = y.getFloat(i).toDouble
+        dot += vx * vy; nx += vx * vx; ny += vy * vy
+        i += 1
+      }
+      val nn = math.sqrt(nx) * math.sqrt(ny)
+      if (nn > 0.0) dot / nn else 0.0
+    } else {
+      // mismatched lengths: norms still run over each FULL array (the HOF
+      // precedence) — zero norm product is 0.0, live norms are NULL
+      var nx = 0.0
+      var i = 0
+      while (i < nX) { val v = x.getFloat(i).toDouble; nx += v * v; i += 1 }
+      var ny = 0.0
+      i = 0
+      while (i < nY) { val v = y.getFloat(i).toDouble; ny += v * v; i += 1 }
+      if (math.sqrt(nx) * math.sqrt(ny) > 0.0) null else 0.0
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -61,26 +79,32 @@ final case class CosineSimilarity(left: Expression, right: Expression)
       val nn = ctx.freshName("nn")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
-      val v = ctx.freshName("v")
+      val vx = ctx.freshName("vx")
+      val vy = ctx.freshName("vy")
       s"""
          |int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $dot = 0.0;
+         |if ($n == $b.numElements()) {
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
-         |  }
-         |  double $nx = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $v = (double) $a.getFloat($i); $nx += $v * $v;
-         |  }
-         |  double $ny = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $v = (double) $b.getFloat($i); $ny += $v * $v;
+         |    double $vx = (double) $a.getFloat($i);
+         |    double $vy = (double) $b.getFloat($i);
+         |    $dot += $vx * $vy; $nx += $vx * $vx; $ny += $vy * $vy;
          |  }
          |  double $nn = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
          |  ${ev.value} = ($nn > 0.0) ? ($dot / $nn) : 0.0;
+         |} else {
+         |  double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $vx = (double) $a.getFloat($i); $nx += $vx * $vx;
+         |  }
+         |  for (int $i = 0; $i < $b.numElements(); $i++) {
+         |    double $vy = (double) $b.getFloat($i); $ny += $vy * $vy;
+         |  }
+         |  if (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny) > 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = 0.0;
+         |  }
          |}
        """.stripMargin
     })
@@ -115,11 +139,14 @@ final case class SignatureAgreement(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "signature_agreement"
 
-  /** True when static types guarantee dense arrays on both sides. */
-  private def provenDense: Boolean = Seq(left, right).forall(_.dataType match {
-    case ArrayType(_, containsNull) => !containsNull
-    case _                          => false
-  })
+  /** True when static types guarantee dense arrays on both sides — fixed
+    * at plan time, so computed once (the interpreted path evaluates this
+    * per candidate pair otherwise). */
+  private lazy val provenDense: Boolean =
+    Seq(left, right).forall(_.dataType match {
+      case ArrayType(_, containsNull) => !containsNull
+      case _                          => false
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

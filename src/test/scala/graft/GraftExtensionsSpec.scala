@@ -119,6 +119,28 @@ class GraftExtensionsSpec extends SparkSpec {
       Option(err.getCause).exists(_.getMessage.contains("literal")))
   }
 
+  test("int8_quantize is callable from SQL and matches the column form") {
+    Seq((1L, Seq(1.0f, -0.02f, 0.02f, -1.0f))).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("qvecs")
+    val sql = spark.sql(
+      "SELECT int8_quantize(embedding).qvec AS q, " +
+        "int8_quantize(embedding).scale AS s FROM qvecs").head()
+    val col = graft.functions.Quantize.toInt8(spark.table("qvecs")).head()
+    assert(sql.getSeq[Byte](0) === col.getSeq[Byte](1))
+    assert(sql.getFloat(1) === col.getFloat(2))
+    assert(sql.getSeq[Byte](0) === Seq[Byte](127, -3, 3, -127))
+  }
+
+  test("top_freq_frac is callable from SQL and matches the scan-local signal") {
+    // 4 of 6 elements are the same value -> 4/6
+    val frac = spark.sql(
+      "SELECT top_freq_frac(array(7L, 7L, 7L, 7L, 1L, 2L)) AS f")
+      .as[Double].head()
+    assert(math.abs(frac - 4.0 / 6.0) < 1e-12)
+    assert(spark.sql("SELECT top_freq_frac(CAST(array() AS ARRAY<BIGINT>))")
+      .as[Double].head() === 0.0)
+  }
+
   test("the SparkSessionExtensions injection registers the same builders") {
     // the hook the driver-facing config path (spark.sql.extensions) runs:
     // apply it to a fresh SparkSessionExtensions and verify every function

@@ -98,6 +98,14 @@ class CdcEnvelopeSpec extends SparkSpec {
         "full_document", "resume_token")
     val sz = bare.select(CdcEnvelope.estimatedSizeBytes()).head().getLong(0)
     assert(sz === ("delete".length + "db".length + "c".length + 2 + 50).toLong)
+    // multi-byte payloads count UTF-8 OCTETS, not characters — a byte
+    // budget must not under-admit on non-ASCII documents
+    val utf = Seq(("insert", "db", "c", null: String, "héllo", "{}"))
+      .toDF("operation", "database", "collection", "document_key",
+        "full_document", "resume_token")
+    val szU = utf.select(CdcEnvelope.estimatedSizeBytes()).head().getLong(0)
+    assert(szU === (6 + 2 + 1 + 6 + 2 + 50).toLong, // héllo = 6 bytes, 5 chars
+      s"size estimate counted characters, not bytes: $szU")
   }
 
   test("operation-class predicates partition the op taxonomy correctly") {

@@ -98,6 +98,14 @@ class SimilaritySpec extends SparkSpec {
     val ok = Seq((Seq(1f, 0f), Seq(1f, 0f))).toDF("x", "y")
       .select(Similarity.cosineFast(col("x"), col("y"))).head().getDouble(0)
     assert(math.abs(ok - 1.0) < 1e-12)
+    // degenerate precedence matches the HOF exactly: a zero norm product
+    // wins (0.0) even when the lengths ALSO mismatch
+    val zeroNorm = Seq((Seq(0f, 0f), Seq(1f, 2f, 3f))).toDF("x", "y")
+    val zn = zeroNorm.select(
+      Similarity.cosineFast(col("x"), col("y")).as("native"),
+      Similarity.cosine(col("x"), col("y")).as("hof")).head()
+    assert(!zn.isNullAt(0) && zn.getDouble(0) === 0.0)
+    assert(!zn.isNullAt(1) && zn.getDouble(1) === 0.0)
   }
 
   test("bulk bucket path equals the column-expression lshBucket") {

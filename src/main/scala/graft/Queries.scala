@@ -2674,6 +2674,100 @@ object Queries {
     graft.functions.CorpusOps.tfIdfTopK(Tables.documents(s, dir), k = 3)
   }
 
+  register("text_bm25_topk", Some(
+    """WITH q(query_id, query_text) AS (VALUES
+      |    (1, 'hash join'), (2, 'window agg merge'), (3, 'stream vector customer')),
+      |qt AS (SELECT query_id,
+      |    unnest(list_distinct(str_split(query_text, ' '))) AS term FROM q),
+      |toks AS (SELECT doc_id, len(str_split(text, ' ')) AS dl,
+      |    unnest(str_split(text, ' ')) AS term FROM documents),
+      |p AS (SELECT doc_id, term, dl, count(*) AS tf FROM toks
+      |      WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+      |dft AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+      |sc AS (SELECT count(*) AS n_docs,
+      |    avg(CAST(len(str_split(text, ' ')) AS DOUBLE)) AS avgdl FROM documents),
+      |scored AS (
+      |  SELECT p.doc_id, p.term,
+      |    ln(1.0 + (sc.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+      |      (p.tf * (1.2 + 1.0) / (p.tf + 1.2 *
+      |        ((1.0 - 0.75) + 0.75 * p.dl / sc.avgdl))) AS term_score
+      |  FROM p JOIN dft USING (term) CROSS JOIN sc),
+      |pq AS (SELECT qt.query_id, s.doc_id, sum(s.term_score) AS score
+      |       FROM scored s JOIN qt USING (term) GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score,
+      |        row_number() OVER (PARTITION BY query_id
+      |          ORDER BY score DESC, doc_id) AS rank FROM pq)
+      |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 10""".stripMargin)) { (s, dir) =>
+    // Okapi BM25 top-k retrieval — the decontamination/eval-lookup IR
+    // primitive. Query terms broadcast; only matching postings shuffle;
+    // the per-query ranking is WindowGroupLimit-bounded.
+    import s.implicits._
+    val queries = Seq(
+      (1, "hash join"), (2, "window agg merge"), (3, "stream vector customer"))
+      .toDF("query_id", "query_text")
+    graft.functions.Search.bm25TopK(Tables.documents(s, dir), queries, k = 10)
+  }
+
+  register("corpus_dsir_weights", Some(
+    """WITH d AS (SELECT doc_id, (lang = 'en') AS is_target,
+      |    str_split(text, ' ') AS t FROM documents),
+      |f AS (SELECT doc_id, is_target,
+      |    unnest(list_transform(range(1, len(t)), i ->
+      |      CAST(('0x' || substring(md5(array_to_string(t[i:i+1], ' ')), 1, 8))
+      |        AS BIGINT) % 8192)) AS bkt
+      |  FROM d WHERE len(t) >= 2),
+      |bc AS (SELECT bkt, count(*) AS raw_n,
+      |    count(*) FILTER (WHERE is_target) AS tgt_n FROM f GROUP BY 1),
+      |tot AS (SELECT sum(raw_n) AS raw_total, sum(tgt_n) AS tgt_total FROM bc),
+      |lr AS (SELECT bkt,
+      |    ln((tgt_n + 0.5) / (tgt_total + 0.5 * 8192)) -
+      |    ln((raw_n + 0.5) / (raw_total + 0.5 * 8192)) AS lr
+      |  FROM bc CROSS JOIN tot),
+      |w AS (SELECT doc_id, count(*) AS n_feats, sum(lr) AS dsir_weight
+      |      FROM f JOIN lr USING (bkt) GROUP BY 1)
+      |SELECT d.doc_id, d.is_target,
+      |  coalesce(w.n_feats, 0) AS n_feats,
+      |  coalesce(w.dsir_weight, 0.0) AS dsir_weight
+      |FROM d LEFT JOIN w USING (doc_id)""".stripMargin)) { (s, dir) =>
+    // DSIR importance weights (Xie et al. 2023): hashed-bigram likelihood
+    // ratio of the English slice vs the whole corpus. One bucket-count
+    // shuffle (8192-bounded), broadcast ratio table, doc-keyed sum.
+    graft.functions.CorpusOps.dsirWeights(
+      Tables.documents(s, dir), isTarget = col("lang") === "en")
+  }
+
+  register("corpus_repeated_spans", Some(
+    """WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(range(0, len(t) - 4)) AS pos, t
+      |      FROM d WHERE len(t) >= 5),
+      |g2 AS (SELECT doc_id, pos,
+      |    md5(array_to_string(t[(pos + 1):(pos + 5)], ' ')) AS h FROM g),
+      |rep AS (SELECT h FROM g2 GROUP BY h
+      |        HAVING count(DISTINCT doc_id) >= 2),
+      |m AS (SELECT doc_id, pos FROM g2 JOIN rep USING (h)),
+      |isl AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER
+      |      (PARTITION BY doc_id ORDER BY pos) > 5 THEN 1 ELSE 0 END AS brk
+      |  FROM m),
+      |isl2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+      |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+      |sp AS (SELECT doc_id, island, max(pos) - min(pos) + 5 AS span_len
+      |       FROM isl2 GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, count(*) AS n_spans,
+      |    CAST(sum(span_len) AS BIGINT) AS covered_tokens,
+      |    CAST(max(span_len) AS BIGINT) AS max_span_len FROM sp GROUP BY 1)
+      |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+      |  coalesce(agg.n_spans, 0) AS n_spans,
+      |  coalesce(agg.covered_tokens, 0) AS covered_tokens,
+      |  coalesce(agg.max_span_len, 0) AS max_span_len
+      |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin)) { (s, dir) =>
+    // stride-1 shingle approximation of exact-substring dedup (Lee et al.
+    // 2022): cross-doc repeated width-5 windows merged into maximal spans
+    // (gaps-and-islands, one doc-keyed exchange). Integer-only output.
+    graft.functions.CorpusOps.repeatedSpans(Tables.documents(s, dir), width = 5)
+  }
+
   register("corpus_decontaminate", Some(
     """WITH s AS (
       |  SELECT doc_id, unnest(CASE WHEN len(str_split(text, ' ')) >= 4 THEN

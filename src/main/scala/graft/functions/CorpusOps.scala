@@ -452,4 +452,157 @@ object CorpusOps {
       .withColumnRenamed("__tok", "n_tokens")
       .drop("__h", "__bkt", "__btok", "__prefix")
   }
+
+  /** Overlapping positional word n-grams as (position, space-joined text),
+    * one row per window start — the stride-1 sibling of
+    * [[dropRepeatedSegments]]'s fixed windows, built the same codegen'd way
+    * (explode positions, then `slice` + `array_join` per row; a
+    * transform(sequence(...)) lambda would run interpreted on the corpus
+    * hot path). Documents shorter than `width` tokens produce no rows. */
+  private def positionalNgrams(docs: DataFrame, width: Int,
+                               idCol: String, textCol: String,
+                               extraCols: Seq[org.apache.spark.sql.Column] = Nil)
+      : DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .withColumn("__toks", toks)
+      // guard the short-doc case BEFORE sequence(): sequence(0, -1) steps
+      // DOWN and would fabricate phantom windows (the dropRepeatedSegments
+      // trap)
+      .filter(size(col("__toks")) >= width)
+      .withColumn("__pos",
+        explode(sequence(lit(0), size(col("__toks")) - lit(width))))
+      .select(col(idCol) +: col("__pos") +:
+        array_join(slice(col("__toks"), col("__pos") + lit(1), lit(width)), " ")
+          .as("__gram") +: extraCols: _*)
+  }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023): score every raw document by how target-like its hashed n-gram
+    * feature distribution is. The importance weight of a document is
+    * `sum over its bigram features f of log(p_target(bucket(f)) /
+    * p_raw(bucket(f)))` with add-`smoothing` estimates over `nBuckets`
+    * hashed buckets; a high weight means "reads like the target corpus".
+    * Downstream, select top-weight documents (or Gumbel-resample) to tilt
+    * a 100 TB crawl toward a quality/domain target.
+    *
+    * `isTarget` is a boolean Column over `docs` marking the target slice
+    * (e.g. `col("source") === "wiki"`); the target distribution is
+    * estimated from it and every document — target rows included — is
+    * scored against it.
+    *
+    * Scale shape, in corpus passes:
+    *  1. features: one scan-local explode to overlapping bigrams, bucketed
+    *     by md5 (engine-portable, like [[hashBucket]]) — no string ever
+    *     shuffles, only (id, bucket).
+    *  2. bucket counts for raw AND target come from ONE partial-aggregated
+    *     groupBy over those features (`nBuckets`-bounded result), and the
+    *     log-ratio table derived from it is a broadcast — the "model" is
+    *     nBuckets doubles, never driver-resident data.
+    *  3. per-doc weight: broadcast-join features to the ratio table, one
+    *     doc-keyed sum (partial-aggregated map-side).
+    * Documents with fewer than 2 tokens have no features: they surface
+    * with n_feats = 0 and dsir_weight = 0.0 rather than vanishing.
+    *
+    * Output: (idCol, is_target, n_feats, dsir_weight). */
+  def dsirWeights(docs: DataFrame,
+                  isTarget: org.apache.spark.sql.Column,
+                  nBuckets: Int = 8192, smoothing: Double = 0.5,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    require(smoothing > 0.0, s"smoothing must be > 0 (got $smoothing)")
+    val flagged = docs.withColumn("__tgt", isTarget)
+    val feats = positionalNgrams(flagged, 2, idCol, textCol,
+        extraCols = Seq(col("__tgt")))
+      .select(col(idCol), col("__tgt"),
+        pmod(conv(substring(md5(col("__gram")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)).as("__bkt"))
+    val bucketCounts = feats.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__raw_n"),
+        count(when(col("__tgt"), lit(1))).as("__tgt_n"))
+    val totals = bucketCounts.agg(
+      sum(col("__raw_n")).as("__raw_total"),
+      sum(col("__tgt_n")).as("__tgt_total"))
+    val denomShift = lit(smoothing * nBuckets)
+    val ratios = bucketCounts.crossJoin(broadcast(totals))
+      .select(col("__bkt"),
+        (log((col("__tgt_n") + lit(smoothing)) /
+            (col("__tgt_total") + denomShift)) -
+          log((col("__raw_n") + lit(smoothing)) /
+            (col("__raw_total") + denomShift))).as("__lr"))
+    val weights = feats
+      .join(broadcast(ratios), "__bkt")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__lr")).as("dsir_weight"))
+    flagged.select(col(idCol), col("__tgt").as("is_target"))
+      .join(weights, Seq(idCol), "left")
+      .select(col(idCol), col("is_target"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
+  }
+
+  /** Cross-document repeated-SPAN detection — the shingle approximation of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", the suffix-array method): every
+    * overlapping `width`-token window whose text occurs in more than one
+    * DISTINCT document marks its token positions as repeated, and
+    * overlapping/adjacent marked windows merge into maximal spans. Unlike
+    * [[dropRepeatedSegments]]'s fixed non-overlapping windows, stride-1
+    * windows catch repeats at ANY alignment — a copied sentence starting
+    * mid-window is invisible to the segment form but covered here (every
+    * repeated run of >= width tokens is found, with at most width-1 tokens
+    * of boundary slack vs the true suffix-array answer).
+    *
+    * Scale shape:
+    *  1. positional shingles explode scan-locally; the frequency pass
+    *     shuffles only (md5, id) pairs, like [[dropRepeatedSegments]].
+    *  2. the repeated-shingle set joins back WITHOUT a broadcast hint: at
+    *     df >= 2 over stride-1 windows it is not reliably small, so AQE
+    *     promotes from its observed size instead of OOMing the driver.
+    *  3. span merge is gaps-and-islands per document: two window passes
+    *     over the SAME (doc, position) ordering — Spark plans them in one
+    *     exchange, each partition-local and document-sized.
+    *
+    * Output (integers only, fully hash-stable): (idCol, n_tokens, n_spans,
+    * covered_tokens, max_span_len); every input document appears, zeros
+    * when nothing repeats. */
+  def repeatedSpans(docs: DataFrame, width: Int = 5,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(width >= 1, s"span width must be >= 1 (got $width)")
+    import org.apache.spark.sql.expressions.Window
+    val grams = positionalNgrams(docs, width, idCol, textCol)
+      .select(col(idCol), col("__pos"), md5(col("__gram")).as("__h"))
+    val repeated = grams
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select("__h")
+    val marked = grams.join(repeated, "__h")
+      .select(col(idCol), col("__pos"))
+    // islands: windows [p, p+width-1] merge when the next start is within
+    // width of the previous (overlap OR exact adjacency)
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val spans = marked
+      .withColumn("__brk",
+        when(col("__pos") - lag(col("__pos"), 1).over(byPos) > width, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__brk"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg((max(col("__pos")) - min(col("__pos")) + lit(width))
+        .cast("long").as("__span_len"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__span_len")).as("covered_tokens"),
+        max(col("__span_len")).as("max_span_len"))
+    docs.select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("max_span_len"), lit(0L)).as("max_span_len"))
+  }
 }

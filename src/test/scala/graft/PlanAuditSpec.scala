@@ -334,4 +334,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"prefix frame not broadcast:\n$plan")
   }
+
+  test("bm25: query-side frames broadcast, postings never shuffle-join") {
+    val df = run("text_bm25_topk")
+    df.collect()
+    val plan = physical(df)
+    // query terms, df, and scalars all join the postings as broadcasts;
+    // a SortMergeJoin would mean the corpus-sized side shuffled for a
+    // dimension-sized one
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"postings shuffle-joined a broadcast-sized side:\n$plan")
+    // the final ranking is k-bounded (WindowGroupLimit), not a full sort
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k window not rank-limited:\n$plan")
+  }
+
+  test("dsir: ratio table broadcasts; per-doc sum partial-aggregates") {
+    val df = run("corpus_dsir_weights")
+    df.collect()
+    val plan = physical(df)
+    // the nBuckets-bounded log-ratio table joins the features broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ratio table not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // bucket counts and doc weights both partial-aggregate map-side
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"missing partial aggregation:\n$plan")
+  }
+
+  test("repeated spans: islands windows key by doc, one exchange pair, no global sort") {
+    val df = run("corpus_repeated_spans")
+    df.collect()
+    val plan = physical(df)
+    // the lag + running-sum island windows share one doc-keyed exchange
+    assert(plan.contains("hashpartitioning(doc_id"),
+      s"island windows not doc-keyed:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"global sort in the span merge:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in the span path:\n$plan")
+  }
 }

@@ -339,4 +339,85 @@ class CorpusOpsSpec extends SparkSpec {
     assert(changed.nonEmpty && changed.size <= 2,
       s"one mutated doc should touch at most its old and new shard: $changed")
   }
+
+  test("dsir weights separate target-like from off-target documents") {
+    import spark.implicits._
+    // target docs draw from vocabulary A, off-target from B; every doc is
+    // scored against the target distribution estimated from the A slice
+    val a = Seq("alpha beta gamma delta", "beta gamma delta alpha",
+      "gamma alpha beta delta")
+    val b = Seq("omega psi chi phi", "psi chi phi omega", "chi omega psi phi")
+    val mixed = "alpha beta omega psi" // half target-like
+    val docs = (a ++ b :+ mixed).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, i < a.length) }
+      .toDF("doc_id", "text", "tgt")
+    val w = CorpusOps.dsirWeights(docs, isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getDouble(3)))).toMap
+    val aW = (0 until 3).map(i => w(i.toLong)._3)
+    val bW = (3 until 6).map(i => w(i.toLong)._3)
+    assert(aW.min > bW.max,
+      s"every target doc must out-score every off-target doc: $aW vs $bW")
+    // the mixed doc sits strictly between the two blocks
+    assert(w(6L)._3 < aW.min && w(6L)._3 > bW.max)
+    // n_feats = tokens - 1 for every doc here (all have >= 2 tokens)
+    assert(w.values.forall(_._2 === 3L))
+    assert(w.values.count(_._1) === 3)
+  }
+
+  test("dsir: sub-bigram documents surface with zero features, not vanish") {
+    import spark.implicits._
+    val docs = Seq((1L, "solo", true), (2L, "two tokens", true),
+      (3L, "", false)).toDF("doc_id", "text", "tgt")
+    val w = CorpusOps.dsirWeights(docs, isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(w.keySet === Set(1L, 2L, 3L))
+    assert(w(1L) === ((0L, 0.0)) && w(3L) === ((0L, 0.0)))
+    assert(w(2L)._1 === 1L)
+  }
+
+  test("repeated spans: alignment-independent detection and interval merge") {
+    import spark.implicits._
+    val docs = Seq(
+      // "a b c d e f" (6 tokens) repeats in doc 2 at a DIFFERENT alignment
+      // (offset 2) — two overlapping width-5 windows merge into one span
+      (1L, "a b c d e f x1 y1"),
+      (2L, "p q a b c d e f r s"),
+      // doc 3 repeats nothing
+      (3L, "u v w aa bb cc dd ee"),
+      // docs 4+5 share TWO disjoint 5-gram runs -> two spans each
+      (4L, "m1 m2 m3 m4 m5 zz1 zz2 n1 n2 n3 n4 n5"),
+      (5L, "m1 m2 m3 m4 m5 qq1 qq2 n1 n2 n3 n4 n5"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.repeatedSpans(docs, width = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // doc 1: positions 0,1 marked -> one merged span covering tokens 0..5
+    assert(r(1L) === ((8L, 1L, 6L, 6L)))
+    // doc 2: same 6-token run marked at positions 2,3 despite the offset
+    assert(r(2L) === ((10L, 1L, 6L, 6L)))
+    assert(r(3L) === ((8L, 0L, 0L, 0L)))
+    // docs 4/5: two disjoint 5-token spans, never merged across the gap
+    assert(r(4L) === ((12L, 2L, 10L, 5L)))
+    assert(r(5L) === ((12L, 2L, 10L, 5L)))
+  }
+
+  test("repeated spans: exact adjacency merges; a width-1 gap does not") {
+    import spark.implicits._
+    // shared run of 10 tokens: windows at 0..5 all marked, one span of 10
+    val run10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, run10), (2L, run10 + " tailA tailB"),
+      // marked windows at positions 0 and 6 (gap 6 > width 5): two spans
+      (3L, "g1 g2 g3 g4 g5 only3 h1 h2 h3 h4 h5"),
+      (4L, "g1 g2 g3 g4 g5 only4 h1 h2 h3 h4 h5"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.repeatedSpans(docs, width = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r(1L) === ((1L, 10L, 10L)))
+    assert(r(2L) === ((1L, 10L, 10L)))
+    assert(r(3L) === ((2L, 10L, 5L)))
+    assert(r(4L) === ((2L, 10L, 5L)))
+  }
 }

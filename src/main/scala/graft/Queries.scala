@@ -2737,6 +2737,44 @@ object Queries {
       Tables.documents(s, dir), isTarget = col("lang") === "en")
   }
 
+  register("corpus_dsir_resample", Some(
+    """WITH d AS (SELECT doc_id, (lang = 'en') AS is_target, text,
+      |    str_split(text, ' ') AS t FROM documents),
+      |f AS (SELECT doc_id, is_target,
+      |    unnest(list_transform(range(1, len(t)), i ->
+      |      CAST(('0x' || substring(md5(array_to_string(t[i:i+1], ' ')), 1, 8))
+      |        AS BIGINT) % 8192)) AS bkt
+      |  FROM d WHERE len(t) >= 2),
+      |bc AS (SELECT bkt, count(*) AS raw_n,
+      |    count(*) FILTER (WHERE is_target) AS tgt_n FROM f GROUP BY 1),
+      |tot AS (SELECT sum(raw_n) AS raw_total, sum(tgt_n) AS tgt_total FROM bc),
+      |lr AS (SELECT bkt,
+      |    ln((tgt_n + 0.5) / (tgt_total + 0.5 * 8192)) -
+      |    ln((raw_n + 0.5) / (raw_total + 0.5 * 8192)) AS lr
+      |  FROM bc CROSS JOIN tot),
+      |w AS (SELECT doc_id, sum(lr) AS dsir_weight
+      |      FROM f JOIN lr USING (bkt) GROUP BY 1),
+      |sk AS (SELECT d.doc_id, d.is_target,
+      |    coalesce(w.dsir_weight, 0.0) AS dsir_weight,
+      |    coalesce(w.dsir_weight, 0.0) / 1.0 +
+      |      (-ln(-ln((CAST(('0x' || substring(md5('gumbel:0:' || d.text), 1, 8))
+      |        AS BIGINT) + 0.5) / 4294967296.0))) AS sample_key
+      |  FROM d LEFT JOIN w USING (doc_id))
+      |SELECT doc_id, is_target, dsir_weight, sample_key FROM sk
+      |ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin)) { (s, dir) =>
+    // the DSIR selection step: Gumbel-top-k (sample 50 docs WITHOUT
+    // replacement, probability ∝ exp(weight/T)) as one k-bounded
+    // TakeOrdered over a salted-hash Gumbel — deterministic, content-keyed
+    val docs = Tables.documents(s, dir)
+    val weighted = docs.join(
+      graft.functions.CorpusOps.dsirWeights(docs, isTarget = col("lang") === "en")
+        .select(col("doc_id"), col("is_target"), col("dsir_weight")),
+      "doc_id")
+    graft.functions.CorpusOps.dsirResample(weighted, k = 50)
+      .select(col("doc_id"), col("is_target"), col("dsir_weight"),
+        col("sample_key"))
+  }
+
   register("corpus_repeated_spans", Some(
     """WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
       |g AS (SELECT doc_id, unnest(range(0, len(t) - 4)) AS pos, t

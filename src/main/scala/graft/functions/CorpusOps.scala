@@ -542,6 +542,47 @@ object CorpusOps {
         coalesce(col("dsir_weight"), lit(0.0)).as("dsir_weight"))
   }
 
+  /** Gumbel-top-k importance RESAMPLING over [[dsirWeights]] — the actual
+    * selection step of DSIR: drawing k documents WITHOUT replacement with
+    * probability proportional to exp(weight / temperature) is exactly
+    * taking the k largest values of `weight/temperature + Gumbel noise`
+    * (the Gumbel-top-k trick), so the whole draw is one k-bounded
+    * TakeOrdered — no sequential sampling state, no global sort.
+    *
+    * The Gumbel variate is DETERMINISTIC: `g = -ln(-ln(u))` with
+    * `u = (h + 0.5) / 2^32` from the first 8 hex digits of a SALTED
+    * content md5 (`gumbel:<epoch>:` prefix — an independent hash from the
+    * unsalted digits [[hashBucket]]/[[sampleTokenBudget]] key on, so the
+    * draw does not correlate with split or budget decisions on the same
+    * pipeline, and changing `epoch` redraws). Content-keyed like every
+    * sampler here: re-ingestion reproduces the sample, and the same
+    * formula replays in the DuckDB oracle. u in (0,1) strictly — the +0.5
+    * offset keeps both ln calls finite.
+    *
+    * `weighted` must carry (idCol, contentCol, weightCol) — join
+    * [[dsirWeights]] output back to the documents. Higher `temperature`
+    * flattens the draw toward uniform; lower sharpens toward argmax.
+    *
+    * Output: the k sampled rows of `weighted` plus `sample_key` (the
+    * perturbed score the draw ordered on). */
+  def dsirResample(weighted: DataFrame, k: Int, temperature: Double = 1.0,
+                   epoch: Int = 0,
+                   weightCol: String = "dsir_weight",
+                   idCol: String = "doc_id",
+                   contentCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(temperature > 0.0, s"temperature must be > 0 (got $temperature)")
+    val u = (conv(substring(md5(concat_ws(":", lit("gumbel"),
+        lit(epoch.toString), col(contentCol))), 1, 8), 16, 10).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    val gumbel = -log(-log(u))
+    weighted
+      .withColumn("sample_key",
+        col(weightCol).cast("double") / lit(temperature) + gumbel)
+      .orderBy(col("sample_key").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Cross-document repeated-SPAN detection — the shingle approximation of
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better", the suffix-array method): every

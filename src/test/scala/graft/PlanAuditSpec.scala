@@ -363,6 +363,20 @@ class PlanAuditSpec extends SparkSpec {
       s"missing partial aggregation:\n$plan")
   }
 
+  test("dsir resample: the Gumbel-top-k draw is a k-bounded TakeOrdered") {
+    val df = run("corpus_dsir_resample")
+    df.collect()
+    val plan = physical(df)
+    // sampling-without-replacement must not pay a global sort: the only
+    // ordering operator is TakeOrderedAndProject (k rows per task, k at
+    // the driver); the one SinglePartition exchange in this plan is the
+    // 8192-row totals aggregate inside dsirWeights, not a data sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"draw not k-bounded:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in the draw:\n$plan")
+  }
+
   test("repeated spans: islands windows key by doc, one exchange pair, no global sort") {
     val df = run("corpus_repeated_spans")
     df.collect()

@@ -376,6 +376,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(w(2L)._1 === 1L)
   }
 
+  test("dsir resample: Gumbel-top-k is deterministic, k-bounded, weight-tilted") {
+    import spark.implicits._
+    // 10 high-weight docs and 90 near-zero docs; a weight gap of 100 dwarfs
+    // Gumbel noise (|g| rarely exceeds ~6), so at T=1 the draw must pick
+    // exactly the high block; at T=1000 the weights flatten and the draw is
+    // Gumbel-dominated (some low-weight docs appear)
+    val docs = (0 until 100).map { i =>
+      (i.toLong, s"document number $i with its own text", if (i < 10) 100.0 else 0.0)
+    }.toDF("doc_id", "text", "dsir_weight")
+    val sharp = CorpusOps.dsirResample(docs, k = 10)
+    assert(sharp.count() === 10)
+    assert(sharp.select("doc_id").as[Long].collect().toSet === (0L until 10L).toSet)
+    // deterministic: the same draw twice; a new epoch redraws
+    val again = CorpusOps.dsirResample(docs, k = 10)
+      .select("doc_id", "sample_key").collect().toSet
+    assert(again === sharp.select("doc_id", "sample_key").collect().toSet)
+    val flat = CorpusOps.dsirResample(docs, k = 10, temperature = 1000.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flat.exists(_ >= 10L), "high temperature must flatten the draw")
+    val redraw = CorpusOps.dsirResample(docs, k = 10, temperature = 1000.0,
+      epoch = 1).select("doc_id").as[Long].collect().toSet
+    assert(redraw !== flat, "epoch change must redraw")
+  }
+
   test("repeated spans: alignment-independent detection and interval merge") {
     import spark.implicits._
     val docs = Seq(

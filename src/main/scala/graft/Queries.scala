@@ -1552,6 +1552,39 @@ object Queries {
       .select(col("week"), col("approx_users"), col("exact_users"))
   }
 
+  register("agg_kll_mergeable", None) { (s, dir) =>
+    // The quantile sibling of agg_hll_mergeable — the OTHER half of the
+    // incremental-stats architecture: persist one fixed-size KLL sketch
+    // per day partition at ingest, answer "p50/p99 of value over ANY date
+    // range" by merging daily sketches, never re-scanning events. Daily
+    // kll_sketch_agg_double(value, k=200) → kll_merge_agg_double per ISO
+    // week → quantile reads, alongside the exact percentile the one-shot
+    // scan would give. Unlike HLL union (lossless at equal lgK),
+    // DataSketches KLL compaction is RANDOMIZED: estimates vary run to
+    // run within the published rank-error bound (~1.65% at k=200), so
+    // this is no_oracle by nature twice over (engine-specific AND
+    // randomized) and OperatorsSpec gates what KLL actually contracts:
+    // the exact RANK of each estimate stays within epsilon of the asked
+    // quantile. Week key = the week's Monday, year-unambiguous like the
+    // HLL entry.
+    val ev = Tables.events(s, dir)
+      .select(col("value"), to_date(col("ts")).as("day"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+    val daily = ev.groupBy(col("week"), col("day"))
+      .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+    val weekly = daily.groupBy(col("week"))
+      .agg(expr("kll_merge_agg_double(sk)").as("wsk"))
+      .select(col("week"),
+        expr("kll_sketch_get_quantile_double(wsk, 0.5)").as("approx_p50"),
+        expr("kll_sketch_get_quantile_double(wsk, 0.99)").as("approx_p99"))
+    val exact = ev.groupBy(col("week"))
+      .agg(expr("percentile(value, 0.5D)").as("exact_p50"),
+        expr("percentile(value, 0.99D)").as("exact_p99"))
+    weekly.join(exact, "week")
+      .select(col("week"), col("approx_p50"), col("exact_p50"),
+        col("approx_p99"), col("exact_p99"))
+  }
+
   register("agg_sliding_windows", Some(
     """SELECT window_start, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value

@@ -259,6 +259,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("mergeable KLL: merged daily sketches answer range quantiles within rank epsilon") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("agg_kll_mergeable")(spark, sfTiny)
+      .collect()
+    assert(out.nonEmpty)
+    // KLL's contract is a RANK guarantee (~1.65% at k=200; compaction is
+    // randomized, so value equality can NEVER be asserted): the exact rank
+    // of each estimate must sit within epsilon of the asked quantile
+    val ev = graft.Tables.events(spark, sfTiny)
+      .select(col("value"), to_date(date_trunc("week", col("ts"))).as("week"))
+    val weekVals = ev.collect()
+      .groupBy(_.getDate(1).toString).view
+      .mapValues(_.map(_.getDouble(0)).sorted).toMap
+    out.foreach { r =>
+      val vals = weekVals(r.getDate(0).toString)
+      def rankOf(v: Double): Double =
+        vals.count(_ <= v).toDouble / vals.length
+      assert(math.abs(rankOf(r.getAs[Double]("approx_p50")) - 0.5) <= 0.05,
+        s"p50 rank off for week ${r.get(0)}")
+      assert(rankOf(r.getAs[Double]("approx_p99")) >= 0.94,
+        s"p99 rank off for week ${r.get(0)}")
+    }
+    // mergeability across an arbitrary range: union the per-week sketches
+    // into a whole-feed quantile and gate its rank the same way
+    val allVals = weekVals.values.flatten.toArray.sorted
+    val global = ev.groupBy(col("week"))
+      .agg(expr("kll_sketch_agg_double(value, 200)").as("sk"))
+      .agg(expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)")
+        .as("p50"))
+      .head().getDouble(0)
+    val gRank = allVals.count(_ <= global).toDouble / allVals.length
+    assert(math.abs(gRank - 0.5) <= 0.05, s"global merged p50 rank $gRank")
+  }
+
   test("mergeable HLL: union of daily sketches == one-shot sketch, bounded error") {
     import org.apache.spark.sql.functions._
     val out = graft.SparkEntry.queries("agg_hll_mergeable")(spark, sfTiny)

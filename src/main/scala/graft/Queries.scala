@@ -3067,6 +3067,48 @@ object Queries {
       .withColumn("cos_sim", round(col("cos_sim"), 6))
   }
 
+  register("embed_rproj_neardup", Some(
+    """WITH proj AS (
+      |  SELECT vec_id, list_transform(range(0, 8), j ->
+      |    CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(0, 64), i ->
+      |        (CASE WHEN CAST(('0x' || substring(md5(
+      |            'rp:0:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+      |            1, 8)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+      |        * CAST(embedding[i + 1] AS DOUBLE))),
+      |      (x, y) -> x + y) / sqrt(8.0) AS FLOAT)) AS p
+      |  FROM embeddings),
+      |pairs AS (
+      | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(range(1, len(a.p) + 1),
+      |       i -> CAST(a.p[i] AS DOUBLE) * CAST(b.p[i] AS DOUBLE))),
+      |     (x, y) -> x + y) AS dot,
+      |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(a.p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |     (x, y) -> x + y)) AS nx,
+      |   sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |     list_transform(b.p, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |     (x, y) -> x + y)) AS ny
+      | FROM proj a JOIN proj b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b,
+      |  round(CASE WHEN nx * ny > 0 THEN dot / (nx * ny) ELSE 0.0 END, 6) AS cos_sim
+      |FROM pairs
+      |WHERE CASE WHEN nx * ny > 0 THEN dot / (nx * ny) ELSE 0.0 END >= 0.8""".stripMargin)) { (s, dir) =>
+    // JL random projection 64 -> 8 dims (codegen'd RandomProject; the md5
+    // sign matrix rebuilds identically in the oracle), then exact
+    // near-dup pairs on the PROJECTED vectors via the block-partitioned
+    // pairwise join — the compress-before-ANN shape: at 100 TB the
+    // projection is a narrow 8×-smaller pass and candidates re-rank on
+    // full vectors. Projection arithmetic itself sits under the hash
+    // compare; QuantizeSpec gates the JL distortion bound separately.
+    val proj = Tables.embeddings(s, dir).select(col("vec_id"),
+      graft.functions.Quantize.randomProject(
+        col("embedding"), outDim = 8, inDim = 64).as("embedding"))
+    Similarity.cosineThresholdPairs(proj, 0.8)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   register("dedup_semantic", None) { (s, dir) =>
     // SemDeDup (cluster-then-dedup): spherical k-means lists, cosine
     // comparisons only WITHIN a cluster — Σ|cluster|² pairwise cost instead

@@ -64,4 +64,31 @@ object Quantize {
   /** Dequantized vector, for consumers that need magnitudes. */
   def dequantize(qv: Column, scale: Column): Column =
     transform(qv, x => x.cast("float") * scale)
+
+  /** Deterministic ±1 JL sign matrix: `s_ji = +1` iff the first 8 hex
+    * digits of `md5("rp:<seed>:<j>:<i>")` parse to an EVEN integer. md5
+    * (not a JVM hash) so the DuckDB oracle rebuilds the identical matrix
+    * in SQL; the matrix is model-sized (outDim×inDim bytes) and rides in
+    * the serialized plan — nothing is broadcast or stored. */
+  def jlSignMatrix(outDim: Int, inDim: Int, seed: Int): Array[Array[Byte]] = {
+    require(outDim >= 1 && inDim >= 1, "dims must be >= 1")
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp:$seed:$j:$i".getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.toByte else (-1).toByte
+    }
+  }
+
+  /** Johnson-Lindenstrauss random projection of an `array<float>`
+    * embedding column to `outDim` dims — the compress-before-ANN step (at
+    * 100 TB, project 64→8/16 before indexing and re-rank survivors on the
+    * full vectors). One fused codegen'd pass per row
+    * ([[graft.functions.expressions.RandomProject]]); deterministic in
+    * `seed`; vectors whose length is not `inDim` project to NULL
+    * (corruption surfaces, never silently mis-projects). */
+  def randomProject(vec: Column, outDim: Int, inDim: Int,
+                    seed: Int = 0): Column =
+    graft.functions.expressions.VectorExpressions
+      .randomProjectNative(vec, jlSignMatrix(outDim, inDim, seed))
 }

@@ -284,6 +284,94 @@ final case class Int8Quantize(child: Expression)
     copy(child = newChild)
 }
 
+/** Random projection (Johnson-Lindenstrauss, sign-matrix variant à la
+  * Achlioptas 2001) of one `array<float>` embedding in a single fused
+  * codegen'd pass: `y_j = (Σ_i s_ji · x_i) / sqrt(outDim)` with
+  * `s_ji ∈ {+1, −1}`. The compress-before-ANN primitive: at 100 TB of
+  * embeddings, projecting 64→8/16 dims cuts index size and scan cost ~4-8×
+  * while JL preserves pairwise geometry within the usual
+  * O(1/sqrt(outDim)) distortion.
+  *
+  * The sign matrix is NOT stored or broadcast: it is derived
+  * deterministically from md5("rp:<seed>:<j>:<i>") parity at PLAN time
+  * (model-sized: outDim×inDim bytes riding inside the serialized plan), so
+  * the identical projection replays on any executor, after any restart,
+  * and — because md5 is engine-portable — inside the DuckDB oracle, which
+  * rebuilds the same matrix in SQL. Fold order (i ascending, double
+  * accumulation, one division by sqrt(outDim), then the float cast) is
+  * part of the contract for the same reason.
+  *
+  * A vector whose length differs from the matrix's `inDim` returns NULL —
+  * a truncated/corrupt embedding surfaces instead of silently projecting
+  * garbage (the [[CosineSimilarity]] convention). */
+final case class RandomProject(child: Expression, signs: Array[Array[Byte]])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(signs.nonEmpty && signs.forall(_.length == signs(0).length),
+    "sign matrix must be rectangular and non-empty")
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true // dim mismatch yields null
+  override def prettyName: String = "random_project"
+
+  private def outDim: Int = signs.length
+  private def inDim: Int = signs(0).length
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    if (x.numElements() != inDim) return null
+    val scale = math.sqrt(outDim.toDouble)
+    val out = new Array[Float](outDim)
+    var j = 0
+    while (j < outDim) {
+      val row = signs(j)
+      var dot = 0.0
+      var i = 0
+      while (i < inDim) {
+        val xv = x.getFloat(i).toDouble
+        dot += (if (row(i) > 0) xv else -xv)
+        i += 1
+      }
+      out(j) = (dot / scale).toFloat
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val m = ctx.addReferenceObj("signs", signs, "byte[][]")
+      val out = ctx.freshName("out")
+      val row = ctx.freshName("row")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val xv = ctx.freshName("xv")
+      s"""
+         |if ($x.numElements() != $inDim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  float[] $out = new float[$outDim];
+         |  for (int $j = 0; $j < $outDim; $j++) {
+         |    byte[] $row = $m[$j];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $inDim; $i++) {
+         |      double $xv = (double) $x.getFloat($i);
+         |      $dot += ($row[$i] > 0) ? $xv : -$xv;
+         |    }
+         |    $out[$j] = (float) ($dot / java.lang.Math.sqrt((double) $outDim));
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions
+         |    .UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProject =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd cosine similarity over two `array<float>` columns. */
   def cosineNative(a: Column, b: Column): Column =
@@ -298,4 +386,8 @@ object VectorExpressions {
   /** Codegen'd fused int8 quantization: struct(qvec, scale). */
   def int8QuantizeNative(vec: Column): Column =
     GraftBridge.column(Int8Quantize(GraftBridge.expression(vec)))
+
+  /** Codegen'd JL random projection with the given ±1 sign matrix. */
+  def randomProjectNative(vec: Column, signs: Array[Array[Byte]]): Column =
+    GraftBridge.column(RandomProject(GraftBridge.expression(vec), signs))
 }

@@ -391,6 +391,71 @@ class SimilaritySpec extends SparkSpec {
       s"Int8Quantize fell out of codegen:\n$plan")
   }
 
+  test("JL random projection: bit-exact vs reference, seeded, dim-gated, codegen'd") {
+    import graft.functions.Quantize
+    import spark.implicits._
+    // 1. the native expression matches an independent interpreted replay of
+    //    the same md5 sign matrix, bit-exactly (fold order is the contract)
+    val signs = Quantize.jlSignMatrix(8, 64, seed = 0)
+    assert(signs.flatten.forall(s => s == 1 || s == -1))
+    val plusFrac = signs.flatten.count(_ > 0).toDouble / (8 * 64)
+    assert(plusFrac > 0.35 && plusFrac < 0.65,
+      f"md5 parity matrix badly unbalanced: +1 fraction $plusFrac%.3f")
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val want = rows.map { case (id, x) =>
+      id -> signs.map { row =>
+        var d = 0.0; var i = 0
+        while (i < 64) { d += (if (row(i) > 0) x(i).toDouble else -x(i).toDouble); i += 1 }
+        (d / math.sqrt(8.0)).toFloat
+      }.toSeq
+    }.toMap
+    val got = emb.select(col("vec_id"),
+        Quantize.randomProject(col("embedding"), outDim = 8, inDim = 64).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // 2. the seed matters: a different seed derives a different matrix
+    val reseeded = emb.select(col("vec_id"),
+        Quantize.randomProject(col("embedding"), 8, 64, seed = 1).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(reseeded !== got, "seed=1 projected identically to seed=0")
+    // 3. a vector whose length != inDim projects to NULL (corruption
+    //    surfaces); a NULL vector null-propagates
+    val edge = Seq(
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    edge.select(Quantize.randomProject(col("embedding"), 8, 64).as("p"))
+      .collect().foreach(r => assert(r.isNullAt(0)))
+    // 4. JL distortion: projected cosine tracks exact cosine within the
+    //    O(1/sqrt(outDim)) envelope. Deterministic (fixed seed, fixed
+    //    fixture): measure mean |Δcos| over all pairs of 40 vectors.
+    def cosOf(v: Map[Long, Seq[Float]]): Map[(Long, Long), Double] = {
+      val ids = v.keys.toSeq.sorted.take(40)
+      (for { a <- ids; b <- ids if a < b } yield {
+        val (x, y) = (v(a), v(b))
+        val dot = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+        val nx = math.sqrt(x.map(p => p.toDouble * p.toDouble).sum)
+        val ny = math.sqrt(y.map(p => p.toDouble * p.toDouble).sum)
+        (a, b) -> (if (nx * ny > 0) dot / (nx * ny) else 0.0)
+      }).toMap
+    }
+    val exactCos = cosOf(rows.map { case (id, x) => id -> x.toSeq }.toMap)
+    val proj32 = emb.select(col("vec_id"),
+        Quantize.randomProject(col("embedding"), 32, 64).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val meanErr32 = exactCos.map { case (k, c) =>
+      math.abs(cosOf(proj32)(k) - c) }.sum / exactCos.size
+    info(f"JL mean |cos distortion| at 64->32: $meanErr32%.4f")
+    assert(meanErr32 <= 0.15, f"64->32 distortion $meanErr32%.4f above JL envelope")
+    // 5. stays inside whole-stage codegen
+    val plan = emb.select(Quantize.randomProject(col("embedding"), 8, 64))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.matches("^[:+\\- ]*\\*\\(\\d+\\).*")),
+      s"RandomProject fell out of codegen:\n$plan")
+  }
+
   test("semantic decontamination flags exactly the brute-force >= threshold set") {
     val emb = graft.Tables.embeddings(spark, sfSmall)
     val bench = emb.filter(col("vec_id") < 10)

@@ -2729,7 +2729,7 @@ object Queries {
       |       FROM scored s JOIN qt USING (term) GROUP BY 1, 2),
       |r AS (SELECT query_id, doc_id, score,
       |        row_number() OVER (PARTITION BY query_id
-      |          ORDER BY score DESC, doc_id) AS rank FROM pq)
+      |          ORDER BY round(score, 6) DESC, doc_id) AS rank FROM pq)
       |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 10""".stripMargin)) { (s, dir) =>
     // Okapi BM25 top-k retrieval — the decontamination/eval-lookup IR

@@ -34,7 +34,15 @@ object Search {
     * smoothed `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))`; `df` counts
     * documents containing the term, `avgdl` is the mean token count over
     * the corpus. Defaults k1=1.2, b=0.75 are the published Okapi values.
-    * Ties rank by ascending doc id (total order, engine-portable).
+    *
+    * Ranking order is made reproducible by quantizing the score to 1e-6
+    * before ordering: documents with an identical (tf, dl) profile for the
+    * query terms are MATHEMATICALLY tied, but float summation order
+    * (partition order, engine) perturbs their scores at ~1e-16, so a raw
+    * `ORDER BY score DESC` would rank them differently run to run. At 1e-6
+    * granularity real ties land on the same key and resolve by ascending
+    * doc id (total order, engine-portable); the emitted `score` column
+    * stays unquantized.
     *
     * Output: (queryIdCol, idCol, score, rank) with rank in 1..k. A query
     * whose terms hit no document returns no rows.
@@ -86,7 +94,7 @@ object Search {
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(queryIdCol))
-      .orderBy(col("score").desc, col(idCol).asc)
+      .orderBy(round(col("score"), 6).desc, col(idCol).asc)
     perQuery.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

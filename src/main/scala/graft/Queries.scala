@@ -1585,6 +1585,38 @@ object Queries {
         col("approx_p99"), col("exact_p99"))
   }
 
+  register("agg_cms_mergeable", None) { (s, dir) =>
+    // The FREQUENCY third of the mergeable-sketch trio (HLL = distinct,
+    // KLL = quantiles, CMS = item frequencies): daily count_min_sketch
+    // over event_type at ingest → Sketches.cmsMerge per ISO week →
+    // per-type point estimates over any range without re-scanning events.
+    // Unlike KLL's randomized compaction, CMS merge is a cell-wise
+    // counter sum — LOSSLESS: union-of-dailies is bit-identical to the
+    // one-shot weekly sketch (SketchesSpec proves byte equality) — and
+    // estimates carry the one-sided CMS guarantee (>= exact, <= exact +
+    // eps·N at the configured confidence; both gated in SketchesSpec).
+    // No DuckDB oracle (sketch bytes are engine-specific). Probe set =
+    // the distinct event types (dimension-sized, broadcast); week key =
+    // the week's Monday, year-unambiguous like the HLL/KLL entries.
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+    val daily = ev.groupBy(col("week"), col("day"))
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+    val weekly = daily.groupBy(col("week"))
+      .agg(graft.functions.Sketches.cmsMerge(col("sk")).as("wsk"))
+    val types = ev.select("event_type").distinct()
+    val probed = weekly.crossJoin(broadcast(types))
+      .select(col("week"), col("event_type"),
+        graft.functions.Sketches.cmsEstimateString(col("wsk"),
+          col("event_type")).as("approx_n"))
+    val exact = ev.groupBy(col("week"), col("event_type"))
+      .agg(count(lit(1)).as("exact_n"))
+    probed.join(exact, Seq("week", "event_type"), "left")
+      .select(col("week"), col("event_type"), col("approx_n"),
+        coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+  }
+
   register("agg_sliding_windows", Some(
     """SELECT window_start, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value

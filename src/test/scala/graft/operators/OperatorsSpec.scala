@@ -321,6 +321,64 @@ class OperatorsSpec extends SparkSpec {
     assert(m === o, "sketch union is not lossless vs the one-shot sketch")
   }
 
+  test("mergeable CMS: merged dailies bit-identical to one-shot, one-sided bound") {
+    import org.apache.spark.sql.functions._
+    val out = graft.SparkEntry.queries("agg_cms_mergeable")(spark, sfTiny)
+      .collect()
+    assert(out.nonEmpty)
+    val ev = graft.Tables.events(spark, sfTiny)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+    val weekTotals = ev.groupBy("week").count().collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val approx = r.getAs[Long]("approx_n")
+      val exact = r.getAs[Long]("exact_n")
+      // the CMS one-sided contract: never below truth, above it by at
+      // most eps*N (eps=0.001; N = the week's event count)
+      assert(approx >= exact,
+        s"CMS underestimated ${r.get(1)} in week ${r.get(0)}: $approx < $exact")
+      val n = weekTotals(r.getDate(0).toString)
+      assert(approx <= exact + math.ceil(0.001 * n).toLong,
+        s"CMS over eps*N bound for ${r.get(1)} in week ${r.get(0)}")
+    }
+    // lossless mergeability: the merged daily sketches are BYTE-identical
+    // to the one-shot weekly sketch (cell-wise counter sums commute;
+    // same eps/confidence/seed => same hash functions and layout)
+    val daily = ev.groupBy(col("week"), col("day"))
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+    val merged = daily.groupBy(col("week"))
+      .agg(graft.functions.Sketches.cmsMerge(col("sk")).as("sk"))
+    val oneShot = ev.groupBy(col("week"))
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+    val m = merged.collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val o = oneShot.collect()
+      .map(r => r.getDate(0).toString -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(m === o, "CMS merge is not lossless vs the one-shot sketch")
+    // incompatible shapes (different eps => different width) fail loudly
+    // instead of silently mixing hash spaces
+    val s1 = ev.agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+    val s2 = ev.agg(expr("count_min_sketch(event_type, 0.01d, 0.99d, 42)").as("sk"))
+    val err = intercept[Exception] {
+      s1.union(s2).agg(graft.functions.Sketches.cmsMerge(col("sk"))).collect()
+    }
+    def messages(t: Throwable): Seq[String] = Option(t).toSeq.flatMap(e =>
+      Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.toLowerCase.contains("merge")),
+      s"unclear incompatible-merge error: $err")
+    // an empty group yields NULL (the SQL aggregate convention), and a
+    // NULL input row is skipped rather than poisoning the merge
+    val empty = ev.filter(lit(false))
+      .agg(graft.functions.Sketches.cmsMerge(col("event_type").cast("binary")))
+      .head()
+    assert(empty.isNullAt(0), "empty-group CMS merge should be NULL")
+    val withNull = daily.select(col("sk"))
+      .union(spark.sql("SELECT CAST(NULL AS BINARY)"))
+      .agg(graft.functions.Sketches.cmsMerge(col("sk")).as("sk")).head()
+    assert(!withNull.isNullAt(0), "NULL sketch row should be skipped")
+  }
+
   test("topKPerGroup equals the window row_number form exactly") {
     val orders = Tables.orders(spark, sfTiny)
     val viaHeap = TopK.topKPerGroup(orders,

@@ -456,6 +456,35 @@ class SimilaritySpec extends SparkSpec {
       s"RandomProject fell out of codegen:\n$plan")
   }
 
+  test("projected-candidate re-rank: subset of ground truth, recall >= 0.8") {
+    import graft.functions.Quantize
+    // the embed_rproj_rerank shape at its catalog parameters (16-dim
+    // projection, candidate tau 0.15, exact tau 0.4): output must be a
+    // SUBSET of the exact >= 0.4 pairs (the exact cosine decides
+    // membership — projection can only lose pairs, never admit wrong
+    // ones), and the measured recall must clear 0.8 (deterministic:
+    // fixed matrix, fixed fixture; 0.833 at sfTiny as of this writing)
+    val truth = exactPairs(0.4)
+    val proj = emb.select(col("vec_id"),
+      Quantize.randomProject(col("embedding"), 16, 64).as("embedding"))
+    val cand = Similarity.cosineThresholdPairs(proj, 0.15)
+      .select(col("vec_a"), col("vec_b"))
+    val ea = emb.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val eb = emb.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    val got = cand.join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosineFast(col("va"), col("vb")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth),
+      s"re-rank emitted pairs outside ground truth: ${got -- truth}")
+    val recall = got.size.toDouble / truth.size
+    info(f"re-rank recall at (16, 0.15, 0.4) = $recall%.3f (${got.size}/${truth.size})")
+    assert(truth.nonEmpty, "fixture should have pairs at tau 0.4")
+    assert(recall >= 0.8, f"re-rank recall $recall%.3f < 0.8")
+  }
+
   test("semantic decontamination flags exactly the brute-force >= threshold set") {
     val emb = graft.Tables.embeddings(spark, sfSmall)
     val bench = emb.filter(col("vec_id") < 10)

@@ -2158,6 +2158,44 @@ object Queries {
       .withColumnRenamed("block", "source")
   }
 
+  register("dedup_jaccard_prefix", Some(
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END AS ngrams
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.ngrams, b.ngrams)) AS inter,
+      |    len(a.ngrams) + len(b.ngrams)
+      |      - len(list_intersect(a.ngrams, b.ngrams)) AS uni
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |SELECT source, doc_a, doc_b,
+      |  round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+      |FROM p
+      |WHERE uni > 0 AND CAST(inter AS DOUBLE) / uni >= 0.02""".stripMargin)) { (s, dir) =>
+    // Prefix-filtered EXACT Jaccard pairs (Bayardo/Chaudhuri all-pairs):
+    // candidates come only from each doc's rarest |d|−⌈τ|d|⌉+1 shingles
+    // under a global rarest-first order — provably LOSSLESS pruning
+    // (unlike maxDf, which trades recall), so the entry hash-matches the
+    // brute-force pairwise oracle exactly. Boilerplate shingles have
+    // near-maximal df, sort to the end of every document, and never
+    // reach the posting-list join — the skew hazard handled exactly
+    // rather than capped (pruning power grows with τ; DedupSpec's
+    // boilerplate fixture shows zero admitted candidates at τ=0.5 where
+    // the posting-list form materializes the full quadratic mass).
+    // τ here = 0.02, the fuzzy-dedup family's operating threshold on
+    // this corpus. DedupSpec proves output identity with the
+    // posting-list form across thresholds.
+    Dedup.prefixJaccardPairs(Tables.documents(s, dir), 3, "source",
+        minJaccard = 0.02)
+      .withColumnRenamed("block", "source")
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   register("dedup_group_components", Some(
     """WITH RECURSIVE d AS (
       |  SELECT doc_id, source,

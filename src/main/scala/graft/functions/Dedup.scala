@@ -131,6 +131,92 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("block"), col("doc_a"), col("doc_b"), col("jaccard"))
 
+  /** Exact Jaccard-threshold pairs via PREFIX FILTERING (Chaudhuri et al.
+    * ICDE 2006; Bayardo et al. WWW 2007 "All-Pairs") — OUTPUT-IDENTICAL to
+    * [[ngramSimilarPairs]] at the same threshold with `maxDf = 0`, but
+    * candidates come only from each document's RAREST
+    * `|d| − ⌈τ·|d|⌉ + 1` shingles under a global rarest-first order.
+    *
+    * The prefix-filter theorem: under ANY fixed total order on shingles,
+    * two sets with `J(x,y) ≥ τ` must share a token inside those prefixes
+    * (since `|x∩y| ≥ τ·max(|x|,|y|)`, the prefixes are too long to miss
+    * the intersection entirely) — so pruning everything outside the
+    * prefixes is LOSSLESS, unlike the `maxDf` cap, which trades recall.
+    * Ordering rarest-first makes the surviving posting lists the
+    * short ones: a boilerplate shingle shared by half the block has
+    * near-maximal df, lands at the END of every document's ordering, and
+    * never enters a prefix unless a document is almost nothing but
+    * boilerplate — the same hazard `maxDf` bounds, handled exactly.
+    * A candidate pair must additionally satisfy the length filter
+    * `τ·max(|x|,|y|) ≤ min(|x|,|y|)` (necessary for `J ≥ τ`).
+    *
+    * Verification is exact and BOUNDED: candidates re-check via
+    * [[jaccard]] over the two full shingle arrays (doc-sized, riding the
+    * candidate join), never via posting-list re-expansion. Plan shape at
+    * 100 TB: one df aggregation on (block, shingle), one per-doc keyed
+    * window for the prefix cut, one equi-join of PREFIX postings (the
+    * Σdf² mass now counts only prefix dfs), and a candidate-sized verify
+    * join — more shuffles than [[ngramSimilarPairs]], in exchange for a
+    * provably complete candidate set that skew can't blow up.
+    *
+    * The `1e-9` slack on `⌈τ·|d|⌉` guards the float product from rounding
+    * UP past the exact integer (0.2·25 in binary is a hair above 5, and
+    * ⌈⌉ of it would shorten the prefix and silently lose pairs).
+    */
+  def prefixJaccardPairs(docs: DataFrame, n: Int,
+                         blockCol: String = "source",
+                         minJaccard: Double = 0.2): DataFrame = {
+    val withSets = docs.select(col("doc_id"), col(blockCol).as("block"),
+      TextFunctions.shingleHashes(col("text"), n).as("ngrams"))
+    prefixJaccardCandidates(docs, n, blockCol, minJaccard)
+      .join(withSets.select(col("doc_id").as("doc_a"),
+        col("ngrams").as("ngrams_a")), "doc_a")
+      .join(withSets.select(col("doc_id").as("doc_b"),
+        col("ngrams").as("ngrams_b")), "doc_b")
+      .select(col("block"), col("doc_a"), col("doc_b"),
+        jaccard(col("ngrams_a"), col("ngrams_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The candidate stage of [[prefixJaccardPairs]], exposed so tests (and
+    * capacity planning) can measure the candidate set the prefix filter
+    * admits. Output: (block, doc_a, doc_b), doc_a < doc_b, distinct —
+    * a provable superset of the `J ≥ minJaccard` pairs. */
+  def prefixJaccardCandidates(docs: DataFrame, n: Int,
+                              blockCol: String = "source",
+                              minJaccard: Double = 0.2): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0,1] (got $minJaccard)")
+    val sized = docs.select(col("doc_id"), col(blockCol).as("block"),
+      TextFunctions.shingleHashes(col("text"), n).as("ngrams"))
+      .select(col("doc_id"), col("block"), col("ngrams"),
+        size(col("ngrams")).as("sz"))
+    val exploded = sized.select(col("doc_id"), col("block"), col("sz"),
+      explode(col("ngrams")).as("g"))
+    val dfs = exploded.groupBy(col("block"), col("g"))
+      .agg(count(lit(1)).as("df"))
+    // rarest-first canonical order: (df asc, hash asc) is total within a
+    // document (shingle hashes are distinct per doc), so the prefix cut is
+    // deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"), col("doc_id"))
+      .orderBy(col("df").asc, col("g").asc)
+    val prefixLen = (col("sz") -
+      ceil(col("sz") * lit(minJaccard) - lit(1e-9)) + lit(1)).cast("int")
+    val prefixes = exploded.join(dfs, Seq("block", "g"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= prefixLen)
+      .select(col("block"), col("g"), col("doc_id"), col("sz"))
+    prefixes.as("a").join(prefixes.as("b"),
+        col("a.block") === col("b.block") && col("a.g") === col("b.g") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.sz"), col("b.sz")) * lit(minJaccard) <=
+            least(col("a.sz"), col("b.sz")) + lit(1e-9))
+      .select(col("a.block").as("block"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Shared core of [[ngramJaccardStats]] / [[ngramSimilarPairs]]: exact
     * Jaccard for every pair sharing ≥1 shingle, by posting-list expansion
     * on (block, ngram-hash). Pairs sharing nothing never materialize (they

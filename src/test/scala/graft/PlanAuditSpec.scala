@@ -391,4 +391,22 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"unkeyed join in the span path:\n$plan")
   }
+
+  test("prefix jaccard: every join keyed, no cartesian, prefix window doc-keyed") {
+    val df = run("dedup_jaccard_prefix")
+    df.collect()
+    val plan = physical(df)
+    // the candidate stage is an equi-join on (block, shingle); the verify
+    // stage joins on doc ids — nothing may degrade to a nested loop or a
+    // cross product, whatever the threshold does to candidate counts
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix jaccard has an unkeyed join:\n$plan")
+    // the prefix cut is one keyed window per (block, doc), never global
+    assert(plan.contains("hashpartitioning(block"),
+      s"prefix window not (block, doc)-keyed:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"global exchange in the prefix path:\n$plan")
+  }
 }

@@ -214,6 +214,47 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard == posting-list form; boilerplate never enters candidates") {
+    import spark.implicits._
+    // lossless pruning: output identity with the UNCAPPED posting-list
+    // form across thresholds (including one low enough to emit pairs and
+    // one where float-ceil rounding would bite without the 1e-9 slack)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("block", "doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9))).toSet
+    for (tau <- Seq(0.05, 0.2, 0.5)) {
+      val viaPrefix = keyed(Dedup.prefixJaccardPairs(docs, 3, "source", tau))
+      val viaPostings = keyed(Dedup.ngramSimilarPairs(docs, 3, "source", tau))
+      assert(viaPrefix === viaPostings, s"prefix form diverged at tau=$tau")
+    }
+    assert(keyed(Dedup.prefixJaccardPairs(docs, 3, "source", 0.05)).nonEmpty,
+      "fixture should emit pairs at tau=0.05")
+    // the skew story, exactly: m docs share a boilerplate header (df = m)
+    // with unique tails. The posting-list expansion materializes all
+    // m(m-1)/2 header pairs before any threshold applies; rarest-first
+    // prefixes are filled by the unique (df=1) tail shingles, so at a
+    // threshold the header pairs cannot reach, the prefix join admits
+    // ZERO candidates — the hazard maxDf caps is handled losslessly.
+    val m = 20
+    val boiler = (0 until m).map(i =>
+        (i.toLong, s"shared header line tail${i}a tail${i}b tail${i}c", "b"))
+      .toDF("doc_id", "text", "source")
+    val postingPairs = Dedup.ngramSimilarPairs(boiler, 3, "source",
+      minJaccard = 1e-9).count()
+    assert(postingPairs === m.toLong * (m - 1) / 2,
+      "posting-list form materializes the boilerplate blowup")
+    val prefixCands = Dedup.prefixJaccardCandidates(boiler, 3, "source",
+      minJaccard = 0.5).count()
+    assert(prefixCands === 0L,
+      s"prefix filter admitted $prefixCands candidates from pure boilerplate")
+    // and when the threshold IS low enough that header pairs qualify, the
+    // prefix lengthens to cover them: no pair is lost
+    val lowTau = keyed(Dedup.prefixJaccardPairs(boiler, 3, "source", 0.05))
+    val lowTruth = keyed(Dedup.ngramSimilarPairs(boiler, 3, "source", 0.05))
+    assert(lowTau === lowTruth && lowTau.size === m * (m - 1) / 2)
+  }
+
   test("bulk simhashes match the column-expression simhash") {
     val bulk = Dedup.simhashes(docs, "source")
       .select("doc_id", "sh").collect()

@@ -1617,6 +1617,51 @@ object Queries {
         coalesce(col("exact_n"), lit(0L)).as("exact_n"))
   }
 
+  register("agg_theta_overlap", Some(
+    """WITH wu AS (
+      |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+      |  FROM events),
+      |tot AS (SELECT week, count(*) AS n_users FROM wu GROUP BY 1),
+      |ov AS (
+      |  SELECT c.week AS week, count(*) AS returning_users
+      |  FROM wu c JOIN wu p ON p.user_id = c.user_id
+      |    AND p.week = c.week - INTERVAL 7 DAY
+      |  GROUP BY 1)
+      |SELECT t.week,
+      |  CAST(t.n_users AS BIGINT) AS n_users,
+      |  CAST(coalesce(o.returning_users, 0) AS BIGINT) AS returning_users,
+      |  CAST(t.n_users - coalesce(o.returning_users, 0) AS BIGINT) AS new_users
+      |FROM tot t LEFT JOIN ov o USING (week)""".stripMargin)) { (s, dir) =>
+    // Theta sketches — the SET-ALGEBRA sketch the HLL/KLL/CMS trio lacks:
+    // weekly user sketches answer INTERSECTION ("how many returned from
+    // last week") and DIFFERENCE ("how many are new") from the persisted
+    // sketches alone — per-partition sketches once at ingest, any
+    // cross-partition overlap question later, never a re-scan or a join
+    // of the raw data. HLL fundamentally cannot answer these (union-only
+    // algebra). Below 2^lgK=65536 distinct users per week the sketch is
+    // EXACT and deterministic, so this entry sits under the DuckDB
+    // oracle, which replays the same set algebra on the raw rows;
+    // SketchesSpec gates the estimation regime (lgK=9, 40 K-element
+    // sets) separately, plus byte-identical merge losslessness.
+    val wk = Tables.events(s, dir).select(
+      to_date(date_trunc("week", col("ts"))).as("week"), col("user_id"))
+    val sk = wk.groupBy("week")
+      .agg(graft.functions.Sketches.thetaSketch(col("user_id")).as("sk"))
+    val prev = sk.select(date_add(col("week"), 7).as("week"),
+      col("sk").as("prev_sk"))
+    sk.join(prev, Seq("week"), "left")
+      .select(col("week"),
+        graft.functions.Sketches.thetaEstimate(col("sk"))
+          .cast("long").as("n_users"),
+        coalesce(graft.functions.Sketches
+            .thetaIntersectEstimate(col("sk"), col("prev_sk")), lit(0.0))
+          .cast("long").as("returning_users"),
+        coalesce(graft.functions.Sketches
+            .thetaAnotBEstimate(col("sk"), col("prev_sk")),
+          graft.functions.Sketches.thetaEstimate(col("sk")))
+          .cast("long").as("new_users"))
+  }
+
   register("agg_sliding_windows", Some(
     """SELECT window_start, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value

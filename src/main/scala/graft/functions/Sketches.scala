@@ -80,4 +80,61 @@ object Sketches {
     * sketch-sized frame — keep it off per-event paths. */
   def cmsEstimateString(sketch: Column, item: Column): Column =
     estimateStringUdf(sketch, item)
+
+  // --- theta sketches: the set-algebra sketch (∪, ∩, \) ---------------------
+
+  import org.apache.datasketches.memory.Memory
+  import org.apache.datasketches.theta.{SetOperation, Sketches => Theta}
+  import graft.functions.expressions.{ThetaSketchAgg, ThetaUnionAgg}
+  import org.apache.spark.sql.GraftBridge
+
+  /** Aggregate: theta sketch of a long/int/string/double column. Exact
+    * below 2^lgK distinct values per group; ~1/sqrt(2^lgK) relative error
+    * beyond. See [[graft.functions.expressions.ThetaSketchAgg]]. */
+  def thetaSketch(value: Column, lgK: Int = 16): Column =
+    GraftBridge.column(
+      ThetaSketchAgg(GraftBridge.expression(value), lgK)
+        .toAggregateExpression())
+
+  /** Aggregate: union of serialized theta sketches — the any-range rollup
+    * (empty group → empty sketch, estimate 0). */
+  def thetaUnion(sketch: Column, lgK: Int = 16): Column =
+    GraftBridge.column(
+      ThetaUnionAgg(GraftBridge.expression(sketch), lgK)
+        .toAggregateExpression())
+
+  private def wrapTheta(b: Array[Byte]) =
+    Theta.heapifySketch(Memory.wrap(b))
+
+  private val thetaEstimateUdf =
+    org.apache.spark.sql.functions.udf((sk: Array[Byte]) =>
+      if (sk == null) null
+      else java.lang.Double.valueOf(wrapTheta(sk).getEstimate))
+
+  private val thetaIntersectUdf =
+    org.apache.spark.sql.functions.udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(
+        SetOperation.builder().buildIntersection()
+          .intersect(wrapTheta(a), wrapTheta(b)).getEstimate))
+
+  private val thetaAnotBUdf =
+    org.apache.spark.sql.functions.udf((a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else java.lang.Double.valueOf(
+        SetOperation.builder().buildANotB()
+          .aNotB(wrapTheta(a), wrapTheta(b)).getEstimate))
+
+  /** Distinct-count estimate of a serialized theta sketch. Exact (an
+    * integer-valued double) while the sketch is in its exact regime. */
+  def thetaEstimate(sketch: Column): Column = thetaEstimateUdf(sketch)
+
+  /** |A ∩ B| estimate from two serialized sketches — the question HLL
+    * cannot answer. Scalar probe over sketch-sized frames. */
+  def thetaIntersectEstimate(a: Column, b: Column): Column =
+    thetaIntersectUdf(a, b)
+
+  /** |A \ B| estimate from two serialized sketches ("how many are new"). */
+  def thetaAnotBEstimate(a: Column, b: Column): Column =
+    thetaAnotBUdf(a, b)
 }

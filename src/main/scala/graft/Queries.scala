@@ -591,6 +591,199 @@ object Queries {
       .select(col("window_start"), col("operation"), col("n_events"))
   }
 
+  register("stream_interval_join", Some(
+    """SELECT v.user_id, v.event_id AS view_event, p.event_id AS purchase_event,
+      |  CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_to_purchase
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // STREAM-STREAM interval join (click-to-purchase attribution): both
+    // sides of the SAME change feed, watermarked, joined on user within a
+    // 30-minute event-time band. The interval bound + two watermarks is
+    // what bounds join state on an unbounded stream — the engine evicts a
+    // buffered row once the watermark clears its reachable join range, so
+    // state is O(events within the band), not O(stream). Inner matches
+    // emit as they arrive (no sentinel needed; only outer-null emission
+    // waits on the watermark). The batch DuckDB range-join oracle proves
+    // stream==batch on the real feed; StreamingSpec proves the same shape
+    // on a hand-built fixture with a known answer.
+    // `secs_to_purchase` = epoch-second floors on both engines: Spark's
+    // cast(ts as long) and DuckDB's date_diff('second') both count whole
+    // seconds (verified identical over every matched pair).
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-ssjoin-$tag"
+    val src = s"$base/source"
+    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-ssj-$tag",
+      triggerInterval = None, // AvailableNow: drain-and-stop
+      transform = df => {
+        val views = df.filter(col("operation") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_event"),
+            col("cluster_time").as("view_time"))
+          .withWatermark("view_time", "0 seconds")
+        val buys = df.filter(col("operation") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_event"),
+            col("cluster_time").as("purchase_time"))
+          .withWatermark("purchase_time", "0 seconds")
+        views.join(buys, expr(
+          """v_user = p_user AND
+            |purchase_time >= view_time AND
+            |purchase_time < view_time + INTERVAL 30 MINUTES""".stripMargin))
+          .select(col("v_user").as("user_id"), col("view_event"),
+            col("purchase_event"),
+            (col("purchase_time").cast("long") - col("view_time").cast("long"))
+              .as("secs_to_purchase"))
+      })
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s, Some("user_id long, view_event long, " +
+        "purchase_event long, secs_to_purchase long"))
+      .select(col("user_id"), col("view_event"), col("purchase_event"),
+        col("secs_to_purchase"))
+  }
+
+  register("stream_interval_join_outer", Some(
+    """SELECT v.user_id, v.event_id AS view_event, p.event_id AS purchase_event
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // LEFT-OUTER stream-stream interval join: every view, matched or not.
+    // Outer null rows can only emit once the watermark proves no match can
+    // still arrive, so a drained bounded feed needs the sentinel trick —
+    // and unlike the aggregation entries it needs one sentinel PER SIDE:
+    // the per-side operation filters are pushed below each
+    // EventTimeWatermark node, so a view-only sentinel would advance the
+    // view watermark while the purchase side (and with it the GLOBAL
+    // watermark = min of both) stayed at the real feed's edge, holding
+    // every trailing unmatched view in state forever. Both sentinels carry
+    // user_id = -1: the view sentinel's own emission window sits past the
+    // final watermark (self-excluding), the purchase sentinel matches
+    // nothing, and the read-back filter is belt-and-braces.
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-ssjoin-outer-$tag"
+    val src = s"$base/source"
+    if (stageStreamSource(s, dir, src)) {
+      val maxTs = Tables.events(s, dir)
+        .agg(max(col("ts")).cast("long")).head().getLong(0)
+      Seq("view", "purchase").foreach { op =>
+        s.range(1).select(
+            lit(op).as("operation"), lit(-1L).as("user_id"),
+            lit(-1L).as("event_id"),
+            (lit(maxTs) + lit(7200L)).cast("timestamp").as("cluster_time"))
+          .write.mode("append")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+      }
+      markStaged(s, src)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-ssjo-$tag",
+      triggerInterval = None,
+      transform = df => {
+        val views = df.filter(col("operation") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_event"),
+            col("cluster_time").as("view_time"))
+          .withWatermark("view_time", "0 seconds")
+        val buys = df.filter(col("operation") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_event"),
+            col("cluster_time").as("purchase_time"))
+          .withWatermark("purchase_time", "0 seconds")
+        views.join(buys, expr(
+          """v_user = p_user AND
+            |purchase_time >= view_time AND
+            |purchase_time < view_time + INTERVAL 30 MINUTES""".stripMargin),
+          "left_outer")
+          .select(col("v_user").as("user_id"), col("view_event"),
+            col("purchase_event"))
+      })
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s,
+        Some("user_id long, view_event long, purchase_event long"))
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("view_event"), col("purchase_event"))
+  }
+
+  register("stream_sessionize", Some(
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (SELECT *, SUM(brk) OVER
+      |  (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM i GROUP BY user_id, sid""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // Sessionization ON THE STREAM: the same session_window aggregation as
+    // the batch agg_session_windows entry (same gaps-and-islands oracle,
+    // timestamp for timestamp) run through the streaming runtime in append
+    // mode — sessions leave the state store exactly once, when the
+    // watermark passes their end. State is keyed (user, open session),
+    // spilled to RocksDB, so memory is bounded by concurrently-OPEN
+    // sessions, not total history — the shape that sessionizes an
+    // unbounded 100 TB feed. One sentinel (user_id = -1) two hours past
+    // the newest real event closes every real session; its own session
+    // end sits past the final watermark, so it stays in state unemitted.
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-session-$tag"
+    val src = s"$base/source"
+    if (stageStreamSource(s, dir, src)) {
+      val maxTs = Tables.events(s, dir)
+        .agg(max(col("ts")).cast("long")).head().getLong(0)
+      s.range(1).select(
+          lit("__sentinel__").as("operation"), lit(-1L).as("user_id"),
+          (lit(maxTs) + lit(7200L)).cast("timestamp").as("cluster_time"))
+        .write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+      markStaged(s, src)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-sess-$tag",
+      triggerInterval = None,
+      transform = df => df
+        .withWatermark("cluster_time", "0 seconds")
+        .groupBy(col("user_id"),
+          session_window(col("cluster_time"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_value")))
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s, Some("user_id long, session_start timestamp, " +
+        "session_end timestamp, n_events long, sum_value double"))
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   // ==========================================================================
   // Relational suite (join/agg/window/set-op coverage; bench workhorses)
   // ==========================================================================

@@ -784,6 +784,49 @@ object Queries {
         col("n_events"), col("sum_value"))
   }
 
+  register("stream_enrich_broadcast", Some(
+    """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // STREAM-STATIC enrichment (§2.5 in its streaming trigger form): the
+    // third join mode the engine distinguishes — the dimension side is a
+    // plain batch DataFrame broadcast into every micro-batch, no state
+    // store at all (unlike stream-stream, nothing is buffered: the static
+    // side is re-resolvable per trigger, which is also what picks up
+    // slowly-changing dim reloads between triggers at production scale).
+    // Enriched rows land append-mode; the aggregation runs on the batch
+    // read-back, same as stream_pipeline_roundtrip. Oracle = the batch
+    // cdc_enrich_join SQL — streaming enrichment must match batch
+    // enrichment row for row.
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-enrich-$tag"
+    val src = s"$base/source"
+    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dim = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-enr-$tag",
+      triggerInterval = None,
+      transform = df => graft.operators.Enrichment
+        .enrich(df, dim, col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("mktsegment"), col("user_id"),
+          col("value")))
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s, Some("mktsegment string, user_id long, value double"))
+      .groupBy("mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+  }
+
   // ==========================================================================
   // Relational suite (join/agg/window/set-op coverage; bench workhorses)
   // ==========================================================================
@@ -2119,6 +2162,42 @@ object Queries {
         countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(20)
+  }
+
+  register("text_bpe_pairs", Some(
+    """WITH wf AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT lower(unnest(str_split(text, ' '))) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY w)
+      |SELECT pair, CAST(SUM(f) AS BIGINT) AS freq FROM (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |    i -> substring(w, CAST(i AS INT), 2))) AS pair, f
+      |  FROM wf)
+      |GROUP BY pair ORDER BY freq DESC, pair LIMIT 50""".stripMargin)) { (s, dir) =>
+    // One BPE merge-learning step at corpus scale (Sennrich et al. 2016:
+    // learn merges from the WORD-FREQUENCY table, not the token stream).
+    // Stage 1 compresses the corpus to its vocabulary — one token-keyed
+    // aggregation whose shuffle carries one row per distinct word per
+    // partition (map-side partial counts), the same compression every BPE
+    // trainer does first. Stage 2 explodes adjacent symbol pairs over that
+    // VOCABULARY-sized table and weights each pair by word frequency — at
+    // 100 TB the pair stage costs O(|vocab| * avg word length), orders of
+    // magnitude below the corpus scan that feeds it. The interpreted
+    // transform() HOF is fine HERE because it runs on the compressed
+    // domain; the corpus-sized stage 1 is pure codegen (split + explode +
+    // hash agg). Top-50 pairs = TakeOrdered with a total order (pair
+    // string breaks frequency ties identically in both engines).
+    val wf = Tables.documents(s, dir)
+      .select(explode(TF.tokens(col("text"))).as("t"))
+      .select(lower(col("t")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    wf.select(col("f"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("f")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(50)
   }
 
   register("corpus_quality_cutoff", Some(

@@ -1898,6 +1898,36 @@ object Queries {
           .cast("long").as("new_users"))
   }
 
+  register("agg_freq_mergeable", Some(
+    """WITH u AS (SELECT user_id, count(*) AS freq FROM events GROUP BY 1)
+      |SELECT user_id, CAST(freq AS BIGINT) AS freq
+      |FROM u ORDER BY freq DESC, user_id LIMIT 10""".stripMargin)) { (s, dir) =>
+    // Frequent-items (Misra-Gries) sketches — the HEAVY-HITTERS sketch
+    // completing the mergeable family: HLL answers "how many distinct",
+    // KLL "what quantile", CMS "how often did X occur", theta "how do two
+    // sets overlap"; this one answers "WHICH items dominate" — from
+    // persisted per-day sketches alone, never a re-scan. Per-day
+    // freq_sketch over user_id at ingest → one merge → top-10 talkers.
+    // At maxMapSize=4096 the sketch never saturates below ~3K distinct
+    // users per group, so every estimate is EXACT and deterministic —
+    // the regime this DuckDB oracle pins (the fixture has 150 users at
+    // sf0.01); SketchesSpec gates the saturated regime's deterministic
+    // lb/ub bounds separately. Ties at the top-10 boundary break on
+    // user_id in both engines; estimates equal true counts here, so the
+    // cut is identical. At 100 TB each sketch is a fixed
+    // maxMapSize·16-byte blob: the shuffle moves days × sketches, never
+    // events.
+    val daily = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day")
+      .agg(graft.functions.Sketches.freqSketch(col("user_id"), 4096).as("sk"))
+    daily.agg(graft.functions.Sketches.freqMerge(col("sk"), 4096).as("sk"))
+      .select(explode(graft.functions.Sketches.freqTopK(col("sk"), 10))
+        .as("hh"))
+      .select(col("hh.item").as("user_id"), col("hh.est").as("freq"))
+      .orderBy(col("freq").desc, col("user_id"))
+  }
+
   register("agg_sliding_windows", Some(
     """SELECT window_start, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value

@@ -137,4 +137,62 @@ object Sketches {
   /** |A \ B| estimate from two serialized sketches ("how many are new"). */
   def thetaAnotBEstimate(a: Column, b: Column): Column =
     thetaAnotBUdf(a, b)
+
+  // --- frequent items: the heavy-hitters sketch (WHICH items dominate) -----
+
+  import org.apache.datasketches.frequencies.{ErrorType, LongsSketch}
+  import graft.functions.expressions.{FreqMergeAgg, FreqSketchAgg}
+
+  /** One reported heavy hitter: the point estimate plus the sketch's
+    * deterministic bounds (`lb <= true <= ub`; `ub - lb <= maximumError`,
+    * which is 0 while the sketch never saturated — the exact regime). */
+  case class FreqItem(item: Long, est: Long, lb: Long, ub: Long)
+
+  /** Aggregate: frequent-items sketch of a long/int column. Exact while
+    * distinct items per group stay under ~0.75·maxMapSize; beyond that,
+    * Misra-Gries purges bound the error by ~3.5·N/maxMapSize. See
+    * [[graft.functions.expressions.FreqSketchAgg]]. */
+  def freqSketch(value: Column, maxMapSize: Int = 1024): Column =
+    GraftBridge.column(
+      FreqSketchAgg(GraftBridge.expression(value), maxMapSize)
+        .toAggregateExpression())
+
+  /** Aggregate: merge serialized frequency sketches — the any-range
+    * rollup (empty group → empty sketch; NULL rows skipped). */
+  def freqMerge(sketch: Column, maxMapSize: Int = 1024): Column =
+    GraftBridge.column(
+      FreqMergeAgg(GraftBridge.expression(sketch), maxMapSize)
+        .toAggregateExpression())
+
+  private val freqTopKUdf =
+    org.apache.spark.sql.functions.udf((sk: Array[Byte], k: Int) =>
+      if (sk == null) null
+      else {
+        val s = LongsSketch.getInstance(Memory.wrap(sk))
+        // NO_FALSE_NEGATIVES at threshold 0 returns every retained item;
+        // the deterministic (estimate desc, item asc) order makes top-k
+        // reproducible — and equal to the true top-k in the exact regime.
+        s.getFrequentItems(0L, ErrorType.NO_FALSE_NEGATIVES)
+          .map(r => FreqItem(r.getItem, r.getEstimate, r.getLowerBound,
+            r.getUpperBound))
+          .sortBy(r => (-r.est, r.item))
+          .take(k).toSeq
+      })
+
+  /** Top-k heavy hitters of a serialized frequency sketch as an array of
+    * (item, est, lb, ub) structs, ordered by estimate desc then item asc.
+    * Scalar probe over sketch-sized frames — keep it off per-event
+    * paths. */
+  def freqTopK(sketch: Column, k: Int): Column =
+    freqTopKUdf(sketch, org.apache.spark.sql.functions.lit(k))
+
+  private val freqMaxErrorUdf =
+    org.apache.spark.sql.functions.udf((sk: Array[Byte]) =>
+      if (sk == null) null
+      else java.lang.Long.valueOf(
+        LongsSketch.getInstance(Memory.wrap(sk)).getMaximumError))
+
+  /** The sketch's deterministic error envelope: 0 iff every estimate it
+    * reports is exact (the sketch never purged). */
+  def freqMaxError(sketch: Column): Column = freqMaxErrorUdf(sketch)
 }

@@ -1899,7 +1899,8 @@ object Queries {
   }
 
   register("agg_freq_mergeable", Some(
-    """WITH u AS (SELECT user_id, count(*) AS freq FROM events GROUP BY 1)
+    """WITH u AS (SELECT user_id, count(*) AS freq FROM events
+      |           WHERE user_id IS NOT NULL GROUP BY 1)
       |SELECT user_id, CAST(freq AS BIGINT) AS freq
       |FROM u ORDER BY freq DESC, user_id LIMIT 10""".stripMargin)) { (s, dir) =>
     // Frequent-items (Misra-Gries) sketches — the HEAVY-HITTERS sketch
@@ -1917,7 +1918,11 @@ object Queries {
     // cut is identical. At 100 TB each sketch is a fixed
     // maxMapSize·16-byte blob: the shuffle moves days × sketches, never
     // events.
+    // NULL user_ids are excluded EXPLICITLY on both legs: FreqSketchAgg
+    // skips nulls by construction, while SQL GROUP BY would keep a NULL
+    // group — the WHERE in the oracle + this filter pin one semantics.
     val daily = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .groupBy("day")
       .agg(graft.functions.Sketches.freqSketch(col("user_id"), 4096).as("sk"))

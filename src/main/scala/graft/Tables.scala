@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
   * All tables are plain parquet scans — column pruning and predicate pushdown
-  * reach the scan untouched. The one wrinkle is `events.ts`, written as
-  * parquet TIMESTAMP(NANOS), which Spark's reader rejects
-  * ([PARQUET_TYPE_ILLEGAL]); we read it as raw long nanos via the legacy conf
-  * and truncate to microseconds — the same truncation DuckDB applies when it
-  * casts ns parquet to its µs TIMESTAMP, so oracle comparisons line up.
+  * reach the scan untouched. The one wrinkle is `events.ts`, whose physical
+  * type has varied across driver-generated fixtures: TIMESTAMP(NANOS) (which
+  * Spark's reader rejects with [PARQUET_TYPE_ILLEGAL] unless read as raw
+  * longs via the legacy conf) and plain TIMESTAMP(MICROS) with
+  * isAdjustedToUTC=false (which Spark reads as TIMESTAMP_NTZ). [[events]]
+  * normalizes both to a session-zoned µs TimestampType column so every
+  * downstream query sees one stable type, and — with the UTC session
+  * timezone all our entry points pin — the wall-clock values match what
+  * DuckDB's naive µs TIMESTAMP sees on the same file, so oracle comparisons
+  * line up in either case.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -25,24 +30,37 @@ object Tables {
       case n        => spark.read.parquet(path(dir, n))
     }
 
-  /** `events` with `ts` converted to a microsecond TimestampType column.
+  /** `events` with `ts` normalized to a microsecond TimestampType column,
+    * whatever the fixture's physical type.
     *
-    * DOCUMENTED SIDE EFFECT: forces `spark.sql.legacy.parquet.nanosAsLong`
-    * to true on the session — including over a caller's explicit `false`
-    * (the public conf API cannot distinguish an explicit false from the
-    * registered default, and without the flag the TIMESTAMP(NANOS)
-    * fixture cannot be read at all on an arbitrary caller-owned session;
-    * the round driver constructs its own). It changes how OTHER
-    * nanos-parquet reads on the same session behave: they come back as
-    * raw long nanos. */
+    * DOCUMENTED SIDE EFFECT (nanos fixtures only): forces
+    * `spark.sql.legacy.parquet.nanosAsLong` to true on the session when the
+    * first read attempt fails on TIMESTAMP(NANOS) — including over a
+    * caller's explicit `false` (the public conf API cannot distinguish an
+    * explicit false from the registered default, and without the flag the
+    * nanos fixture cannot be read at all; the round driver constructs its
+    * own session). µs/ms fixtures never touch the conf. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(path(dir, "events"))
-      // integer `div` keeps full long precision; a double divide would lose
-      // sub-µs bits at 2^60-scale nanos and round instead of truncate.
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val p = path(dir, "events")
+    val raw =
+      try spark.read.parquet(p)
+      catch {
+        case e: Exception if Option(e.getMessage).exists(_.contains("PARQUET_TYPE_ILLEGAL")) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(p)
+      }
+    raw.schema("ts").dataType match {
+      // legacy TIMESTAMP(NANOS) fixture read as raw long nanos: integer
+      // `div` keeps full long precision; a double divide would lose sub-µs
+      // bits at 2^60-scale nanos and round instead of truncate.
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) fixture: Spark infers
+      // TIMESTAMP_NTZ; cast re-zones the same wall clock into the session
+      // (UTC) zone — a value-identity under the UTC sessions we pin.
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "region")

@@ -96,4 +96,74 @@ class SketchesSpec extends SparkSpec {
       .select(Sketches.thetaEstimate(col("sk"))).head()
     assert(withNull.getDouble(0) === 3.0, "NULL sketch row should be skipped")
   }
+
+  // --- frequent-items (Misra-Gries) sketch --------------------------------
+
+  /** Zipf-ish fixture: item i appears 2000/i times for i in 1..40 (so true
+    * counts are known in closed form), tagged round-robin into `part`
+    * groups to exercise partial sketches + merge. */
+  private def freqFixture(parts: Int) = {
+    import spark.implicits._
+    val rows = for {
+      i <- 1 to 40
+      j <- 1 to 2000 / i
+    } yield (((i * 7919 + j) % parts).toLong, i.toLong)
+    rows.toDF("part", "item")
+  }
+
+  private def trueCount(i: Long): Long = (2000 / i)
+
+  test("freq exact regime: estimates equal true counts, maxError is 0, top-k cut matches") {
+    val sk = freqFixture(8)
+      .groupBy("part")
+      .agg(Sketches.freqSketch(col("item"), 1024).as("sk"))
+      .agg(Sketches.freqMerge(col("sk"), 1024).as("sk"))
+    // 40 distinct items << 0.75*1024: the sketch never purges, so the
+    // exposed error envelope must be exactly 0 — freqMaxError's contract
+    val maxErr = sk.select(Sketches.freqMaxError(col("sk"))).head().getLong(0)
+    assert(maxErr === 0L, "exact regime must report maxError 0")
+    val top = sk.select(explode(Sketches.freqTopK(col("sk"), 10)).as("hh"))
+      .select("hh.item", "hh.est", "hh.lb", "hh.ub").collect()
+    assert(top.length === 10)
+    top.zipWithIndex.foreach { case (r, rank) =>
+      val (item, est, lb, ub) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(item === rank + 1L, s"rank $rank should be item ${rank + 1}")
+      assert(est === trueCount(item), s"item $item estimate should be exact")
+      assert(lb === est && ub === est, s"item $item bounds collapse when exact")
+    }
+  }
+
+  test("freq saturated regime: lb<=true<=ub containment and merge-order-invariant validity") {
+    import spark.implicits._
+    // maxMapSize 64 with 40 heavy items + 5000 singleton tail items forces
+    // Misra-Gries purges; estimates may drift but the deterministic bounds
+    // may not lie, whatever order the partial sketches merged in.
+    val tail = (1000L to 6000L).map(x => (x % 8, x + 100))
+    val df = freqFixture(8).union(tail.toDF("part", "item"))
+    def mergedTop(order: org.apache.spark.sql.Column) = df
+      .groupBy("part")
+      .agg(Sketches.freqSketch(col("item"), 64).as("sk"))
+      .orderBy(order)
+      .agg(Sketches.freqMerge(col("sk"), 64).as("sk"))
+      .select(Sketches.freqMaxError(col("sk")).as("err"),
+        Sketches.freqTopK(col("sk"), 5).as("top"))
+      .head()
+    Seq(mergedTop(col("part").asc), mergedTop(col("part").desc)).foreach { r =>
+      assert(r.getLong(0) > 0L, "saturated sketch must report a nonzero envelope")
+      val top = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(top.nonEmpty)
+      top.foreach { hh =>
+        val (item, est, lb, ub) = (hh.getLong(0), hh.getLong(1),
+          hh.getLong(2), hh.getLong(3))
+        val truth = if (item <= 40) trueCount(item) else 1L
+        assert(lb <= truth && truth <= ub,
+          s"item $item true=$truth outside [$lb,$ub]")
+        assert(lb <= est && est <= ub, s"item $item est outside its own bounds")
+      }
+      // the dominant items are far above the error envelope — NO_FALSE_
+      // NEGATIVES guarantees they surface regardless of merge order
+      assert(top.map(_.getLong(0)).take(3).toSet === Set(1L, 2L, 3L))
+    }
+  }
 }

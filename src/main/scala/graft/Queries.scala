@@ -576,7 +576,10 @@ object Queries {
       graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
     val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
       checkpointDir = s"$base/checkpoint", queryName = s"stream-win-$tag",
-      triggerInterval = None, // AvailableNow: drain, then evict closed state
+      triggerInterval = None,
+      // keyed state at this feed volume is MBs: 8 fat state stores beat 32
+      // per-trigger store open/commit cycles (see PipelineConfig scaladoc)
+      statePartitions = Some(8), // AvailableNow: drain, then evict closed state
       transform = df => df
         .withWatermark("cluster_time", "0 seconds")
         .groupBy(window(col("cluster_time"), "1 hour").as("w"), col("operation"))
@@ -623,7 +626,10 @@ object Queries {
       graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
     val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
       checkpointDir = s"$base/checkpoint", queryName = s"stream-ssj-$tag",
-      triggerInterval = None, // AvailableNow: drain-and-stop
+      triggerInterval = None,
+      // keyed state at this feed volume is MBs: 8 fat state stores beat 32
+      // per-trigger store open/commit cycles (see PipelineConfig scaladoc)
+      statePartitions = Some(8), // AvailableNow: drain-and-stop
       transform = df => {
         val views = df.filter(col("operation") === "view")
           .select(col("user_id").as("v_user"), col("event_id").as("view_event"),
@@ -694,6 +700,9 @@ object Queries {
     val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
       checkpointDir = s"$base/checkpoint", queryName = s"stream-ssjo-$tag",
       triggerInterval = None,
+      // keyed state at this feed volume is MBs: 8 fat state stores beat 32
+      // per-trigger store open/commit cycles (see PipelineConfig scaladoc)
+      statePartitions = Some(8),
       transform = df => {
         val views = df.filter(col("operation") === "view")
           .select(col("user_id").as("v_user"), col("event_id").as("view_event"),
@@ -768,6 +777,9 @@ object Queries {
     val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
       checkpointDir = s"$base/checkpoint", queryName = s"stream-sess-$tag",
       triggerInterval = None,
+      // keyed state at this feed volume is MBs: 8 fat state stores beat 32
+      // per-trigger store open/commit cycles (see PipelineConfig scaladoc)
+      statePartitions = Some(8),
       transform = df => df
         .withWatermark("cluster_time", "0 seconds")
         .groupBy(col("user_id"),
@@ -2713,8 +2725,15 @@ object Queries {
       .delete(new org.apache.hadoop.fs.Path(ckpt), true)
     // bucket-membership state belongs off-heap at corpus scale: pin the
     // RocksDB provider for this query (the same default CdcPipeline ships)
-    val q = graft.streaming.CdcPipeline.startWithProvider(
-      s, Some(graft.streaming.CdcPipeline.RocksDBProvider)) {
+    val q = graft.streaming.CdcPipeline.startWithConfs(
+      s, Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          graft.streaming.CdcPipeline.RocksDBProvider,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true",
+        // keyed state here is KBs-MBs: 8 fat state stores beat 32
+        // per-trigger store open/commit cycles (PipelineConfig scaladoc)
+        "spark.sql.shuffle.partitions" -> "8")) {
       pairs.writeStream.queryName(sink).format("memory")
         .outputMode("append").option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
@@ -2744,8 +2763,15 @@ object Queries {
     val ckpt = s"$sinkRoot/$sink-ckpt"
     org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(ckpt), true)
-    val q = graft.streaming.CdcPipeline.startWithProvider(
-      s, Some(graft.streaming.CdcPipeline.RocksDBProvider)) {
+    val q = graft.streaming.CdcPipeline.startWithConfs(
+      s, Map(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          graft.streaming.CdcPipeline.RocksDBProvider,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+          "true",
+        // keyed state here is KBs-MBs: 8 fat state stores beat 32
+        // per-trigger store open/commit cycles (PipelineConfig scaladoc)
+        "spark.sql.shuffle.partitions" -> "8")) {
       admitted.writeStream.queryName(sink).format("memory")
         .outputMode("append").option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()

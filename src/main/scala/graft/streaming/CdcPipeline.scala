@@ -32,6 +32,17 @@ final case class PipelineConfig(
       * provider into the checkpoint's offset-log metadata, so resuming a
       * pre-existing checkpoint keeps whatever provider created it. */
     stateStoreProvider: Option[String] = Some(CdcPipeline.RocksDBProvider),
+    /** State-store PARTITION COUNT for this query's stateful operators —
+      * `spark.sql.shuffle.partitions` as captured by the streaming engine
+      * at query start (then pinned in the checkpoint metadata for the
+      * query's lifetime). This is a deliberately separate knob from the
+      * session's batch-shuffle default: state partitioning should be sized
+      * to STATE volume and store-instance overhead (each partition carries
+      * a state-store instance doing per-trigger open/commit/snapshot work),
+      * not to scan parallelism. A feed whose keyed state is MBs wants few,
+      * fat stores; a 100 TB feed raises this into the thousands. `None`
+      * keeps the session default. */
+    statePartitions: Option[Int] = None,
     transform: DataFrame => DataFrame = identity) {
   require(maxFilesPerTrigger.forall(n => n >= 1 && n <= 10000),
     "batch size must be in [1, 10000]") // pipeline.rs:562-571
@@ -68,22 +79,44 @@ object CdcPipeline {
   private val ProviderConfKey = "spark.sql.streaming.stateStore.providerClass"
   private val startLock = new Object
 
-  /** Start a streaming query with `providerClass` pinned for THIS query
-    * only. The conf is captured by the engine inside `start()` (and then
-    * persisted in the checkpoint's offset-log metadata), so the session
-    * conf is set just around the start call and restored after — the lock
-    * serializes concurrent starts on the same session so queries can't
-    * observe each other's provider. */
-  def startWithProvider(spark: SparkSession, provider: Option[String])(
+  /** RocksDB changelog checkpointing: commit per-trigger DELTAS to the
+    * checkpoint instead of a full store snapshot every commit — the
+    * difference between O(changed keys) and O(state size) of I/O per
+    * trigger, which is what makes large keyed state sustainable (snapshots
+    * still happen, asynchronously, for bounded replay). Applied whenever a
+    * query pins the RocksDB provider. */
+  private val ChangelogConfKey =
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+
+  private val PartitionsConfKey = "spark.sql.shuffle.partitions"
+
+  /** Start a streaming query with the given session confs pinned for THIS
+    * query only. The streaming engine clones the session inside `start()`
+    * (and then persists state-relevant confs in the checkpoint's offset-log
+    * metadata), so the confs are set just around the start call and
+    * restored after — the lock serializes concurrent starts on the same
+    * session so queries can't observe each other's settings. */
+  def startWithConfs(spark: SparkSession, confs: Map[String, String])(
       doStart: => StreamingQuery): StreamingQuery = startLock.synchronized {
-    val prev = spark.conf.getOption(ProviderConfKey)
-    provider.foreach(p => spark.conf.set(ProviderConfKey, p))
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
     try doStart
-    finally if (provider.isDefined) prev match {
-      case Some(v) => spark.conf.set(ProviderConfKey, v)
-      case None    => spark.conf.unset(ProviderConfKey)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  /** [[startWithConfs]] specialized to the state-store provider (plus
+    * changelog checkpointing when that provider is RocksDB). */
+  def startWithProvider(spark: SparkSession, provider: Option[String])(
+      doStart: => StreamingQuery): StreamingQuery =
+    startWithConfs(spark, provider match {
+      case Some(p) if p == RocksDBProvider =>
+        Map(ProviderConfKey -> p, ChangelogConfKey -> "true")
+      case Some(p) => Map(ProviderConfKey -> p)
+      case None    => Map.empty
+    })(doStart)
 
   /** S1/S2/S3 — the bounded-source scan levels become path shapes: a
     * collection is a directory, a database a glob of collections, a
@@ -282,7 +315,14 @@ object CdcPipeline {
       case Some(iv) => writer.trigger(Trigger.ProcessingTime(iv))
       case None     => writer.trigger(Trigger.AvailableNow())
     }
-    startWithProvider(spark, cfg.stateStoreProvider)(triggered.start())
+    val confs =
+      (cfg.stateStoreProvider match {
+        case Some(p) if p == RocksDBProvider =>
+          Map(ProviderConfKey -> p, ChangelogConfKey -> "true")
+        case Some(p) => Map(ProviderConfKey -> p)
+        case None    => Map.empty[String, String]
+      }) ++ cfg.statePartitions.map(n => PartitionsConfKey -> n.toString)
+    startWithConfs(spark, confs)(triggered.start())
   }
 
   /** Drain-and-stop (O8): wait for the current batch, then stop. */

@@ -51,6 +51,25 @@ final case class StreamDupCandidate(docA: Long, docB: Long,
   * drop-oversized-buckets rule, with multi-band redundancy as the recall
   * cushion for those. Pass 0 for unbounded (exact equality with the
   * uncapped batch operator).
+  *
+  * `stateTtlMs` bounds state AGE: a bucket untouched for the TTL is
+  * evicted wholesale, turning "dedup against all history" into "dedup
+  * against the last TTL of history" — the other axis a truly unbounded
+  * feed needs bounded (maxBucketSize bounds per-key width; the TTL bounds
+  * key count, which otherwise grows with every distinct bucket ever
+  * seen). The horizon is per BUCKET and refreshed by any arrival that
+  * probes it, so hot buckets — the ones near-dups actually live in — stay
+  * resident indefinitely; only cold buckets age out. 0 keeps state
+  * forever (exact parity with the batch operator).
+  *
+  * A TTL'd query needs a CONTINUOUS trigger (Trigger.ProcessingTime —
+  * CdcPipeline's default shape): wall-clock timeouts make the engine
+  * request a batch every trigger to check for expirations, which is
+  * exactly the periodic cadence a continuous ingest job runs at anyway —
+  * but it means Trigger.AvailableNow can never drain-and-stop (there is
+  * always "another batch" to run) and `processAllAvailable` never
+  * latches. Bounded replays should leave the TTL at 0: a drained run has
+  * no wall clock for state to age against.
   */
 object StreamingDedup {
 
@@ -81,18 +100,29 @@ object StreamingDedup {
     * with the signature-agreement estimate, filtered at `threshold`. */
   def candidates(bandedDocs: Dataset[BandedDoc], k: Int,
                  threshold: Double,
-                 maxBucketSize: Int = 0): Dataset[StreamDupCandidate] = {
+                 maxBucketSize: Int = 0,
+                 stateTtlMs: Long = 0L): Dataset[StreamDupCandidate] = {
     import bandedDocs.sparkSession.implicits._
 
     def est(a: Seq[Long], b: Seq[Long]): Double =
       a.iterator.zip(b.iterator).count { case (x, y) => x == y }.toDouble / k
 
+    val timeoutConf =
+      if (stateTtlMs > 0L) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     bandedDocs
       .groupByKey(d => (d.band, d.bucket))
       .flatMapGroupsWithState[BucketMembers, StreamDupCandidate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         (_: (Int, Long), incoming: Iterator[BandedDoc],
          state: GroupState[BucketMembers]) =>
+          if (state.hasTimedOut) {
+            // cold bucket past its TTL: drop the member list wholesale.
+            // No arrivals ride this invocation (timeout calls come with an
+            // empty iterator), so nothing can emit.
+            state.remove()
+            Iterator.empty
+          } else {
           // Vector: effectively-constant append — a Seq default (List)
           // would copy O(m) per admitted member, O(m²) per mega-bucket
           var members = state.getOption.map(_.docs.toVector).getOrElse(Vector.empty)
@@ -120,13 +150,21 @@ object StreamingDedup {
           // state: skip the rewrite, or every hot bucket re-serializes its
           // whole member list into the checkpoint each trigger
           if (admitted) state.update(BucketMembers(members))
+          // any probe refreshes the horizon — hot buckets never age out;
+          // setTimeoutDuration needs existing state, which any probed
+          // bucket has (first arrival always admits)
+          if (stateTtlMs > 0L && state.exists)
+            state.setTimeoutDuration(stateTtlMs)
           out.result().iterator
+          }
       }
   }
 
   /** The full operator: text stream in, near-dup candidates out. */
   def minhashCandidates(docs: DataFrame, shingleN: Int = 3, k: Int = 32,
                         bands: Int = 8, threshold: Double = 0.5,
-                        maxBucketSize: Int = 0): Dataset[StreamDupCandidate] =
-    candidates(banded(docs, shingleN, k, bands), k, threshold, maxBucketSize)
+                        maxBucketSize: Int = 0,
+                        stateTtlMs: Long = 0L): Dataset[StreamDupCandidate] =
+    candidates(banded(docs, shingleN, k, bands), k, threshold, maxBucketSize,
+      stateTtlMs)
 }

@@ -108,6 +108,62 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("state TTL evicts cold buckets: pairs form inside the horizon, not across it") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    // NOTE on shape: wall-clock timeouts make the engine request a batch
+    // every trigger (shouldRunAnotherBatch is unconditionally true for
+    // ProcessingTimeTimeout), so neither processAllAvailable nor
+    // AvailableNow can latch "done" — the TTL's contract is a CONTINUOUS
+    // trigger (see the operator scaladoc). Drive one continuously-running
+    // query and poll the file sink for the expected pairs instead.
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val ckpt = freshCkpt("ttl")
+    val out = s"$root/ttl/out"
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def pairsOnDisk(): Seq[(Long, Long)] = spark.read
+      .schema("docA long, docB long, estJaccard double").json(out)
+      .as[StreamDupCandidate].collect().map(c => (c.docA, c.docB))
+      .distinct.toSeq.sorted
+
+    def awaitPairs(expect: Seq[(Long, Long)], deadlineMs: Long = 60000): Unit = {
+      val t0 = System.currentTimeMillis()
+      var cur = pairsOnDisk()
+      while (cur != expect && System.currentTimeMillis() - t0 < deadlineMs) {
+        Thread.sleep(200L); cur = pairsOnDisk()
+      }
+      assert(cur === expect, s"sink never reached $expect (got $cur)")
+    }
+
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingDedup.minhashCandidates(
+        in.toDF().toDF("doc_id", "text"),
+        shingleN = 3, k = 32, bands = 8, threshold = 0.5,
+        stateTtlMs = 400L)
+      .writeStream.format("json").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    try {
+      // wave 1: a pair inside the horizon forms immediately
+      in.addData(Seq((1L, dup), (2L, dup)))
+      awaitPairs(Seq((1L, 2L)))
+      // idle past the TTL: the continuous trigger keeps running empty
+      // batches, whose expirations evict doc 1/2's now-cold buckets
+      Thread.sleep(1500L)
+      // wave 2: the fresh pair (3,4) forms; the cross-horizon pairs
+      // (1,3)/(1,4)/(2,3)/(2,4) must NOT — that state aged out
+      in.addData(Seq((3L, dup), (4L, dup)))
+      awaitPairs(Seq((1L, 2L), (3L, 4L)))
+      // settle one more horizon to prove no late cross-pairs trickle out
+      Thread.sleep(600L)
+      assert(pairsOnDisk() === Seq((1L, 2L), (3L, 4L)),
+        s"TTL horizon violated: ${pairsOnDisk()}")
+    } finally q.stop()
+  }
+
   test("bucket cap bounds state while multi-band redundancy preserves strong pairs") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -940,8 +940,14 @@ class StreamingSpec extends SparkSpec {
     finally pinned.foreach(
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     val rocksFiles = stateFiles(ckpt1)
-    assert(rocksFiles.exists(_.endsWith(".zip")),
-      s"no RocksDB snapshot in state dir: $rocksFiles")
+    // with changelog checkpointing (the library default alongside RocksDB)
+    // each commit uploads a <version>.changelog delta — a file only the
+    // RocksDB provider ever writes; full .zip snapshots happen on the
+    // engine's async maintenance cadence and may not exist yet when a
+    // short AvailableNow run terminates
+    assert(rocksFiles.exists(f =>
+        f.endsWith(".changelog") || f.endsWith(".zip")),
+      s"no RocksDB changelog/snapshot in state dir: $rocksFiles")
     assert(!rocksFiles.exists(_.endsWith(".delta")),
       "HDFS-store .delta files under a RocksDB-backed query")
     assert(d1.readBack(spark,

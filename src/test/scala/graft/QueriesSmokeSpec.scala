@@ -31,4 +31,16 @@ class QueriesSmokeSpec extends SparkSpec {
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
+
+  test("events.ts normalizes to a session-zoned timestamp at every scale") {
+    // the round-6 lesson: the driver regenerated the fixture with a
+    // different physical timestamp encoding (nanos-as-long became µs NTZ)
+    // and every events query crashed. Tables.events owns that variance;
+    // whatever the parquet says, downstream code must see TimestampType.
+    import org.apache.spark.sql.types.TimestampType
+    Seq(sfTiny, sfSmall).foreach { dir =>
+      val t = Tables.events(spark, dir).schema("ts").dataType
+      assert(t === TimestampType, s"$dir events.ts read as $t")
+    }
+  }
 }

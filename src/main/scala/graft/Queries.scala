@@ -2813,9 +2813,11 @@ object Queries {
        |FROM d GROUP BY 1""".stripMargin
   }) { (s, dir) =>
     // The composite cleaning pipeline every LLM corpus needs, chained from
-    // the individual operators: quality gate → language-agreement filter →
-    // exact dedup (keep lowest id per distinct text) → per-source token
+    // the individual operators: quality gate -> language-agreement filter ->
+    // exact dedup (keep lowest id per distinct text) -> per-source token
     // budget. All narrow except the dedup shuffle and the final aggregate.
+    // corpus_clean_attrition below reports the same pipeline's per-stage
+    // losses; its 'kept' bucket must agree with this entry's totals.
     val scored = Tables.documents(s, dir).select(
       col("doc_id"), col("source"), col("lang"), col("text"),
       TF.qualityScore(col("text"), col("n_chars")).as("quality"),
@@ -2826,6 +2828,50 @@ object Queries {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(TF.bpeTokenEstimate(col("text"))).as("total_bpe_tokens"))
+  }
+
+  register("corpus_clean_attrition", Some {
+    val scores = TF.langMarkers.map { case (lang, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(",")
+      s"len(list_filter(str_split(text, ' '), x -> x IN ($inList))) AS s_$lang"
+    }.mkString(",\n    ")
+    val langs = TF.langMarkers.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
+    val cases = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, lang, text,
+       |    round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+       |      + least(CAST(len(list_filter(str_split(text, ' '),
+       |          x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS DOUBLE)
+       |        / CAST(len(str_split(text, ' ')) AS DOUBLE) * 5.0, 1.0) * 0.4
+       |      + (1.0 - least(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+       |        / CAST(length(text) AS DOUBLE) * 10.0, 1.0)) * 0.2, 6) AS quality,
+       |    $scores
+       |  FROM documents),
+       |m AS (SELECT *, $best AS m FROM t),
+       |p AS (SELECT doc_id, source, lang, text, quality,
+       |        CASE $cases ELSE 'und' END AS pred_lang FROM m),
+       |r AS (SELECT *, CASE
+       |    WHEN quality < 0.5 THEN 'quality'
+       |    WHEN pred_lang <> lang THEN 'lang'
+       |    WHEN count(CASE WHEN quality >= 0.5 AND pred_lang = lang THEN 1 END)
+       |           OVER (PARTITION BY md5(text) ORDER BY doc_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0
+       |      THEN 'dedup'
+       |    ELSE 'kept' END AS stage FROM p)
+       |SELECT source, stage, count(*) AS n_docs,
+       |  CAST(SUM(CAST(list_sum(list_transform(str_split(text, ' '),
+       |    w -> greatest(CAST(1 AS BIGINT), CAST(ceil(length(w) / 4.0) AS BIGINT)))) AS BIGINT)) AS BIGINT)
+       |    AS total_bpe_tokens
+       |FROM r GROUP BY 1, 2""".stripMargin
+  }) { (s, dir) =>
+    // The cleaning pipeline's WATERFALL: every document attributed to the
+    // first stage that drops it (quality -> lang -> dedup), kept docs in
+    // 'kept' — the attrition report a curation run publishes next to its
+    // output. Same stage semantics as corpus_clean_pipeline (the 'kept'
+    // bucket equals that entry's corpus); one md5(text) window + one
+    // partial-aggregated groupBy, everything else scan-local.
+    graft.functions.CorpusOps.cleanAttrition(Tables.documents(s, dir))
   }
 
   register("corpus_split", Some(

@@ -355,6 +355,54 @@ object CorpusOps {
       .drop("__h")
   }
 
+  /** Cleaning-waterfall ATTRITION: attribute every document to the FIRST
+    * pipeline stage that drops it — the per-stage loss table every corpus
+    * curation report publishes (how many documents and tokens each filter
+    * costs), computed in the same pass order the cleaning pipeline
+    * actually applies (quality gate → language agreement → exact dedup):
+    *
+    *  - `quality`: failed the quality floor;
+    *  - `lang`:    passed quality but language-ID disagreed with the tag;
+    *  - `dedup`:   passed both but an earlier-id survivor has identical
+    *               text (the duplicate THAT WOULD BE dropped — the kept
+    *               representative stays `kept`);
+    *  - `kept`:    survives the full pipeline.
+    *
+    * Output: (source, stage, n_docs, total_bpe_tokens) — tokens priced
+    * with the same BPE estimate the budget operators use, so "tokens lost
+    * to each stage" reads in budget units.
+    *
+    * Plan shape: scoring is scan-local; dedup attribution is ONE window
+    * over md5(text) (count of earlier survivors in the same text group —
+    * no self-join, no union rewrite of the scan); then one
+    * partial-aggregated groupBy. Nothing data-sized leaves the executors,
+    * and the md5 keying matches [[graft.functions.Dedup.exact]], so the
+    * `kept` rows are EXACTLY the pipeline's output (asserted in
+    * CorpusOpsSpec). */
+  def cleanAttrition(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    val scored = docs.select(
+      col("doc_id"), col("source"), col("lang"), col("text"),
+      TextFunctions.qualityScore(col("text"), col("n_chars")).as("quality"),
+      TextFunctions.langId(col("text")).as("pred_lang"))
+    val survivor = col("quality") >= minQuality &&
+      col("pred_lang") === col("lang")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    scored
+      .withColumn("__prev_survivors",
+        count(when(survivor, lit(1))).over(w))
+      .withColumn("stage",
+        when(col("quality") < minQuality, lit("quality"))
+          .when(col("pred_lang") =!= col("lang"), lit("lang"))
+          .when(col("__prev_survivors") > 0, lit("dedup"))
+          .otherwise(lit("kept")))
+      .groupBy(col("source"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextFunctions.bpeTokenEstimate(col("text")))
+          .as("total_bpe_tokens"))
+  }
+
   /** Salted content digest + shard assignment shared by [[shuffleShard]]
     * and [[shardManifest]] — same formula, so a manifest always describes
     * the layout the shuffle actually produced. */

@@ -392,6 +392,22 @@ class PlanAuditSpec extends SparkSpec {
       s"unkeyed join in the span path:\n$plan")
   }
 
+  test("attrition waterfall: one text-keyed window, partial aggregation, no joins") {
+    val df = run("corpus_clean_attrition")
+    val plan = physical(df)
+    // the whole report is scoring (scan-local) + ONE window over
+    // md5(text) + one aggregate: no join may appear, and both shuffles
+    // are hash exchanges (never a global sort/single partition)
+    assert(!plan.contains("Join"), s"attrition grew a join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window [")) === 1,
+      s"attrition should have exactly one window:\n$plan")
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"attrition aggregate not partial-aggregated:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"global exchange in the attrition path:\n$plan")
+  }
+
   test("prefix jaccard: every join keyed, no cartesian, prefix window doc-keyed") {
     val df = run("dedup_jaccard_prefix")
     df.collect()

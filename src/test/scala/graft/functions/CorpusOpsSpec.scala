@@ -400,6 +400,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(redraw !== flat, "epoch change must redraw")
   }
 
+  test("attrition waterfall: stages partition the corpus and 'kept' equals the pipeline output") {
+    val att = CorpusOps.cleanAttrition(docs).collect()
+    // every document lands in exactly one stage bucket
+    assert(att.map(_.getLong(2)).sum === docs.count())
+    assert(att.map(_.getString(1)).toSet.subsetOf(
+      Set("quality", "lang", "dedup", "kept")))
+    // the kept bucket IS the cleaning pipeline's output, source by source
+    val kept = att.filter(_.getString(1) == "kept")
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val pipeline = graft.SparkEntry.queries("corpus_clean_pipeline")(spark, sfTiny)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(kept === pipeline,
+      s"attrition 'kept' diverged from the pipeline: $kept vs $pipeline")
+  }
+
+  test("attrition waterfall: duplicate survivors attribute to 'dedup', keeping the lowest id") {
+    import spark.implicits._
+    // a text that clears the quality floor and language-agreement gate
+    val good = ("the quick brown fox and the lazy dog walk to the park " +
+      "and they look at the trees for a while in the morning sun " +
+      "and then the two of them walk on to the river in the valley") * 3
+    val rows = Seq(
+      (1L, "s", "en", good, good.length.toLong),  // kept (first survivor)
+      (2L, "s", "en", good, good.length.toLong),  // dedup (same text, later id)
+      (3L, "s", "en", "x", 1L))                   // quality
+    val att = CorpusOps.cleanAttrition(
+        rows.toDF("doc_id", "source", "lang", "text", "n_chars"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(att === Map("kept" -> 1L, "dedup" -> 1L, "quality" -> 1L),
+      s"unexpected attrition: $att")
+  }
+
   test("repeated spans: alignment-independent detection and interval merge") {
     import spark.implicits._
     val docs = Seq(

@@ -2717,8 +2717,13 @@ object Queries {
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
+    // same mega-bucket cap as the batch twin (dedup_minhash_lsh): a
+    // boilerplate band bucket stops ADMITTING at the cap but keeps
+    // probing, so state stays bounded while pairs against admitted docs
+    // still surface (cap semantics proven in StreamingDedupSpec)
     val pairs = graft.streaming.StreamingDedup.minhashCandidates(
-      stream, shingleN = 3, k = 32, bands = 16, threshold = 0.2)
+      stream, shingleN = 3, k = 32, bands = 16, threshold = 0.2,
+      maxBucketSize = graft.functions.Dedup.DefaultMaxBucketSize)
     val sink = s"stream_dedup_${dir.replaceAll("[^0-9]", "")}"
     val ckpt = s"$sinkRoot/$sink-ckpt"
     org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)

@@ -26,9 +26,29 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     name match {
-      case "events" => events(spark, dir)
-      case n        => spark.read.parquet(path(dir, n))
+      case "events"     => events(spark, dir)
+      case "documents"  => canonical(spark, dir, "documents",
+        Map("doc_id" -> "long", "n_chars" -> "long"))
+      case "embeddings" => canonical(spark, dir, "embeddings",
+        Map("vec_id" -> "long", "embedding" -> "array<float>",
+          "label" -> "int"))
+      case n => spark.read.parquet(path(dir, n))
     }
+
+  /** Scan with key columns pinned to canonical types. The round-5 lesson,
+    * generalized: a driver-regenerated fixture can change a column's
+    * PHYSICAL encoding (int32 vs int64, float vs double lists) without
+    * changing its meaning, and every downstream hash/encoder/codegen path
+    * assumes one type. Casting to the type the column already has is
+    * eliminated by the optimizer, so the canonical read costs nothing when
+    * the fixture matches. */
+  private def canonical(spark: SparkSession, dir: String, name: String,
+                        types: Map[String, String]): DataFrame = {
+    val raw = spark.read.parquet(path(dir, name))
+    types.foldLeft(raw) { case (df, (c, t)) =>
+      df.withColumn(c, col(c).cast(t))
+    }
+  }
 
   /** `events` with `ts` normalized to a microsecond TimestampType column,
     * whatever the fixture's physical type.

@@ -43,4 +43,19 @@ class QueriesSmokeSpec extends SparkSpec {
       assert(t === TimestampType, s"$dir events.ts read as $t")
     }
   }
+
+  test("documents/embeddings read with canonical key-column types") {
+    // same robustness class as events.ts, proactively: whatever physical
+    // widths the next fixture regeneration picks, downstream hashing,
+    // encoders and codegen'd vector math see these exact types
+    Seq(sfTiny, sfSmall).foreach { dir =>
+      val d = Tables.documents(spark, dir).schema
+      assert(d("doc_id").dataType.simpleString === "bigint")
+      assert(d("n_chars").dataType.simpleString === "bigint")
+      val e = Tables.embeddings(spark, dir).schema
+      assert(e("vec_id").dataType.simpleString === "bigint")
+      assert(e("embedding").dataType.simpleString === "array<float>")
+      assert(e("label").dataType.simpleString === "int")
+    }
+  }
 }

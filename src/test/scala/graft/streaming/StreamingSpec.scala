@@ -898,6 +898,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statePartitions sizes the state store layout and does not leak into the session") {
+    import spark.implicits._
+    val (src, ckpt, out) = fresh("state-partitions")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, t0), (2L, t0), (3L, t0),
+        (-1L, new java.sql.Timestamp(t0.getTime + 10800000L)))
+      .toDF("user_id", "cluster_time").repartition(1)
+      .write.mode("overwrite")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+    val cfg = PipelineConfig(
+      sourceDir = src, schemaDDL = "user_id long, cluster_time timestamp",
+      checkpointDir = ckpt, queryName = "state-parts-q",
+      triggerInterval = None,
+      statePartitions = Some(3),
+      transform = df => df
+        .withWatermark("cluster_time", "0 seconds")
+        .groupBy(col("user_id"),
+          window(col("cluster_time"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("window_start"),
+          col("n_events")))
+    val dest = new FileDestination(out, OutFormat.Jsonl, OutCompression.None,
+      KeyStrategy.Flat)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    CdcPipeline.start(spark, cfg, dest).awaitTermination(120000)
+    // the knob is start-scoped: the session's own shuffle default is
+    // untouched after the query starts
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "statePartitions leaked into the session conf")
+    // the state layout has exactly the configured operator partitions —
+    // checkpoint dirs are state/<operator>/<partition>/
+    val stateRoot = Paths.get(ckpt, "state", "0")
+    assert(Files.exists(stateRoot), "no state directory")
+    val parts = Files.list(stateRoot).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString)
+      .filter(_.forall(_.isDigit)).map(_.toInt).toSeq.sorted
+    assert(parts === Seq(0, 1, 2),
+      s"state partition layout should be exactly 0..2, got $parts")
+    assert(dest.readBack(spark,
+        Some("user_id long, window_start timestamp, n_events long"))
+      .filter(col("user_id") >= 0).count() === 3)
+  }
+
   test("stateful pipeline state lands in RocksDB by default; None keeps the heap store") {
     import spark.implicits._
     def windowedCfg(src: String, ckpt: String, name: String) = PipelineConfig(

@@ -401,6 +401,24 @@ object Queries {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
   }
 
+  register("events_skew_profile", Some(
+    """WITH c AS (SELECT user_id AS key, count(*) AS n_rows
+      |           FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+      |             count(*) AS n_keys FROM c)
+      |SELECT key, n_rows,
+      |  round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+      |  round(CAST(n_rows AS DOUBLE) * n_keys / total, 6) AS skew_ratio
+      |FROM c, t
+      |ORDER BY n_rows DESC, key ASC NULLS FIRST LIMIT 15""".stripMargin)) {
+    (s, dir) =>
+      // The skew DIAGNOSTIC feeding the salting/AQE decision: heaviest keys
+      // with row share and multiple-of-mean load. One key-keyed partial-agg
+      // count + a broadcast 1-row total + a TakeOrdered top-N with a total
+      // order — one pass at any scale, topN rows out.
+      graft.operators.Skew.profile(Tables.events(s, dir), "user_id", topN = 15)
+  }
+
   register("layout_zorder_events", Some(
     """WITH zin AS (
       |  SELECT (user_id & 65535) AS za,
@@ -2702,6 +2720,26 @@ object Queries {
       maxDistance = 3, bands = 4, blockCol = "source")
   }
 
+  register("dedup_incremental_index", None) { (s, dir) =>
+    // The PERSISTED dedup index — incremental fuzzy dedup across ingest
+    // generations: signatures and band buckets computed once per doc and
+    // stored; a delta joins its buckets against the layout (delta side
+    // small → AQE broadcasts it, the index is scanned, never shuffled)
+    // and appends itself for the next generation. DedupIndexSpec proves
+    // write(day1) + newPairs(day2) == full-batch recompute EXACTLY,
+    // estimates included. no_oracle (xxhash64 signatures, like the other
+    // LSH entries).
+    val docs = Tables.documents(s, dir)
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val day2 = docs.filter(col("doc_id") % 2 === 1)
+    val path = s"$sinkRoot/dedup-index-${dir.replaceAll("[^0-9.]", "")}"
+    graft.functions.DedupIndex.write(day1, path, shingleN = 3, k = 32,
+      bands = 16)
+    graft.functions.DedupIndex.newPairs(day2, path, threshold = 0.2,
+      maxBucketSize = Dedup.DefaultMaxBucketSize)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   register("stream_dedup_minhash", None) { (s, dir) =>
     // Dedup-at-ingest: the documents feed replayed as a stream through the
     // bucket-keyed incremental LSH state op (each arrival probes only its
@@ -2939,6 +2977,24 @@ object Queries {
       Tables.documents(s, dir).select("doc_id", "source", "text"),
       chunkSize = 32, overlap = 8)
     graft.functions.CorpusOps.packSequences(chunks, budget = 256)
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"))
+  }
+
+  register("corpus_pack_bestfit", None) { (s, dir) =>
+    // Best-fit (FFD-in-cells) packing next to corpus_pack's greedy
+    // contiguous form: the budget becomes a HARD bound (no overrun
+    // sequence — greedy overruns by up to a chunk) and the sequence count
+    // approaches ceil(Σtokens/budget). Bin packing is sequential, so the
+    // corpus decomposes into capacity-bounded cells (one keyed window)
+    // with exact FFD inside each, executor-side — no driver state.
+    // no_oracle (the FFD loop isn't SQL); CorpusOpsSpec gates hard-budget,
+    // losslessness, 11/9·LB+1 and fill ≥0.85, determinism, cell cuts.
+    val chunks = graft.functions.CorpusOps.chunkTokens(
+      Tables.documents(s, dir).select("doc_id", "source", "text"),
+      chunkSize = 32, overlap = 8)
+    graft.functions.CorpusOps.packSequencesBestFit(chunks, budget = 256)
       .groupBy(col("source"), col("seq_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(col("chunk_tokens")).as("n_tokens"))
@@ -3725,6 +3781,49 @@ object Queries {
     Similarity.writeIvfIndex(emb, path, nLists = 16, iters = 3)
     Similarity.searchIvfIndex(s, path, emb.filter(col("vec_id") < 8),
       k = 5, nProbe = 8)
+  }
+
+  register("embed_ann_pq", None) { (s, dir) =>
+    // The MEMORY-COMPRESSION ANN tier (product quantization, Jégou 2011):
+    // 64-dim float32 vectors (256 B) become 16 byte codes — 16× — and the
+    // scoring pass streams CODES, not vectors, at m float adds per pair
+    // (the fused ADC expression). Candidates re-rank on true cosine over
+    // an id-keyed candidate-sized join, so the lossy tier decides
+    // candidacy, never the final ordering. no_oracle (k-means training);
+    // PqSpec gates recall ≥0.8 vs brute force at exactly these parameters
+    // plus bit-exact ADC arithmetic against a driver-side replay.
+    val emb = Tables.embeddings(s, dir)
+    graft.functions.Pq.pqTopK(emb, emb.filter(col("vec_id") < 8), k = 5,
+      m = 16, kCodes = 32, iters = 3, rerank = 30)
+  }
+
+  register("text_bpe_vocab", None) { (s, dir) =>
+    // Learned BPE merge table (Sennrich 2016) from the corpus: ONE
+    // distributed pass compresses the corpus to its capped word-frequency
+    // dict (token-keyed hash agg, TakeOrdered top-maxVocab), then the
+    // merge loop runs driver-side over that model-sized dict with
+    // incremental pair maintenance — training cost is never a second
+    // corpus scan. no_oracle (iterative trainer); BpeSpec pins the
+    // hand-computed Sennrich example and rank-prefix stability.
+    import s.implicits._
+    graft.functions.Bpe.learnMerges(Tables.documents(s, dir), nMerges = 200)
+      .map(m => (m.rank, m.left, m.right))
+      .toDF("rank", "left", "right")
+  }
+
+  register("text_bpe_tokens", None) { (s, dir) =>
+    // Token counts under the LEARNED tokenizer — the real budget operator
+    // behind every mixing/packing/sampling decision (the bpe_token_estimate
+    // heuristic stays for scans that can't afford training). Application is
+    // one narrow codegen'd pass (native expression + per-thread Zipf
+    // cache). no_oracle; BpeSpec proves count==tokenize-size, monotonicity
+    // in merges, and word reconstruction.
+    val docs = Tables.documents(s, dir)
+    val merges = graft.functions.Bpe.learnMerges(docs, nMerges = 200)
+    docs.select(col("doc_id"), col("source"),
+      graft.functions.Bpe.tokenCount(col("text"), merges).as("n_tokens_bpe"),
+      graft.functions.TextFunctions.bpeTokenEstimate(col("text"))
+        .as("n_tokens_est"))
   }
 
   // --------------------------------------------------------------------------

@@ -694,4 +694,71 @@ object CorpusOps {
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
         coalesce(col("max_span_len"), lit(0L)).as("max_span_len"))
   }
+
+  /** Best-fit sequence packing — the waste-minimizing sibling of
+    * [[packSequences]] (cf. Krell et al. 2021, "Efficient Sequence Packing
+    * without Cross-contamination", and Ding et al. 2024, "Fewer Truncations
+    * Improve Language Modeling" — public papers): where the greedy
+    * contiguous pack lays chunks end-to-end (and overruns the budget by up
+    * to one chunk), this packs by FIRST-FIT DECREASING, so NO sequence ever
+    * exceeds `budget` and the sequence count approaches the
+    * ceil(Σtokens/budget) lower bound (FFD's classic 11/9·OPT+1 guarantee;
+    * in practice near-optimal when chunks are small against the budget).
+    *
+    * Scale shape — bin packing is inherently sequential, so the global
+    * problem is decomposed into CAPACITY-BOUNDED CELLS and solved exactly
+    * inside each:
+    *  1. one keyed window ranks chunks per group by (tokens desc, id,
+    *     chunk_idx) — the decreasing order FFD wants, with a total
+    *     tie-break so cell membership is deterministic;
+    *  2. consecutive ranks form cells of `cellSize` chunks; each cell runs
+    *     EXACT FFD executor-side (`flatMapGroups` — per-group state is one
+    *     remaining-capacity array bounded by cellSize, the legitimate
+    *     bounded-memory imperative shape, like the codec `mapPartitions`);
+    *  3. no driver state, no global coordination: waste concentrates only
+    *     at cell boundaries (≤ one underfilled bin per cell — measured in
+    *     CorpusOpsSpec's fill-factor gate).
+    * Chunks LARGER than the budget get a singleton sequence each (surfaced,
+    * never silently truncated).
+    *
+    * Output: (groupCol, seq_id, idCol, chunk_idx, chunk_tokens) — the
+    * assignment; join back on (idCol, chunk_idx) for payloads. `seq_id` is
+    * unique per group (cell · cellSize + bin) but not dense. */
+  def packSequencesBestFit(chunks: DataFrame, budget: Int,
+                           cellSize: Int = 8192,
+                           groupCol: String = "source",
+                           idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1 (got $budget)")
+    require(cellSize >= 1, s"cell size must be >= 1 (got $cellSize)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val base = chunks.select(
+      col(groupCol).cast("string").as("g"),
+      col(idCol).cast("long").as("d"),
+      col("chunk_idx").cast("int").as("ci"),
+      col("chunk_tokens").cast("int").as("tk"))
+    val w = Window.partitionBy(col("g"))
+      .orderBy(col("tk").desc, col("d"), col("ci"))
+    val ranked = base.withColumn("cell",
+      ((row_number().over(w) - lit(1)) / lit(cellSize)).cast("int"))
+    ranked.as[(String, Long, Int, Int, Int)]
+      .groupByKey { case (g, _, _, _, cell) => (g, cell) }
+      .flatMapGroups { (key: (String, Int), it: Iterator[(String, Long, Int, Int, Int)]) =>
+        val (g, cell) = key
+        // flatMapGroups gives no row order — re-sort inside the bounded cell
+        val items = it.toArray.sortBy { case (_, d, ci, tk, _) => (-tk, d, ci) }
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Int]
+        items.iterator.map { case (_, d, ci, tk, _) =>
+          var b = 0
+          while (b < rem.length && rem(b) < tk) b += 1
+          if (b == rem.length) rem += (budget - tk).max(0)
+          else rem(b) -= tk
+          (g, cell.toLong * cellSize + b, d, ci, tk)
+        }
+      }
+      .toDF("g", "seq_id", "d", "ci", "tk")
+      .select(col("g").as(groupCol), col("seq_id"), col("d").as(idCol),
+        col("ci").as("chunk_idx"), col("tk").as("chunk_tokens"))
+  }
 }

@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED MinHash-LSH dedup index — incremental fuzzy dedup across
+  * ingest generations, the batch sibling of
+  * [[graft.streaming.StreamingDedup]] and the dedup analogue of
+  * [[Similarity.writeIvfIndex]]'s write-once/append-forever story.
+  *
+  * At 100 TB the corpus is not re-scanned per ingest: signatures and band
+  * buckets are computed ONCE per document and persisted as a parquet
+  * layout; a daily delta then
+  *  1. computes its own signatures (cost ∝ delta),
+  *  2. equi-joins its band buckets against the stored entries — with the
+  *     delta as the SMALL side, AQE plans a broadcast-hash join, so the
+  *     index is scanned once, never shuffled, per ingest —
+  *  3. appends its entries, becoming part of the corpus the next delta
+  *     dedups against.
+  *
+  * Parameters (shingle width, signature width, band count) are pinned in a
+  * meta table at [[write]] time and every later call derives them from
+  * there — an appended generation can never drift to a different banding
+  * scheme than the corpus it joins against (signatures of different widths
+  * would silently estimate garbage agreement).
+  *
+  * Layout:
+  * {{{
+  *   path/meta/     one row: (shingle_n, k, bands)
+  *   path/entries/  (band, bucket, doc_id, sig)   — bands × |corpus| rows
+  * }}}
+  */
+object DedupIndex {
+
+  private def entries(docs: DataFrame, shingleN: Int, k: Int, bands: Int,
+                      idCol: String, textCol: String): DataFrame =
+    Dedup.minhashSignatures(docs, shingleN, k, idCol, textCol)
+      .select(col(idCol).as("doc_id"), col("sig"),
+        explode(Dedup.lshBandKeys(col("sig"), k, bands)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+        col("doc_id"), col("sig"))
+
+  /** Build the index: pin the parameters, persist one (band, bucket,
+    * doc_id, sig) row per document band. Overwrites any prior index at
+    * `path`. */
+  def write(docs: DataFrame, path: String, shingleN: Int = 3, k: Int = 32,
+            bands: Int = 8, idCol: String = "doc_id",
+            textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    entries(docs, shingleN, k, bands, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/entries")
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2))
+  }
+
+  /** Append a new generation's entries under the PINNED parameters — cost
+    * ∝ delta, one narrow signature pass + a partitioned append. Run
+    * [[newPairs]] first if the generation should be dedup-gated before it
+    * joins the corpus. */
+  def append(newDocs: DataFrame, path: String, idCol: String = "doc_id",
+             textCol: String = "text"): Unit = {
+    val (shingleN, k, bands) = readMeta(newDocs.sparkSession, path)
+    entries(newDocs, shingleN, k, bands, idCol, textCol)
+      .write.mode("append").parquet(s"$path/entries")
+  }
+
+  /** Near-duplicate pairs INVOLVING the delta: delta↔corpus pairs plus
+    * delta-internal pairs, with the same estimate and threshold semantics
+    * as [[Dedup.minhashCandidates]] — proven in DedupIndexSpec:
+    * `minhashCandidates(old ∪ delta)` == `minhashCandidates(old)` ∪
+    * `newPairs(delta)` exactly, estimates included. Corpus-internal pairs
+    * are deliberately NOT re-derived (they were the previous generations'
+    * ingest question).
+    *
+    * Join shape: stored entries stream out of the scan into the bucket
+    * equi-join with the delta side (small → broadcast under AQE); the only
+    * wide state is candidate pairs. `maxBucketSize` drops oversized
+    * COMBINED buckets, the [[Dedup.minhashCandidates]] cap semantics
+    * applied to the union — one template band shared by the corpus can't
+    * go quadratic against a delta that re-ships it. Self-pairs (a re-
+    * ingested doc_id meeting its stored self) are excluded. */
+  def newPairs(newDocs: DataFrame, path: String, threshold: Double = 0.5,
+               maxBucketSize: Int = 0, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (shingleN, k, bands) = readMeta(spark, path)
+    val delta = entries(newDocs, shingleN, k, bands, idCol, textCol)
+      .withColumn("is_new", lit(true))
+    val stored = spark.read.parquet(s"$path/entries")
+      .withColumn("is_new", lit(false))
+    val all = stored.unionByName(delta)
+    val pruned =
+      if (maxBucketSize <= 0) all
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bucket"))
+        all.withColumn("__bsz", count(lit(1)).over(w))
+          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+      }
+    val a = pruned.filter(col("is_new")).as("a")
+    val b = pruned.as("b")
+    val est = graft.functions.expressions.VectorExpressions
+      .agreementNative(col("a.sig"), col("b.sig"))
+    // delta×all join; a delta-delta pair would otherwise appear twice
+    // (once from each side's is_new leg), so the new-new case is ordered
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        est.as("est_jaccard"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,167 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, public paper) — the
+  * memory-compression tier of the ANN stack, next to the recall/cost tiers
+  * ([[Similarity.lshTopK]], [[Similarity.ivfTopK]]):
+  *
+  *  - the vector is split into `m` subspaces; each subspace gets its own
+  *    `k`-entry codebook (k-means over subvectors), so a vector stores as
+  *    `m` byte codes — 64-dim float32 (256 B) → 8-16 B, 16-32×;
+  *  - search is asymmetric distance computation (ADC): the query stays
+  *    exact, builds one m·k lookup table, and every corpus CODE scores in
+  *    `m` float adds — no decode, no multiply, and the scan streams codes,
+  *    not vectors;
+  *  - survivors re-rank on TRUE cosine over the full vectors (an id-keyed
+  *    join touching only candidate-sized data), so the lossy tier decides
+  *    CANDIDACY, never the final ordering.
+  *
+  * At 100 TB this is the difference between an embedding index held in
+  * executor memory (codes) and one that re-reads the corpus per query
+  * batch: the ADC pass is a narrow scan of |corpus|·m bytes with the
+  * queries broadcast. All per-vector kernels are fused codegen'd
+  * expressions ([[graft.functions.expressions.PqEncode]] /
+  * [[expressions.PqLookupTable]] / [[expressions.PqAdcScore]]).
+  *
+  * Training mirrors [[Similarity.ivfCentroids]]: deterministic hash-ordered
+  * seeds, Lloyd rounds with the assignment pass running the codegen'd
+  * encoder itself, sampled above `maxTrainRows`, and the model
+  * (m × k × dim/m floats) is genuinely driver-sized — never a collect of
+  * data rows. Vectors are L2-normalized inside the kernels, so
+  * `ADC score ≈ cos(query, vector)` directly.
+  */
+object Pq {
+
+  /** Per-subspace k-means codebooks: `m` subspaces × `k` entries ×
+    * `dim/m` floats. `dim` must divide evenly by `m` (PQ's usual
+    * constraint); ragged input vectors surface as NULL codes at encode
+    * time, not silent truncation here. Seeds are the `k` vectors with the
+    * smallest xxhash64(id) — deterministic and scan-local — normalized and
+    * sliced per subspace. Each Lloyd round runs ONE codegen'd assignment
+    * pass (the [[graft.functions.expressions.PqEncode]] expression itself,
+    * covering all m subspaces at once) and ONE (subspace, code, dim)
+    * aggregation whose result is model-sized (m·k·subDim rows). */
+  def trainCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 3,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     maxTrainRows: Long = 200000L): Array[Array[Array[Float]]] = {
+    require(m >= 1 && k >= 2 && k <= 256,
+      s"PQ shape out of range: m=$m k=$k (k in [2, 256])")
+    val train =
+      if (maxTrainRows <= 0) corpus
+      else {
+        val n = corpus.count()
+        if (n <= maxTrainRows) corpus
+        else {
+          val buckets = 1000000L
+          val cut = (maxTrainRows.toDouble / n * buckets).toLong.max(1L)
+          corpus.filter(pmod(xxhash64(col(idCol)), lit(buckets)) < cut)
+        }
+      }
+    val seedRows = train
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
+      .orderBy(col("h")).limit(k)
+      .select(col("v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seedRows.length >= k,
+      s"need at least k=$k training vectors (got ${seedRows.length})")
+    val dim = seedRows(0).length
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val subDim = dim / m
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n2 = v.foldLeft(0.0)((a, x) => a + x * x)
+      if (n2 > 0.0) v.map(_ / math.sqrt(n2)) else v
+    }
+    var cents: Array[Array[Array[Float]]] = Array.tabulate(m, k) { (s, c) =>
+      normalized(seedRows(c)).slice(s * subDim, (s + 1) * subDim).map(_.toFloat)
+    }
+    val nrm2 = aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    for (_ <- 0 until iters) {
+      val enc = train.select(
+        col(vecCol).as("__v"),
+        when(nrm2 > 0, lit(1.0) / sqrt(nrm2)).otherwise(lit(0.0)).as("__inv"),
+        graft.functions.expressions.PqExpressions
+          .encodeNative(col(vecCol), cents).as("__codes"))
+      val upd = enc
+        .filter(col("__codes").isNotNull) // ragged vectors sit out training
+        .select(col("__codes"), col("__inv"),
+          posexplode(col("__v")).as(Seq("i", "x")))
+        .select(
+          (col("i") / subDim).cast("int").as("s"),
+          (col("i") % subDim).cast("int").as("d"),
+          pmod(element_at(col("__codes"),
+            (col("i") / subDim).cast("int") + 1).cast("int"), lit(256)).as("c"),
+          (col("x").cast("double") * col("__inv")).as("nx"))
+        .groupBy(col("s"), col("c"), col("d"))
+        .agg(avg(col("nx")).as("mean"))
+        .collect() // m·k·subDim rows max — the model, not the data
+      val next = Array.tabulate(m, k)((s, c) => cents(s)(c).clone())
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3).toFloat
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** (idCol → `neighbor_id`, `codes: array<tinyint>`) — one narrow
+    * codegen'd pass; this is the persistable artifact (m bytes/vector). */
+  def encode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
+             idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("neighbor_id"),
+      graft.functions.expressions.PqExpressions
+        .encodeNative(col(vecCol), codebooks).as("codes"))
+
+  /** ADC approximate cosine of a code column against a LUT column. */
+  def adcScore(codes: Column, lut: Column): Column =
+    graft.functions.expressions.PqExpressions.adcScoreNative(codes, lut)
+
+  /** ANN top-k via PQ/ADC with exact re-rank. Plan shape: train (model on
+    * the driver) → encode the corpus (narrow codegen pass) → broadcast the
+    * queries WITH their lookup tables → ADC-score every (query, code) pair
+    * in m adds each → keep the top `rerank` candidates per query (keyed
+    * window over scored pairs) → re-join those candidate ids to the full
+    * vectors (candidate-sized, id-keyed) → exact cosine → final top-k.
+    * Output schema matches the other ANN ops: (query_id, neighbor_id,
+    * cos_sim, rank), self-pairs excluded (the ID-SPACE CONTRACT of
+    * [[Similarity.bruteForceTopK]]). Recall < 1 by design — measured in
+    * PqSpec against brute force with a ≥0.8 gate at catalog parameters;
+    * raise `rerank` (candidate depth) or `k` codes per subspace for
+    * recall, lower `m` for smaller codes. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 16, kCodes: Int = 32, iters: Int = 3,
+             rerank: Int = 50,
+             idCol: String = "vec_id",
+             vecCol: String = "embedding",
+             maxTrainRows: Long = 200000L): DataFrame = {
+    require(rerank >= k, s"rerank depth must be >= k (got $rerank < $k)")
+    val cb = trainCodebooks(corpus, m, kCodes, iters, idCol, vecCol, maxTrainRows)
+    val codes = encode(corpus, cb, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"),
+      graft.functions.expressions.PqExpressions
+        .lookupTableNative(col(vecCol), cb).as("lut"))
+    val adc = codes.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcScore(col("codes"), col("lut")).as("adc"))
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = adc.withColumn("__r", row_number().over(wAdc))
+      .filter(col("__r") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -70,4 +70,31 @@ object Skew {
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     s.join(o, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** The DIAGNOSTIC that decides whether the tiers above are needed: the
+    * top-`topN` heaviest keys of `keyCol` with their row share and their
+    * multiple of the mean key load (`skew_ratio` — the number a salting or
+    * AQE decision reads directly: a ratio near 1 means uniform, a ratio of
+    * 500 means that key alone is 500 tasks' worth of one).
+    *
+    * Plan shape: one key-keyed count (map-side partial agg — the shuffle
+    * carries one row per distinct key per partition), one 1-row total
+    * aggregate broadcast back over the counts, and a TakeOrdered top-N
+    * with a total order ((n_rows desc, key asc nulls first) — NULL is a
+    * classic hot key and profiles like any other). Cost is one pass at any
+    * scale; the result is topN rows. */
+  def profile(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1 (got $topN)")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("__total"),
+      count(lit(1)).as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__total"), 6).as("share"),
+        round(col("n_rows").cast("double") * col("__nkeys") / col("__total"), 6)
+          .as("skew_ratio"))
+      .orderBy(col("n_rows").desc, col("key").asc_nulls_first)
+      .limit(topN)
+  }
 }

@@ -425,4 +425,46 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("Exchange rangepartitioning"),
       s"global exchange in the prefix path:\n$plan")
   }
+
+  test("PQ/ADC: queries broadcast onto the code stream; re-rank joins keyed") {
+    val df = run("embed_ann_pq")
+    df.collect()
+    val plan = physical(df)
+    // the ADC pass must stream the corpus codes with the query LUTs
+    // broadcast — never a shuffled or nested-loop pairing of the big side
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"ADC pass lost the query broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ search degraded to a cartesian product:\n$plan")
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.linesIterator.count(_.contains("SortMergeJoin")) === 0,
+      s"corpus-sized side shuffled for the candidate pairing:\n$plan")
+  }
+
+  test("skew profile: partial-aggregated count + TakeOrdered, no global sort") {
+    val df = run("events_skew_profile")
+    val plan = physical(df)
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"key count not partial-aggregated:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N not a bounded TakeOrdered:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in the profile path:\n$plan")
+  }
+
+  test("bpe token counts are scan-local (zero exchanges)") {
+    val docs = Tables.documents(spark, sfSmall)
+    val merges = graft.functions.Bpe.learnFromDict(
+      Seq(("the", 50L), ("and", 30L), ("data", 20L)), nMerges = 10)
+    val plan = physical(docs.select(col("doc_id"),
+      graft.functions.Bpe.tokenCount(col("text"), merges).as("n")))
+    assert(!plan.contains("Exchange"),
+      s"BPE application must be a narrow scan-local pass:\n$plan")
+    // the `*(n)` prefix is executedPlan.toString's whole-stage-codegen
+    // marker — the projection carrying bpe_token_count must be inside one
+    assert(plan.linesIterator.exists(l =>
+      l.contains("bpe_token_count") && l.trim.startsWith("*(")),
+      s"BPE expression fell out of codegen:\n$plan")
+  }
 }

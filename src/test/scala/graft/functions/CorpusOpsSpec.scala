@@ -78,6 +78,63 @@ class CorpusOpsSpec extends SparkSpec {
       .select("source", "doc_id", "chunk_idx", "seq_id").collect().toSet)
   }
 
+  test("best-fit packing: budget is a HARD bound, no chunk lost, near-optimal") {
+    val chunks = CorpusOps.chunkTokens(docs, chunkSize = 32)
+    val packed = CorpusOps.packSequencesBestFit(chunks, budget = 256).cache()
+    // every chunk appears exactly once
+    assert(packed.count() === chunks.count())
+    assert(packed.select("doc_id", "chunk_idx").distinct().count() ===
+      chunks.count())
+    val seqs = packed.groupBy("source", "seq_id")
+      .agg(sum("chunk_tokens").as("n_tokens")).cache()
+    // unlike the greedy pack, NO sequence exceeds the budget
+    assert(seqs.filter(col("n_tokens") > 256).count() === 0,
+      "best-fit must never overrun the budget")
+    // near-optimality: per source, sequences within FFD's 11/9·LB + 1 and a
+    // fill factor no greedy-with-overflow pack is needed to reach
+    val bySource = packed.groupBy("source")
+      .agg(sum("chunk_tokens").as("total"),
+        countDistinct("seq_id").as("n_seq")).collect()
+    bySource.foreach { r =>
+      val lb = math.ceil(r.getAs[Long]("total").toDouble / 256).toLong
+      val n = r.getAs[Long]("n_seq")
+      assert(n <= math.ceil(lb * 11.0 / 9.0).toLong + 1,
+        s"source ${r.getString(0)}: $n sequences vs lower bound $lb")
+      val fill = r.getAs[Long]("total").toDouble / (n * 256.0)
+      info(f"source ${r.getString(0)}: $n seqs, fill ${fill * 100}%.1f%% (LB $lb)")
+      assert(fill >= 0.85, f"fill factor $fill%.2f below 0.85")
+    }
+    // deterministic across runs
+    val again = CorpusOps.packSequencesBestFit(chunks, budget = 256)
+      .select("source", "doc_id", "chunk_idx", "seq_id").collect().toSet
+    assert(again === packed
+      .select("source", "doc_id", "chunk_idx", "seq_id").collect().toSet)
+  }
+
+  test("best-fit packing: oversize chunks isolate; tiny cells stay valid") {
+    import spark.implicits._
+    val odd = Seq(
+      ("s", 1L, 0, 300), // larger than the budget — singleton sequence
+      ("s", 2L, 0, 200), ("s", 3L, 0, 60), ("s", 4L, 0, 50),
+      ("s", 5L, 0, 120), ("s", 6L, 0, 130), ("s", 7L, 0, 6))
+      .toDF("source", "doc_id", "chunk_idx", "chunk_tokens")
+    // cellSize 3 forces multiple cells — validity must survive cell cuts
+    val packed = CorpusOps.packSequencesBestFit(odd, budget = 256, cellSize = 3)
+      .cache()
+    assert(packed.count() === 7)
+    val seqTotals = packed.groupBy("source", "seq_id")
+      .agg(sum("chunk_tokens").as("t"), count(lit(1)).as("c")).collect()
+    // the oversize chunk is alone in its sequence; all other sequences obey
+    // the budget
+    val over = packed.filter(col("doc_id") === 1L).select("seq_id").head().getLong(0)
+    seqTotals.foreach { r =>
+      if (r.getLong(1) == over) assert(r.getLong(3) === 1L,
+        "oversize chunk must sit alone in its sequence")
+      else assert(r.getLong(2) <= 256L,
+        s"sequence ${r.getLong(1)} exceeds budget: ${r.getLong(2)}")
+    }
+  }
+
   test("weighted sampling is deterministic, per-source, and hash-consistent") {
     val sampled = CorpusOps.sampleWeighted(docs,
       Map("src0" -> 30, "src1" -> 0)).cache()

@@ -1,0 +1,88 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupIndexSpec extends SparkSpec {
+
+  private val root = "/root/repo/target/test-out/dedup-index"
+  private lazy val docs = Tables.documents(spark, sfTiny).cache()
+  private lazy val day1 = docs.filter(col("doc_id") % 2 === 0)
+  private lazy val day2 = docs.filter(col("doc_id") % 2 === 1)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("incremental ingest == full-batch recompute, estimates included") {
+    val path = s"$root/equiv"
+    DedupIndex.write(day1, path, shingleN = 3, k = 32, bands = 8)
+    val oldPairs = pairSet(
+      Dedup.minhashCandidates(day1, shingleN = 3, k = 32, bands = 8,
+        threshold = 0.2))
+    val incPairs = pairSet(DedupIndex.newPairs(day2, path, threshold = 0.2))
+    val fullPairs = pairSet(
+      Dedup.minhashCandidates(docs, shingleN = 3, k = 32, bands = 8,
+        threshold = 0.2))
+    // the delta's pair view covers exactly what full recompute adds
+    assert(oldPairs.intersect(incPairs).isEmpty,
+      "incremental pairs must all involve the delta")
+    assert(oldPairs.union(incPairs) === fullPairs,
+      "write(day1) + newPairs(day2) must equal the full-batch pair set")
+    assert(incPairs.nonEmpty, "fixture should produce cross/delta pairs")
+  }
+
+  test("append extends the corpus: a later generation sees every prior one") {
+    import spark.implicits._
+    val path = s"$root/append"
+    DedupIndex.write(day1, path)
+    DedupIndex.append(day2, path)
+    // generation 3: verbatim copies of one stored day1 doc and one
+    // appended day2 doc, under fresh ids
+    val src1 = day1.orderBy("doc_id").select("doc_id", "text").head()
+    val src2 = day2.orderBy("doc_id").select("doc_id", "text").head()
+    val gen3 = Seq((100001L, src1.getString(1)), (100002L, src2.getString(1)))
+      .toDF("doc_id", "text")
+    val pairs = DedupIndex.newPairs(gen3, path, threshold = 0.9)
+    val partners = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partners.contains((src1.getLong(0), 100001L)),
+      "copy of a WRITTEN doc must pair with its stored original")
+    assert(partners.contains((src2.getLong(0), 100002L)),
+      "copy of an APPENDED doc must pair with its appended original")
+    // the VERBATIM pairs agree on every signature lane (other near-dups of
+    // the same originals may also clear the 0.9 threshold — expected)
+    val verbatim = Set((src1.getLong(0), 100001L), (src2.getLong(0), 100002L))
+    val exact = pairs.collect()
+      .filter(r => verbatim.contains((r.getLong(0), r.getLong(1))))
+    assert(exact.length === 2)
+    exact.foreach(r => assert(r.getDouble(2) === 1.0))
+  }
+
+  test("parameters are pinned in meta: derived calls can never drift") {
+    val path = s"$root/params"
+    DedupIndex.write(day1, path, shingleN = 2, k = 16, bands = 4)
+    val inc = pairSet(DedupIndex.newPairs(day2, path, threshold = 0.2))
+    val full = pairSet(Dedup.minhashCandidates(docs, shingleN = 2, k = 16,
+      bands = 4, threshold = 0.2))
+    val old = pairSet(Dedup.minhashCandidates(day1, shingleN = 2, k = 16,
+      bands = 4, threshold = 0.2))
+    assert(old.union(inc) === full,
+      "non-default pinned parameters must replay identically")
+  }
+
+  test("re-ingesting an id does not pair with its stored self; cap identity") {
+    val path = s"$root/self"
+    DedupIndex.write(day1, path)
+    // re-ship three already-indexed docs verbatim, same ids
+    val re = day1.limit(3)
+    val pairs = DedupIndex.newPairs(re, path, threshold = 0.0)
+    val selfPairs = pairs.filter(col("doc_a") === col("doc_b"))
+    assert(selfPairs.count() === 0)
+    // a cap far above any bucket size changes nothing
+    val capped = pairSet(DedupIndex.newPairs(day2, path, threshold = 0.2,
+      maxBucketSize = 100000))
+    val uncapped = pairSet(DedupIndex.newPairs(day2, path, threshold = 0.2))
+    assert(capped === uncapped)
+  }
+}

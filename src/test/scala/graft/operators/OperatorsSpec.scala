@@ -108,6 +108,28 @@ class OperatorsSpec extends SparkSpec {
     assert(viaDup.count() === dup.join(other.select(col("k")), Seq("k")).count())
   }
 
+  test("skew profile: exact counts, shares, mean-multiples, NULL as a key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hot key 100 rows, null key 20, eight singletons → 128 rows, 10 keys
+    val rows = Seq.fill(100)(Option(7L)) ++ Seq.fill(20)(Option.empty[Long]) ++
+      (11L to 18L).map(Option(_))
+    val df = rows.toDF("k")
+    val prof = Skew.profile(df, "k", topN = 3).collect()
+    assert(prof.length === 3)
+    // rank 1: the hot key
+    assert(prof(0).getLong(1) === 100L && prof(0).getLong(0) === 7L)
+    assert(prof(0).getDouble(2) === math.rint(100.0 / 128 * 1e6) / 1e6)
+    assert(prof(0).getDouble(3) === math.rint(100.0 * 10 / 128 * 1e6) / 1e6)
+    // rank 2: the NULL key profiles like any other (classic hot default)
+    assert(prof(1).isNullAt(0) && prof(1).getLong(1) === 20L)
+    // rank 3: singleton ties break on the key, ascending
+    assert(prof(2).getLong(0) === 11L && prof(2).getLong(1) === 1L)
+    // one pass: exactly one aggregate over the data feeds topN rows
+    val again = Skew.profile(df, "k", topN = 3).collect().map(_.toSeq).toSeq
+    assert(again === prof.map(_.toSeq).toSeq)
+  }
+
   test("asOfJoin matches the naive rank form, including timestamp ties") {
     import spark.implicits._
     // deterministic fixture with same-instant ties on both sides

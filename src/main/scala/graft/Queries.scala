@@ -2014,6 +2014,26 @@ object Queries {
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
   }
 
+  register("events_completeness_audit", Some(
+    """SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  count(DISTINCT date_part('hour', ts)) AS hours_present,
+      |  CAST(max(date_part('hour', ts)) - min(date_part('hour', ts)) + 1
+      |    - count(DISTINCT date_part('hour', ts)) AS BIGINT) AS hours_missing
+      |FROM events GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    // Feed-completeness audit: per (event_type, day), how many hour slots
+    // actually carry data and how many INTERIOR hours are silent between
+    // the day's first and last observation — the gap signal an ingestion
+    // monitor alerts on (a stalled producer shows up as hours_missing > 0
+    // long before volume anomalies do). One partial-aggregated groupBy;
+    // at 100 TB the distinct-hours set is ≤24 per group, so map-side
+    // combine reduces each task's contribution to group-count rows.
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(countDistinct(hour(col("ts"))).as("hours_present"),
+        (max(hour(col("ts"))) - min(hour(col("ts"))) + lit(1) -
+          countDistinct(hour(col("ts")))).cast("long").as("hours_missing"))
+  }
+
   register("events_funnel", Some(
     """WITH s1 AS (
       |  SELECT user_id, min(ts) AS signup_ts FROM events
@@ -2576,6 +2596,77 @@ object Queries {
       .withColumnRenamed("block", "source")
       .select(col("source"), col("doc_a"), col("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  register("dedup_containment", Some(
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END AS ngrams
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.ngrams, b.ngrams)) AS inter,
+      |    len(a.ngrams) AS sa, len(b.ngrams) AS sb
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.ngrams, b.ngrams)) > 0),
+      |c AS (
+      |  SELECT source, doc_a AS inner_doc, doc_b AS outer_doc,
+      |    CAST(inter AS DOUBLE) / sa AS containment FROM p
+      |  UNION ALL
+      |  SELECT source, doc_b, doc_a, CAST(inter AS DOUBLE) / sb FROM p)
+      |SELECT source, inner_doc, outer_doc,
+      |  round(containment, 6) AS containment
+      |FROM c WHERE containment >= 0.3""".stripMargin)) { (s, dir) =>
+    // DIRECTED containment (Broder 1997): |S_in ∩ S_out| / |S_in| — the
+    // asymmetric near-dup measure Jaccard misses: a short doc quoted
+    // verbatim inside a long one scores ~1.0 here while its Jaccard is
+    // diluted by the long side's union. Same single posting-list shuffle
+    // as dedup_ngram_jaccard (the direction split is a narrow projection);
+    // the df cap ships ON and is non-binding at fixture scale, so the
+    // brute-force pairwise oracle is computed against identical results.
+    Dedup.containmentPairs(Tables.documents(s, dir), 3, "source",
+        minContainment = 0.3, maxDf = Dedup.DefaultMaxDf)
+      .withColumnRenamed("block", "source")
+      .select(col("source"), col("inner_doc"), col("outer_doc"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  register("dedup_edit_distance", Some(
+    """WITH d AS (
+      |  SELECT doc_id, source, text, length(text) AS len
+      |  FROM documents WHERE length(text) >= 12),
+      |g AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_distinct(list_transform(range(1, len - 10),
+      |      i -> substr(text, i, 12)))) AS gram
+      |  FROM d),
+      |c AS (
+      |  SELECT DISTINCT a.source AS source,
+      |    a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM g a JOIN g b
+      |    ON a.source = b.source AND a.gram = b.gram
+      |      AND a.doc_id < b.doc_id)
+      |SELECT c.source, c.doc_a, c.doc_b,
+      |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+      |FROM c
+      |JOIN d da ON da.doc_id = c.doc_a
+      |JOIN d db ON db.doc_id = c.doc_b
+      |WHERE abs(da.len - db.len) <= 60
+      |  AND levenshtein(da.text, db.text) <= 60""".stripMargin)) { (s, dir) =>
+    // CHARACTER-level near-dup: q-gram blocking (Gravano VLDB'01) + banded
+    // Levenshtein verify — catches typo-farm/template-fill/OCR variants
+    // whose token SETS barely move. Candidates are the same posting-list
+    // shape as the Jaccard family (lossless for docs >= q·(d+1) chars);
+    // verify is Spark's thresholded levenshtein — O(d·len) per pair, not
+    // O(len²). The df cap ships ON (non-binding here: max q-gram df 53 at
+    // sf0.1 vs cap 256, so the oracle's uncapped replay is identical).
+    Dedup.editDistancePairs(Tables.documents(s, dir), maxDist = 60, q = 12,
+        blockCol = "source", maxDf = Dedup.DefaultMaxDf)
+      .withColumnRenamed("block", "source")
+      .select(col("source"), col("doc_a"), col("doc_b"), col("dist"))
   }
 
   register("dedup_group_components", Some(
@@ -3215,6 +3306,34 @@ object Queries {
     graft.functions.CorpusOps.sampleTokenBudget(
         Tables.documents(s, dir), tokensPerGroup = 800)
       .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  register("corpus_snapshot_diff", Some(
+    """WITH prev AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 3),
+      |curr AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]'
+      |             ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 11 <> 5)
+      |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+      |  CASE WHEN p.doc_id IS NULL THEN 'added'
+      |       WHEN c.doc_id IS NULL THEN 'removed'
+      |       WHEN p.h = c.h THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id""".stripMargin)) { (s, dir) =>
+    // Generation-over-generation corpus diff — the audit every incremental
+    // pipeline needs before deciding what to re-process (re-embed/re-dedup
+    // the added+changed delta only). Two fixture-derived generations: the
+    // previous crawl is missing doc_id%7==3, the refresh drops doc_id%11==5
+    // and revises doc_id%13==1. Each side reduces to (id, md5) in its scan;
+    // the full-outer join moves digests, never documents.
+    val docs = Tables.documents(s, dir)
+    val prev = docs.filter(col("doc_id") % 7 =!= 3)
+    val curr = docs.filter(col("doc_id") % 11 =!= 5)
+      .withColumn("text", when(col("doc_id") % 13 === 1,
+        concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+    graft.functions.CorpusOps.snapshotDiff(prev, curr)
   }
 
   register("corpus_segment_dedup", Some(

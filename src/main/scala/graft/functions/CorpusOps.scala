@@ -761,4 +761,32 @@ object CorpusOps {
       .select(col("g").as(groupCol), col("seq_id"), col("d").as(idCol),
         col("ci").as("chunk_idx"), col("tk").as("chunk_tokens"))
   }
+
+  /** Snapshot diff between two corpus generations: per document id,
+    * `added` / `removed` / `changed` / `unchanged` — the audit primitive
+    * for an incremental pipeline (what did this crawl refresh actually
+    * touch?), and the input a selective re-process reads (re-embed / re-dedup
+    * only `added`+`changed` instead of the whole corpus — the same
+    * delta-cost idea as [[graft.functions.DedupIndex]], applied upstream).
+    *
+    * Plan shape: each side reduces to `(id, md5(content))` IN ITS SCAN —
+    * the full-outer join moves two narrow digest columns, never documents.
+    * Change detection is digest EQUALITY within one engine, so the md5s
+    * never need to leave the job or match another system's. At 100 TB both
+    * sides hash-partition on `id` — one co-partitioned shuffle each, AQE
+    * handles the size asymmetry of a small delta against a big base. */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame,
+                   idCol: String = "doc_id",
+                   contentCol: String = "text"): DataFrame = {
+    val p = prev.select(col(idCol).cast("long").as("id"),
+      md5(col(contentCol)).as("h_prev"))
+    val c = curr.select(col(idCol).cast("long").as("id"),
+      md5(col(contentCol)).as("h_curr"))
+    p.join(c, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_curr").isNull, lit("removed"))
+          .when(col("h_prev") === col("h_curr"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

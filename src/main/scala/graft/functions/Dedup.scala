@@ -217,12 +217,14 @@ object Dedup {
       .distinct()
   }
 
-  /** Shared core of [[ngramJaccardStats]] / [[ngramSimilarPairs]]: exact
-    * Jaccard for every pair sharing ≥1 shingle, by posting-list expansion
-    * on (block, ngram-hash). Pairs sharing nothing never materialize (they
-    * would contribute 0 to stats and can't pass any positive threshold). */
-  private def sparseJaccardPairs(docs: DataFrame, n: Int,
-                                 blockCol: String, maxDf: Int): DataFrame = {
+  /** Posting-list pair core shared by the Jaccard AND containment forms:
+    * for every in-block pair sharing ≥1 shingle, the exact intersection
+    * size plus both distinct-set sizes — `(block, doc_a, doc_b, inter,
+    * sz_a, sz_b)`, `doc_a < doc_b`. Pairs sharing nothing never
+    * materialize (they contribute 0 to stats and can't pass any positive
+    * threshold on either measure). */
+  private def pairIntersections(docs: DataFrame, n: Int,
+                                blockCol: String, maxDf: Int): DataFrame = {
     val withSets = docs.select(col("doc_id"), col(blockCol).as("block"),
       TextFunctions.shingleHashes(col("text"), n).as("ngrams"))
     val sizes = withSets.select(col("doc_id"), col("block"),
@@ -259,14 +261,121 @@ object Dedup {
     val inter = pairs
       .groupBy(col("block"), col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    // same arithmetic as `jaccard`: double division, |A|+|B|-|A∩B| union
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .select(col("block"), col("doc_a"), col("doc_b"),
+        col("inter"), col("sz_a"), col("sz_b"))
+  }
+
+  /** Shared core of [[ngramJaccardStats]] / [[ngramSimilarPairs]]: exact
+    * Jaccard for every pair sharing ≥1 shingle, by posting-list expansion
+    * on (block, ngram-hash). Pairs sharing nothing never materialize (they
+    * would contribute 0 to stats and can't pass any positive threshold). */
+  private def sparseJaccardPairs(docs: DataFrame, n: Int,
+                                 blockCol: String, maxDf: Int): DataFrame =
+    // same arithmetic as `jaccard`: double division, |A|+|B|-|A∩B| union
+    pairIntersections(docs, n, blockCol, maxDf)
+      .select(col("block"), col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           ((col("sz_a") + col("sz_b")).cast("double") - col("inter").cast("double")))
           .as("jaccard"))
+
+  /** DIRECTED containment pairs: `C(inner→outer) = |S_in ∩ S_out| / |S_in|`
+    * over distinct word n-gram sets (Broder, "On the resemblance and
+    * containment of documents", SEQUENCES 1997). Containment is the
+    * asymmetric sibling of Jaccard: a short document quoted verbatim inside
+    * a long one scores near 1.0 here while its Jaccard stays low (the union
+    * is dominated by the long side) — the signal for quote/sub-document
+    * duplication that a symmetric threshold misses.
+    *
+    * Emits BOTH directions of every co-shingled pair that clears
+    * `minContainment` as `(block, inner_doc, outer_doc, containment)`.
+    * Plan shape is identical to [[ngramSimilarPairs]] — the one
+    * posting-list shuffle is shared, the direction split is a narrow
+    * projection — so the same `maxDf` skew cap applies ([[DefaultMaxDf]]). */
+  def containmentPairs(docs: DataFrame, n: Int,
+                       blockCol: String = "source",
+                       minContainment: Double = 0.5,
+                       maxDf: Int = 0): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1] (got $minContainment)")
+    val base = pairIntersections(docs, n, blockCol, maxDf)
+    val aInB = base.select(col("block"), col("doc_a").as("inner_doc"),
+      col("doc_b").as("outer_doc"),
+      (col("inter").cast("double") / col("sz_a").cast("double"))
+        .as("containment"))
+    val bInA = base.select(col("block"), col("doc_b").as("inner_doc"),
+      col("doc_a").as("outer_doc"),
+      (col("inter").cast("double") / col("sz_b").cast("double"))
+        .as("containment"))
+    aInB.unionByName(bInA).filter(col("containment") >= minContainment)
+  }
+
+  // --- edit-distance near-dup ----------------------------------------------
+
+  /** Distinct xxhash64'd character q-grams of `text` (empty array below q
+    * chars). The hashes feed CANDIDATE generation only — every candidate is
+    * re-verified on the full strings — so a collision can only add a
+    * candidate the verify step rejects, never change output. */
+  def charGramHashes(text: Column, q: Int): Column =
+    when(length(text) >= q,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - lit(q - 1)),
+        i => xxhash64(text.substr(i, lit(q))))))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** CHARACTER-level near-dup pairs: all in-block pairs with Levenshtein
+    * distance ≤ `maxDist`, found without an all-pairs product via q-gram
+    * blocking (Gravano et al., "Approximate string joins in a database
+    * (almost) for free", VLDB 2001): one edit destroys at most q character
+    * q-grams, so two strings within distance d share at least
+    * `len − q + 1 − d·q` positional q-grams — ≥ 1 whenever
+    * `len ≥ q·(d+1)`, making share-one-gram blocking LOSSLESS in that
+    * regime (shorter docs can only lose pairs, documented). A length filter
+    * (`|len_a − len_b| ≤ d`, necessary for distance ≤ d) prunes candidates
+    * before the expensive verify.
+    *
+    * This catches what token-set dedup can't: character-level edits
+    * (typo farms, template fills, OCR noise) barely move an n-gram SET but
+    * stay within a small edit budget. Verification runs Spark's banded
+    * `levenshtein(a, b, threshold)` — O(d·min(len)) per pair, not
+    * O(len²) — and the candidate stage is the same posting-list shape as
+    * the Jaccard family, so `maxDf` ([[DefaultMaxDf]]) bounds boilerplate
+    * q-gram blowup at 100 TB (non-binding at fixture scale: max df 53). */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 12,
+                        blockCol: String = "source",
+                        maxDf: Int = 0): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    require(q >= 1, s"q must be >= 1 (got $q)")
+    val base = docs.select(col("doc_id"), col(blockCol).as("block"),
+      col("text"), length(col("text")).as("len"))
+    val exploded = base.select(col("doc_id"), col("block"),
+      explode(charGramHashes(col("text"), q)).as("g"))
+    val allPostings = exploded.groupBy(col("block"), col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val postings =
+      if (maxDf <= 0) allPostings
+      else allPostings.filter(size(col("ds")) <= maxDf)
+    val cand = postings
+      .select(col("block"), col("ds"),
+        posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("block"), col("doc_a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
+          .as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+        col("len").as("len_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("text").as("text_b"),
+        col("len").as("len_b")), "doc_b")
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("block"), col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b"), maxDist).as("d0"))
+      .filter(col("d0") >= 0)
+      .select(col("block"), col("doc_a"), col("doc_b"),
+        col("d0").cast("long").as("dist"))
   }
 
   /** |A ∩ B| / |A ∪ B| via |A|+|B|-|A∩B| (avoids a union materialization and

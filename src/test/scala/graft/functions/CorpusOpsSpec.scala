@@ -534,4 +534,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(3L) === ((2L, 10L, 5L)))
     assert(r(4L) === ((2L, 10L, 5L)))
   }
+
+  test("snapshotDiff classifies every id into exactly one status") {
+    import spark.implicits._
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val curr = Seq((2L, "b"), (3L, "c-revised"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.snapshotDiff(prev, curr)
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff against itself is all-unchanged; against empty, all-removed") {
+    import spark.implicits._
+    val self = CorpusOps.snapshotDiff(docs, docs)
+    assert(self.filter(col("status") =!= "unchanged").count() === 0)
+    assert(self.count() === docs.count())
+    val empty = docs.filter(lit(false))
+    val gone = CorpusOps.snapshotDiff(docs, empty)
+    assert(gone.filter(col("status") =!= "removed").count() === 0)
+    assert(CorpusOps.snapshotDiff(empty, docs)
+      .filter(col("status") =!= "added").count() === 0)
+  }
 }

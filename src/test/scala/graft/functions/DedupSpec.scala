@@ -340,6 +340,137 @@ class DedupSpec extends SparkSpec {
     assert(got === Array(0.5, 1.0, 0.0))
   }
 
+  test("containment is asymmetric: a quoted doc scores 1.0 inside its host") {
+    import spark.implicits._
+    val quoted = "alpha beta gamma delta epsilon"
+    val host = quoted +
+      " zeta eta theta iota kappa lambda mu nu xi omicron pi rho"
+    val df = Seq((1L, quoted, "s"), (2L, host, "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairs(df, 3, "source", minContainment = 0.01)
+      .collect()
+      .map(r => (r.getAs[Long]("inner_doc"), r.getAs[Long]("outer_doc")) ->
+        r.getAs[Double]("containment")).toMap
+    // quoted: 5 words -> 3 trigrams, all inside host; host: 17 words -> 15
+    assert(got((1L, 2L)) === 1.0)   // fully contained
+    assert(got((2L, 1L)) === 3.0 / 15.0) // the host is NOT inside the quote
+  }
+
+  test("containmentPairs == brute-force directed definition on the corpus") {
+    import spark.implicits._
+    val tau = 0.1
+    val withSets = docs.select(col("doc_id"), col("source"),
+      Dedup.ngramSet(col("text"), 3).as("ng"))
+    val p = withSets.as("a").join(withSets.as("b"),
+        expr("a.source = b.source AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        size(array_intersect(col("a.ng"), col("b.ng"))).cast("double").as("i"),
+        size(col("a.ng")).cast("double").as("sa"),
+        size(col("b.ng")).cast("double").as("sb"))
+      .filter(col("i") > 0)
+    val ref = (p.select(col("da").as("in"), col("db").as("out"), (col("i") / col("sa")).as("c"))
+        unionByName p.select(col("db").as("in"), col("da").as("out"), (col("i") / col("sb")).as("c")))
+      .filter(col("c") >= tau)
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, o, c) => (i, o, math.rint(c * 1e9)) }.toSet
+    val got = Dedup.containmentPairs(docs, 3, "source", minContainment = tau)
+      .select(col("inner_doc"), col("outer_doc"), col("containment"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, o, c) => (i, o, math.rint(c * 1e9)) }.toSet
+    assert(got === ref)
+    assert(got.nonEmpty, "fixture should produce at least one directed pair")
+  }
+
+  test("editDistancePairs == brute-force in the lossless regime") {
+    import spark.implicits._
+    // all strings >= q·(d+1) chars, so share-one-gram blocking is lossless
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val df = Seq(
+      (1L, base, "s"),
+      (2L, base.replace("quick", "quack"), "s"),          // 1 edit
+      (3L, base.replace("jumps", "leaps").replace("dog", "cat"), "s"), // few edits
+      (4L, "completely different text about spark catalyst plans and shuffles", "s"),
+      (5L, base, "t")) // same text, different block: must NOT pair with 1
+      .toDF("doc_id", "text", "source")
+    for (d <- Seq(2, 10)) {
+      val ref = df.as("a").join(df.as("b"),
+          expr("a.source = b.source AND a.doc_id < b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text"), d).as("dist"))
+        .filter(col("dist") >= 0)
+        .as[(Long, Long, Int)].collect()
+        .map { case (a, b, x) => (a, b, x.toLong) }.toSet
+      val got = Dedup.editDistancePairs(df, maxDist = d, q = 4)
+        .select(col("doc_a"), col("doc_b"), col("dist"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === ref, s"mismatch at d=$d")
+    }
+    // sanity on the shape of the d=2 answer itself
+    val d2 = Dedup.editDistancePairs(df, maxDist = 2, q = 4)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d2 === Set((1L, 2L, 1L)))
+  }
+
+  test("editDistancePairs == banded brute-force on the fixture corpus") {
+    import spark.implicits._
+    val d = 60
+    val eligible = docs.filter(length(col("text")) >= 12)
+    val ref = eligible.as("a").join(eligible.as("b"),
+        expr("a.source = b.source AND a.doc_id < b.doc_id") &&
+          abs(length(col("a.text")) - length(col("b.text"))) <= d)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.text"), col("b.text"), d).as("dist"))
+      .filter(col("dist") >= 0)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, x) => (a, b, x.toLong) }.toSet
+    val got = Dedup.editDistancePairs(docs, maxDist = d, q = 12)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    // At ~300 chars the lossless bound len >= q·(d+1) = 732 does NOT hold
+    // for d=60, so blocking may legitimately miss distant pairs (and does,
+    // on this corpus) — the CONTRACT here is: no false positives, every
+    // reported distance exact, and completeness among pairs that DO share
+    // a q-gram (the stated candidate rule, which the DuckDB oracle replays).
+    assert(got.subsetOf(ref), "a reported pair must be a true <=d pair")
+    assert(got.nonEmpty, "fixture should contain near-dup pairs at d=60")
+    val sharesGram = {
+      val grams = eligible.select(col("doc_id"),
+        explode(Dedup.charGramHashes(col("text"), 12)).as("g"))
+      grams.as("a").join(grams.as("b"),
+          expr("a.g = b.g AND a.doc_id < b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct()
+        .as[(Long, Long)].collect().toSet
+    }
+    val reachable = ref.filter { case (a, b, _) => sharesGram((a, b)) }
+    assert(got === reachable,
+      "every true pair sharing a q-gram must be found, with exact distance")
+  }
+
+  test("editDistancePairs maxDf cap: identity above max df, prunes below") {
+    import spark.implicits._
+    val boiler = "X" * 20 // one shared 12-gram factory across every doc
+    val df = (1L to 6L).map(i => (i, boiler + s" unique tail $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val uncapped = Dedup.editDistancePairs(df, maxDist = 15, q = 12)
+      .count()
+    val generous = Dedup.editDistancePairs(df, maxDist = 15, q = 12,
+      maxDf = 64).count()
+    val strict = Dedup.editDistancePairs(df, maxDist = 15, q = 12,
+      maxDf = 1).count()
+    assert(uncapped === generous) // cap above every df: output identical
+    assert(uncapped > 0)
+    assert(strict === 0) // every shared gram is boilerplate: all capped away
+  }
+
+  test("charGramHashes: short strings yield empty arrays, not errors") {
+    import spark.implicits._
+    val got = Seq("ab", "abcd", "abcde").toDF("text")
+      .select(size(Dedup.charGramHashes(col("text"), 4)).as("n"))
+      .as[Int].collect()
+    assert(got === Array(0, 1, 2))
+  }
+
   test("lshBandKeys rejects band counts that do not divide k") {
     // bands > k would hash ZERO lanes per band — one global bucket and the
     // full n² blowup; a non-divisor silently ignores trailing lanes

@@ -3702,6 +3702,30 @@ object Queries {
       .limit(10)
   }
 
+  register("mm_dhash_neardup", None) { (s, dir) =>
+    // Perceptual image dedup: per-image 64-bit dHash (9x8 luma-gradient
+    // grid — real decode for real images, deterministic stub for the
+    // fixture's text-blob payloads) -> banded Hamming blocking (pigeonhole
+    // over 4 x 16-bit bands, lossless at maxDistance < bands) -> exact
+    // bit_count verify. The image sibling of dedup_simhash: re-encodes and
+    // mild edits land within a few bits where byte hashes see brand-new
+    // payloads. no_oracle (binary decode path); MultimodalSpec gates
+    // banded==exhaustive, real-PNG perturbation distance, and the
+    // stub's distance-0 == exact-dup-pairs equivalence. A real image
+    // corpus calls this with maxDistance=3, bands=4 (lossless pigeonhole);
+    // the fixture's text-blob payloads stub-hash uniformly, so — like
+    // mm_embed_neardup — the entry surfaces the 10 CLOSEST banded
+    // candidates (16 x 4-bit bands admit ~2/3 of pairs) instead of an
+    // empty thresholded set; byte-identical payloads rank first at 0.
+    val assets = graft.functions.Multimodal.assetsFromDocuments(
+      Tables.documents(s, dir))
+    val hashes = graft.functions.Multimodal.imageDHashes(assets)
+    graft.functions.Multimodal.dhashNearDupPairs(hashes,
+        maxDistance = 64, bands = 16)
+      .orderBy(col("distance"), col("asset_a"), col("asset_b"))
+      .limit(10)
+  }
+
   register("embed_quantized_topk", Some(
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x ->

@@ -161,6 +161,107 @@ object Multimodal {
     v
   }
 
+  /** Perceptual difference-hash (dHash) of an image payload: decode, sample
+    * a 9×8 luma grid (nearest-neighbor — per-asset work is CONSTANT
+    * regardless of source resolution), emit 64 bits of horizontal gradient
+    * sign (`luma[x] > luma[x+1]`). Near-identical images — re-encodes,
+    * mild resizes, small crops/watermarks — land within a few bits, while
+    * byte-level hashes (md5/xxh64) treat every re-encode as a brand-new
+    * payload; this is THE image-dedup signal a training-data pipeline
+    * blocks on. Non-image / undecodable payloads fall back to a
+    * deterministic splitmix of the payload bytes (STUB semantics: equal
+    * payloads ⇒ equal hash, so distance-0 pairs == exact-dup pairs). */
+  private[functions] def dHash(payload: Array[Byte]): Long = {
+    val img =
+      if (!looksLikeImage(payload)) null
+      else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) {
+      // STUB: splitmix64 of the payload hash (public-domain constants)
+      var z = java.util.Arrays.hashCode(payload).toLong + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    } else {
+      val gw = 9; val gh = 8
+      val g = new Array[Double](gw * gh)
+      var y = 0
+      while (y < gh) {
+        val sy = y * img.getHeight / gh
+        var x = 0
+        while (x < gw) {
+          val sx = x * img.getWidth / gw
+          val rgb = img.getRGB(sx, sy)
+          g(y * gw + x) = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var i = 0
+      var yy = 0
+      while (yy < gh) {
+        var xx = 0
+        while (xx < gw - 1) {
+          if (g(yy * gw + xx) > g(yy * gw + xx + 1)) bits |= (1L << i)
+          i += 1
+          xx += 1
+        }
+        yy += 1
+      }
+      bits
+    }
+  }
+
+  /** Per-image dHash column via the batched per-partition decode pass —
+    * same economics as [[imageFeatures]]: payloads stay executor-local,
+    * output is one narrow (asset_id, dhash) row per image. */
+  def imageDHashes(assets: DataFrame): DataFrame = {
+    implicit val inEnc = Encoders.product[Asset]
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    assets.filter(col("modality") === "image")
+      .select(col("asset_id").as("assetId"), col("modality"), col("payload"),
+        struct(col("meta.format").as("format"),
+          col("meta.width_px").as("widthPx"),
+          col("meta.height_px").as("heightPx"),
+          col("meta.sample_rate_hz").as("sampleRateHz"),
+          col("meta.duration_ms").as("durationMs")).as("meta"))
+      .as[Asset]
+      .mapPartitions(_.map(a => (a.assetId, dHash(a.payload))))
+      .toDF("asset_id", "dhash")
+  }
+
+  /** Near-dup image pairs from dHashes: banded Hamming blocking (Manku et
+    * al. WWW 2007, the same pigeonhole as SimHash banding — two hashes
+    * within `maxDistance` bits must agree EXACTLY on at least one of
+    * `bands` disjoint bit-bands when `maxDistance < bands`), verified by
+    * an exact `bit_count(a XOR b)` on each candidate. One equi-join per
+    * band key — never an all-pairs product — so the plan scales like the
+    * text-side LSH family. Lossless for `maxDistance < bands`. */
+  def dhashNearDupPairs(hashes: DataFrame, maxDistance: Int = 3,
+                        bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64 (got $bands)")
+    require(maxDistance >= 0, s"maxDistance must be >= 0 (got $maxDistance)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val bandCols = (0 until bands).map { b =>
+      shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask))
+    }
+    val banded = hashes.select(col("asset_id"), col("dhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("asset_a"), col("a.dhash").as("hash_a"),
+        col("b.asset_id").as("asset_b"), col("b.dhash").as("hash_b"))
+      .distinct()
+    cand.select(col("asset_a"), col("asset_b"),
+        Dedup.hammingDistance(col("hash_a"), col("hash_b")).as("distance"))
+      .filter(col("distance") <= maxDistance)
+  }
+
   /** Image decode + resize + embed as a BATCHED per-partition pass:
     * `mapPartitions` hands each executor core an iterator over its
     * partition, so a real codec would amortize model/codec init once per

@@ -129,4 +129,84 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(again.toSet === pairs.toSet)
   }
+
+  private def encodePng(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: perturbed re-render stays near, different image is far") {
+    // horizontal gradient image: dHash bits are all-ones per row direction
+    def shade(x: Int, y: Int): Int = { val v = (x * 255) / 99; (v << 16) | (v << 8) | v }
+    val base = encodePng(100, 80)(shade)
+    // same scene re-rendered at a different resolution: dHash is sampled
+    // on a fixed 9x8 grid, so the hash should be nearly unchanged
+    val rescaled = encodePng(50, 40)((x, y) => { val v = (x * 255) / 49; (v << 16) | (v << 8) | v })
+    // reversed gradient: every horizontal comparison flips
+    val reversed = encodePng(100, 80)((x, y) => shade(99 - x, y))
+    val hBase = Multimodal.dHash(base)
+    val hRescaled = Multimodal.dHash(rescaled)
+    val hReversed = Multimodal.dHash(reversed)
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(hBase, hRescaled) <= 3,
+      s"re-render should stay within a few bits (got ${dist(hBase, hRescaled)})")
+    assert(dist(hBase, hReversed) >= 32,
+      s"reversed gradient should flip most bits (got ${dist(hBase, hReversed)})")
+  }
+
+  test("dhashNearDupPairs: banded == exhaustive; stub distance-0 == exact dups") {
+    import spark.implicits._
+    // ids all % 3 == 0 so every asset is image-modality; two byte-identical
+    // text payloads stub-hash identically, one differs
+    val docs = Seq(
+      (0L, "payload payload payload one"),
+      (3L, "payload payload payload one"),
+      (6L, "something else entirely goes here"),
+      (9L, "payload payload payload one"))
+      .toDF("doc_id", "text")
+    val hashes = Multimodal.imageDHashes(Multimodal.assetsFromDocuments(docs))
+    for (d <- Seq(0, 3)) {
+      val banded = Multimodal.dhashNearDupPairs(hashes, maxDistance = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exhaustive = hashes.as("a").join(hashes.as("b"),
+          col("a.asset_id") < col("b.asset_id"))
+        .select(col("a.asset_id"), col("b.asset_id"),
+          Dedup.hammingDistance(col("a.dhash"), col("b.dhash")).as("dist"))
+        .filter(col("dist") <= d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded === exhaustive, s"banded != exhaustive at d=$d")
+    }
+    val zero = Multimodal.dhashNearDupPairs(hashes, maxDistance = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(zero === Set((0L, 3L), (0L, 9L), (3L, 9L)),
+      "stub hashes: distance-0 pairs must be exactly the byte-dup pairs")
+  }
+
+  test("dhashNearDupPairs on real images pairs the re-render, not the reverse") {
+    import spark.implicits._
+    def shade(w: Int)(x: Int, y: Int): Int = { val v = (x * 255) / (w - 1); (v << 16) | (v << 8) | v }
+    val rows = Seq(
+      (1L, encodePng(100, 80)(shade(100))),
+      (2L, encodePng(50, 40)(shade(50))),
+      (3L, encodePng(100, 80)((x, y) => shade(100)(99 - x, y))))
+    val assets = rows.toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("image").as("modality"), col("payload"),
+        struct(lit("png").as("format"), lit(0).as("width_px"),
+          lit(0).as("height_px"), lit(0).as("sample_rate_hz"),
+          lit(0L).as("duration_ms")).as("meta"))
+    val pairs = Multimodal.dhashNearDupPairs(
+        Multimodal.imageDHashes(assets), maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"expected only the re-rendered pair, got $pairs")
+  }
 }

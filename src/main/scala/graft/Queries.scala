@@ -2752,6 +2752,84 @@ object Queries {
       .select(col("doc_id"), col("source"))
   }
 
+  register("corpus_dedup_fuzzy_best", Some(
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END AS ngrams
+      |  FROM documents),
+      |p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db,
+      |    len(list_intersect(a.ngrams, b.ngrams)) AS isz,
+      |    len(a.ngrams) + len(b.ngrams) - len(list_intersect(a.ngrams, b.ngrams)) AS usz
+      |  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id),
+      |e AS (
+      |  SELECT da AS eu, db AS ev FROM p
+      |  WHERE usz > 0 AND CAST(isz AS DOUBLE) / usz >= 0.02
+      |  UNION
+      |  SELECT db, da FROM p
+      |  WHERE usz > 0 AND CAST(isz AS DOUBLE) / usz >= 0.02),
+      |reach(ru, rv) AS (
+      |  SELECT eu, ev FROM e
+      |  UNION
+      |  SELECT r.ru, e2.ev FROM reach r JOIN e e2 ON e2.eu = r.rv),
+      |g AS (SELECT ru AS doc_id, least(ru, min(rv)) AS gid FROM reach GROUP BY ru),
+      |t AS (
+      |  SELECT doc_id, source, length(text) AS n,
+      |    len(str_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(str_split(text, ' '),
+      |      x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS stop_ct,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_ct,
+      |    n_chars
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source, round(
+      |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + least(CAST(stop_ct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.4
+      |      + (1.0 - least(CAST(punct_ct AS DOUBLE) / CAST(n AS DOUBLE) * 10.0, 1.0)) * 0.2,
+      |    6) AS quality
+      |  FROM t),
+      |m AS (
+      |  SELECT q.doc_id, q.source, q.quality,
+      |    COALESCE(g.gid, q.doc_id) AS gid
+      |  FROM q LEFT JOIN g ON q.doc_id = g.doc_id),
+      |r AS (
+      |  SELECT doc_id, source, quality, row_number() OVER (
+      |    PARTITION BY gid ORDER BY quality DESC, doc_id) AS rn
+      |  FROM m)
+      |SELECT doc_id, source, quality FROM r WHERE rn = 1""".stripMargin)) { (s, dir) =>
+    // QUALITY-AWARE fuzzy dedup: corpus_dedup_fuzzy keeps each
+    // component's smallest doc_id — the arbitrary-but-deterministic
+    // choice; a curation pipeline should keep the BEST copy (the
+    // canonical RefinedWeb/FineWeb move: among near-dups, drop the
+    // low-quality variants, not whichever crawled second). Same candidate
+    // edges + connected components; the representative is argmax by
+    // (6-dp-rounded quality, doc_id tiebreak). The argmax window runs
+    // ONLY over component members (component map is model-sized next to
+    // the corpus — AQE broadcasts both membership joins); untouched docs
+    // bypass via anti-join, so no corpus-wide window exists in the plan.
+    val docs = Tables.documents(s, dir)
+    val edges = Dedup.ngramSimilarPairs(docs, 3,
+      blockCol = "source", minJaccard = 0.02, maxDf = Dedup.DefaultMaxDf)
+    val comp = graft.functions.Components
+      .connectedComponents(edges, "doc_a", "doc_b")
+    val scored = docs.select(col("doc_id"), col("source"),
+      TF.qualityScore(col("text"), col("n_chars")).as("quality"))
+    val dupBest = {
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      scored.join(comp, scored("doc_id") === comp("node"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("source"), col("quality"))
+    }
+    val untouched = scored.join(comp,
+      scored("doc_id") === comp("node"), "left_anti")
+    untouched.unionByName(dupBest)
+  }
+
   register("corpus_split_leakage", Some(
     """WITH d AS (
       |  SELECT doc_id, source,
@@ -3334,6 +3412,59 @@ object Queries {
       .withColumn("text", when(col("doc_id") % 13 === 1,
         concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
     graft.functions.CorpusOps.snapshotDiff(prev, curr)
+  }
+
+  register("corpus_source_overlap", Some(
+    """WITH d AS (
+      |  SELECT source, unnest(CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |    list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |      i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END) AS g
+      |  FROM documents),
+      |s AS (SELECT DISTINCT source, g FROM d),
+      |n AS (SELECT source, count(*) AS cnt FROM s GROUP BY 1),
+      |i AS (SELECT a.source AS source_a, b.source AS source_b,
+      |        count(*) AS shared
+      |      FROM s a JOIN s b ON a.g = b.g AND a.source < b.source
+      |      GROUP BY 1, 2)
+      |SELECT na.source AS source_a, nb.source AS source_b,
+      |  CAST(na.cnt AS BIGINT) AS distinct_a,
+      |  CAST(nb.cnt AS BIGINT) AS distinct_b,
+      |  CAST(coalesce(i.shared, 0) AS BIGINT) AS distinct_shared,
+      |  round(CAST(coalesce(i.shared, 0) AS DOUBLE) /
+      |    (na.cnt + nb.cnt - coalesce(i.shared, 0)), 6) AS jaccard
+      |FROM n na JOIN n nb ON na.source < nb.source
+      |LEFT JOIN i ON i.source_a = na.source AND i.source_b = nb.source""".stripMargin)) { (s, dir) =>
+    // Source-overlap matrix — the corpus card that says WHICH sources
+    // mirror each other (two crawls of the same sites, a dataset shipped
+    // twice under different names) BEFORE paying for pairwise dedup.
+    // One theta sketch of the distinct shingle set per source at ingest;
+    // every pairwise overlap question is then set algebra on the
+    // model-sized sketch table (20 sources = 190 pairs of KB-scale blobs
+    // — the deliberate tiny cross join), never a corpus re-scan. Exact
+    // and DuckDB-oracled below 2^lgK=65536 distinct shingles per source
+    // (max here: ~11 K at sf0.1); beyond that the same plan degrades to
+    // ~1/sqrt(2^lgK) RSE estimates — SketchesSpec gates that regime.
+    // Estimated Jaccard from exact longs, so the division is
+    // deterministic on both engines.
+    val sk = Tables.documents(s, dir)
+      .select(col("source"), explode(TF.shingleHashes(col("text"), 3)).as("g"))
+      .groupBy("source")
+      .agg(graft.functions.Sketches.thetaSketch(col("g")).as("sk"))
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        graft.functions.Sketches.thetaEstimate(col("a.sk"))
+          .cast("long").as("distinct_a"),
+        graft.functions.Sketches.thetaEstimate(col("b.sk"))
+          .cast("long").as("distinct_b"),
+        graft.functions.Sketches
+          .thetaIntersectEstimate(col("a.sk"), col("b.sk"))
+          .cast("long").as("distinct_shared"))
+      .select(col("source_a"), col("source_b"), col("distinct_a"),
+        col("distinct_b"), col("distinct_shared"),
+        round(col("distinct_shared").cast("double") /
+          (col("distinct_a") + col("distinct_b") - col("distinct_shared"))
+            .cast("double"), 6).as("jaccard"))
   }
 
   register("corpus_segment_dedup", Some(

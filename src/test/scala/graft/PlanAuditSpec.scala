@@ -453,6 +453,49 @@ class PlanAuditSpec extends SparkSpec {
       s"global sort in the profile path:\n$plan")
   }
 
+  test("containment/edit-distance/dhash pair joins stay keyed, never cross") {
+    Seq("dedup_containment", "dedup_edit_distance", "mm_dhash_neardup")
+      .foreach { n =>
+        val plan = physical(run(n))
+        assert(!plan.contains("CartesianProduct"),
+          s"$n degenerated to a cartesian product:\n$plan")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$n uses a nested-loop join:\n$plan")
+      }
+  }
+
+  test("edit-distance verify is the banded threshold form on candidates only") {
+    val plan = physical(run("dedup_edit_distance"))
+    // the O(d·len) banded kernel, not the O(len²) full matrix: the
+    // threshold argument must appear inside the levenshtein call
+    assert(plan.contains("levenshtein") && plan.contains("Some(60)"),
+      s"thresholded levenshtein missing from the verify stage:\n$plan")
+    // candidate dedup happens BEFORE the text join: a distinct
+    // (HashAggregate on the pair keys) must exist upstream of the verify
+    assert(plan.contains("HashAggregate"),
+      s"no candidate-distinct stage:\n$plan")
+  }
+
+  test("snapshot diff joins digests, not documents") {
+    val plan = physical(run("corpus_snapshot_diff"))
+    assert(plan.contains("FullOuter"), s"diff must be a full-outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"non-keyed join:\n$plan")
+    // the join operator's output must carry md5 digests, never `text`:
+    // each side reduces to (id, md5(text)) inside its own scan stage
+    val joinLine = plan.linesIterator.find(_.contains("FullOuter")).get
+    assert(!joinLine.contains("text"),
+      s"document payloads cross the diff join: $joinLine")
+  }
+
+  test("completeness audit partial-aggregates the hour sets map-side") {
+    val plan = physical(run("events_completeness_audit"))
+    assert(plan.contains("partial_"),
+      s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in an aggregate-only audit:\n$plan")
+  }
+
   test("bpe token counts are scan-local (zero exchanges)") {
     val docs = Tables.documents(spark, sfSmall)
     val merges = graft.functions.Bpe.learnFromDict(

@@ -315,15 +315,16 @@ object Dedup {
   // --- edit-distance near-dup ----------------------------------------------
 
   /** Distinct xxhash64'd character q-grams of `text` (empty array below q
-    * chars). The hashes feed CANDIDATE generation only — every candidate is
-    * re-verified on the full strings — so a collision can only add a
-    * candidate the verify step rejects, never change output. */
+    * chars) — the codegen'd [[expressions.CharGramHashes]] kernel: each
+    * gram hashed in place over the original UTF-8 buffer, no substring
+    * materialization, no interpreted lambda frames (the interpreted
+    * `transform(sequence, substr, xxhash64)` form ran ~|text| lambda evals
+    * per document and single-handedly dominated the edit-distance entry's
+    * map stage). The hashes feed CANDIDATE generation only — every
+    * candidate is re-verified on the full strings — so a collision can
+    * only add a candidate the verify step rejects, never change output. */
   def charGramHashes(text: Column, q: Int): Column =
-    when(length(text) >= q,
-      array_distinct(transform(
-        sequence(lit(1), length(text) - lit(q - 1)),
-        i => xxhash64(text.substr(i, lit(q))))))
-      .otherwise(array().cast("array<bigint>"))
+    expressions.TextExpressions.charGramHashesNative(text, q)
 
   /** CHARACTER-level near-dup pairs: all in-block pairs with Levenshtein
     * distance ≤ `maxDist`, found without an all-pairs product via q-gram
@@ -352,7 +353,16 @@ object Dedup {
       col("text"), length(col("text")).as("len"))
     val exploded = base.select(col("doc_id"), col("block"),
       explode(charGramHashes(col("text"), q)).as("g"))
-    val allPostings = exploded.groupBy(col("block"), col("g"))
+    // Explicit repartition ON the grouping keys before the posting-list
+    // aggregation: char q-grams are a near-distinct key domain (most df=1),
+    // so map-side combine reduces almost nothing, and the partial
+    // ObjectHashAggregate otherwise runs at the SCAN's parallelism — one
+    // task on a small-file fixture, and never more than the input split
+    // count at 100 TB. The exchange is the same one the groupBy would
+    // plan; moving it below the aggregation is cost-neutral in bytes and
+    // puts the heavy list-building on the full shuffle width.
+    val allPostings = exploded.repartition(col("block"), col("g"))
+      .groupBy(col("block"), col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
     val postings =

@@ -27,7 +27,12 @@ import org.apache.spark.sql.functions._
   * Layout:
   * {{{
   *   path/meta/     one row: (shingle_n, k, bands)
-  *   path/entries/  (band, bucket, doc_id, sig)   — bands × |corpus| rows
+  *   path/entries/  (band, bucket, doc_id, sig) partitioned by gen
+  *                  — bands × |corpus| rows; one partition per ingest
+  *                  generation, so a RETRIED generation overwrites ITS OWN
+  *                  partition (dynamic partition overwrite) instead of
+  *                  double-appending — the idempotence a streaming ingest
+  *                  needs ([[ingestStream]]).
   * }}}
   */
 object DedupIndex {
@@ -51,8 +56,13 @@ object DedupIndex {
     Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+    // base corpus is gen −1: streaming batchIds start at 0, and an ingest
+    // stream's first replayed batch must overwrite ITS OWN partition,
+    // never the base
     entries(docs, shingleN, k, bands, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/entries")
+      .withColumn("gen", lit(-1L))
+      .write.mode("overwrite").partitionBy("gen")
+      .parquet(s"$path/entries")
   }
 
   private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
@@ -61,15 +71,59 @@ object DedupIndex {
   }
 
   /** Append a new generation's entries under the PINNED parameters — cost
-    * ∝ delta, one narrow signature pass + a partitioned append. Run
+    * ∝ delta, one narrow signature pass + a partitioned write. Run
     * [[newPairs]] first if the generation should be dedup-gated before it
-    * joins the corpus. */
+    * joins the corpus.
+    *
+    * `gen` identifies the generation partition. The default (−1) assigns
+    * max-existing + 1 (a partition-listing read, no row data). Passing an
+    * EXPLICIT gen makes the call IDEMPOTENT: the write runs in dynamic
+    * partition-overwrite mode, so re-running the same generation (a
+    * failed-ingest retry, a streaming micro-batch replay) replaces its own
+    * partition instead of double-appending — exactly-once index
+    * maintenance without a transaction log. */
   def append(newDocs: DataFrame, path: String, idCol: String = "doc_id",
-             textCol: String = "text"): Unit = {
-    val (shingleN, k, bands) = readMeta(newDocs.sparkSession, path)
+             textCol: String = "text", gen: Long = -1L): Unit = {
+    val spark = newDocs.sparkSession
+    val (shingleN, k, bands) = readMeta(spark, path)
+    val g =
+      if (gen >= 0) gen
+      else spark.read.parquet(s"$path/entries")
+        // partition-value inference may type `gen` int or long; pin long
+        .agg(max(col("gen").cast("long"))).head().getLong(0) + 1L
     entries(newDocs, shingleN, k, bands, idCol, textCol)
-      .write.mode("append").parquet(s"$path/entries")
+      .withColumn("gen", lit(g))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("gen")
+      .parquet(s"$path/entries")
   }
+
+  /** Streaming ingest against the persisted index — the production shape
+    * of dedup-at-ingest when the history lives in the INDEX rather than in
+    * streaming state (the stream-static sibling of
+    * [[graft.streaming.StreamingDedup]], which keeps its buckets in the
+    * state store): per micro-batch, (1) [[newPairs]] flags the batch's
+    * near-dups against every prior generation AND batch-internal pairs,
+    * (2) `onPairs` consumes them (gate, quarantine, metric), (3) the batch
+    * [[append]]s under `gen = batchId` — so a REPLAYED batch overwrites
+    * its own partition and re-derives byte-identical pairs (its stored
+    * self-entries share doc_ids with the replay and self-pairs are
+    * excluded; estimates dedup through newPairs' pair-level groupBy):
+    * end-to-end idempotent under the engine's at-least-once foreachBatch
+    * contract. Returns the writer; caller sets checkpoint/trigger and
+    * starts it. */
+  def ingestStream(stream: DataFrame, path: String,
+                   threshold: Double = 0.5, maxBucketSize: Int = 0,
+                   idCol: String = "doc_id", textCol: String = "text")
+                  (onPairs: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onPairs(
+        newPairs(batch, path, threshold, maxBucketSize, idCol, textCol),
+        batchId)
+      append(batch, path, idCol, textCol, gen = batchId)
+    }
 
   /** Near-duplicate pairs INVOLVING the delta: delta↔corpus pairs plus
     * delta-internal pairs, with the same estimate and threshold semantics
@@ -94,6 +148,7 @@ object DedupIndex {
     val delta = entries(newDocs, shingleN, k, bands, idCol, textCol)
       .withColumn("is_new", lit(true))
     val stored = spark.read.parquet(s"$path/entries")
+      .drop("gen")
       .withColumn("is_new", lit(false))
     val all = stored.unionByName(delta)
     val pruned =

@@ -209,10 +209,89 @@ object TopFreqFrac {
   }
 }
 
+/** Native Catalyst expression computing the DISTINCT xxhash64 of every
+  * character q-gram of a text column in one pass — the codegen'd engine of
+  * [[graft.functions.Dedup.charGramHashes]] (edit-distance candidate
+  * blocking). The interpreted predecessor —
+  * `array_distinct(transform(sequence(...), i => xxhash64(substr(i, q))))`
+  * — evaluated ~|text| lambda frames per document, each materializing a
+  * q-char substring; on a small-file scan (one input partition until the
+  * first shuffle) that single-core map stage dominated the whole query.
+  *
+  * Here each gram is hashed IN PLACE over the original UTF-8 buffer:
+  * one pass records character start offsets (any byte with
+  * `(b & 0xC0) != 0x80` starts a codepoint), gram `i` is the byte range
+  * `[start(i), start(i+q))`, and the hash is `XXH64(bytes, seed=42)` —
+  * bit-identical to `xxhash64(substring)` because Spark's `xxhash64` of a
+  * string IS the xxh64 of its UTF-8 bytes at seed 42. First-occurrence
+  * order, duplicates dropped (set semantics, matching the `array_distinct`
+  * of the interpreted form — proven bit-exact in DedupSpec). Strings
+  * shorter than q characters yield an empty array; null yields null. */
+final case class CharGramHashes(child: Expression, q: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(q >= 1, s"q-gram width must be >= 1 (got $q)")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramHashes.compute(input.asInstanceOf[UTF8String], q)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.CharGramHashes.compute($c, $q)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
+object CharGramHashes {
+  private final val Seed = 42L
+
+  def compute(text: UTF8String, q: Int): ArrayData = {
+    val nChars = text.numChars()
+    if (nChars < q)
+      return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val base = text.getBaseObject
+    val off  = text.getBaseOffset
+    val len  = text.numBytes
+    // starts(c) = byte offset where character c begins; sentinel at the end
+    val starts = new Array[Int](nChars + 1)
+    var ci = 0
+    var i = 0
+    while (i < len) {
+      if ((Platform.getByte(base, off + i) & 0xC0) != 0x80) {
+        starts(ci) = i; ci += 1
+      }
+      i += 1
+    }
+    starts(nChars) = len
+    val nGrams = nChars - q + 1
+    val seen = new java.util.HashSet[java.lang.Long](nGrams * 2)
+    val out = new Array[Long](nGrams)
+    var w = 0
+    var m = 0
+    while (w < nGrams) {
+      val s = starts(w)
+      val e = starts(w + q)
+      val h = XXH64.hashUnsafeBytes(base, off + s, e - s, Seed)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == nGrams) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
 object TextExpressions {
   /** Codegen'd xxhash64 shingle hashes (window order, duplicates kept). */
   def shingleHashesNative(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+
+  /** Codegen'd distinct character q-gram hashes (first-occurrence order). */
+  def charGramHashesNative(text: Column, q: Int): Column =
+    GraftBridge.column(CharGramHashes(GraftBridge.expression(text), q))
 
   /** Codegen'd k-wide MinHash signature from shingle hashes. */
   def minhashSignatureNative(hashes: Column, k: Int): Column =

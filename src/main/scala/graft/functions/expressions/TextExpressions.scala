@@ -284,10 +284,122 @@ object CharGramHashes {
   }
 }
 
+/** Native Catalyst expression: CONTENT-DEFINED chunking of a text column —
+  * gear-hash CDC (the rolling-hash family of LBFS/Rabin chunking and
+  * FastCDC, Xia et al. USENIX ATC 2016). The text splits at positions
+  * where a byte-driven rolling hash's top `maskBits` bits are zero, so
+  * chunk boundaries
+  * are a function of LOCAL CONTENT, not absolute offsets: insert a byte
+  * near the front and every fixed-window scheme re-keys all downstream
+  * windows, while CDC boundaries re-synchronize at the next content
+  * boundary and every later chunk hashes identically — the property that
+  * makes chunk-level dedup robust to shifted/edited duplication.
+  *
+  * Per chunk: `(hash, n_bytes)` where hash = XXH64 of the chunk's byte
+  * range in place (seed 42, like every hash in this engine). The gear
+  * table is derived from splitmix64 (public-domain constants) so the
+  * chunking is deterministic across JVMs and engines. `maskBits` sets the
+  * expected chunk size (2^maskBits bytes); `minBytes`/`maxBytes` bound
+  * every chunk (the max bound force-splits pathological content that
+  * never masks to zero). The rolling state is NEVER reset: a byte's
+  * influence shifts out of the 64-bit state after 64 steps, so the
+  * boundary predicate is a pure function of the trailing 64 content
+  * bytes — shifted streams agree on every candidate boundary once the
+  * edit's 64-byte horizon passes, and re-align fully at the first shared
+  * boundary. */
+final case class ContentChunks(child: Expression, maskBits: Int,
+                               minBytes: Int, maxBytes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+  require(maskBits >= 1 && maskBits <= 28,
+    s"maskBits must be in [1,28] (got $maskBits)")
+  require(minBytes >= 1, s"minBytes must be >= 1 (got $minBytes)")
+  require(maxBytes >= minBytes,
+    s"maxBytes ($maxBytes) must be >= minBytes ($minBytes)")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("hash", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "content_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    ContentChunks.compute(input.asInstanceOf[UTF8String],
+      maskBits, minBytes, maxBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ContentChunks.compute($c, $maskBits, $minBytes, $maxBytes)")
+
+  override protected def withNewChildInternal(newChild: Expression): ContentChunks =
+    copy(child = newChild)
+}
+
+object ContentChunks {
+  private final val Seed = 42L
+
+  /** 256 gear values from splitmix64 — deterministic, engine-portable. */
+  private val Gear: Array[Long] = Array.tabulate(256) { b =>
+    var z = b.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  def compute(text: UTF8String, maskBits: Int,
+              minBytes: Int, maxBytes: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off  = text.getBaseOffset
+    val len  = text.numBytes
+    if (len == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    // FastCDC's lesson: test the HIGH bits. With h = (h<<1)+G[b], the low
+    // bits reflect only the last few bytes' gear parities — correlated on
+    // a limited alphabet (real text) and measurably off the 2^-maskBits
+    // boundary rate; the high bits accumulate a ~64-byte mixed history.
+    val shift = 64 - maskBits
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < len) {
+      h = (h << 1) + Gear(Platform.getByte(base, off + i) & 0xff)
+      val size = i - start + 1
+      if ((size >= minBytes && (h >>> shift) == 0L) || size >= maxBytes) {
+        out += org.apache.spark.sql.catalyst.InternalRow(
+          XXH64.hashUnsafeBytes(base, off + start, size, Seed), size)
+        start = i + 1
+        // h is NOT reset: with h = (h<<1)+G[b] a byte's influence shifts
+        // out after 64 steps, so the boundary predicate is a pure function
+        // of the last <=64 CONTENT bytes — two shifted streams agree on
+        // every candidate boundary once 64 bytes past the edit, and the
+        // min-size suppression re-aligns at the first shared boundary.
+        // (Resetting per chunk would make boundaries depend on each
+        // chunk's start position, and shifted streams could stay
+        // desynchronized indefinitely.)
+      }
+      i += 1
+    }
+    if (start < len) {
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        XXH64.hashUnsafeBytes(base, off + start, len - start, Seed),
+        len - start)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object TextExpressions {
   /** Codegen'd xxhash64 shingle hashes (window order, duplicates kept). */
   def shingleHashesNative(text: Column, n: Int): Column =
     GraftBridge.column(ShingleHashes(GraftBridge.expression(text), n))
+
+  /** Codegen'd gear-hash content-defined chunks: array of (hash, n_bytes). */
+  def contentChunksNative(text: Column, maskBits: Int,
+                          minBytes: Int, maxBytes: Int): Column =
+    GraftBridge.column(ContentChunks(GraftBridge.expression(text),
+      maskBits, minBytes, maxBytes))
 
   /** Codegen'd distinct character q-gram hashes (first-occurrence order). */
   def charGramHashesNative(text: Column, q: Int): Column =

@@ -210,6 +210,76 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2).getInt(1) === 0)
   }
 
+  test("content chunks: lossless, bounded, deterministic") {
+    val docs = graft.Tables.documents(spark, sfTiny)
+    val chunks = CorpusOps.cdcChunks(docs, maskBits = 5, minBytes = 8,
+      maxBytes = 256)
+    // losslessness: chunk bytes re-sum to each document's byte length
+    val bad = chunks.groupBy("doc_id")
+      .agg(sum(col("chunk_bytes")).as("total"))
+      .join(docs.select(col("doc_id"), octet_length(col("text")).as("len")),
+        "doc_id")
+      .filter(col("total") =!= col("len"))
+    assert(bad.count() === 0, "chunks must partition the document exactly")
+    // bounds: every chunk <= max; every NON-TAIL chunk >= min
+    assert(chunks.filter(col("chunk_bytes") > 256).count() === 0)
+    // at most one sub-min chunk per doc (the tail)
+    val subMin = chunks.filter(col("chunk_bytes") < 8)
+      .groupBy("doc_id").count().filter(col("count") > 1)
+    assert(subMin.count() === 0, "only a document's tail may undershoot min")
+    // determinism
+    val a = chunks.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val b = CorpusOps.cdcChunks(docs, maskBits = 5, minBytes = 8,
+        maxBytes = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(a.toSeq.sorted === b.toSeq.sorted)
+    // expected size ~ minBytes + 2^maskBits = 40; loose band for the
+    // max-clip and per-doc tail effects
+    val mean = chunks.agg(avg(col("chunk_bytes"))).head().getDouble(0)
+    assert(mean > 20 && mean < 80, s"mean chunk size $mean implausible for 2^5")
+  }
+
+  test("content chunks re-synchronize after an insertion; fixed windows do not") {
+    // varied, non-repeating text so shared chunks can only come from true
+    // re-synchronization, not from content repetition
+    val t = (0 until 300).map(i => s"w${(i * 37) % 991}q${i}").mkString(" ")
+    val shifted = "INSERTED-PREFIX-BYTES " + t
+    def cdcHashes(s: String): Seq[Long] =
+      Seq(s).toDF("text").select(explode(
+        graft.functions.expressions.TextExpressions
+          .contentChunksNative(col("text"), 5, 8, 256)).as("c"))
+        .select(col("c.hash")).as[Long].collect().toSeq
+    def fixedHashes(s: String): Seq[Long] = {
+      // the strawman: hash every fixed 32-byte window
+      val bytes = s.getBytes("UTF-8")
+      bytes.grouped(32).map(g => scala.util.hashing.MurmurHash3
+        .bytesHash(g).toLong).toSeq
+    }
+    val base = cdcHashes(t)
+    val moved = cdcHashes(shifted)
+    val shared = base.toSet.intersect(moved.toSet).size.toDouble / base.size
+    assert(shared > 0.8,
+      f"CDC must re-synchronize after the edit (shared $shared%.2f)")
+    assert(base.last === moved.last, "the tail chunk must be identical")
+    val fShared = fixedHashes(t).toSet
+      .intersect(fixedHashes(shifted).toSet).size.toDouble /
+      fixedHashes(t).size
+    assert(fShared < 0.1,
+      f"fixed windows must lose alignment entirely (shared $fShared%.2f)")
+  }
+
+  test("content chunks: empty and sub-min strings degrade to one tail chunk") {
+    val got = Seq("", "tiny", "x" * 300).toDF("text")
+      .select(size(graft.functions.expressions.TextExpressions
+        .contentChunksNative(col("text"), 5, 8, 64)).as("n"))
+      .as[Int].collect()
+    assert(got(0) === 0, "empty string -> no chunks")
+    assert(got(1) === 1, "sub-min string -> one tail chunk")
+    // 300 identical bytes never mask to zero deterministically? they MAY —
+    // but every chunk is <= max, so at least ceil(300/64) chunks exist
+    assert(got(2) >= 5)
+  }
+
   test("URL domain extraction groups by host") {
     val df = Seq(
       "a https://one.example.com/x b http://two.example.net/y?z=1 c",

@@ -2503,6 +2503,42 @@ object Queries {
         .as("top_bigram_frac"))
   }
 
+  register("text_pseudonymize", Some(
+    """WITH e AS (
+      |  SELECT doc_id,
+      |    text || ' from user' || CAST(doc_id % 50 AS VARCHAR) ||
+      |      '@example.com to user' || CAST(doc_id % 7 AS VARCHAR) ||
+      |      '@mail.org end' AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+      |    AS n_emails,
+      |  md5(list_reduce(
+      |    list_prepend(t, regexp_extract_all(t,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+      |    (acc, m) -> replace(acc, m, 'user_' || substr(md5(m), 1, 8))))
+      |    AS pseudo_md5
+      |FROM e""".stripMargin)) { (s, dir) =>
+    // CONSISTENT pseudonymization — the privacy pass that keeps entities
+    // JOINABLE: the same address maps to the same user_<md5-8> surrogate
+    // in every document (doc_id%50 / doc_id%7 plant deliberate
+    // cross-document collisions, like text_pii_redact plants addresses),
+    // so per-entity analytics survive where <EMAIL> sentinels erase them.
+    // Surrogates derive from the matched text alone — no mapping table,
+    // no state, two engines agree by construction (the oracle folds the
+    // identical replace over the identical match list via list_reduce).
+    // Scan-local narrow pass; the fold is bounded by a doc's match count.
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" from user"), (col("doc_id") % 50).cast("string"),
+        lit("@example.com to user"), (col("doc_id") % 7).cast("string"),
+        lit("@mail.org end")).as("t"))
+    planted.select(col("doc_id"),
+      TF.countMatches(col("t"), TF.emailPattern).as("n_emails"),
+      md5(TF.pseudonymizeEmails(col("t"))).as("pseudo_md5"))
+  }
+
   register("text_pii_redact", Some(
     """WITH e AS (
       |  SELECT doc_id,

@@ -162,6 +162,26 @@ object TextFunctions {
         emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
+  /** CONSISTENT pseudonymization of email addresses: every occurrence of
+    * an address — in this document and every other — becomes the same
+    * `user_<md5-prefix>` surrogate. Unlike [[redactPii]]'s type sentinels
+    * (which erase identity), surrogates stay JOINABLE: cross-document
+    * per-entity analysis (activity counts, dedup keys, graph edges)
+    * survives the privacy pass. The surrogate derives from md5 of the
+    * matched address only, so two engines — or two pipeline runs — agree
+    * without shared state or a mapping table; nothing sensitive persists.
+    *
+    * Implemented as a fold of literal `replace` over the document's OWN
+    * match list — a per-row HOF bounded by the handful of addresses a
+    * document contains, not a bulk per-token path (the hot-path HOF rule
+    * doesn't bite: cost is O(matches), and matches are rare). */
+  def pseudonymizeEmails(text: Column): Column =
+    aggregate(
+      regexp_extract_all(text, lit(emailPattern), lit(0)),
+      text,
+      (acc, m) => call_function("replace", acc, m,
+        concat(lit("user_"), substring(md5(m), 1, 8))))
+
   /** All URL occurrences (full matches). */
   def urls(text: Column): Column = regexp_extract_all(text, lit(urlPattern), lit(0))
 

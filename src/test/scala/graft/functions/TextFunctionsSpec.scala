@@ -280,6 +280,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) >= 5)
   }
 
+  test("pseudonymization: same address -> same surrogate everywhere, no leak") {
+    val df = Seq(
+      (1L, "mail bob@x.com and sue@y.org today"),
+      (2L, "bob@x.com wrote again to bob@x.com"),
+      (3L, "no addresses here")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextFunctions.pseudonymizeEmails(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) === "no addresses here", "match-free text passes through")
+    assert(!out.values.exists(_.contains("@")), "no address may survive")
+    val sur = "user_[0-9a-f]{8}".r
+    val d1 = sur.findAllIn(out(1L)).toSeq
+    val d2 = sur.findAllIn(out(2L)).toSeq
+    assert(d1.length === 2 && d1.distinct.length === 2,
+      "distinct addresses get distinct surrogates")
+    assert(d2.distinct.length === 1, "repeats collapse to one surrogate")
+    assert(d2.head === d1.head,
+      "the SAME address must map to the SAME surrogate across documents")
+  }
+
   test("URL domain extraction groups by host") {
     val df = Seq(
       "a https://one.example.com/x b http://two.example.net/y?z=1 c",

@@ -444,6 +444,104 @@ object Queries {
       .withColumnRenamed("key", "join_key")
   }
 
+  register("quality_profile_columns", Some(
+    """WITH s AS (SELECT count(*) AS n_rows,
+      |  count(l_orderkey) AS nn_ok, count(DISTINCT l_orderkey) AS nd_ok,
+      |  CAST(min(l_orderkey) AS VARCHAR) AS mn_ok,
+      |  CAST(max(l_orderkey) AS VARCHAR) AS mx_ok,
+      |  CAST(sum(CAST(l_orderkey AS DECIMAL(38,6))) AS DOUBLE)
+      |    / count(l_orderkey) AS av_ok,
+      |  count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS nd_q,
+      |  CAST(min(l_quantity) AS VARCHAR) AS mn_q,
+      |  CAST(max(l_quantity) AS VARCHAR) AS mx_q,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      |    / count(l_quantity) AS av_q,
+      |  count(l_discount) AS nn_d, count(DISTINCT l_discount) AS nd_d,
+      |  CAST(min(l_discount) AS VARCHAR) AS mn_d,
+      |  CAST(max(l_discount) AS VARCHAR) AS mx_d,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+      |    / count(l_discount) AS av_d,
+      |  count(l_returnflag) AS nn_rf, count(DISTINCT l_returnflag) AS nd_rf,
+      |  CAST(min(l_returnflag) AS VARCHAR) AS mn_rf,
+      |  CAST(max(l_returnflag) AS VARCHAR) AS mx_rf,
+      |  count(l_shipdate) AS nn_sd, count(DISTINCT l_shipdate) AS nd_sd,
+      |  CAST(min(l_shipdate) AS VARCHAR) AS mn_sd,
+      |  CAST(max(l_shipdate) AS VARCHAR) AS mx_sd
+      |  FROM lineitem)
+      |SELECT col_name, n_rows, n_nulls,
+      |  round(CAST(n_nulls AS DOUBLE) / n_rows, 6) AS null_frac,
+      |  n_distinct, min_value, max_value, round(avg_value, 6) AS avg_value
+      |FROM (
+      |  SELECT 'l_orderkey' AS col_name, n_rows, n_rows - nn_ok AS n_nulls,
+      |    nd_ok AS n_distinct, mn_ok AS min_value, mx_ok AS max_value,
+      |    av_ok AS avg_value FROM s
+      |  UNION ALL SELECT 'l_quantity', n_rows, n_rows - nn_q, nd_q,
+      |    mn_q, mx_q, av_q FROM s
+      |  UNION ALL SELECT 'l_discount', n_rows, n_rows - nn_d, nd_d,
+      |    mn_d, mx_d, av_d FROM s
+      |  UNION ALL SELECT 'l_returnflag', n_rows, n_rows - nn_rf, nd_rf,
+      |    mn_rf, mx_rf, CAST(NULL AS DOUBLE) FROM s
+      |  UNION ALL SELECT 'l_shipdate', n_rows, n_rows - nn_sd, nd_sd,
+      |    mn_sd, mx_sd, CAST(NULL AS DOUBLE) FROM s)
+      |ORDER BY col_name""".stripMargin)) { (s, dir) =>
+    // Deequ-style ingest profile: every per-column statistic (null count/
+    // fraction, exact distinct, native-typed min/max, decimal-routed avg)
+    // folds into ONE no-grouping aggregate over ONE scan, melted to one
+    // row per column — the scan count never grows with the column count.
+    // Exact distinct is the oracled mode and costs an ×n_cols row expand
+    // before the partial agg; at 100 TB Quality.profile(exact = false)
+    // swaps in HLL sketches (one expansion-free pass, ±2.3%).
+    graft.operators.Quality.profile(Tables.lineitem(s, dir),
+      Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag",
+        "l_shipdate"))
+  }
+
+  register("quality_constraint_checks", Some(
+    """WITH scan AS (
+      |  SELECT
+      |    sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+      |    sum(CASE WHEN l_quantity IS NOT NULL
+      |             AND (l_quantity < 1 OR l_quantity > 30)
+      |             THEN 1 ELSE 0 END) AS v_range,
+      |    sum(CASE WHEN l_returnflag IS NOT NULL
+      |             AND l_returnflag NOT IN ('A', 'N')
+      |             THEN 1 ELSE 0 END) AS v_acc
+      |  FROM lineitem),
+      |uniq AS (
+      |  SELECT coalesce(sum(n - 1), 0) AS v FROM (
+      |    SELECT count(*) AS n FROM lineitem
+      |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)),
+      |fk AS (
+      |  SELECT count(*) AS v FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL
+      |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+      |r AS (
+      |  SELECT 'not_null:l_orderkey' AS "check", v_nn AS violations FROM scan
+      |  UNION ALL SELECT 'range:l_quantity[1.0,30.0]', v_range FROM scan
+      |  UNION ALL SELECT 'accepted:l_returnflag{A,N}', v_acc FROM scan
+      |  UNION ALL SELECT 'unique:l_orderkey,l_linenumber', v FROM uniq
+      |  UNION ALL SELECT 'fk:l_orderkey', v FROM fk)
+      |SELECT "check", CAST(violations AS BIGINT) AS violations,
+      |  CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      |FROM r ORDER BY "check"""".stripMargin)) { (s, dir) =>
+    // Declarative constraint gate: all scan-local checks (not-null, range,
+    // accepted-values) fold into ONE conditional-sum aggregate over ONE
+    // scan; the uniqueness check is one keyed partial-agg count; the
+    // FK check is one anti-join whose parent key side Catalyst broadcasts
+    // at dimension size. Output is checks-many rows regardless of input
+    // size. The range/accepted bounds here are deliberately TIGHTER than
+    // the fixture (quantity ≤ 30, flags {A,N}) so the violation counters
+    // are exercised with non-zero mass, not just all-pass zeros.
+    import graft.operators.Quality._
+    graft.operators.Quality.runChecks(Tables.lineitem(s, dir), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 30),
+        AcceptedValues("l_returnflag", Seq("A", "N")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
+      .orderBy(col("check"))
+  }
+
   register("layout_zorder_events", Some(
     """WITH zin AS (
       |  SELECT (user_id & 65535) AS za,
@@ -2029,6 +2127,46 @@ object Queries {
         round(col("tsum").cast("double") / col("tcnt"), 6).as("trail_mean"),
         round(col("n") / (col("tsum").cast("double") / col("tcnt")), 6)
           .as("vol_ratio"))
+  }
+
+  register("events_markov_transitions", Some(
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS next_type
+      |  FROM events WHERE user_id IS NOT NULL),
+      |t AS (SELECT event_type AS prev_type, next_type, count(*) AS n_trans
+      |      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, sum(n_trans) AS tot_n FROM t GROUP BY 1)
+      |SELECT t.prev_type, t.next_type, t.n_trans,
+      |  round(CAST(t.n_trans AS DOUBLE) / tot.tot_n, 6) AS p_next
+      |FROM t JOIN tot ON t.prev_type = tot.prev_type
+      |ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+    // First-order Markov transition matrix over per-user event sequences —
+    // the sequence-statistics pass a behavioral-cloning / next-event-
+    // prediction dataset build runs first (and the sanity check on any
+    // sessionized corpus: a P(signup -> signup) spike means replayed
+    // ingestion). Per-user lead() needs ONE keyed sort (ts, event_id
+    // total order inside each user partition); the transition counts are
+    // a partial-aggregated groupBy on a types² key space, and the row
+    // normalizer joins type-count to type-pair-count — both tiny next to
+    // the scan at any scale. Exact integer counts -> one double division,
+    // so both engines round identically.
+    val seq = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("ts"), col("event_id"))).as("next_type"))
+    val t = seq.filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val tot = t.groupBy(col("prev_type"))
+      .agg(sum(col("n_trans")).as("tot_n"))
+    t.join(broadcast(tot), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        round(col("n_trans").cast("double") / col("tot_n"), 6).as("p_next"))
+      .orderBy(col("prev_type"), col("next_type"))
   }
 
   register("agg_sliding_windows", Some(
@@ -3932,6 +4070,66 @@ object Queries {
           ORDER BY cos_sim DESC, neighbor_id) AS rank FROM scored)
       SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank
       FROM r WHERE rank <= 5""")
+  }
+
+  register("embed_bitext_margin", Some(
+    """WITH x AS (SELECT vec_id AS x_id, embedding AS xv
+      |           FROM embeddings WHERE vec_id % 2 = 0),
+      |y AS (SELECT vec_id AS y_id, embedding AS yv
+      |      FROM embeddings WHERE vec_id % 2 = 1),
+      |p0 AS (
+      |  SELECT x_id, y_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(range(1, len(xv) + 1),
+      |        i -> CAST(xv[i] AS DOUBLE) * CAST(yv[i] AS DOUBLE))),
+      |      (a, b) -> a + b) AS dot,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(xv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nx,
+      |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(yv, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+      |      (a, b) -> a + b)) AS ny
+      |  FROM x CROSS JOIN y),
+      |p AS (SELECT x_id, y_id,
+      |  CASE WHEN nx * ny > 0 THEN dot / (nx * ny) ELSE 0.0 END AS cs
+      |  FROM p0),
+      |fr AS (SELECT x_id, y_id, cs,
+      |  row_number() OVER (PARTITION BY x_id ORDER BY cs DESC, y_id) AS r
+      |  FROM p),
+      |br AS (SELECT x_id, y_id, cs,
+      |  row_number() OVER (PARTITION BY y_id ORDER BY cs DESC, x_id) AS r
+      |  FROM p),
+      |mx AS (SELECT x_id,
+      |  CAST(sum(CAST(cs AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mx
+      |  FROM fr WHERE r <= 4 GROUP BY 1),
+      |my AS (SELECT y_id,
+      |  CAST(sum(CAST(cs AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS my
+      |  FROM br WHERE r <= 4 GROUP BY 1),
+      |c AS (SELECT f.x_id, f.y_id, f.cs,
+      |  f.cs / ((mx.mx + my.my) / 2) AS margin
+      |  FROM fr f JOIN mx ON f.x_id = mx.x_id JOIN my ON f.y_id = my.y_id
+      |  WHERE f.r <= 4),
+      |rr AS (SELECT x_id, y_id, cs, margin,
+      |  row_number() OVER (PARTITION BY x_id
+      |    ORDER BY round(margin, 6) DESC, y_id) AS rk FROM c)
+      |SELECT x_id, y_id, round(cs, 6) AS cos_sim, round(margin, 6) AS margin
+      |FROM rr WHERE rk = 1 AND round(margin, 6) >= 1.0""".stripMargin)) {
+    (s, dir) =>
+      // Ratio-margin pair mining (the bitext-mining criterion) between the
+      // even- and odd-id halves of the embedding corpus: each x keeps its
+      // best y by cos(x,y) normalized by both endpoints' top-4 mean
+      // similarity — the hubness-robust score. All-pairs scoring runs as
+      // the block-pair equi-join (bounded per-task memory, no corpus
+      // broadcast), both directions' neighbourhoods come from the bounded-
+      // heap CollectTopK aggregate, and the means are decimal-routed so
+      // fold order can't move a margin. Margin ranks on its 1e-6 quantum
+      // with an id tiebreak — the same both-engines-stable ordering rule
+      // as text_bm25_topk.
+      val emb = Tables.embeddings(s, dir)
+      graft.functions.Similarity.marginMine(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        k = 4, minMargin = 1.0)
   }
 
   register("embed_ann_lsh", None) { (s, dir) =>

@@ -546,4 +546,68 @@ object Similarity {
       .filter(col("cid").isin(probed.map(Int.box): _*))
     probedTopK(lists, q, k)
   }
+
+  /** Margin-based pair mining between two embedding sets — the ratio-
+    * margin criterion of bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining", ACL 2019): a pair (x, y) is kept not for its
+    * raw cosine but for how much that cosine EXCEEDS the local similarity
+    * level of both endpoints,
+    * `margin = cos(x,y) / ((mean_k cos(x, ·) + mean_k cos(·, y)) / 2)`,
+    * which suppresses hubness (a vector close to everything mines nothing).
+    * Emits each x's single best y by margin, where `margin ≥ minMargin`.
+    *
+    * Plan shape: the bipartite all-pairs scoring uses the block-pair
+    * equi-join (X replicated to `nyBlocks` keys, Y to `nxBlocks` — per-task
+    * memory |X|/nx + |Y|/ny vectors, never a corpus broadcast); both
+    * directions' top-k come from the bounded-heap CollectTopK aggregate
+    * (the shuffle carries k rows per id, not all pairs); the per-endpoint
+    * means are decimal-routed so accumulation order can't move a margin.
+    * Ranking quantizes the margin to 1e-6 with an id tiebreak (ln/division
+    * ulps must not reorder engines). At 100 TB swap the exact scorer for
+    * ANN candidates ([[lshTopK]]/[[ivfTopK]]) — the margin normalizer then
+    * reads the candidate top-k, which is exactly the published recipe
+    * (mean over the retrieved neighbourhood). */
+  def marginMine(xs: DataFrame, ys: DataFrame, k: Int = 4,
+                 minMargin: Double = 1.0,
+                 nxBlocks: Int = 8, nyBlocks: Int = 8,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(nxBlocks >= 1 && nyBlocks >= 1, "block counts must be >= 1")
+    val x = xs.select(col(idCol).as("x_id"), col(vecCol).as("xv"),
+      pmod(xxhash64(col(idCol)), lit(nxBlocks.toLong)).cast("int").as("bx"))
+      .withColumn("by", explode(sequence(lit(0), lit(nyBlocks - 1))))
+    val y = ys.select(col(idCol).as("y_id"), col(vecCol).as("yv"),
+      pmod(xxhash64(col(idCol)), lit(nyBlocks.toLong)).cast("int").as("by"))
+      .withColumn("bx", explode(sequence(lit(0), lit(nxBlocks - 1))))
+    val scored = x.join(y, Seq("bx", "by"))
+      .select(col("x_id"), col("y_id"),
+        cosineFast(col("xv"), col("yv")).as("cs"))
+
+    // forward/backward top-k neighbourhoods (ties: higher cos, smaller id)
+    val fwd = graft.operators.TopK.topKPerGroup(scored, Seq("x_id"),
+      ordCols = Seq(col("cs"), -col("y_id")),
+      payload = Seq(col("y_id")), k = k)
+    val bwd = graft.operators.TopK.topKPerGroup(scored, Seq("y_id"),
+      ordCols = Seq(col("cs"), -col("x_id")),
+      payload = Seq(col("x_id")), k = k)
+    def meanOf(df: DataFrame, key: String, as: String) =
+      df.groupBy(col(key))
+        .agg((sum(col("cs").cast("decimal(38,12)")).cast("double") /
+          count(lit(1))).as(as))
+    val mx = meanOf(fwd, "x_id", "mx")
+    val my = meanOf(bwd, "y_id", "my")
+
+    val cand = fwd.select(col("x_id"), col("y_id"), col("cs"))
+      .join(mx, "x_id")
+      .join(my, "y_id")
+      .withColumn("margin", col("cs") / ((col("mx") + col("my")) / 2))
+    val w = Window.partitionBy(col("x_id"))
+      .orderBy(round(col("margin"), 6).desc, col("y_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && round(col("margin"), 6) >= minMargin)
+      .select(col("x_id"), col("y_id"),
+        round(col("cs"), 6).as("cos_sim"),
+        round(col("margin"), 6).as("margin"))
+  }
 }

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality primitives for the ingest gate of a training-data
+  * pipeline: a single-pass column profiler and a declarative constraint
+  * checker. Both produce small, fixed-schema summary frames — the
+  * artifacts a 100 TB ingestion job publishes next to its output so the
+  * next stage can decide "safe to train on?" without re-scanning.
+  *
+  * Profiling/validation here parallels what rigatoni leaves to its
+  * destination consumers: the reference ships bytes and counts per batch
+  * (`rigatoni-core/src/metrics.rs`) but has no relational engine to
+  * validate content. On Spark the same scan that would merely copy the
+  * data can also fold every per-column statistic in one aggregate pass.
+  */
+object Quality {
+
+  /** One constraint over a table; each evaluates to a violation count. */
+  sealed trait Check { def name: String }
+
+  /** `col` must never be NULL. Scan-local. */
+  final case class NotNull(col: String) extends Check {
+    def name = s"not_null:$col"
+  }
+
+  /** `col` must lie in [lo, hi] (inclusive); NULLs don't violate (pair
+    * with [[NotNull]] to forbid them). Scan-local. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Check {
+    def name = s"range:$col[$lo,$hi]"
+  }
+
+  /** `col` must be one of `values`; NULLs don't violate. Scan-local. */
+  final case class AcceptedValues(col: String, values: Seq[String]) extends Check {
+    def name = s"accepted:$col{${values.mkString(",")}}"
+  }
+
+  /** The column tuple must be unique across the table. One keyed
+    * aggregation; violations = rows in excess of one per duplicated key. */
+  final case class Unique(cols: Seq[String]) extends Check {
+    def name = s"unique:${cols.mkString(",")}"
+  }
+
+  /** Every non-NULL `col` value must exist in `parentCol` of `parent` —
+    * referential integrity. One left-anti join; broadcast when the parent
+    * key set is dimension-sized. */
+  final case class ForeignKey(col: String, parent: DataFrame,
+                              parentCol: String) extends Check {
+    def name = s"fk:$col"
+  }
+
+  private def violationExpr(c: Check): Column = c match {
+    case NotNull(col)      => col_(col).isNull
+    case InRange(col, lo, hi) =>
+      col_(col).isNotNull && (col_(col) < lo || col_(col) > hi)
+    case AcceptedValues(col, vs) =>
+      col_(col).isNotNull && !col_(col).isin(vs: _*)
+    case other => throw new IllegalArgumentException(
+      s"${other.name} is not scan-local")
+  }
+
+  private def col_(name: String) = org.apache.spark.sql.functions.col(name)
+
+  /** Evaluate `checks` against `df` → one row per check:
+    * `(check, violations, status)` with status `pass`/`fail`.
+    *
+    * Plan shape, deliberately stratified by what each check class needs:
+    *  - ALL scan-local checks ([[NotNull]]/[[InRange]]/[[AcceptedValues]])
+    *    fold into ONE aggregate over ONE scan — adding a tenth range check
+    *    adds a conditional sum to the same pass, never a pass;
+    *  - each [[Unique]] is one keyed count (map-side partial agg: the
+    *    shuffle carries distinct keys, not rows) reduced to one row;
+    *  - each [[ForeignKey]] is one anti-join reduced to one row — Catalyst
+    *    broadcasts the parent side when it fits, which is the common
+    *    dimension-key case.
+    * The result is checks.length rows; the unions are unions of 1-row
+    * frames, not data unions. */
+  def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "runChecks needs at least one check")
+    val spark = df.sparkSession
+
+    val scanLocal = checks.collect {
+      case c @ (_: NotNull | _: InRange | _: AcceptedValues) => c
+    }
+    val scanFrame: Option[DataFrame] =
+      if (scanLocal.isEmpty) None
+      else {
+        // internal positional aliases: check NAMES carry `[`/`.`/`{` which
+        // col() would parse as field-path syntax
+        val aggs = scanLocal.zipWithIndex.map { case (c, i) =>
+          sum(when(violationExpr(c), 1L).otherwise(0L)).as(s"__chk_$i")
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        // melt the 1-row wide aggregate into (check, violations)
+        Some(row.select(explode(array(scanLocal.zipWithIndex.map {
+          case (c, i) => struct(lit(c.name).as("check"),
+            col(s"__chk_$i").as("violations"))
+        }: _*)).as("r")).select(col("r.check"), col("r.violations")))
+      }
+
+    val keyed = checks.collect { case u: Unique =>
+      df.groupBy(u.cols.map(col_): _*)
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1)
+        .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations"))
+        .select(lit(u.name).as("check"), col("violations"))
+    }
+
+    val fks = checks.collect { case f: ForeignKey =>
+      df.filter(col_(f.col).isNotNull)
+        .join(f.parent.select(col_(f.parentCol).as(f.col)).distinct(),
+          Seq(f.col), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit(f.name).as("check"), col("violations"))
+    }
+
+    val all = (scanFrame.toSeq ++ keyed ++ fks).reduce(_ unionByName _)
+    all.select(col("check"), col("violations"),
+      when(col("violations") === 0, "pass").otherwise("fail").as("status"))
+  }
+
+  /** Single-pass column profiler: per column —
+    * `(col_name, n_rows, n_nulls, null_frac, n_distinct, min_value,
+    * max_value, avg_value)`.
+    *
+    * Every statistic for every column folds into ONE no-grouping aggregate
+    * (partial-agg'd to a single row), then the 1-row result melts to
+    * columns.length rows driver-side — the scan count does not grow with
+    * the column count. min/max are computed on the NATIVE type (numeric/
+    * temporal ordering, not lexicographic) and cast to string only for the
+    * uniform output schema. avg is decimal-routed (exact accumulation,
+    * order-free) and only emitted for numeric columns.
+    *
+    * Exact-distinct plan note: `countDistinct(a), countDistinct(b), min,
+    * max…` in ONE agg is a trap — Catalyst's multi-distinct rewrite
+    * expands the scan ×(k+1) and the string-buffered `first(min(…))`
+    * shims force the whole expanded set through a SORT aggregate (an
+    * n·k sort on a k+1-column key; measured 11 s on 600 K rows where
+    * this shape takes ~1 s). So exact mode runs the distincts as their
+    * own narrow pass: explode to (col_idx, value-string) pairs and
+    * hash-dedup them — map-side partial aggregation means the shuffle
+    * carries each partition's DISTINCT pairs, not its rows. Two
+    * column-pruned scans total. `exact = false` swaps the distinct pass
+    * for HLL sketches (`approx_count_distinct` at `rsd` relative standard
+    * deviation, sketch ∝ 1/rsd²) folded into the stats pass — ONE scan,
+    * zero extra shuffle: the 100 TB default. */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = true, rsd: Double = 0.02): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val schema = df.schema
+    def isNumeric(c: String) =
+      schema(c).dataType.isInstanceOf[NumericType]
+    // injective string image for the distinct pass: Spark's shortest-
+    // round-trip float formatting is 1:1 except -0.0 vs 0.0, which
+    // countDistinct (and SQL DISTINCT) treat as equal — normalize first
+    def distinctImage(c: String): Column = schema(c).dataType match {
+      case DoubleType | FloatType =>
+        val v = col_(c)
+        when(v === 0.0, lit(0.0)).otherwise(v).cast("string")
+      case _ => col_(c).cast("string")
+    }
+
+    // internal aliases are INDEX-based, never name-based: a profiled
+    // column named `a.b` must not turn an alias into field-path syntax
+    val aggs: Seq[Column] = count(lit(1)).as("__rows") +:
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          count(col_(c)).as(s"__nn_$i"),
+          min(col_(c)).cast("string").as(s"__min_$i"),
+          max(col_(c)).cast("string").as(s"__max_$i")) ++
+          (if (exact) Nil
+           else Seq(approx_count_distinct(col_(c), rsd).as(s"__nd_$i"))) ++
+          (if (isNumeric(c))
+            Seq((sum(col_(c).cast("decimal(38,6)")).cast("double") /
+              count(col_(c))).as(s"__avg_$i"))
+          else Nil)
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val melted = row.select(explode(array(cols.zipWithIndex.map {
+      case (c, i) =>
+        struct(
+          lit(i).as("__idx"),
+          lit(c).as("col_name"),
+          col("__rows").as("n_rows"),
+          (col("__rows") - col(s"__nn_$i")).as("n_nulls"),
+          round((col("__rows") - col(s"__nn_$i")).cast("double") /
+            col("__rows"), 6).as("null_frac"),
+          (if (exact) lit(0L) else col(s"__nd_$i")).as("n_distinct"),
+          col(s"__min_$i").as("min_value"),
+          col(s"__max_$i").as("max_value"),
+          (if (isNumeric(c)) round(col(s"__avg_$i"), 6)
+           else lit(null).cast("double")).as("avg_value"))
+    }: _*)).as("p")).select(col("p.*"))
+
+    val out =
+      if (!exact) melted
+      else {
+        val nd = df.select(explode(array(cols.zipWithIndex.map {
+            case (c, i) => struct(lit(i).as("__idx"),
+              distinctImage(c).as("__val"))
+          }: _*)).as("kv"))
+          .select(col("kv.__idx").as("__idx"), col("kv.__val").as("__val"))
+          .filter(col("__val").isNotNull)
+          .distinct()
+          .groupBy(col("__idx"))
+          .agg(count(lit(1)).as("__nd"))
+        // left join: an all-NULL column has no distinct pairs at all
+        melted.drop("n_distinct")
+          .join(broadcast(nd), Seq("__idx"), "left")
+          .withColumn("n_distinct", coalesce(col("__nd"), lit(0L)))
+          .drop("__nd")
+      }
+    out.select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("null_frac"), col("n_distinct"), col("min_value"),
+        col("max_value"), col("avg_value"))
+      .orderBy(col("col_name"))
+  }
+}

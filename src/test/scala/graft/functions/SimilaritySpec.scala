@@ -509,4 +509,49 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"benchmark side should broadcast:\n$plan")
   }
+
+  test("marginMine: ratio margin prefers the exclusive pair over the hub") {
+    import spark.implicits._
+    // xs all share cos 0.62 with the HUB y1=e1; x0 additionally has cos
+    // 0.60 with the exclusive y3=e2. Raw cosine would pair x0 with the hub
+    // (0.62 > 0.60); the margin criterion must pick y3, because the hub's
+    // backward neighbourhood mean (~0.62) eats its margin while y3's
+    // (~0.30) does not. Expected margins: hub 0.62/((0.61+0.62)/2)≈1.008,
+    // y3 0.60/((0.61+0.31)/2)≈1.304.
+    val z = 0.7846f // sqrt(1 - 0.62²)
+    val xs = Seq(
+      (0L, Seq(0.62f, 0.60f, 0f, 0f, 0.5056f, 0f)),  // 0.62²+0.60²+z²=1
+      (2L, Seq(0.62f, 0f, z, 0f, 0f, 0f)),
+      (4L, Seq(0.62f, 0f, 0f, z, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val ys = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f, 0f, 0f)),  // the hub
+      (3L, Seq(0f, 1f, 0f, 0f, 0f, 0f)),  // exclusive partner of x0
+      (5L, Seq(0f, 0f, 0f, 0f, 0f, 1f))   // background
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.marginMine(xs, ys, k = 2, minMargin = 0.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(0L)._1 === 3L,
+      s"x0 must mine the exclusive y3, not the hub: $got")
+    assert(got(0L)._2 > 1.25 && got(0L)._2 < 1.35, s"margin off: $got")
+    // the hub-only xs still mine the hub (no better candidate exists)
+    assert(got(2L)._1 === 1L && got(4L)._1 === 1L)
+  }
+
+  test("marginMine is block-structure invariant and threshold-monotonic") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val xs = emb.filter(col("vec_id") % 2 === 0)
+    val ys = emb.filter(col("vec_id") % 2 === 1)
+    def rows(nx: Int, ny: Int, mm: Double) =
+      Similarity.marginMine(xs, ys, k = 4, minMargin = mm,
+        nxBlocks = nx, nyBlocks = ny)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).toSet
+    val a = rows(1, 1, 1.0)
+    assert(a === rows(4, 3, 1.0),
+      "block partitioning must not change mined pairs")
+    val tight = rows(1, 1, 1.05)
+    assert(tight.subsetOf(a) && tight.size < a.size,
+      s"minMargin must filter monotonically (${tight.size} vs ${a.size})")
+  }
 }

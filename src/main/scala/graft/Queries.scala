@@ -380,6 +380,29 @@ object Queries {
       graft.operators.KeyStrategy.Flat))
   }
 
+  register("sink_compact_small_files", Some(sinkOracle)) { (s, dir) =>
+    // The lakehouse OPTIMIZE pass on the streaming-sink failure mode:
+    // write the envelope DELIBERATELY fragmented (filesPerKeyHint = 16 —
+    // what a 30 s-trigger sink leaves behind), then Compaction.compact
+    // bin-packs each collection dir to ceil(measured_bytes / target)
+    // files — here 1 — rewriting ONLY fragmented dirs under the
+    // duplicates-never-loss swap. The oracle proves the rewrite is
+    // lossless end-to-end; WritersSpec pins the file counts, report
+    // arithmetic, idempotence, and selectivity.
+    val env = CdcEnvelope.envelopeOnly(envelope(s, dir))
+    val path = s"$sinkRoot/sink_compact_small_files-${
+      dir.replaceAll("[^0-9.]", "")}"
+    graft.sources.Writers.write(env, path, graft.sources.OutFormat.Parquet,
+      graft.sources.OutCompression.Zstd,
+      graft.operators.KeyStrategy.CollectionBased,
+      filesPerKeyHint = Some(16))
+    graft.sources.Compaction.compact(s, path,
+      graft.sources.OutFormat.Parquet, graft.sources.OutCompression.Zstd,
+      targetFileBytes = 64L << 20)
+    sinkAggregate(graft.sources.Writers.read(s, path,
+      graft.sources.OutFormat.Parquet, Some(envelopeDDL)))
+  }
+
   register("join_salted_segment_revenue", Some(
     """SELECT c.c_mktsegment, count(*) AS n_orders,
       |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
@@ -540,6 +563,32 @@ object Queries {
         Unique(Seq("l_orderkey", "l_linenumber")),
         ForeignKey("l_orderkey", Tables.orders(s, dir), "o_orderkey")))
       .orderBy(col("check"))
+  }
+
+  register("quality_quarantine_rows", Some(
+    """WITH q AS (SELECT
+      |  CASE
+      |    WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 30)
+      |      THEN 'range:l_quantity[1.0,30.0]'
+      |    WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N')
+      |      THEN 'accepted:l_returnflag{A,N}'
+      |    ELSE NULL END AS quarantine_reason
+      |  FROM lineitem)
+      |SELECT quarantine_reason, count(*) AS n_rows
+      |FROM q GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)) { (s, dir) =>
+    // The row-level gate behind the summary checks: every row tagged with
+    // its FIRST failing check in declaration order (NULL = clean — here
+    // the majority class), then counted by reason. The tagging itself is
+    // a narrow scan-local projection (no shuffle, no state) — the same
+    // expression drops into a streaming transform to fork a dead-letter
+    // path; the count here only makes the result assertable.
+    import graft.operators.Quality._
+    graft.operators.Quality.quarantine(Tables.lineitem(s, dir), Seq(
+        InRange("l_quantity", 1, 30),
+        AcceptedValues("l_returnflag", Seq("A", "N"))))
+      .groupBy(col("quarantine_reason"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("quarantine_reason").asc_nulls_first)
   }
 
   register("layout_zorder_events", Some(
@@ -2874,6 +2923,47 @@ object Queries {
       .withColumnRenamed("block", "source")
       .select(col("source"), col("inner_doc"), col("outer_doc"),
         round(col("containment"), 6).as("containment"))
+  }
+
+  register("dedup_weighted_jaccard", Some(
+    """WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS w
+      |           FROM documents),
+      |g AS (SELECT doc_id, source,
+      |  unnest(list_transform(range(1, len(w) - 1),
+      |    i -> array_to_string(w[i:i+2], ' '))) AS gram
+      |  FROM t WHERE len(w) >= 3),
+      |c AS (SELECT doc_id, source, gram, count(*) AS cnt
+      |      FROM g GROUP BY 1, 2, 3),
+      |sz AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS sz
+      |       FROM c GROUP BY 1),
+      |p AS (SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS inter
+      |      FROM c a JOIN c b ON a.source = b.source AND a.gram = b.gram
+      |        AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2, 3)
+      |SELECT p.source, p.doc_a, p.doc_b,
+      |  round(CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter), 6)
+      |    AS weighted_jaccard
+      |FROM p
+      |JOIN sz sa ON sa.doc_id = p.doc_a
+      |JOIN sz sb ON sb.doc_id = p.doc_b
+      |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.02"""
+      .stripMargin)) { (s, dir) =>
+    // MULTISET Jaccard — the frequency-aware member of the dedup family:
+    // repetition changes the score where the distinct-set form is blind
+    // (a paragraph pasted 40x has set-J 1.0 against the single paragraph,
+    // J_w ≈ 0.025). Occurrence-indexed posting keys (gram, k<=count) make
+    // the pair co-occurrence count equal Σ min(c_a,c_b) exactly — same
+    // two keyed shuffles as dedup_ngram_jaccard, never a per-pair
+    // multiset. The oracle replays min/max multiset arithmetic from the
+    // string n-grams; hashed vs string gram identity agrees absent
+    // collisions (none on the fixtures — the same contract every other
+    // n-gram entry pins).
+    Dedup.weightedJaccardPairs(Tables.documents(s, dir), 3, "source",
+        minSim = 0.02, maxDf = Dedup.DefaultMaxDf)
+      .withColumnRenamed("block", "source")
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        round(col("weighted_jaccard"), 6).as("weighted_jaccard"))
   }
 
   register("dedup_edit_distance", Some(

@@ -315,6 +315,67 @@ object Dedup {
     aInB.unionByName(bInA).filter(col("containment") >= minContainment)
   }
 
+  /** MULTISET (weighted) Jaccard pairs over word n-grams:
+    * `J_w = Σ_g min(c_a(g), c_b(g)) / Σ_g max(c_a(g), c_b(g))` — the
+    * frequency-aware sibling of [[ngramSimilarPairs]]. Set Jaccard throws
+    * away repetition: a spam page that is one paragraph pasted 40 times
+    * has the SAME distinct-shingle set as the single paragraph (set J =
+    * 1.0 — falsely identical) while its multiset is 40× heavier (J_w ≈
+    * 0.025 — correctly different); conversely two docs drawing on the same
+    * small template vocabulary in the same PROPORTIONS score higher here
+    * than their distinct sets suggest. The standard measure when term
+    * frequency carries signal (SpotSigs, near-dup IR literature).
+    *
+    * Plan: the posting-list shape of [[ngramSimilarPairs]] with one twist —
+    * each gram occurrence posts under an OCCURRENCE-INDEXED key
+    * `(block, gram, k)`, `k = 1..count`, so a pair's posting co-occurrences
+    * sum to exactly `Σ_g min(c_a, c_b)` with no per-pair multiset
+    * materialization, and `Σ max = sz_a + sz_b − Σ min` falls out of the
+    * total sizes. Still ONE keyed shuffle for postings + one for the pair
+    * counts; `maxDf` caps the per-key posting list exactly as in the set
+    * form (a gram with in-block occurrence-slot df above the cap is
+    * dropped — same recall trade, same skew bound). */
+  def weightedJaccardPairs(docs: DataFrame, n: Int,
+                           blockCol: String = "source",
+                           minSim: Double = 0.0,
+                           maxDf: Int = 0): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0,
+      s"minSim must be in [0,1] (got $minSim)")
+    val exploded = docs.select(col("doc_id"), col(blockCol).as("block"),
+      explode(TextFunctions.shingleHashesAll(col("text"), n)).as("g"))
+    val counts = exploded.groupBy(col("doc_id"), col("block"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val sizes = counts.groupBy(col("doc_id"), col("block"))
+      .agg(sum(col("c")).as("sz"))
+    val slotted = counts.select(col("doc_id"), col("block"), col("g"),
+      explode(sequence(lit(1L), col("c"))).as("k"))
+    val allPostings = slotted.groupBy(col("block"), col("g"), col("k"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val postings =
+      if (maxDf <= 0) allPostings
+      else allPostings.filter(size(col("ds")) <= maxDf)
+    val pairs = postings
+      .select(col("block"), col("ds"),
+        posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("block"), col("doc_a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds"))))
+          .as("doc_b"))
+    val inter = pairs
+      .groupBy(col("block"), col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        "doc_b")
+      .select(col("block"), col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          ((col("sz_a") + col("sz_b")).cast("double") -
+            col("inter").cast("double"))).as("weighted_jaccard"))
+      .filter(col("weighted_jaccard") >= minSim)
+  }
+
   // --- edit-distance near-dup ----------------------------------------------
 
   /** Distinct xxhash64'd character q-grams of `text` (empty array below q

@@ -121,6 +121,33 @@ object Quality {
       when(col("violations") === 0, "pass").otherwise("fail").as("status"))
   }
 
+  /** Row-level gate — the streaming-safe sibling of [[runChecks]]: tag
+    * each row with the FIRST scan-local check it violates (`null` = the
+    * row is valid), in `checks` order. A pure narrow projection — no
+    * aggregate, no shuffle, no state — so it drops into a streaming
+    * `transform` unchanged: route `quarantine_reason IS NULL` to the
+    * sink and the rest to the dead-letter path, which is exactly the
+    * at-scale answer to "one malformed row must not kill (or silently
+    * pollute) a 100 TB load". Only scan-local checks are allowed —
+    * Unique/ForeignKey are not row-local facts. */
+  def quarantine(df: DataFrame, checks: Seq[Check],
+                 reasonCol: String = "quarantine_reason"): DataFrame = {
+    require(checks.nonEmpty, "quarantine needs at least one check")
+    require(!df.columns.contains(reasonCol),
+      s"input already has a '$reasonCol' column")
+    val tagged = checks.map(c => when(violationExpr(c), lit(c.name)))
+    df.withColumn(reasonCol, coalesce(tagged: _*))
+  }
+
+  /** [[quarantine]] split into (valid, quarantined-with-reason). */
+  def split(df: DataFrame, checks: Seq[Check],
+            reasonCol: String = "quarantine_reason")
+      : (DataFrame, DataFrame) = {
+    val tagged = quarantine(df, checks, reasonCol)
+    (tagged.filter(col(reasonCol).isNull).drop(reasonCol),
+      tagged.filter(col(reasonCol).isNotNull))
+  }
+
   /** Single-pass column profiler: per column —
     * `(col_name, n_rows, n_nulls, null_frac, n_distinct, min_value,
     * max_value, avg_value)`.

@@ -46,8 +46,8 @@ object Writers {
     * [[ZstdCodec]] class for zstd (no native-hadoop here — zstd-jni codec
     * instead). Registers the codec with the session's Hadoop conf so the
     * reader resolves `.zst` files on the way back. */
-  private def textCodec(spark: org.apache.spark.sql.SparkSession,
-                        compression: OutCompression): String =
+  private[sources] def textCodec(spark: org.apache.spark.sql.SparkSession,
+                                 compression: OutCompression): String =
     compression match {
       case OutCompression.Zstd =>
         val conf = spark.sparkContext.hadoopConfiguration

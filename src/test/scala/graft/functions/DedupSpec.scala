@@ -381,6 +381,58 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should produce at least one directed pair")
   }
 
+  test("weightedJaccardPairs == multiset brute force; repetition shifts the score") {
+    import spark.implicits._
+    // independent reference path: STRING trigrams (not hashes), per-doc
+    // counts, pairwise Σmin / Σmax via a join on the gram itself
+    val counts = docs.select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0))," +
+            " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"))
+          .as("gram"))
+      .groupBy("doc_id", "source", "gram").agg(count(lit(1)).as("c"))
+    val sz = counts.groupBy("doc_id").agg(sum("c").as("sz"))
+    val ref = counts.as("a").join(counts.as("b"),
+        expr("a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(sum(least(col("a.c"), col("b.c"))).as("i"))
+      .join(sz.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sz.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+      .select(col("da"), col("db"), (col("i").cast("double") /
+        (col("sa") + col("sb") - col("i")).cast("double")).as("jw"))
+      .filter(col("jw") >= 0.02)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b, math.rint(j * 1e9)) }.toSet
+    val got = Dedup.weightedJaccardPairs(docs, 3, "source", minSim = 0.02)
+      .select(col("doc_a"), col("doc_b"), col("weighted_jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b, math.rint(j * 1e9)) }.toSet
+    assert(got === ref)
+    assert(got.nonEmpty, "fixture should produce at least one weighted pair")
+    // the cap is non-binding on the fixture: capped == uncapped exactly
+    val capped = Dedup.weightedJaccardPairs(docs, 3, "source",
+        minSim = 0.02, maxDf = Dedup.DefaultMaxDf)
+      .select(col("doc_a"), col("doc_b"), col("weighted_jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b, math.rint(j * 1e9)) }.toSet
+    assert(capped === got)
+
+    // THE property that motivates the multiset form: a paragraph pasted
+    // 40x is set-identical to the single paragraph but weighted-distant
+    val para = "alpha beta gamma delta epsilon zeta"
+    val spam = Seq.fill(40)(para).mkString(" ")
+    val two = Seq((1L, "s", para), (2L, "s", spam)).toDF("doc_id", "source", "text")
+    val setJ = Dedup.ngramSimilarPairs(two, 3, "source", minJaccard = 0.0)
+      .select("jaccard").as[Double].head()
+    val wJ = Dedup.weightedJaccardPairs(two, 3, "source")
+      .select("weighted_jaccard").as[Double].head()
+    // set form: 4 shared trigrams vs 3 extra boundary trigrams → 4/7
+    assert(setJ > 0.5, s"distinct sets largely identical, got $setJ")
+    // multiset form: Σmin = 4 against a 238-gram multiset → ~0.017
+    assert(wJ < 0.05, s"multiset must see the 40x repetition, got $wJ")
+    assert(wJ < setJ / 10, s"weighted must be an order below set ($wJ vs $setJ)")
+  }
+
   test("editDistancePairs == brute-force in the lossless regime") {
     import spark.implicits._
     // all strings >= q·(d+1) chars, so share-one-gram blocking is lossless

@@ -99,6 +99,27 @@ class QualitySpec extends SparkSpec {
     assert(got.filter(col("status") =!= "pass").count() === 0)
   }
 
+  test("quarantine tags first failing check in order; split partitions") {
+    import Quality._
+    val checks = Seq(InRange("qty", 1, 10), AcceptedValues("flag", Seq("A", "B")),
+      NotNull("id"))
+    val tagged = Quality.quarantine(dirty, checks)
+      .collect().map(r => (r.getAs[java.lang.Long]("id"),
+        Option(r.getAs[String]("quarantine_reason")))).toMap
+    assert(tagged(4L) === Some("range:qty[1.0,10.0]"))   // 99 fails range FIRST
+    assert(tagged(5L) === Some("accepted:flag{A,B}"))     // the X
+    assert(tagged(null) === Some("not_null:id"))
+    assert(tagged(1L).isEmpty && tagged(3L).isEmpty)      // null qty passes range
+    val (ok, bad) = Quality.split(dirty, checks)
+    assert(ok.count() + bad.count() === dirty.count())
+    assert(!ok.columns.contains("quarantine_reason"))
+    assert(bad.filter(col("quarantine_reason").isNull).count() === 0)
+    // a row-local gate must stay a narrow projection: no exchange at all
+    val plan = Quality.quarantine(Tables.lineitem(spark, sfTiny),
+      Seq(InRange("l_quantity", 1, 30))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quarantine must not shuffle:\n$plan")
+  }
+
   test("scan-local checks share one aggregate pass (no extra scans)") {
     import Quality._
     val plan = Quality.runChecks(Tables.lineitem(spark, sfTiny), Seq(

@@ -231,4 +231,88 @@ class WritersSpec extends SparkSpec {
     assert(OutCompression.Gzip.suffix === ".gz")
     assert(OutCompression.Zstd.suffix === ".zst")
   }
+
+  private def dataFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
+  test("compaction: fragmented dirs bin-pack to ceil(bytes/target), lossless, idempotent") {
+    val path = s"$outRoot/compact"
+    Writers.write(env, path, OutFormat.Parquet, OutCompression.Zstd,
+      KeyStrategy.CollectionBased, filesPerKeyHint = Some(8))
+    val keyDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("collection="))
+    assert(keyDirs.nonEmpty)
+    keyDirs.foreach(d => assert(dataFiles(d).length > 1,
+      s"fixture must start fragmented: ${d.getName}"))
+
+    val report = Compaction.compact(spark, path, OutFormat.Parquet,
+      OutCompression.Zstd, targetFileBytes = 64L << 20).collect()
+    assert(report.length === keyDirs.length)
+    report.foreach { r =>
+      assert(r.getBoolean(4), s"every dir was fragmented: $r")
+      // tiny fixture bytes << 64 MB target → exactly one file per dir
+      assert(r.getInt(3) === 1, s"expected 1 file after: $r")
+      assert(r.getInt(1) > 1)
+    }
+    // on-disk state matches the report; tmp dir is gone
+    keyDirs.foreach { d =>
+      val fs = dataFiles(d)
+      assert(fs.length === 1, s"${d.getName}: ${fs.map(_.getName)}")
+      assert(fs.head.getName.startsWith("compacted-"))
+    }
+    assert(!new java.io.File(path, ".compact-tmp").exists())
+    // losslessness: the compacted layout reads back byte-identical rows
+    assert(canon(Writers.read(spark, path, OutFormat.Parquet,
+      Some(envDDL))) === want)
+    // idempotence: a second run rewrites nothing
+    val again = Compaction.compact(spark, path, OutFormat.Parquet,
+      OutCompression.Zstd, targetFileBytes = 64L << 20).collect()
+    assert(again.forall(r => !r.getBoolean(4) && r.getInt(1) === 1))
+  }
+
+  test("compaction is selective: already-compact dirs are not rewritten") {
+    val path = s"$outRoot/compact-selective"
+    Writers.write(env, path, OutFormat.Parquet, OutCompression.Zstd,
+      KeyStrategy.CollectionBased, filesPerKeyHint = Some(6))
+    // pre-compact ONE key dir to a single file by hand
+    val keyDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("collection="))
+      .sortBy(_.getName)
+    val pre = keyDirs.head
+    Compaction.compact(spark, pre.getPath, OutFormat.Parquet,
+      OutCompression.Zstd, targetFileBytes = 64L << 20)
+    val preFile = dataFiles(pre).head
+    val preModified = preFile.lastModified()
+
+    val report = Compaction.compact(spark, path, OutFormat.Parquet,
+      OutCompression.Zstd, targetFileBytes = 64L << 20)
+      .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(report(pre.getName) === false,
+      "already-compact dir must be skipped")
+    assert(report.count(_._2) === keyDirs.length - 1)
+    // the skipped dir's file was never touched
+    assert(dataFiles(pre).head.getName === preFile.getName)
+    assert(dataFiles(pre).head.lastModified() === preModified)
+    assert(canon(Writers.read(spark, path, OutFormat.Parquet,
+      Some(envDDL))) === want)
+  }
+
+  test("compaction packs a jsonl+gzip layout too (text formats share the path)") {
+    val path = s"$outRoot/compact-jsonl"
+    // Flat layout has no partition columns, so the writer's salt never
+    // engages — fragment via the input partitioning instead (exactly how
+    // a many-task streaming job fragments a flat sink)
+    Writers.write(env.repartition(8), path, OutFormat.Jsonl,
+      OutCompression.Gzip, KeyStrategy.Flat)
+    val before = dataFiles(new java.io.File(path))
+    assert(before.length > 1)
+    val r = Compaction.compact(spark, path, OutFormat.Jsonl,
+      OutCompression.Gzip, targetFileBytes = 64L << 20)
+      .collect()
+    assert(r.length === 1 && r.head.getBoolean(4) && r.head.getInt(3) === 1)
+    assert(canon(Writers.read(spark, path, OutFormat.Jsonl,
+      Some(envDDL))) === want)
+  }
 }

@@ -300,6 +300,57 @@ object Queries {
           .as("k_delta"))
   }
 
+  register("cdc_incremental_agg", Some(
+    """WITH d AS (
+      |  SELECT user_id, event_type, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type <> 'error'),
+      |x AS (
+      |  SELECT user_id,
+      |    CASE WHEN event_type = 'purchase'
+      |         THEN k - (k * 7 + event_id) % 100
+      |         ELSE k END AS dk,
+      |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS dn
+      |  FROM d)
+      |SELECT user_id, CAST(sum(dn) AS BIGINT) AS n_docs,
+      |  CAST(sum(dk) AS BIGINT) AS sum_k
+      |FROM x GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Incremental materialized-aggregate maintenance: the per-user
+    // (n_docs, sum_k) view is built by folding THREE successive delta
+    // batches through IncrementalAgg.applyDelta — insert-class ops
+    // contribute (+1, +k), the update-class op (purchase) contributes
+    // (0, k_new − k_old) from its PRE-IMAGE — and the oracle recomputes
+    // the same view from the full history in one shot: incremental ==
+    // one-shot is exactly the IVM correctness claim, here under the hash
+    // gate. State is hash-bucketed parquet; each application prunes to
+    // and dynamically overwrites only the buckets its batch touches
+    // (IncrementalAggSpec proves untouched bucket dirs stay byte-still).
+    val env = CdcEnvelope.fromEvents(Tables.events(s, dir), preImages = true)
+      .filter(col("user_id").isNotNull && col("operation") =!= "error")
+    val k = get_json_object(col("full_document"), "$.k").cast("long")
+    val kOld = get_json_object(col(CdcEnvelope.preImageColumn), "$.k")
+      .cast("long")
+    val deltas = env.select(col("user_id"),
+      when(col("operation") === "purchase", k - kOld).otherwise(k)
+        .as("sum_k"),
+      when(col("operation") === "purchase", 0L).otherwise(1L).as("n_docs"),
+      pmod(col("event_id"), lit(3)).as("__chunk"))
+    val path = s"$sinkRoot/cdc_incremental_agg-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    (0L to 2L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("user_id"), sumCols = Seq("sum_k", "n_docs"),
+        nBuckets = 8, batchId = i)
+    }
+    graft.streaming.IncrementalAgg.read(s, path)
+      .select(col("user_id"), col("n_docs"), col("sum_k"))
+  }
+
   // ==========================================================================
   // Serializer / sink round-trips (SURVEY §2.3 T1-T7 + §2.8): each writes
   // the envelope through a real DataFrameWriter (format × compression ×
@@ -2210,9 +2261,12 @@ object Queries {
     val t = seq.filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n_trans"))
-    val tot = t.groupBy(col("prev_type"))
-      .agg(sum(col("n_trans")).as("tot_n"))
-    t.join(broadcast(tot), "prev_type")
+    // normalizer as a window OVER the aggregated counts — a join against
+    // a separately-derived total table would recompute the lead-window
+    // lineage (two scans, two sequence sorts); this reuses the one
+    // aggregate and windows the types²-sized frame
+    t.withColumn("tot_n",
+        sum(col("n_trans")).over(Window.partitionBy(col("prev_type"))))
       .select(col("prev_type"), col("next_type"), col("n_trans"),
         round(col("n_trans").cast("double") / col("tot_n"), 6).as("p_next"))
       .orderBy(col("prev_type"), col("next_type"))

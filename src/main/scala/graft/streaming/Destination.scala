@@ -102,6 +102,45 @@ final class FileDestination(
     Writers.read(spark, outputDir, format, schemaDDL)
 }
 
+/** Dead-letter fork: rows whose `reasonCol` is NULL flow to `primary`
+  * (with the reason column dropped — the clean output schema), the rest
+  * to `deadLetter` (reason kept — the triage record). Composes with
+  * [[graft.operators.Quality.quarantine]] as the pipeline `transform`:
+  * one malformed row is routed, not fatal, and not silently ingested —
+  * the DLQ pattern of every production CDC deployment.
+  *
+  * Delivery semantics are whatever the two wrapped destinations give:
+  * both legs see the SAME batchId, so two batchId-idempotent destinations
+  * (e.g. [[FileDestination]]) keep exactly-once end-to-end. The primary
+  * leg writes FIRST — on a mid-fork crash the retry replays both legs
+  * under the same id, and idempotent legs converge. The two filters cost
+  * two passes over the micro-batch source, the price of two independent
+  * sinks (a cache here would trade executor memory for the re-read;
+  * micro-batches are small by construction). */
+final class DeadLetterDestination(
+    primary: Destination,
+    deadLetter: Destination,
+    reasonCol: String = "quarantine_reason") extends Destination {
+
+  override def writeBatch(df: DataFrame, batchId: Long): Unit = {
+    require(df.columns.contains(reasonCol),
+      s"DeadLetterDestination needs a '$reasonCol' column " +
+        "(add Quality.quarantine to the pipeline transform)")
+    import org.apache.spark.sql.functions.col
+    primary.writeBatch(df.filter(col(reasonCol).isNull).drop(reasonCol),
+      batchId)
+    deadLetter.writeBatch(df.filter(col(reasonCol).isNotNull), batchId)
+  }
+  override def flush(): Unit = { primary.flush(); deadLetter.flush() }
+  override def close(): Unit = { primary.close(); deadLetter.close() }
+  override def metadata: DestinationMetadata = DestinationMetadata(
+    name = "dead-letter-fork",
+    supportsTransactions = primary.metadata.supportsTransactions &&
+      deadLetter.metadata.supportsTransactions,
+    properties = Map("primary" -> primary.metadata.name,
+      "dead_letter" -> deadLetter.metadata.name))
+}
+
 /** D4 — in-memory mock destination with injectable failures, mirroring the
   * reference's test harness (rigatoni-core/tests/destination_tests.rs:59-193).
   * Rows are collected to the driver — test scale only, by design. */

@@ -496,6 +496,48 @@ class PlanAuditSpec extends SparkSpec {
       s"global sort in an aggregate-only audit:\n$plan")
   }
 
+  test("quality profiler: both scans prune to the profiled columns") {
+    val plan = physical(run("quality_profile_columns"))
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size === 2, s"expected 2 pruned scans:\n$plan")
+    schemas.foreach { rs =>
+      assert(!rs.contains("l_extendedprice") && !rs.contains("l_suppkey"),
+        s"profiler reads columns it never profiles: $rs")
+    }
+    assert(!plan.contains("Expand"),
+      s"multi-distinct expand fallback crept back in:\n$plan")
+  }
+
+  test("margin mining has no cartesian: blocked equi-join + bounded-heap top-k") {
+    val plan = physical(run("embed_bitext_margin"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"margin mining fell back to a cross product:\n$plan")
+    assert(plan.contains("collect_top_k"),
+      s"neighbourhood means must ride the bounded-heap aggregate:\n$plan")
+  }
+
+  test("weighted jaccard: keyed shuffles only, no cross join, partial aggs") {
+    val plan = physical(run("dedup_weighted_jaccard"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"weighted jaccard has a cross product:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      s"posting aggregation lost its map-side combine:\n$plan")
+  }
+
+  test("markov transitions: single scan, one sequence window, no join") {
+    val plan = physical(run("events_markov_transitions"))
+    // ONE scan — the normalizer windows the aggregated counts instead of
+    // joining a separately-derived total table (which would recompute the
+    // lead-window lineage: two scans, two sequence sorts)
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1,
+      s"events scanned more than once:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Window [lead")) === 1,
+      s"expected exactly one sequence window:\n$plan")
+    assert(!plan.contains("Join"), s"normalizer join crept back:\n$plan")
+  }
+
   test("bpe token counts are scan-local (zero exchanges)") {
     val docs = Tables.documents(spark, sfSmall)
     val merges = graft.functions.Bpe.learnFromDict(

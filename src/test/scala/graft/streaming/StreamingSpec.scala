@@ -60,6 +60,40 @@ class StreamingSpec extends SparkSpec {
         .select(sum(col("event_id"))).head.getLong(0))
   }
 
+  test("dead-letter fork: quarantined rows route to the DLQ, clean rows to the sink") {
+    import graft.operators.Quality
+    val (src, ckpt, out) = fresh("dlq")
+    val n = stageSource(src, parts = 3)
+    // gate: value must sit in [0, 150] — the synthetic feed has plenty of
+    // rows outside, so both legs carry real mass
+    val checks = Seq(Quality.InRange("value", 0, 150))
+    val primary = new FileDestination(s"$out/clean", OutFormat.Jsonl,
+      OutCompression.None, KeyStrategy.CollectionBased)
+    val dlq = new FileDestination(s"$out/dead", OutFormat.Jsonl,
+      OutCompression.None, KeyStrategy.Flat)
+    val q = CdcPipeline.start(spark,
+      cfg(src, ckpt, "dlq").copy(
+        transform = df => Quality.quarantine(df, checks)),
+      new DeadLetterDestination(primary, dlq))
+    q.awaitTermination(120000)
+    val cleanDDL = envDDL
+    val deadDDL = envDDL + ", quarantine_reason string"
+    val clean = primary.readBack(spark, Some(cleanDDL))
+    val dead = dlq.readBack(spark, Some(deadDDL))
+    val wantDead = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny))
+      .filter(col("value") < 0 || col("value") > 150).count()
+    assert(dead.count() === wantDead && wantDead > 0)
+    assert(clean.count() === n - wantDead && clean.count() > 0)
+    // the clean leg's schema carries NO quarantine column; the DLQ leg
+    // carries the machine-readable reason on every row
+    assert(!clean.columns.contains("quarantine_reason"))
+    assert(dead.filter(col("quarantine_reason") =!=
+      "range:value[0.0,150.0]").count() === 0)
+    // nothing lost, nothing duplicated across the fork
+    assert(clean.select("event_id").union(dead.select("event_id"))
+      .distinct().count() === n)
+  }
+
   test("checkpoint resume processes only new files, exactly once (S5/O4)") {
     val (src, ckpt, out) = fresh("resume")
     val staging = s"$root/resume/staging"

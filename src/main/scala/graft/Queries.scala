@@ -300,6 +300,43 @@ object Queries {
           .as("k_delta"))
   }
 
+  register("cdc_replica_table", Some(
+    """SELECT user_id, operation, cluster_time, event_id, value FROM (
+      |  SELECT user_id, event_type AS operation, ts AS cluster_time,
+      |    event_id, value,
+      |    row_number() OVER
+      |      (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 AND operation <> 'error'""".stripMargin)) {
+    (s, dir) =>
+      // The PERSISTED replica: "apply the change stream to a lake table".
+      // Three delta batches fold through ReplicaTable.applyBatch — and the
+      // chunks are split by event_id % 3, i.e. NOT in time order, so the
+      // versioned last-writer-wins merge (not arrival order) must decide
+      // every key, with retained tombstones keeping delete-class wins
+      // dead across batches. The oracle is the one-shot latest-per-key
+      // replay (same as cdc_materialize_state): incremental == one-shot
+      // is the replica-correctness claim under the hash gate. State is
+      // hash-bucketed parquet; each batch rewrites only touched buckets.
+      val env = envelope(s, dir).select(col("user_id"), col("operation"),
+        col("cluster_time"), col("event_id"), col("value"))
+      val path = s"$sinkRoot/cdc_replica_table-${
+        dir.replaceAll("[^0-9.]", "")}"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      (0L to 2L).foreach { i =>
+        graft.streaming.ReplicaTable.applyBatch(s, path,
+          env.filter(pmod(col("event_id"), lit(3)) === i),
+          keyCols = Seq("user_id"),
+          versionCols = Seq("cluster_time", "event_id"),
+          deleteWhen = col("operation") === "error",
+          nBuckets = 8, batchId = i)
+      }
+      graft.streaming.ReplicaTable.read(s, path)
+        .select(col("user_id"), col("operation"), col("cluster_time"),
+          col("event_id"), col("value"))
+  }
+
   register("cdc_incremental_agg", Some(
     """WITH d AS (
       |  SELECT user_id, event_type, event_id,
@@ -3506,6 +3543,59 @@ object Queries {
         chunkSize = 32, overlap = 8)
       .select(col("doc_id"), col("source"), col("chunk_idx"),
         col("chunk_text"), col("chunk_tokens"))
+  }
+
+  register("corpus_length_buckets", Some(
+    """WITH t AS (
+      |  SELECT doc_id, len(str_split(text, ' ')) AS n_tok FROM documents),
+      |b AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN n_tok = 1 THEN 1
+      |         ELSE 1 << length(printf('%b', n_tok - 1)) END AS bucket_cap
+      |  FROM t WHERE n_tok >= 1),
+      |g AS (SELECT CAST(max(n_tok) AS BIGINT) AS gmax FROM b)
+      |SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(bucket_cap - n_tok) AS BIGINT) AS bucket_padding,
+      |  CAST(sum(g.gmax - n_tok) AS BIGINT) AS flat_padding,
+      |  round(CAST(sum(bucket_cap - n_tok) AS DOUBLE) /
+      |    nullif(sum(g.gmax - n_tok), 0), 6) AS padding_ratio
+      |FROM b CROSS JOIN g
+      |GROUP BY bucket_cap ORDER BY bucket_cap""".stripMargin)) { (s, dir) =>
+    // Sequence-length bucketing — the batching-efficiency decision
+    // quantified: assign each doc its power-of-2 token-capacity bucket
+    // and report, per bucket, the padding a bucketed batcher pays
+    // (cap − len) against pad-to-global-max. padding_ratio IS the
+    // decision number a dataloader design reads. The bucket boundary is
+    // INTEGER arithmetic on both engines — smallest 2^p ≥ n via the
+    // bit-length of n−1 (shiftleft here, printf('%b') in the oracle) —
+    // never ceil(log2(n)): libm logs differ across engines at exact
+    // powers of two and would silently shift a boundary doc one bucket.
+    // One scan-local bucket assignment + one partial-aggregated groupBy
+    // over ~log2(max_len) buckets; the 1-row global max broadcasts back.
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), size(TF.tokens(col("text"))).as("n_tok"))
+      .filter(col("n_tok") >= 1)
+    val b = toks.withColumn("bucket_cap",
+      when(col("n_tok") === 1, 1L).otherwise(
+        // expr form: the Scala shiftleft() signature pins numBits to a
+        // literal Int; SQL's accepts the bit-length column
+        expr("shiftleft(CAST(1 AS BIGINT), length(bin(n_tok - 1)))")))
+    val g = b.agg(max(col("n_tok")).cast("long").as("gmax"))
+    b.crossJoin(broadcast(g))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("sum_tokens"),
+        sum(col("bucket_cap") - col("n_tok")).cast("long")
+          .as("bucket_padding"),
+        sum(col("gmax") - col("n_tok")).cast("long").as("flat_padding"))
+      .withColumn("padding_ratio",
+        round(col("bucket_padding").cast("double") /
+          nullif(col("flat_padding"), lit(0)), 6))
+      .select(col("bucket_cap"), col("n_docs"), col("sum_tokens"),
+        col("bucket_padding"), col("flat_padding"), col("padding_ratio"))
+      .orderBy(col("bucket_cap"))
   }
 
   register("corpus_pack", Some(

@@ -679,6 +679,31 @@ object Queries {
       .orderBy(col("quarantine_reason").asc_nulls_first)
   }
 
+  register("layout_zonemap_events", Some(
+    """SELECT count(*) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE value >= 100 AND value <= 200""".stripMargin)) {
+    (s, dir) =>
+      // File-level zone-map skipping: range-cluster the layout on `value`,
+      // build the per-file min/max manifest in ONE distributed pass
+      // (input_file_name groupBy — no footer loops), then answer a value-
+      // band query by scanning ONLY the files whose zone intersects. The
+      // oracle checks the ANSWER against the raw table — file skipping
+      // must be invisible to results; ZoneMapSpec proves the skipping
+      // itself (candidate files < total, == full-filter rows, and the
+      // width_share diagnostic separating clustered from random layouts).
+      val path = s"$sinkRoot/layout_zonemap_events-${
+        dir.replaceAll("[^0-9.]", "")}"
+      Tables.events(s, dir).repartitionByRange(16, col("value"))
+        .write.mode("overwrite").parquet(path)
+      graft.sources.ZoneMap.write(s, path, Seq("value"))
+      graft.sources.ZoneMap.prunedRead(s, path, "value", 100.0, 200.0)
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+  }
+
   register("layout_zorder_events", Some(
     """WITH zin AS (
       |  SELECT (user_id & 65535) AS za,

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ZoneMapSpec extends SparkSpec {
+
+  private def fresh(tag: String): String = {
+    val p = s"/root/repo/target/test-out/zonemap/$tag"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    p
+  }
+
+  private lazy val events = Tables.events(spark, sfTiny)
+
+  test("clustered layout: narrow band prunes files; answer equals full scan") {
+    val path = fresh("clustered")
+    events.repartitionByRange(8, col("value"))
+      .write.mode("overwrite").parquet(path)
+    ZoneMap.write(spark, path, Seq("value", "user_id"))
+    val total = spark.read.parquet(s"$path/_zonemap").count()
+    assert(total === 8)
+    val cand = ZoneMap.candidateFiles(spark, path, "value", 100.0, 200.0)
+    assert(cand.nonEmpty && cand.size < total,
+      s"range-clustered layout must prune: ${cand.size} of $total")
+    val got = ZoneMap.prunedRead(spark, path, "value", 100.0, 200.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = events
+      .filter(col("value") >= 100.0 && col("value") <= 200.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === want, "file skipping changed the answer")
+    assert(want.nonEmpty)
+  }
+
+  test("width_share separates clustered from random layouts") {
+    val cPath = fresh("diag-clustered")
+    val rPath = fresh("diag-random")
+    events.repartitionByRange(8, col("value"))
+      .write.mode("overwrite").parquet(cPath)
+    // random: hash-spread on an unrelated key → every file spans ~all values
+    events.repartition(8, col("event_id"))
+      .write.mode("overwrite").parquet(rPath)
+    ZoneMap.write(spark, cPath, Seq("value"))
+    ZoneMap.write(spark, rPath, Seq("value"))
+    def share(p: String) = ZoneMap.diagnose(spark, p, Seq("value"))
+      .select("width_share").head().getDouble(0)
+    val (sc, sr) = (share(cPath), share(rPath))
+    assert(sc < 0.3, s"clustered width_share should be small, got $sc")
+    assert(sr > 0.7, s"random width_share should be near 1, got $sr")
+    // and the random layout prunes (almost) nothing for the same band
+    val candR = ZoneMap.candidateFiles(spark, rPath, "value", 100.0, 200.0)
+    assert(candR.size === 8, "random layout cannot skip files")
+  }
+
+  test("a band outside every zone reads zero files and returns empty, typed") {
+    val path = fresh("empty")
+    events.repartitionByRange(4, col("value"))
+      .write.mode("overwrite").parquet(path)
+    ZoneMap.write(spark, path, Seq("value"))
+    val maxV = events.agg(max("value")).head().getDouble(0)
+    assert(ZoneMap.candidateFiles(spark, path, "value",
+      maxV + 1, maxV + 100).isEmpty)
+    val out = ZoneMap.prunedRead(spark, path, "value", maxV + 1, maxV + 100)
+    assert(out.count() === 0)
+    assert(out.columns.contains("event_id"), "empty result keeps the schema")
+  }
+}

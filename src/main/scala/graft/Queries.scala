@@ -653,6 +653,48 @@ object Queries {
       .orderBy(col("check"))
   }
 
+  register("quality_correlations", Some(
+    """WITH s AS (SELECT
+      |  count(*) AS n,
+      |  sum(CAST(l_quantity AS DECIMAL(38,8))) AS s_q,
+      |  sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS s_e,
+      |  sum(CAST(l_discount AS DECIMAL(38,8))) AS s_d,
+      |  sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS s_qq,
+      |  sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS s_ee,
+      |  sum(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS s_dd,
+      |  sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS s_qe,
+      |  sum(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS s_qd,
+      |  sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS s_ed
+      |  FROM lineitem),
+      |p AS (
+      |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, n,
+      |    CAST(s_q AS DOUBLE) AS sx, CAST(s_e AS DOUBLE) AS sy,
+      |    CAST(s_qq AS DOUBLE) AS sxx, CAST(s_ee AS DOUBLE) AS syy,
+      |    CAST(s_qe AS DOUBLE) AS sxy FROM s
+      |  UNION ALL
+      |  SELECT 'l_quantity', 'l_discount', n,
+      |    CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE), CAST(s_qq AS DOUBLE),
+      |    CAST(s_dd AS DOUBLE), CAST(s_qd AS DOUBLE) FROM s
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', 'l_discount', n,
+      |    CAST(s_e AS DOUBLE), CAST(s_d AS DOUBLE), CAST(s_ee AS DOUBLE),
+      |    CAST(s_dd AS DOUBLE), CAST(s_ed AS DOUBLE) FROM s)
+      |SELECT col_a, col_b, n,
+      |  round((CAST(n AS DOUBLE) * sxy - sx * sy) /
+      |    sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+      |      * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
+      |FROM p""".stripMargin)) { (s, dir) =>
+    // Pairwise Pearson over the fact table's numeric columns — the
+    // drift/leakage smell test a feature pipeline runs per ingest (a
+    // correlation that jumps between snapshots means a schema or
+    // semantics change upstream). All six moments of all three pairs
+    // fold into ONE aggregate pass; decimal-routed sums make the final
+    // double expression engine-exact, where built-in corr()'s
+    // double-folded accumulators drift in the last ulps across engines.
+    graft.operators.Quality.correlations(Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+  }
+
   register("quality_quarantine_rows", Some(
     """WITH q AS (SELECT
       |  CASE

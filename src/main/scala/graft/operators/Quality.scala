@@ -121,6 +121,48 @@ object Quality {
       when(col("violations") === 0, "pass").otherwise("fail").as("status"))
   }
 
+  /** Pairwise Pearson correlation over numeric `cols`, every pair from
+    * ONE no-grouping aggregate pass: all Σx, Σx², Σxy moments fold into
+    * the same scan, decimal-routed so accumulation order is irrelevant —
+    * the correlation is then one double expression over EXACT sums, and
+    * engines agree where a double-folded corr() drifts in the last ulps.
+    * Output `(col_a, col_b, n, corr)` for pairs in column-POSITION order;
+    * rows with a NULL in either column of a pair are excluded pairwise
+    * (that pair's `n` says how many survived). The moment count is
+    * 6·C(k,2) — profile-sized, never data-sized. */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlations needs at least two columns")
+    require(cols.forall(c =>
+      df.schema(c).dataType.isInstanceOf[NumericType]),
+      "correlations needs numeric columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (i, j)
+    def dsum(c: Column) = sum(c.cast("decimal(38,8)"))
+    val aggs: Seq[Column] = pairs.zipWithIndex.flatMap { case ((i, j), p) =>
+      val both = col_(cols(i)).isNotNull && col_(cols(j)).isNotNull
+      val x = when(both, col_(cols(i)))
+      val y = when(both, col_(cols(j)))
+      Seq(
+        count(when(both, lit(1))).as(s"__n_$p"),
+        dsum(x).as(s"__sx_$p"), dsum(y).as(s"__sy_$p"),
+        dsum(x * x).as(s"__sxx_$p"), dsum(y * y).as(s"__syy_$p"),
+        dsum(x * y).as(s"__sxy_$p"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(pairs.zipWithIndex.map { case ((i, j), p) =>
+      val n = col(s"__n_$p").cast("double")
+      val sx = col(s"__sx_$p").cast("double")
+      val sy = col(s"__sy_$p").cast("double")
+      val cov = n * col(s"__sxy_$p").cast("double") - sx * sy
+      val vx = n * col(s"__sxx_$p").cast("double") - sx * sx
+      val vy = n * col(s"__syy_$p").cast("double") - sy * sy
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col(s"__n_$p").as("n"),
+        round(cov / sqrt(vx * vy), 6).as("corr"))
+    }: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Row-level gate — the streaming-safe sibling of [[runChecks]]: tag
     * each row with the FIRST scan-local check it violates (`null` = the
     * row is valid), in `checks` order. A pure narrow projection — no

@@ -61,10 +61,18 @@ object Compaction {
     walk(root)
   }
 
+  /** `sortCols`: re-cluster each rewritten directory on these columns
+    * (range-partition across the packed files + sort within each) so
+    * compaction PRESERVES a zone-map/row-group-stats-friendly layout —
+    * a plain hash repartition would scramble a range-clustered dir and
+    * silently destroy the pruning its writer paid for ([[ZoneMap]]'s
+    * `width_share` measures exactly this; ZoneMapSpec proves the
+    * round-trip). Empty = plain hash packing. */
   def compact(spark: SparkSession, path: String, format: OutFormat,
               compression: OutCompression = OutCompression.None,
               targetFileBytes: Long = 128L << 20,
-              schemaDDL: Option[String] = None): DataFrame = {
+              schemaDDL: Option[String] = None,
+              sortCols: Seq[String] = Nil): DataFrame = {
     require(targetFileBytes >= 1,
       s"targetFileBytes must be >= 1 (got $targetFileBytes)")
     val fs = new Path(path)
@@ -85,8 +93,18 @@ object Compaction {
         // read ONLY this directory's data files (partition values live in
         // the dir name and are untouched by rewriting the files within)
         val in = readDir(spark, leaf.dir.toString, format, schemaDDL)
+        val packed =
+          if (sortCols.isEmpty) in.repartition(target)
+          else if (target == 1)
+            in.repartition(1)
+              .sortWithinPartitions(sortCols.map(
+                org.apache.spark.sql.functions.col): _*)
+          else in.repartitionByRange(target, sortCols.map(
+              org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(sortCols.map(
+              org.apache.spark.sql.functions.col): _*)
         val tmp = new Path(root, s".compact-tmp/$runId/${leaf.rel}")
-        writeDir(in.repartition(target), tmp.toString, format, compression)
+        writeDir(packed, tmp.toString, format, compression)
         val newFiles = fs.listStatus(tmp).toSeq.map(_.getPath)
           .filter(p => !p.getName.startsWith("_") &&
             !p.getName.startsWith("."))

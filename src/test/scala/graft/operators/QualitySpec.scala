@@ -99,6 +99,40 @@ class QualitySpec extends SparkSpec {
     assert(got.filter(col("status") =!= "pass").count() === 0)
   }
 
+  test("correlations: matches built-in corr, one pass, pairwise-null exact") {
+    val li = Tables.lineitem(spark, sfTiny)
+    val got = Quality.correlations(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // cross-check every pair against Spark's built-in corr (a different
+    // code path: double-folded co-moment accumulators)
+    got.foreach { case ((a, b), (n, c)) =>
+      val want = li.agg(corr(col(a), col(b))).head().getDouble(0)
+      assert(math.abs(c - want) < 1e-6, s"($a,$b): $c vs $want")
+      assert(n === li.count())
+    }
+    // perfectly correlated / anti-correlated columns hit ±1 exactly
+    val lin = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .toDF("x", "y", "z")
+    val c2 = Quality.correlations(lin, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(c2(("x", "y")) === 1.0 && c2(("x", "z")) === -1.0)
+    // pairwise null exclusion: the NULL row drops only from pairs using y
+    val withNull = Seq((1.0, Some(2.0), 3.0), (2.0, None, 5.0),
+      (3.0, Some(6.0), 7.0)).toDF("x", "y", "z")
+    val c3 = Quality.correlations(withNull, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(c3(("x", "y")) === 2 && c3(("x", "z")) === 3)
+    // all moments fold into one aggregate over one scan
+    val plan = Quality.correlations(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("quarantine tags first failing check in order; split partitions") {
     import Quality._
     val checks = Seq(InRange("qty", 1, 10), AcceptedValues("flag", Seq("A", "B")),

@@ -54,6 +54,47 @@ class ZoneMapSpec extends SparkSpec {
     assert(candR.size === 8, "random layout cannot skip files")
   }
 
+  test("sorted compaction preserves clustering; hash compaction destroys it") {
+    def fragmentedClustered(tag: String): String = {
+      val p = fresh(tag)
+      events.repartitionByRange(16, col("value"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    // target ~4 output files from MEASURED bytes (a fixed byte target
+    // would collapse the tiny fixture to one file, whose single zone
+    // trivially spans the full range)
+    def quarterTarget(p: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      math.max(1L,
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength / 4)
+    }
+    // sortCols: packed files stay range-clustered → zones stay tight
+    val sorted = fragmentedClustered("compact-sorted")
+    Compaction.compact(spark, sorted, OutFormat.Parquet,
+      OutCompression.Snappy, targetFileBytes = quarterTarget(sorted),
+      sortCols = Seq("value"))
+    ZoneMap.write(spark, sorted, Seq("value"))
+    val sortedShare = ZoneMap.diagnose(spark, sorted, Seq("value"))
+      .select("width_share").head().getDouble(0)
+    // plain hash packing on the same input scrambles the ranges
+    val hashed = fragmentedClustered("compact-hashed")
+    Compaction.compact(spark, hashed, OutFormat.Parquet,
+      OutCompression.Snappy, targetFileBytes = quarterTarget(hashed))
+    ZoneMap.write(spark, hashed, Seq("value"))
+    val hashedShare = ZoneMap.diagnose(spark, hashed, Seq("value"))
+      .select("width_share").head().getDouble(0)
+    assert(sortedShare < 0.5 && hashedShare > 0.7,
+      s"sorted $sortedShare should stay clustered; hashed $hashedShare should not")
+    assert(sortedShare < hashedShare / 2,
+      "sorted packing must be categorically tighter than hash packing")
+    // both compactions are lossless
+    Seq(sorted, hashed).foreach { p =>
+      assert(spark.read.parquet(p).count() === events.count())
+    }
+  }
+
   test("a band outside every zone reads zero files and returns empty, typed") {
     val path = fresh("empty")
     events.repartitionByRange(4, col("value"))

@@ -746,6 +746,31 @@ object Queries {
           dsum(col("value")).as("sum_value"))
   }
 
+  register("layout_hilbert_events", Some(
+    s"""WITH zin AS (
+       |  SELECT (user_id & 255) AS a,
+       |    (CAST(floor(value) AS BIGINT) & 255) AS b
+       |  FROM events),
+       |${graft.sources.ZOrder.hilbertOracleCtes("a", "b", 8, "FROM zin")}
+       |SELECT d >> 4 AS h_bucket, count(*) AS n_events
+       |FROM h8 GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Hilbert-curve clustering index — the locality-SUPERIOR sibling of
+    // layout_zorder_events: consecutive Hilbert indexes are always
+    // grid-adjacent (no Morton diagonal jumps across power-of-2 seams),
+    // so contiguous index ranges cover compact rectangles and both
+    // dimensions' file/row-group stats stay tighter (ZOrderSpec measures
+    // the adjacency property and the bijection; the bucket histogram
+    // here puts the MAPPING itself — 8 unrolled rotate/accumulate
+    // levels — under the DuckDB oracle, CTE stage by CTE stage).
+    Tables.events(s, dir)
+      .select(graft.sources.ZOrder.hilbert2(
+        col("user_id").bitwiseAND(lit(255L)),
+        floor(col("value")).cast("long").bitwiseAND(lit(255L)),
+        order = 8).as("h"))
+      .groupBy(shiftright(col("h"), 4).as("h_bucket"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   register("layout_zorder_events", Some(
     """WITH zin AS (
       |  SELECT (user_id & 65535) AS za,
@@ -2331,6 +2356,94 @@ object Queries {
         round(col("tsum").cast("double") / col("tcnt"), 6).as("trail_mean"),
         round(col("n") / (col("tsum").cast("double") / col("tcnt")), 6)
           .as("vol_ratio"))
+  }
+
+  register("events_ab_cuped", Some(
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(value AS DECIMAL(38,4)) END), 0) AS DOUBLE) AS x,
+      |    CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(value AS DECIMAL(38,4)) END), 0) AS DOUBLE) AS y
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      |  FROM u),
+      |a AS (
+      |  SELECT u.user_id % 2 AS variant, u.y,
+      |    u.y - ((m.n * m.sxy - m.sx * m.sy) / (m.n * m.sxx - m.sx * m.sx))
+      |      * (u.x - m.sx / m.n) AS y_adj
+      |  FROM u CROSS JOIN m),
+      |v AS (
+      |  SELECT variant, count(*) AS n_users,
+      |    CAST(sum(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS vy,
+      |    CAST(sum(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS vyy,
+      |    CAST(sum(CAST(y_adj AS DECIMAL(38,8))) AS DOUBLE) AS va,
+      |    CAST(sum(CAST(y_adj * y_adj AS DECIMAL(38,8))) AS DOUBLE) AS vaa
+      |  FROM a GROUP BY 1)
+      |SELECT variant, n_users,
+      |  round(vy / n_users, 6) AS mean_y,
+      |  round(va / n_users, 6) AS mean_y_adj,
+      |  round(1 - (n_users * vaa - va * va) / (n_users * vyy - vy * vy), 6)
+      |    AS var_reduction
+      |FROM v ORDER BY 1""".stripMargin)) { (s, dir) =>
+    // CUPED variance reduction (Deng et al., WSDM 2013) — the
+    // experimentation-analytics pass an A/B platform runs on every
+    // metric: per-user post-period value adjusted by the pre-period
+    // covariate, y_adj = y − θ(x − x̄), θ = cov(x,y)/var(x) pooled. The
+    // adjusted means answer the same question with (here) a measurably
+    // smaller variance — var_reduction per variant is the entry's
+    // headline column. Numerics: per-user sums and ALL moments are
+    // decimal-routed (exact), so θ and every y_adj are identical doubles
+    // in both engines; the only approximation is the 6-dp output round.
+    // Plan: one user-keyed aggregate (partial agg'd), a 1-row moment
+    // frame broadcast back, one variant-keyed aggregate — three tiny
+    // exchanges at any scale.
+    val split = lit("2024-01-16").cast("timestamp")
+    val byUser = Tables.events(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts") < split, col("value"))
+          .cast("decimal(38,4)")), lit(0).cast("decimal(38,4)"))
+          .cast("double").as("x"),
+        coalesce(sum(when(col("ts") >= split, col("value"))
+          .cast("decimal(38,4)")), lit(0).cast("decimal(38,4)"))
+          .cast("double").as("y"))
+    val m = byUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,8)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(38,8)")).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,8)")).cast("double")
+        .as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,8)")).cast("double")
+        .as("sxy"))
+    val a = byUser.crossJoin(broadcast(m))
+      .withColumn("y_adj", col("y") -
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) *
+          (col("x") - col("sx") / col("n")))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    a.groupBy(col("variant"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("y").cast("decimal(38,8)")).cast("double").as("vy"),
+        sum((col("y") * col("y")).cast("decimal(38,8)")).cast("double")
+          .as("vyy"),
+        sum(col("y_adj").cast("decimal(38,8)")).cast("double").as("va"),
+        sum((col("y_adj") * col("y_adj")).cast("decimal(38,8)"))
+          .cast("double").as("vaa"))
+      .select(col("variant"), col("n_users"),
+        round(col("vy") / col("n_users"), 6).as("mean_y"),
+        round(col("va") / col("n_users"), 6).as("mean_y_adj"),
+        round(lit(1) - (col("n_users") * col("vaa") - col("va") * col("va")) /
+          (col("n_users") * col("vyy") - col("vy") * col("vy")), 6)
+          .as("var_reduction"))
+      .orderBy(col("variant"))
   }
 
   register("events_markov_transitions", Some(

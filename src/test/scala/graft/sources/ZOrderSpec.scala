@@ -85,4 +85,59 @@ class ZOrderSpec extends SparkSpec {
     // row totals survive the rewrite
     assert(spark.read.parquet(zPath).count() === events.count())
   }
+
+  test("hilbert2 is a bijection on the full grid; consecutive cells are ADJACENT") {
+    import spark.implicits._
+    val order = 4
+    val side = 1 << order // 16x16 grid
+    val cells = for (x <- 0 until side; y <- 0 until side)
+      yield (x.toLong, y.toLong)
+    val d2xy = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.hilbert2(col("x"), col("y"), order).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .toMap
+    // bijection: every cell gets a distinct index covering [0, side²)
+    assert(d2xy.size === side * side)
+    assert(d2xy.keySet === (0L until (side.toLong * side)).toSet)
+    // THE Hilbert property Morton lacks: every step of the curve moves to
+    // a grid-NEIGHBOUR (|Δx|+|Δy| == 1, never a diagonal/seam jump)
+    (0L until (side.toLong * side - 1)).foreach { d =>
+      val (x0, y0) = d2xy(d); val (x1, y1) = d2xy(d + 1)
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1,
+        s"jump at d=$d: ($x0,$y0) -> ($x1,$y1)")
+    }
+    // Morton, by contrast, jumps at every power-of-2 seam — count them
+    val mortonJumps = (0 until side * side - 1).count { d =>
+      def unspread(z: Long): (Long, Long) = {
+        var x = 0L; var y = 0L
+        (0 until 32).foreach { i =>
+          x |= ((z >> (2 * i)) & 1L) << i
+          y |= ((z >> (2 * i + 1)) & 1L) << i
+        }
+        (x, y)
+      }
+      val (x0, y0) = unspread(d.toLong)
+      val (x1, y1) = unspread(d.toLong + 1)
+      math.abs(x1 - x0) + math.abs(y1 - y0) > 1
+    }
+    assert(mortonJumps > 0,
+      "sanity: the Morton walk over the same grid does jump")
+  }
+
+  test("hilbert kernel runs inside whole-stage codegen with a loop, not a tree") {
+    val df = Tables.events(spark, sfTiny)
+      .select(ZOrder.hilbert2(col("user_id"), col("event_id"), 16).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("hilbert_index") && l.trim.startsWith("*(")),
+      s"hilbert_index fell out of codegen:\n$plan")
+    // interpreted path agrees with the generated path
+    val a = df.collect().map(_.getLong(0))
+    val b = Tables.events(spark, sfTiny)
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => graft.functions.expressions.HilbertIndex.compute(
+        r.getLong(0), r.getLong(1), 16))
+    assert(a.sorted.sameElements(b.sorted))
+  }
 }

@@ -128,7 +128,17 @@ object GraftExtensions {
         "most frequent element (the Gopher-style repetition signal over " +
         "shingle hashes; empty arrays yield 0.0; codegen'd)",
       args => { arity("top_freq_frac", 1, args)
-        graft.functions.expressions.TopFreqFrac(args(0)) }))
+        graft.functions.expressions.TopFreqFrac(args(0)) }),
+    one("hilbert_index",
+      classOf[graft.functions.expressions.HilbertIndex],
+      "hilbert_index(a, b, order) - Hilbert curve index of two order-bit " +
+        "coordinates (adjacency-true space-filling clustering key; order " +
+        "must be a literal in [1,31]; codegen'd loop kernel)",
+      args => { arity("hilbert_index", 3, args)
+        val order = intLit("hilbert_index", "order", args(2))
+        if (order < 1 || order > 31) throw new IllegalArgumentException(
+          s"hilbert_index: order must be in [1,31], got $order")
+        graft.functions.expressions.HilbertIndex(args(0), args(1), order) }))
 
   /** Install on an EXISTING session (the extensions hook only runs at
     * session construction, which the round driver owns). */

@@ -71,6 +71,20 @@ object ZOrder {
   def hilbert2(aIn: Column, bIn: Column, order: Int = 8): Column =
     graft.functions.expressions.HilbertIndex.hilbertNative(aIn, bIn, order)
 
+  /** [[writeZOrdered]]'s Hilbert sibling: range-partition + sort by the
+    * Hilbert index so files tile the curve. Same knobs, tighter
+    * per-dimension zones (adjacency — no seam jumps splitting a file's
+    * rectangle across the plane). */
+  def writeHilbertOrdered(df: DataFrame, path: String, a: Column, b: Column,
+                          nFiles: Int, order: Int = 8): Unit = {
+    require(nFiles >= 1, s"nFiles must be >= 1 (got $nFiles)")
+    df.withColumn("__h", hilbert2(a, b, order))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** The SQL replay of [[hilbert2]] as chained CTEs over input columns
     * `(aExpr, bExpr)` — one stage per level, linear (named columns, no
     * tree blowup). Produces a query fragment ending in a relation with

@@ -141,6 +141,23 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[Double].head() === 0.0)
   }
 
+  test("hilbert_index is callable from SQL and matches the column form") {
+    val sqlD = spark.sql("SELECT hilbert_index(5L, 9L, 8) AS d")
+      .as[Long].head()
+    val colD = Seq((5L, 9L)).toDF("a", "b")
+      .select(graft.sources.ZOrder.hilbert2(col("a"), col("b"), 8))
+      .as[Long].head()
+    assert(sqlD === colD)
+    assert(sqlD ===
+      graft.functions.expressions.HilbertIndex.compute(5L, 9L, 8))
+    // order is a literal contract, like shingle_hashes' n
+    Seq((1L, 2L, 3)).toDF("a", "b", "o").createOrReplaceTempView("hv")
+    val err = intercept[Exception] {
+      spark.sql("SELECT hilbert_index(a, b, o) FROM hv").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("the SparkSessionExtensions injection registers the same builders") {
     // the hook the driver-facing config path (spark.sql.extensions) runs:
     // apply it to a fresh SparkSessionExtensions and verify every function

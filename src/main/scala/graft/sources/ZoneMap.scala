@@ -24,11 +24,8 @@ import org.apache.spark.sql.functions._
   */
 object ZoneMap {
 
-  /** One pass: per data file, per indexed column — min/max/null count.
-    * Wide-format manifest: `file, n_rows, <c>_min, <c>_max, <c>_nulls`. */
-  def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+  private def statsFor(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "zone map needs at least one column")
-    val df = spark.read.parquet(path)
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
       cols.flatMap { c =>
         Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
@@ -36,6 +33,46 @@ object ZoneMap {
       }
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** One pass: per data file, per indexed column — min/max/null count.
+    * Wide-format manifest: `file, n_rows, <c>_min, <c>_max, <c>_nulls`. */
+  def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
+    statsFor(spark.read.parquet(path), cols)
+
+  /** Incremental manifest maintenance — the per-micro-batch call for a
+    * streaming sink: index ONLY files the manifest doesn't know yet
+    * (identified by basename — part files carry a UUID), scanning just
+    * those files, and APPEND their rows to `_zonemap`. Cost per call is
+    * O(new files); the layout is never rescanned — the skipping index
+    * stays current with the sink instead of being rebuilt nightly (the
+    * layout sibling of DedupIndex.ingestStream). The layout listing is
+    * driver-side metadata. Indexed columns must be DATA columns (reading
+    * a file set directly sees no Hive partition values — partition
+    * columns already have partition pruning). Returns newly indexed file
+    * count. */
+  def update(spark: SparkSession, path: String, cols: Seq[String]): Long = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestPath = new org.apache.hadoop.fs.Path(s"$path/_zonemap")
+    def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val known: Set[String] =
+      if (!fs.exists(manifestPath)) Set.empty
+      else spark.read.parquet(s"$path/_zonemap")
+        .select("file").collect().map(r => baseName(r.getString(0))).toSet
+    def dataFiles(dir: org.apache.hadoop.fs.Path)
+        : Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) dataFiles(st.getPath)
+        else Seq(st.getPath)
+      }
+    val fresh = dataFiles(root).filterNot(p => known.contains(p.getName))
+    if (fresh.isEmpty) return 0L
+    statsFor(spark.read.parquet(fresh.map(_.toString): _*), cols)
+      .write.mode("append").parquet(s"$path/_zonemap")
+    fresh.length.toLong
   }
 
   /** Persist the manifest next to the data (overwrite). */

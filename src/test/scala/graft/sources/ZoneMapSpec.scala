@@ -95,6 +95,39 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("incremental update indexes only new files; manifest == full rebuild") {
+    val path = fresh("incremental")
+    events.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(4, col("value"))
+      .write.mode("overwrite").parquet(path)
+    assert(ZoneMap.update(spark, path, Seq("value")) === 4)
+    // the next micro-batch appends more files
+    events.filter(col("event_id") % 2 === 1)
+      .repartitionByRange(3, col("value"))
+      .write.mode("append").parquet(path)
+    assert(ZoneMap.update(spark, path, Seq("value")) === 3,
+      "only the 3 appended files should be indexed")
+    // an up-to-date manifest is a no-op
+    assert(ZoneMap.update(spark, path, Seq("value")) === 0)
+    // incremental manifest rows == one-shot rebuild (keyed by basename)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        val f = r.getString(0)
+        f.substring(f.lastIndexOf('/') + 1) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      }.toMap
+    val inc = rows(spark.read.parquet(s"$path/_zonemap")
+      .select("file", "n_rows", "value_min", "value_max"))
+    val full = rows(ZoneMap.build(spark, path, Seq("value"))
+      .select("file", "n_rows", "value_min", "value_max"))
+    assert(inc === full)
+    // and the pruned read still answers exactly through the merged manifest
+    val got = ZoneMap.prunedRead(spark, path, "value", 100.0, 200.0).count()
+    val want = events.filter(col("value") >= 100.0 && col("value") <= 200.0)
+      .count()
+    assert(got === want)
+  }
+
   test("a band outside every zone reads zero files and returns empty, typed") {
     val path = fresh("empty")
     events.repartitionByRange(4, col("value"))

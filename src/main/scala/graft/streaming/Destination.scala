@@ -69,7 +69,17 @@ final class FileDestination(
     format: OutFormat = OutFormat.Jsonl,
     compression: OutCompression = OutCompression.None,
     strategy: KeyStrategy = KeyStrategy.CollectionBased,
-    tsCol: String = "cluster_time") extends Destination {
+    tsCol: String = "cluster_time",
+    zoneMapCols: Seq[String] = Nil) extends Destination {
+  // `zoneMapCols`: maintain a file-skipping manifest AS THE SINK WRITES —
+  // after each batch lands, ZoneMap.update indexes exactly that batch's
+  // new files (O(batch files); under replay the rewritten batch dir's
+  // files carry fresh UUID basenames and re-index, while the stale rows'
+  // files no longer exist and never surface as candidates). Downstream
+  // range queries then prune the sink's file list at plan time without
+  // a nightly index build. Parquet only — zones read typed stats.
+  require(zoneMapCols.isEmpty || format == OutFormat.Parquet,
+    "zone-map maintenance needs the parquet format")
 
   @volatile private var closed = false
   @volatile private[streaming] var batchesWritten = 0L
@@ -79,6 +89,8 @@ final class FileDestination(
       s"write_batch on closed destination $outputDir")
     val dir = f"$outputDir/batch_id=$batchId%06d"
     Writers.write(df, dir, format, compression, strategy, tsCol)
+    if (zoneMapCols.nonEmpty)
+      graft.sources.ZoneMap.update(df.sparkSession, outputDir, zoneMapCols)
     batchesWritten += 1
     // metrics.rs:184 destination_write_bytes — size of what just landed
     try {

@@ -94,6 +94,40 @@ class StreamingSpec extends SparkSpec {
       .distinct().count() === n)
   }
 
+  test("file destination maintains a zone map as it writes; pruned reads exact") {
+    import graft.sources.ZoneMap
+    val (src, ckpt, out) = fresh("zonemap-sink")
+    val n = stageSource(src, parts = 4)
+    val dest = new FileDestination(out, OutFormat.Parquet,
+      OutCompression.Snappy, KeyStrategy.CollectionBased,
+      zoneMapCols = Seq("value"))
+    val q = CdcPipeline.start(spark,
+      cfg(src, ckpt, "zonemap-sink").copy(maxFilesPerTrigger = Some(2)),
+      dest)
+    q.awaitTermination(120000)
+    // every data file the sink wrote is in the manifest — across the
+    // multiple micro-batch dirs maxFilesPerTrigger forced
+    val manifest = spark.read.parquet(s"$out/_zonemap")
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+        else if (f.isDirectory) dataFiles(f) else Seq(f)
+      }
+    val onDisk = dataFiles(new java.io.File(out)).map(_.getName).toSet
+    val indexed = manifest.select("file").collect()
+      .map(r => { val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1) })
+      .toSet
+    assert(indexed === onDisk && onDisk.nonEmpty)
+    assert(manifest.select(sum(col("n_rows"))).head().getLong(0) === n)
+    // a value-band query through the manifest answers exactly
+    val got = ZoneMap.prunedRead(spark, out, "value", 100.0, 200.0).count()
+    val want = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny))
+      .filter(col("value") >= 100.0 && col("value") <= 200.0).count()
+    assert(got === want && want > 0)
+    // the manifest is current: a follow-up update is a no-op
+    assert(ZoneMap.update(spark, out, Seq("value")) === 0)
+  }
+
   test("checkpoint resume processes only new files, exactly once (S5/O4)") {
     val (src, ckpt, out) = fresh("resume")
     val staging = s"$root/resume/staging"

@@ -2857,6 +2857,47 @@ object Queries {
       .drop("__pr", "__n")
   }
 
+  register("text_entropy", Some(
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+      |n AS (SELECT doc_id, term, c, sum(c) OVER (PARTITION BY doc_id) AS n
+      |      FROM c),
+      |h AS (SELECT doc_id,
+      |  CAST(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+      |    / 0.6931471805599453 AS DECIMAL(38,9)) AS h_term,
+      |  c FROM n)
+      |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_distinct,
+      |  round(CAST(sum(h_term) AS DOUBLE), 6) AS entropy_bits
+      |FROM h GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Token-distribution Shannon entropy per document (bits) — the
+    // gibberish/boilerplate quality axis the ratio heuristics miss: a
+    // keyboard-mash doc maxes char diversity but its TOKEN entropy
+    // collapses once mashing repeats; a template doc sits far below the
+    // corpus norm. Same determinism discipline as text_unigram_logprob:
+    // each term's −p·log2(p) is quantized to DECIMAL(38,9) before the
+    // order-free sum (ln() is not correctly-rounded cross-engine; the
+    // quantum absorbs the ulp at 1000× finer than the output round), and
+    // log2 divides by a LITERAL ln 2 so neither engine evaluates ln(2)
+    // itself. One keyed count + one doc-partition window — two keyed
+    // shuffles, no joins.
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+    val counts = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val withN = counts.withColumn("n",
+      sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+    val p = col("c").cast("double") / col("n")
+    withN
+      .withColumn("h_term",
+        (-p * log(p) / lit(0.6931471805599453)).cast("decimal(38,9)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(sum(col("h_term")).cast("double"), 6).as("entropy_bits"))
+  }
+
   register("text_stats", Some(
     """SELECT doc_id, length(text) AS n_chars_calc,
       |  len(str_split(text, ' ')) AS n_tokens,
@@ -3194,6 +3235,46 @@ object Queries {
       .withColumnRenamed("block", "source")
       .select(col("source"), col("inner_doc"), col("outer_doc"),
         round(col("containment"), 6).as("containment"))
+  }
+
+  register("corpus_ngram_novelty", Some(
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END AS ngrams
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(ngrams) AS gram FROM d),
+      |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS novelty
+      |FROM g JOIN f ON g.gram = f.gram
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Marginal-content curve: per document, the fraction of its distinct
+    // trigrams NOT seen in any lower-id document — the diminishing-
+    // returns measurement a curation pass reads to decide when a source
+    // is mined out (novelty trending to ~0 = the crawler is re-reading
+    // the same site). First-occurrence attribution is one gram-keyed
+    // min() (partial-agg'd — the shuffle carries distinct grams), joined
+    // back to the per-doc gram stream; no windows, no self-join, two
+    // keyed shuffles at any corpus size. Hashed vs string gram identity
+    // agrees absent collisions, as for every n-gram entry.
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(Dedup.ngramSet(col("text"), 3)).as("g"))
+    val firstSeen = grams.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
   }
 
   register("dedup_weighted_jaccard", Some(

@@ -154,10 +154,31 @@ object DedupIndex {
     val pruned =
       if (maxBucketSize <= 0) all
       else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))
-        all.withColumn("__bsz", count(lit(1)).over(w))
-          .filter(col("__bsz") <= maxBucketSize).drop("__bsz")
+        // The cap decision only needs combined (stored + delta) counts for
+        // buckets the DELTA touches: an untouched bucket can never produce
+        // a pair (the a-side below requires is_new), so windowing the full
+        // stored∪delta union — which would hash-exchange every persisted
+        // entry, O(corpus), on every ingest — is pure waste. Instead:
+        // count each side per touched bucket (the stored side is first
+        // semi-joined down to the delta's bucket keys via a BROADCAST, so
+        // the index is scanned, never shuffled — only band/bucket columns
+        // are read and only count partials cross the wire), then keep the
+        // buckets whose combined size clears the cap. Within a touched
+        // bucket the semi-join retains every stored row, so the combined
+        // count — and therefore which rows survive — is IDENTICAL to the
+        // windowed form (DedupIndexSpec's cap-identity test pins this).
+        val deltaKeys = delta.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__dn"))
+        val storedCounts = stored
+          .join(broadcast(deltaKeys.select(col("band"), col("bucket"))),
+            Seq("band", "bucket"), "left_semi")
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__sn"))
+        val keep = deltaKeys
+          .join(storedCounts, Seq("band", "bucket"), "left_outer")
+          .filter(col("__dn") + coalesce(col("__sn"), lit(0L)) <= maxBucketSize)
+          .select(col("band"), col("bucket"))
+        all.join(broadcast(keep), Seq("band", "bucket"), "left_semi")
       }
     val a = pruned.filter(col("is_new")).as("a")
     val b = pruned.as("b")

@@ -538,6 +538,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"normalizer join crept back:\n$plan")
   }
 
+  test("capped dedup-index ingest scans the stored entries, never shuffles them") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = run("dedup_incremental_index")
+    df.collect() // finalize the adaptive plan
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def scansEntries(p: SparkPlan): Boolean = nodes(p).exists {
+      case s: FileSourceScanExec =>
+        s.relation.location.rootPaths.exists(_.toString.contains("/entries"))
+      case _ => false
+    }
+    val shuffles = nodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    // the capped path's contract: the persisted index is pruned via
+    // BROADCAST semi-joins and streamed into the pair join — the only
+    // things allowed across a shuffle downstream of the entries scan are
+    // count partials and finished pairs, never the entries themselves
+    // (their `sig` column is the marker)
+    shuffles.filter(scansEntries).foreach { e =>
+      assert(!e.child.output.exists(_.name == "sig"),
+        s"stored index entries crossed a shuffle:\n${e.treeString}")
+    }
+    assert(shuffles.nonEmpty, "expected count/pair exchanges in the plan")
+  }
+
   test("bpe token counts are scan-local (zero exchanges)") {
     val docs = Tables.documents(spark, sfSmall)
     val merges = graft.functions.Bpe.learnFromDict(

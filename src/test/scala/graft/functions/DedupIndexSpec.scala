@@ -86,6 +86,59 @@ class DedupIndexSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 
+  test("a BINDING cap drops exactly the oversized combined buckets (windowed ground truth)") {
+    val path = s"$root/cap-binding"
+    DedupIndex.write(day1, path, shingleN = 3, k = 32, bands = 8)
+
+    // ground truth: the pre-round-7 windowed form — count over the FULL
+    // stored ∪ delta union, drop rows in oversized buckets, then the same
+    // delta×all join. Kept here as the semantic oracle for the broadcast-
+    // pruned production path (which must never shuffle the stored side).
+    def entriesOf(df: DataFrame) =
+      Dedup.minhashSignatures(df, 3, 32)
+        .select(col("doc_id"), col("sig"),
+          explode(Dedup.lshBandKeys(col("sig"), 32, 8)).as("bk"))
+        .select(col("bk.band").as("band"), col("bk.bucket").as("bucket"),
+          col("doc_id"), col("sig"))
+    def windowedPairs(cap: Int, threshold: Double): Set[(Long, Long, Double)] = {
+      val all = entriesOf(day1).withColumn("is_new", lit(false))
+        .unionByName(entriesOf(day2).withColumn("is_new", lit(true)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bucket"))
+      val pruned = all.withColumn("__bsz", count(lit(1)).over(w))
+        .filter(col("__bsz") <= cap).drop("__bsz")
+      val a = pruned.filter(col("is_new")).as("a")
+      val b = pruned.as("b")
+      val est = graft.functions.expressions.VectorExpressions
+        .agreementNative(col("a.sig"), col("b.sig"))
+      pairSet(a.join(b, col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (!col("b.is_new") || col("a.doc_id") < col("b.doc_id")))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+          est.as("est_jaccard"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(first(col("est_jaccard")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= threshold))
+    }
+
+    val uncapped = pairSet(DedupIndex.newPairs(day2, path, threshold = 0.2))
+    // pick a cap that genuinely BINDS on this fixture (some bucket bigger)
+    val caps = Seq(1, 2, 4, 8)
+    val capped = caps.map(c =>
+      c -> pairSet(DedupIndex.newPairs(day2, path, threshold = 0.2,
+        maxBucketSize = c))).toMap
+    assert(capped(1).isEmpty, "cap=1 admits no bucket that can pair")
+    assert(caps.exists(c => capped(c) != uncapped),
+      "fixture must have at least one bucket above some test cap")
+    caps.foreach { c =>
+      assert(capped(c) === windowedPairs(c, 0.2),
+        s"cap=$c diverges from the windowed ground truth")
+      assert(capped(c).subsetOf(uncapped), s"cap=$c invented pairs")
+    }
+  }
+
   test("explicit-gen append is idempotent: a replayed generation never double-appends") {
     val path = s"$root/idem"
     DedupIndex.write(day1, path)

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,13 +19,53 @@ import org.apache.spark.sql.functions._
   * every file's range spans everything and nothing prunes (the manifest
   * tells you that too — `widthShare` diagnoses it).
   *
+  * The manifest is SHARDED BY PARTITION DIRECTORY (`part_dir`, the data
+  * file's leaf directory relative to the layout root): `_zonemap` is
+  * itself a partitioned parquet table, so (a) maintenance — a sink
+  * appending a batch dir, [[update]] reaping a replayed batch,
+  * [[Compaction.compact]] rewriting a fragmented leaf — rewrites only the
+  * affected shards via dynamic partition overwrite, never the whole
+  * manifest, and (b) reads that carry a partition hint prune manifest
+  * shards before touching a single zone row. [[prunedRead]] intersects
+  * per shard: each driver-side file-list collect is bounded by one
+  * partition's candidates, not the layout's.
+  *
   * Build cost: ONE distributed pass over the layout (input_file_name()
   * grouping — a partial-aggregated groupBy; no footer round-trips, no
   * driver-side file loop). The manifest is layout-sized (rows = files).
   */
 object ZoneMap {
 
-  private def statsFor(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** What [[update]] did: `added` = newly indexed files, `reaped` =
+    * manifest rows dropped because their files vanished (a replayed batch
+    * directory was overwritten, or a compaction rewrote the layout). */
+  final case class UpdateDelta(added: Long, reaped: Long)
+
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  /** The layout root as it appears inside `input_file_name()` paths —
+    * scheme-less absolute, so the marker matches whatever URI form the
+    * scan renders. */
+  private def rootMarker(root: Path): String =
+    root.toUri.getPath.stripSuffix("/") + "/"
+
+  /** Derive the manifest shard key from the file path: the file's leaf
+    * directory relative to the layout root ("." for root-level files).
+    * Pure column arithmetic — stays inside the stats job's codegen. */
+  private def partDirCol(rootAbs: String): Column = {
+    val marker = rootAbs.stripSuffix("/") + "/"
+    val rel = col("file").substr(
+      locate(marker, col("file")) + marker.length, length(col("file")))
+    when(locate("/", rel) === 0, lit("."))
+      .otherwise(rel.substr(lit(1), length(rel) - locate("/", reverse(rel))))
+  }
+
+  private def statsFor(df: DataFrame, cols: Seq[String],
+                       rootAbs: String): DataFrame = {
     require(cols.nonEmpty, "zone map needs at least one column")
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
       cols.flatMap { c =>
@@ -33,79 +74,174 @@ object ZoneMap {
       }
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("part_dir", partDirCol(rootAbs))
   }
 
   /** One pass: per data file, per indexed column — min/max/null count.
-    * Wide-format manifest: `file, n_rows, <c>_min, <c>_max, <c>_nulls`. */
-  def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame =
-    statsFor(spark.read.parquet(path), cols)
+    * Wide-format manifest: `file, n_rows, <c>_min, <c>_max, <c>_nulls,
+    * part_dir` (the shard key). */
+  def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val (_, root) = fsFor(spark, path)
+    statsFor(spark.read.parquet(path), cols, root.toUri.getPath)
+  }
+
+  /** The indexed column names, recovered from a manifest's schema — how
+    * [[Compaction]] maintains a zone map it didn't build. */
+  private[sources] def manifestCols(spark: SparkSession,
+                                    path: String): Seq[String] = {
+    val fields = spark.read.parquet(s"$path/_zonemap").schema.fieldNames
+    fields.filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
+  }
+
+  private[sources] def manifestExists(spark: SparkSession,
+                                      path: String): Boolean = {
+    val (fs, root) = fsFor(spark, path)
+    fs.exists(new Path(root, "_zonemap"))
+  }
+
+  private def baseName(p: String): String =
+    p.substring(p.lastIndexOf('/') + 1)
+
+  private def listDataFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) listDataFiles(fs, st.getPath)
+      else Seq(st.getPath)
+    }
 
   /** Incremental manifest maintenance — the per-micro-batch call for a
     * streaming sink: index ONLY files the manifest doesn't know yet
     * (identified by basename — part files carry a UUID), scanning just
-    * those files, and APPEND their rows to `_zonemap`. Cost per call is
-    * O(new files); the layout is never rescanned — the skipping index
-    * stays current with the sink instead of being rebuilt nightly (the
-    * layout sibling of DedupIndex.ingestStream). The layout listing is
-    * driver-side metadata. Indexed columns must be DATA columns (reading
-    * a file set directly sees no Hive partition values — partition
-    * columns already have partition pruning). Returns newly indexed file
-    * count. */
-  def update(spark: SparkSession, path: String, cols: Seq[String]): Long = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifestPath = new org.apache.hadoop.fs.Path(s"$path/_zonemap")
-    def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
-    val known: Set[String] =
-      if (!fs.exists(manifestPath)) Set.empty
+    * those files, and REAP rows whose files no longer exist (a replayed
+    * batch directory was overwritten under the same batchId, or a
+    * compaction rewrote a leaf — either way the old part files are gone
+    * and their zones must not surface as candidates). Cost per call is
+    * O(new files) scan + a rewrite of only the AFFECTED manifest shards
+    * (dynamic partition overwrite on `part_dir`); untouched shards are
+    * never rewritten and the layout is never rescanned. The layout
+    * listing is driver-side metadata. Indexed columns must be DATA
+    * columns (reading a file set directly sees no Hive partition values —
+    * partition columns already have partition pruning). */
+  def update(spark: SparkSession, path: String,
+             cols: Seq[String]): UpdateDelta = {
+    val (fs, root) = fsFor(spark, path)
+    val rootAbs = root.toUri.getPath
+    val manifestPath = new Path(root, "_zonemap")
+    val live = listDataFiles(fs, root)
+    val liveNames = live.map(_.getName).toSet
+    val known: Map[String, String] = // basename -> part_dir
+      if (!fs.exists(manifestPath)) Map.empty
       else spark.read.parquet(s"$path/_zonemap")
-        .select("file").collect().map(r => baseName(r.getString(0))).toSet
-    def dataFiles(dir: org.apache.hadoop.fs.Path)
-        : Seq[org.apache.hadoop.fs.Path] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Nil
-        else if (st.isDirectory) dataFiles(st.getPath)
-        else Seq(st.getPath)
-      }
-    val fresh = dataFiles(root).filterNot(p => known.contains(p.getName))
-    if (fresh.isEmpty) return 0L
-    statsFor(spark.read.parquet(fresh.map(_.toString): _*), cols)
-      .write.mode("append").parquet(s"$path/_zonemap")
-    fresh.length.toLong
+        .select("file", "part_dir").collect()
+        .map(r => baseName(r.getString(0)) -> r.getString(1)).toMap
+    def relDir(p: Path): String = {
+      val rel = root.toUri.relativize(p.getParent.toUri).getPath
+        .stripSuffix("/")
+      if (rel.isEmpty) "." else rel
+    }
+    val fresh = live.filterNot(p => known.contains(p.getName))
+    val stale = known.filterNot { case (name, _) => liveNames.contains(name) }
+    if (fresh.isEmpty && stale.isEmpty) return UpdateDelta(0L, 0L)
+
+    val freshStats =
+      if (fresh.isEmpty) None
+      else Some(statsFor(
+        spark.read.parquet(fresh.map(_.toString): _*), cols, rootAbs))
+
+    if (stale.isEmpty) {
+      // pure append: new shards materialize, existing shards gain files
+      freshStats.get.write.mode("append").partitionBy("part_dir")
+        .parquet(s"$path/_zonemap")
+    } else {
+      // rewrite ONLY shards with a dead row or a fresh file: survivors
+      // (still-live old rows) ∪ fresh stats, dynamic partition overwrite
+      val shardSet = stale.values.toSet ++ fresh.map(relDir)
+      val shards = shardSet.toSeq
+      // survivors are only needed INSIDE the rewritten shards — the isin
+      // list is bounded by those shards' file counts, not the layout's
+      val surviving = known.collect {
+        case (name, pd) if shardSet.contains(pd) && liveNames.contains(name) =>
+          name
+      }.toSeq
+      val old = spark.read.parquet(s"$path/_zonemap")
+        .filter(col("part_dir").isin(shards: _*))
+        .filter(substring_index(col("file"), "/", -1).isin(surviving: _*))
+      val out = freshStats.fold(old)(f => old.unionByName(f))
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_dir")
+        .parquet(s"$path/_zonemap")
+    }
+    UpdateDelta(fresh.length.toLong, stale.size.toLong)
   }
 
-  /** Persist the manifest next to the data (overwrite). */
+  /** Persist the manifest next to the data (full rebuild, overwrite). */
   def write(spark: SparkSession, path: String, cols: Seq[String]): Unit =
     build(spark, path, cols).coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_zonemap")
+      .write.mode("overwrite").partitionBy("part_dir")
+      .parquet(s"$path/_zonemap")
+
+  /** Rewrite the manifest shards for `dirs` (leaf directories relative to
+    * the root) from the files currently on disk — [[Compaction]]'s hook:
+    * it knows exactly which leaves it rewrote, so the zone map follows
+    * the rewrite at O(rewritten dirs), never a full rebuild. */
+  private[sources] def refreshShards(spark: SparkSession, path: String,
+                                     dirs: Seq[String]): Unit = {
+    if (dirs.isEmpty || !manifestExists(spark, path)) return
+    val cols = manifestCols(spark, path)
+    val (_, root) = fsFor(spark, path)
+    val rootAbs = root.toUri.getPath
+    val abs = dirs.map(d =>
+      if (d == ".") root.toString else new Path(root, d).toString)
+    statsFor(spark.read.parquet(abs: _*), cols, rootAbs)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part_dir")
+      .parquet(s"$path/_zonemap")
+  }
 
   /** Files whose zone intersects `[lo, hi]` on `c` (inclusive). A file
-    * with an all-NULL zone for `c` never matches a range predicate. */
+    * with an all-NULL zone for `c` never matches a range predicate.
+    * `parts` restricts the intersect to those manifest shards (partition
+    * pruning on the manifest read — supply it when the predicate is known
+    * to live in specific partition directories). */
   def candidateFiles(spark: SparkSession, path: String, c: String,
-                     lo: Any, hi: Any): Seq[String] = {
+                     lo: Any, hi: Any,
+                     parts: Seq[String] = Nil): Seq[String] = {
+    val m = zoneFilter(spark, path, c, lo, hi, parts)
+    m.select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  private def zoneFilter(spark: SparkSession, path: String, c: String,
+                         lo: Any, hi: Any, parts: Seq[String]): DataFrame = {
     val m = spark.read.parquet(s"$path/_zonemap")
-    m.filter(col(s"${c}_min").isNotNull &&
-        col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi))
-      .select("file").collect().map(_.getString(0)).toSeq
+    val sharded = if (parts.isEmpty) m else m.filter(col("part_dir").isin(parts: _*))
+    sharded.filter(col(s"${c}_min").isNotNull &&
+      col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi))
   }
 
   /** Range-predicate read through the manifest: scan ONLY candidate
     * files, then re-apply the exact predicate (zones are necessary, not
     * sufficient). Output == the full scan's filter, proven in spec.
     *
-    * The file list materializes on the driver — bounded by the MANIFEST
-    * row count (files, not rows). For layouts whose file count itself is
-    * driver-hostile, intersect at a coarser unit first (partition dirs)
-    * or shard the manifest by partition and prune per shard. */
+    * The intersect runs PER SHARD: the matching shard list collects first
+    * (bounded by the layout's partition-directory count), then each
+    * shard's candidate files collect and plan one at a time — the driver
+    * holds one partition's file list per step, never the layout's.
+    * `parts` short-circuits to those shards at the manifest scan. */
   def prunedRead(spark: SparkSession, path: String, c: String,
-                 lo: Any, hi: Any): DataFrame = {
-    val files = candidateFiles(spark, path, c, lo, hi)
-    val base =
-      if (files.isEmpty)
-        spark.read.parquet(path).limit(0)
-      else spark.read.parquet(files: _*)
-    base.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+                 lo: Any, hi: Any, parts: Seq[String] = Nil): DataFrame = {
+    val matching = zoneFilter(spark, path, c, lo, hi, parts)
+    val shards = matching.select("part_dir").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val predicate = col(c) >= lit(lo) && col(c) <= lit(hi)
+    if (shards.isEmpty) return spark.read.parquet(path).limit(0).filter(predicate)
+    shards.map { sh =>
+      val files = matching.filter(col("part_dir") === sh)
+        .select("file").collect().map(_.getString(0)).toSeq
+      spark.read.parquet(files: _*)
+    }.reduce(_ unionByName _).filter(predicate)
   }
 
   /** Clustering diagnostic per indexed NUMERIC column: mean zone width

@@ -73,11 +73,12 @@ final class FileDestination(
     zoneMapCols: Seq[String] = Nil) extends Destination {
   // `zoneMapCols`: maintain a file-skipping manifest AS THE SINK WRITES —
   // after each batch lands, ZoneMap.update indexes exactly that batch's
-  // new files (O(batch files); under replay the rewritten batch dir's
-  // files carry fresh UUID basenames and re-index, while the stale rows'
-  // files no longer exist and never surface as candidates). Downstream
-  // range queries then prune the sink's file list at plan time without
-  // a nightly index build. Parquet only — zones read typed stats.
+  // new files (O(batch files)). Under replay the rewritten batch dir's
+  // files carry fresh UUID basenames and re-index, and update REAPS the
+  // overwritten files' manifest rows in the same call (shard-local
+  // rewrite), so the zone map never carries ghosts. Downstream range
+  // queries then prune the sink's file list at plan time without a
+  // nightly index build. Parquet only — zones read typed stats.
   require(zoneMapCols.isEmpty || format == OutFormat.Parquet,
     "zone-map maintenance needs the parquet format")
 

@@ -100,15 +100,15 @@ class ZoneMapSpec extends SparkSpec {
     events.filter(col("event_id") % 2 === 0)
       .repartitionByRange(4, col("value"))
       .write.mode("overwrite").parquet(path)
-    assert(ZoneMap.update(spark, path, Seq("value")) === 4)
+    assert(ZoneMap.update(spark, path, Seq("value")) === ZoneMap.UpdateDelta(4, 0))
     // the next micro-batch appends more files
     events.filter(col("event_id") % 2 === 1)
       .repartitionByRange(3, col("value"))
       .write.mode("append").parquet(path)
-    assert(ZoneMap.update(spark, path, Seq("value")) === 3,
+    assert(ZoneMap.update(spark, path, Seq("value")) === ZoneMap.UpdateDelta(3, 0),
       "only the 3 appended files should be indexed")
     // an up-to-date manifest is a no-op
-    assert(ZoneMap.update(spark, path, Seq("value")) === 0)
+    assert(ZoneMap.update(spark, path, Seq("value")) === ZoneMap.UpdateDelta(0, 0))
     // incremental manifest rows == one-shot rebuild (keyed by basename)
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map { r =>
@@ -126,6 +126,96 @@ class ZoneMapSpec extends SparkSpec {
     val want = events.filter(col("value") >= 100.0 && col("value") <= 200.0)
       .count()
     assert(got === want)
+  }
+
+  test("update reaps rows for vanished files: batch-dir replay leaves no ghosts") {
+    val path = fresh("replay")
+    val batch = events.filter(col("event_id") % 2 === 0)
+    def writeBatch(): Unit = batch.repartitionByRange(3, col("value"))
+      .write.mode("overwrite").parquet(s"$path/batch_id=000000")
+    writeBatch()
+    assert(ZoneMap.update(spark, path, Seq("value")) === ZoneMap.UpdateDelta(3, 0))
+    // the replay: same batch dir overwritten — old UUID basenames vanish
+    writeBatch()
+    val d = ZoneMap.update(spark, path, Seq("value"))
+    assert(d.added === 3 && d.reaped === 3,
+      s"replay must re-index the rewritten dir and reap the ghosts, got $d")
+    // no ghost rows: manifest == on-disk files, totals exact
+    val manifest = spark.read.parquet(s"$path/_zonemap")
+    assert(manifest.count() === 3)
+    assert(manifest.select(sum(col("n_rows"))).head().getLong(0) === batch.count())
+    val got = ZoneMap.prunedRead(spark, path, "value", 100.0, 200.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = batch.filter(col("value").between(100.0, 200.0))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === want && want.nonEmpty)
+  }
+
+  test("compaction maintains the manifest: pruned reads stay exact, no update needed") {
+    val path = fresh("compact-compose")
+    // a fragmented clustered layout with a live zone map
+    events.repartitionByRange(16, col("value"))
+      .write.mode("overwrite").parquet(path)
+    ZoneMap.write(spark, path, Seq("value"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = math.max(1L,
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength / 4)
+    val report = Compaction.compact(spark, path, OutFormat.Parquet,
+      OutCompression.Snappy, targetFileBytes = target,
+      sortCols = Seq("value"))
+    assert(report.filter(col("compacted")).count() > 0, "fixture must compact")
+    // compact refreshed the rewritten shards itself: manifest rows point
+    // only at live files, update is a no-op, and the pruned read answers
+    // exactly (it would THROW on a stale manifest — dead scan paths)
+    val manifest = spark.read.parquet(s"$path/_zonemap")
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    val indexed = manifest.select("file").collect()
+      .map(r => { val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1) })
+      .toSet
+    assert(indexed === onDisk, "manifest must track exactly the live files")
+    assert(ZoneMap.update(spark, path, Seq("value")) === ZoneMap.UpdateDelta(0, 0))
+    val got = ZoneMap.prunedRead(spark, path, "value", 100.0, 200.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = events.filter(col("value").between(100.0, 200.0))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === want && want.nonEmpty)
+    // diagnose sees no ghosts: per-file rows sum to the table's rows
+    assert(manifest.select(sum(col("n_rows"))).head().getLong(0) ===
+      events.count())
+  }
+
+  test("manifest is sharded by partition dir; parts hint prunes manifest shards") {
+    val path = fresh("sharded")
+    // a Hive-partitioned layout: shard key = the leaf dir, zones on a
+    // DATA column the partitioning doesn't cover
+    events.withColumn("bucket", (col("event_id") % 3).cast("int"))
+      .repartitionByRange(4, col("value"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    assert(ZoneMap.update(spark, path, Seq("value")).added > 0)
+    val manifest = spark.read.parquet(s"$path/_zonemap")
+    val shards = manifest.select("part_dir").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(shards === Set("bucket=0", "bucket=1", "bucket=2"),
+      s"manifest must shard by partition dir, got $shards")
+    // full intersect == union of per-shard intersects
+    val all = ZoneMap.prunedRead(spark, path, "value", 100.0, 200.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = events.filter(col("value").between(100.0, 200.0))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(all === want && want.nonEmpty)
+    // the parts hint restricts both the manifest scan and the answer
+    val one = ZoneMap.prunedRead(spark, path, "value", 100.0, 200.0,
+        parts = Seq("bucket=1"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val wantOne = events.filter(col("value").between(100.0, 200.0) &&
+        col("event_id") % 3 === 1)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(one === wantOne && wantOne.nonEmpty)
+    assert(ZoneMap.candidateFiles(spark, path, "value", 100.0, 200.0,
+      parts = Seq("bucket=1")).forall(_.contains("bucket=1")))
   }
 
   test("a band outside every zone reads zero files and returns empty, typed") {

@@ -125,7 +125,7 @@ class StreamingSpec extends SparkSpec {
       .filter(col("value") >= 100.0 && col("value") <= 200.0).count()
     assert(got === want && want > 0)
     // the manifest is current: a follow-up update is a no-op
-    assert(ZoneMap.update(spark, out, Seq("value")) === 0)
+    assert(ZoneMap.update(spark, out, Seq("value")) === ZoneMap.UpdateDelta(0, 0))
   }
 
   test("checkpoint resume processes only new files, exactly once (S5/O4)") {
@@ -360,6 +360,62 @@ class StreamingSpec extends SparkSpec {
       dests("c_0").writeBatch(Tables.events(spark, sfTiny).limit(1), 99L)
     }
     assert(err.errorType === "closed")
+  }
+
+  test("/metrics endpoint serves all 13 reference names while a pipeline runs") {
+    GraftMetrics.reset()
+    val (srcRoot, ckpt, out) = fresh("metrics-http")
+    val n = stageSource(s"$srcRoot/c_0", parts = 2,
+      filter = df => df.filter(col("collection") === "c_0"))
+    assert(n > 0)
+    val orch = new Orchestrator(spark, srcRoot,
+      WatchLevel.Collection(Seq("c_0")), ckpt, envDDL,
+      destinationFor = name => new FileDestination(s"$out/$name",
+        OutFormat.Jsonl, OutCompression.None, KeyStrategy.Flat),
+      configure = _.copy(triggerInterval = None),
+      metricsPort = Some(0)) // ephemeral port
+    val listener = new MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      orch.start()
+      val port = orch.metricsServer.get.port
+      orch.awaitTermination()
+      def scrape(): (Int, String, String) = {
+        val url = java.net.URI.create(s"http://127.0.0.1:$port/metrics").toURL
+        val conn = url.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val ctype = conn.getContentType
+        val body = scala.io.Source.fromInputStream(conn.getInputStream,
+          "UTF-8").mkString
+        conn.disconnect()
+        (code, ctype, body)
+      }
+      val (code, ctype, body) = scrape()
+      assert(code === 200)
+      assert(ctype.startsWith("text/plain"), s"content type: $ctype")
+      // the full reference metric surface (metrics.rs:112-227) is visible
+      // in one scrape — names seeded at server start, live series from
+      // the run layered on top
+      val names = Seq(GraftMetrics.EventsProcessed, GraftMetrics.EventsFailed,
+        GraftMetrics.Retries, GraftMetrics.BatchesWritten,
+        GraftMetrics.WriteErrors, GraftMetrics.BatchSize,
+        GraftMetrics.BatchDuration, GraftMetrics.WriteDuration,
+        GraftMetrics.WriteBytes, GraftMetrics.StreamLag,
+        GraftMetrics.ActiveCollections, GraftMetrics.PipelineStatus,
+        GraftMetrics.BatchQueueSize)
+      names.foreach(m => assert(body.contains(m), s"scrape missing $m:\n$body"))
+      // and the scrape reflects the run, not just the seeds
+      assert(body.linesIterator.exists(l =>
+        l.startsWith(s"${GraftMetrics.BatchesWritten}{") && !l.endsWith(" 0")),
+        s"no live batches_written series:\n$body")
+      orch.stop()
+      // the endpoint dies with the orchestrator
+      intercept[java.io.IOException](scrape())
+    } finally {
+      spark.streams.removeListener(listener)
+      orch.stop()
+    }
   }
 
   test("database watch level reads the whole tree through one glob query (S2)") {

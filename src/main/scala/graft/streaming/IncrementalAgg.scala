@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,21 +25,13 @@ import org.apache.spark.sql.functions._
   * not O(history). Size `nBuckets` so one bucket's state fits a task
   * comfortably; more buckets = finer pruning and smaller rewrites.
   *
-  * Exactly-once under foreachBatch's at-least-once contract: a
-  * `_applied/batch-<id>` marker commits AFTER the bucket overwrite, and a
-  * replayed batchId returns before touching state — the same
-  * batchId-idempotence protocol as [[Destination]] FileDestination. A
-  * crash between overwrite and marker replays the batch onto
-  * already-updated buckets; the overwrite is NOT idempotent by itself
-  * (sums would double), which is why the marker is checked FIRST and
-  * written LAST — the unprotected window is the overwrite-to-marker gap,
-  * closed by re-deriving from the checkpoint only the marker-less batch.
-  * Single-writer per state path, like any foreachBatch sink. */
+  * Exactly-once under foreachBatch's at-least-once contract via the
+  * shared [[BucketedStateTable]] protocol (marker checked first / written
+  * last, per-bucket `__applied_batch` guard healing the
+  * overwrite-to-marker crash window — sums are NOT idempotent, so the
+  * guard is load-bearing here). See [[BucketedStateTable]] for the full
+  * analysis and the residual caveat. */
 object IncrementalAgg {
-
-  private def stateDir(path: String) = s"$path/state"
-  private def marker(path: String, batchId: Long) =
-    new Path(s"$path/_applied/batch-$batchId")
 
   /** Fold one batch of deltas into the persisted aggregate.
     *
@@ -53,46 +44,18 @@ object IncrementalAgg {
     require(keyCols.nonEmpty && sumCols.nonEmpty,
       "applyDelta needs key and sum columns")
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (batchId >= 0 && fs.exists(marker(path, batchId))) return
-
-    val d = delta.groupBy(keyCols.map(col): _*)
-      .agg(sum(col(sumCols.head)).as(sumCols.head),
-        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-      .withColumn("__bucket",
-        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
-          .cast("int"))
-    val touched = d.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) { commit(fs, path, batchId); return }
-
-    val sPath = stateDir(path)
-    val hasState = fs.exists(new Path(sPath))
-    val old =
-      if (!hasState) d.limit(0)
-      else spark.read.parquet(sPath)
-        .filter(col("__bucket").isin(touched.map(Int.box): _*))
-    val merged = old.unionByName(d)
-      .groupBy((keyCols :+ "__bucket").map(col): _*)
-      .agg(sum(col(sumCols.head)).as(sumCols.head),
-        sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-      // cut lineage from the files the write below replaces — Spark
-      // refuses (and must refuse) a write whose plan still READS the
-      // overwritten partitions
-      .localCheckpoint()
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(sPath)
-    commit(fs, path, batchId)
+    def reSum(df: DataFrame): DataFrame =
+      df.groupBy((keyCols :+ BucketedStateTable.BucketCol).map(col): _*)
+        .agg(sum(col(sumCols.head)).as(sumCols.head),
+          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
+    val d = reSum(delta.withColumn(BucketedStateTable.BucketCol,
+      BucketedStateTable.bucketOf(keyCols, nBuckets)))
+    BucketedStateTable.fold(spark, path, d, batchId,
+      merge = (old, dlt) => reSum(old.unionByName(dlt)))
   }
 
-  private def commit(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                     batchId: Long): Unit =
-    if (batchId >= 0) { fs.create(marker(path, batchId), true).close() }
-
-  /** The current aggregate table (bucket column dropped). */
+  /** The current aggregate table (bookkeeping columns dropped). */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(stateDir(path)).drop("__bucket")
+    spark.read.parquet(BucketedStateTable.stateDir(path))
+      .drop(BucketedStateTable.BucketCol, BucketedStateTable.AppliedCol)
 }

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * downstream consumers (rigatoni dumps event FILES; consumers must
   * re-derive current state per query).
   *
-  * Same state layout and batch protocol as [[IncrementalAgg]], different
-  * merge semantics: hash-bucketed parquet keyed by `keyCols`, each batch
+  * Same state layout and batch protocol as [[IncrementalAgg]] — both ride
+  * the shared [[BucketedStateTable]] fold — with different merge
+  * semantics: hash-bucketed parquet keyed by `keyCols`, each batch
   *   1. reduces to its newest row per key (one keyed aggregate — ties and
   *      ordering decided by `versionCols`, compared lexicographically as
   *      a struct);
@@ -25,8 +26,10 @@ import org.apache.spark.sql.functions._
   *      out-of-order batches;
   *   3. drops keys whose winning row is delete-class, and dynamically
   *      overwrites exactly the touched buckets.
-  * Exactly-once via the checked-first/written-last `_applied/batch-<id>`
-  * marker, as in [[IncrementalAgg]]. Per-trigger cost O(touched state).
+  * Exactly-once via [[BucketedStateTable]]'s marker + per-bucket
+  * applied-batch guard (for THIS merge the guard is belt-and-braces —
+  * max-merge is idempotent, replaying onto an already-swapped bucket
+  * re-derives the same rows). Per-trigger cost O(touched state).
   *
   * A delete arriving BEFORE its insert (out-of-order feed) wins if its
   * version is newer — the tombstone persists as absence only when the
@@ -40,9 +43,6 @@ import org.apache.spark.sql.functions._
   * that window (0 = drop immediately, the compact default). */
 object ReplicaTable {
 
-  private def stateDir(path: String) = s"$path/state"
-  private def marker(path: String, batchId: Long) =
-    new Path(s"$path/_applied/batch-$batchId")
   private val TombstoneCol = "__tombstone"
 
   /** Fold one batch of CDC rows into the replica.
@@ -58,90 +58,43 @@ object ReplicaTable {
     require(keyCols.nonEmpty && versionCols.nonEmpty,
       "applyBatch needs key and version columns")
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (batchId >= 0 && fs.exists(marker(path, batchId))) return
-
+    val bucketCol = BucketedStateTable.BucketCol
     val tagged = batch.withColumn(TombstoneCol, deleteWhen)
     val dataCols = tagged.columns.filterNot(keyCols.contains)
     // newest row per key within the batch: one keyed max over
     // struct(version..., payload...) — struct ordering is lexicographic
     // on the version prefix, so the payload tail never decides a winner
-    // between distinct versions
+    // between distinct versions. The bucket rides as a group key (it is
+    // a function of the key columns), never in the payload struct.
     def reduceLatest(df: DataFrame): DataFrame =
-      df.groupBy(keyCols.map(col): _*)
+      df.groupBy((keyCols :+ bucketCol).map(col): _*)
         .agg(max(struct((versionCols ++
           dataCols.filterNot(versionCols.contains)).map(col): _*))
           .as("__row"))
-        .select(keyCols.map(col) :+ col("__row.*"): _*)
-    val d = reduceLatest(tagged)
-      .withColumn("__bucket",
-        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
-          .cast("int"))
-    val touched = d.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) { commit(fs, path, batchId); return }
-
-    val sPath = stateDir(path)
-    // schema sidecar (DDL text), written once: the replica can
-    // legitimately become EMPTY (every key deleted), and a parquet dir
-    // with no data files cannot answer "what is the table's schema" on
-    // read — an empty-frame parquet write leaves no files either
-    val schemaPath = new Path(s"$path/_schema.ddl")
-    if (!fs.exists(schemaPath)) {
-      val out = fs.create(schemaPath, true)
-      out.write(d.schema.toDDL.getBytes("UTF-8"))
-      out.close()
-    }
-    // "state exists" = at least one bucket dir: a fully-emptied replica
-    // leaves sPath with only _SUCCESS, which parquet cannot infer from
-    val hasState = fs.exists(new Path(sPath)) &&
-      fs.listStatus(new Path(sPath)).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("__bucket="))
-    val old =
-      if (!hasState) d.limit(0)
-      else spark.read.parquet(sPath)
-        .filter(col("__bucket").isin(touched.map(Int.box): _*))
-    val merged = reduceLatest(old.unionByName(d))
-      .withColumn("__bucket",
-        pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
-          .cast("int"))
-    val kept = (
-      if (tombstones) merged else merged.filter(!col(TombstoneCol)))
-      .localCheckpoint()
-    kept.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__bucket")
-      .parquet(sPath)
-    // dynamic overwrite replaces only partitions PRESENT in the written
-    // frame — a touched bucket whose every row was dropped writes
-    // nothing and would silently keep its stale rows. Clear emptied
-    // buckets explicitly (only the tombstones=false path can empty one:
-    // retained tombstones never shrink a bucket to zero).
-    val keptBuckets = kept.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    touched.filterNot(keptBuckets).foreach { b =>
-      fs.delete(new Path(s"$sPath/__bucket=$b"), true)
-    }
-    commit(fs, path, batchId)
+        .select((keyCols :+ bucketCol).map(col) :+ col("__row.*"): _*)
+    val d = reduceLatest(tagged.withColumn(bucketCol,
+      BucketedStateTable.bucketOf(keyCols, nBuckets)))
+    // schema sidecar: the replica can legitimately become EMPTY (every
+    // key deleted), and a parquet dir with no data files cannot answer
+    // "what is the table's schema" on read — fold writes the DDL once
+    BucketedStateTable.fold(spark, path, d, batchId,
+      merge = (old, dlt) => {
+        val m = reduceLatest(old.unionByName(dlt))
+        // drop delete-winners unless tombstones are retained (only the
+        // tombstones=false path can empty a bucket; fold clears it)
+        if (tombstones) m else m.filter(!col(TombstoneCol))
+      },
+      schemaSidecar = true)
   }
-
-  private def commit(fs: org.apache.hadoop.fs.FileSystem, path: String,
-                     batchId: Long): Unit =
-    if (batchId >= 0) { fs.create(marker(path, batchId), true).close() }
 
   /** The current replica (tombstoned keys absent, bookkeeping dropped).
     * An all-deleted replica reads as an empty frame with the table's
     * schema (from the `_schema` sidecar), not an error. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val sPath = stateDir(path)
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(new Path(sPath)) &&
-      fs.listStatus(new Path(sPath)).exists(st =>
-        st.isDirectory && st.getPath.getName.startsWith("__bucket="))
+    val fs = BucketedStateTable.fsFor(spark, path)
     val base =
-      if (hasData) spark.read.parquet(sPath)
+      if (BucketedStateTable.hasState(fs, path))
+        spark.read.parquet(BucketedStateTable.stateDir(path))
       else {
         val in = fs.open(new Path(s"$path/_schema.ddl"))
         val ddl = new String(
@@ -151,6 +104,7 @@ object ReplicaTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL(ddl))
       }
-    base.filter(!col(TombstoneCol)).drop(TombstoneCol, "__bucket")
+    base.filter(!col(TombstoneCol)).drop(TombstoneCol,
+      BucketedStateTable.BucketCol, BucketedStateTable.AppliedCol)
   }
 }

@@ -79,6 +79,59 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got(1L) === 6L && got(2L) === 2L && got.size === 64)
   }
 
+  test("crash between overwrite and marker: replay does not double-sum") {
+    val path = freshPath("crash-window")
+    val df = Seq((1L, 10L), (2L, 20L)).toDF("key", "v")
+    IncrementalAgg.applyDelta(spark, path, df, Seq("key"), Seq("v"),
+      nBuckets = 4, batchId = 0)
+    IncrementalAgg.applyDelta(spark, path, df, Seq("key"), Seq("v"),
+      nBuckets = 4, batchId = 1)
+    // simulate the crash: batch 1's buckets are swapped but its marker
+    // never landed — the exact overwrite-to-marker gap
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/_applied/batch-1"),
+      false))
+    IncrementalAgg.applyDelta(spark, path, df, Seq("key"), Seq("v"),
+      nBuckets = 4, batchId = 1) // the engine's replay
+    val got = IncrementalAgg.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 20L, 2L -> 40L),
+      s"replay after a marker-less crash double-applied: $got")
+    // and the marker is now committed: one more replay is the fast path
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_applied/batch-1")))
+  }
+
+  test("partially-swapped crash: replay applies only the unswapped buckets") {
+    val path = freshPath("crash-partial")
+    val nBuckets = 4
+    // two keys living in DIFFERENT buckets
+    def bucketOf(k: Long): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(nBuckets.toLong)).cast("int"))
+      .head().getInt(0)
+    val kA = 1L
+    val kB = (2L to 50L).find(k => bucketOf(k) != bucketOf(kA)).get
+    val batch0 = Seq((kA, 100L), (kB, 200L)).toDF("key", "v")
+    val batch1 = Seq((kA, 7L), (kB, 11L)).toDF("key", "v")
+    IncrementalAgg.applyDelta(spark, path, batch0, Seq("key"), Seq("v"),
+      nBuckets = nBuckets, batchId = 0)
+    // simulate batch 1 crashing mid-commit: kA's bucket swapped (state
+    // records batch 1), kB's bucket still at batch 0, no marker
+    IncrementalAgg.applyDelta(spark, path, batch1.filter(col("key") === kA),
+      Seq("key"), Seq("v"), nBuckets = nBuckets, batchId = 1)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$path/_applied/batch-1"),
+      false))
+    // the replay carries the FULL batch 1
+    IncrementalAgg.applyDelta(spark, path, batch1, Seq("key"), Seq("v"),
+      nBuckets = nBuckets, batchId = 1)
+    val got = IncrementalAgg.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(kA -> 107L, kB -> 211L),
+      s"partial-swap replay must skip kA's bucket and apply kB's: $got")
+  }
+
   test("foreachBatch wiring: streamed deltas land exactly once") {
     val path = freshPath("stream")
     implicit val sqlCtx = spark.sqlContext

@@ -90,7 +90,10 @@ object Quality {
         // internal positional aliases: check NAMES carry `[`/`.`/`{` which
         // col() would parse as field-path syntax
         val aggs = scanLocal.zipWithIndex.map { case (c, i) =>
-          sum(when(violationExpr(c), 1L).otherwise(0L)).as(s"__chk_$i")
+          // coalesce: sum over ZERO rows is NULL — an empty input must
+          // read 0/'pass', matching the Unique/ForeignKey branches
+          coalesce(sum(when(violationExpr(c), 1L).otherwise(0L)), lit(0L))
+            .as(s"__chk_$i")
         }
         val row = df.agg(aggs.head, aggs.tail: _*)
         // melt the 1-row wide aggregate into (check, violations)

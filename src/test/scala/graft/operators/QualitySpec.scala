@@ -99,6 +99,22 @@ class QualitySpec extends SparkSpec {
     assert(got.filter(col("status") =!= "pass").count() === 0)
   }
 
+  test("runChecks on an EMPTY input: every check reads 0/'pass', never NULL") {
+    import Quality._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    val parent = Seq(1L).toDF("pid")
+    val got = Quality.runChecks(empty, Seq(
+        NotNull("id"), InRange("v", 0, 10), AcceptedValues("id", Seq("1")),
+        Unique(Seq("id")), ForeignKey("id", parent, "pid")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(got.size === 5)
+    got.foreach { case (name, (violations, status)) =>
+      assert(violations === 0L && status === "pass",
+        s"$name on empty input: ($violations, $status)")
+    }
+  }
+
   test("correlations: matches built-in corr, one pass, pairwise-null exact") {
     val li = Tables.lineitem(spark, sfTiny)
     val got = Quality.correlations(li,

@@ -82,10 +82,12 @@ object Demo {
       checkpointRoot = s"$root/checkpoints",
       schemaDDL = envDDL,
       destinationFor = dests(_),
-      configure = _.copy(triggerInterval = Some("1 second")))
+      configure = _.copy(triggerInterval = Some("1 second")),
+      metricsPort = Some(0)) // the reference's /metrics endpoint; 0 = ephemeral
     orchestrator.start()
     println(s"[demo] orchestrator running " +
-      s"${orchestrator.activeQueries.size} queries")
+      s"${orchestrator.activeQueries.size} queries; metrics at " +
+      s"http://localhost:${orchestrator.metricsServer.get.port}/metrics")
 
     // --- 3. traffic generator: reveal one staged wave per tick while the
     //        queries are live (the reference example's insert task) --------
@@ -127,6 +129,17 @@ object Demo {
     while (landed() < total && System.nanoTime() < deadline) Thread.sleep(500)
 
     val stats = orchestrator.stats()
+    // one live scrape before shutdown — what Prometheus would see
+    orchestrator.metricsServer.foreach { srv =>
+      try {
+        val body = scala.io.Source.fromURL(
+          s"http://127.0.0.1:${srv.port}/metrics", "UTF-8").mkString
+        val lines = body.linesIterator.size
+        println(s"[demo] /metrics scrape: $lines series, e.g. " +
+          body.linesIterator.find(_.startsWith(
+            graft.streaming.GraftMetrics.EventsProcessed)).getOrElse(""))
+      } catch { case t: Throwable => println(s"[demo] scrape failed: $t") }
+    }
     orchestrator.stop() // graceful: in-flight batches finish, offsets commit
     println(s"[demo] stats: events=${stats.eventsProcessed} " +
       s"batches=${stats.batchesWritten} writeErrors=${stats.writeErrors} " +

@@ -63,6 +63,23 @@ object GraftMetrics {
 
   def reset(): Unit = { counters.clear(); gauges.clear(); histoCount.clear(); histoSum.clear() }
 
+  /** Pre-register every reference metric name so a scrape shows the full
+    * surface at 0 before traffic arrives — the exporter behavior of the
+    * reference (its registry registers all metrics at construction,
+    * metrics.rs:112-227). Counters/gauges seed an unlabeled 0 series;
+    * histograms seed an empty (count=0, sum=0) series. Idempotent. */
+  def seedDefaults(): Unit = {
+    Seq(EventsProcessed, EventsFailed, Retries, BatchesWritten, WriteErrors)
+      .foreach(n => counters.computeIfAbsent(n, _ => new LongAdder))
+    Seq(ActiveCollections, PipelineStatus, BatchQueueSize)
+      .foreach(n => gauges.putIfAbsent(n, 0.0))
+    Seq(BatchSize, BatchDuration, WriteDuration, WriteBytes, StreamLag)
+      .foreach { n =>
+        histoCount.computeIfAbsent(n, _ => new LongAdder)
+        histoSum.computeIfAbsent(n, _ => new DoubleAdder)
+      }
+  }
+
   // Metric names, verbatim from metrics.rs:112-227
   val EventsProcessed = "rigatoni_events_processed_total"
   val EventsFailed = "rigatoni_events_failed_total"

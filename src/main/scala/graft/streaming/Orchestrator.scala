@@ -22,10 +22,16 @@ final class Orchestrator(
     checkpointRoot: String,
     schemaDDL: String,
     destinationFor: String => Destination,
-    configure: PipelineConfig => PipelineConfig = identity) {
+    configure: PipelineConfig => PipelineConfig = identity,
+    metricsPort: Option[Int] = None) {
 
   private val queries = mutable.LinkedHashMap.empty[String, StreamingQuery]
   private val destinations = mutable.LinkedHashMap.empty[String, Destination]
+  private var metrics: Option[MetricsServer] = None
+
+  /** The live /metrics endpoint, if `metricsPort` was given and [[start]]
+    * has run — `metricsServer.map(_.port)` is the scrape port. */
+  def metricsServer: Option[MetricsServer] = synchronized(metrics)
 
   /** Start one query per watch target (pipeline.rs:798-971 dispatch). */
   def start(): Seq[StreamingQuery] = synchronized {
@@ -51,6 +57,9 @@ final class Orchestrator(
       queries(name) = CdcPipeline.start(spark, cfg, dest)
     }
     GraftMetrics.setGauge(GraftMetrics.ActiveCollections, queries.size.toDouble)
+    // the reference serves /metrics next to the pipelines
+    // (metrics_prometheus.rs); port 0 picks an ephemeral port
+    metrics = metricsPort.map(MetricsServer.start)
     queries.values.toSeq
   }
 
@@ -78,6 +87,8 @@ final class Orchestrator(
     queries.values.foreach(q => CdcPipeline.stopGracefully(q))
     destinations.values.foreach(_.close())
     GraftMetrics.setGauge(GraftMetrics.ActiveCollections, 0.0)
+    metrics.foreach(_.stop())
+    metrics = None
     queries.clear()
     destinations.clear()
   }

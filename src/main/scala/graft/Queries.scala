@@ -750,7 +750,8 @@ object Queries {
     s"""WITH zin AS (
        |  SELECT (user_id & 255) AS a,
        |    (CAST(floor(value) AS BIGINT) & 255) AS b
-       |  FROM events),
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
        |${graft.sources.ZOrder.hilbertOracleCtes("a", "b", 8, "FROM zin")}
        |SELECT d >> 4 AS h_bucket, count(*) AS n_events
        |FROM h8 GROUP BY 1""".stripMargin)) { (s, dir) =>
@@ -762,7 +763,12 @@ object Queries {
     // the adjacency property and the bijection; the bucket histogram
     // here puts the MAPPING itself — 8 unrolled rotate/accumulate
     // levels — under the DuckDB oracle, CTE stage by CTE stage).
+    // NULL coords are filtered on BOTH sides: the native expression is
+    // null-safe (NULL in → NULL out) but the CTE ladder's CASE WHEN treats
+    // NULL bit-tests as false and would collapse NULLs to concrete d
+    // values — a latent oracle mismatch if the fixture ever carries them.
     Tables.events(s, dir)
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
       .select(graft.sources.ZOrder.hilbert2(
         col("user_id").bitwiseAND(lit(255L)),
         floor(col("value")).cast("long").bitwiseAND(lit(255L)),
@@ -3638,6 +3644,76 @@ object Queries {
     s.table(sink)
       .groupBy(col("docA").as("doc_a"), col("docB").as("doc_b"))
       .agg(first(col("estJaccard")).as("est_jaccard"))
+  }
+
+  register("stream_ingest_day", None) { (s, dir) =>
+    // The COMPOSED "one day of corpus ingest" — every stage is an operator
+    // oracled/spec'd on its own elsewhere; this entry proves they STACK:
+    // stream → quarantine fork (DLQ) → dedup-index gate → index append →
+    // replica table → zone-mapped sink, all keyed on batchId (exactly-once
+    // end-to-end; IngestDaySpec proves stream == batch-driven chain and
+    // replay idempotence). Day-1 docs seed the index; day-2 streams in 4
+    // micro-batches. no_oracle (xxhash64 minhash gate), rows-only check
+    // here + the spec's equivalence gates.
+    import graft.streaming._
+    import graft.operators.Quality
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-ingest-day-$tag"
+    val docs = Tables.documents(s, dir)
+    val day1 = docs.filter(col("doc_id") % 2 === 0)
+    val day2 = docs.filter(col("doc_id") % 2 === 1)
+    // stage day-2 as 4 flat files → 4 deterministic micro-batches
+    val src = s"$base/source"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$src/_STAGED"))) {
+      (0 until 4).foreach { i =>
+        val tmp = s"$base/stage-tmp/b$i"
+        day2.filter(pmod(col("doc_id"), lit(8L)) === 2 * i + 1)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
+        fs.mkdirs(new org.apache.hadoop.fs.Path(src))
+        fs.rename(part, new org.apache.hadoop.fs.Path(s"$src/b$i.parquet"))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/stage-tmp"), true)
+      fs.create(new org.apache.hadoop.fs.Path(s"$src/_STAGED"), true).close()
+    }
+    // fresh mutable state per invocation => deterministic full replay
+    Seq("checkpoint", "out", "dlq", "replica", "index").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    graft.functions.DedupIndex.write(day1, s"$base/index",
+      shingleN = 3, k = 32, bands = 16)
+    val primary = new FileDestination(s"$base/out",
+      graft.sources.OutFormat.Parquet, graft.sources.OutCompression.Snappy,
+      graft.operators.KeyStrategy.Flat, zoneMapCols = Seq("doc_id"))
+    val dlq = new FileDestination(s"$base/dlq",
+      graft.sources.OutFormat.Parquet, graft.sources.OutCompression.Snappy,
+      graft.operators.KeyStrategy.Flat)
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = IngestDay.run(stream, s"$base/index", s"$base/replica",
+        primary, dlq, checks = Seq(Quality.NotNull("text"),
+          Quality.InRange("n_chars", 60, 1e12)), threshold = 0.5)
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // a destination whose every batch was empty leaves only _SUCCESS
+    // markers — no parquet files to infer from; count that as 0
+    def countDest(p: String): Long = {
+      val parts = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$p/*/part-*"))
+      if (parts == null || parts.isEmpty) 0L
+      else s.read.parquet(p).count()
+    }
+    val landed = countDest(s"$base/out")
+    val quarantined = countDest(s"$base/dlq")
+    val replicaRows = ReplicaTable.read(s, s"$base/replica").count()
+    val gated = day2.count() - quarantined - landed
+    Seq(("landed", landed), ("quarantined", quarantined),
+        ("dedup_gated", gated), ("replica_rows", replicaRows))
+      .toDF("stage", "n_docs").orderBy("stage")
   }
 
   register("stream_token_budget", None) { (s, dir) =>

@@ -3652,9 +3652,12 @@ object Queries {
     // stream → quarantine fork (DLQ) → dedup-index gate → index append →
     // replica table → zone-mapped sink, all keyed on batchId (exactly-once
     // end-to-end; IngestDaySpec proves stream == batch-driven chain and
-    // replay idempotence). Day-1 docs seed the index; day-2 streams in 4
-    // micro-batches. no_oracle (xxhash64 minhash gate), rows-only check
-    // here + the spec's equivalence gates.
+    // replay idempotence). Day-1 docs seed the index; day-2 streams in 2
+    // micro-batches — batch 1 gates against BOTH day-1 history and batch 0,
+    // so cross-batch index growth is exercised; more batches only repeat
+    // the per-batch fixed costs (~15 jobs each: 5 persisted stages).
+    // no_oracle (xxhash64 minhash gate), rows-only check here + the
+    // spec's equivalence gates.
     import graft.streaming._
     import graft.operators.Quality
     import org.apache.spark.sql.streaming.Trigger
@@ -3665,12 +3668,12 @@ object Queries {
     val docs = Tables.documents(s, dir)
     val day1 = docs.filter(col("doc_id") % 2 === 0)
     val day2 = docs.filter(col("doc_id") % 2 === 1)
-    // stage day-2 as 4 flat files → 4 deterministic micro-batches
-    val src = s"$base/source"
+    // stage day-2 as 2 flat files → 2 deterministic micro-batches
+    val src = s"$base/source-2b"
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$src/_STAGED"))) {
-      (0 until 4).foreach { i =>
+      (0 until 2).foreach { i =>
         val tmp = s"$base/stage-tmp/b$i"
-        day2.filter(pmod(col("doc_id"), lit(8L)) === 2 * i + 1)
+        day2.filter(pmod(col("doc_id"), lit(4L)) === 2 * i + 1)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = fs.globStatus(
           new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet")).head.getPath
@@ -5000,6 +5003,24 @@ object Queries {
       graft.functions.Bpe.tokenCount(col("text"), merges).as("n_tokens_bpe"),
       graft.functions.TextFunctions.bpeTokenEstimate(col("text"))
         .as("n_tokens_est"))
+  }
+
+  register("text_unigram_tokens", None) { (s, dir) =>
+    // Token counts under the LEARNED unigram-LM tokenizer (Kudo 2018 /
+    // SentencePiece — the model family behind T5/LLaMA tokenizers), next
+    // to the BPE counter: seed-substring EM + loss-ranked shrink on the
+    // driver over the capped word-frequency dict (ONE distributed corpus
+    // pass), then Viterbi application as one narrow codegen'd pass.
+    // no_oracle (EM); UnigramSpec proves ML segmentation on a hand model,
+    // total coverage (reconstruction incl. unseen chars), determinism,
+    // count==tokenize-size, compression vs the char baseline, and EM
+    // monotonicity on the dict cost.
+    val docs = Tables.documents(s, dir)
+    val vocab = graft.functions.Unigram.train(docs, vocabSize = 500,
+      maxVocab = 5000)
+    docs.select(col("doc_id"), col("source"),
+      graft.functions.Unigram.tokenCount(col("text"), vocab)
+        .as("n_tokens_unigram"))
   }
 
   // --------------------------------------------------------------------------

@@ -53,7 +53,11 @@ object IngestDay {
     // 2. dedup gate — pairs involve at least one batch doc by contract;
     //    all joins are keyed on doc ids, drop set is candidate-sized
     val pairs = DedupIndex.newPairs(clean, indexPath, threshold,
-      idCol = idCol, textCol = textCol)
+        idCol = idCol, textCol = textCol)
+      // the drop-set construction references the pair view three times;
+      // materialize the (candidate-sized) pairs once instead of re-running
+      // the signature pass + index join per branch
+      .localCheckpoint()
     val ids = clean.select(col(idCol)).distinct()
     val aInBatch = pairs.join(ids.withColumnRenamed(idCol, "doc_a"),
       Seq("doc_a"), "left_semi")

@@ -571,6 +571,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.nonEmpty, "expected count/pair exchanges in the plan")
   }
 
+  test("unigram token counts are scan-local (zero exchanges)") {
+    val docs = Tables.documents(spark, sfSmall)
+    val vocab = graft.functions.Unigram.trainFromDict(
+      Seq(("the", 50L), ("and", 30L), ("data", 20L)), vocabSize = 20)
+    val plan = physical(docs.select(col("doc_id"),
+      graft.functions.Unigram.tokenCount(col("text"), vocab).as("n")))
+    assert(!plan.contains("Exchange"),
+      s"unigram application must be a narrow scan-local pass:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("unigram_token_count") && l.trim.startsWith("*(")),
+      s"unigram expression fell out of codegen:\n$plan")
+  }
+
   test("bpe token counts are scan-local (zero exchanges)") {
     val docs = Tables.documents(spark, sfSmall)
     val merges = graft.functions.Bpe.learnFromDict(

@@ -2705,6 +2705,36 @@ object Queries {
       payload = Seq("last_click_ts", "last_click_value"), tiebreak = "event_id")
   }
 
+  register("join_interval_lookup", Some(
+    """SELECT b.label AS band, count(*) AS n_events,
+      |  CAST(sum(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events e LEFT JOIN (VALUES
+      |    (0.0, 25.0, 'micro'), (25.0, 80.0, 'small'), (80.0, 150.0, 'mid'),
+      |    (150.0, 310.0, 'large'), (310.0, 460.0, 'xl'), (470.0, 1e9, 'whale')
+      |  ) b(lo, hi, label)
+      |  ON e.value >= b.lo AND e.value < b.hi
+      |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)) { (s, dir) =>
+    // Point-in-interval dimension join WITHOUT a join operator: the
+    // interval table (IP→geo / value→band / time→window class) is
+    // model-sized, so it rides the plan as reference arrays and each fact
+    // row pays one binary search INSIDE the scan's codegen — the plan has
+    // zero Join nodes and the only exchange is the final aggregate's,
+    // where Spark's own answer to a range-predicate dimension join is a
+    // BroadcastNestedLoopJoin (O(intervals) per row, codegen break).
+    // DuckDB replays it as the literal LEFT JOIN — same bands, same
+    // NULL-label gap row ([460, 470) is deliberately uncovered, plus the
+    // left-join semantics for out-of-range rows). PlanAuditSpec asserts
+    // the no-join shape.
+    val bands = Seq((0.0, 25.0, "micro"), (25.0, 80.0, "small"),
+      (80.0, 150.0, "mid"), (150.0, 310.0, "large"), (310.0, 460.0, "xl"),
+      (470.0, 1e9, "whale"))
+    graft.operators.Enrichment.enrichByInterval(
+        Tables.events(s, dir), "value", bands, outCol = "band")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("band").asc_nulls_first)
+  }
+
   register("join_range_purchases_after_signup", Some(
     """WITH s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts
       |           FROM events WHERE event_type = 'signup'),

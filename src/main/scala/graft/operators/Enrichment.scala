@@ -23,4 +23,20 @@ object Enrichment {
   def enrichOn(events: DataFrame, dim: DataFrame, key: String,
                joinType: String = "inner"): DataFrame =
     events.join(broadcast(dim), Seq(key), joinType)
+
+  /** Point-in-interval enrichment WITHOUT a join operator — the IP→geo /
+    * value→band / time→release-window pattern: the (model-sized) interval
+    * table rides the plan as reference arrays and each fact row pays one
+    * O(log n) binary search INSIDE the scan's codegen. The join-operator
+    * alternative for a range predicate is a BroadcastNestedLoopJoin —
+    * O(intervals) per row, breaks whole-stage codegen, and shows up in
+    * every plan audit as the thing to avoid. Left-join semantics: rows
+    * outside every interval get a NULL label. Intervals are [lo, hi),
+    * validated sorted and non-overlapping. */
+  def enrichByInterval(events: DataFrame, valueCol: String,
+                       intervals: Seq[(Double, Double, String)],
+                       outCol: String = "band"): DataFrame =
+    events.withColumn(outCol,
+      graft.functions.expressions.IntervalExpressions
+        .labelFor(col(valueCol).cast("double"), intervals))
 }

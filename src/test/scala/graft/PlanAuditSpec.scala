@@ -571,6 +571,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles.nonEmpty, "expected count/pair exchanges in the plan")
   }
 
+  test("interval lookup has NO join operator; only the aggregate exchanges") {
+    val df = run("join_interval_lookup")
+    df.collect() // finalize the adaptive plan — codegen markers
+    val plan = physical(df)
+    assert(!plan.contains("Join"),
+      s"interval lookup materialized a join operator:\n$plan")
+    assert(plan.contains("interval_index"),
+      s"binary-search kernel missing from the plan:\n$plan")
+    // the fact scan stays in whole-stage codegen up to the aggregate
+    assert(plan.linesIterator.exists(l =>
+      l.contains("interval_index") && l.trim.matches("^(\\+- |: *)?\\*\\(\\d+\\).*|.*\\*\\(\\d+\\).*")),
+      s"interval expression fell out of codegen:\n$plan")
+  }
+
   test("unigram token counts are scan-local (zero exchanges)") {
     val docs = Tables.documents(spark, sfSmall)
     val vocab = graft.functions.Unigram.trainFromDict(

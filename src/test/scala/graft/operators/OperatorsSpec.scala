@@ -55,6 +55,41 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("interval enrichment == the literal range join; edge semantics exact") {
+    import spark.implicits._
+    val bands = Seq((0.0, 25.0, "micro"), (25.0, 80.0, "small"),
+      (80.0, 460.0, "big"), (470.0, 1e9, "whale")) // [460,470) uncovered
+    val events = Tables.events(spark, sfTiny)
+    val got = Enrichment.enrichByInterval(events, "value", bands, "band")
+      .select(col("event_id"), col("band"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // ground truth: the join form this expression replaces
+    val dim = bands.toDF("lo", "hi", "band")
+    val want = events.join(dim,
+        col("value") >= col("lo") && col("value") < col("hi"), "left")
+      .select(col("event_id"), col("band"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === want)
+    assert(want.values.flatten.toSet.size >= 3, "fixture should hit bands")
+    // [lo, hi) boundaries exactly: lo inclusive, hi exclusive, gap = NULL
+    val edges = Seq(0.0, 24.999, 25.0, 459.999, 460.0, 465.0, 470.0, -1.0)
+      .toDF("value")
+    val labels = Enrichment.enrichByInterval(edges, "value", bands, "b")
+      .collect().map(r => Option(r.getString(1))).toSeq
+    assert(labels === Seq(Some("micro"), Some("micro"), Some("small"),
+      Some("big"), None, None, Some("whale"), None))
+    // NULL value → NULL band (left-join semantics)
+    val n = Enrichment.enrichByInterval(
+        Seq[Option[Double]](None).toDF("value"), "value", bands, "b")
+      .head()
+    assert(n.isNullAt(1))
+    // invariants rejected loudly
+    intercept[IllegalArgumentException](Enrichment.enrichByInterval(
+      events, "value", Seq((0.0, 10.0, "a"), (5.0, 15.0, "b"))))
+    intercept[IllegalArgumentException](Enrichment.enrichByInterval(
+      events, "value", Seq((10.0, 10.0, "a"))))
+  }
+
   test("salted join output equals the plain join; shuffle keys carry the salt") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -18,8 +18,8 @@ import org.apache.spark.sql.types._
   * directory (read dir → repartition(targetFiles) → write). Untouched
   * directories are never read — selective like Delta's OPTIMIZE, not a
   * full-table rewrite. At 100 TB the per-directory jobs are independent;
-  * submit them from a bounded thread pool if the fragmented count is
-  * large (each job is data-local to one partition's bytes).
+  * `parallelism` overlaps them from a bounded thread pool (each job is
+  * data-local to one partition's bytes and underuses the cluster alone).
   *
   * Swap protocol (no transaction log here, so stated plainly): new files
   * land in the live directory under a `compacted-` prefix FIRST, then the
@@ -72,9 +72,11 @@ object Compaction {
               compression: OutCompression = OutCompression.None,
               targetFileBytes: Long = 128L << 20,
               schemaDDL: Option[String] = None,
-              sortCols: Seq[String] = Nil): DataFrame = {
+              sortCols: Seq[String] = Nil,
+              parallelism: Int = 1): DataFrame = {
     require(targetFileBytes >= 1,
       s"targetFileBytes must be >= 1 (got $targetFileBytes)")
+    require(parallelism >= 1, s"parallelism must be >= 1 (got $parallelism)")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // fully qualify BEFORE relativizing: listStatus returns scheme-
@@ -84,7 +86,12 @@ object Compaction {
     val leaves = listLeaves(fs, root)
     val runId = java.util.UUID.randomUUID().toString.take(8)
 
-    val report = leaves.sortBy(_.rel).map { leaf =>
+    // per-directory rewrites are independent (distinct dirs, distinct tmp
+    // staging, thread-safe job submission) — `parallelism` > 1 overlaps
+    // them from a bounded pool, the practical lever when a day's ingest
+    // fragments thousands of partitions and each rewrite is a small job
+    // that underuses the cluster alone
+    val compactOne: Leaf => Row = { leaf =>
       val target = math.max(1L,
         (leaf.bytes + targetFileBytes - 1) / targetFileBytes).toInt
       if (leaf.files.length <= target)
@@ -120,6 +127,21 @@ object Compaction {
         Row(leaf.rel, leaf.files.length, leaf.bytes, newFiles.length, true)
       }
     }
+    val ordered = leaves.sortBy(_.rel)
+    val report =
+      if (parallelism == 1) ordered.map(compactOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutorService(pool)
+          Await.result(
+            Future.sequence(ordered.map(l => Future(compactOne(l)))),
+            Duration.Inf)
+        } finally pool.shutdown()
+      }
     fs.delete(new Path(root, ".compact-tmp"), true)
 
     // a zone-mapped layout's manifest must follow the rewrite: the old

@@ -272,6 +272,25 @@ class WritersSpec extends SparkSpec {
     assert(again.forall(r => !r.getBoolean(4) && r.getInt(1) === 1))
   }
 
+  test("parallel compaction == sequential: same report shape, lossless") {
+    val seqPath = s"$outRoot/compact-par-seq"
+    val parPath = s"$outRoot/compact-par-par"
+    Seq(seqPath, parPath).foreach(p => Writers.write(env, p,
+      OutFormat.Parquet, OutCompression.Zstd, KeyStrategy.CollectionBased,
+      filesPerKeyHint = Some(8)))
+    def rep(p: String, par: Int) = Compaction.compact(spark, p,
+        OutFormat.Parquet, OutCompression.Zstd,
+        targetFileBytes = 64L << 20, parallelism = par)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getBoolean(4))).toSeq
+    val a = rep(seqPath, 1)
+    val b = rep(parPath, 4)
+    assert(a === b, "parallel pool must produce the sequential report")
+    assert(b.forall(_._5), "fixture must actually compact")
+    assert(canon(Writers.read(spark, parPath, OutFormat.Parquet,
+      Some(envDDL))) === want)
+  }
+
   test("compaction is selective: already-compact dirs are not rewritten") {
     val path = s"$outRoot/compact-selective"
     Writers.write(env, path, OutFormat.Parquet, OutCompression.Zstd,

@@ -653,6 +653,69 @@ object Queries {
       .orderBy(col("check"))
   }
 
+  register("quality_drift_psi", Some(
+    """WITH cur AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |mm AS (SELECT CAST(min(value) AS DOUBLE) mnv, CAST(max(value) AS DOUBLE) mxv,
+      |              CAST(min(user_id) AS DOUBLE) mnu, CAST(max(user_id) AS DOUBLE) mxu
+      |       FROM events),
+      |bref AS (
+      |  SELECT 'value' AS col_name,
+      |    CASE WHEN e.value IS NULL THEN -1
+      |         ELSE least(greatest(CAST(floor((CAST(e.value AS DOUBLE) - mm.mnv)
+      |           / ((mm.mxv - mm.mnv) / 10)) AS INT), 0), 9) END AS bucket
+      |  FROM events e, mm
+      |  UNION ALL
+      |  SELECT 'user_id',
+      |    CASE WHEN e.user_id IS NULL THEN -1
+      |         ELSE least(greatest(CAST(floor((CAST(e.user_id AS DOUBLE) - mm.mnu)
+      |           / ((mm.mxu - mm.mnu) / 10)) AS INT), 0), 9) END
+      |  FROM events e, mm),
+      |bcur AS (
+      |  SELECT 'value' AS col_name,
+      |    CASE WHEN e.value IS NULL THEN -1
+      |         ELSE least(greatest(CAST(floor((CAST(e.value AS DOUBLE) - mm.mnv)
+      |           / ((mm.mxv - mm.mnv) / 10)) AS INT), 0), 9) END AS bucket
+      |  FROM cur e, mm
+      |  UNION ALL
+      |  SELECT 'user_id',
+      |    CASE WHEN e.user_id IS NULL THEN -1
+      |         ELSE least(greatest(CAST(floor((CAST(e.user_id AS DOUBLE) - mm.mnu)
+      |           / ((mm.mxu - mm.mnu) / 10)) AS INT), 0), 9) END
+      |  FROM cur e, mm),
+      |cr AS (SELECT col_name, bucket, count(*) AS n_ref FROM bref GROUP BY 1, 2),
+      |cc AS (SELECT col_name, bucket, count(*) AS n_cur FROM bcur GROUP BY 1, 2),
+      |j AS (SELECT coalesce(cr.col_name, cc.col_name) AS col_name,
+      |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      |      FROM cr FULL OUTER JOIN cc
+      |        ON cr.col_name = cc.col_name AND cr.bucket = cc.bucket),
+      |t AS (SELECT col_name, n_ref, n_cur,
+      |             CAST(sum(n_ref) OVER (PARTITION BY col_name) AS BIGINT) AS tr,
+      |             CAST(sum(n_cur) OVER (PARTITION BY col_name) AS BIGINT) AS tc
+      |      FROM j),
+      |p AS (SELECT col_name, tr, tc,
+      |             greatest(CAST(n_ref AS DOUBLE) / tr, 0.0001) AS pr,
+      |             greatest(CAST(n_cur AS DOUBLE) / tc, 0.0001) AS pc FROM t)
+      |SELECT col_name,
+      |  round(CAST(sum(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(38,12)))
+      |    AS DOUBLE), 6) AS psi,
+      |  max(tr) AS n_ref, max(tc) AS n_cur
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+    // Distribution DRIFT as the population stability index — the
+    // between-ingest monitoring question ("is today's feed still
+    // yesterday's distribution?"): reference = the full events history,
+    // current = the purchase slice (a deliberately CONDITIONED
+    // distribution, so the entry exercises non-zero drift, not just 0).
+    // Reference pins the equal-width binning (the published recipe);
+    // NULLs bucket separately; ε-smoothing keeps empty buckets finite;
+    // decimal-routed term sum so accumulation order can't move the
+    // reported PSI. DuckDB replays the identical binning + smoothing.
+    val events = Tables.events(s, dir)
+    graft.operators.Quality.driftPsi(events,
+        events.filter(col("event_type") === "purchase"),
+        Seq("value", "user_id"), nBuckets = 10)
+      .orderBy(col("col_name"))
+  }
+
   register("quality_correlations", Some(
     """WITH s AS (SELECT
       |  count(*) AS n,
@@ -4990,6 +5053,24 @@ object Queries {
     Similarity.writeIvfIndex(emb, path, nLists = 16, iters = 3)
     Similarity.searchIvfIndex(s, path, emb.filter(col("vec_id") < 8),
       k = 5, nProbe = 8)
+  }
+
+  register("embed_ann_ivfpq", None) { (s, dir) =>
+    // The FUSED production index (FAISS's IVFPQ shape): the coarse
+    // quantizer prunes WHICH lists a query reads (Hive partition pruning
+    // on cid=), PQ codes compress WHAT each list stores (16 bytes/vector,
+    // 16×), ADC scores the survivors with the query LUT broadcast, and an
+    // id-keyed re-rank against the source table restores exact ordering —
+    // at 100 TB the only ANN tier whose index both FITS and PRUNES.
+    // no_oracle (k-means); PqSpec proves probe-all + deep re-rank ==
+    // brute force EXACTLY, recall ≥0.8 at these parameters, append ==
+    // rebuild, and the codes-only layout schema.
+    val emb = Tables.embeddings(s, dir)
+    val path = s"$sinkRoot/ivfpq-index-${dir.replaceAll("[^0-9]", "")}"
+    graft.functions.Pq.writeIvfPqIndex(emb, path, nLists = 16, m = 16,
+      kCodes = 32, ivfIters = 3)
+    graft.functions.Pq.searchIvfPqIndex(s, path,
+      emb.filter(col("vec_id") < 8), emb, k = 5, nProbe = 8, rerank = 50)
   }
 
   register("embed_ann_pq", None) { (s, dir) =>

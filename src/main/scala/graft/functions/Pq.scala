@@ -164,4 +164,147 @@ object Pq {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  // ------------------------------------------------------------------
+  // IVF + PQ: the fused production index (FAISS's IVFPQ shape) — the
+  // coarse quantizer prunes WHICH lists a query reads (Hive partition
+  // pruning on cid=), PQ codes compress WHAT each list stores (m bytes
+  // per vector), ADC scores the survivors, and an id-keyed re-rank
+  // against the source table restores exact ordering. At 100 TB this is
+  // the only tier whose index both fits (16× compression) and prunes
+  // (nProbe/nLists of the bytes per query batch). Codebooks here are
+  // GLOBAL (non-residual) — vectors are L2-normalized inside the PQ
+  // kernels, which residuals would break; the residual upgrade buys
+  // finer cells at the cost of a per-list codebook model.
+  // ------------------------------------------------------------------
+
+  /** Layout: `path/centroids` (the IVF coarse model, shared loader with
+    * [[Similarity.writeIvfIndex]]), `path/codebooks` (the PQ model,
+    * m·k·subDim floats), `path/vectors/cid=<list>/` holding ONLY
+    * `(neighbor_id, codes)` — m bytes per vector; the source of truth
+    * stays in the lake and re-rank joins back to it by id. */
+  def writeIvfPqIndex(corpus: DataFrame, path: String, nLists: Int = 16,
+                      m: Int = 16, kCodes: Int = 32, ivfIters: Int = 2,
+                      pqIters: Int = 3, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      maxTrainRows: Long = 200000L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = Similarity.ivfCentroids(corpus, nLists, ivfIters, idCol,
+      vecCol, maxTrainRows)
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cid", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = trainCodebooks(corpus, m, kCodes, pqIters, idCol, vecCol,
+      maxTrainRows)
+    cb.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
+    }.toSeq.toDF("s", "c", "vals")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    // base build is generation −1; appends sub-partition by their own gen
+    // (idempotent retries — see [[appendToIvfPqIndex]])
+    encodedLists(corpus, cents, cb, idCol, vecCol)
+      .withColumn("gen", lit(-1L))
+      .write.mode("overwrite").partitionBy("cid", "gen")
+      .parquet(s"$path/vectors")
+  }
+
+  private[functions] def readCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy("s", "c").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val cb = Array.ofDim[Array[Float]](m, k)
+    rows.foreach(r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+    cb
+  }
+
+  /** (cid, neighbor_id, codes) — one assignment pass + one encode pass,
+    * both codegen'd; shared by build and append so an appended vector
+    * lands exactly where a rebuild with the same models would put it. */
+  private def encodedLists(vectors: DataFrame, cents: Array[Array[Double]],
+                           cb: Array[Array[Array[Float]]],
+                           idCol: String, vecCol: String): DataFrame =
+    encode(vectors, cb, idCol, vecCol)
+      .join(Similarity.assignToCentroids(vectors, cents, idCol, vecCol)
+        .select(col("__id").as("neighbor_id"), col("cid")), "neighbor_id")
+
+  /** Incremental growth: assign + encode the delta under the PERSISTED
+    * models, landing inside `cid=<list>/gen=<g>/` sub-partitions — cost
+    * ∝ delta, the same append-only story as
+    * [[Similarity.appendToIvfIndex]], with the same idempotence: an
+    * EXPLICIT `gen` (e.g. a streaming batchId) dynamic-overwrites its own
+    * generation, so a replayed ingest converges instead of
+    * double-appending; the default (−1) assigns max-existing + 1. */
+  def appendToIvfPqIndex(newVectors: DataFrame, path: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         gen: Long = -1L): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = Similarity.readCentroids(spark, path)
+    val cb = readCodebooks(spark, path)
+    val g =
+      if (gen >= 0) gen
+      else spark.read.parquet(s"$path/vectors")
+        .agg(max(col("gen").cast("long"))).head().getLong(0) + 1L
+    encodedLists(newVectors, cents, cb, idCol, vecCol)
+      .withColumn("gen", lit(g))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid", "gen")
+      .parquet(s"$path/vectors")
+  }
+
+  /** ANN top-k against a [[writeIvfPqIndex]] layout. Plan shape: probe
+    * ids resolve driver-side (model-sized) and push into the scan as a
+    * partition filter — only probed `cid=` dirs are read, and what they
+    * hold is m-byte codes, not vectors; queries broadcast WITH their ADC
+    * lookup tables and score only their OWN probed lists (cid equi-join,
+    * never all-pairs); the per-query top-`rerank` survivors come from the
+    * bounded-heap aggregate (k rows per query per map task cross the
+    * wire, no sort of the scored stream); re-rank joins candidate ids to
+    * `corpus` (the source of truth — candidate-sized, id-keyed) for exact
+    * cosine. Output schema matches the other ANN ops: (query_id,
+    * neighbor_id, cos_sim, rank), self-pairs excluded. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame, corpus: DataFrame,
+                       k: Int, nProbe: Int = 4, rerank: Int = 50,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank depth must be >= k (got $rerank < $k)")
+    val cents = Similarity.readCentroids(spark, path)
+    require(nProbe >= 1 && nProbe <= cents.length,
+      s"nProbe must be in [1, nLists] (got $nProbe of ${cents.length})")
+    val cb = readCodebooks(spark, path)
+    val probes = Similarity.probeLists(queries, cents, nProbe, idCol, vecCol)
+      .select(col("query_id"), col("cid"),
+        graft.functions.expressions.PqExpressions
+          .lookupTableNative(col("qv"), cb).as("lut"))
+    val probed = probes.select("cid").distinct().collect().map(_.getInt(0))
+    val lists = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isin(probed.map(Int.box): _*))
+    val adc = lists.join(broadcast(probes),
+        lists("cid") === probes("cid") &&
+          col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adcScore(col("codes"), col("lut")).as("adc"))
+    val cand = graft.operators.TopK.topKPerGroup(adc, Seq("query_id"),
+        ordCols = Seq(col("adc"), -col("neighbor_id")),
+        payload = Seq(col("neighbor_id")), k = rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = cand.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineFast(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

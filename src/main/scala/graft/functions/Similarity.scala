@@ -384,7 +384,7 @@ object Similarity {
 
   /** Nearest-centroid assignment: (id, cid, cos). Argmax via a codegen'd
     * max(struct(cos, cid)) — deterministic (ties break to the larger cid). */
-  private def assignToCentroids(df: DataFrame, cents: Array[Array[Double]],
+  private[functions] def assignToCentroids(df: DataFrame, cents: Array[Array[Double]],
                                 idCol: String, vecCol: String): DataFrame = {
     val centLit = typedLit(cents.map(_.toSeq).toSeq).cast("array<array<float>>")
     df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
@@ -438,7 +438,7 @@ object Similarity {
   /** Probe lists: each query's `nProbe` nearest centroids, as
     * (query_id, qv, cid) — shared by [[ivfTopK]] and [[searchIvfIndex]],
     * so their probe tie-breaking can never drift apart. */
-  private def probeLists(queries: DataFrame, cents: Array[Array[Double]],
+  private[functions] def probeLists(queries: DataFrame, cents: Array[Array[Double]],
                          nProbe: Int, idCol: String,
                          vecCol: String): DataFrame = {
     val centLit = typedLit(cents.map(_.toSeq).toSeq).cast("array<array<float>>")
@@ -493,14 +493,21 @@ object Similarity {
       .toDF("cid", "centroid")
       .coalesce(1) // nLists × dim doubles — one small file
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // base build is generation −1, appends get their own gen partitions
+    // (cid=<list>/gen=<g>/) — same sub-partitioning story as
+    // [[graft.functions.DedupIndex]]: a RETRIED append overwrites ITS OWN
+    // generation instead of double-appending, and cid-prefix pruning is
+    // untouched
     invertedLists(corpus, cents, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
+      .withColumn("gen", lit(-1L))
+      .write.mode("overwrite").partitionBy("cid", "gen")
+      .parquet(s"$path/vectors")
   }
 
   /** The persisted centroid model of a [[writeIvfIndex]] layout — one
-    * loader shared by search and append so the two can never read the
-    * model differently. */
-  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+    * loader shared by search, append and the IVF-PQ tier so no caller can
+    * read the model differently. */
+  private[functions] def readCentroids(spark: org.apache.spark.sql.SparkSession,
                             path: String): Array[Array[Double]] =
     spark.read.parquet(s"$path/centroids")
       .orderBy("cid").collect()
@@ -518,13 +525,32 @@ object Similarity {
     * degrades the recall gate — not a side effect of ingest. Routing goes
     * through the same [[invertedLists]] helper as the original build, so
     * an appended vector lands exactly where a full rebuild with the same
-    * centroids would put it. */
+    * centroids would put it.
+    *
+    * `gen` identifies the append generation (sub-partition
+    * `cid=<list>/gen=<g>/`). The default (−1) assigns max-existing + 1 (a
+    * partition-listing read, no row data). Passing an EXPLICIT gen makes
+    * the call IDEMPOTENT: dynamic partition overwrite replaces that
+    * generation's own partitions, so a failed-ingest retry or a streaming
+    * micro-batch replay (gen = batchId) converges instead of
+    * double-appending — the same exactly-once protocol as
+    * [[graft.functions.DedupIndex.append]]. */
   def appendToIvfIndex(newVectors: DataFrame, path: String,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): Unit = {
-    val cents = readCentroids(newVectors.sparkSession, path)
+                       vecCol: String = "embedding",
+                       gen: Long = -1L): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = readCentroids(spark, path)
+    val g =
+      if (gen >= 0) gen
+      else spark.read.parquet(s"$path/vectors")
+        .agg(max(col("gen").cast("long"))).head().getLong(0) + 1L
     invertedLists(newVectors, cents, idCol, vecCol)
-      .write.mode("append").partitionBy("cid").parquet(s"$path/vectors")
+      .withColumn("gen", lit(g))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid", "gen")
+      .parquet(s"$path/vectors")
   }
 
   /** ANN top-k against a [[writeIvfIndex]] layout. The probed list ids are

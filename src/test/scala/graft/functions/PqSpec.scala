@@ -116,6 +116,80 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, f"PQ recall $recall%.3f < 0.8")
   }
 
+  test("IVF-PQ index: probe-all + deep re-rank == brute force exactly") {
+    val path = "/root/repo/target/test-out/ivfpq/exact"
+    val n = emb.count().toInt
+    Pq.writeIvfPqIndex(emb, path, nLists = 8, m = M, kCodes = KCodes)
+    // with every list probed and a rerank depth covering the corpus, the
+    // lossy tiers decide nothing — output must equal brute force
+    val got = Pq.searchIvfPqIndex(spark, path, queries, emb, K,
+        nProbe = 8, rerank = n)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.bruteForceTopK(emb, queries, K)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === want)
+  }
+
+  test("IVF-PQ recall >= 0.8 at catalog parameters; scan prunes to probed lists") {
+    val path = "/root/repo/target/test-out/ivfpq/recall"
+    Pq.writeIvfPqIndex(emb, path, nLists = 16, m = M, kCodes = KCodes,
+      ivfIters = 3)
+    val res = Pq.searchIvfPqIndex(spark, path, queries, emb, K,
+      nProbe = 8, rerank = 50)
+    val exact = Similarity.bruteForceTopK(emb, queries, K)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = res.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx).toDouble / exact.size
+    info(f"IVF-PQ recall@$K = $recall%.3f (nProbe=8/16)")
+    assert(recall >= 0.8, f"IVF-PQ recall $recall%.3f < 0.8")
+    // the probed read touches at most nProbe * |queries| distinct lists —
+    // with a single-query probe, the scan's file list prunes
+    val one = Pq.searchIvfPqIndex(spark, path, queries.limit(1), emb, K,
+      nProbe = 4, rerank = 50)
+    one.collect()
+    val scans = one.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Scan parquet")).mkString("\n")
+    assert(scans.contains("cid"), s"no partition-pruned index scan:\n$scans")
+    // index stores codes, never vectors: the layout's row width is m bytes
+    // (cid/gen are partition values, not data)
+    val idx = spark.read.parquet(s"$path/vectors")
+    assert(idx.columns.sorted.toSeq === Seq("cid", "codes", "gen", "neighbor_id"))
+  }
+
+  test("IVF-PQ append: delta lands in its lists; search == rebuild with same models") {
+    val path = "/root/repo/target/test-out/ivfpq/append"
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    Pq.writeIvfPqIndex(base, path, nLists = 8, m = M, kCodes = KCodes)
+    Pq.appendToIvfPqIndex(delta, path, gen = 7L)
+    // probe-all + full-depth re-rank after append == brute force over ALL
+    val n = emb.count().toInt
+    val got = Pq.searchIvfPqIndex(spark, path, queries, emb, K,
+        nProbe = 8, rerank = n)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.bruteForceTopK(emb, queries, K)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want,
+      "appended vectors must be indistinguishable from a fresh build")
+    // a REPLAYED generation overwrites its own partitions, never doubles
+    val rows = spark.read.parquet(s"$path/vectors").count()
+    Pq.appendToIvfPqIndex(delta, path, gen = 7L)
+    assert(spark.read.parquet(s"$path/vectors").count() === rows,
+      "replaying an append generation must be a no-op")
+    // the default gen lands in a FRESH partition after 7
+    Pq.appendToIvfPqIndex(delta.limit(3), path)
+    val gens = spark.read.parquet(s"$path/vectors")
+      .select(col("gen").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(gens === Set(-1L, 7L, 8L), s"unexpected generations: $gens")
+  }
+
   test("re-ranked output carries TRUE cosine and k ranked rows per query") {
     val topk = Pq.pqTopK(emb, queries, K, m = M, kCodes = KCodes,
       iters = 3, rerank = 30).cache()

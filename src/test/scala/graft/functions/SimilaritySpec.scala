@@ -228,11 +228,16 @@ class SimilaritySpec extends SparkSpec {
     val old = emb.filter(col("vec_id") % 5 =!= 0)   // initial 80%
     val delta = emb.filter(col("vec_id") % 5 === 0) // the "daily ingest"
     Similarity.writeIvfIndex(old, path, nLists = 16, iters = 3)
-    Similarity.appendToIvfIndex(delta, path)
+    Similarity.appendToIvfIndex(delta, path, gen = 3L)
     // lossless: the layout now holds every vector exactly once
     val ids = spark.read.parquet(s"$path/vectors").select("neighbor_id")
     assert(ids.count() === emb.count())
     assert(ids.distinct().count() === emb.count(), "append duplicated vectors")
+    // a REPLAYED generation (failed-ingest retry / micro-batch replay)
+    // overwrites its own cid=/gen= partitions instead of double-appending
+    Similarity.appendToIvfIndex(delta, path, gen = 3L)
+    assert(spark.read.parquet(s"$path/vectors").count() === emb.count(),
+      "replaying an append generation must be a no-op")
     // probing ALL lists is exact regardless of assignment, so the appended
     // index must reproduce brute force over the full corpus verbatim
     val probeAll = Similarity.searchIvfIndex(spark, path, queries, K,

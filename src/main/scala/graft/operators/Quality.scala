@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -164,6 +165,81 @@ object Quality {
         col(s"__n_$p").as("n"),
         round(cov / sqrt(vx * vy), 6).as("corr"))
     }: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Distribution DRIFT between a reference table and a current table,
+    * per numeric column, as the population stability index —
+    * `PSI = Σ_b (p_cur(b) − p_ref(b)) · ln(p_cur(b) / p_ref(b))` over
+    * `nBuckets` equal-width buckets derived from the REFERENCE's
+    * [min, max] (the published recipe: the reference pins the binning so
+    * a drifted current lands in the clamp buckets instead of silently
+    * re-binning). The monitoring question a training-data pipeline asks
+    * between ingests: "is today's feed still yesterday's distribution?"
+    * — rule of thumb: PSI < 0.1 stable, 0.1-0.25 moderate, > 0.25 major.
+    *
+    * Plan shape: ONE no-grouping aggregate on the reference for all
+    * columns' min/max (model-sized), then ONE pass per table that melts
+    * the k columns into (col, bucket) pairs and partial-aggregates counts
+    * — the shuffle carries k·(nBuckets+2) count partials, never rows.
+    * NULLs occupy their own bucket (−1): a null-rate change IS drift.
+    * Out-of-range current values clamp to the edge buckets. A constant
+    * reference column (zero width) puts everything in bucket 0.
+    * Proportions are ε-smoothed (`eps`) so an empty bucket on one side
+    * contributes a finite, large term instead of ±∞. Terms sum
+    * decimal-routed — accumulation order cannot move the reported PSI.
+    * Output: `(col_name, psi, n_ref, n_cur)`. */
+  def driftPsi(reference: DataFrame, current: DataFrame, cols: Seq[String],
+               nBuckets: Int = 10, eps: Double = 1e-4): DataFrame = {
+    require(cols.nonEmpty, "driftPsi needs at least one column")
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    cols.foreach(c => require(
+      reference.schema(c).dataType.isInstanceOf[NumericType] &&
+        current.schema(c).dataType.isInstanceOf[NumericType],
+      s"driftPsi needs numeric columns (got $c)"))
+    // one pass for every column's min/max
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col_(c)).cast("double").as(s"__mn_$i"),
+        max(col_(c)).cast("double").as(s"__mx_$i"))
+    }
+    val mm = reference.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = cols.indices.map { i =>
+      val mn = if (mm.isNullAt(2 * i)) 0.0 else mm.getDouble(2 * i)
+      val mx = if (mm.isNullAt(2 * i + 1)) 0.0 else mm.getDouble(2 * i + 1)
+      (mn, mx)
+    }
+    def bucketed(df: DataFrame): DataFrame = {
+      val pairs = cols.zipWithIndex.map { case (c, i) =>
+        val (mn, mx) = bounds(i)
+        val b =
+          if (mx <= mn) when(col_(c).isNull, lit(-1)).otherwise(lit(0))
+          else when(col_(c).isNull, lit(-1)).otherwise(
+            least(greatest(
+              floor((col_(c).cast("double") - mn) / ((mx - mn) / nBuckets))
+                .cast("int"), lit(0)), lit(nBuckets - 1)))
+        struct(lit(c).as("col_name"), b.as("bucket"))
+      }
+      df.select(explode(array(pairs: _*)).as("p"))
+        .groupBy(col("p.col_name").as("col_name"), col("p.bucket").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val ref = bucketed(reference).withColumnRenamed("n", "n_ref")
+    val cur = bucketed(current).withColumnRenamed("n", "n_cur")
+    val totals = Window.partitionBy(col("col_name"))
+    ref.join(cur, Seq("col_name", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("__tr", sum(col("n_ref")).over(totals))
+      .withColumn("__tc", sum(col("n_cur")).over(totals))
+      .withColumn("__pr",
+        greatest(col("n_ref") / col("__tr"), lit(eps)))
+      .withColumn("__pc",
+        greatest(col("n_cur") / col("__tc"), lit(eps)))
+      .groupBy(col("col_name"))
+      .agg(
+        round(sum(((col("__pc") - col("__pr")) *
+            log(col("__pc") / col("__pr"))).cast("decimal(38,12)"))
+          .cast("double"), 6).as("psi"),
+        max(col("__tr")).as("n_ref"),
+        max(col("__tc")).as("n_cur"))
   }
 
   /** Row-level gate — the streaming-safe sibling of [[runChecks]]: tag

@@ -149,6 +149,46 @@ class QualitySpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("driftPsi: identical tables read 0; a shift reads large; NULL-rate change counts") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(i => (i.toDouble % 100, i.toLong)).toDF("x", "y")
+    // same distribution → psi == 0 exactly (every bucket proportion equal)
+    val same = Quality.driftPsi(ref, ref, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(same("x") === 0.0 && same("y") === 0.0)
+    // a hard location shift → most mass in the clamp bucket → large PSI
+    val shifted = ref.select((col("x") + 1000).as("x"), col("y"))
+    val drift = Quality.driftPsi(ref, shifted, Seq("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(drift("x") > 0.25, s"hard shift must read major drift: $drift")
+    // null-rate change is drift too (NULLs bucket separately)
+    val nulled = ref.select(
+      when(col("y") % 2 === 0, col("x")).as("x"), col("y"))
+    val nd = Quality.driftPsi(ref, nulled, Seq("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(nd("x") > 0.25, s"50% null-rate change must read major drift: $nd")
+    // constant reference column: everything buckets to 0, no crash
+    val const = ref.select(lit(5.0).as("x"), col("y"))
+    val cd = Quality.driftPsi(const, const, Seq("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cd("x") === 0.0)
+  }
+
+  test("driftPsi plan: one min/max pass + melted count aggregates, no row joins") {
+    val ref = Tables.lineitem(spark, sfSmall)
+    val cur = ref.filter(col("l_returnflag") === "A")
+    val df = Quality.driftPsi(ref, cur, Seq("l_quantity", "l_extendedprice"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the only join is the (col, bucket)-keyed FULL OUTER over ~2·(k·12)
+    // count rows — never a row-level join of the two tables
+    assert(plan.contains("FullOuter"), s"bucket merge must be full outer:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+    // counts partial-aggregate map-side before their exchanges
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"melted counts not partial-aggregated:\n$plan")
+  }
+
   test("quarantine tags first failing check in order; split partitions") {
     import Quality._
     val checks = Seq(InRange("qty", 1, 10), AcceptedValues("flag", Seq("A", "B")),

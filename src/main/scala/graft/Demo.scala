@@ -135,9 +135,10 @@ object Demo {
         val body = scala.io.Source.fromURL(
           s"http://127.0.0.1:${srv.port}/metrics", "UTF-8").mkString
         val lines = body.linesIterator.size
+        val processed = graft.streaming.GraftMetrics.EventsProcessed
         println(s"[demo] /metrics scrape: $lines series, e.g. " +
-          body.linesIterator.find(_.startsWith(
-            graft.streaming.GraftMetrics.EventsProcessed)).getOrElse(""))
+          body.linesIterator.filter(_.startsWith(processed))
+            .maxByOption(_.contains("{")).getOrElse(""))
       } catch { case t: Throwable => println(s"[demo] scrape failed: $t") }
     }
     orchestrator.stop() // graceful: in-flight batches finish, offsets commit

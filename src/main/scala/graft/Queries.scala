@@ -3954,6 +3954,67 @@ object Queries {
       .select(col("doc_id"), col("split_bucket"), col("split"))
   }
 
+  register("corpus_prepare_training", Some(
+    """WITH d AS (
+      |  SELECT doc_id, source, text, n_chars FROM documents
+      |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+      |t AS (
+      |  SELECT doc_id, source, text, length(text) AS n,
+      |    len(str_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(str_split(text, ' '),
+      |      x -> x IN ('the','a','an','of','and','to','in','is','on','for'))) AS stop_ct,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_ct,
+      |    n_chars
+      |  FROM d),
+      |q AS (
+      |  SELECT doc_id, source, text,
+      |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.4
+      |      + least(CAST(stop_ct AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 5.0, 1.0) * 0.4
+      |      + (1.0 - least(CAST(punct_ct AS DOUBLE) / CAST(n AS DOUBLE) * 10.0, 1.0)) * 0.2
+      |      AS quality
+      |  FROM t),
+      |keep AS (
+      |  SELECT doc_id, source, text FROM (
+      |    SELECT doc_id, source, text, round(quality, 6) AS quality,
+      |      percent_rank() OVER (PARTITION BY source
+      |        ORDER BY round(quality, 6), doc_id) AS pr,
+      |      count(*) OVER (PARTITION BY source) AS n_src
+      |    FROM q) WHERE n_src = 1 OR pr >= 0.1),
+      |tk AS (SELECT doc_id, source, str_split(text, ' ') AS toks FROM keep),
+      |nn AS (SELECT doc_id, source, toks,
+      |  greatest(1, CAST(ceil(CAST(len(toks) - 8 AS DOUBLE) / 24) AS INT))
+      |    AS nc FROM tk),
+      |c AS (SELECT doc_id, source, toks,
+      |  CAST(unnest(range(0, nc)) AS INT) AS chunk_idx FROM nn)
+      |SELECT doc_id, source, chunk_idx,
+      |  array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+      |    AS chunk_text,
+      |  CAST(len(toks[chunk_idx*24 + 1 : chunk_idx*24 + 32]) AS INT)
+      |    AS chunk_tokens
+      |FROM c""".stripMargin)) { (s, dir) =>
+    // The CORPUS-side composition under the FULL ORACLE (the batch
+    // sibling of stream_ingest_day, which is gate-composed but
+    // no_oracle): exact dedup (keep lowest-id representative) → adaptive
+    // per-source quality floor (bottom decile dropped, rank-based) →
+    // fixed-token chunking with overlap — three individually-oracled
+    // operators STACKED, with DuckDB replaying the whole nested pipeline,
+    // so stage composition itself sits under the hash gate. Plan: one
+    // md5-keyed window + one source-keyed window + a scan-local explode.
+    val deduped = graft.functions.Dedup.exact(Tables.documents(s, dir))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality"), col("doc_id"))
+    val wn = Window.partitionBy(col("source"))
+    val kept = deduped.select(col("doc_id"), col("source"), col("text"),
+        TF.qualityScore(col("text"), col("n_chars")).as("quality"))
+      .withColumn("__pr", percent_rank().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .filter(col("__n") === 1 || col("__pr") >= 0.1)
+      .select("doc_id", "source", "text")
+    graft.functions.CorpusOps.chunkTokens(kept, chunkSize = 32, overlap = 8)
+      .select(col("doc_id"), col("source"), col("chunk_idx"),
+        col("chunk_text"), col("chunk_tokens"))
+  }
+
   register("corpus_chunk", Some(
     """WITH t AS (SELECT doc_id, source, str_split(text, ' ') AS toks
       |           FROM documents),

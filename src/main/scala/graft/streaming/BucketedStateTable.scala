@@ -99,44 +99,50 @@ private[graft] object BucketedStateTable {
 
     val sPath = stateDir(path)
     val stateExists = hasState(fs, path)
+    // the touched slice is read by BOTH the crash guard and the merge —
+    // cache it so the bucket files are scanned once per fold, not twice
     val old =
       if (!stateExists) delta.limit(0).withColumn(AppliedCol, lit(-1L))
       else spark.read.parquet(sPath)
         .filter(col(BucketCol).isin(touched.map(Int.box): _*))
-    // the crash-window guard: buckets whose state already records this
-    // batchId were swapped before a crash ate the marker. One tiny
-    // collect over the touched buckets' per-bucket applied ids (every
-    // row in a bucket carries the id of the overwrite that wrote it).
-    val applied: Set[Int] =
-      if (batchId < 0 || !stateExists) Set.empty
-      else old.groupBy(col(BucketCol))
-        .agg(max(col(AppliedCol)).as("__b"))
-        .filter(col("__b") === batchId)
-        .select(BucketCol).collect().map(_.getInt(0)).toSet
-    val pending = touched.filterNot(applied)
-    if (pending.isEmpty) { commit(fs, path, batchId); return }
-    val pBox = pending.map(Int.box)
+        .persist()
+    try {
+      // the crash-window guard: buckets whose state already records this
+      // batchId were swapped before a crash ate the marker. One tiny
+      // collect over the touched buckets' per-bucket applied ids (every
+      // row in a bucket carries the id of the overwrite that wrote it).
+      val applied: Set[Int] =
+        if (batchId < 0 || !stateExists) Set.empty
+        else old.groupBy(col(BucketCol))
+          .agg(max(col(AppliedCol)).as("__b"))
+          .filter(col("__b") === batchId)
+          .select(BucketCol).collect().map(_.getInt(0)).toSet
+      val pending = touched.filterNot(applied)
+      if (pending.isEmpty) { commit(fs, path, batchId); return }
+      val pBox = pending.map(Int.box)
 
-    val merged = merge(
-        old.filter(col(BucketCol).isin(pBox: _*)).drop(AppliedCol),
-        delta.filter(col(BucketCol).isin(pBox: _*)))
-      .withColumn(AppliedCol, lit(batchId))
-      // cut lineage from the files the write below replaces — Spark
-      // refuses (and must refuse) a write whose plan still READS the
-      // overwritten partitions
-      .localCheckpoint()
-    merged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(BucketCol)
-      .parquet(sPath)
-    // dynamic overwrite replaces only partitions PRESENT in the written
-    // frame — a pending bucket whose every row the merge dropped writes
-    // nothing and would silently keep its stale rows. Clear it.
-    val keptBuckets = merged.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet
-    pending.filterNot(keptBuckets).foreach { b =>
-      fs.delete(new Path(s"$sPath/$BucketCol=$b"), true)
-    }
-    commit(fs, path, batchId)
+      val merged = merge(
+          old.filter(col(BucketCol).isin(pBox: _*)).drop(AppliedCol),
+          delta.filter(col(BucketCol).isin(pBox: _*)))
+        .withColumn(AppliedCol, lit(batchId))
+        // cut lineage from the files the write below replaces — Spark
+        // refuses (and must refuse) a write whose plan still READS the
+        // overwritten partitions; localCheckpoint is EAGER, so the cached
+        // slice is fully consumed once this line returns
+        .localCheckpoint()
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol)
+        .parquet(sPath)
+      // dynamic overwrite replaces only partitions PRESENT in the written
+      // frame — a pending bucket whose every row the merge dropped writes
+      // nothing and would silently keep its stale rows. Clear it.
+      val keptBuckets = merged.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      pending.filterNot(keptBuckets).foreach { b =>
+        fs.delete(new Path(s"$sPath/$BucketCol=$b"), true)
+      }
+      commit(fs, path, batchId)
+    } finally old.unpersist(blocking = false)
   }
 }

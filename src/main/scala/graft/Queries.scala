@@ -716,6 +716,104 @@ object Queries {
       .orderBy(col("col_name"))
   }
 
+  register("quality_drift_ks", Some(
+    """WITH cur AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |mr AS (
+      |  SELECT 'value' AS col_name, CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE value IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'user_id', CAST(user_id AS DOUBLE)
+      |  FROM events WHERE user_id IS NOT NULL),
+      |mc AS (
+      |  SELECT 'value' AS col_name, CAST(value AS DOUBLE) AS v
+      |  FROM cur WHERE value IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'user_id', CAST(user_id AS DOUBLE)
+      |  FROM cur WHERE user_id IS NOT NULL),
+      |cr AS (SELECT col_name, v, count(*) AS n_ref FROM mr GROUP BY 1, 2),
+      |cc AS (SELECT col_name, v, count(*) AS n_cur FROM mc GROUP BY 1, 2),
+      |j AS (SELECT coalesce(cr.col_name, cc.col_name) AS col_name,
+      |             coalesce(cr.v, cc.v) AS v,
+      |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      |      FROM cr FULL OUTER JOIN cc
+      |        ON cr.col_name = cc.col_name AND cr.v = cc.v),
+      |w AS (SELECT col_name,
+      |        CAST(sum(n_ref) OVER (PARTITION BY col_name
+      |          ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rcum,
+      |        CAST(sum(n_cur) OVER (PARTITION BY col_name
+      |          ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ccum,
+      |        CAST(sum(n_ref) OVER (PARTITION BY col_name) AS BIGINT) AS tr,
+      |        CAST(sum(n_cur) OVER (PARTITION BY col_name) AS BIGINT) AS tc
+      |      FROM j)
+      |SELECT col_name,
+      |  round(max(abs(CAST(rcum AS DOUBLE) / tr - CAST(ccum AS DOUBLE) / tc)),
+      |    6) AS ks,
+      |  max(tr) AS n_ref, max(tc) AS n_cur
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+    // Two-sample Kolmogorov–Smirnov drift — the binning-free sibling of
+    // quality_drift_psi over the SAME reference/current pair, so the two
+    // monitors are directly comparable on one feed: KS reports the
+    // worst-case CDF gap anywhere (catching a shift inside one PSI
+    // bucket), with no binning hyper-parameter. The shuffle carries one
+    // count row per distinct value per column — never data rows; NULLs
+    // are excluded (null-rate drift is PSI's bucket −1 job). Integer
+    // counts + exact rational CDFs keep the statistic engine-portable.
+    val events = Tables.events(s, dir)
+    graft.operators.Quality.driftKs(events,
+        events.filter(col("event_type") === "purchase"),
+        Seq("value", "user_id"))
+      .orderBy(col("col_name"))
+  }
+
+  register("quality_drift_categorical", Some(
+    """WITH cur AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+      |mr AS (SELECT 'lang' AS col_name, coalesce(lang, '∅') AS cat
+      |       FROM documents
+      |       UNION ALL
+      |       SELECT 'source', coalesce(source, '∅') FROM documents),
+      |mc AS (SELECT 'lang' AS col_name, coalesce(lang, '∅') AS cat FROM cur
+      |       UNION ALL
+      |       SELECT 'source', coalesce(source, '∅') FROM cur),
+      |cr AS (SELECT col_name, cat, count(*) AS n_ref FROM mr GROUP BY 1, 2),
+      |cc AS (SELECT col_name, cat, count(*) AS n_cur FROM mc GROUP BY 1, 2),
+      |j AS (SELECT coalesce(cr.col_name, cc.col_name) AS col_name,
+      |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      |      FROM cr FULL OUTER JOIN cc
+      |        ON cr.col_name = cc.col_name AND cr.cat = cc.cat),
+      |t AS (SELECT col_name, n_ref, n_cur,
+      |        CAST(sum(n_ref) OVER (PARTITION BY col_name) AS BIGINT) AS tr,
+      |        CAST(sum(n_cur) OVER (PARTITION BY col_name) AS BIGINT) AS tc,
+      |        count(*) OVER (PARTITION BY col_name) AS k
+      |      FROM j),
+      |p AS (SELECT col_name, n_cur, tr, tc, k,
+      |        greatest(CAST(n_ref AS DOUBLE) / tr, 0.0001) AS pr,
+      |        greatest(CAST(n_cur AS DOUBLE) / tc, 0.0001) AS pc,
+      |        (CAST(tc AS DOUBLE) * (CAST(n_ref AS DOUBLE) + 0.5)) /
+      |          (CAST(tr AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS e
+      |      FROM t)
+      |SELECT col_name,
+      |  round(CAST(sum(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(38,12)))
+      |    AS DOUBLE), 6) AS psi,
+      |  round(CAST(sum(CAST((CAST(n_cur AS DOUBLE) - e) *
+      |      (CAST(n_cur AS DOUBLE) - e) / e AS DECIMAL(38,12)))
+      |    AS DOUBLE), 6) AS chi2,
+      |  CAST(max(k) AS BIGINT) AS n_categories,
+      |  max(tr) AS n_ref, max(tc) AS n_cur
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+    // Categorical mix drift — the discrete third leg of the drift suite:
+    // PSI over category proportions + add-half-smoothed chi-square, per
+    // string column, reference = the full corpus vs current = a
+    // deterministic doc_id%3 slice (near-zero drift by construction —
+    // the entry pins the SMOOTHED zero-ish regime, while QualitySpec
+    // pins hard mix changes). NULL is a first-class category (sentinel
+    // ∅); the shuffle carries one count row per category per column.
+    val docs = Tables.documents(s, dir)
+    graft.operators.Quality.driftCategorical(docs,
+        docs.filter(col("doc_id") % 3 === 0),
+        Seq("lang", "source"))
+      .orderBy(col("col_name"))
+  }
+
   register("quality_correlations", Some(
     """WITH s AS (SELECT
       |  count(*) AS n,
@@ -3300,6 +3398,39 @@ object Queries {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  register("dedup_fuzzy_join", Some(
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(str_split(text, ' ')) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |        i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))
+      |    ELSE [] END AS ngrams
+      |  FROM documents),
+      |lg AS (SELECT doc_id AS left_id, len(ngrams) AS sza,
+      |         unnest(ngrams) AS g FROM d WHERE doc_id < 50),
+      |rg AS (SELECT doc_id AS right_id, len(ngrams) AS szb,
+      |         unnest(ngrams) AS g FROM d WHERE doc_id >= 50),
+      |p AS (SELECT left_id, right_id, max(sza) AS sza, max(szb) AS szb,
+      |        count(*) AS inter
+      |      FROM lg JOIN rg USING (g) GROUP BY 1, 2)
+      |SELECT left_id, right_id,
+      |  round(CAST(inter AS DOUBLE) / (sza + szb - inter), 6) AS jaccard
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE) / (sza + szb - inter) >= 0.02""".stripMargin)) { (s, dir) =>
+    // FUZZY JOIN across two tables (record linkage / feed reconciliation):
+    // the incoming slice (doc_id < 50) matched against the existing
+    // corpus by exact shingle Jaccard, candidates through PPJoin prefix
+    // filtering under ONE common rarest-first order over both sides'
+    // union — lossless, so the entry hash-matches the brute posting-list
+    // oracle exactly, with no cross product on either engine. DedupSpec
+    // proves candidate completeness and brute-force identity.
+    val docs = Tables.documents(s, dir)
+    Dedup.fuzzyJoin(docs.filter(col("doc_id") < 50),
+        docs.filter(col("doc_id") >= 50), n = 3, minJaccard = 0.02)
+      .select(col("left_id"), col("right_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   register("dedup_containment", Some(
     """WITH d AS (
       |  SELECT doc_id, source,
@@ -4641,6 +4772,37 @@ object Queries {
     // 2022): cross-doc repeated width-5 windows merged into maximal spans
     // (gaps-and-islands, one doc-keyed exchange). Integer-only output.
     graft.functions.CorpusOps.repeatedSpans(Tables.documents(s, dir), width = 5)
+  }
+
+  register("corpus_strip_repeated_spans", Some(
+    """WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(range(0, len(t) - 4)) AS pos, t
+      |      FROM d WHERE len(t) >= 5),
+      |g2 AS (SELECT doc_id, pos,
+      |    md5(array_to_string(t[(pos + 1):(pos + 5)], ' ')) AS h FROM g),
+      |rep AS (SELECT h FROM g2 GROUP BY h
+      |        HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, unnest(range(pos + 1, pos + 6)) AS tp
+      |        FROM g2 JOIN rep USING (h)),
+      |tk AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS tp, t FROM d),
+      |tok AS (SELECT doc_id, tp, t[tp] AS token FROM tk)
+      |SELECT tok.doc_id,
+      |  coalesce(string_agg(CASE WHEN cov.tp IS NULL THEN tok.token END,
+      |    ' ' ORDER BY tok.tp), '') AS clean_text,
+      |  count(CASE WHEN cov.tp IS NULL THEN 1 END) AS n_kept,
+      |  count(*) AS n_tokens
+      |FROM tok LEFT JOIN cov
+      |  ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+      |GROUP BY tok.doc_id""".stripMargin)) { (s, dir) =>
+    // The ACT half of corpus_repeated_spans (Lee et al. 2022 substring
+    // dedup at shingle resolution): every token covered by a cross-doc
+    // repeated width-5 window is stripped from every document and the
+    // text rebuilt in order — catching boilerplate at ANY alignment,
+    // where the fixed-grid segment dedup needs it to start on a
+    // boundary. Marked windows merge to maximal islands BEFORE the
+    // covered-position explode, so the blow-up is covered-tokens-bounded.
+    graft.functions.CorpusOps.stripRepeatedSpans(
+      Tables.documents(s, dir), width = 5)
   }
 
   register("corpus_decontaminate", Some(

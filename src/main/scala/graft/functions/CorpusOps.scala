@@ -695,6 +695,86 @@ object CorpusOps {
         coalesce(col("max_span_len"), lit(0L)).as("max_span_len"))
   }
 
+  /** Cross-document repeated-span REMOVAL — the act half of
+    * [[repeatedSpans]] (which only measures): every token covered by a
+    * stride-1 `width`-gram that occurs in >= 2 distinct documents is
+    * dropped from EVERY document, and each document is rebuilt from its
+    * surviving tokens in original order. This is the substring-dedup step
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better" — public paper) at shingle resolution: unlike
+    * [[dropRepeatedSegments]]'s fixed non-overlapping grid, a copied
+    * sentence is caught at ANY alignment, so boilerplate cannot hide by
+    * straddling a segment boundary.
+    *
+    * Scale shape, in passes over the corpus:
+    *  1. stride-1 shingles explode scan-locally; the frequency pass
+    *     shuffles only (md5, doc_id) pairs (text never rides the wire).
+    *  2. the repeated set joins back UNHINTED — AQE promotes to broadcast
+    *     from observed size (same policy as [[dropRepeatedSegments]]).
+    *  3. marked window starts merge into maximal disjoint islands FIRST
+    *     (gaps-and-islands, the [[repeatedSpans]] machinery), and covered
+    *     token positions explode from the MERGED spans — the blow-up is
+    *     bounded by covered tokens, not marked-windows × width (a doc
+    *     that is one long repeat yields one island, not n_tokens windows).
+    *  4. rebuild: one doc-keyed shuffle carrying (position, token) — the
+    *     same unavoidable reassembly pass the segment form pays.
+    *
+    * Output: (idCol, clean_text, n_kept, n_tokens); every input document
+    * appears — untouched docs (and docs shorter than `width`) survive
+    * whole, a fully-covered doc survives with clean_text = ''. */
+  def stripRepeatedSpans(docs: DataFrame, width: Int = 5,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(width >= 1, s"span width must be >= 1 (got $width)")
+    import org.apache.spark.sql.expressions.Window
+    val grams = positionalNgrams(docs, width, idCol, textCol)
+      .select(col(idCol), col("__pos"), md5(col("__gram")).as("__h"))
+    val repeated = grams
+      .groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select("__h")
+    // islands merge when consecutive starts are within width (overlap or
+    // exact adjacency) — merged spans are disjoint AND non-adjacent, so
+    // the covered-position explode below emits each position exactly once
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val covered = grams.join(repeated, "__h")
+      .select(col(idCol), col("__pos"))
+      .withColumn("__brk",
+        when(col("__pos") - lag(col("__pos"), 1).over(byPos) > width, 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__brk"))
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__pos")).as("__lo"),
+        (max(col("__pos")) + lit(width) - 1).as("__hi"))
+      .select(col(idCol),
+        explode(sequence(col("__lo"), col("__hi"))).as("__tp"),
+        lit(1).as("__cov"))
+    val toks = docs
+      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))))
+      .withColumnRenamed("pos", "__tp")
+      .withColumnRenamed("col", "__tok")
+    val rebuilt = toks
+      .join(covered, Seq(idCol, "__tp"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        // collect_list skips nulls → covered tokens vanish before the
+        // sort; __tp is unique per doc so array_sort is a total order
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__cov").isNull, struct(col("__tp"), col("__tok"))))),
+          s => s("__tok")), " ").as("clean_text"),
+        count(when(col("__cov").isNull, lit(1))).as("n_kept"),
+        count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   /** Best-fit sequence packing — the waste-minimizing sibling of
     * [[packSequences]] (cf. Krell et al. 2021, "Efficient Sequence Packing
     * without Cross-contamination", and Ding et al. 2024, "Fewer Truncations

@@ -217,6 +217,85 @@ object Dedup {
       .distinct()
   }
 
+  /** FUZZY JOIN between two tables by text similarity — the bipartite
+    * sibling of [[prefixJaccardPairs]]: every (left, right) pair whose
+    * shingle-set Jaccard clears `minJaccard`, with candidates admitted
+    * only through PPJoin prefix filtering (Xiao et al. WWW 2008) under a
+    * rarest-first order computed over the UNION of both sides (the lemma
+    * needs one COMMON total order; a per-side order would be unsound).
+    * This is the record-linkage / feed-reconciliation primitive: match a
+    * new feed against the existing corpus, an eval set against training
+    * data, two vendors' catalogs — WITHOUT the cross product.
+    *
+    * Same lossless guarantees as the self-join form: a pair with
+    * `J ≥ τ` must share a shingle inside both prefixes (too long to miss
+    * the intersection), plus the length filter
+    * `τ·max(|x|,|y|) ≤ min(|x|,|y|)`; verification is exact Jaccard over
+    * the two doc-sized shingle arrays riding the candidate join. Plan
+    * shape at 100 TB: one df aggregation over the UNION of prefix
+    * postings, one equi-join of left prefixes to right prefixes (Σ over
+    * shared shingles of df_left·df_right — rarest-first keeps those
+    * products small), one candidate-sized verify join. Docs shorter than
+    * `n` tokens have empty shingle sets and cannot match (dropped, both
+    * engines). Output: (left_id, right_id, jaccard). */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, n: Int,
+                minJaccard: Double,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val la = left.select(col(idCol).as("left_id"),
+      TextFunctions.shingleHashes(col(textCol), n).as("ngrams_a"))
+    val rb = right.select(col(idCol).as("right_id"),
+      TextFunctions.shingleHashes(col(textCol), n).as("ngrams_b"))
+    fuzzyJoinCandidates(left, right, n, minJaccard, idCol, textCol)
+      .join(la, "left_id")
+      .join(rb, "right_id")
+      .select(col("left_id"), col("right_id"),
+        jaccard(col("ngrams_a"), col("ngrams_b")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The candidate stage of [[fuzzyJoin]], exposed for tests and capacity
+    * planning — a provable superset of the `J ≥ minJaccard` cross pairs.
+    * Output: (left_id, right_id), distinct. */
+  def fuzzyJoinCandidates(left: DataFrame, right: DataFrame, n: Int,
+                          minJaccard: Double,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0,1] (got $minJaccard)")
+    def sized(df: DataFrame, side: String) =
+      df.select(col(idCol).as(s"${side}_id"),
+        TextFunctions.shingleHashes(col(textCol), n).as("ngrams"))
+        .select(col(s"${side}_id"), col("ngrams"),
+          size(col("ngrams")).as(s"sz_$side"))
+    val l = sized(left, "left")
+    val r = sized(right, "right")
+    val le = l.select(col("left_id"), col("sz_left"),
+      explode(col("ngrams")).as("g"))
+    val re = r.select(col("right_id"), col("sz_right"),
+      explode(col("ngrams")).as("g"))
+    // the COMMON rarest-first order: df over both sides together
+    val dfs = le.select(col("g")).unionAll(re.select(col("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    def prefixed(e: DataFrame, id: String, sz: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(id)).orderBy(col("df").asc, col("g").asc)
+      e.join(dfs, "g")
+        .withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= (col(sz) -
+          ceil(col(sz) * lit(minJaccard) - lit(1e-9)) + lit(1)).cast("int"))
+        .select(col("g"), col(id), col(sz))
+    }
+    prefixed(le, "left_id", "sz_left").as("a")
+      .join(prefixed(re, "right_id", "sz_right").as("b"),
+        col("a.g") === col("b.g") &&
+          greatest(col("a.sz_left"), col("b.sz_right")) * lit(minJaccard) <=
+            least(col("a.sz_left"), col("b.sz_right")) + lit(1e-9))
+      .select(col("a.left_id").as("left_id"),
+        col("b.right_id").as("right_id"))
+      .distinct()
+  }
+
   /** Posting-list pair core shared by the Jaccard AND containment forms:
     * for every in-block pair sharing ≥1 shingle, the exact intersection
     * size plus both distinct-set sizes — `(block, doc_a, doc_b, inter,

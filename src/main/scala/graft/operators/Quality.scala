@@ -242,6 +242,130 @@ object Quality {
         max(col("__tc")).as("n_cur"))
   }
 
+  /** Distribution drift as the two-sample Kolmogorov–Smirnov statistic —
+    * the binning-free sibling of [[driftPsi]]: per numeric column,
+    * `KS = sup_x |F_ref(x) − F_cur(x)|` over the empirical CDFs. Where
+    * PSI answers "how much mass moved between my 10 buckets", KS answers
+    * "what is the worst-case CDF gap anywhere" — it catches a tight shift
+    * inside one PSI bucket that equal-width binning averages away, and it
+    * has no binning hyper-parameter to tune per column.
+    *
+    * Plan shape: ONE pass per table melts the k columns into
+    * (col, value) pairs and partial-aggregates counts, so the shuffle
+    * carries one row per DISTINCT value per column, never data rows; the
+    * full-outer merge plus a per-column running sum turns counts into
+    * CDFs. The per-column window sorts NDV rows with parallelism = k —
+    * fine for ids/categories/quantized metrics; for a truly continuous
+    * 100 TB column, round upstream or take quantiles from the mergeable
+    * KLL sketch ([[graft.functions.Sketches]]) and difference those
+    * instead. NULLs are excluded (KS is defined over values); a null-RATE
+    * change is [[driftPsi]]'s bucket −1 job. Counts are integers and the
+    * max over exact rational CDF gaps is order-independent, so the
+    * reported statistic is engine-portable.
+    *
+    * Output: `(col_name, ks, n_ref, n_cur)` — n_* are non-null counts;
+    * rule of thumb at these sizes: reject when
+    * `ks > c(α)·sqrt((n_ref+n_cur)/(n_ref·n_cur))`, c(0.05) ≈ 1.36. */
+  def driftKs(reference: DataFrame, current: DataFrame,
+              cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "driftKs needs at least one column")
+    cols.foreach(c => require(
+      reference.schema(c).dataType.isInstanceOf[NumericType] &&
+        current.schema(c).dataType.isInstanceOf[NumericType],
+      s"driftKs needs numeric columns (got $c)"))
+    def counted(df: DataFrame): DataFrame = {
+      val pairs = cols.map(c =>
+        struct(lit(c).as("col_name"), col_(c).cast("double").as("v")))
+      df.select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("col_name"), col("v"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val ref = counted(reference).withColumnRenamed("n", "n_ref")
+    val cur = counted(current).withColumnRenamed("n", "n_cur")
+    val byVal = Window.partitionBy(col("col_name")).orderBy(col("v"))
+    val whole = Window.partitionBy(col("col_name"))
+    ref.join(cur, Seq("col_name", "v"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("__cr", sum(col("n_ref")).over(byVal))
+      .withColumn("__cc", sum(col("n_cur")).over(byVal))
+      .withColumn("__tr", sum(col("n_ref")).over(whole))
+      .withColumn("__tc", sum(col("n_cur")).over(whole))
+      .groupBy(col("col_name"))
+      .agg(
+        round(max(abs(col("__cr") / col("__tr") - col("__cc") / col("__tc"))),
+          6).as("ks"),
+        max(col("__tr")).as("n_ref"),
+        max(col("__tc")).as("n_cur"))
+  }
+
+  /** Distribution drift for CATEGORICAL columns — the third leg of the
+    * drift suite ([[driftPsi]] equal-width numeric, [[driftKs]]
+    * binning-free numeric): per string column, PSI over category
+    * proportions plus Pearson's chi-square statistic against the
+    * reference proportions. The monitoring question for the discrete
+    * dimensions of a feed (lang, source, event_type): "did today's
+    * category mix move?" — a new language appearing, a source going
+    * dark, a label flipping majority all land here, invisible to the
+    * numeric legs.
+    *
+    * Plan shape: ONE melted pass per table partial-aggregates
+    * (col, category) counts — the shuffle carries one row per category
+    * per column, never data rows; a full-outer merge aligns the two
+    * sides so categories seen on only one side still contribute. NULL is
+    * a first-class category (sentinel '∅' — a null-rate change IS mix
+    * drift here, matching driftPsi's bucket −1 policy). PSI proportions
+    * are ε-smoothed exactly like [[driftPsi]]; chi-square expected counts
+    * are add-half smoothed (`(n_ref + 0.5) / (tr + 0.5·k)`) so a
+    * category absent from the reference contributes a finite term. Both
+    * term sums are decimal-routed — accumulation order cannot move the
+    * reported statistics.
+    *
+    * Output: `(col_name, psi, chi2, n_categories, n_ref, n_cur)`;
+    * chi-square's null reference is the chi2(k−1) distribution — at
+    * these df, chi2 > ~3·k already means a real mix change. */
+  def driftCategorical(reference: DataFrame, current: DataFrame,
+                       cols: Seq[String], eps: Double = 1e-4): DataFrame = {
+    require(cols.nonEmpty, "driftCategorical needs at least one column")
+    cols.foreach(c => require(
+      reference.schema(c).dataType == StringType &&
+        current.schema(c).dataType == StringType,
+      s"driftCategorical needs string columns (got $c)"))
+    def counted(df: DataFrame): DataFrame = {
+      val pairs = cols.map(c =>
+        struct(lit(c).as("col_name"),
+          coalesce(col_(c), lit("∅")).as("cat")))
+      df.select(explode(array(pairs: _*)).as("p"))
+        .groupBy(col("p.col_name").as("col_name"), col("p.cat").as("cat"))
+        .agg(count(lit(1)).as("n"))
+    }
+    val ref = counted(reference).withColumnRenamed("n", "n_ref")
+    val cur = counted(current).withColumnRenamed("n", "n_cur")
+    val whole = Window.partitionBy(col("col_name"))
+    ref.join(cur, Seq("col_name", "cat"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("__tr", sum(col("n_ref")).over(whole))
+      .withColumn("__tc", sum(col("n_cur")).over(whole))
+      .withColumn("__k", count(lit(1)).over(whole))
+      .withColumn("__pr", greatest(col("n_ref") / col("__tr"), lit(eps)))
+      .withColumn("__pc", greatest(col("n_cur") / col("__tc"), lit(eps)))
+      // add-half smoothed expected count for the chi-square term
+      .withColumn("__e", col("__tc") * (col("n_ref") + lit(0.5)) /
+        (col("__tr") + lit(0.5) * col("__k")))
+      .groupBy(col("col_name"))
+      .agg(
+        round(sum(((col("__pc") - col("__pr")) *
+            log(col("__pc") / col("__pr"))).cast("decimal(38,12)"))
+          .cast("double"), 6).as("psi"),
+        round(sum(((col("n_cur") - col("__e")) * (col("n_cur") - col("__e")) /
+            col("__e")).cast("decimal(38,12)"))
+          .cast("double"), 6).as("chi2"),
+        max(col("__k")).as("n_categories"),
+        max(col("__tr")).as("n_ref"),
+        max(col("__tc")).as("n_cur"))
+  }
+
   /** Row-level gate — the streaming-safe sibling of [[runChecks]]: tag
     * each row with the FIRST scan-local check it violates (`null` = the
     * row is valid), in `checks` order. A pure narrow projection — no

@@ -535,6 +535,43 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(4L) === ((2L, 10L, 5L)))
   }
 
+  test("strip repeated spans: removes cross-doc repeats at any alignment, keeps the rest") {
+    import spark.implicits._
+    val fix = Seq(
+      // the shared 5-run "A B C D E" sits at DIFFERENT offsets — the
+      // fixed-grid segment form would miss one of these alignments
+      (1L, "u1 u2 A B C D E u3"),
+      (2L, "v1 A B C D E v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6"), // repeats nothing
+      (4L, "s1 s2"))             // shorter than width → kept whole
+      .toDF("doc_id", "text")
+    val r = CorpusOps.stripRepeatedSpans(fix, width = 5)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) === (("u1 u2 u3", 3L, 8L)))
+    assert(r(2L) === (("v1 v2 v3", 3L, 8L)))
+    assert(r(3L) === (("w1 w2 w3 w4 w5 w6", 6L, 6L)))
+    assert(r(4L) === (("s1 s2", 2L, 2L)))
+    // a doc that is ENTIRELY a repeat survives as the empty string
+    val dup = Seq((1L, "X Y Z W Q"), (2L, "X Y Z W Q")).toDF("doc_id", "text")
+    val d = CorpusOps.stripRepeatedSpans(dup, width = 5)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(d === Map(1L -> "", 2L -> ""))
+  }
+
+  test("strip repeated spans: removal count equals the detector's covered_tokens") {
+    // the act half must strip EXACTLY the tokens the measure half reports
+    // covered, doc for doc, on the real corpus
+    val stripped = CorpusOps.stripRepeatedSpans(docs, width = 5)
+      .select(col("doc_id"), (col("n_tokens") - col("n_kept")).as("removed"))
+    val measured = CorpusOps.repeatedSpans(docs, width = 5)
+      .select(col("doc_id"), col("covered_tokens"))
+    val mismatch = stripped.join(measured, "doc_id")
+      .filter(col("removed") =!= col("covered_tokens"))
+    assert(mismatch.count() === 0)
+    assert(stripped.count() === docs.count())
+  }
+
   test("snapshotDiff classifies every id into exactly one status") {
     import spark.implicits._
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"))

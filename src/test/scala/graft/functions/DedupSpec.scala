@@ -255,6 +255,55 @@ class DedupSpec extends SparkSpec {
     assert(lowTau === lowTruth && lowTau.size === m * (m - 1) / 2)
   }
 
+  test("fuzzy cross-table join == brute-force bipartite jaccard; prefixes bound candidates") {
+    import spark.implicits._
+    val left = docs.filter(col("doc_id") < 100)
+    val right = docs.filter(col("doc_id") >= 100)
+    // brute truth: the full bipartite posting-list join, no prefix cut
+    def brute(tau: Double) = {
+      val sets = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("ng"))
+      sets.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("left_id"), col("ng").as("na"))
+        .crossJoin(sets.filter(col("doc_id") >= 100)
+          .select(col("doc_id").as("right_id"), col("ng").as("nb")))
+        .select(col("left_id"), col("right_id"),
+          Dedup.jaccard(col("na"), col("nb")).as("jaccard"))
+        .filter(col("jaccard") >= tau)
+    }
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    for (tau <- Seq(0.02, 0.2, 0.5)) {
+      val viaPrefix = keyed(Dedup.fuzzyJoin(left, right, 3, tau))
+      val viaBrute = keyed(brute(tau))
+      assert(viaPrefix === viaBrute, s"fuzzy join diverged at tau=$tau")
+    }
+    assert(keyed(Dedup.fuzzyJoin(left, right, 3, 0.02)).nonEmpty,
+      "fixture should emit cross pairs at tau=0.02")
+    // the bipartite boilerplate hazard: every left doc shares a header
+    // with every right doc; at a threshold those pairs can't reach, the
+    // common rarest-first order fills prefixes with unique tails and the
+    // candidate stage admits ZERO — no m·k cross mass materializes
+    val lb = (0 until 20).map(i =>
+      (i.toLong, s"shared header line ltail${i}a ltail${i}b ltail${i}c"))
+      .toDF("doc_id", "text")
+    val rb = (0 until 20).map(i =>
+      (100L + i, s"shared header line rtail${i}a rtail${i}b rtail${i}c"))
+      .toDF("doc_id", "text")
+    assert(Dedup.fuzzyJoinCandidates(lb, rb, 3, 0.5).count() === 0L)
+    // and at a low threshold nothing is lost vs brute force
+    val ls = lb.select(col("doc_id").as("left_id"),
+      graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("na"))
+    val rs = rb.select(col("doc_id").as("right_id"),
+      graft.functions.TextFunctions.shingleHashes(col("text"), 3).as("nb"))
+    val bruteLow = ls.crossJoin(rs)
+      .select(col("left_id"), col("right_id"),
+        Dedup.jaccard(col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.05)
+    assert(keyed(Dedup.fuzzyJoin(lb, rb, 3, 0.05)) === keyed(bruteLow))
+  }
+
   test("bulk simhashes match the column-expression simhash") {
     val bulk = Dedup.simhashes(docs, "source")
       .select("doc_id", "sh").collect()

@@ -189,6 +189,71 @@ class QualitySpec extends SparkSpec {
       s"melted counts not partial-aggregated:\n$plan")
   }
 
+  test("driftKs: identity reads 0, disjoint shift reads 1, a half cut reads exactly 0.5") {
+    import spark.implicits._
+    val ref = (1 to 1000).map(i => (i.toDouble, i.toLong)).toDF("x", "y")
+    val same = Quality.driftKs(ref, ref, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(same("x") === 0.0 && same("y") === 0.0)
+    // fully disjoint supports → the CDF gap hits 1 somewhere
+    val shifted = ref.select((col("x") + 10000).as("x"), col("y"))
+    val d1 = Quality.driftKs(ref, shifted, Seq("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d1("x") === 1.0)
+    // current = the lower half of the reference: at x=500 F_cur=1,
+    // F_ref=0.5 → KS exactly 0.5 (integer counts, exact rationals)
+    val lower = ref.filter(col("x") <= 500)
+    val d2 = Quality.driftKs(ref, lower, Seq("x"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d2("x") === 0.5)
+    // NULLs are excluded from the statistic, and n_* report non-null rows
+    val nulled = ref.select(
+      when(col("y") % 2 === 0, col("x")).as("x"), col("y"))
+    // evens keep every other value: the CDF gap peaks at odd values,
+    // exactly 1/1000 — near-zero drift, and n_cur counts non-null rows
+    val nd = Quality.driftKs(ref, nulled, Seq("x")).collect().head
+    assert(nd.getDouble(1) === 0.001)
+    assert(nd.getLong(3) === 500)
+  }
+
+  test("driftKs plan: melted count aggregates, full-outer count merge, no row joins") {
+    val ref = Tables.lineitem(spark, sfSmall)
+    val cur = ref.filter(col("l_returnflag") === "A")
+    val plan = Quality.driftKs(ref, cur, Seq("l_quantity", "l_extendedprice"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"), s"count merge must be full outer:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$plan")
+    // (col, value) counts partial-aggregate map-side before the exchange
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"melted counts not partial-aggregated:\n$plan")
+  }
+
+  test("driftCategorical: identity reads 0/0; a mix flip reads large; hand-computed chi2") {
+    import spark.implicits._
+    val ref = ((1 to 50).map(_ => "a") ++ (1 to 50).map(_ => "b"))
+      .toDF("cat")
+    val same = Quality.driftCategorical(ref, ref, Seq("cat")).collect().head
+    assert(same.getDouble(1) === 0.0 && same.getDouble(2) === 0.0)
+    // majority flip 90/10 → 10/90
+    val r90 = ((1 to 90).map(_ => "a") ++ (1 to 10).map(_ => "b")).toDF("cat")
+    val c90 = ((1 to 10).map(_ => "a") ++ (1 to 90).map(_ => "b")).toDF("cat")
+    val flip = Quality.driftCategorical(r90, c90, Seq("cat")).collect().head
+    assert(flip.getDouble(1) > 0.25 && flip.getDouble(2) > 50.0)
+    // hand check: ref {a:3,b:1}, cur {a:1,b:3} → e_a=2.8, e_b=1.2,
+    // chi2 = 1.8²/2.8 + 1.8²/1.2 = 3.857143 (round 6)
+    val r4 = Seq("a", "a", "a", "b").toDF("cat")
+    val c4 = Seq("a", "b", "b", "b").toDF("cat")
+    val hand = Quality.driftCategorical(r4, c4, Seq("cat")).collect().head
+    assert(hand.getDouble(2) === 3.857143)
+    // a category unseen in the reference stays finite (add-half smoothing)
+    // and counts toward n_categories; NULL is a first-class category
+    val withNew = Seq("a", "c", "c", null).toDF("cat")
+    val nv = Quality.driftCategorical(r4, withNew, Seq("cat")).collect().head
+    assert(!nv.getDouble(2).isNaN && !nv.getDouble(2).isInfinite)
+    assert(nv.getLong(3) === 4) // a, b, c, ∅
+  }
+
   test("quarantine tags first failing check in order; split partitions") {
     import Quality._
     val checks = Seq(InRange("qty", 1, 10), AcceptedValues("flag", Seq("A", "B")),

@@ -653,7 +653,10 @@ object Queries {
       .orderBy(col("check"))
   }
 
-  register("quality_drift_psi", Some(
+  // shared verbatim by quality_drift_psi AND its streaming leg
+  // stream_drift_psi: the incremental monitor must read exactly what the
+  // batch monitor reads
+  private val driftPsiOracle =
     """WITH cur AS (SELECT * FROM events WHERE event_type = 'purchase'),
       |mm AS (SELECT CAST(min(value) AS DOUBLE) mnv, CAST(max(value) AS DOUBLE) mxv,
       |              CAST(min(user_id) AS DOUBLE) mnu, CAST(max(user_id) AS DOUBLE) mxu
@@ -699,7 +702,9 @@ object Queries {
       |  round(CAST(sum(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(38,12)))
       |    AS DOUBLE), 6) AS psi,
       |  max(tr) AS n_ref, max(tc) AS n_cur
-      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
+  register("quality_drift_psi", Some(driftPsiOracle)) { (s, dir) =>
     // Distribution DRIFT as the population stability index — the
     // between-ingest monitoring question ("is today's feed still
     // yesterday's distribution?"): reference = the full events history,
@@ -762,6 +767,29 @@ object Queries {
     graft.operators.Quality.driftKs(events,
         events.filter(col("event_type") === "purchase"),
         Seq("value", "user_id"))
+      .orderBy(col("col_name"))
+  }
+
+  register("quality_drift_ks_sketch", None) { (s, dir) =>
+    // The continuous-column scale path quality_drift_ks documents: KS
+    // estimated from one mergeable KLL sketch per side per column —
+    // shuffle carries KB sketch partials instead of per-distinct-value
+    // counts, no per-column sort, and persisted per-partition sketches
+    // answer drift over ANY date range later (the agg_kll_mergeable
+    // architecture applied to monitoring). KLL compaction is randomized
+    // → no_oracle by nature; QualitySpec gates |approx − exact| ≤ 0.05
+    // against the exact statistic, and the entry carries both readings
+    // side by side on the SAME pair the exact entry monitors.
+    val events = Tables.events(s, dir)
+    val cur = events.filter(col("event_type") === "purchase")
+    val approx = graft.operators.Quality.driftKsSketch(
+      events, cur, Seq("value", "user_id"))
+    val exact = graft.operators.Quality.driftKs(
+        events, cur, Seq("value", "user_id"))
+      .select(col("col_name"), col("ks").as("ks_exact"))
+    approx.join(exact, "col_name")
+      .select(col("col_name"), col("ks_approx"), col("ks_exact"),
+        col("n_ref"), col("n_cur"))
       .orderBy(col("col_name"))
   }
 
@@ -1192,6 +1220,56 @@ object Queries {
         "purchase_event long, secs_to_purchase long"))
       .select(col("user_id"), col("view_event"), col("purchase_event"),
         col("secs_to_purchase"))
+  }
+
+  register("stream_drift_psi", Some(driftPsiOracle)) { (s, dir) =>
+    // STREAMING drift monitor — quality_drift_psi's incremental leg: the
+    // current-side bucket counts accumulate in the STATE STORE across
+    // micro-batches (complete-mode streaming aggregation over the melted
+    // (col, bucket) pairs from Quality.psiMelted — a pure narrow
+    // projection, so it drops onto the stream unchanged), under a
+    // binning model FROZEN from the batch reference (psiBounds, the
+    // monitor's published recipe). Complete mode + a memory sink is the
+    // CORRECT shape here, not a scale compromise: the streamed result IS
+    // the k·(buckets+2)-row count table — model-sized by construction —
+    // where the data-sized stream entries rightly use append-mode file
+    // sinks. Two triggers (maxFilesPerTrigger=2 over 4 staged files)
+    // prove cross-batch accumulation; the tiny PSI finisher runs
+    // batch-side on the final counts. Oracle = the quality_drift_psi SQL
+    // VERBATIM — the monitor's reading after draining the feed must
+    // equal the batch reading exactly.
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-drift-$tag"
+    val src = s"$base/source"
+    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/checkpoint"), true)
+    val cols = Seq("value", "user_id")
+    val events = Tables.events(s, dir)
+    val bounds = graft.operators.Quality.psiBounds(events, cols)
+    val refCounts = graft.operators.Quality
+      .psiMelted(events, cols, bounds, 10)
+      .groupBy(col("col_name"), col("bucket")).agg(count(lit(1)).as("n"))
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(streamDDL))
+      .option("maxFilesPerTrigger", "2")
+      .json(src)
+      .filter(col("operation") === "purchase")
+    val curCounts = graft.operators.Quality
+      .psiMelted(stream, cols, bounds, 10)
+      .groupBy(col("col_name"), col("bucket")).agg(count(lit(1)).as("n"))
+    val qname = s"stream_drift_psi_${tag.replace(".", "_")}"
+    val q = curCounts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    graft.operators.Quality.psiFromCounts(refCounts, s.table(qname))
+      .orderBy(col("col_name"))
   }
 
   register("stream_interval_join_outer", Some(

@@ -191,39 +191,78 @@ object Quality {
   def driftPsi(reference: DataFrame, current: DataFrame, cols: Seq[String],
                nBuckets: Int = 10, eps: Double = 1e-4): DataFrame = {
     require(cols.nonEmpty, "driftPsi needs at least one column")
-    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
     cols.foreach(c => require(
-      reference.schema(c).dataType.isInstanceOf[NumericType] &&
-        current.schema(c).dataType.isInstanceOf[NumericType],
+      current.schema(c).dataType.isInstanceOf[NumericType],
       s"driftPsi needs numeric columns (got $c)"))
-    // one pass for every column's min/max
+    val bounds = psiBounds(reference, cols)
+    def counts(df: DataFrame) =
+      psiMelted(df, cols, bounds, nBuckets)
+        .groupBy(col("col_name"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+    psiFromCounts(counts(reference), counts(current), eps)
+  }
+
+  /** The binning model of [[driftPsi]]: the reference's per-column
+    * [min, max], ONE no-grouping aggregate pass, 2k doubles. Pinning
+    * these (rather than re-deriving from the current side) is the
+    * published PSI recipe — a drifted current lands in the clamp buckets
+    * instead of silently re-binning. Exposed so a STREAMING monitor can
+    * compute them once from the reference table and bucket every
+    * micro-batch under the same frozen model. */
+  def psiBounds(reference: DataFrame, cols: Seq[String]): Seq[(Double, Double)] = {
+    require(cols.nonEmpty, "psiBounds needs at least one column")
+    cols.foreach(c => require(
+      reference.schema(c).dataType.isInstanceOf[NumericType],
+      s"psiBounds needs numeric columns (got $c)"))
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(col_(c)).cast("double").as(s"__mn_$i"),
         max(col_(c)).cast("double").as(s"__mx_$i"))
     }
     val mm = reference.agg(aggs.head, aggs.tail: _*).head()
-    val bounds = cols.indices.map { i =>
+    cols.indices.map { i =>
       val mn = if (mm.isNullAt(2 * i)) 0.0 else mm.getDouble(2 * i)
       val mx = if (mm.isNullAt(2 * i + 1)) 0.0 else mm.getDouble(2 * i + 1)
       (mn, mx)
     }
-    def bucketed(df: DataFrame): DataFrame = {
-      val pairs = cols.zipWithIndex.map { case (c, i) =>
-        val (mn, mx) = bounds(i)
-        val b =
-          if (mx <= mn) when(col_(c).isNull, lit(-1)).otherwise(lit(0))
-          else when(col_(c).isNull, lit(-1)).otherwise(
-            least(greatest(
-              floor((col_(c).cast("double") - mn) / ((mx - mn) / nBuckets))
-                .cast("int"), lit(0)), lit(nBuckets - 1)))
-        struct(lit(c).as("col_name"), b.as("bucket"))
-      }
-      df.select(explode(array(pairs: _*)).as("p"))
-        .groupBy(col("p.col_name").as("col_name"), col("p.bucket").as("bucket"))
-        .agg(count(lit(1)).as("n"))
+  }
+
+  /** Melt k columns to (col_name, bucket) rows under a pinned binning
+    * model — a PURE NARROW projection (explode + scan-local arithmetic:
+    * no aggregate, no shuffle, no state), so it drops onto a streaming
+    * DataFrame unchanged; the caller picks the aggregation (batch
+    * groupBy here, incremental state-store counts on a stream). NULLs
+    * bucket to −1 (a null-rate change IS drift); out-of-range values
+    * clamp to the edge buckets; a zero-width column buckets everything
+    * to 0. */
+  def psiMelted(df: DataFrame, cols: Seq[String],
+                bounds: Seq[(Double, Double)], nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    require(bounds.length == cols.length, "one (min,max) per column")
+    val pairs = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = bounds(i)
+      val b =
+        if (mx <= mn) when(col_(c).isNull, lit(-1)).otherwise(lit(0))
+        else when(col_(c).isNull, lit(-1)).otherwise(
+          least(greatest(
+            floor((col_(c).cast("double") - mn) / ((mx - mn) / nBuckets))
+              .cast("int"), lit(0)), lit(nBuckets - 1)))
+      struct(lit(c).as("col_name"), b.as("bucket"))
     }
-    val ref = bucketed(reference).withColumnRenamed("n", "n_ref")
-    val cur = bucketed(current).withColumnRenamed("n", "n_cur")
+    df.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.bucket").as("bucket"))
+  }
+
+  /** The PSI finisher over two bucket-count tables `(col_name, bucket,
+    * n)` — model-sized inputs (k·(nBuckets+2) rows), so this runs in
+    * milliseconds wherever the counts came from: [[driftPsi]]'s batch
+    * aggregation or a streaming monitor's state store. Full-outer aligns
+    * buckets empty on one side; proportions are ε-smoothed; terms sum
+    * decimal-routed so accumulation order cannot move the reported PSI.
+    * Output: `(col_name, psi, n_ref, n_cur)`. */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+                    eps: Double = 1e-4): DataFrame = {
+    val ref = refCounts.withColumnRenamed("n", "n_ref")
+    val cur = curCounts.withColumnRenamed("n", "n_cur")
     val totals = Window.partitionBy(col("col_name"))
     ref.join(cur, Seq("col_name", "bucket"), "full_outer")
       .na.fill(0L, Seq("n_ref", "n_cur"))
@@ -298,6 +337,68 @@ object Quality {
           6).as("ks"),
         max(col("__tr")).as("n_ref"),
         max(col("__tc")).as("n_cur"))
+  }
+
+  /** The 100 TB path [[driftKs]]'s scaladoc promises: approximate
+    * two-sample KS from MERGEABLE KLL sketches (DataSketches, built into
+    * Spark 4) instead of exact per-value counts. Where exact KS shuffles
+    * one count row per distinct value (NDV-bounded — fine for discrete
+    * columns, quadratic-ish pain for a continuous 100 TB metric), this
+    * folds each side into ONE fixed-size sketch per column: the shuffle
+    * carries k sketch partials (KBs), the per-column "sort" disappears,
+    * and — because KLL merges losslessly within its rank-error bound —
+    * the same sketches can be persisted per ingest partition and
+    * differenced over ANY date range later without re-scanning
+    * (the agg_kll_mergeable architecture, applied to drift).
+    *
+    * Estimation: each side's CDF is read back from its sketch as a
+    * `grid`-point quantile curve; `KS ≈ max over both curves' points of
+    * |F_ref − F_cur|`, each F estimated as the fraction of its OWN curve
+    * ≤ x (step interpolation). Error ≤ grid resolution (1/grid, 0.8% at
+    * the default 128) + twice the KLL rank error (~1.65% at k=200) —
+    * QualitySpec gates |approx − exact| ≤ 0.05 against [[driftKs]]. KLL compaction is RANDOMIZED, so
+    * readings vary run to run inside the bound (no_oracle by nature,
+    * like the other sketch entries). The curve arithmetic runs as
+    * interpreted HOFs — correct here because inputs are k rows of
+    * (grid+1)-point arrays, model-sized by construction, never the
+    * corpus. Output: `(col_name, ks_approx, n_ref, n_cur)`. */
+  def driftKsSketch(reference: DataFrame, current: DataFrame,
+                    cols: Seq[String], k: Int = 200,
+                    grid: Int = 128): DataFrame = {
+    require(cols.nonEmpty, "driftKsSketch needs at least one column")
+    require(grid >= 16, s"grid must be >= 16 (got $grid)")
+    cols.foreach(c => require(
+      reference.schema(c).dataType.isInstanceOf[NumericType] &&
+        current.schema(c).dataType.isInstanceOf[NumericType],
+      s"driftKsSketch needs numeric columns (got $c)"))
+    def sketched(df: DataFrame, side: String): DataFrame = {
+      val pairs = cols.map(c =>
+        struct(lit(c).as("col_name"), col_(c).cast("double").as("v")))
+      df.select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+        .filter(col("v").isNotNull)
+        .groupBy(col("col_name"))
+        .agg(expr(s"kll_sketch_agg_double(v, $k)").as(s"sk_$side"),
+          count(lit(1)).as(s"n_$side"))
+    }
+    // the sketch function requires a FOLDABLE rank, so the curve unrolls
+    // as grid+1 literal-rank calls — (grid+1) exprs over k rows, not a
+    // corpus-wide unrolled plan (the Hilbert lesson does not apply)
+    def curve(sk: Column): Column =
+      array((0 to grid).map(i =>
+        call_function("kll_sketch_get_quantile_double",
+          sk, lit(i.toDouble / grid))): _*)
+    def cdfAt(curveCol: Column, x: Column): Column =
+      size(filter(curveCol, q => q <= x)).cast("double") /
+        lit((grid + 1).toDouble)
+    sketched(reference, "ref").join(sketched(current, "cur"), "col_name")
+      .withColumn("__qr", curve(col("sk_ref")))
+      .withColumn("__qc", curve(col("sk_cur")))
+      .select(col("col_name"),
+        round(array_max(transform(concat(col("__qr"), col("__qc")),
+          x => abs(cdfAt(col("__qr"), x) - cdfAt(col("__qc"), x)))),
+          6).as("ks_approx"),
+        col("n_ref"), col("n_cur"))
   }
 
   /** Distribution drift for CATEGORICAL columns — the third leg of the

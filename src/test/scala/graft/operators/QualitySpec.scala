@@ -229,6 +229,33 @@ class QualitySpec extends SparkSpec {
       s"melted counts not partial-aggregated:\n$plan")
   }
 
+  test("driftKsSketch tracks the exact statistic within its error bound") {
+    import spark.implicits._
+    // grid resolution (1/256) + 2× KLL rank error (~1.65% at k=200)
+    // stays under the 0.05 gate with margin
+    val ref = (1 to 20000).map(_.toDouble).toDF("x")
+    def both(cur: org.apache.spark.sql.DataFrame): (Double, Double) = (
+      Quality.driftKs(ref, cur, Seq("x")).collect().head.getDouble(1),
+      Quality.driftKsSketch(ref, cur, Seq("x")).collect().head.getDouble(1))
+    val cases = Seq(
+      "identity" -> ref,
+      "half cut" -> ref.filter(col("x") <= 10000),
+      "disjoint" -> ref.select((col("x") + 1e6).as("x")))
+    for ((name, cur) <- cases) {
+      val (e, a) = both(cur)
+      assert(math.abs(a - e) <= 0.05, s"$name: approx $a vs exact $e")
+    }
+    // and on the real feed pair the catalog entries monitor
+    val ev = Tables.events(spark, sfTiny)
+    val cur = ev.filter(col("event_type") === "purchase")
+    val e2 = Quality.driftKs(ev, cur, Seq("value", "user_id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val a2 = Quality.driftKsSketch(ev, cur, Seq("value", "user_id"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (c <- Seq("value", "user_id"))
+      assert(math.abs(a2(c) - e2(c)) <= 0.05, s"$c: ${a2(c)} vs ${e2(c)}")
+  }
+
   test("driftCategorical: identity reads 0/0; a mix flip reads large; hand-computed chi2") {
     import spark.implicits._
     val ref = ((1 to 50).map(_ => "a") ++ (1 to 50).map(_ => "b"))

@@ -793,6 +793,22 @@ object Queries {
       .orderBy(col("col_name"))
   }
 
+  register("quality_drift_timeline", None) { (s, dir) =>
+    // Day-over-day drift timeline — the persisted-sketch monitoring
+    // architecture composed: one KLL sketch per ingest day (the artifact
+    // a 100 TB pipeline persists beside the day's partition, as
+    // agg_kll_mergeable persists weekly rollups), consecutive days'
+    // curves differenced for approximate KS — "which ingest day broke
+    // the feed?" answered with one pass over the table (zero passes when
+    // sketches are persisted) + arithmetic on one row per day. KLL is
+    // randomized → no_oracle; QualitySpec gates the timeline against the
+    // exact per-day-pair statistic (synthetic broken-day fixture reads
+    // ~1 on the broken day, ~0 on quiet days).
+    graft.operators.Quality
+      .driftTimeline(Tables.events(s, dir), "value", "ts")
+      .orderBy(col("day"))
+  }
+
   register("quality_drift_categorical", Some(
     """WITH cur AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
       |mr AS (SELECT 'lang' AS col_name, coalesce(lang, '∅') AS cat

@@ -381,24 +381,78 @@ object Quality {
         .agg(expr(s"kll_sketch_agg_double(v, $k)").as(s"sk_$side"),
           count(lit(1)).as(s"n_$side"))
     }
-    // the sketch function requires a FOLDABLE rank, so the curve unrolls
-    // as grid+1 literal-rank calls — (grid+1) exprs over k rows, not a
-    // corpus-wide unrolled plan (the Hilbert lesson does not apply)
-    def curve(sk: Column): Column =
-      array((0 to grid).map(i =>
-        call_function("kll_sketch_get_quantile_double",
-          sk, lit(i.toDouble / grid))): _*)
+    sketched(reference, "ref").join(sketched(current, "cur"), "col_name")
+      .withColumn("__qr", quantileCurve(col("sk_ref"), grid))
+      .withColumn("__qc", quantileCurve(col("sk_cur"), grid))
+      .select(col("col_name"),
+        round(ksGapFromCurves(col("__qr"), col("__qc"), grid), 6)
+          .as("ks_approx"),
+        col("n_ref"), col("n_cur"))
+  }
+
+  /** A KLL sketch read back as a (grid+1)-point quantile curve. The
+    * sketch function requires a FOLDABLE rank, so the curve unrolls as
+    * grid+1 literal-rank calls — (grid+1) exprs over model-sized rows,
+    * not a corpus-wide unrolled plan (the Hilbert lesson does not
+    * apply). */
+  private def quantileCurve(sk: Column, grid: Int): Column =
+    array((0 to grid).map(i =>
+      call_function("kll_sketch_get_quantile_double",
+        sk, lit(i.toDouble / grid))): _*)
+
+  /** Max CDF gap between two quantile curves: each side's F estimated as
+    * the fraction of its OWN curve ≤ x (step interpolation), evaluated
+    * at both curves' points. Pass MATERIALIZED curve columns (withColumn
+    * first), not raw `quantileCurve` calls — the expression references
+    * each curve three times. */
+  private def ksGapFromCurves(qa: Column, qb: Column, grid: Int): Column = {
     def cdfAt(curveCol: Column, x: Column): Column =
       size(filter(curveCol, q => q <= x)).cast("double") /
         lit((grid + 1).toDouble)
-    sketched(reference, "ref").join(sketched(current, "cur"), "col_name")
-      .withColumn("__qr", curve(col("sk_ref")))
-      .withColumn("__qc", curve(col("sk_cur")))
-      .select(col("col_name"),
-        round(array_max(transform(concat(col("__qr"), col("__qc")),
-          x => abs(cdfAt(col("__qr"), x) - cdfAt(col("__qc"), x)))),
-          6).as("ks_approx"),
-        col("n_ref"), col("n_cur"))
+    array_max(transform(concat(qa, qb),
+      x => abs(cdfAt(qa, x) - cdfAt(qb, x))))
+  }
+
+  /** Day-over-day drift TIMELINE from daily KLL sketches — the
+    * monitoring architecture [[driftKsSketch]] enables, composed: fold
+    * each ingest day into one fixed-size quantile sketch (the artifact a
+    * 100 TB pipeline would PERSIST next to the day's partition, exactly
+    * as `agg_kll_mergeable` persists weekly rollups), then difference
+    * consecutive days' curves for an approximate KS per day — "which
+    * ingest day broke the feed?" answered over any history WITHOUT
+    * re-scanning a single data row: the timeline costs one pass over
+    * the table (or zero, reading persisted sketches) plus arithmetic on
+    * one model-sized row per day.
+    *
+    * The day-ordered `lag` window is a single partition BY DESIGN: its
+    * input is one sketch row per day (bounded by calendar, not data) —
+    * same justification as the profiler's summary frames. Readings
+    * inherit [[driftKsSketch]]'s error bound; QualitySpec gates the
+    * timeline against the exact per-day-pair statistic. NULL values are
+    * excluded scan-side (KS is over values); `n` is the day's non-null
+    * count. Output: `(day, prev_day, ks_vs_prev, n)` — the first day has
+    * no predecessor and is not emitted. */
+  def driftTimeline(df: DataFrame, valueCol: String, tsCol: String,
+                    k: Int = 200, grid: Int = 128): DataFrame = {
+    require(grid >= 16, s"grid must be >= 16 (got $grid)")
+    require(df.schema(valueCol).dataType.isInstanceOf[NumericType],
+      s"driftTimeline needs a numeric value column (got $valueCol)")
+    val daily = df.filter(col_(valueCol).isNotNull)
+      .groupBy(to_date(col_(tsCol)).as("day"))
+      .agg(expr(s"kll_sketch_agg_double(CAST($valueCol AS DOUBLE), $k)")
+        .as("sk"),
+        count(lit(1)).as("n"))
+    val byDay = Window.orderBy(col("day"))
+    daily
+      .withColumn("prev_sk", lag(col("sk"), 1).over(byDay))
+      .withColumn("prev_day", lag(col("day"), 1).over(byDay))
+      .filter(col("prev_sk").isNotNull)
+      .withColumn("__qa", quantileCurve(col("prev_sk"), grid))
+      .withColumn("__qb", quantileCurve(col("sk"), grid))
+      .select(col("day"), col("prev_day"),
+        round(ksGapFromCurves(col("__qa"), col("__qb"), grid), 6)
+          .as("ks_vs_prev"),
+        col("n"))
   }
 
   /** Distribution drift for CATEGORICAL columns — the third leg of the

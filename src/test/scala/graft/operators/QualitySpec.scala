@@ -256,6 +256,36 @@ class QualitySpec extends SparkSpec {
       assert(math.abs(a2(c) - e2(c)) <= 0.05, s"$c: ${a2(c)} vs ${e2(c)}")
   }
 
+  test("driftTimeline flags the broken day; quiet days read quiet; tracks exact KS") {
+    import spark.implicits._
+    // three synthetic days: day2 repeats day1's distribution, day3 is
+    // shifted out of support — the timeline must read ~0 then ~1
+    def day(d: Int, off: Double) =
+      (1 to 500).map(i => (s"2024-02-0$d 12:00:00", i.toDouble + off))
+    val df = (day(1, 0) ++ day(2, 0) ++ day(3, 10000.0))
+      .toDF("ts_s", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("value"))
+    val t = Quality.driftTimeline(df, "value", "ts").orderBy("day").collect()
+    assert(t.length === 2) // first day has no predecessor
+    assert(t(0).getDouble(2) <= 0.05, s"quiet day read ${t(0).getDouble(2)}")
+    assert(t(1).getDouble(2) >= 0.95, s"broken day read ${t(1).getDouble(2)}")
+    assert(t.forall(_.getLong(3) === 500L))
+    // on the real feed: each timeline reading within the sketch error
+    // bound of the exact two-sample statistic for that day pair
+    val ev = Tables.events(spark, sfTiny)
+    val rows = Quality.driftTimeline(ev, "value", "ts")
+      .orderBy("day").collect().take(3)
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val cur = ev.filter(to_date(col("ts")) === lit(r.getDate(0).toString))
+      val prev = ev.filter(to_date(col("ts")) === lit(r.getDate(1).toString))
+      val exact = Quality.driftKs(prev, cur, Seq("value"))
+        .collect().head.getDouble(1)
+      assert(math.abs(r.getDouble(2) - exact) <= 0.05,
+        s"${r.getDate(0)}: timeline ${r.getDouble(2)} vs exact $exact")
+    }
+  }
+
   test("driftCategorical: identity reads 0/0; a mix flip reads large; hand-computed chi2") {
     import spark.implicits._
     val ref = ((1 to 50).map(_ => "a") ++ (1 to 50).map(_ => "b"))

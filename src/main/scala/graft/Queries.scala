@@ -5433,6 +5433,24 @@ object Queries {
         .as("n_tokens_est"))
   }
 
+  register("text_wordpiece_tokens", None) { (s, dir) =>
+    // Token counts under the LEARNED WordPiece vocabulary (Schuster &
+    // Nakajima 2012; the BERT-family tokenizer) — the third production
+    // tokenizer beside BPE and unigram-LM, same scale split: one
+    // distributed capped word-dict pass, likelihood-scored merge loop
+    // driver-side, application as greedy longest-match in one narrow
+    // codegen'd scan. no_oracle (iterative trainer); WordPieceSpec pins
+    // the likelihood-vs-frequency fixture (WordPiece ≠ BPE on the same
+    // dict), the classic un/##aff/##able greedy example, [UNK] whole-word
+    // fallback, total training-corpus coverage, reconstruction,
+    // count==tokenize-size, and determinism.
+    val docs = Tables.documents(s, dir)
+    val vocab = graft.functions.WordPiece.learnVocab(docs, nMerges = 200)
+    docs.select(col("doc_id"), col("source"),
+      graft.functions.WordPiece.tokenCount(col("text"), vocab)
+        .as("n_tokens_wordpiece"))
+  }
+
   register("text_unigram_tokens", None) { (s, dir) =>
     // Token counts under the LEARNED unigram-LM tokenizer (Kudo 2018 /
     // SentencePiece — the model family behind T5/LLaMA tokenizers), next

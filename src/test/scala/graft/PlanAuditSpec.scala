@@ -72,6 +72,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy join, span removal, and drift entries keep keyed joins, no cross products") {
+    Seq("dedup_fuzzy_join", "corpus_strip_repeated_spans",
+        "quality_drift_ks", "quality_drift_categorical").foreach { n =>
+      val plan = physical(run(n))
+      assert(!plan.contains("CartesianProduct"),
+        s"$n degenerated to a cartesian product:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$n uses a nested-loop join:\n$plan")
+    }
+    // the drift legs shuffle COUNT partials, never rows: every aggregate
+    // partial-aggregates map-side before its exchange
+    val ks = physical(run("quality_drift_ks"))
+    assert(ks.contains("FullOuter"), s"count merge must be full outer:\n$ks")
+  }
+
   test("repetition signal is scan-local: no exchange, no join") {
     // top_bigram_frac is the codegen'd max-multiplicity of the row's own
     // bigram-hash array — the round-4 explode+groupBy+join form is gone
@@ -596,6 +611,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("unigram_token_count") && l.trim.startsWith("*(")),
       s"unigram expression fell out of codegen:\n$plan")
+  }
+
+  test("wordpiece token counts are scan-local (zero exchanges)") {
+    val docs = Tables.documents(spark, sfSmall)
+    val vocab = graft.functions.WordPiece.learnFromDict(
+      Seq(("the", 50L), ("and", 30L), ("data", 20L)), nMerges = 10)
+    val plan = physical(docs.select(col("doc_id"),
+      graft.functions.WordPiece.tokenCount(col("text"), vocab).as("n")))
+    assert(!plan.contains("Exchange"),
+      s"WordPiece application must be a narrow scan-local pass:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("wordpiece_token_count") && l.trim.startsWith("*(")),
+      s"WordPiece expression fell out of codegen:\n$plan")
   }
 
   test("bpe token counts are scan-local (zero exchanges)") {

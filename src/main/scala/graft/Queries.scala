@@ -793,6 +793,36 @@ object Queries {
       .orderBy(col("col_name"))
   }
 
+  register("quality_outliers_mad", Some(
+    """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x
+      |           FROM events WHERE value IS NOT NULL),
+      |m AS (SELECT event_type, quantile_cont(x, 0.5) AS med
+      |      FROM v GROUP BY 1),
+      |d AS (SELECT v.event_type, v.x, m.med, abs(v.x - m.med) AS dev
+      |      FROM v JOIN m USING (event_type)),
+      |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      |       FROM d GROUP BY 1)
+      |SELECT d.event_type,
+      |  count(*) AS n,
+      |  round(max(d.med), 6) AS median,
+      |  round(max(md.mad), 6) AS mad,
+      |  count(CASE WHEN CASE WHEN md.mad > 0
+      |      THEN d.dev / (1.4826 * md.mad) > 3.5
+      |      ELSE d.dev > 0 END THEN 1 END) AS n_outliers
+      |FROM d JOIN md USING (event_type)
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Robust outlier gate (modified z-score over median/MAD, Iglewicz &
+    // Hoaglin): per event_type, how many values deviate beyond 3.5
+    // robust sigmas — the mean/stddev rule's 50%-breakdown replacement
+    // (one wild value can't drag the center or inflate the scale until
+    // nothing flags). Two grouped exact-percentile passes + one counting
+    // pass; the group-stats tables broadcast back (dimension-sized).
+    // DuckDB replays it exactly: Spark percentile == quantile_cont.
+    graft.operators.Quality.outliersMad(
+        Tables.events(s, dir), "value", "event_type")
+      .orderBy(col("event_type"))
+  }
+
   register("quality_drift_timeline", None) { (s, dir) =>
     // Day-over-day drift timeline — the persisted-sketch monitoring
     // architecture composed: one KLL sketch per ingest day (the artifact

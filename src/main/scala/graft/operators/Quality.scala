@@ -521,6 +521,56 @@ object Quality {
         max(col("__tc")).as("n_cur"))
   }
 
+  /** Robust per-group outlier detection — the modified z-score over
+    * median/MAD (Iglewicz & Hoaglin 1993, the published robust recipe):
+    * a value is an outlier in its group when
+    * `|x − median| / (1.4826 · MAD) > threshold` (default 3.5, the
+    * recommended cut). Mean/stddev outlier rules break on the data they
+    * are supposed to catch — one wild value drags the mean toward itself
+    * and inflates the stddev until nothing is flagged; median and MAD
+    * have a 50% breakdown point, so the gate stays honest under heavy
+    * contamination. The quality question between ingests: "which metric
+    * groups carry broken values, and how many?"
+    *
+    * Policy edges, pinned: NULL values are excluded (a null is
+    * [[NotNull]]'s job, not an outlier); a zero-MAD group (over half the
+    * group identical) flags every value that deviates AT ALL — a
+    * constant metric that moved is the clearest break there is.
+    *
+    * Plan shape: two grouped EXACT percentile passes (median, then MAD
+    * over |x − median|) plus one counting pass, with the group-stats
+    * table broadcast back between passes (it is group-cardinality-sized,
+    * never data-sized). Exact percentiles buffer a group's values — the
+    * oracle-parity choice (Spark `percentile` == DuckDB quantile_cont);
+    * at 100 TB swap `approx_percentile` in, same shape (the
+    * agg_percentiles entry documents the same trade).
+    *
+    * Output: `(groupCol, n, median, mad, n_outliers)`. */
+  def outliersMad(df: DataFrame, valueCol: String, groupCol: String,
+                  threshold: Double = 3.5): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0 (got $threshold)")
+    require(df.schema(valueCol).dataType.isInstanceOf[NumericType],
+      s"outliersMad needs a numeric value column (got $valueCol)")
+    val vals = df.filter(col_(valueCol).isNotNull)
+      .select(col_(groupCol), col_(valueCol).cast("double").as("__x"))
+    val med = vals.groupBy(col_(groupCol))
+      .agg(percentile(col("__x"), lit(0.5)).as("__med"))
+    val dev = vals.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col("__x") - col("__med")))
+    val mad = dev.groupBy(col_(groupCol))
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("__out",
+        when(col("__mad") > 0,
+          col("__dev") / (lit(1.4826) * col("__mad")) > threshold)
+          .otherwise(col("__dev") > 0))
+      .groupBy(col_(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("__med")), 6).as("median"),
+        round(max(col("__mad")), 6).as("mad"),
+        count(when(col("__out"), 1)).as("n_outliers"))
+  }
+
   /** Row-level gate — the streaming-safe sibling of [[runChecks]]: tag
     * each row with the FIRST scan-local check it violates (`null` = the
     * row is valid), in `checks` order. A pure narrow projection — no

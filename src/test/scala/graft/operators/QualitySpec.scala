@@ -311,6 +311,36 @@ class QualitySpec extends SparkSpec {
     assert(nv.getLong(3) === 4) // a, b, c, ∅
   }
 
+  test("outliersMad: hand-computed stats; flags what the classic z-score misses; MAD=0 policy") {
+    import spark.implicits._
+    // 1..9 plus one wild value: median 5.5, MAD 2.5 by hand; only the
+    // wild value clears 3.5 robust sigmas. One NULL row proves exclusion.
+    val base = (1 to 9).map(i => ("g", java.lang.Double.valueOf(i.toDouble))) :+
+      (("g", java.lang.Double.valueOf(1000.0))) :+
+      (("g", null.asInstanceOf[java.lang.Double]))
+    val df = base.toDF("grp", "value")
+    val r = Quality.outliersMad(df, "value", "grp").collect().head
+    assert(r.getLong(1) === 10)          // NULL excluded from n
+    assert(r.getDouble(2) === 5.5)
+    assert(r.getDouble(3) === 2.5)
+    assert(r.getLong(4) === 1)
+    // the classic mean/stddev rule MISSES this exact outlier: the wild
+    // value inflates the stddev until its own z stays under 3
+    val xs = (1 to 9).map(_.toDouble) :+ 1000.0
+    val mean = xs.sum / xs.length
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1))
+    assert((1000.0 - mean) / sd < 3.0,
+      "fixture must be one the classic z-score fails on")
+    // MAD = 0 (over half identical): any deviation at all flags
+    val const = (Seq.fill(4)(5.0) :+ 6.0).map(("c", _)).toDF("grp", "value")
+    val c = Quality.outliersMad(const, "value", "grp").collect().head
+    assert(c.getDouble(3) === 0.0 && c.getLong(4) === 1)
+    // a clean group flags nothing
+    val clean = (1 to 100).map(i => ("k", i.toDouble)).toDF("grp", "value")
+    assert(Quality.outliersMad(clean, "value", "grp")
+      .collect().head.getLong(4) === 0)
+  }
+
   test("quarantine tags first failing check in order; split partitions") {
     import Quality._
     val checks = Seq(InRange("qty", 1, 10), AcceptedValues("flag", Seq("A", "B")),

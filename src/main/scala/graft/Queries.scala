@@ -4407,6 +4407,26 @@ object Queries {
       .select(col("doc_id"), col("source"))
   }
 
+  register("corpus_sample_weighted_k", Some(
+    """WITH w AS (
+      |  SELECT doc_id, source, n_chars,
+      |    -ln((CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) + 0.5)
+      |        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      |SELECT doc_id, source, n_chars, round(es_key, 6) AS es_key
+      |FROM w ORDER BY es_key, doc_id LIMIT 100""".stripMargin)) { (s, dir) =>
+    // Exact-k weighted sample WITHOUT replacement (Efraimidis-Spirakis):
+    // precisely 100 documents with inclusion pressure proportional to
+    // n_chars — the coreset/curriculum draw the rate-based sampler can't
+    // express (its count only holds in expectation). Content-hash u makes
+    // the draw deterministic and engine-portable; plan = scan-local key
+    // projection + TakeOrdered(k), no full sort, driver state k rows.
+    graft.functions.CorpusOps.sampleWeightedK(
+        Tables.documents(s, dir), k = 100, weightCol = "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("es_key"), 6).as("es_key"))
+  }
+
   register("corpus_sample_stratified", Some(
     """WITH h AS (
       |  SELECT doc_id, lang,

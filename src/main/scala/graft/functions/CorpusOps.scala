@@ -173,6 +173,44 @@ object CorpusOps {
     docs.filter(hashBucket(col(contentCol)) < pct)
   }
 
+  /** Exact-k WEIGHTED sample without replacement (Efraimidis & Spirakis
+    * 2006, "Weighted random sampling with a reservoir" — public paper):
+    * precisely `k` documents drawn with per-document inclusion pressure
+    * proportional to `weightCol` — the coreset/curriculum operator
+    * ("keep the 100k highest-leverage documents, weighted by quality
+    * score") that neither the rate-based [[sampleWeighted]] (group
+    * percentages, count only in expectation) nor the unweighted
+    * [[sampleStratifiedExact]] expresses.
+    *
+    * The E-S key: with u ~ Uniform(0,1), taking the top k by `u^(1/w)` —
+    * equivalently the MINIMUM k by `−ln(u)/w`, the fixed-point-friendly
+    * form used here — yields exactly the weighted-without-replacement
+    * distribution. `u` derives from the content hash (md5 first 8 hex
+    * digits, +0.5 to dodge the endpoints), so the draw is deterministic,
+    * reproducible under re-ingestion, and engine-portable for the
+    * oracle — same policy as [[withSplit]]/[[sampleWeighted]].
+    *
+    * Plan shape: a scan-local key projection + TakeOrdered(k) — no full
+    * sort, no shuffle beyond the top-k reduction; driver state is k rows
+    * by construction. Non-positive and NULL weights are EXCLUDED (a
+    * zero-weight item has zero inclusion probability; the E-S key is
+    * undefined there). Output: the sampled rows + `es_key` (ascending =
+    * draw order, a total order via the id tiebreak). */
+  def sampleWeightedK(docs: DataFrame, k: Int,
+                      weightCol: String,
+                      idCol: String = "doc_id",
+                      contentCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val u = (conv(substring(md5(col(contentCol)), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    docs.filter(col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0)
+      .withColumn("es_key",
+        -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Exact-count stratified sample: precisely `n` documents per stratum
     * (fewer only when the stratum is smaller), chosen by content-hash order
     * — the allocation a balanced eval set needs, where rate-based sampling

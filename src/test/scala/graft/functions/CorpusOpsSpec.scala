@@ -535,6 +535,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(4L) === ((2L, 10L, 5L)))
   }
 
+  test("weighted-k sample: E-S keys match a hand replay; weight doubles, key halves") {
+    import spark.implicits._
+    val fix = Seq((1L, "alpha beta", 10L), (2L, "gamma delta", 20L),
+      (3L, "epsilon zeta", 5L)).toDF("doc_id", "text", "w")
+    val got = CorpusOps.sampleWeightedK(fix, k = 3, weightCol = "w")
+      .select("doc_id", "es_key").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replay the key driver-side: u from the md5 prefix, key = -ln(u)/w
+    def key(text: String, w: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4294967296.0
+      -math.log(u) / w
+    }
+    assert(got(1L) === key("alpha beta", 10L))
+    assert(got(2L) === key("gamma delta", 20L))
+    assert(got(3L) === key("epsilon zeta", 5L))
+    // doubling a weight exactly halves the key (inclusion pressure is
+    // proportional, not just monotone)
+    val doubled = CorpusOps.sampleWeightedK(
+        fix.withColumn("w", col("w") * 2), k = 3, weightCol = "w")
+      .select("doc_id", "es_key").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(doubled(1L) === got(1L) / 2)
+    // zero/negative/NULL weights are excluded; k caps the output
+    val mixed = Seq((1L, "a", java.lang.Long.valueOf(10L)),
+      (2L, "b", java.lang.Long.valueOf(0L)),
+      (3L, "c", java.lang.Long.valueOf(-4L)),
+      (4L, "d", null.asInstanceOf[java.lang.Long])).toDF("doc_id", "text", "w")
+    val kept = CorpusOps.sampleWeightedK(mixed, k = 10, weightCol = "w")
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    // determinism + exact k on the real corpus; TakeOrdered, no full sort
+    val s1 = CorpusOps.sampleWeightedK(docs, 50, "n_chars")
+    assert(s1.count() === 50)
+    assert(s1.select("doc_id").as[Long].collect().toSet ===
+      CorpusOps.sampleWeightedK(docs, 50, "n_chars")
+        .select("doc_id").as[Long].collect().toSet)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted-k must plan as TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("strip repeated spans: removes cross-doc repeats at any alignment, keeps the rest") {
     import spark.implicits._
     val fix = Seq(

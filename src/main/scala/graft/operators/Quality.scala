@@ -503,11 +503,19 @@ object Quality {
       .withColumn("__tr", sum(col("n_ref")).over(whole))
       .withColumn("__tc", sum(col("n_cur")).over(whole))
       .withColumn("__k", count(lit(1)).over(whole))
-      .withColumn("__pr", greatest(col("n_ref") / col("__tr"), lit(eps)))
-      .withColumn("__pc", greatest(col("n_cur") / col("__tc"), lit(eps)))
+      // ANSI guards: an empty side has a zero total — proportions fall
+      // back to ε and the expected count to a dummy 1 (chi2 is nulled
+      // below for that case), instead of ANSI DIVIDE_BY_ZERO aborting
+      .withColumn("__pr", greatest(
+        when(col("__tr") > 0, col("n_ref") / col("__tr")).otherwise(lit(0.0)),
+        lit(eps)))
+      .withColumn("__pc", greatest(
+        when(col("__tc") > 0, col("n_cur") / col("__tc")).otherwise(lit(0.0)),
+        lit(eps)))
       // add-half smoothed expected count for the chi-square term
-      .withColumn("__e", col("__tc") * (col("n_ref") + lit(0.5)) /
-        (col("__tr") + lit(0.5) * col("__k")))
+      .withColumn("__e",
+        when(col("__tc") > 0, col("__tc") * (col("n_ref") + lit(0.5)) /
+          (col("__tr") + lit(0.5) * col("__k"))).otherwise(lit(1.0)))
       .groupBy(col("col_name"))
       .agg(
         round(sum(((col("__pc") - col("__pr")) *
@@ -519,6 +527,11 @@ object Quality {
         max(col("__k")).as("n_categories"),
         max(col("__tr")).as("n_ref"),
         max(col("__tc")).as("n_cur"))
+      // chi-square against an EMPTY side is undefined (every expected
+      // count is 0 → 0/0): report NULL, not NaN — PSI stays finite via
+      // its ε-smoothing and still reads the drift
+      .withColumn("chi2",
+        when(col("n_ref") > 0 && col("n_cur") > 0, col("chi2")))
   }
 
   /** Robust per-group outlier detection — the modified z-score over
@@ -547,18 +560,26 @@ object Quality {
     *
     * Output: `(groupCol, n, median, mad, n_outliers)`. */
   def outliersMad(df: DataFrame, valueCol: String, groupCol: String,
-                  threshold: Double = 3.5): DataFrame = {
+                  threshold: Double = 3.5,
+                  exact: Boolean = true): DataFrame = {
     require(threshold > 0, s"threshold must be > 0 (got $threshold)")
     require(df.schema(valueCol).dataType.isInstanceOf[NumericType],
       s"outliersMad needs a numeric value column (got $valueCol)")
+    // exact = the oracle-parity mode (buffers a group's values);
+    // exact=false = the 100 TB mode: approx_percentile folds a bounded
+    // sketch per group instead — same three-pass shape, bounded memory
+    // (QualitySpec gates the two modes against each other)
+    def p50(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else approx_percentile(c, lit(0.5), lit(10000))
     val vals = df.filter(col_(valueCol).isNotNull)
       .select(col_(groupCol), col_(valueCol).cast("double").as("__x"))
     val med = vals.groupBy(col_(groupCol))
-      .agg(percentile(col("__x"), lit(0.5)).as("__med"))
+      .agg(p50(col("__x")).as("__med"))
     val dev = vals.join(broadcast(med), Seq(groupCol))
       .withColumn("__dev", abs(col("__x") - col("__med")))
     val mad = dev.groupBy(col_(groupCol))
-      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+      .agg(p50(col("__dev")).as("__mad"))
     dev.join(broadcast(mad), Seq(groupCol))
       .withColumn("__out",
         when(col("__mad") > 0,

@@ -339,6 +339,28 @@ class QualitySpec extends SparkSpec {
     val clean = (1 to 100).map(i => ("k", i.toDouble)).toDF("grp", "value")
     assert(Quality.outliersMad(clean, "value", "grp")
       .collect().head.getLong(4) === 0)
+    // the 100 TB mode (approx_percentile sketch) agrees with exact on
+    // the real feed: same groups, outlier counts within 10% of n
+    val ev = Tables.events(spark, sfTiny)
+    val ex = Quality.outliersMad(ev, "value", "event_type")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(4)))).toMap
+    val ap = Quality.outliersMad(ev, "value", "event_type", exact = false)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(4)))).toMap
+    assert(ex.keySet === ap.keySet)
+    for ((g, (n, o)) <- ex) {
+      assert(ap(g)._1 === n)
+      assert(math.abs(ap(g)._2 - o) <= math.max(2L, n / 10),
+        s"$g: approx ${ap(g)._2} vs exact $o of $n")
+    }
+  }
+
+  test("driftCategorical: chi2 is NULL (not NaN) against an empty side; psi stays finite") {
+    import spark.implicits._
+    val ref = Seq("a", "a", "b").toDF("cat")
+    val empty = ref.filter(lit(false))
+    val r = Quality.driftCategorical(ref, empty, Seq("cat")).collect().head
+    assert(r.isNullAt(2), s"chi2 vs empty current must be NULL: $r")
+    assert(!r.isNullAt(1) && !r.getDouble(1).isNaN) // smoothed psi finite
   }
 
   test("quarantine tags first failing check in order; split partitions") {

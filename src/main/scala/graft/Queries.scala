@@ -793,6 +793,33 @@ object Queries {
       .orderBy(col("col_name"))
   }
 
+  register("quality_histogram_equidepth", Some(
+    """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+      |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |q AS (SELECT quantile_cont(x,
+      |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM v),
+      |b AS (SELECT
+      |    CAST(x > bs[1] AS INT) + CAST(x > bs[2] AS INT) +
+      |    CAST(x > bs[3] AS INT) + CAST(x > bs[4] AS INT) +
+      |    CAST(x > bs[5] AS INT) + CAST(x > bs[6] AS INT) +
+      |    CAST(x > bs[7] AS INT) + CAST(x > bs[8] AS INT) +
+      |    CAST(x > bs[9] AS INT) AS bucket, x
+      |  FROM v, q)
+      |SELECT bucket, count(*) AS n,
+      |  round(min(x), 6) AS lo, round(max(x), 6) AS hi
+      |FROM b GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Equi-depth histogram (the profiler's missing shape statistic, and
+    // the boundary artifact selectivity estimation is built on): one
+    // exact-percentile pass pins 9 interior boundaries, bucket = count
+    // of boundaries below the value (ties land low — pinned,
+    // engine-replayable), compiled as a codegen'd comparison sum; one
+    // grouped count/min/max pass finishes. DuckDB replays boundary
+    // interpolation and the tie rule exactly.
+    graft.operators.Quality.histogram(
+        Tables.lineitem(s, dir), "l_extendedprice", nBuckets = 10)
+      .orderBy(col("bucket"))
+  }
+
   register("quality_outliers_mad", Some(
     """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS x
       |           FROM events WHERE value IS NOT NULL),

@@ -534,6 +534,50 @@ object Quality {
         when(col("n_ref") > 0 && col("n_cur") > 0, col("chi2")))
   }
 
+  /** EQUI-DEPTH histogram of a numeric column — the profiler feature
+    * [[profile]] stops short of: `nBuckets` buckets holding (near-)equal
+    * row counts, with each bucket's observed [lo, hi] — the shape
+    * equal-WIDTH histograms get wrong on skewed data, where one bucket
+    * swallows the distribution and the rest sit empty (and the boundary
+    * artifact an optimizer's NDV/selectivity estimates are built on).
+    *
+    * Construction: one percentile pass yields the nBuckets−1 interior
+    * boundaries (exact = the oracle-parity mode; swap `exact=false` for
+    * the approx_percentile sketch at 100 TB, same shape); each value's
+    * bucket is then the COUNT OF BOUNDARIES BELOW IT — a pinned,
+    * engine-replayable rule (ties land in the lower bucket) compiled as
+    * a codegen'd sum of comparisons against nBuckets−1 broadcast
+    * literals, never an interpreted loop; one grouped count/min/max pass
+    * finishes. Buckets deviate from n/nBuckets exactly where tied values
+    * straddle a boundary — the honest answer (a value equal to the
+    * boundary cannot be split). NULLs are excluded ([[profile]] counts
+    * them). Output: `(bucket, n, lo, hi)`, bucket 0-indexed; empty
+    * buckets (possible under heavy ties) simply don't appear. */
+  def histogram(df: DataFrame, valueCol: String, nBuckets: Int = 10,
+                exact: Boolean = true): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    require(df.schema(valueCol).dataType.isInstanceOf[NumericType],
+      s"histogram needs a numeric column (got $valueCol)")
+    val vals = df.filter(col_(valueCol).isNotNull)
+      .select(col_(valueCol).cast("double").as("__x"))
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val pcts = array(ps.map(lit): _*)
+    val brow = vals.agg(
+      (if (exact) percentile(col("__x"), pcts)
+       else approx_percentile(col("__x"), pcts, lit(10000))).as("bs"))
+      .head()
+    if (brow.isNullAt(0)) return vals.limit(0)
+      .select(lit(0).as("bucket"), lit(0L).as("n"),
+        col("__x").as("lo"), col("__x").as("hi"))
+    val bs = brow.getSeq[Double](0)
+    val bucket = bs.map(b => (col("__x") > lit(b)).cast("int"))
+      .reduce(_ + _)
+    vals.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("__x")), 6).as("lo"),
+        round(max(col("__x")), 6).as("hi"))
+  }
+
   /** Robust per-group outlier detection — the modified z-score over
     * median/MAD (Iglewicz & Hoaglin 1993, the published robust recipe):
     * a value is an outlier in its group when

@@ -354,6 +354,36 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("histogram: equi-depth on a ramp, ties land low, NULLs excluded, approx agrees") {
+    import spark.implicits._
+    // a uniform ramp splits exactly: 10 buckets x 100 rows, contiguous
+    val ramp = (1 to 1000).map(_.toDouble).toDF("x")
+    val h = Quality.histogram(ramp, "x", 10).orderBy("bucket").collect()
+    assert(h.length === 10)
+    assert(h.forall(_.getLong(1) === 100L), h.mkString(", "))
+    // buckets tile the range: each lo is the previous hi + 1 on integers
+    val his = h.map(_.getDouble(3))
+    val los = h.map(_.getDouble(2))
+    assert(los.head === 1.0 && his.last === 1000.0)
+    assert((1 until 10).forall(i => los(i) === his(i - 1) + 1))
+    // heavy ties: values equal to a boundary land in the LOWER bucket,
+    // and the swallowed buckets simply don't appear
+    val ties = (Seq.fill(95)(5.0) ++ (1 to 5).map(_.toDouble)).toDF("x")
+    val t = Quality.histogram(ties, "x", 10).orderBy("bucket").collect()
+    assert(t.map(_.getInt(0)).toSeq ===
+      t.map(_.getInt(0)).toSeq.sorted.distinct) // no duplicate buckets
+    assert(t.map(_.getLong(1)).sum === 100L)
+    // NULLs excluded
+    val withNull = (Seq[java.lang.Double](1.0, 2.0, 3.0, null)).toDF("x")
+    assert(Quality.histogram(withNull, "x", 2)
+      .agg(sum("n")).collect().head.getLong(0) === 3L)
+    // the sketch mode lands each count within 5% of exact on the ramp
+    val ha = Quality.histogram(ramp, "x", 10, exact = false)
+      .orderBy("bucket").collect()
+    assert(ha.map(_.getLong(1)).sum === 1000L)
+    assert(ha.forall(r => math.abs(r.getLong(1) - 100L) <= 50L))
+  }
+
   test("driftCategorical: chi2 is NULL (not NaN) against an empty side; psi stays finite") {
     import spark.implicits._
     val ref = Seq("a", "a", "b").toDF("cat")

@@ -850,6 +850,53 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  register("quality_drift_by_group", Some(
+    """WITH cur AS (SELECT * FROM events
+      |             WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+      |mm AS (SELECT CAST(min(value) AS DOUBLE) mn,
+      |              CAST(max(value) AS DOUBLE) mx FROM events),
+      |br AS (SELECT coalesce(e.event_type, '∅') AS g,
+      |  CASE WHEN e.value IS NULL THEN -1
+      |       ELSE least(greatest(CAST(floor((CAST(e.value AS DOUBLE) - mm.mn)
+      |         / ((mm.mx - mm.mn) / 10)) AS INT), 0), 9) END AS bucket
+      |  FROM events e, mm),
+      |bc AS (SELECT coalesce(e.event_type, '∅') AS g,
+      |  CASE WHEN e.value IS NULL THEN -1
+      |       ELSE least(greatest(CAST(floor((CAST(e.value AS DOUBLE) - mm.mn)
+      |         / ((mm.mx - mm.mn) / 10)) AS INT), 0), 9) END AS bucket
+      |  FROM cur e, mm),
+      |cr AS (SELECT g, bucket, count(*) AS n_ref FROM br GROUP BY 1, 2),
+      |cc AS (SELECT g, bucket, count(*) AS n_cur FROM bc GROUP BY 1, 2),
+      |j AS (SELECT coalesce(cr.g, cc.g) AS g,
+      |             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      |      FROM cr FULL OUTER JOIN cc
+      |        ON cr.g = cc.g AND cr.bucket = cc.bucket),
+      |t AS (SELECT g, n_ref, n_cur,
+      |             CAST(sum(n_ref) OVER (PARTITION BY g) AS BIGINT) AS tr,
+      |             CAST(sum(n_cur) OVER (PARTITION BY g) AS BIGINT) AS tc
+      |      FROM j),
+      |p AS (SELECT g, tr, tc,
+      |             greatest(CAST(n_ref AS DOUBLE) / tr, 0.0001) AS pr,
+      |             greatest(CAST(n_cur AS DOUBLE) / tc, 0.0001) AS pc FROM t)
+      |SELECT g AS event_type,
+      |  round(CAST(sum(CAST((pc - pr) * ln(pc / pr) AS DECIMAL(38,12)))
+      |    AS DOUBLE), 6) AS psi,
+      |  max(tr) AS n_ref, max(tc) AS n_cur
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+    // Segment-resolution drift — "WHICH event type moved in the second
+    // half of the month?": globally-pinned binning (groups share
+    // comparable buckets) with a full-resolution PSI per group; shuffle
+    // carries groups·12 count rows. The group key rides psiFromCounts
+    // where the column name rode — one finisher, three monitors
+    // (per-column, streaming, per-group). DuckDB replays binning,
+    // smoothing and grouping identically.
+    val events = Tables.events(s, dir)
+    graft.operators.Quality.driftPsiByGroup(events,
+        events.filter(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp")),
+        valueCol = "value", groupCol = "event_type")
+      .orderBy(col("event_type"))
+  }
+
   register("quality_drift_timeline", None) { (s, dir) =>
     // Day-over-day drift timeline — the persisted-sketch monitoring
     // architecture composed: one KLL sketch per ingest day (the artifact

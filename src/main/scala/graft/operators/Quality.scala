@@ -252,6 +252,42 @@ object Quality {
       .select(col("p.col_name").as("col_name"), col("p.bucket").as("bucket"))
   }
 
+  /** PSI per GROUP — the segment-resolution drift question the
+    * whole-table monitor can't answer: "WHICH event type / source /
+    * tenant moved between reference and current?" One value column,
+    * one grouping column; the binning model is pinned GLOBALLY from the
+    * reference (one min/max pass) so groups share comparable buckets —
+    * and then each group gets its own full-resolution PSI over
+    * (group, bucket) count partials. Same scale shape as [[driftPsi]]
+    * (the shuffle carries groups·(nBuckets+2) count rows, never data),
+    * same ε-smoothing/decimal-routing via [[psiFromCounts]] — the group
+    * key simply rides where the column name rode. Groups NULL on either
+    * side are a '∅' group (a null-segment change is drift). Output:
+    * `(groupCol, psi, n_ref, n_cur)`. */
+  def driftPsiByGroup(reference: DataFrame, current: DataFrame,
+                      valueCol: String, groupCol: String,
+                      nBuckets: Int = 10, eps: Double = 1e-4): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    val bounds = psiBounds(reference, Seq(valueCol))
+    // the same bucket rule psiMelted compiles, inlined with the group
+    // value riding as the key
+    val (mn, mx) = bounds.head
+    val v = col_(valueCol)
+    val b =
+      if (mx <= mn) when(v.isNull, lit(-1)).otherwise(lit(0))
+      else when(v.isNull, lit(-1)).otherwise(
+        least(greatest(
+          floor((v.cast("double") - mn) / ((mx - mn) / nBuckets))
+            .cast("int"), lit(0)), lit(nBuckets - 1)))
+    def bucketCounts(df: DataFrame) = df
+      .select(coalesce(col_(groupCol).cast("string"), lit("∅")).as("col_name"),
+        b.as("bucket"))
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    psiFromCounts(bucketCounts(reference), bucketCounts(current), eps)
+      .withColumnRenamed("col_name", groupCol)
+  }
+
   /** The PSI finisher over two bucket-count tables `(col_name, bucket,
     * n)` — model-sized inputs (k·(nBuckets+2) rows), so this runs in
     * milliseconds wherever the counts came from: [[driftPsi]]'s batch

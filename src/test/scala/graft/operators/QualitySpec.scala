@@ -354,6 +354,28 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("driftPsiByGroup: only the shifted segment reads drift; NULL group is a segment") {
+    import spark.implicits._
+    // two segments, identical in ref; in cur, ONLY segment b shifts
+    val ref = ((1 to 500).map(i => ("a", i.toDouble % 100)) ++
+      (1 to 500).map(i => ("b", i.toDouble % 100))).toDF("seg", "x")
+    val cur = ref.select(col("seg"),
+      when(col("seg") === "b", col("x") + 1000).otherwise(col("x")).as("x"))
+    val d = Quality.driftPsiByGroup(ref, cur, "x", "seg")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d("a") === 0.0, s"unshifted segment must read zero: $d")
+    assert(d("b") > 0.25, s"shifted segment must read major drift: $d")
+    // a NULL group key is the ∅ segment, not a dropped row
+    val withNull = ref.unionAll(
+      Seq((null.asInstanceOf[String], 5.0)).toDF("seg", "x"))
+    val g = Quality.driftPsiByGroup(withNull, withNull, "x", "seg")
+      .collect().map(_.getString(0)).toSet
+    assert(g === Set("a", "b", "∅"))
+    // identity across every group reads zero everywhere
+    assert(Quality.driftPsiByGroup(ref, ref, "x", "seg")
+      .collect().forall(_.getDouble(1) === 0.0))
+  }
+
   test("histogram: equi-depth on a ramp, ties land low, NULLs excluded, approx agrees") {
     import spark.implicits._
     // a uniform ramp splits exactly: 10 buckets x 100 rows, contiguous

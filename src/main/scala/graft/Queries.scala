@@ -4501,6 +4501,56 @@ object Queries {
         round(col("es_key"), 6).as("es_key"))
   }
 
+  register("stream_sample_weighted_k", Some(
+    """WITH w AS (
+      |  SELECT doc_id, source, n_chars,
+      |    -ln((CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) + 0.5)
+      |        / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_key
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      |SELECT doc_id, source, n_chars, round(es_key, 6) AS es_key
+      |FROM w ORDER BY es_key, doc_id LIMIT 100""".stripMargin)) { (s, dir) =>
+    // The STREAMING leg of corpus_sample_weighted_k, under the SAME
+    // oracle: the at-ingest reservoir (k-bounded mapGroupsWithState
+    // state, one snapshot per trigger) must converge to EXACTLY the
+    // batch draw — deterministic E-S keys make that set equality, the
+    // strongest gate a streaming operator can carry. Two triggers prove
+    // cross-batch displacement (an early winner evicted by a later,
+    // better draw). The final ids are decorated batch-side (identity
+    // re-rank of exactly those 100 rows) — the STREAM made the
+    // selection.
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-wsample-$tag"
+    val src = s"$base/source"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$src/_STAGED"))) {
+      Tables.documents(s, dir)
+        .select("doc_id", "source", "text", "n_chars")
+        .repartition(4).write.mode("overwrite").json(src)
+      markStaged(s, src)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/checkpoint"), true)
+    val stream = s.readStream
+      .schema("doc_id long, source string, text string, n_chars long")
+      .option("maxFilesPerTrigger", "2")
+      .json(src)
+    val snaps = graft.streaming.StreamingSample
+      .weightedK(stream, k = 100, weightCol = "n_chars")
+    val qname = s"stream_wsample_${tag.replace(".", "_")}"
+    val q = snaps.writeStream.queryName(qname).format("memory")
+      .outputMode("update")
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val ids = s.table(qname).orderBy(desc("version")).limit(1)
+      .select(explode(col("docIds")).as("doc_id"))
+    graft.functions.CorpusOps.sampleWeightedK(
+        Tables.documents(s, dir).join(ids, "doc_id"),
+        k = 100, weightCol = "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(col("es_key"), 6).as("es_key"))
+  }
+
   register("corpus_sample_stratified", Some(
     """WITH h AS (
       |  SELECT doc_id, lang,

@@ -897,6 +897,44 @@ object Queries {
       .orderBy(col("event_type"))
   }
 
+  register("quality_fd_discovery", Some(
+    """WITH m AS (
+      |  SELECT 'c_custkey' AS determinant, 'c_nationkey' AS dependent,
+      |         coalesce(CAST(c_custkey AS VARCHAR), '∅') AS lhs,
+      |         coalesce(CAST(c_nationkey AS VARCHAR), '∅') AS rhs FROM customer
+      |  UNION ALL
+      |  SELECT 'c_nationkey', 'c_mktsegment',
+      |         coalesce(CAST(c_nationkey AS VARCHAR), '∅'),
+      |         coalesce(c_mktsegment, '∅') FROM customer
+      |  UNION ALL
+      |  SELECT 'c_mktsegment', 'c_nationkey',
+      |         coalesce(c_mktsegment, '∅'),
+      |         coalesce(CAST(c_nationkey AS VARCHAR), '∅') FROM customer),
+      |cells AS (SELECT determinant, dependent, lhs, rhs, count(*) AS cnt
+      |          FROM m GROUP BY 1, 2, 3, 4),
+      |grp AS (SELECT determinant, dependent, lhs, count(*) AS nd,
+      |               CAST(sum(cnt) AS BIGINT) AS n, max(cnt) AS modal
+      |        FROM cells GROUP BY 1, 2, 3)
+      |SELECT determinant, dependent, count(*) AS n_groups,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS violating_groups,
+      |  CAST(sum(n - modal) AS BIGINT) AS violation_rows,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds,
+      |  CAST(1.0 AS DOUBLE) - CAST(sum(n - modal) AS DOUBLE)
+      |    / CAST(sum(n) AS DOUBLE) AS strength
+      |FROM grp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)) { (s, dir) =>
+    // Schema-trust audit before a pipeline leans on a column as a key:
+    // c_custkey → c_nationkey holds (key determinant), the two
+    // nationkey/mktsegment directions are broken with a measured g3
+    // strength. One exploded scan, shuffle carries distinct value cells;
+    // DuckDB replays the same three-level reduction.
+    graft.operators.Quality.fdProfile(Tables.table(s, dir, "customer"),
+        Seq("c_custkey" -> "c_nationkey", "c_nationkey" -> "c_mktsegment",
+          "c_mktsegment" -> "c_nationkey"))
+      .orderBy(col("determinant"), col("dependent"))
+  }
+
   register("quality_drift_timeline", None) { (s, dir) =>
     // Day-over-day drift timeline — the persisted-sketch monitoring
     // architecture composed: one KLL sketch per ingest day (the artifact
@@ -1053,6 +1091,56 @@ object Queries {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           dsum(col("value")).as("sum_value"))
+  }
+
+  register("layout_zonemap_metaonly", Some(
+    """SELECT count(*) AS n_rows,
+      |  min(value) AS value_min, max(value) AS value_max,
+      |  CAST(count(*) - count(value) AS BIGINT) AS value_nulls,
+      |  min(user_id) AS user_id_min, max(user_id) AS user_id_max,
+      |  CAST(count(*) - count(user_id) AS BIGINT) AS user_id_nulls
+      |FROM events""".stripMargin)) { (s, dir) =>
+    // Metadata-only aggregation: the count/min/max/nulls dashboard query
+    // answered from the zone-map manifest ALONE — these four statistics
+    // compose losslessly from per-file zones (count = Σ, min = min of
+    // mins …), so the answer costs a files-sized metadata scan, never the
+    // 100 TB data scan. The oracle runs the SAME aggregate on the raw
+    // table; ZoneMapSpec proves zero-data-files by answering AFTER the
+    // data files are deleted out from under the manifest.
+    val path = s"$sinkRoot/layout_zonemap_metaonly-${
+      dir.replaceAll("[^0-9.]", "")}"
+    Tables.events(s, dir).repartition(8)
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("value", "user_id"))
+    graft.sources.ZoneMap.metaProfile(s, path, Seq("value", "user_id"))
+  }
+
+  register("layout_bloom_pointlookup", Some(
+    """SELECT doc_id, source, lang, n_chars FROM documents
+      |WHERE doc_id IN (SELECT doc_id FROM documents
+      |                 ORDER BY doc_id LIMIT 5)
+      |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    // File-level BLOOM skipping — the point-lookup complement of the zone
+    // map: the layout is hash-spread (doc_id ranges overlap in every
+    // file, a min/max zone prunes nothing), but each file's Bloom filter
+    // still answers "can doc_id = X live here?", so an IN-list lookup
+    // opens only the files whose filters fire. The oracle checks the
+    // ANSWER against the raw table — skipping must be invisible;
+    // BloomIndexSpec proves the pruning itself (candidates ≪ files on
+    // the random layout where the zone map stays blind, no false
+    // negatives, replay reaping via the shared Manifests protocol).
+    val path = s"$sinkRoot/layout_bloom_pointlookup-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val docs = Tables.table(s, dir, "documents")
+    docs.repartition(16)
+      .write.mode("overwrite").parquet(path)
+    graft.sources.BloomIndex.write(s, path, Seq("doc_id"),
+      expectedItemsPerFile = 100000, fpp = 0.01)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    graft.sources.BloomIndex.prunedRead(s, path, "doc_id", ids)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   register("layout_hilbert_events", Some(

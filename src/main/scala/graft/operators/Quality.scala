@@ -795,4 +795,52 @@ object Quality {
         col("max_value"), col("avg_value"))
       .orderBy(col("col_name"))
   }
+
+  /** Approximate functional-dependency discovery — does `determinant →
+    * dependent` hold, and if not, how badly is it broken? The schema
+    * question a profiler answers BEFORE a pipeline trusts a column as a
+    * join key, a partition key, or a dedup identity ("is doc_id really
+    * one source?", "does user_id pin country?"). Strength is the
+    * published g3 measure (Kivinen & Mannila, TCS '95): the minimum
+    * fraction of rows to delete for the FD to hold exactly —
+    * `violation_rows = Σ_groups (group size − modal dependent count)`,
+    * `strength = 1 − violation_rows / n_rows`. A candidate KEY reads as
+    * a determinant whose every FD holds with one row per group.
+    *
+    * Plan shape: ONE scan — each row explodes to its k (determinant,
+    * dependent) cells, then two partial-aggregated groupBys whose shuffle
+    * carries DISTINCT value cells, never rows (the second and third
+    * reductions run over group-count-sized data). No per-pair rescans, no
+    * windows, no driver state: at 100 TB the wide state is the distinct
+    * (pair, lhs, rhs) combination count, the same bound a
+    * `countDistinct` profile pays. NULLs are first-class `∅` values on
+    * both sides (an FD that "holds" only because NULLs vanished is a
+    * false positive — the [[driftPsiByGroup]] ∅-segment discipline).
+    *
+    * Output per pair: `(determinant, dependent, n_groups,
+    * violating_groups, violation_rows, n_rows, holds, strength)`;
+    * strength is one long-ratio division, engine-identical. */
+  def fdProfile(df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "fdProfile needs at least one (lhs, rhs) pair")
+    val cells = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("determinant"), lit(b).as("dependent"),
+          coalesce(col_(a).cast("string"), lit("∅")).as("lhs"),
+          coalesce(col_(b).cast("string"), lit("∅")).as("rhs"))
+      }: _*)).as("p")).select(col("p.*"))
+      .groupBy(col("determinant"), col("dependent"), col("lhs"), col("rhs"))
+      .agg(count(lit(1)).as("cnt"))
+    val groups = cells
+      .groupBy(col("determinant"), col("dependent"), col("lhs"))
+      .agg(count(lit(1)).as("nd"), sum(col("cnt")).as("n"),
+        max(col("cnt")).as("modal"))
+    groups.groupBy(col("determinant"), col("dependent"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("violating_groups"),
+        sum(col("n") - col("modal")).as("violation_rows"),
+        sum(col("n")).as("n_rows"))
+      .withColumn("holds", col("violating_groups") === 0)
+      .withColumn("strength",
+        lit(1.0) - col("violation_rows").cast("double") /
+          col("n_rows").cast("double"))
+  }
 }

@@ -1,0 +1,184 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+import graft.streaming.BucketedStateTable
+
+/** Materialized-view REWRITE — the optimizer tier on top of
+  * [[graft.streaming.IncrementalAgg]]'s maintenance tier: a query that
+  * aggregates the 100 TB base table is silently re-planned to read the
+  * key-cardinality summary table instead. Maintenance without rewrite
+  * only helps callers who KNOW the summary exists; with this
+  * `Rule[LogicalPlan]` installed (`SparkSessionExtensions` /
+  * `spark.experimental.extraOptimizations`), every dashboard `GROUP BY`
+  * over the base — including `spark.sql` from users who never heard of
+  * the state table — pays O(keys) instead of O(data). This is the
+  * classic materialized-view answering problem restricted to the shapes
+  * the summary can serve EXACTLY:
+  *
+  *  - grouping keys ⊆ the view's key columns (a coarser roll-up re-sums
+  *    the summary — sums of sums are sums);
+  *  - aggregates are plain `SUM(col)` over registered sum columns
+  *    (no DISTINCT, no FILTER), and/or `COUNT(*)`/`COUNT(1)` when the
+  *    view maintains a count column (rewritten to `coalesce(SUM(n),0)`);
+  *  - an optional `WHERE` whose references are all key columns (pushed
+  *    onto the summary scan — key predicates commute with the roll-up);
+  *  - anything else (expressions over non-key columns, AVG, joins in
+  *    between) leaves the plan untouched — the rule REFUSES rather than
+  *    approximates.
+  *
+  * Staleness contract: the summary answers AS OF its last applied batch.
+  * Register a view only where the [[graft.streaming.IncrementalAgg]]
+  * pipeline owns every write to the base (the same contract any
+  * incremental MV system imposes); results are then exact, proven under
+  * the DuckDB oracle (`agg_mv_rewrite`) and the plan-level spec. For
+  * float sums the rewrite changes accumulation ORDER (sums of partial
+  * sums) — register integral/decimal sum columns where bit-exactness
+  * matters.
+  *
+  * Output attribute identity: the rewritten Aggregate re-aliases summary
+  * columns under the ORIGINAL output `exprId`s, so parent operators (and
+  * the caller's `DataFrame`) never see the substitution.
+  */
+object SummaryViews {
+
+  /** `sumCols` are delta columns maintained by `IncrementalAgg` under the
+    * SAME name as the base column they sum; `countCol` is a maintained
+    * `SUM(1)` column enabling `COUNT(*)` rewrites. */
+  final case class View(basePath: String, statePath: String,
+                        keyCols: Seq[String], sumCols: Set[String],
+                        countCol: Option[String])
+
+  private val views =
+    new java.util.concurrent.ConcurrentHashMap[String, View]()
+
+  private def norm(p: String): String =
+    p.stripSuffix("/").replaceFirst("^file:", "")
+
+  def register(v: View): Unit = views.put(norm(v.basePath), v)
+  def unregister(basePath: String): Unit = views.remove(norm(basePath))
+  def clear(): Unit = views.clear()
+  def isEmpty: Boolean = views.isEmpty
+
+  private[plans] def forPaths(paths: Seq[String]): Option[View] =
+    paths.map(norm).flatMap(p => Option(views.get(p))).headOption
+
+  /** Install on an existing session (the extensions hook only runs at
+    * construction). Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[RewriteToSummary]))
+      spark.experimental.extraOptimizations = cur :+ RewriteToSummary(spark)
+  }
+
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[RewriteToSummary])
+}
+
+/** The rewrite rule. Runs in the user-provided-optimizer batch (after
+  * column pruning), so the guarded pattern is
+  * `Aggregate → [Project|Filter]* → LogicalRelation(parquet base)`. */
+final case class RewriteToSummary(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import SummaryViews._
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (SummaryViews.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(_, _, _) =>
+        tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** Strip pure-attribute Projects, collect key-only Filters, and land on
+    * the base relation — anything else refuses. */
+  private def unwrap(plan: LogicalPlan,
+                     filters: List[Expression])
+      : Option[(View, List[Expression])] = plan match {
+    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(child, filters)
+    case Filter(cond, child) =>
+      unwrap(child, cond :: filters)
+    case rel: LogicalRelation =>
+      rel.relation match {
+        case fs: HadoopFsRelation =>
+          forPaths(fs.location.rootPaths.map(_.toString))
+        case _ => None
+      }
+      match {
+        case Some(v)
+            if filters.forall(_.references.forall(a =>
+              v.keyCols.contains(a.name))) => Some((v, filters))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val groupings = agg.groupingExpressions
+    val aggExprs = agg.aggregateExpressions
+    unwrap(agg.child, Nil).flatMap { case (view, filters) =>
+      val groupAttrs = groupings.collect { case a: AttributeReference => a }
+      val eligibleKeys = groupAttrs.length == groupings.length &&
+        groupAttrs.forall(a => view.keyCols.contains(a.name))
+      // the summary side: resolved parquet scan of the state dir (the
+      // bucket/guard bookkeeping columns prune away — nothing below
+      // references them)
+      val stateOpt =
+        if (!eligibleKeys) None
+        else try Some(
+          spark.read.parquet(BucketedStateTable.stateDir(view.statePath))
+            .queryExecution.analyzed)
+        catch { case _: Exception => None }
+      stateOpt.flatMap { state =>
+        val stateAttr: Map[String, AttributeReference] =
+          state.output.map(a => a.name -> a).toMap
+        val covered = (view.keyCols ++ view.sumCols ++ view.countCol)
+          .forall(stateAttr.contains)
+        if (!covered) None
+        else {
+          // every output expression must map exactly, preserving both the
+          // name and the exprId — parents never see the substitution
+          val mapped: Seq[Option[NamedExpression]] = aggExprs.map {
+            case a: AttributeReference
+                if groupAttrs.exists(_.exprId == a.exprId) =>
+              Some(Alias(stateAttr(a.name), a.name)(exprId = a.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Sum(c: AttributeReference, _), _, false, None, _), name)
+                if view.sumCols.contains(c.name) =>
+              Some(Alias(
+                ae.copy(aggregateFunction = Sum(stateAttr(c.name))),
+                name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Count(Seq(Literal(_, _))), _, false, None, _), name)
+                if view.countCol.isDefined =>
+              val n = stateAttr(view.countCol.get)
+              Some(Alias(
+                Coalesce(Seq(
+                  ae.copy(aggregateFunction = Sum(n)), Literal(0L))),
+                name)(exprId = al.exprId))
+            case _ => None
+          }
+          if (mapped.exists(_.isEmpty)) None
+          else {
+            val newGroupings: Seq[Expression] =
+              groupAttrs.map(a => stateAttr(a.name))
+            val rewrittenFilters = filters.map(_.transform {
+              case a: AttributeReference => stateAttr(a.name)
+            })
+            val newChild = rewrittenFilters
+              .foldLeft(state)((p, c) => Filter(c, p))
+            Some(Aggregate(newGroupings, mapped.map(_.get), newChild))
+          }
+        }
+      }
+    }
+  }
+}

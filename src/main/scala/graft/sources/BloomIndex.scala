@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** File-level Bloom indexes — membership skipping for EQUALITY lookups on
+  * high-cardinality columns, the point-lookup complement of [[ZoneMap]]:
+  * a min/max zone on a column the layout is NOT clustered by spans the
+  * whole value range in every file (`widthShare` ≈ 1, nothing prunes),
+  * but a per-file Bloom filter still answers "can doc_id = X live in this
+  * file?" at ~10 bits/row — at 100 TB the difference between scanning the
+  * layout for one document and opening the handful of files whose filters
+  * fire. This is the Parquet bloom_filter_enabled idea lifted to the FILE
+  * LIST at plan time (row-group blooms only prune after a task has opened
+  * the footer), and the same machinery Spark's own runtime row-level
+  * filtering trusts: the manifest cells are built by Catalyst's
+  * `BloomFilterAggregate` over `xxhash64` keys, exactly the
+  * aggregate/probe pair `InjectRuntimeFilter` plants ([[graft.functions.Bloom]]
+  * is the broadcast-prefilter sibling over a whole table).
+  *
+  * Layout sidecar `_bloomindex`, sharded by partition directory like
+  * `_zonemap` (one row per data file: `file, part_dir, n_rows,
+  * <c>_bloom …`), maintained incrementally by the shared [[Manifests]]
+  * protocol — a streaming sink appends O(new files) per batch, a replayed
+  * batch dir or a compaction reaps its dead rows, untouched shards are
+  * never rewritten.
+  *
+  * Probing deserializes each candidate row's filter inside a scalar
+  * function over the MANIFEST (rows = files — metadata-sized, the
+  * [[graft.functions.Sketches]] probe discipline: heavy bytes stay
+  * aggregated, the probe never touches row data); only matching file
+  * paths reach the driver. False positives cost a file read, never a
+  * wrong answer: [[prunedRead]] re-applies the exact predicate.
+  *
+  * Keys are indexed by the canonical STRING image of the value
+  * (`xxhash64(cast(c as string))`), so a probe literal needs no type
+  * gymnastics to hash identically; NULLs are never indexed (a NULL
+  * equality predicate matches nothing).
+  */
+object BloomIndex {
+
+  /** Per-file Bloom aggregate: Catalyst's own `BloomFilterAggregate` over
+    * the null-guarded string-image hash. `expectedItems`/`fpp` size the
+    * fixed bitmap exactly as `BloomFilter.create` would. */
+  private def bloomAgg(c: String, expectedItems: Long, fpp: Double): Column = {
+    val bits = BloomFilter.optimalNumOfBits(math.max(expectedItems, 1L), fpp)
+    val key = when(col(c).isNotNull, xxhash64(col(c).cast("string")))
+    GraftBridge.column(new BloomFilterAggregate(
+        GraftBridge.expression(key),
+        Literal(math.max(expectedItems, 1L)), Literal(bits))
+      .toAggregateExpression())
+  }
+
+  private def statsFor(df: DataFrame, cols: Seq[String], rootAbs: String,
+                       expectedItems: Long, fpp: Double): DataFrame = {
+    require(cols.nonEmpty, "bloom index needs at least one column")
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      cols.map(c => bloomAgg(c, expectedItems, fpp).as(s"${c}_bloom"))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("part_dir", Manifests.partDirCol(rootAbs))
+  }
+
+  /** One distributed pass: per data file, per indexed column, one Bloom
+    * filter sized for `expectedItemsPerFile` at `fpp`. Default sizing
+    * (1 M items, 1 %) is ~1.2 MB/file — tune DOWN for small files; the
+    * aggregate's bitmap is fixed at creation, so an over-full file only
+    * degrades fpp, never correctness. */
+  def build(spark: SparkSession, path: String, cols: Seq[String],
+            expectedItemsPerFile: Long = 1000000L,
+            fpp: Double = 0.01): DataFrame = {
+    val (_, root) = Manifests.fsFor(spark, path)
+    statsFor(spark.read.parquet(path), cols, root.toUri.getPath,
+      expectedItemsPerFile, fpp)
+  }
+
+  /** Persist the manifest next to the data (full rebuild, overwrite). */
+  def write(spark: SparkSession, path: String, cols: Seq[String],
+            expectedItemsPerFile: Long = 1000000L,
+            fpp: Double = 0.01): Unit =
+    build(spark, path, cols, expectedItemsPerFile, fpp).coalesce(1)
+      .write.mode("overwrite").partitionBy("part_dir")
+      .parquet(s"$path/_bloomindex")
+
+  /** Incremental maintenance via the shared [[Manifests]] protocol:
+    * index only manifest-unknown files (O(new files) scan), reap rows
+    * whose files vanished, rewrite only affected shards. */
+  def update(spark: SparkSession, path: String, cols: Seq[String],
+             expectedItemsPerFile: Long = 1000000L,
+             fpp: Double = 0.01): ZoneMap.UpdateDelta = {
+    val (_, root) = Manifests.fsFor(spark, path)
+    val rootAbs = root.toUri.getPath
+    val (added, reaped) = Manifests.incrementalUpdate(spark, path,
+      "_bloomindex",
+      fresh => statsFor(spark.read.parquet(fresh.map(_.toString): _*),
+        cols, rootAbs, expectedItemsPerFile, fpp))
+    ZoneMap.UpdateDelta(added, reaped)
+  }
+
+  /** Deserialize-and-probe, evaluated over manifest rows only. The filter
+    * bytes differ per row (per file), so there is nothing to cache — and
+    * the input is files-sized, never data-sized. */
+  private val probe = udf { (bloom: Array[Byte], hash: Long) =>
+    bloom != null &&
+      BloomFilter.readFrom(new ByteArrayInputStream(bloom))
+        .mightContainLong(hash)
+  }
+
+  /** The probe-side key for a literal — MUST mirror [[bloomAgg]]'s
+    * string-image hashing. */
+  private def keyOf(v: Any): Column = xxhash64(lit(v).cast("string"))
+
+  private def matchingRows(spark: SparkSession, path: String, c: String,
+                           values: Seq[Any], parts: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "bloom probe needs at least one value")
+    val m = spark.read.parquet(s"$path/_bloomindex")
+    val sharded =
+      if (parts.isEmpty) m else m.filter(col("part_dir").isin(parts: _*))
+    val hit = values.map(v => probe(col(s"${c}_bloom"), keyOf(v)))
+      .reduce(_ || _)
+    sharded.filter(hit)
+  }
+
+  /** Files that MIGHT contain any of `values` in column `c` (Bloom
+    * semantics: no false negatives, bounded false positives). `parts`
+    * partition-prunes the manifest scan itself. */
+  def candidateFiles(spark: SparkSession, path: String, c: String,
+                     values: Seq[Any],
+                     parts: Seq[String] = Nil): Seq[String] =
+    matchingRows(spark, path, c, values, parts)
+      .select("file").collect().map(_.getString(0)).toSeq
+
+  /** Point-lookup / IN-list read through the index: scan ONLY files whose
+    * filters fire, then re-apply the exact predicate (filters are
+    * necessary, not sufficient). Output == the full scan's filter, proven
+    * in spec. Shard-at-a-time like [[ZoneMap.prunedRead]]: the driver
+    * holds one partition's candidate list per step, never the layout's. */
+  def prunedRead(spark: SparkSession, path: String, c: String,
+                 values: Seq[Any], parts: Seq[String] = Nil): DataFrame = {
+    val matching = matchingRows(spark, path, c, values, parts)
+    val shards = matching.select("part_dir").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val predicate = col(c).isin(values: _*)
+    if (shards.isEmpty)
+      return spark.read.parquet(path).limit(0).filter(predicate)
+    shards.map { sh =>
+      val files = matching.filter(col("part_dir") === sh)
+        .select("file").collect().map(_.getString(0)).toSeq
+      spark.read.parquet(files: _*)
+    }.reduce(_ unionByName _).filter(predicate)
+  }
+
+  /** Index health from the manifest alone: files covered, bytes per
+    * filter, and rows-per-file vs the sizing assumption (a file holding
+    * far more rows than `expectedItemsPerFile` runs at a worse fpp than
+    * the build asked for). */
+  def diagnose(spark: SparkSession, path: String, c: String): DataFrame =
+    spark.read.parquet(s"$path/_bloomindex")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_rows")).as("n_rows"),
+        max(col("n_rows")).as("max_file_rows"),
+        round(avg(length(col(s"${c}_bloom"))), 1).as("avg_filter_bytes"))
+}

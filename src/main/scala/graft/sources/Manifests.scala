@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared maintenance protocol for file-level index manifests (the
+  * `_zonemap` / `_bloomindex` sidecar tables): one place that knows how to
+  * list a layout, diff it against a manifest, index ONLY the new files,
+  * and reap rows whose files vanished (a replayed batch directory was
+  * overwritten under the same batchId, or a compaction rewrote a leaf).
+  * [[ZoneMap]] and [[BloomIndex]] differ only in WHAT they compute per
+  * file (min/max/null stats vs membership filters); the listing diff, the
+  * shard-scoped dynamic-partition rewrite, and the staleness reasoning are
+  * identical — and a correctness analysis maintained twice drifts twice
+  * (the [[graft.streaming.BucketedStateTable]] lesson, applied to
+  * layout indexes).
+  *
+  * All driver-side state here is METADATA-sized: file listings and
+  * basename→shard maps, never row data.
+  */
+private[sources] object Manifests {
+
+  def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, fs.makeQualified(p))
+  }
+
+  /** Derive the manifest shard key from the data-file path column `file`:
+    * the file's leaf directory relative to the layout root ("." for
+    * root-level files). Pure column arithmetic — stays inside the stats
+    * job's codegen. */
+  def partDirCol(rootAbs: String): Column = {
+    val marker = rootAbs.stripSuffix("/") + "/"
+    val rel = col("file").substr(
+      locate(marker, col("file")) + marker.length, length(col("file")))
+    when(locate("/", rel) === 0, lit("."))
+      .otherwise(rel.substr(lit(1), length(rel) - locate("/", reverse(rel))))
+  }
+
+  def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  def listDataFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) Nil
+      else if (st.isDirectory) listDataFiles(fs, st.getPath)
+      else Seq(st.getPath)
+    }
+
+  /** Incremental manifest maintenance: index only files the manifest
+    * doesn't know yet (identified by basename — part files carry a UUID),
+    * reap rows whose files no longer exist. Cost per call is O(new files)
+    * scan (via `statsFn`, which must emit `file` and `part_dir` columns)
+    * plus a rewrite of only the AFFECTED shards (dynamic partition
+    * overwrite on `part_dir`); untouched shards are never rewritten and
+    * the layout is never rescanned. Returns (added, reaped). */
+  def incrementalUpdate(spark: SparkSession, path: String,
+                        manifestName: String,
+                        statsFn: Seq[Path] => DataFrame): (Long, Long) = {
+    val (fs, root) = fsFor(spark, path)
+    val manifestPath = new Path(root, manifestName)
+    val live = listDataFiles(fs, root)
+    val liveNames = live.map(_.getName).toSet
+    val known: Map[String, String] = // basename -> part_dir
+      if (!fs.exists(manifestPath)) Map.empty
+      else spark.read.parquet(s"$path/$manifestName")
+        .select("file", "part_dir").collect()
+        .map(r => baseName(r.getString(0)) -> r.getString(1)).toMap
+    def relDir(p: Path): String = {
+      val rel = root.toUri.relativize(p.getParent.toUri).getPath
+        .stripSuffix("/")
+      if (rel.isEmpty) "." else rel
+    }
+    val fresh = live.filterNot(p => known.contains(p.getName))
+    val stale = known.filterNot { case (name, _) => liveNames.contains(name) }
+    if (fresh.isEmpty && stale.isEmpty) return (0L, 0L)
+
+    val freshStats = if (fresh.isEmpty) None else Some(statsFn(fresh))
+
+    if (stale.isEmpty) {
+      // pure append: new shards materialize, existing shards gain files
+      freshStats.get.write.mode("append").partitionBy("part_dir")
+        .parquet(s"$path/$manifestName")
+    } else {
+      // rewrite ONLY shards with a dead row or a fresh file: survivors
+      // (still-live old rows) ∪ fresh stats, dynamic partition overwrite
+      val shardSet = stale.values.toSet ++ fresh.map(relDir)
+      val shards = shardSet.toSeq
+      // survivors are only needed INSIDE the rewritten shards — the isin
+      // list is bounded by those shards' file counts, not the layout's
+      val surviving = known.collect {
+        case (name, pd) if shardSet.contains(pd) && liveNames.contains(name) =>
+          name
+      }.toSeq
+      val old = spark.read.parquet(s"$path/$manifestName")
+        .filter(col("part_dir").isin(shards: _*))
+        .filter(substring_index(col("file"), "/", -1).isin(surviving: _*))
+      val out = freshStats.fold(old)(f => old.unionByName(f))
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part_dir")
+        .parquet(s"$path/$manifestName")
+    }
+    (fresh.length.toLong, stale.size.toLong)
+  }
+}

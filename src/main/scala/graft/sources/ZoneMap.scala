@@ -41,28 +41,11 @@ object ZoneMap {
     * directory was overwritten, or a compaction rewrote the layout). */
   final case class UpdateDelta(added: Long, reaped: Long)
 
-  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (fs, fs.makeQualified(p))
-  }
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) =
+    Manifests.fsFor(spark, path)
 
-  /** The layout root as it appears inside `input_file_name()` paths —
-    * scheme-less absolute, so the marker matches whatever URI form the
-    * scan renders. */
-  private def rootMarker(root: Path): String =
-    root.toUri.getPath.stripSuffix("/") + "/"
-
-  /** Derive the manifest shard key from the file path: the file's leaf
-    * directory relative to the layout root ("." for root-level files).
-    * Pure column arithmetic — stays inside the stats job's codegen. */
-  private def partDirCol(rootAbs: String): Column = {
-    val marker = rootAbs.stripSuffix("/") + "/"
-    val rel = col("file").substr(
-      locate(marker, col("file")) + marker.length, length(col("file")))
-    when(locate("/", rel) === 0, lit("."))
-      .otherwise(rel.substr(lit(1), length(rel) - locate("/", reverse(rel))))
-  }
+  private def partDirCol(rootAbs: String): Column =
+    Manifests.partDirCol(rootAbs)
 
   private def statsFor(df: DataFrame, cols: Seq[String],
                        rootAbs: String): DataFrame = {
@@ -99,17 +82,6 @@ object ZoneMap {
     fs.exists(new Path(root, "_zonemap"))
   }
 
-  private def baseName(p: String): String =
-    p.substring(p.lastIndexOf('/') + 1)
-
-  private def listDataFiles(fs: FileSystem, dir: Path): Seq[Path] =
-    fs.listStatus(dir).toSeq.flatMap { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("_") || n.startsWith(".")) Nil
-      else if (st.isDirectory) listDataFiles(fs, st.getPath)
-      else Seq(st.getPath)
-    }
-
   /** Incremental manifest maintenance — the per-micro-batch call for a
     * streaming sink: index ONLY files the manifest doesn't know yet
     * (identified by basename — part files carry a UUID), scanning just
@@ -125,55 +97,12 @@ object ZoneMap {
     * partition columns already have partition pruning). */
   def update(spark: SparkSession, path: String,
              cols: Seq[String]): UpdateDelta = {
-    val (fs, root) = fsFor(spark, path)
+    val (_, root) = fsFor(spark, path)
     val rootAbs = root.toUri.getPath
-    val manifestPath = new Path(root, "_zonemap")
-    val live = listDataFiles(fs, root)
-    val liveNames = live.map(_.getName).toSet
-    val known: Map[String, String] = // basename -> part_dir
-      if (!fs.exists(manifestPath)) Map.empty
-      else spark.read.parquet(s"$path/_zonemap")
-        .select("file", "part_dir").collect()
-        .map(r => baseName(r.getString(0)) -> r.getString(1)).toMap
-    def relDir(p: Path): String = {
-      val rel = root.toUri.relativize(p.getParent.toUri).getPath
-        .stripSuffix("/")
-      if (rel.isEmpty) "." else rel
-    }
-    val fresh = live.filterNot(p => known.contains(p.getName))
-    val stale = known.filterNot { case (name, _) => liveNames.contains(name) }
-    if (fresh.isEmpty && stale.isEmpty) return UpdateDelta(0L, 0L)
-
-    val freshStats =
-      if (fresh.isEmpty) None
-      else Some(statsFor(
+    val (added, reaped) = Manifests.incrementalUpdate(spark, path, "_zonemap",
+      fresh => statsFor(
         spark.read.parquet(fresh.map(_.toString): _*), cols, rootAbs))
-
-    if (stale.isEmpty) {
-      // pure append: new shards materialize, existing shards gain files
-      freshStats.get.write.mode("append").partitionBy("part_dir")
-        .parquet(s"$path/_zonemap")
-    } else {
-      // rewrite ONLY shards with a dead row or a fresh file: survivors
-      // (still-live old rows) ∪ fresh stats, dynamic partition overwrite
-      val shardSet = stale.values.toSet ++ fresh.map(relDir)
-      val shards = shardSet.toSeq
-      // survivors are only needed INSIDE the rewritten shards — the isin
-      // list is bounded by those shards' file counts, not the layout's
-      val surviving = known.collect {
-        case (name, pd) if shardSet.contains(pd) && liveNames.contains(name) =>
-          name
-      }.toSeq
-      val old = spark.read.parquet(s"$path/_zonemap")
-        .filter(col("part_dir").isin(shards: _*))
-        .filter(substring_index(col("file"), "/", -1).isin(surviving: _*))
-      val out = freshStats.fold(old)(f => old.unionByName(f))
-      out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part_dir")
-        .parquet(s"$path/_zonemap")
-    }
-    UpdateDelta(fresh.length.toLong, stale.size.toLong)
+    UpdateDelta(added, reaped)
   }
 
   /** Persist the manifest next to the data (full rebuild, overwrite). */
@@ -242,6 +171,33 @@ object ZoneMap {
         .select("file").collect().map(_.getString(0)).toSeq
       spark.read.parquet(files: _*)
     }.reduce(_ unionByName _).filter(predicate)
+  }
+
+  /** Answer table-level `count / min / max / null-count` aggregates from
+    * the manifest ALONE — zero data files opened. The manifest already
+    * holds each file's row count and per-column extrema, and those
+    * statistics COMPOSE exactly (count = Σ counts, min = min of mins …),
+    * so the classic "how big is this table, what's its value range"
+    * dashboard query costs a files-sized metadata scan instead of a
+    * 100 TB data scan — the trick every lakehouse table format plays with
+    * its manifest tier, available here on plain parquet. Only these four
+    * statistics compose losslessly from zones; anything else (sums,
+    * distincts, quantiles) honestly needs the data (or a sketch tier —
+    * [[graft.functions.Sketches]]).
+    *
+    * Output: one row — `n_rows`, then per indexed column `<c>_min,
+    * <c>_max, <c>_nulls` in NATIVE types (exactly what a raw-table
+    * aggregate would return, proven under the oracle). */
+  def metaProfile(spark: SparkSession, path: String,
+                  cols: Seq[String]): DataFrame = {
+    val m = spark.read.parquet(s"$path/_zonemap")
+    val aggs: Seq[Column] = sum(col("n_rows")).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(min(col(s"${c}_min")).as(s"${c}_min"),
+          max(col(s"${c}_max")).as(s"${c}_max"),
+          sum(col(s"${c}_nulls")).as(s"${c}_nulls"))
+      }
+    m.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Clustering diagnostic per indexed NUMERIC column: mean zone width

@@ -446,4 +446,35 @@ class QualitySpec extends SparkSpec {
     assert(scans === 1,
       s"3 scan-local checks must fold into one scan, got $scans:\n$plan")
   }
+
+  test("fdProfile: exact FD, measured g3, NULL as first-class ∅, one-scan plan") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (1L, 10L), (2L, 10L), (3L, 20L), (null, 20L), (null, 20L)
+    ).toDF("a", "b")
+    val r = Quality.fdProfile(df, Seq("a" -> "b", "b" -> "a"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+
+    // a→b holds: groups 1→{10}, 2→{10}, 3→{20}, ∅→{20} all single-valued
+    // (the ∅ group COUNTS — an FD that held only because NULLs vanished
+    // would be a false positive)
+    val ab = r(("a", "b"))
+    assert(ab.getLong(2) === 4 && ab.getLong(3) === 0 && ab.getLong(4) === 0)
+    assert(ab.getLong(5) === 6)
+    assert(ab.getBoolean(6) && ab.getDouble(7) === 1.0)
+
+    // b→a broken both groups: 10→{1,1,2} and 20→{3,∅,∅}, each modal 2 of
+    // 3 ⇒ g3 = 2 deleted rows of 6, strength 2/3
+    val ba = r(("b", "a"))
+    assert(ba.getLong(2) === 2 && ba.getLong(3) === 2 && ba.getLong(4) === 2)
+    assert(!ba.getBoolean(6))
+    assert(math.abs(ba.getDouble(7) - (1.0 - 2.0 / 6)) < 1e-12)
+
+    // one exploded scan feeds every pair — no per-pair rescans
+    val ev = Tables.events(spark, sfTiny)
+    val plan = Quality.fdProfile(ev,
+        Seq("event_id" -> "event_type", "event_type" -> "user_id"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"k pairs must share one scan, got $scans:\n$plan")
+  }
 }

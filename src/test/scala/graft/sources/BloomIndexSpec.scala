@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class BloomIndexSpec extends SparkSpec {
+
+  private def fresh(tag: String): String = {
+    val p = s"/root/repo/target/test-out/bloomindex/$tag"
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    p
+  }
+
+  private lazy val docs = Tables.table(spark, sfTiny, "documents")
+
+  test("point lookup prunes to the holding files on a RANDOM layout; zone map cannot") {
+    val path = fresh("random")
+    // hash-spread layout: doc_id ranges overlap across every file — the
+    // layout a zone map on doc_id is useless for
+    docs.repartition(8)
+      .write.mode("overwrite").parquet(path)
+    BloomIndex.write(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    ZoneMap.write(spark, path, Seq("doc_id"))
+    val total = spark.read.parquet(s"$path/_bloomindex").count()
+    assert(total === 8)
+
+    // probe MID-RANGE ids: an extremal id is the one point a min/max zone
+    // CAN prune even on a random layout (only one file holds the global
+    // min) — the median sits inside every interleaved file's span
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val ids = Seq(all(all.length / 2), all(all.length / 2 + 7),
+      all(all.length / 2 + 13))
+    // zone map on the unclustered key: every zone spans ~everything
+    val zcand = ZoneMap.candidateFiles(spark, path, "doc_id",
+      ids.head, ids.head)
+    assert(zcand.size >= 7, s"zone map should be blind here, got ${zcand.size}")
+    // bloom: a single id lives in exactly one file — candidates are that
+    // file plus deterministic fpp noise, far below the layout
+    val bcand = BloomIndex.candidateFiles(spark, path, "doc_id",
+      Seq(ids.head))
+    assert(bcand.nonEmpty && bcand.size <= 2,
+      s"bloom must prune a point lookup, got ${bcand.size} of $total")
+
+    // exactness: pruned read == full-scan filter, for one id and a set
+    val got = BloomIndex.prunedRead(spark, path, "doc_id", ids)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === ids.sorted)
+    val one = BloomIndex.prunedRead(spark, path, "doc_id", Seq(ids.head))
+      .count()
+    assert(one === 1L)
+  }
+
+  test("no false negatives by construction; absent key reads nothing; NULLs not indexed") {
+    val path = fresh("absent")
+    docs.repartition(4)
+      .write.mode("overwrite").parquet(path)
+    BloomIndex.write(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    // every present id must fire its holding file (no false negatives):
+    // sample a spread of ids and check the pruned read finds each
+    val sample = docs.select("doc_id").collect().map(_.getLong(0))
+      .sorted.grouped(500).map(_.head).toSeq
+    val found = BloomIndex.prunedRead(spark, path, "doc_id",
+        sample.toSeq)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(found === sample.toSet)
+    // an id far outside the domain: candidates are fpp-only (possibly 0),
+    // and the exact re-filter guarantees an empty result either way
+    val absent = BloomIndex.prunedRead(spark, path, "doc_id",
+      Seq(Long.MaxValue - 7))
+    assert(absent.count() === 0L)
+
+    // NULL keys are never indexed: a column of nulls yields filters that
+    // fire for nothing
+    import spark.implicits._
+    val nulls = Seq.tabulate(10)(i => (i.toLong, null: String))
+      .toDF("id", "k")
+    val npath = fresh("nulls")
+    nulls.write.mode("overwrite").parquet(npath)
+    BloomIndex.write(spark, npath, Seq("k"), expectedItemsPerFile = 100)
+    assert(BloomIndex.candidateFiles(spark, npath, "k", Seq("anything"))
+      .isEmpty)
+  }
+
+  test("incremental update indexes only new files and reaps replayed dirs (shared Manifests protocol)") {
+    val path = fresh("incr")
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    a.repartition(2).write.mode("overwrite")
+      .parquet(s"$path/batch_id=0")
+    BloomIndex.update(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000)
+    b.repartition(3).write.mode("overwrite")
+      .parquet(s"$path/batch_id=1")
+    val d1 = BloomIndex.update(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000)
+    assert(d1 === ZoneMap.UpdateDelta(3L, 0L))
+    // replay batch 1 (overwrite under the same dir): old part files die
+    b.repartition(3).write.mode("overwrite")
+      .parquet(s"$path/batch_id=1")
+    val d2 = BloomIndex.update(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000)
+    assert(d2.added === 3L && d2.reaped === 3L)
+    // manifest rows all live, and a lookup through the index stays exact
+    val m = spark.read.parquet(s"$path/_bloomindex")
+    assert(m.count() === 5)
+    val id = b.select("doc_id").orderBy("doc_id").limit(1)
+      .head().getLong(0)
+    val got = BloomIndex.prunedRead(spark, path, "doc_id", Seq(id))
+    assert(got.count() === 1L)
+    // idempotent follow-up
+    assert(BloomIndex.update(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000) === ZoneMap.UpdateDelta(0L, 0L))
+  }
+
+  test("diagnose reads health from the manifest alone") {
+    val path = fresh("diag")
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+    BloomIndex.write(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    val d = BloomIndex.diagnose(spark, path, "doc_id").head()
+    assert(d.getLong(0) === 4L)                  // n_files
+    assert(d.getLong(1) === docs.count())        // n_rows
+    assert(d.getDouble(3) > 1000)                // real filter payloads
+  }
+}

@@ -34,6 +34,40 @@ class ZoneMapSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("metaProfile answers count/min/max/nulls with ZERO data files — even after they're gone") {
+    val path = fresh("metaonly")
+    events.repartition(4).write.mode("overwrite").parquet(path)
+    ZoneMap.write(spark, path, Seq("value", "user_id"))
+    val want = events.agg(
+      count(lit(1)), min(col("value")), max(col("value")),
+      count(lit(1)) - count(col("value")),
+      min(col("user_id")), max(col("user_id")),
+      count(lit(1)) - count(col("user_id"))).head()
+
+    def check(): Unit = {
+      val got = ZoneMap.metaProfile(spark, path, Seq("value", "user_id"))
+        .head()
+      assert(got.getLong(0) === want.getLong(0))
+      assert(got.getDouble(1) === want.getDouble(1))
+      assert(got.getDouble(2) === want.getDouble(2))
+      assert(got.getLong(3) === want.getLong(3))
+      assert(got.getLong(4) === want.getLong(4))
+      assert(got.getLong(5) === want.getLong(5))
+      assert(got.getLong(6) === want.getLong(6))
+    }
+    check()
+    // the proof it never touches data: delete every data file, keep only
+    // the manifest — the answer must still compute, unchanged
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_zonemap") && !n.startsWith("_") && !n.startsWith("."))
+        fs.delete(st.getPath, false)
+    }
+    check()
+  }
+
   test("width_share separates clustered from random layouts") {
     val cPath = fresh("diag-clustered")
     val rPath = fresh("diag-random")

@@ -35,8 +35,7 @@ import graft.streaming.BucketedStateTable
   * Staleness contract: the summary answers AS OF its last applied batch.
   * Register a view only where the [[graft.streaming.IncrementalAgg]]
   * pipeline owns every write to the base (the same contract any
-  * incremental MV system imposes); results are then exact, proven under
-  * the DuckDB oracle (`agg_mv_rewrite`) and the plan-level spec. For
+  * incremental MV system imposes); results are then exact. For
   * float sums the rewrite changes accumulation ORDER (sums of partial
   * sums) — register integral/decimal sum columns where bit-exactness
   * matters.
@@ -93,8 +92,7 @@ final case class RewriteToSummary(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (SummaryViews.isEmpty) plan
     else plan.transformUp {
-      case agg @ Aggregate(_, _, _) =>
-        tryRewrite(agg).getOrElse(agg)
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
   /** Strip pure-attribute Projects, collect key-only Filters, and land on
@@ -107,12 +105,12 @@ final case class RewriteToSummary(spark: SparkSession)
     case Filter(cond, child) =>
       unwrap(child, cond :: filters)
     case rel: LogicalRelation =>
-      rel.relation match {
+      val matched = rel.relation match {
         case fs: HadoopFsRelation =>
           forPaths(fs.location.rootPaths.map(_.toString))
         case _ => None
       }
-      match {
+      matched match {
         case Some(v)
             if filters.forall(_.references.forall(a =>
               v.keyCols.contains(a.name))) => Some((v, filters))
@@ -138,7 +136,7 @@ final case class RewriteToSummary(spark: SparkSession)
             .queryExecution.analyzed)
         catch { case _: Exception => None }
       stateOpt.flatMap { state =>
-        val stateAttr: Map[String, AttributeReference] =
+        val stateAttr: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute] =
           state.output.map(a => a.name -> a).toMap
         val covered = (view.keyCols ++ view.sumCols ++ view.countCol)
           .forall(stateAttr.contains)

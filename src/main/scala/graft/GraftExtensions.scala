@@ -20,8 +20,14 @@ import graft.functions.expressions.{CosineSimilarity, MinHashSignature, ShingleH
   * as temp functions through the session's registry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // materialized-view rewrite (graft.plans.SummaryViews): inactive until a
+    // view is registered, so injection is free for sessions that never use
+    // it. injectOptimizerRule hands the builder the owning session — each
+    // session gets its own RewriteToSummary instance.
+    ext.injectOptimizerRule(session => graft.plans.RewriteToSummary(session))
+  }
 }
 
 object GraftExtensions {

@@ -388,6 +388,66 @@ object Queries {
       .select(col("user_id"), col("n_docs"), col("sum_k"))
   }
 
+  register("agg_mv_rewrite", Some(
+    """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(*) AS n_docs
+      |FROM documents WHERE source <> 'web' GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Materialized-view REWRITE, proven end-to-end: an IncrementalAgg
+    // summary keyed (lang, source) is maintained from three delta batches;
+    // SummaryViews.register + install then make a plain GROUP BY over the
+    // BASE parquet silently re-plan onto the summary — a COARSER roll-up
+    // (lang ⊂ keys, sums of sums) under a key-column filter (source <>
+    // 'web', pushed onto the summary scan). The entry REQUIRES the rewrite
+    // to have fired (the optimized plan must read the state dir, asserted
+    // below) and materializes the result while the rule is installed, so
+    // the rows the driver hashes against DuckDB-over-the-raw-table came
+    // from the summary: exactness of maintenance + rewrite + roll-up in
+    // one gate. At 100 TB the query pays O(distinct lang×source), not a
+    // base scan.
+    val base = Tables.path(dir, "documents")
+    val path = s"$sinkRoot/agg_mv_rewrite-${dir.replaceAll("[^0-9.]", "")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val deltas = s.read.parquet(base).select(col("lang"), col("source"),
+      col("n_chars").cast("long").as("n_chars"), lit(1L).as("n_docs"),
+      pmod(col("doc_id"), lit(3)).as("__chunk"))
+    (0L to 2L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("lang", "source"), sumCols = Seq("n_chars", "n_docs"),
+        nBuckets = 8, batchId = i)
+    }
+    graft.plans.SummaryViews.register(graft.plans.SummaryViews.View(
+      base, path, Seq("lang", "source"), Set("n_chars"), Some("n_docs")))
+    graft.plans.SummaryViews.install(s)
+    try {
+      val q = s.read.parquet(base)
+        .where(col("source") =!= "web")
+        .groupBy("lang")
+        .agg(sum(col("n_chars")).as("sum_chars"),
+          count(lit(1)).as("n_docs"))
+      val readsState = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(p =>
+                p.toString.contains("agg_mv_rewrite") &&
+                  p.toString.endsWith("/state"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(readsState,
+        "agg_mv_rewrite: the summary rewrite did not fire — the optimized " +
+          "plan still reads the base table")
+      // eager: the hashed rows are computed NOW, under the installed rule
+      q.localCheckpoint()
+    } finally {
+      graft.plans.SummaryViews.uninstall(s)
+      graft.plans.SummaryViews.unregister(base)
+    }
+  }
+
   // ==========================================================================
   // Serializer / sink round-trips (SURVEY §2.3 T1-T7 + §2.8): each writes
   // the envelope through a real DataFrameWriter (format × compression ×

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -60,12 +61,59 @@ object SummaryViews {
     p.stripSuffix("/").replaceFirst("^file:", "")
 
   def register(v: View): Unit = views.put(norm(v.basePath), v)
-  def unregister(basePath: String): Unit = views.remove(norm(basePath))
-  def clear(): Unit = views.clear()
+  def unregister(basePath: String): Unit = {
+    Option(views.remove(norm(basePath)))
+      .foreach(v => planCache.remove(v.statePath))
+  }
+  def clear(): Unit = { views.clear(); planCache.clear() }
   def isEmpty: Boolean = views.isEmpty
 
   private[plans] def forPaths(paths: Seq[String]): Option[View] =
     paths.map(norm).flatMap(p => Option(views.get(p))).headOption
+
+  /** Resolved summary-scan plan per registered view, keyed by state path and
+    * stamped with [[BucketedStateTable.stateVersion]] at resolve time.
+    * Optimization of the Nth query over a view costs a MEMORY version
+    * compare, not a filesystem listing: the plan (and the `FileIndex`
+    * inside its `HadoopFsRelation`) re-resolves only after an
+    * `IncrementalAgg.applyDelta` fold actually rewrote state buckets.
+    * Staleness contract (same one as the view registration itself): the
+    * maintaining pipeline runs in THIS process; an out-of-process writer
+    * does not bump the version, exactly as it could not keep the summary
+    * current in the first place. */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, LogicalPlan)]()
+
+  /** Test spy: how many times a state dir was actually resolved (listed +
+    * analyzed) rather than served from [[planCache]]. */
+  @volatile private[graft] var stateResolves: Long = 0L
+
+  /** The summary scan for `view`, from cache when current. Each USE gets
+    * fresh expression ids (`MultiInstanceRelation.newInstance`) over the
+    * shared `HadoopFsRelation`, so two rewrites landing in one plan tree
+    * cannot collide on attribute identity while still sharing the cached
+    * file listing. */
+  private[plans] def statePlan(spark: SparkSession,
+                               view: View): Option[LogicalPlan] = {
+    val dir = BucketedStateTable.stateDir(view.statePath)
+    val ver = BucketedStateTable.stateVersion(view.statePath)
+    val base = Option(planCache.get(view.statePath)) match {
+      case Some((v, p)) if v == ver => Some(p)
+      case _ =>
+        val resolved =
+          try Some(spark.read.parquet(dir).queryExecution.analyzed)
+          catch { case _: Exception => None } // state absent: refuse, retry next query
+        resolved.foreach { p =>
+          stateResolves += 1
+          planCache.put(view.statePath, (ver, p))
+        }
+        resolved
+    }
+    base.map {
+      case m: MultiInstanceRelation => m.newInstance().asInstanceOf[LogicalPlan]
+      case p => p
+    }
+  }
 
   /** Install on an existing session (the extensions hook only runs at
     * construction). Idempotent. */
@@ -126,17 +174,14 @@ final case class RewriteToSummary(spark: SparkSession)
       val groupAttrs = groupings.collect { case a: AttributeReference => a }
       val eligibleKeys = groupAttrs.length == groupings.length &&
         groupAttrs.forall(a => view.keyCols.contains(a.name))
-      // the summary side: resolved parquet scan of the state dir (the
-      // bucket/guard bookkeeping columns prune away — nothing below
-      // references them)
+      // the summary side: resolved parquet scan of the state dir, from the
+      // version-stamped plan cache (the bucket/guard bookkeeping columns
+      // prune away — nothing below references them)
       val stateOpt =
         if (!eligibleKeys) None
-        else try Some(
-          spark.read.parquet(BucketedStateTable.stateDir(view.statePath))
-            .queryExecution.analyzed)
-        catch { case _: Exception => None }
+        else SummaryViews.statePlan(spark, view)
       stateOpt.flatMap { state =>
-        val stateAttr: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute] =
+        val stateAttr: Map[String, Attribute] =
           state.output.map(a => a.name -> a).toMap
         val covered = (view.keyCols ++ view.sumCols ++ view.countCol)
           .forall(stateAttr.contains)
@@ -151,16 +196,30 @@ final case class RewriteToSummary(spark: SparkSession)
             case al @ Alias(ae @ AggregateExpression(
                   Sum(c: AttributeReference, _), _, false, None, _), name)
                 if view.sumCols.contains(c.name) =>
-              Some(Alias(
-                ae.copy(aggregateFunction = Sum(stateAttr(c.name))),
-                name)(exprId = al.exprId))
+              // re-summing the summary can WIDEN the type (decimal Sum adds
+              // 10 precision again: state holds decimal(p+10,s), Sum over it
+              // yields decimal(p+20,s)); parents recorded the ORIGINAL type
+              // for this exprId, so cast back. The cast is exact whenever
+              // the true total fits the original Sum type — the same
+              // condition under which the un-rewritten query succeeds.
+              val reSum: Expression =
+                ae.copy(aggregateFunction = Sum(stateAttr(c.name)))
+              val typed =
+                if (reSum.dataType == ae.dataType) reSum
+                else Cast(reSum, ae.dataType)
+              Some(Alias(typed, name)(exprId = al.exprId))
             case al @ Alias(ae @ AggregateExpression(
                   Count(Seq(Literal(_, _))), _, false, None, _), name)
                 if view.countCol.isDefined =>
               val n = stateAttr(view.countCol.get)
+              val summed: Expression = ae.copy(aggregateFunction = Sum(n))
+              // post-analysis plans get no implicit coercion: pin the summed
+              // count back to COUNT's own LongType before the coalesce
+              val typed =
+                if (summed.dataType == ae.dataType) summed
+                else Cast(summed, ae.dataType)
               Some(Alias(
-                Coalesce(Seq(
-                  ae.copy(aggregateFunction = Sum(n)), Literal(0L))),
+                Coalesce(Seq(typed, Literal(0L))),
                 name)(exprId = al.exprId))
             case _ => None
           }

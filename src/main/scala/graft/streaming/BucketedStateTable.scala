@@ -43,6 +43,23 @@ private[graft] object BucketedStateTable {
 
   def stateDir(path: String): String = s"$path/state"
 
+  /** In-process state-mutation counter per table path, bumped by every
+    * [[fold]] that actually rewrites buckets. Consumers that cache anything
+    * derived from the state files ([[graft.plans.SummaryViews]]'s resolved
+    * scan plan) compare versions instead of touching the filesystem — a
+    * pure-memory staleness check, correct under the same single-writer-per-
+    * path-per-process contract fold itself assumes. A writer in ANOTHER
+    * process does not bump this (the cache consumer documents that). */
+  private val versions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def stateVersion(path: String): Long =
+    Option(versions.get(path)).fold(0L)(_.longValue)
+
+  private def bumpVersion(path: String): Unit =
+    versions.merge(path, java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+
   private def marker(path: String, batchId: Long) =
     new Path(s"$path/_applied/batch-$batchId")
 
@@ -142,6 +159,7 @@ private[graft] object BucketedStateTable {
       pending.filterNot(keptBuckets).foreach { b =>
         fs.delete(new Path(s"$sPath/$BucketCol=$b"), true)
       }
+      bumpVersion(path)
       commit(fs, path, batchId)
     } finally old.unpersist(blocking = false)
   }

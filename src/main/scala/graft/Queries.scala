@@ -448,6 +448,63 @@ object Queries {
     }
   }
 
+  register("agg_mv_rewrite_avg", Some(
+    """SELECT source, avg(n_chars) AS avg_chars,
+      |  count(n_chars) AS n_vals
+      |FROM documents WHERE lang <> 'en' GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // The extended MV-rewrite shapes: AVG(col) re-planned as
+    // SUM(sums)/SUM(non-null counts) and COUNT(col) as SUM(non-null
+    // counts), over a summary keyed (lang, source) — here rolled up to
+    // source under a key filter on lang (the OTHER key than agg_mv_rewrite
+    // exercises). The maintained nn column is SUM(IF(n_chars IS NULL,0,1))
+    // per key; the entry requires the rewrite to have fired and hashes the
+    // summary-served rows against DuckDB over the raw table.
+    val base = Tables.path(dir, "documents")
+    val path = s"$sinkRoot/agg_mv_rewrite_avg-${dir.replaceAll("[^0-9.]", "")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val deltas = s.read.parquet(base).select(col("lang"), col("source"),
+      col("n_chars").cast("long").as("n_chars"), lit(1L).as("n_docs"),
+      when(col("n_chars").isNotNull, 1L).otherwise(0L).as("n_chars_nn"),
+      pmod(col("doc_id"), lit(3)).as("__chunk"))
+    (0L to 2L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("lang", "source"),
+        sumCols = Seq("n_chars", "n_docs", "n_chars_nn"),
+        nBuckets = 8, batchId = i)
+    }
+    graft.plans.SummaryViews.register(graft.plans.SummaryViews.View(
+      base, path, Seq("lang", "source"), Set("n_chars"), Some("n_docs"),
+      nnCounts = Map("n_chars" -> "n_chars_nn")))
+    graft.plans.SummaryViews.install(s)
+    try {
+      val q = s.read.parquet(base)
+        .where(col("lang") =!= "en")
+        .groupBy("source")
+        .agg(avg(col("n_chars")).as("avg_chars"),
+          count(col("n_chars")).as("n_vals"))
+      val readsState = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(p =>
+                p.toString.contains("agg_mv_rewrite_avg") &&
+                  p.toString.endsWith("/state"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(readsState,
+        "agg_mv_rewrite_avg: the AVG/COUNT(col) rewrite did not fire — " +
+          "the optimized plan still reads the base table")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.SummaryViews.uninstall(s)
+      graft.plans.SummaryViews.unregister(base)
+    }
+  }
+
   // ==========================================================================
   // Serializer / sink round-trips (SURVEY §2.3 T1-T7 + §2.8): each writes
   // the envelope through a real DataFrameWriter (format × compression ×

@@ -192,10 +192,14 @@ object CorpusOps {
     *
     * Plan shape: a scan-local key projection + TakeOrdered(k) — no full
     * sort, no shuffle beyond the top-k reduction; driver state is k rows
-    * by construction. Non-positive and NULL weights are EXCLUDED (a
-    * zero-weight item has zero inclusion probability; the E-S key is
-    * undefined there). Output: the sampled rows + `es_key` (ascending =
-    * draw order, a total order via the id tiebreak). */
+    * by construction. Rows with NULL id/content and non-positive/NULL
+    * weights are EXCLUDED (a zero-weight item has zero inclusion
+    * probability; the E-S key is undefined there, and a NULL content hash
+    * would yield a NULL key that sorts FIRST — winning the draw — under
+    * the ascending order). Same policy as the streaming twin
+    * [[graft.streaming.StreamingSample.weightedK]]. Output: the sampled
+    * rows + `es_key` (ascending = draw order, a total order via the id
+    * tiebreak). */
   def sampleWeightedK(docs: DataFrame, k: Int,
                       weightCol: String,
                       idCol: String = "doc_id",
@@ -203,7 +207,8 @@ object CorpusOps {
     require(k >= 1, s"k must be >= 1 (got $k)")
     val u = (conv(substring(md5(col(contentCol)), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
-    docs.filter(col(weightCol).isNotNull &&
+    docs.filter(col(idCol).isNotNull && col(contentCol).isNotNull &&
+        col(weightCol).isNotNull &&
         col(weightCol).cast("double") > 0)
       .withColumn("es_key",
         -log(u) / col(weightCol).cast("double"))

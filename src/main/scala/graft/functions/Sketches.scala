@@ -31,6 +31,13 @@ import org.apache.spark.util.sketch.CountMinSketch
   * per-output-row lookup over a model-sized frame — a scalar UDF is
   * acceptable there because it runs once per (group, probe), not per
   * event.
+  *
+  * This is the THIRD of the library's metadata tiers (README "metadata
+  * tiers"): exact count/min/max/null-count compose from zone manifests
+  * ([[graft.sources.ZoneMap.metaProfile]]), exact grouped SUM/COUNT/AVG
+  * from maintained summaries ([[graft.plans.SummaryViews]]); sketches
+  * cover what provably cannot be exact at bounded state — distincts,
+  * quantiles, heavy hitters — within stated error.
   */
 object Sketches {
 

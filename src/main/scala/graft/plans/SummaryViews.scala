@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -25,13 +26,17 @@ import graft.streaming.BucketedStateTable
   *  - grouping keys ⊆ the view's key columns (a coarser roll-up re-sums
   *    the summary — sums of sums are sums);
   *  - aggregates are plain `SUM(col)` over registered sum columns
-  *    (no DISTINCT, no FILTER), and/or `COUNT(*)`/`COUNT(1)` when the
-  *    view maintains a count column (rewritten to `coalesce(SUM(n),0)`);
-  *  - an optional `WHERE` whose references are all key columns (pushed
-  *    onto the summary scan — key predicates commute with the roll-up);
-  *  - anything else (expressions over non-key columns, AVG, joins in
-  *    between) leaves the plan untouched — the rule REFUSES rather than
-  *    approximates.
+  *    (no DISTINCT, no FILTER), `COUNT(*)`/`COUNT(1)` when the view
+  *    maintains a count column (rewritten to `coalesce(SUM(n),0)`),
+  *    `COUNT(col)` when the view maintains that column's non-null count,
+  *    and `AVG(col)` (double results) when it maintains BOTH the sum and
+  *    the non-null count (rewritten to `SUM(sums)/SUM(counts)`);
+  *  - an optional deterministic `WHERE` whose references are all key
+  *    columns (pushed onto the summary scan — key predicates commute
+  *    with the roll-up);
+  *  - anything else (expressions over non-key columns, decimal AVG,
+  *    DISTINCT/FILTER clauses, joins in between) leaves the plan
+  *    untouched — the rule REFUSES rather than approximates.
   *
   * Staleness contract: the summary answers AS OF its last applied batch.
   * Register a view only where the [[graft.streaming.IncrementalAgg]]
@@ -44,15 +49,27 @@ import graft.streaming.BucketedStateTable
   * Output attribute identity: the rewritten Aggregate re-aliases summary
   * columns under the ORIGINAL output `exprId`s, so parent operators (and
   * the caller's `DataFrame`) never see the substitution.
+  *
+  * This is the SECOND of the library's three metadata tiers (README
+  * "metadata tiers"): table-level count/min/max/null-count come cheaper
+  * from the zone-map manifests ([[graft.sources.ZoneMap.metaProfile]] —
+  * no maintenance pipeline needed), while approximate distincts,
+  * quantiles and heavy hitters belong to the sketch tier
+  * ([[graft.functions.Sketches]]) — neither composes from sums.
   */
 object SummaryViews {
 
   /** `sumCols` are delta columns maintained by `IncrementalAgg` under the
     * SAME name as the base column they sum; `countCol` is a maintained
-    * `SUM(1)` column enabling `COUNT(*)` rewrites. */
+    * `SUM(1)` column enabling `COUNT(*)` rewrites; `nnCounts` maps a base
+    * column name to a maintained per-column NON-NULL count column
+    * (`SUM(IF(col IS NULL, 0, 1))`), enabling `COUNT(col)` rewrites and —
+    * together with the column's entry in `sumCols` — `AVG(col)` as
+    * `SUM(sums)/SUM(non-null counts)`. */
   final case class View(basePath: String, statePath: String,
                         keyCols: Seq[String], sumCols: Set[String],
-                        countCol: Option[String])
+                        countCol: Option[String],
+                        nnCounts: Map[String, String] = Map.empty)
 
   private val views =
     new java.util.concurrent.ConcurrentHashMap[String, View]()
@@ -63,7 +80,7 @@ object SummaryViews {
   def register(v: View): Unit = views.put(norm(v.basePath), v)
   def unregister(basePath: String): Unit = {
     Option(views.remove(norm(basePath)))
-      .foreach(v => planCache.remove(v.statePath))
+      .foreach(v => planCache.remove(norm(v.statePath)))
   }
   def clear(): Unit = { views.clear(); planCache.clear() }
   def isEmpty: Boolean = views.isEmpty
@@ -85,27 +102,34 @@ object SummaryViews {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, LogicalPlan)]()
 
   /** Test spy: how many times a state dir was actually resolved (listed +
-    * analyzed) rather than served from [[planCache]]. */
-  @volatile private[graft] var stateResolves: Long = 0L
+    * analyzed) rather than served from [[planCache]]. Atomic — concurrent
+    * query optimizations increment it from multiple threads. */
+  private[graft] val stateResolves =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The summary scan for `view`, from cache when current. Each USE gets
     * fresh expression ids (`MultiInstanceRelation.newInstance`) over the
     * shared `HadoopFsRelation`, so two rewrites landing in one plan tree
     * cannot collide on attribute identity while still sharing the cached
-    * file listing. */
+    * file listing. Only `MultiInstanceRelation` plans are cached at all —
+    * anything else cannot mint fresh ids, so it is re-resolved per use
+    * (fresh analysis = fresh exprIds) rather than served verbatim. */
   private[plans] def statePlan(spark: SparkSession,
                                view: View): Option[LogicalPlan] = {
     val dir = BucketedStateTable.stateDir(view.statePath)
+    val key = norm(view.statePath)
     val ver = BucketedStateTable.stateVersion(view.statePath)
-    val base = Option(planCache.get(view.statePath)) match {
-      case Some((v, p)) if v == ver => Some(p)
+    val base = Option(planCache.get(key)) match {
+      case Some((v, p)) if v == ver && p.isInstanceOf[MultiInstanceRelation] =>
+        Some(p)
       case _ =>
         val resolved =
           try Some(spark.read.parquet(dir).queryExecution.analyzed)
           catch { case _: Exception => None } // state absent: refuse, retry next query
         resolved.foreach { p =>
-          stateResolves += 1
-          planCache.put(view.statePath, (ver, p))
+          stateResolves.incrementAndGet()
+          if (p.isInstanceOf[MultiInstanceRelation])
+            planCache.put(key, (ver, p))
         }
         resolved
     }
@@ -159,9 +183,13 @@ final case class RewriteToSummary(spark: SparkSession)
         case _ => None
       }
       matched match {
+        // key-only AND deterministic: a non-deterministic predicate (e.g.
+        // rand() < 0.5 — which also passes the reference check vacuously)
+        // pushed onto the summary would sample GROUPS instead of base rows
         case Some(v)
-            if filters.forall(_.references.forall(a =>
-              v.keyCols.contains(a.name))) => Some((v, filters))
+            if filters.forall(f => f.deterministic &&
+              f.references.forall(a =>
+                v.keyCols.contains(a.name))) => Some((v, filters))
         case _ => None
       }
     case _ => None
@@ -183,8 +211,9 @@ final case class RewriteToSummary(spark: SparkSession)
       stateOpt.flatMap { state =>
         val stateAttr: Map[String, Attribute] =
           state.output.map(a => a.name -> a).toMap
-        val covered = (view.keyCols ++ view.sumCols ++ view.countCol)
-          .forall(stateAttr.contains)
+        val covered =
+          (view.keyCols ++ view.sumCols ++ view.countCol ++
+            view.nnCounts.values).forall(stateAttr.contains)
         if (!covered) None
         else {
           // every output expression must map exactly, preserving both the
@@ -220,6 +249,40 @@ final case class RewriteToSummary(spark: SparkSession)
                 else Cast(summed, ae.dataType)
               Some(Alias(
                 Coalesce(Seq(typed, Literal(0L))),
+                name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Count(Seq(c: AttributeReference)), _, false, None, _), name)
+                if view.nnCounts.contains(c.name) =>
+              // COUNT(col) = total of the maintained per-column non-null
+              // count; a group whose every value was null holds nn = 0 and
+              // re-sums to 0, matching COUNT's never-null contract
+              val nn = stateAttr(view.nnCounts(c.name))
+              val summed: Expression = ae.copy(aggregateFunction = Sum(nn))
+              val typed =
+                if (summed.dataType == ae.dataType) summed
+                else Cast(summed, ae.dataType)
+              Some(Alias(
+                Coalesce(Seq(typed, Literal(0L))),
+                name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Average(c: AttributeReference, _), _, false, None, _), name)
+                if view.sumCols.contains(c.name) &&
+                  view.nnCounts.contains(c.name) &&
+                  ae.dataType == DoubleType =>
+              // AVG(col) = SUM(partial sums) / SUM(non-null counts). Two
+              // NEW AggregateExpressions (fresh resultIds — ae.copy twice
+              // would collide on ae's). Restricted to DoubleType results:
+              // decimal Average carries its own precision/scale bump that a
+              // sum-then-divide would have to re-derive — refused instead.
+              // All-null group: sums re-sum to null, null/0 = null = AVG.
+              val sumE: Expression = AggregateExpression(
+                Sum(stateAttr(c.name)), ae.mode, isDistinct = false,
+                None, NamedExpression.newExprId)
+              val cntE: Expression = AggregateExpression(
+                Sum(stateAttr(view.nnCounts(c.name))), ae.mode,
+                isDistinct = false, None, NamedExpression.newExprId)
+              Some(Alias(
+                Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)),
                 name)(exprId = al.exprId))
             case _ => None
           }

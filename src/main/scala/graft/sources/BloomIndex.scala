@@ -103,6 +103,60 @@ object BloomIndex {
     ZoneMap.UpdateDelta(added, reaped)
   }
 
+  private[sources] def manifestExists(spark: SparkSession,
+                                      path: String): Boolean = {
+    val (fs, root) = Manifests.fsFor(spark, path)
+    fs.exists(new Path(root, "_bloomindex"))
+  }
+
+  /** Per-file Bloom aggregate pinned to an explicit bitmap size — the
+    * refresh path, which must reproduce the ORIGINAL build's sizing
+    * rather than re-derive it from defaults. */
+  private def bloomAggBits(c: String, estimatedItems: Long,
+                           numBits: Long): Column = {
+    val key = when(col(c).isNotNull, xxhash64(col(c).cast("string")))
+    GraftBridge.column(new BloomFilterAggregate(
+        GraftBridge.expression(key),
+        Literal(math.max(estimatedItems, 1L)), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Rewrite the manifest shards for `dirs` (leaf directories relative to
+    * the root) from the files currently on disk — [[Compaction]]'s hook,
+    * mirroring [[ZoneMap.refreshShards]]: the compactor knows exactly
+    * which leaves it rewrote, so the index follows the rewrite at
+    * O(rewritten dirs). Indexed columns come from the manifest's own
+    * schema; the bitmap size comes from an existing filter cell (one
+    * driver-side row), so refreshed filters keep the original build's
+    * fpp envelope without the caller restating the sizing. */
+  private[sources] def refreshShards(spark: SparkSession, path: String,
+                                     dirs: Seq[String]): Unit = {
+    if (dirs.isEmpty || !manifestExists(spark, path)) return
+    val m = spark.read.parquet(s"$path/_bloomindex")
+    val cols = m.schema.fieldNames.filter(_.endsWith("_bloom"))
+      .map(_.stripSuffix("_bloom")).toSeq
+    if (cols.isEmpty) return
+    val sample = m.filter(col(s"${cols.head}_bloom").isNotNull)
+      .select(col(s"${cols.head}_bloom"), col("n_rows")).head()
+    val numBits = BloomFilter.readFrom(
+      new ByteArrayInputStream(sample.getAs[Array[Byte]](0))).bitSize()
+    val estItems = sample.getLong(1)
+    val (_, root) = Manifests.fsFor(spark, path)
+    val rootAbs = root.toUri.getPath
+    val abs = dirs.map(d =>
+      if (d == ".") root.toString else new Path(root, d).toString)
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+      cols.map(c => bloomAggBits(c, estItems, numBits).as(s"${c}_bloom"))
+    spark.read.parquet(abs: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("part_dir", Manifests.partDirCol(rootAbs))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part_dir")
+      .parquet(s"$path/_bloomindex")
+  }
+
   /** Deserialize-and-probe, evaluated over manifest rows only. The filter
     * bytes differ per row (per file), so there is nothing to cache — and
     * the input is files-sized, never data-sized. */
@@ -139,21 +193,20 @@ object BloomIndex {
   /** Point-lookup / IN-list read through the index: scan ONLY files whose
     * filters fire, then re-apply the exact predicate (filters are
     * necessary, not sufficient). Output == the full scan's filter, proven
-    * in spec. Shard-at-a-time like [[ZoneMap.prunedRead]]: the driver
-    * holds one partition's candidate list per step, never the layout's. */
+    * in spec. Like [[ZoneMap.prunedRead]]: one streamed manifest job,
+    * few batched scan arms ([[Manifests.batchedRead]]) — never one union
+    * arm per shard. */
   def prunedRead(spark: SparkSession, path: String, c: String,
                  values: Seq[Any], parts: Seq[String] = Nil): DataFrame = {
     val matching = matchingRows(spark, path, c, values, parts)
-    val shards = matching.select("part_dir").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
     val predicate = col(c).isin(values: _*)
-    if (shards.isEmpty)
-      return spark.read.parquet(path).limit(0).filter(predicate)
-    shards.map { sh =>
-      val files = matching.filter(col("part_dir") === sh)
-        .select("file").collect().map(_.getString(0)).toSeq
-      spark.read.parquet(files: _*)
-    }.reduce(_ unionByName _).filter(predicate)
+    val files = matching.select("part_dir", "file")
+      .sort("part_dir", "file").toLocalIterator()
+    Manifests.batchedRead(spark,
+        scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+          .asScala.map(_.getString(1)))
+      .getOrElse(spark.read.parquet(path).limit(0))
+      .filter(predicate)
   }
 
   /** Index health from the manifest alone: files covered, bytes per

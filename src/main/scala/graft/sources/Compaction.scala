@@ -144,16 +144,18 @@ object Compaction {
       }
     fs.delete(new Path(root, ".compact-tmp"), true)
 
-    // a zone-mapped layout's manifest must follow the rewrite: the old
-    // part files are gone, so their zone rows are ghosts (prunedRead
+    // an indexed layout's manifests must follow the rewrite: the old
+    // part files are gone, so their index rows are ghosts (prunedRead
     // would hand dead paths to the scan). Refresh exactly the shards of
     // the leaves rewritten above — O(rewritten dirs), indexed columns
-    // recovered from the manifest's own schema.
+    // recovered from each manifest's own schema. Both sidecar tiers:
+    // `_zonemap` (range pruning) and `_bloomindex` (point lookups).
     if (format == OutFormat.Parquet) {
       val rewritten = report.collect {
         case r if r.getBoolean(4) => r.getString(0)
       }
       ZoneMap.refreshShards(spark, path, rewritten)
+      BloomIndex.refreshShards(spark, path, rewritten)
     }
 
     spark.createDataFrame(

@@ -41,6 +41,35 @@ private[sources] object Manifests {
 
   def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
+  /** Arm width for [[batchedRead]]: enough that a candidate set below it
+    * plans as ONE parquet relation, small enough that a driver batch stays
+    * metadata-sized. */
+  val MaxFilesPerArm = 4096
+
+  /** Plan a candidate-file read as FEW parquet scans: one arm per
+    * `maxFilesPerArm` paths, unioned. The naive per-shard form plans one
+    * union arm per manifest shard — a thousands-partition layout turns
+    * into a thousands-arm `Union` whose analysis alone dominates the
+    * query. Callers stream file paths in (a `toLocalIterator` over the
+    * manifest keeps driver memory one batch wide); returns None for an
+    * empty iterator. */
+  private[sources] def batchedRead(spark: SparkSession,
+                                   files: Iterator[String],
+                                   maxFilesPerArm: Int = MaxFilesPerArm)
+      : Option[DataFrame] = {
+    require(maxFilesPerArm >= 1, s"maxFilesPerArm must be >= 1")
+    val arms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    files.foreach { f =>
+      buf += f
+      if (buf.length >= maxFilesPerArm) {
+        arms += spark.read.parquet(buf.toSeq: _*); buf.clear()
+      }
+    }
+    if (buf.nonEmpty) arms += spark.read.parquet(buf.toSeq: _*)
+    arms.reduceOption(_ unionByName _)
+  }
+
   def listDataFiles(fs: FileSystem, dir: Path): Seq[Path] =
     fs.listStatus(dir).toSeq.flatMap { st =>
       val n = st.getPath.getName
@@ -50,31 +79,41 @@ private[sources] object Manifests {
     }
 
   /** Incremental manifest maintenance: index only files the manifest
-    * doesn't know yet (identified by basename — part files carry a UUID),
-    * reap rows whose files no longer exist. Cost per call is O(new files)
-    * scan (via `statsFn`, which must emit `file` and `part_dir` columns)
-    * plus a rewrite of only the AFFECTED shards (dynamic partition
-    * overwrite on `part_dir`); untouched shards are never rewritten and
-    * the layout is never rescanned. Returns (added, reaped). */
+    * doesn't know yet, reap rows whose files no longer exist. Files are
+    * identified by their path RELATIVE to the root (`part_dir/basename`)
+    * — basename alone is NOT unique across partition dirs, because one
+    * job's partitioned write stamps the same job UUID into every
+    * partition's part files (`bucket=0/part-00000-X`,
+    * `bucket=1/part-00000-X`, …), and a basename-keyed diff would then
+    * miss a deleted partition whose twin basenames survive elsewhere.
+    * Cost per call is O(new files) scan (via `statsFn`, which must emit
+    * `file` and `part_dir` columns) plus a rewrite of only the AFFECTED
+    * shards (dynamic partition overwrite on `part_dir`); untouched shards
+    * are never rewritten and the layout is never rescanned. Returns
+    * (added, reaped). */
   def incrementalUpdate(spark: SparkSession, path: String,
                         manifestName: String,
                         statsFn: Seq[Path] => DataFrame): (Long, Long) = {
     val (fs, root) = fsFor(spark, path)
     val manifestPath = new Path(root, manifestName)
     val live = listDataFiles(fs, root)
-    val liveNames = live.map(_.getName).toSet
-    val known: Map[String, String] = // basename -> part_dir
-      if (!fs.exists(manifestPath)) Map.empty
-      else spark.read.parquet(s"$path/$manifestName")
-        .select("file", "part_dir").collect()
-        .map(r => baseName(r.getString(0)) -> r.getString(1)).toMap
     def relDir(p: Path): String = {
       val rel = root.toUri.relativize(p.getParent.toUri).getPath
         .stripSuffix("/")
       if (rel.isEmpty) "." else rel
     }
-    val fresh = live.filterNot(p => known.contains(p.getName))
-    val stale = known.filterNot { case (name, _) => liveNames.contains(name) }
+    def relOf(p: Path): String = s"${relDir(p)}/${p.getName}"
+    val liveRel = live.map(relOf).toSet
+    val known: Map[String, String] = // part_dir/basename -> part_dir
+      if (!fs.exists(manifestPath)) Map.empty
+      else spark.read.parquet(s"$path/$manifestName")
+        .select("file", "part_dir").collect()
+        .map { r =>
+          val pd = r.getString(1)
+          s"$pd/${baseName(r.getString(0))}" -> pd
+        }.toMap
+    val fresh = live.filterNot(p => known.contains(relOf(p)))
+    val stale = known.filterNot { case (rel, _) => liveRel.contains(rel) }
     if (fresh.isEmpty && stale.isEmpty) return (0L, 0L)
 
     val freshStats = if (fresh.isEmpty) None else Some(statsFn(fresh))
@@ -91,17 +130,37 @@ private[sources] object Manifests {
       // survivors are only needed INSIDE the rewritten shards — the isin
       // list is bounded by those shards' file counts, not the layout's
       val surviving = known.collect {
-        case (name, pd) if shardSet.contains(pd) && liveNames.contains(name) =>
-          name
+        case (rel, pd) if shardSet.contains(pd) && liveRel.contains(rel) =>
+          rel
       }.toSeq
       val old = spark.read.parquet(s"$path/$manifestName")
         .filter(col("part_dir").isin(shards: _*))
-        .filter(substring_index(col("file"), "/", -1).isin(surviving: _*))
+        .filter(concat(col("part_dir"), lit("/"),
+          substring_index(col("file"), "/", -1)).isin(surviving: _*))
       val out = freshStats.fold(old)(f => old.unionByName(f))
       out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("part_dir")
         .parquet(s"$path/$manifestName")
+      // dynamic overwrite writes NOTHING for a shard whose every row died
+      // (a retention delete reaped the whole partition dir) — its stale
+      // shard dir would survive and keep serving ghost files to
+      // prunedRead. Known driver-side without another job: a rewritten
+      // shard is emptied iff no fresh file lands in it and no old row
+      // survives in it.
+      val keptShards = surviving.map(known) ++ fresh.map(relDir)
+      val emptied = shardSet -- keptShards
+      emptied.foreach { pd =>
+        fs.delete(new Path(manifestPath,
+          "part_dir=" + org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(pd)), true)
+      }
+      // a fully-reaped manifest leaves only _SUCCESS, which parquet cannot
+      // infer a schema from — drop the dir; the next update recreates it
+      if (emptied.nonEmpty &&
+          !fs.listStatus(manifestPath).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("part_dir=")))
+        fs.delete(manifestPath, true)
     }
     (fresh.length.toLong, stale.size.toLong)
   }

@@ -154,23 +154,23 @@ object ZoneMap {
     * files, then re-apply the exact predicate (zones are necessary, not
     * sufficient). Output == the full scan's filter, proven in spec.
     *
-    * The intersect runs PER SHARD: the matching shard list collects first
-    * (bounded by the layout's partition-directory count), then each
-    * shard's candidate files collect and plan one at a time — the driver
-    * holds one partition's file list per step, never the layout's.
-    * `parts` short-circuits to those shards at the manifest scan. */
+    * The intersect is ONE metadata-sized manifest job whose result
+    * streams to the driver partition-ordered (`toLocalIterator` — memory
+    * stays one batch wide, never the layout's file list), and the scan
+    * plans as few batched parquet arms ([[Manifests.batchedRead]]), not
+    * one union arm per shard. `parts` short-circuits the manifest scan
+    * to those shards. */
   def prunedRead(spark: SparkSession, path: String, c: String,
                  lo: Any, hi: Any, parts: Seq[String] = Nil): DataFrame = {
     val matching = zoneFilter(spark, path, c, lo, hi, parts)
-    val shards = matching.select("part_dir").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
     val predicate = col(c) >= lit(lo) && col(c) <= lit(hi)
-    if (shards.isEmpty) return spark.read.parquet(path).limit(0).filter(predicate)
-    shards.map { sh =>
-      val files = matching.filter(col("part_dir") === sh)
-        .select("file").collect().map(_.getString(0)).toSeq
-      spark.read.parquet(files: _*)
-    }.reduce(_ unionByName _).filter(predicate)
+    val files = matching.select("part_dir", "file")
+      .sort("part_dir", "file").toLocalIterator()
+    Manifests.batchedRead(spark,
+        scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+          .asScala.map(_.getString(1)))
+      .getOrElse(spark.read.parquet(path).limit(0))
+      .filter(predicate)
   }
 
   /** Answer table-level `count / min / max / null-count` aggregates from
@@ -181,9 +181,13 @@ object ZoneMap {
     * dashboard query costs a files-sized metadata scan instead of a
     * 100 TB data scan — the trick every lakehouse table format plays with
     * its manifest tier, available here on plain parquet. Only these four
-    * statistics compose losslessly from zones; anything else (sums,
-    * distincts, quantiles) honestly needs the data (or a sketch tier —
-    * [[graft.functions.Sketches]]).
+    * statistics compose losslessly from zones. This is the FIRST of the
+    * library's three metadata tiers (README "metadata tiers"): grouped
+    * SUM/COUNT/AVG roll-ups need maintained summaries
+    * ([[graft.plans.SummaryViews]] over
+    * [[graft.streaming.IncrementalAgg]]), and distincts/quantiles/heavy
+    * hitters need the sketch tier ([[graft.functions.Sketches]]) —
+    * anything past that honestly needs the data.
     *
     * Output: one row — `n_rows`, then per indexed column `<c>_min,
     * <c>_max, <c>_nulls` in NATIVE types (exactly what a raw-table

@@ -53,11 +53,18 @@ private[graft] object BucketedStateTable {
   private val versions =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Key normalization shared with [[graft.plans.SummaryViews]]: the fold
+    * caller and the cache consumer may spell the same table path with a
+    * trailing slash or a `file:` prefix — both sides MUST agree on the
+    * version key or the bump is invisible to the compare. */
+  private def normKey(p: String): String =
+    p.stripSuffix("/").replaceFirst("^file:", "")
+
   def stateVersion(path: String): Long =
-    Option(versions.get(path)).fold(0L)(_.longValue)
+    Option(versions.get(normKey(path))).fold(0L)(_.longValue)
 
   private def bumpVersion(path: String): Unit =
-    versions.merge(path, java.lang.Long.valueOf(1L),
+    versions.merge(normKey(path), java.lang.Long.valueOf(1L),
       (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
 
   private def marker(path: String, batchId: Long) =
@@ -135,7 +142,14 @@ private[graft] object BucketedStateTable {
           .filter(col("__b") === batchId)
           .select(BucketCol).collect().map(_.getInt(0)).toSet
       val pending = touched.filterNot(applied)
-      if (pending.isEmpty) { commit(fs, path, batchId); return }
+      if (pending.isEmpty) {
+        // every touched bucket was swapped by a CRASHED attempt that never
+        // reached its own bumpVersion — the files changed, so consumers'
+        // version-stamped caches are stale. Bump before committing.
+        if (applied.nonEmpty) bumpVersion(path)
+        commit(fs, path, batchId)
+        return
+      }
       val pBox = pending.map(Int.box)
 
       val merged = merge(
@@ -151,15 +165,24 @@ private[graft] object BucketedStateTable {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BucketCol)
         .parquet(sPath)
+      // bump IMMEDIATELY after the write lands: if the delete loop or the
+      // commit below throws, the state files have already changed and a
+      // retry takes the replay guard's pending-empty path — without this
+      // bump, version-stamped plan caches would keep listing the replaced
+      // files (FileNotFound / stale rows)
+      bumpVersion(path)
       // dynamic overwrite replaces only partitions PRESENT in the written
       // frame — a pending bucket whose every row the merge dropped writes
       // nothing and would silently keep its stale rows. Clear it.
       val keptBuckets = merged.select(BucketCol).distinct()
         .collect().map(_.getInt(0)).toSet
-      pending.filterNot(keptBuckets).foreach { b =>
+      val emptied = pending.filterNot(keptBuckets)
+      emptied.foreach { b =>
         fs.delete(new Path(s"$sPath/$BucketCol=$b"), true)
       }
-      bumpVersion(path)
+      // deletes changed the listing again; re-bump so a plan resolved in the
+      // window between the first bump and the deletes cannot stay current
+      if (emptied.nonEmpty) bumpVersion(path)
       commit(fs, path, batchId)
     } finally old.unpersist(blocking = false)
   }

@@ -70,17 +70,30 @@ final class FileDestination(
     compression: OutCompression = OutCompression.None,
     strategy: KeyStrategy = KeyStrategy.CollectionBased,
     tsCol: String = "cluster_time",
-    zoneMapCols: Seq[String] = Nil) extends Destination {
-  // `zoneMapCols`: maintain a file-skipping manifest AS THE SINK WRITES —
-  // after each batch lands, ZoneMap.update indexes exactly that batch's
-  // new files (O(batch files)). Under replay the rewritten batch dir's
-  // files carry fresh UUID basenames and re-index, and update REAPS the
-  // overwritten files' manifest rows in the same call (shard-local
-  // rewrite), so the zone map never carries ghosts. Downstream range
-  // queries then prune the sink's file list at plan time without a
-  // nightly index build. Parquet only — zones read typed stats.
-  require(zoneMapCols.isEmpty || format == OutFormat.Parquet,
-    "zone-map maintenance needs the parquet format")
+    zoneMapCols: Seq[String] = Nil,
+    bloomIndexCols: Seq[String] = Nil,
+    bloomExpectedItemsPerFile: Long = 1000000L,
+    bloomFpp: Double = 0.01,
+    // writer file sizing, forwarded to Writers.write: cap files per key,
+    // target bytes per file, or pin files-per-key outright (the lever for
+    // layouts that later feed Compaction)
+    maxFilesPerKey: Int = 64,
+    targetFileBytes: Long = 128L << 20,
+    filesPerKeyHint: Option[Int] = None) extends Destination {
+  // `zoneMapCols` / `bloomIndexCols`: maintain file-skipping manifests AS
+  // THE SINK WRITES — after each batch lands, ZoneMap.update /
+  // BloomIndex.update index exactly that batch's new files (O(batch
+  // files)). Under replay the rewritten batch dir's files carry fresh
+  // UUID basenames and re-index, and update REAPS the overwritten files'
+  // manifest rows in the same call (shard-local rewrite), so neither
+  // index ever carries ghosts. Downstream range queries (zone map) and
+  // point lookups (bloom) then prune the sink's file list at plan time
+  // without a nightly index build. Parquet only — both tiers read typed
+  // stats. The two tiers compose: range-clustered columns go in
+  // `zoneMapCols`, high-cardinality lookup keys in `bloomIndexCols`.
+  require((zoneMapCols.isEmpty && bloomIndexCols.isEmpty) ||
+    format == OutFormat.Parquet,
+    "index maintenance (zone map / bloom) needs the parquet format")
 
   @volatile private var closed = false
   @volatile private[streaming] var batchesWritten = 0L
@@ -89,9 +102,14 @@ final class FileDestination(
     if (closed) throw new DestinationError.Closed(
       s"write_batch on closed destination $outputDir")
     val dir = f"$outputDir/batch_id=$batchId%06d"
-    Writers.write(df, dir, format, compression, strategy, tsCol)
+    Writers.write(df, dir, format, compression, strategy, tsCol,
+      maxFilesPerKey = maxFilesPerKey, targetFileBytes = targetFileBytes,
+      filesPerKeyHint = filesPerKeyHint)
     if (zoneMapCols.nonEmpty)
       graft.sources.ZoneMap.update(df.sparkSession, outputDir, zoneMapCols)
+    if (bloomIndexCols.nonEmpty)
+      graft.sources.BloomIndex.update(df.sparkSession, outputDir,
+        bloomIndexCols, bloomExpectedItemsPerFile, bloomFpp)
     batchesWritten += 1
     // metrics.rs:184 destination_write_bytes — size of what just landed
     try {

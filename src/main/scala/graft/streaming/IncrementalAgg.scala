@@ -37,7 +37,13 @@ object IncrementalAgg {
     *
     * `delta`: any frame holding `keyCols` plus ADDITIVE `sumCols`
     * (already-signed contributions). `batchId >= 0` engages the replay
-    * guard; pass -1 for unguarded batch use. */
+    * guard; pass -1 for unguarded batch use.
+    *
+    * Decimal sum columns: Spark's `SUM` widens `decimal(p,s)` to
+    * `decimal(p+10,s)` per aggregation, so an un-widened decimal delta
+    * would write a DIFFERENT decimal type each fold (mixed-schema bucket
+    * files). Pre-cast decimal deltas to precision >= 28 — every fold then
+    * lands on the stable `decimal(38,s)` cap. */
   def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
                  keyCols: Seq[String], sumCols: Seq[String],
                  nBuckets: Int = 64, batchId: Long = -1L): Unit = {

@@ -61,14 +61,23 @@ object StreamingSample {
             Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
           val heap = scala.collection.mutable.PriorityQueue
             .empty[(Double, Long)](worstFirst)
+          // the at-least-once guard: a re-delivered doc (same id ⇒ same
+          // content hash ⇒ same E-S key) must not occupy two reservoir
+          // slots and displace a distinct k-th document
+          val present = scala.collection.mutable.Set.empty[Long]
           state.getOption.foreach(s =>
-            s.keys.zip(s.ids).foreach(heap.enqueue(_)))
+            s.keys.zip(s.ids).foreach { e =>
+              heap.enqueue(e); present += e._2
+            })
           rows.foreach { case (id, key) =>
-            if (heap.size < k) heap.enqueue((key, id))
-            else {
-              val (wk, wid) = heap.head
-              if (key < wk || (key == wk && id < wid)) {
-                heap.dequeue(); heap.enqueue((key, id)); ()
+            if (!present.contains(id)) {
+              if (heap.size < k) { heap.enqueue((key, id)); present += id }
+              else {
+                val (wk, wid) = heap.head
+                if (key < wk || (key == wk && id < wid)) {
+                  heap.dequeue(); present -= wid
+                  heap.enqueue((key, id)); present += id
+                }
               }
             }
           }

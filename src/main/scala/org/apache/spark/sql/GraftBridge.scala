@@ -14,6 +14,17 @@ object GraftBridge {
     * observed plan would hang it. */
   def observationRow(o: Observation): Option[Row] = o.getRowOrEmpty
 
+  /** `SparkContext.conf` is `private[spark]`. Tests stage the static
+    * `spark.sql.extensions` conf (which session construction reads from
+    * the CONTEXT conf, exactly as spark-submit sets it) on an existing
+    * context before building a session. */
+  def setContextConf(sc: org.apache.spark.SparkContext,
+                     key: String, value: String): Unit =
+    sc.conf.set(key, value)
+  def removeContextConf(sc: org.apache.spark.SparkContext,
+                        key: String): Unit =
+    sc.conf.remove(key)
+
   /** Install catalyst-expression functions on an EXISTING session —
     * `sessionState` is `private[sql]`. New sessions should use the public
     * `spark.sql.extensions=graft.GraftExtensions` hook instead. */

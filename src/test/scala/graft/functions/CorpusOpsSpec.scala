@@ -535,6 +535,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(4L) === ((2L, 10L, 5L)))
   }
 
+  test("weighted-k sample excludes null id/content rows (a NULL key would WIN the draw)") {
+    import spark.implicits._
+    // a null content hash yields a NULL es_key, which sorts FIRST under
+    // the ascending draw order — without the filter these rows don't just
+    // leak in, they displace every legitimate doc
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), "alpha", java.lang.Long.valueOf(10L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[String],
+        java.lang.Long.valueOf(99L)),
+      (null.asInstanceOf[java.lang.Long], "delta",
+        java.lang.Long.valueOf(99L)),
+      (java.lang.Long.valueOf(4L), "omega", java.lang.Long.valueOf(3L)))
+      .toDF("doc_id", "text", "w")
+    val got = CorpusOps.sampleWeightedK(rows, k = 2, weightCol = "w")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(1L, 4L),
+      s"null id/content rows must be excluded from the draw, got $got")
+  }
+
   test("weighted-k sample: E-S keys match a hand replay; weight doubles, key halves") {
     import spark.implicits._
     val fix = Seq((1L, "alpha beta", 10L), (2L, "gamma delta", 20L),

@@ -1,0 +1,338 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+import graft.SparkSpec
+import graft.streaming.{BucketedStateTable, IncrementalAgg}
+
+/** The MV-rewrite rule's full contract: a globally injected plan rewriter
+  * must prove it never fires WRONGLY (every refusal path), not just that
+  * it can fire rightly — plus exprId/type preservation, the version-
+  * stamped plan cache, and the crash-replay bump. */
+class SummaryViewsSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val root = "/root/repo/target/test-out/summary-views"
+  private val basePath = s"$root/base"
+  private val baseUnregistered = s"$root/base-unreg"
+  private val statePath = s"$root/mv-state"
+  private val fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** 60 deterministic rows over keys (k1 in a..c, k2 in x..y); v is null
+    * on every 5th row so COUNT(v) genuinely differs from COUNT(*). */
+  private def baseRows: DataFrame =
+    spark.range(60).select(
+      concat(lit("k"), (col("id") % 3).cast("string")).as("k1"),
+      concat(lit("g"), (col("id") % 2).cast("string")).as("k2"),
+      when(col("id") % 5 === 0, lit(null).cast(LongType))
+        .otherwise(col("id") * 7).as("v"),
+      (col("id") * 7).cast(DecimalType(10, 2)).as("d"))
+
+  private def rebuildFixture(): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    baseRows.write.parquet(basePath)
+    baseRows.limit(40).write.parquet(baseUnregistered)
+    foldBatches(0L to 1L)
+  }
+
+  /** Maintain the summary from the base in two guarded batches (split by a
+    * deterministic hash so batch contents are stable across reruns). */
+  private def foldBatches(batches: Iterable[Long],
+                          spelledStatePath: String = statePath): Unit =
+    batches.foreach { i =>
+      val deltas = spark.read.parquet(basePath)
+        .withColumn("__chunk", pmod(xxhash64(col("k1"), col("k2"),
+          coalesce(col("v"), lit(-1L))), lit(2)))
+        .filter(col("__chunk") === i).drop("__chunk")
+        // pre-widen d to precision 28: SUM over decimal adds 10 precision
+        // per fold, so a (28,2) input pins every fold's output at the
+        // (38,2) cap — state files stay schema-stable across batches
+        .select(col("k1"), col("k2"), col("v"),
+          col("d").cast(DecimalType(28, 2)).as("d"),
+          lit(1L).as("n_rows"),
+          when(col("v").isNotNull, 1L).otherwise(0L).as("v_nn"))
+      IncrementalAgg.applyDelta(spark, spelledStatePath, deltas,
+        keyCols = Seq("k1", "k2"),
+        sumCols = Seq("v", "d", "n_rows", "v_nn"),
+        nBuckets = 4, batchId = i)
+    }
+
+  rebuildFixture()
+  SummaryViews.clear()
+  SummaryViews.register(SummaryViews.View(
+    basePath, statePath, Seq("k1", "k2"), Set("v", "d"), Some("n_rows"),
+    nnCounts = Map("v" -> "v_nn")))
+  SummaryViews.install(spark)
+
+  override def afterAll(): Unit = {
+    SummaryViews.uninstall(spark)
+    SummaryViews.clear()
+    super.afterAll()
+  }
+
+  /** Did the optimized plan land on the summary state dir? */
+  private def fired(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.exists(_.toString.endsWith("mv-state/state"))
+          case _ => false
+        }
+    }.exists(identity)
+
+  private def withoutRule[T](f: => T): T = {
+    SummaryViews.uninstall(spark)
+    try f finally SummaryViews.install(spark)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Row] =
+    df.collect().toSeq.sortBy(_.mkString("|"))
+
+  /** Rewritten and base answers must agree row-for-row and schema-for-
+    * schema; returns the rewritten rows for extra assertions. */
+  private def assertParity(q: => DataFrame, expectFired: Boolean): Seq[Row] = {
+    val withRule = q
+    assert(fired(withRule) === expectFired,
+      s"expected fired=$expectFired:\n${withRule.queryExecution.optimizedPlan}")
+    val got = sortedRows(withRule)
+    val (expSchema, exp) = withoutRule {
+      val e = q
+      assert(!fired(e), "rule must be inert while uninstalled")
+      (e.schema, sortedRows(e))
+    }
+    assert(withRule.schema === expSchema)
+    assert(got === exp)
+    got
+  }
+
+  private def base: DataFrame = spark.read.parquet(basePath)
+
+  // ---------------------------------------------------------------- fires
+
+  test("SUM + COUNT(*) coarser roll-up fires and matches the base answer") {
+    val rows = assertParity(
+      base.groupBy("k1")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n")),
+      expectFired = true)
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(2)).sum === 60L)
+  }
+
+  test("AVG(col) and COUNT(col) fire and are exact under nulls") {
+    val rows = assertParity(
+      base.groupBy("k2")
+        .agg(avg("v").as("av"), count(col("v")).as("nv"),
+          count(lit(1)).as("n")),
+      expectFired = true)
+    // the null rows must actually bite: COUNT(v) < COUNT(*)
+    assert(rows.map(_.getLong(2)).sum === 48L)
+    assert(rows.map(_.getLong(3)).sum === 60L)
+  }
+
+  test("key-only deterministic filter pushes onto the summary scan") {
+    assertParity(
+      base.where(col("k1") =!= "k0").groupBy("k1", "k2")
+        .agg(sum("v").as("sv")),
+      expectFired = true)
+  }
+
+  test("global COUNT(*) over an empty filtered summary coalesces to 0") {
+    val q = base.where(col("k1") === "nope").agg(count(lit(1)).as("n"))
+    assert(fired(q))
+    assert(q.as[Long].head() === 0L)
+    assert(withoutRule(q.as[Long].head()) === 0L)
+  }
+
+  test("decimal SUM keeps the original result type and exact value") {
+    val q = base.groupBy("k1").agg(sum("d").as("sd"))
+    assert(fired(q))
+    // re-summing the summary widens decimal(20,2) → decimal(30,2); the
+    // rewrite must cast back to the type parents recorded
+    assert(q.schema("sd").dataType === DecimalType(20, 2))
+    assertParity(base.groupBy("k1").agg(sum("d").as("sd")),
+      expectFired = true)
+  }
+
+  test("parent Sort/Filter over the aggregate keep resolving (exprIds preserved)") {
+    assertParity(
+      base.groupBy("k1", "k2").agg(sum("v").as("sv"))
+        .where(col("sv") > -1).orderBy("k1", "k2"),
+      expectFired = true)
+  }
+
+  test("spark.sql over a temp view of the base fires too") {
+    base.createOrReplaceTempView("sv_base")
+    assertParity(
+      spark.sql(
+        "SELECT k1, sum(v) AS sv, count(*) AS n FROM sv_base GROUP BY k1"),
+      expectFired = true)
+  }
+
+  // -------------------------------------------------------------- refusals
+
+  test("refuses a filter on a non-key column") {
+    assertParity(
+      base.where(col("v") > 10).groupBy("k1").agg(sum("v").as("sv")),
+      expectFired = false)
+  }
+
+  test("refuses a non-deterministic filter") {
+    // a sampling filter has NO attribute references, so the key-only check
+    // is vacuously true — pushed onto the summary it would sample GROUPS,
+    // not base rows; only the determinism guard refuses it. (A vacuous
+    // bound like rand() < 2.0 won't do here: the main optimizer folds it
+    // away via Rand's known range before the rule ever runs.)
+    val q = base.where(rand(42) < 0.5).groupBy("k1").agg(sum("v").as("sv"))
+    assert(!fired(q), q.queryExecution.optimizedPlan.toString)
+  }
+
+  test("refuses AVG of a column without a registered non-null count") {
+    // d is a registered sum column but has no nnCounts entry
+    val q = base.groupBy("k1").agg(avg("d").as("ad"))
+    assert(!fired(q))
+    // and refuses COUNT(d) for the same reason
+    assert(!fired(base.groupBy("k1").agg(count(col("d")).as("nd"))))
+  }
+
+  test("refuses DISTINCT aggregates") {
+    assert(!fired(base.groupBy("k1").agg(sum_distinct(col("v")).as("sv"))))
+    assert(!fired(base.groupBy("k1").agg(countDistinct(col("v")).as("nv"))))
+  }
+
+  test("refuses FILTER-clause aggregates") {
+    base.createOrReplaceTempView("sv_base")
+    val q = spark.sql(
+      "SELECT k1, sum(v) FILTER (WHERE k2 = 'g0') AS sv " +
+        "FROM sv_base GROUP BY k1")
+    assert(!fired(q))
+  }
+
+  test("refuses expression groupings") {
+    assert(!fired(base.groupBy(upper(col("k1")).as("K"))
+      .agg(sum("v").as("sv"))))
+  }
+
+  test("refuses an unregistered base") {
+    assert(!fired(spark.read.parquet(baseUnregistered)
+      .groupBy("k1").agg(sum("v").as("sv"))))
+  }
+
+  test("refuses (without throwing) when the state dir is absent") {
+    SummaryViews.register(SummaryViews.View(
+      baseUnregistered, s"$root/never-written", Seq("k1", "k2"),
+      Set("v"), None))
+    try {
+      val q = spark.read.parquet(baseUnregistered)
+        .groupBy("k1").agg(sum("v").as("sv"))
+      assert(!fired(q))
+      assert(q.count() === 3)
+    } finally SummaryViews.unregister(baseUnregistered)
+  }
+
+  test("refuses aggregates the summary does not cover") {
+    assert(!fired(base.groupBy("k1").agg(max("v").as("mv"))))
+  }
+
+  // -------------------------------------------- plan cache + invalidation
+
+  test("plan cache: N optimizations cost one resolve; a fold invalidates " +
+    "even when the state path is spelled differently") {
+    def q: DataFrame = base.groupBy("k1").agg(sum("v").as("sv"))
+    q.queryExecution.optimizedPlan // prime the cache for this version
+    val r0 = SummaryViews.stateResolves.get()
+    (1 to 4).foreach(_ => assert(fired(q)))
+    assert(SummaryViews.stateResolves.get() === r0,
+      "cached plan must be served from memory, not re-resolved")
+
+    val before = sortedRows(q)
+    // fold one more guarded batch, spelling the path with a trailing slash
+    // — the version key must normalize so the cache still invalidates
+    val extra = Seq(("k0", "g0", 1000L, BigDecimal(0),
+      1L, 1L)).toDF("k1", "k2", "v", "d", "n_rows", "v_nn")
+      .withColumn("d", col("d").cast(DecimalType(28, 2)))
+    IncrementalAgg.applyDelta(spark, statePath + "/", extra,
+      keyCols = Seq("k1", "k2"),
+      sumCols = Seq("v", "d", "n_rows", "v_nn"),
+      nBuckets = 4, batchId = 99L)
+    assert(fired(q))
+    assert(SummaryViews.stateResolves.get() === r0 + 1,
+      "a fold must invalidate the cached plan exactly once")
+    val after = sortedRows(q)
+    assert(after !== before, "the rewritten answer must see the new delta")
+    assert(after.find(_.getString(0) == "k0").get.getLong(1)
+      === before.find(_.getString(0) == "k0").get.getLong(1) + 1000L)
+    // rebuild the canonical fixture for any later test
+    rebuildFixture()
+  }
+
+  test("a replayed fold after a crash between write and marker still bumps " +
+    "the version (no stale cache, no FileNotFound)") {
+    def q: DataFrame = base.groupBy("k1").agg(sum("v").as("sv"))
+    val v0 = BucketedStateTable.stateVersion(statePath)
+    val extra = Seq(("k1", "g1", 500L, BigDecimal(0), 1L, 1L))
+      .toDF("k1", "k2", "v", "d", "n_rows", "v_nn")
+      .withColumn("d", col("d").cast(DecimalType(28, 2)))
+    foldOnce(extra, batchId = 100L)
+    val v1 = BucketedStateTable.stateVersion(statePath)
+    assert(v1 > v0)
+    // simulate the crash window: state swapped, marker lost
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$statePath/_applied/batch-100"), true)
+    foldOnce(extra, batchId = 100L) // replay → per-bucket guard path
+    assert(BucketedStateTable.stateVersion(statePath) > v1,
+      "the replay rewrote no buckets but the crashed attempt DID — " +
+        "version must bump so caches drop the pre-crash listing")
+    // the re-resolved plan answers correctly, applying the delta ONCE
+    assert(fired(q))
+    val sv = sortedRows(q).find(_.getString(0) == "k1").get.getLong(1)
+    val expected = withoutRule(sortedRows(
+      base.groupBy("k1").agg(sum("v").as("sv")))
+      .find(_.getString(0) == "k1").get.getLong(1))
+    assert(sv === expected + 500L)
+    rebuildFixture()
+  }
+
+  private def foldOnce(extra: DataFrame, batchId: Long): Unit =
+    IncrementalAgg.applyDelta(spark, statePath, extra,
+      keyCols = Seq("k1", "k2"),
+      sumCols = Seq("v", "d", "n_rows", "v_nn"),
+      nBuckets = 4, batchId = batchId)
+
+  // ------------------------------------------- extensions-injection path
+
+  test("the rule fires in a session built with spark.sql.extensions " +
+    "(the spark-submit path, no install())") {
+    val orig = spark
+    // session extensions resolve by CLASS NAME from the context conf at
+    // session construction — the exact spark-submit
+    // `--conf spark.sql.extensions=graft.GraftExtensions` path
+    org.apache.spark.sql.GraftBridge.setContextConf(orig.sparkContext,
+      "spark.sql.extensions", "graft.GraftExtensions")
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s2 ne orig)
+      val q = s2.read.parquet(basePath)
+        .groupBy("k1").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      assert(fired(q))
+      val exp = withoutRule {
+        sortedRows(orig.read.parquet(basePath)
+          .groupBy("k1").agg(sum("v").as("sv"), count(lit(1)).as("n")))
+      }
+      assert(sortedRows(q) === exp)
+    } finally {
+      org.apache.spark.sql.GraftBridge.removeContextConf(orig.sparkContext,
+        "spark.sql.extensions")
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}

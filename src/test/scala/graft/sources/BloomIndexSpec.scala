@@ -116,6 +116,47 @@ class BloomIndexSpec extends SparkSpec {
       expectedItemsPerFile = 2000) === ZoneMap.UpdateDelta(0L, 0L))
   }
 
+  test("compaction maintains the bloom manifest: point reads stay exact, no update needed") {
+    val path = fresh("compact-compose")
+    // fragmented random layout with a live bloom index
+    docs.repartition(12).write.mode("overwrite").parquet(path)
+    BloomIndex.write(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    val bytesBefore = BloomIndex.diagnose(spark, path, "doc_id")
+      .head().getDouble(3)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = math.max(1L, fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(path)).getLength / 3)
+    val report = Compaction.compact(spark, path, OutFormat.Parquet,
+      OutCompression.Snappy, targetFileBytes = target)
+    assert(report.filter(col("compacted")).count() > 0, "fixture must compact")
+    // compact refreshed the rewritten shards itself: manifest rows point
+    // only at live files, update is a no-op, and the point read answers
+    // exactly (it would THROW on a stale manifest — dead scan paths)
+    val manifest = spark.read.parquet(s"$path/_bloomindex")
+    val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    val indexed = manifest.select("file").collect()
+      .map(r => { val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1) })
+      .toSet
+    assert(indexed === onDisk, "manifest must track exactly the live files")
+    assert(BloomIndex.update(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000) === ZoneMap.UpdateDelta(0L, 0L))
+    val ids = docs.select("doc_id").orderBy("doc_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    val got = BloomIndex.prunedRead(spark, path, "doc_id", ids)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === ids.sorted)
+    // the refresh reproduced the ORIGINAL build's bitmap sizing (read
+    // from a surviving cell), not the defaults
+    val bytesAfter = BloomIndex.diagnose(spark, path, "doc_id")
+      .head().getDouble(3)
+    assert(math.abs(bytesAfter - bytesBefore) < bytesBefore * 0.01,
+      s"refreshed filters must keep the build sizing: $bytesBefore -> $bytesAfter")
+  }
+
   test("diagnose reads health from the manifest alone") {
     val path = fresh("diag")
     docs.repartition(4).write.mode("overwrite").parquet(path)

@@ -252,6 +252,76 @@ class ZoneMapSpec extends SparkSpec {
       parts = Seq("bucket=1")).forall(_.contains("bucket=1")))
   }
 
+  test("many-shard pruned read plans batched union arms, not one per shard") {
+    val path = fresh("many-shards")
+    events.withColumn("bucket", (col("event_id") % 24).cast("int"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    assert(ZoneMap.update(spark, path, Seq("value")).added === 24)
+    val (lo, hi) = (Double.MinValue, Double.MaxValue) // every shard matches
+    val pruned = ZoneMap.prunedRead(spark, path, "value", lo, hi)
+    // 24 candidate files fit one batched arm: exactly ONE parquet relation
+    // in the plan (the per-shard form planned 24 union arms here)
+    val rels = pruned.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.length
+    assert(rels === 1, s"expected one batched scan arm, got $rels")
+    assert(pruned.select("event_id").collect().map(_.getLong(0)).toSet ===
+      events.select("event_id").collect().map(_.getLong(0)).toSet)
+    // arm math under a tiny width: ceil(24/5) = 5 arms, same rows
+    val files = ZoneMap.candidateFiles(spark, path, "value", lo, hi)
+    assert(files.length === 24)
+    val armed = Manifests.batchedRead(spark, files.iterator,
+      maxFilesPerArm = 5).get
+    val arms = armed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }.length
+    assert(arms === 5, s"expected ceil(24/5)=5 arms, got $arms")
+    assert(armed.count() === events.count())
+  }
+
+  test("a retention-deleted partition dir is fully reaped — emptied shard dir included") {
+    val path = fresh("retention")
+    events.withColumn("bucket", (col("event_id") % 3).cast("int"))
+      .repartitionByRange(2, col("value"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    assert(ZoneMap.update(spark, path, Seq("value")).added > 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // retention: the whole bucket=2 partition ages out
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket=2"), true)
+    val d = ZoneMap.update(spark, path, Seq("value"))
+    assert(d.added === 0 && d.reaped > 0, s"got $d")
+    val manifest = spark.read.parquet(s"$path/_zonemap")
+    val shards = manifest.select("part_dir").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(shards === Set("bucket=0", "bucket=1"))
+    // the emptied shard DIR is gone too: dynamic overwrite writes nothing
+    // for it, so without an explicit reap the stale dir would keep
+    // serving ghost rows forever
+    val shardDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_zonemap")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("part_dir="))
+    val decoded = shardDirs.map(n => org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.unescapePathName(n.stripPrefix("part_dir=")))
+    assert(decoded.toSet === Set("bucket=0", "bucket=1"),
+      s"emptied shard dir must be deleted, found $decoded")
+    // survivors still answer exactly
+    val got = ZoneMap.prunedRead(spark, path, "value", 100.0, 200.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val want = events.filter(col("value").between(100.0, 200.0) &&
+        col("event_id") % 3 =!= 2)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === want && want.nonEmpty)
+    // full wipe: every partition ages out → the manifest dir itself goes
+    // (a shard-less parquet dir cannot even answer a schema read)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket=0"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bucket=1"), true)
+    assert(ZoneMap.update(spark, path, Seq("value")).reaped > 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_zonemap")),
+      "a fully-reaped manifest must be dropped, not left unreadable")
+  }
+
   test("a band outside every zone reads zero files and returns empty, typed") {
     val path = fresh("empty")
     events.repartitionByRange(4, col("value"))

@@ -63,6 +63,53 @@ class StreamingSampleSpec extends SparkSpec {
     assert(byVersion(2L).size === k)
   }
 
+  test("a re-delivered doc cannot occupy two reservoir slots") {
+    import spark.implicits._
+    // in-batch duplicate: doc 1's key beats everything, so without the
+    // (key,id) guard its second delivery would displace a distinct doc
+    val rows = Seq(
+      (1L, "alpha", 1000L), (1L, "alpha", 1000L),
+      (2L, "beta", 1L), (3L, "gamma", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val snap = StreamingSample.weightedK(rows, k = 3, weightCol = "n_chars")
+      .collect().head
+    assert(snap.docIds.toSet === Set(1L, 2L, 3L),
+      s"duplicate displaced a distinct doc: ${snap.docIds}")
+    assert(snap.docIds.length === 3)
+  }
+
+  test("cross-trigger re-delivery: a duplicate in a later batch does not displace state") {
+    import spark.implicits._
+    val (src, ckpt) = fresh()
+    val wave0 = Seq((1L, "alpha", 1000L), (2L, "beta", 1L))
+      .toDF("doc_id", "text", "n_chars")
+    val wave1 = Seq((1L, "alpha", 1000L), (3L, "gamma", 1L)) // 1 re-delivered
+      .toDF("doc_id", "text", "n_chars")
+    Files.createDirectories(Paths.get(src))
+    wave0.repartition(1).write.mode("append").json(src)
+    Thread.sleep(1100)
+    wave1.repartition(1).write.mode("append").json(src)
+    val stream = spark.readStream
+      .schema("doc_id long, text string, n_chars long")
+      .option("maxFilesPerTrigger", 1)
+      .json(src)
+    val snaps = StreamingSample.weightedK(stream, k = 3, weightCol = "n_chars")
+    val q = CdcPipeline.startWithProvider(spark,
+      Some(CdcPipeline.RocksDBProvider)) {
+      snaps.writeStream.queryName("wres_dup").format("memory")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    q.awaitTermination(120000)
+    val finalSnap = spark.table("wres_dup").collect()
+      .maxBy(_.getLong(0))
+    // k=3 with 3 distinct docs: the re-delivered doc 1 (already in state,
+    // best key in the reservoir) must not evict doc 2 or doc 3
+    assert(finalSnap.getSeq[Long](2).toSet === Set(1L, 2L, 3L),
+      s"re-delivery displaced a distinct doc: ${finalSnap.getSeq[Long](2)}")
+  }
+
   test("policy edges: null/non-positive weights excluded; k larger than the feed") {
     import spark.implicits._
     // batch mode drives the same operator body through one trigger

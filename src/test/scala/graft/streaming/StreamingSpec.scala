@@ -128,6 +128,56 @@ class StreamingSpec extends SparkSpec {
     assert(ZoneMap.update(spark, out, Seq("value")) === ZoneMap.UpdateDelta(0, 0))
   }
 
+  test("file destination maintains a bloom index as it writes; compaction composes; point reads exact") {
+    import graft.sources.{BloomIndex, Compaction, OutFormat => OF, ZoneMap}
+    val (src, ckpt, out) = fresh("bloom-sink")
+    val n = stageSource(src, parts = 4)
+    // filesPerKeyHint fragments each collection dir (3 files per batch) —
+    // the layout shape Compaction exists for
+    val dest = new FileDestination(out, OutFormat.Parquet,
+      OutCompression.Snappy, KeyStrategy.CollectionBased,
+      bloomIndexCols = Seq("event_id"), bloomExpectedItemsPerFile = 2000,
+      filesPerKeyHint = Some(3))
+    val q = CdcPipeline.start(spark,
+      cfg(src, ckpt, "bloom-sink").copy(maxFilesPerTrigger = Some(2)), dest)
+    q.awaitTermination(120000)
+    // every data file the sink wrote is in the manifest
+    val manifest = spark.read.parquet(s"$out/_bloomindex")
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+        else if (f.isDirectory) dataFiles(f) else Seq(f)
+      }
+    val onDisk = dataFiles(new java.io.File(out)).map(_.getName).toSet
+    val indexed = manifest.select("file").collect()
+      .map(r => { val f = r.getString(0); f.substring(f.lastIndexOf('/') + 1) })
+      .toSet
+    assert(indexed === onDisk && onDisk.nonEmpty)
+    assert(manifest.select(sum(col("n_rows"))).head().getLong(0) === n)
+    // point lookups through the index answer exactly; manifest is current
+    val ids = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny))
+      .select("event_id").orderBy("event_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(BloomIndex.prunedRead(spark, out, "event_id", ids)
+      .count() === ids.length.toLong)
+    assert(BloomIndex.update(spark, out, Seq("event_id"),
+      expectedItemsPerFile = 2000) === ZoneMap.UpdateDelta(0, 0))
+    // compact the fragmented sink layout: the bloom manifest follows the
+    // rewrite by itself — zero manual updates, lookups stay exact
+    val fsOut = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = math.max(1L, fsOut.getContentSummary(
+      new org.apache.hadoop.fs.Path(out)).getLength)
+    val report = Compaction.compact(spark, out, OF.Parquet,
+      OutCompression.Snappy, targetFileBytes = target)
+    assert(report.filter(col("compacted")).count() > 0, "fixture must compact")
+    assert(BloomIndex.update(spark, out, Seq("event_id"),
+      expectedItemsPerFile = 2000) === ZoneMap.UpdateDelta(0, 0),
+      "compaction must leave the bloom manifest current")
+    assert(BloomIndex.prunedRead(spark, out, "event_id", ids)
+      .count() === ids.length.toLong)
+  }
+
   test("checkpoint resume processes only new files, exactly once (S5/O4)") {
     val (src, ckpt, out) = fresh("resume")
     val staging = s"$root/resume/staging"

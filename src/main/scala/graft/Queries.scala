@@ -505,6 +505,64 @@ object Queries {
     }
   }
 
+  register("agg_mv_rewrite_minmax", Some(
+    """SELECT lang, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE source <> 'web' GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // MIN/MAX through the MV rewrite (append-only contract): per-key
+    // extrema maintained by IncrementalAgg's re-min/re-max merge, rolled
+    // up to lang under a key filter — mins of mins alongside a SUM in the
+    // same rewritten Aggregate. The entry requires the rewrite fired and
+    // hashes the summary-served rows against DuckDB over the raw table.
+    val base = Tables.path(dir, "documents")
+    val path = s"$sinkRoot/agg_mv_rewrite_minmax-${dir.replaceAll("[^0-9.]", "")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val deltas = s.read.parquet(base).select(col("lang"), col("source"),
+      col("n_chars").cast("long").as("n_chars"),
+      col("n_chars").cast("long").as("n_chars_min"),
+      col("n_chars").cast("long").as("n_chars_max"),
+      pmod(col("doc_id"), lit(3)).as("__chunk"))
+    (0L to 2L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("lang", "source"), sumCols = Seq("n_chars"),
+        nBuckets = 8, batchId = i,
+        minCols = Seq("n_chars_min"), maxCols = Seq("n_chars_max"))
+    }
+    graft.plans.SummaryViews.register(graft.plans.SummaryViews.View(
+      base, path, Seq("lang", "source"), Set("n_chars"), None,
+      minCols = Map("n_chars" -> "n_chars_min"),
+      maxCols = Map("n_chars" -> "n_chars_max")))
+    graft.plans.SummaryViews.install(s)
+    try {
+      val q = s.read.parquet(base)
+        .where(col("source") =!= "web")
+        .groupBy("lang")
+        .agg(min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+      val readsState = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(p =>
+                p.toString.contains("agg_mv_rewrite_minmax") &&
+                  p.toString.endsWith("/state"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(readsState,
+        "agg_mv_rewrite_minmax: the MIN/MAX rewrite did not fire — the " +
+          "optimized plan still reads the base table")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.SummaryViews.uninstall(s)
+      graft.plans.SummaryViews.unregister(base)
+    }
+  }
+
   // ==========================================================================
   // Serializer / sink round-trips (SURVEY §2.3 T1-T7 + §2.8): each writes
   // the envelope through a real DataFrameWriter (format × compression ×

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -29,8 +29,10 @@ import graft.streaming.BucketedStateTable
   *    (no DISTINCT, no FILTER), `COUNT(*)`/`COUNT(1)` when the view
   *    maintains a count column (rewritten to `coalesce(SUM(n),0)`),
   *    `COUNT(col)` when the view maintains that column's non-null count,
-  *    and `AVG(col)` (double results) when it maintains BOTH the sum and
-  *    the non-null count (rewritten to `SUM(sums)/SUM(counts)`);
+  *    `AVG(col)` (double results) when it maintains BOTH the sum and
+  *    the non-null count (rewritten to `SUM(sums)/SUM(counts)`), and
+  *    `MIN(col)`/`MAX(col)` when it maintains per-key extrema
+  *    (append-only pipelines only — extrema are not delete-invertible);
   *  - an optional deterministic `WHERE` whose references are all key
   *    columns (pushed onto the summary scan — key predicates commute
   *    with the roll-up);
@@ -65,11 +67,17 @@ object SummaryViews {
     * column name to a maintained per-column NON-NULL count column
     * (`SUM(IF(col IS NULL, 0, 1))`), enabling `COUNT(col)` rewrites and —
     * together with the column's entry in `sumCols` — `AVG(col)` as
-    * `SUM(sums)/SUM(non-null counts)`. */
+    * `SUM(sums)/SUM(non-null counts)`; `minCols`/`maxCols` map a base
+    * column to maintained per-key extrema columns, enabling
+    * `MIN(col)`/`MAX(col)` rewrites (mins of mins are mins) — register
+    * these ONLY for append-only pipelines
+    * ([[graft.streaming.IncrementalAgg.applyDelta]]'s extrema caveat). */
   final case class View(basePath: String, statePath: String,
                         keyCols: Seq[String], sumCols: Set[String],
                         countCol: Option[String],
-                        nnCounts: Map[String, String] = Map.empty)
+                        nnCounts: Map[String, String] = Map.empty,
+                        minCols: Map[String, String] = Map.empty,
+                        maxCols: Map[String, String] = Map.empty)
 
   private val views =
     new java.util.concurrent.ConcurrentHashMap[String, View]()
@@ -213,7 +221,8 @@ final case class RewriteToSummary(spark: SparkSession)
           state.output.map(a => a.name -> a).toMap
         val covered =
           (view.keyCols ++ view.sumCols ++ view.countCol ++
-            view.nnCounts.values).forall(stateAttr.contains)
+            view.nnCounts.values ++ view.minCols.values ++
+            view.maxCols.values).forall(stateAttr.contains)
         if (!covered) None
         else {
           // every output expression must map exactly, preserving both the
@@ -263,6 +272,23 @@ final case class RewriteToSummary(spark: SparkSession)
                 else Cast(summed, ae.dataType)
               Some(Alias(
                 Coalesce(Seq(typed, Literal(0L))),
+                name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Min(c: AttributeReference), _, false, None, _), name)
+                if view.minCols.contains(c.name) =>
+              // min of per-key mins; null state cells (all-null groups)
+              // skip, exactly as Min over the base skips null rows. No
+              // widening — Min keeps its input type.
+              Some(Alias(
+                ae.copy(aggregateFunction = Min(
+                  stateAttr(view.minCols(c.name)))),
+                name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Max(c: AttributeReference), _, false, None, _), name)
+                if view.maxCols.contains(c.name) =>
+              Some(Alias(
+                ae.copy(aggregateFunction = Max(
+                  stateAttr(view.maxCols(c.name)))),
                 name)(exprId = al.exprId))
             case al @ Alias(ae @ AggregateExpression(
                   Average(c: AttributeReference, _), _, false, None, _), name)

@@ -36,28 +36,45 @@ object IncrementalAgg {
   /** Fold one batch of deltas into the persisted aggregate.
     *
     * `delta`: any frame holding `keyCols` plus ADDITIVE `sumCols`
-    * (already-signed contributions). `batchId >= 0` engages the replay
-    * guard; pass -1 for unguarded batch use.
+    * (already-signed contributions) and optional `minCols`/`maxCols`
+    * (per-key extrema candidates, merged by re-min/re-max). `batchId >=
+    * 0` engages the replay guard; pass -1 for unguarded batch use.
+    *
+    * Extrema columns are exact only for APPEND-ONLY feeds: a sum can
+    * absorb a delete as `−v`, but a min cannot un-see a retracted value
+    * (the classic non-invertible-aggregate limit of IVM). Register
+    * min/max columns only where the maintaining pipeline never deletes
+    * or shrinks values.
     *
     * Decimal sum columns: Spark's `SUM` widens `decimal(p,s)` to
     * `decimal(p+10,s)` per aggregation, so an un-widened decimal delta
     * would write a DIFFERENT decimal type each fold (mixed-schema bucket
     * files). Pre-cast decimal deltas to precision >= 28 — every fold then
-    * lands on the stable `decimal(38,s)` cap. */
+    * lands on the stable `decimal(38,s)` cap. (Min/max never widen.) */
   def applyDelta(spark: SparkSession, path: String, delta: DataFrame,
                  keyCols: Seq[String], sumCols: Seq[String],
-                 nBuckets: Int = 64, batchId: Long = -1L): Unit = {
-    require(keyCols.nonEmpty && sumCols.nonEmpty,
-      "applyDelta needs key and sum columns")
+                 nBuckets: Int = 64, batchId: Long = -1L,
+                 minCols: Seq[String] = Nil,
+                 maxCols: Seq[String] = Nil): Unit = {
+    require(keyCols.nonEmpty &&
+      (sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty),
+      "applyDelta needs key columns and at least one aggregate column")
+    require((sumCols ++ minCols ++ maxCols).distinct.length ==
+      sumCols.length + minCols.length + maxCols.length,
+      "sum/min/max columns must be distinct state columns (stage a copy " +
+        "of the source column per role)")
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
-    def reSum(df: DataFrame): DataFrame =
+    def reAgg(df: DataFrame): DataFrame = {
+      val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+        minCols.map(c => min(col(c)).as(c)) ++
+        maxCols.map(c => max(col(c)).as(c))
       df.groupBy((keyCols :+ BucketedStateTable.BucketCol).map(col): _*)
-        .agg(sum(col(sumCols.head)).as(sumCols.head),
-          sumCols.tail.map(c => sum(col(c)).as(c)): _*)
-    val d = reSum(delta.withColumn(BucketedStateTable.BucketCol,
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val d = reAgg(delta.withColumn(BucketedStateTable.BucketCol,
       BucketedStateTable.bucketOf(keyCols, nBuckets)))
     BucketedStateTable.fold(spark, path, d, batchId,
-      merge = (old, dlt) => reSum(old.unionByName(dlt)))
+      merge = (old, dlt) => reAgg(old.unionByName(dlt)))
   }
 
   /** The current aggregate table (bookkeeping columns dropped). */

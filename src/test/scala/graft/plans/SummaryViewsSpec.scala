@@ -54,18 +54,21 @@ class SummaryViewsSpec extends SparkSpec
         .select(col("k1"), col("k2"), col("v"),
           col("d").cast(DecimalType(28, 2)).as("d"),
           lit(1L).as("n_rows"),
-          when(col("v").isNotNull, 1L).otherwise(0L).as("v_nn"))
+          when(col("v").isNotNull, 1L).otherwise(0L).as("v_nn"),
+          col("v").as("v_min"), col("v").as("v_max"))
       IncrementalAgg.applyDelta(spark, spelledStatePath, deltas,
         keyCols = Seq("k1", "k2"),
         sumCols = Seq("v", "d", "n_rows", "v_nn"),
-        nBuckets = 4, batchId = i)
+        nBuckets = 4, batchId = i,
+        minCols = Seq("v_min"), maxCols = Seq("v_max"))
     }
 
   rebuildFixture()
   SummaryViews.clear()
   SummaryViews.register(SummaryViews.View(
     basePath, statePath, Seq("k1", "k2"), Set("v", "d"), Some("n_rows"),
-    nnCounts = Map("v" -> "v_nn")))
+    nnCounts = Map("v" -> "v_nn"),
+    minCols = Map("v" -> "v_min"), maxCols = Map("v" -> "v_max")))
   SummaryViews.install(spark)
 
   override def afterAll(): Unit = {
@@ -235,7 +238,19 @@ class SummaryViewsSpec extends SparkSpec
   }
 
   test("refuses aggregates the summary does not cover") {
-    assert(!fired(base.groupBy("k1").agg(max("v").as("mv"))))
+    // d has sum maintenance but no extrema columns
+    assert(!fired(base.groupBy("k1").agg(max("d").as("md"))))
+    assert(!fired(base.groupBy("k1").agg(min("d").as("md"))))
+  }
+
+  test("MIN/MAX fire alongside SUM/AVG/COUNT in one query, exact under nulls") {
+    val rows = assertParity(
+      base.groupBy("k1").agg(
+        min("v").as("mn"), max("v").as("mx"), sum("v").as("sv"),
+        avg("v").as("av"), count(col("v")).as("nv"),
+        count(lit(1)).as("n")),
+      expectFired = true)
+    assert(rows.length === 3)
   }
 
   // -------------------------------------------- plan cache + invalidation
@@ -253,12 +268,14 @@ class SummaryViewsSpec extends SparkSpec
     // fold one more guarded batch, spelling the path with a trailing slash
     // — the version key must normalize so the cache still invalidates
     val extra = Seq(("k0", "g0", 1000L, BigDecimal(0),
-      1L, 1L)).toDF("k1", "k2", "v", "d", "n_rows", "v_nn")
+      1L, 1L, 1000L, 1000L))
+      .toDF("k1", "k2", "v", "d", "n_rows", "v_nn", "v_min", "v_max")
       .withColumn("d", col("d").cast(DecimalType(28, 2)))
     IncrementalAgg.applyDelta(spark, statePath + "/", extra,
       keyCols = Seq("k1", "k2"),
       sumCols = Seq("v", "d", "n_rows", "v_nn"),
-      nBuckets = 4, batchId = 99L)
+      nBuckets = 4, batchId = 99L,
+      minCols = Seq("v_min"), maxCols = Seq("v_max"))
     assert(fired(q))
     assert(SummaryViews.stateResolves.get() === r0 + 1,
       "a fold must invalidate the cached plan exactly once")
@@ -274,8 +291,8 @@ class SummaryViewsSpec extends SparkSpec
     "the version (no stale cache, no FileNotFound)") {
     def q: DataFrame = base.groupBy("k1").agg(sum("v").as("sv"))
     val v0 = BucketedStateTable.stateVersion(statePath)
-    val extra = Seq(("k1", "g1", 500L, BigDecimal(0), 1L, 1L))
-      .toDF("k1", "k2", "v", "d", "n_rows", "v_nn")
+    val extra = Seq(("k1", "g1", 500L, BigDecimal(0), 1L, 1L, 500L, 500L))
+      .toDF("k1", "k2", "v", "d", "n_rows", "v_nn", "v_min", "v_max")
       .withColumn("d", col("d").cast(DecimalType(28, 2)))
     foldOnce(extra, batchId = 100L)
     val v1 = BucketedStateTable.stateVersion(statePath)
@@ -301,7 +318,8 @@ class SummaryViewsSpec extends SparkSpec
     IncrementalAgg.applyDelta(spark, statePath, extra,
       keyCols = Seq("k1", "k2"),
       sumCols = Seq("v", "d", "n_rows", "v_nn"),
-      nBuckets = 4, batchId = batchId)
+      nBuckets = 4, batchId = batchId,
+      minCols = Seq("v_min"), maxCols = Seq("v_max"))
 
   // ------------------------------------------- extensions-injection path
 

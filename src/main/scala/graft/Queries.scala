@@ -563,6 +563,125 @@ object Queries {
     }
   }
 
+  register("agg_mv_rewrite_distinct", Some(
+    """SELECT lang, count(DISTINCT source) AS n_sources,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // COUNT(DISTINCT key-col) through the MV rewrite: each LIVE summary
+    // row is one distinct (lang, source) combination, so distinct sources
+    // per lang = distinct summary key values among rows whose maintained
+    // count is positive. The liveness filter is load-bearing and this
+    // entry proves it: batches 3-4 insert then fully DELETE a synthetic
+    // ('zz','ghost') group, leaving a net-zero state row that a naive
+    // rewrite would resurrect as a ghost group (and a ghost distinct
+    // source) — the raw-table oracle has no 'zz' rows, so the hash gate
+    // fails unless emptied groups are excluded. At 100 TB the distinct
+    // count costs O(lang×source) summary rows, zero base I/O.
+    val base = Tables.path(dir, "documents")
+    val path = s"$sinkRoot/agg_mv_rewrite_distinct-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val deltas = s.read.parquet(base).select(col("lang"), col("source"),
+      lit(1L).as("n_docs"), pmod(col("doc_id"), lit(3)).as("__chunk"))
+    (0L to 2L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("lang", "source"), sumCols = Seq("n_docs"),
+        nBuckets = 8, batchId = i)
+    }
+    // insert 5 ghost rows, then delete all 5: net count 0, row persists
+    val ghost = s.range(5).select(lit("zz").as("lang"),
+      lit("ghost").as("source"), lit(1L).as("n_docs"))
+    graft.streaming.IncrementalAgg.applyDelta(s, path, ghost,
+      keyCols = Seq("lang", "source"), sumCols = Seq("n_docs"),
+      nBuckets = 8, batchId = 3L)
+    graft.streaming.IncrementalAgg.applyDelta(s, path,
+      ghost.withColumn("n_docs", lit(-1L)),
+      keyCols = Seq("lang", "source"), sumCols = Seq("n_docs"),
+      nBuckets = 8, batchId = 4L)
+    graft.plans.SummaryViews.register(graft.plans.SummaryViews.View(
+      base, path, Seq("lang", "source"), Set.empty, Some("n_docs")))
+    graft.plans.SummaryViews.install(s)
+    try {
+      val q = s.read.parquet(base)
+        .groupBy("lang")
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"))
+      val readsState = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(p =>
+                p.toString.contains("agg_mv_rewrite_distinct") &&
+                  p.toString.endsWith("/state"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(readsState,
+        "agg_mv_rewrite_distinct: the summary rewrite did not fire — the " +
+          "optimized plan still reads the base table")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.SummaryViews.uninstall(s)
+      graft.plans.SummaryViews.unregister(base)
+    }
+  }
+
+  register("join_bloom_pruned", Some(
+    """SELECT l.l_returnflag, count(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IN (SELECT o_orderkey FROM orders
+      |                       ORDER BY o_totalprice DESC, o_orderkey
+      |                       LIMIT 5)
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // Dim-driven fact FILE skipping under the oracle: lineitem persists
+    // key-bucketed (repartition by l_orderkey — one order's items land in
+    // one file, but key RANGES still overlap across every file, so a zone
+    // map stays blind) with per-file Bloom filters on l_orderkey; the
+    // dim's distinct keys (the 5 biggest orders, deterministic tie-break)
+    // probe the manifest and the join scans only firing files. The oracle
+    // recomputes the plain join on the raw tables — skipping must be
+    // invisible. The entry REQUIRES pruning to have engaged (the fact side
+    // lists fewer files than the layout holds: ≤5 key files + fpp noise of
+    // 16). At 100 TB this is the star-join point-lookup shape: a filtered
+    // dimension touches a sliver of fact files, scan cost follows the
+    // sliver, the model-sized dim broadcasts — no shuffle anywhere.
+    val path = s"$sinkRoot/join_bloom_pruned-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .repartition(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.BloomIndex.write(s, path, Seq("l_orderkey"),
+      expectedItemsPerFile = 200000, fpp = 0.01)
+    val dim = Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(5).select("o_orderkey")
+    val joined = graft.sources.BloomIndex.prunedJoin(
+      s, path, "l_orderkey", dim, "o_orderkey")
+    val totalFiles = s.read.parquet(s"$path/_bloomindex").count()
+    val factFiles = joined.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if f.location.rootPaths.exists(_.toString.contains(
+                "join_bloom_pruned")) =>
+            f.location.rootPaths.length.toLong
+          case _ => 0L
+        }
+    }.sum
+    require(factFiles > 0 && factFiles < totalFiles,
+      s"join_bloom_pruned: expected file skipping to engage " +
+        s"($factFiles of $totalFiles files)")
+    joined.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("revenue"))
+  }
+
   // ==========================================================================
   // Serializer / sink round-trips (SURVEY §2.3 T1-T7 + §2.8): each writes
   // the envelope through a real DataFrameWriter (format × compression ×

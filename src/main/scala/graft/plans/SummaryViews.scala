@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, GreaterThan, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
@@ -32,13 +32,26 @@ import graft.streaming.BucketedStateTable
   *    `AVG(col)` (double results) when it maintains BOTH the sum and
   *    the non-null count (rewritten to `SUM(sums)/SUM(counts)`), and
   *    `MIN(col)`/`MAX(col)` when it maintains per-key extrema
-  *    (append-only pipelines only — extrema are not delete-invertible);
+  *    (append-only pipelines only — extrema are not delete-invertible),
+  *    and `COUNT(DISTINCT k…)` over KEY columns when the view maintains
+  *    a count column (every live summary row is one distinct key
+  *    combination);
   *  - an optional deterministic `WHERE` whose references are all key
   *    columns (pushed onto the summary scan — key predicates commute
   *    with the roll-up);
   *  - anything else (expressions over non-key columns, decimal AVG,
   *    DISTINCT/FILTER clauses, joins in between) leaves the plan
   *    untouched — the rule REFUSES rather than approximates.
+  *
+  * Liveness: when the view maintains a count column, the rewrite reads
+  * only summary rows whose live count is POSITIVE. A group deleted down
+  * to zero rows keeps a net-zero state row ([[graft.streaming
+  * .IncrementalAgg.applyDelta]] never drops rows), and without the filter
+  * that ghost would resurrect in the rewritten `GROUP BY` (and inflate
+  * `COUNT(DISTINCT …)`) while the base query omits it. Filtering dead
+  * rows is exact for every served shape — their net sums/counts are zero
+  * — and for extrema the append-only contract means the filter never
+  * bites. Register a count column on any view whose pipeline deletes.
   *
   * Staleness contract: the summary answers AS OF its last applied batch.
   * Register a view only where the [[graft.streaming.IncrementalAgg]]
@@ -310,6 +323,25 @@ final case class RewriteToSummary(spark: SparkSession)
               Some(Alias(
                 Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)),
                 name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Count(cs), _, true, None, _), name)
+                if view.countCol.isDefined && cs.nonEmpty &&
+                  cs.forall {
+                    case a: AttributeReference => view.keyCols.contains(a.name)
+                    case _ => false
+                  } =>
+              // COUNT(DISTINCT key cols): every LIVE summary row is one
+              // distinct key combination, so distinct-over-keys is a
+              // distinct count of the summary's own key values — exact
+              // only under the liveness filter below (a fully-deleted
+              // group's row lingers in state with count 0). Count keeps
+              // LongType: no cast. Multi-arg COUNT(DISTINCT a, b) skips
+              // rows with any NULL arg on both sides — same semantics.
+              val mappedArgs: Seq[Expression] = cs.map {
+                case a: AttributeReference => stateAttr(a.name)
+              }
+              Some(Alias(ae.copy(aggregateFunction = Count(mappedArgs)),
+                name)(exprId = al.exprId))
             case _ => None
           }
           if (mapped.exists(_.isEmpty)) None
@@ -319,7 +351,14 @@ final case class RewriteToSummary(spark: SparkSession)
             val rewrittenFilters = filters.map(_.transform {
               case a: AttributeReference => stateAttr(a.name)
             })
-            val newChild = rewrittenFilters
+            // liveness: only summary rows with base rows still behind them
+            // (see the object scaladoc — dead groups must not resurrect;
+            // exact for every shape since net-zero rows contribute zero)
+            val liveness: Option[Expression] = view.countCol.map { nc =>
+              GreaterThan(stateAttr(nc),
+                Cast(Literal(0), stateAttr(nc).dataType))
+            }
+            val newChild = (rewrittenFilters ++ liveness)
               .foldLeft(state)((p, c) => Filter(c, p))
             Some(Aggregate(newGroupings, mapped.map(_.get), newChild))
           }

@@ -209,6 +209,72 @@ object BloomIndex {
       .filter(predicate)
   }
 
+  /** Dim-driven JOIN with fact-side FILE skipping — a runtime filter
+    * pushed to file granularity: the filtered dimension's distinct keys
+    * probe every fact file's Bloom filter, and the join scans ONLY the
+    * files whose filters fire. Spark's own runtime filtering (and its
+    * dynamic partition pruning) skips row groups or partitions; this
+    * skips arbitrary FILES of a hash-spread layout, which is exactly the
+    * star-join shape at 100 TB — a dimension filtered to thousands of
+    * keys touches a sliver of the fact table's files, and the scan cost
+    * becomes proportional to that sliver, not the table.
+    *
+    * Exactness: Bloom filters have no false negatives, so the candidate
+    * files are a superset of every file holding a matching key; the join
+    * itself then discards false-positive files' rows. Output == the plain
+    * inner equi-join, proven in spec and under the catalog oracle. NULL
+    * dim keys never match an inner join and are excluded from the probe.
+    *
+    * Contracts: the dim side must be MODEL-sized — its distinct-key count
+    * is capped at `maxKeys` (the collect is hashes-only, 8 bytes/key; past
+    * that width file skipping degenerates toward a full scan and a plain
+    * join is the honest plan, so the cap REFUSES rather than silently
+    * scanning). Probe cost is one distributed manifest job of
+    * O(files × keys) filter probes. The probe hashes the canonical STRING
+    * image (exactly [[bloomAgg]]'s key): pass the dim key in the fact
+    * column's type so the images agree (`5` vs `5.0` differ). `dim` is
+    * evaluated twice (key collect + join) — cache it if it is expensive.
+    * `broadcastDim` hints the join side (default true: a ≤`maxKeys`-key
+    * dimension is broadcast-sized unless its payload rows are not). */
+  def prunedJoin(spark: SparkSession, path: String, c: String,
+                 dim: DataFrame, dimKey: String,
+                 maxKeys: Int = 100000,
+                 parts: Seq[String] = Nil,
+                 broadcastDim: Boolean = true): DataFrame = {
+    val hashes = dim.filter(col(dimKey).isNotNull)
+      .select(xxhash64(col(dimKey).cast("string")).as("h"))
+      .distinct().limit(maxKeys + 1)
+      .collect().map(_.getLong(0))
+    require(hashes.length <= maxKeys,
+      s"prunedJoin: dim side exceeds maxKeys=$maxKeys distinct keys — " +
+        "file skipping degenerates at that width; raise maxKeys or use a " +
+        "plain join")
+    val empty = spark.read.parquet(path).limit(0)
+    val fact =
+      if (hashes.isEmpty) empty
+      else {
+        val hs = hashes // closure capture: one deserialize + hs probes/file
+        val probeSet = udf { (bloom: Array[Byte]) =>
+          bloom != null && {
+            val bf = BloomFilter.readFrom(new ByteArrayInputStream(bloom))
+            hs.exists(bf.mightContainLong)
+          }
+        }
+        val m = spark.read.parquet(s"$path/_bloomindex")
+        val sharded =
+          if (parts.isEmpty) m else m.filter(col("part_dir").isin(parts: _*))
+        val files = sharded.filter(probeSet(col(s"${c}_bloom")))
+          .select("part_dir", "file").sort("part_dir", "file")
+          .toLocalIterator()
+        Manifests.batchedRead(spark,
+            scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+              .asScala.map(_.getString(1)))
+          .getOrElse(empty)
+      }
+    val dimSide = if (broadcastDim) broadcast(dim) else dim
+    fact.join(dimSide, fact(c) === dimSide(dimKey), "inner")
+  }
+
   /** Index health from the manifest alone: files covered, bytes per
     * filter, and rows-per-file vs the sizing assumption (a file holding
     * far more rows than `expectedItemsPerFile` runs at a worse fpp than

@@ -172,6 +172,41 @@ final class DeadLetterDestination(
       "dead_letter" -> deadLetter.metadata.name))
 }
 
+/** Aggregate-maintaining destination — the streaming-IVM sink: instead of
+  * writing files, `writeBatch` folds each micro-batch's DELTAS into a
+  * persisted [[IncrementalAgg]] summary. Downstream,
+  * [[graft.plans.SummaryViews]] serves plain `GROUP BY` queries over the
+  * base from that summary, closing the loop: CDC feed → O(touched keys)
+  * maintenance per trigger → O(keys) dashboard reads, with the 100 TB base
+  * never re-scanned. Replay-idempotence comes from
+  * [[BucketedStateTable]]'s per-batch guard rather than the file sink's
+  * batch-dir overwrite — sums are NOT idempotent, so the guard is
+  * load-bearing under foreachBatch's at-least-once contract. `deltas`
+  * maps the envelope micro-batch to the ADDITIVE delta frame (signed
+  * contributions — see [[IncrementalAgg.applyDelta]], including its
+  * decimal-widening and append-only-extrema caveats). */
+final class SummaryDestination(
+    statePath: String,
+    keyCols: Seq[String],
+    sumCols: Seq[String],
+    deltas: DataFrame => DataFrame = identity,
+    nBuckets: Int = 64,
+    minCols: Seq[String] = Nil,
+    maxCols: Seq[String] = Nil) extends Destination {
+  @volatile private var closed = false
+  override def writeBatch(df: DataFrame, batchId: Long): Unit = {
+    if (closed) throw new DestinationError.Closed(
+      s"write_batch on closed summary destination $statePath")
+    IncrementalAgg.applyDelta(df.sparkSession, statePath, deltas(df),
+      keyCols, sumCols, nBuckets, batchId, minCols, maxCols)
+  }
+  override def close(): Unit = closed = true
+  override def metadata: DestinationMetadata = DestinationMetadata(
+    "summary", supportsTransactions = true,
+    properties = Map("state_path" -> statePath,
+      "keys" -> keyCols.mkString(",")))
+}
+
 /** D4 — in-memory mock destination with injectable failures, mirroring the
   * reference's test harness (rigatoni-core/tests/destination_tests.rs:59-193).
   * Rows are collected to the driver — test scale only, by design. */

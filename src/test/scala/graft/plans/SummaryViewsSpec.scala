@@ -353,4 +353,79 @@ class SummaryViewsSpec extends SparkSpec
       SparkSession.setActiveSession(orig)
     }
   }
+
+  // ------------------------------------------- COUNT(DISTINCT) + liveness
+
+  test("COUNT(DISTINCT key col) fires — alone, multi-key, and mixed with " +
+    "SUM in one aggregate") {
+    val rows = assertParity(
+      base.groupBy("k1").agg(countDistinct(col("k2")).as("nk2"),
+        sum("v").as("sv"), count(lit(1)).as("n")),
+      expectFired = true)
+    // every k1 sees both k2 values in the fixture
+    assert(rows.length === 3 && rows.forall(_.getLong(1) === 2L))
+    // global multi-arg distinct over the full key set: 3 × 2 combos
+    val global = assertParity(
+      base.agg(countDistinct(col("k1"), col("k2")).as("nkk")),
+      expectFired = true)
+    assert(global.head.getLong(0) === 6L)
+  }
+
+  test("COUNT(DISTINCT) refuses non-key columns and count-less views") {
+    // d is maintained as a sum, but distinct d is not answerable from a
+    // (k1, k2)-keyed summary
+    assert(!fired(base.groupBy("k1").agg(countDistinct(col("d")).as("nd"))))
+    // a view without a maintained count column cannot prove liveness —
+    // distinct-over-keys must refuse rather than count dead groups
+    SummaryViews.register(SummaryViews.View(
+      baseUnregistered, statePath, Seq("k1", "k2"), Set.empty, None))
+    try {
+      assert(!fired(spark.read.parquet(baseUnregistered)
+        .groupBy("k1").agg(countDistinct(col("k2")).as("nk"))))
+    } finally SummaryViews.unregister(baseUnregistered)
+  }
+
+  test("fully-deleted groups never resurrect: the liveness filter excludes " +
+    "net-zero state rows from every rewritten shape") {
+    // insert then fully delete a synthetic key combo: the state ROW
+    // persists (applyDelta keeps net-zero rows), so only the maintained
+    // count can prove the group dead
+    def ghost(sign: Long): DataFrame = spark.range(4).select(
+      lit("kz").as("k1"), lit("gz").as("k2"),
+      lit(9L * sign).as("v"),
+      lit(sign).cast(DecimalType(28, 2)).as("d"),
+      lit(sign).as("n_rows"),
+      lit(sign).as("v_nn"),
+      lit(9L).as("v_min"), lit(9L).as("v_max"))
+    IncrementalAgg.applyDelta(spark, statePath, ghost(1L),
+      keyCols = Seq("k1", "k2"), sumCols = Seq("v", "d", "n_rows", "v_nn"),
+      nBuckets = 4, batchId = 100L,
+      minCols = Seq("v_min"), maxCols = Seq("v_max"))
+    IncrementalAgg.applyDelta(spark, statePath, ghost(-1L),
+      keyCols = Seq("k1", "k2"), sumCols = Seq("v", "d", "n_rows", "v_nn"),
+      nBuckets = 4, batchId = 101L,
+      minCols = Seq("v_min"), maxCols = Seq("v_max"))
+    // the dead row is really in state …
+    assert(IncrementalAgg.read(spark, statePath)
+      .where(col("k1") === "kz").count() === 1L)
+    // … and really absent from every rewritten answer
+    val rows = assertParity(
+      base.groupBy("k1").agg(count(lit(1)).as("n"),
+        countDistinct(col("k2")).as("nk"), sum("v").as("sv")),
+      expectFired = true)
+    assert(!rows.exists(_.getString(0) == "kz"))
+    val global = assertParity(
+      base.agg(countDistinct(col("k1")).as("nk1")), expectFired = true)
+    assert(global.head.getLong(0) === 3L)
+  }
+
+  test("HAVING above the aggregate rewrites (filter lands on preserved " +
+    "exprIds over the summary answer)") {
+    base.createOrReplaceTempView("sv_base")
+    assertParity(
+      spark.sql(
+        "SELECT k1, sum(v) AS sv, count(DISTINCT k2) AS nk " +
+          "FROM sv_base GROUP BY k1 HAVING count(*) > 10"),
+      expectFired = true)
+  }
 }

@@ -167,4 +167,58 @@ class BloomIndexSpec extends SparkSpec {
     assert(d.getLong(1) === docs.count())        // n_rows
     assert(d.getDouble(3) > 1000)                // real filter payloads
   }
+
+  test("dim-driven pruned join == plain join; skips files; null/empty/" +
+    "over-wide dims handled") {
+    val path = fresh("dimjoin")
+    docs.repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    BloomIndex.write(spark, path, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val picks = Seq(all(all.length / 2), all(all.length / 2 + 3),
+      all(all.length / 4))
+    import spark.implicits._
+    val dim = picks.zipWithIndex
+      .map { case (k, i) => (k, s"t$i") }.toDF("k", "tag")
+
+    val joined = BloomIndex.prunedJoin(spark, path, "doc_id", dim, "k")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select(col("doc_id"), col("tag")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = pairs(spark.read.parquet(path)
+      .join(dim, col("doc_id") === col("k")))
+    assert(pairs(joined) === want && want.size === picks.size)
+
+    // the fact side planned fewer files than the layout holds: 3 keys
+    // live in ≤3 of the 8 key-bucketed files (+ deterministic fpp noise)
+    val factFiles = joined.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if f.location.rootPaths.exists(
+                _.toString.contains("bloomindex/dimjoin")) =>
+            f.location.rootPaths.length
+          case _ => 0
+        }
+    }.sum
+    assert(factFiles > 0 && factFiles < 8,
+      s"expected file skipping, planned $factFiles of 8")
+    // and the model-sized dim broadcasts — no shuffle on the pruned join
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+
+    // NULL dim keys are excluded from the probe and never match
+    val dimWithNull = (picks.map(k => (Option(k), "t")) :+
+      (Option.empty[Long], "tn")).toDF("k", "tag")
+    assert(BloomIndex.prunedJoin(spark, path, "doc_id", dimWithNull, "k")
+      .count() === picks.size.toLong)
+    // an empty dim reads nothing
+    assert(BloomIndex.prunedJoin(spark, path, "doc_id", dim.limit(0), "k")
+      .count() === 0L)
+    // an over-wide dim REFUSES (plain join is the honest plan there)
+    intercept[IllegalArgumentException] {
+      BloomIndex.prunedJoin(spark, path, "doc_id", dim, "k", maxKeys = 2)
+    }
+  }
 }

@@ -1289,4 +1289,61 @@ class StreamingSpec extends SparkSpec {
       Retry.Policy(initialDelayMs = 500, maxDelayMs = 100)
     }
   }
+
+  test("summary destination: the stream maintains an incremental aggregate " +
+    "and the MV rewrite serves it (IVM e2e)") {
+    import graft.plans.SummaryViews
+    val (src, ckpt, out) = fresh("mv-sink")
+    val n = stageSource(src, parts = 4)
+    val statePath = s"$out/summary"
+    // deltas: every envelope row contributes (+event_id, +1) to its user —
+    // integral sums, so the stream-maintained summary is BIT-exact vs the
+    // one-shot aggregate regardless of fold order
+    val dest = new SummaryDestination(statePath,
+      keyCols = Seq("user_id"), sumCols = Seq("event_id", "n_rows"),
+      deltas = df => df.select(col("user_id"), col("event_id"),
+        lit(1L).as("n_rows")))
+    val q = CdcPipeline.start(spark,
+      cfg(src, ckpt, "mv-sink").copy(maxFilesPerTrigger = Some(2)), dest)
+    q.awaitTermination(120000)
+    assert(n > 0)
+    // dashboards never heard of the state dir: a plain GROUP BY over the
+    // staged base re-plans onto the stream-maintained summary
+    SummaryViews.register(SummaryViews.View(
+      src, statePath, Seq("user_id"), Set("event_id"), Some("n_rows")))
+    SummaryViews.install(spark)
+    try {
+      // the staged base is JSON — the rewrite matches any HadoopFsRelation
+      // by root path, not just parquet bases
+      def query = spark.read.schema(envDDL)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(src).groupBy("user_id")
+        .agg(sum("event_id").as("s"), count(lit(1)).as("n"))
+      val served = query
+      val readsState = served.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(_.toString.endsWith("summary/state"))
+            case _ => false
+          }
+      }.exists(identity)
+      assert(readsState, served.queryExecution.optimizedPlan.toString)
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Any, Long, Long)] =
+        df.collect().map(r => (r.get(0), r.getLong(1), r.getLong(2))).toSet
+      val got = rows(served)
+      SummaryViews.uninstall(spark)
+      val want = rows(query)
+      assert(got === want && got.nonEmpty)
+      assert(got.toSeq.map(_._3).sum === n)
+      // writes after close must fail (D5 holds for this sink too)
+      dest.close()
+      intercept[DestinationError.Closed] {
+        dest.writeBatch(query.limit(1), 999L)
+      }
+    } finally {
+      SummaryViews.uninstall(spark)
+      SummaryViews.unregister(src)
+    }
+  }
 }

@@ -6025,6 +6025,131 @@ object Queries {
         .as("n_tokens_unigram"))
   }
 
+  register("text_quality_classifier", Some(
+    """WITH d AS (SELECT doc_id, (lang = 'en') AS is_positive,
+      |    str_split(text, ' ') AS t FROM documents),
+      |f AS (SELECT doc_id, is_positive,
+      |    unnest(list_transform(t, x ->
+      |      CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 4096)) AS bkt
+      |  FROM d),
+      |bc AS (SELECT bkt, count(*) FILTER (WHERE is_positive) AS pos_n,
+      |    count(*) FILTER (WHERE NOT is_positive) AS neg_n FROM f GROUP BY 1),
+      |tot AS (SELECT sum(pos_n) AS pos_total, sum(neg_n) AS neg_total FROM bc),
+      |lo AS (SELECT bkt,
+      |    ln((pos_n + 0.5) / (pos_total + 0.5 * 4096)) -
+      |    ln((neg_n + 0.5) / (neg_total + 0.5 * 4096)) AS lo
+      |  FROM bc CROSS JOIN tot),
+      |w AS (SELECT doc_id, count(*) AS n_toks,
+      |    round(CAST(sum(CAST(lo AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6)
+      |      AS nb_logodds
+      |  FROM f JOIN lo USING (bkt) GROUP BY 1)
+      |SELECT d.doc_id, d.is_positive,
+      |  coalesce(w.n_toks, 0) AS n_toks,
+      |  coalesce(w.nb_logodds, 0.0) AS nb_logodds
+      |FROM d LEFT JOIN w USING (doc_id)""".stripMargin)) { (s, dir) =>
+    // Seed-set quality CLASSIFIER (the GPT-3/LLaMA curation recipe:
+    // positive = reference slice, negative = rest of the crawl, score
+    // everything): hashed-bucket Naive Bayes, where training IS one
+    // partial-aggregated bucket-count pass, the model is 4096 log-odds
+    // doubles (broadcast — bounded at ANY corpus size BY CONSTRUCTION),
+    // and scoring is one doc-keyed mean. The generative sibling of the
+    // DSIR importance weights and the trained-model alternative to the
+    // heuristic quality score; whole thing SQL-expressible so the
+    // classifier itself sits under the DuckDB hash gate.
+    graft.functions.Classifier.nbSeedScore(
+      Tables.documents(s, dir), isPositive = col("lang") === "en")
+  }
+
+  register("text_quality_classifier_lr", None) { (s, dir) =>
+    // The iterative sibling: fastText-style logistic regression over the
+    // same hashed features, full-batch GD — each epoch is ONE distributed
+    // pass (broadcast weights in, one nBuckets-bounded gradient aggregate
+    // back), decimal-routed so training is bit-deterministic. Iterative =
+    // not SQL-expressible; ClassifierSpec gates separable-fixture
+    // accuracy, determinism, en-vs-zh separation on this corpus, and
+    // top-k ranking agreement with the oracled NB entry.
+    graft.functions.Classifier.lrSeedScore(
+        Tables.documents(s, dir), isPositive = col("lang") === "en",
+        epochs = 8)
+      .orderBy(desc("lr_score"), asc("doc_id")).limit(50)
+  }
+
+  register("graph_pagerank_trade", Some(
+    """WITH e AS (
+      |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      |ow AS (SELECT src, CAST(sum(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS outw
+      |  FROM e GROUP BY 1),
+      |r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+      |c1 AS (SELECT e.dst, CAST(r.r * e.w / ow.outw AS DECIMAL(38,12)) AS c
+      |  FROM e JOIN r0 r ON e.src = r.node JOIN ow ON e.src = ow.src),
+      |f1 AS (SELECT dst, CAST(sum(c) AS DOUBLE) AS infl FROM c1 GROUP BY 1),
+      |d1 AS (SELECT coalesce(CAST(sum(CAST(r.r AS DECIMAL(38,12))) AS DOUBLE),
+      |    0.0) AS dm
+      |  FROM r0 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+      |r1 AS (SELECT n.node,
+      |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+      |      + CAST(0.85 AS DOUBLE) * (coalesce(f.infl, 0.0) + d.dm / nn.n) AS r
+      |  FROM nodes n LEFT JOIN f1 f ON n.node = f.dst
+      |  CROSS JOIN d1 d CROSS JOIN nn),
+      |c2 AS (SELECT e.dst, CAST(r.r * e.w / ow.outw AS DECIMAL(38,12)) AS c
+      |  FROM e JOIN r1 r ON e.src = r.node JOIN ow ON e.src = ow.src),
+      |f2 AS (SELECT dst, CAST(sum(c) AS DOUBLE) AS infl FROM c2 GROUP BY 1),
+      |d2 AS (SELECT coalesce(CAST(sum(CAST(r.r AS DECIMAL(38,12))) AS DOUBLE),
+      |    0.0) AS dm
+      |  FROM r1 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+      |r2 AS (SELECT n.node,
+      |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+      |      + CAST(0.85 AS DOUBLE) * (coalesce(f.infl, 0.0) + d.dm / nn.n) AS r
+      |  FROM nodes n LEFT JOIN f2 f ON n.node = f.dst
+      |  CROSS JOIN d2 d CROSS JOIN nn),
+      |c3 AS (SELECT e.dst, CAST(r.r * e.w / ow.outw AS DECIMAL(38,12)) AS c
+      |  FROM e JOIN r2 r ON e.src = r.node JOIN ow ON e.src = ow.src),
+      |f3 AS (SELECT dst, CAST(sum(c) AS DOUBLE) AS infl FROM c3 GROUP BY 1),
+      |d3 AS (SELECT coalesce(CAST(sum(CAST(r.r AS DECIMAL(38,12))) AS DOUBLE),
+      |    0.0) AS dm
+      |  FROM r2 r LEFT JOIN ow ON r.node = ow.src WHERE ow.src IS NULL),
+      |r3 AS (SELECT n.node,
+      |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+      |      + CAST(0.85 AS DOUBLE) * (coalesce(f.infl, 0.0) + d.dm / nn.n) AS r
+      |  FROM nodes n LEFT JOIN f3 f ON n.node = f.dst
+      |  CROSS JOIN d3 d CROSS JOIN nn)
+      |SELECT r3.node, na.n_name, round(r3.r, 6) AS pagerank
+      |FROM r3 JOIN nation na ON r3.node = na.n_nationkey""".stripMargin)) { (s, dir) =>
+    // Host-graph centrality, the curation primitive web-scale pipelines
+    // rank sources with (Common Crawl publishes host-level ranks), over
+    // the fixture's nation-level trade graph: supplier-nation → customer-
+    // nation edges weighted by order-line count. Fixed 3-iteration
+    // weighted PageRank — fixed depth keeps the whole power method
+    // declarative, so the oracle replays every iteration as chained CTEs
+    // and the ranks hash-match. Per iteration: ONE edge-keyed shuffle +
+    // a 1-row dangling-mass broadcast; rank sums decimal-quantized so
+    // accumulation order can't perturb the fixpoint at any parallelism.
+    val edges = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(
+          Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).cast("double").as("w"))
+    graft.functions.Graphs.pageRank(edges, iterations = 3,
+        weightCol = Some("w"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("node") === col("n_nationkey"))
+      .select(col("node"), col("n_name"), col("pagerank"))
+  }
+
   // --------------------------------------------------------------------------
 
   def all: Map[String, QueryFn] = reg.toMap

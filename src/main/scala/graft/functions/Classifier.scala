@@ -1,0 +1,191 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Seed-set quality classifiers — the curation-classifier stage of a
+  * training-data pipeline (GPT-3 / LLaMA recipe: label a reference slice
+  * "positive", everything else "negative", train a cheap linear text
+  * classifier, score the whole crawl, keep the high scorers). The
+  * statistics-based sibling of the heuristic quality score
+  * ([[TextFunctions]]) and the importance-weighting alternative to
+  * [[CorpusOps.dsirWeights]] (Brown et al. 2020 filtered with a trained
+  * classifier; Xie et al. 2023 replaced it with importance resampling —
+  * a curation toolkit wants both).
+  *
+  * Both classifiers share the hashed-feature discipline that makes the
+  * model 100 TB-safe: tokens bucket by md5 into `nBuckets` hashed slots
+  * (engine-portable, same trick as [[CorpusOps.hashBucket]]), so the model
+  * is `nBuckets` doubles BY CONSTRUCTION — broadcastable at any corpus
+  * size, never vocabulary-sized.
+  */
+object Classifier {
+
+  private def bucketOf(tok: Column, nBuckets: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+
+  /** Decimal-routed deterministic sum (order-free accumulation). */
+  private def dsum(c: Column, scale: Int) =
+    sum(c.cast(s"decimal(38,$scale)")).cast("double")
+
+  /** Naive-Bayes seed classifier — train + score in ONE declarative plan.
+    *
+    * Training IS aggregation, so unlike the iterative [[lrSeedScore]] the
+    * whole classifier is SQL-expressible and sits under the DuckDB hash
+    * gate: per hashed bucket b, the class-conditional token likelihoods
+    * are `(c_pos(b)+a) / (N_pos + a*B)` (add-`smoothing` over `nBuckets`),
+    * and a document's score is the MEAN per-token log-odds
+    * `ln(p(b|pos)) - ln(p(b|neg))` — length-invariant like a fastText
+    * score; the decision threshold absorbs the class prior.
+    *
+    * Scale shape, in corpus passes:
+    *  1. one scan-local tokenize+bucket pass (no string ever shuffles —
+    *     only (id, bucket) longs);
+    *  2. bucket counts for BOTH classes from one partial-aggregated
+    *     groupBy (`nBuckets`-bounded result); the log-odds table derived
+    *     from it broadcasts — the model is nBuckets doubles;
+    *  3. per-doc score: broadcast-join tokens to the model, one doc-keyed
+    *     partial-aggregated mean.
+    * Each log term is quantized to DECIMAL(38,9) before the order-free
+    * sum (ln is not cross-engine correctly-rounded; the quantum absorbs
+    * the ulp, 1000x finer than the 6-dp output rounding).
+    *
+    * `isPositive` marks the seed slice (e.g. `col("source") === "wiki"`).
+    * Docs with no tokens (null text) surface with n_toks = 0, score 0.0.
+    *
+    * Output: (idCol, is_positive, n_toks, nb_logodds). */
+  def nbSeedScore(docs: DataFrame, isPositive: Column,
+                  nBuckets: Int = 4096, smoothing: Double = 0.5,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    require(smoothing > 0.0, s"smoothing must be > 0 (got $smoothing)")
+    val flagged = docs.withColumn("__pos", isPositive)
+    val toks = flagged
+      .select(col(idCol), col("__pos"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), col("__pos"),
+        bucketOf(col("__tok"), nBuckets).as("__bkt"))
+    val counts = toks.groupBy(col("__bkt"))
+      .agg(count(when(col("__pos"), lit(1))).as("__pos_n"),
+        count(when(!col("__pos"), lit(1))).as("__neg_n"))
+    val totals = counts.agg(
+      sum(col("__pos_n")).as("__pos_total"),
+      sum(col("__neg_n")).as("__neg_total"))
+    val denomShift = lit(smoothing * nBuckets)
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("__bkt"),
+        (log((col("__pos_n") + lit(smoothing)) /
+            (col("__pos_total") + denomShift)) -
+          log((col("__neg_n") + lit(smoothing)) /
+            (col("__neg_total") + denomShift))).as("__lo"))
+    val scores = toks
+      .join(broadcast(model), "__bkt")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        round(dsum(col("__lo"), 9) / count(lit(1)), 6).as("nb_logodds"))
+    flagged.select(col(idCol), col("__pos").as("is_positive"))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol), col("is_positive"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("nb_logodds"), lit(0.0)).as("nb_logodds"))
+  }
+
+  /** Logistic-regression seed classifier — the iterative sibling of
+    * [[nbSeedScore]] (a discriminative fastText-style linear model instead
+    * of generative NB), trained by full-batch gradient descent.
+    *
+    * Features: x_b = (count of doc's tokens in bucket b) / doc_len — the
+    * mean of one-hot bucket vectors, so ||x||_1 = 1 and the fixed step
+    * size is safe regardless of document length.
+    *
+    * Each epoch is ONE distributed pass: the weight vector (nBuckets
+    * doubles — model-sized, like the centroid/codebook/vocab collects in
+    * [[Similarity]]/[[Pq]]/[[Bpe]]) broadcasts as a bucket→weight table;
+    * margins come from a broadcast-join + doc-keyed sum; the gradient
+    * `sum_docs (sigmoid(margin) - y) * x` comes back as ONE
+    * nBuckets-bounded aggregate. Nothing data-sized ever reaches the
+    * driver, and epochs = E means E passes — no per-doc driver loop.
+    * Gradient partials are decimal-quantized so accumulation order cannot
+    * perturb the trained model: training is bit-deterministic.
+    *
+    * Iterative training is not SQL-expressible, so this op is
+    * equivalence-tested (separable fixture, determinism, NB ranking
+    * agreement) rather than DuckDB-oracled — same verification contract
+    * as the BPE/unigram/k-means trainers.
+    *
+    * Output: (idCol, is_positive, lr_score) with lr_score = sigmoid(w·x+b)
+    * rounded to 6 dp; token-less docs score at the bias. */
+  def lrSeedScore(docs: DataFrame, isPositive: Column,
+                  nBuckets: Int = 4096, epochs: Int = 8,
+                  stepSize: Double = 4.0,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
+    require(epochs >= 1, s"epochs must be >= 1 (got $epochs)")
+    require(stepSize > 0.0, s"stepSize must be > 0 (got $stepSize)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val flagged = docs.withColumn("__pos", isPositive)
+    // (doc, bucket, x) feature triples + per-doc label; cached — every
+    // epoch re-reads them, and at fixture scale the cache is tiny while
+    // at 100 TB a real deployment would persist this projection once.
+    val feats = flagged
+      .select(col(idCol), col("__pos"),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), col("__pos"),
+        bucketOf(col("__tok"), nBuckets).as("__bkt"))
+      .groupBy(col(idCol), col("__pos"), col("__bkt"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+      .withColumn("__len",
+        sum(col("__tf")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))))
+      .select(col(idCol), col("__pos"), col("__bkt"),
+        (col("__tf") / col("__len")).as("__x"))
+      .localCheckpoint()
+    val nDocs = flagged.count().toDouble
+
+    var weights = Map.empty[Long, Double]
+    var bias = 0.0
+    for (_ <- 1 to epochs) {
+      val wDf = broadcast(
+        weights.toSeq.toDF("__bkt", "__w"))
+      val margins = feats
+        .join(wDf, Seq("__bkt"), "left")
+        .groupBy(col(idCol), col("__pos"))
+        .agg((dsum(coalesce(col("__w"), lit(0.0)) * col("__x"), 12)
+          + lit(bias)).as("__m"))
+        .select(col(idCol), col("__pos"),
+          (lit(1.0) / (lit(1.0) + exp(-col("__m"))) -
+            when(col("__pos"), lit(1.0)).otherwise(lit(0.0))).as("__err"))
+      // bucket-keyed gradient: one nBuckets-bounded aggregate
+      val grad = feats.join(margins.drop("__pos"), idCol)
+        .groupBy(col("__bkt"))
+        .agg(dsum(col("__err") * col("__x"), 12).as("__g"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val biasGrad = margins.agg(dsum(col("__err"), 12)).collect()(0)
+        .getDouble(0)
+      weights = (weights.keySet ++ grad.keySet).iterator.map { b =>
+        b -> (weights.getOrElse(b, 0.0) -
+          stepSize * grad.getOrElse(b, 0.0) / nDocs)
+      }.toMap
+      bias = bias - stepSize * biasGrad / nDocs
+    }
+
+    val wFinal = broadcast(weights.toSeq.toDF("__bkt", "__w"))
+    val scored = feats
+      .join(wFinal, Seq("__bkt"), "left")
+      .groupBy(col(idCol))
+      .agg((dsum(coalesce(col("__w"), lit(0.0)) * col("__x"), 12)
+        + lit(bias)).as("__m"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("lr_score"))
+    flagged.select(col(idCol), col("__pos").as("is_positive"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("is_positive"),
+        coalesce(col("lr_score"),
+          round(lit(1.0) / (lit(1.0) + exp(lit(-bias))), 6)).as("lr_score"))
+  }
+}

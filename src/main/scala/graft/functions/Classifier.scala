@@ -94,84 +94,131 @@ object Classifier {
 
   /** Logistic-regression seed classifier — the iterative sibling of
     * [[nbSeedScore]] (a discriminative fastText-style linear model instead
-    * of generative NB), trained by full-batch gradient descent.
+    * of generative NB), trained by full-batch gradient descent with
+    * per-feature adaptive steps (AdaGrad, Duchi et al. 2011).
     *
-    * Features: x_b = (count of doc's tokens in bucket b) / doc_len — the
-    * mean of one-hot bucket vectors, so ||x||_1 = 1 and the fixed step
-    * size is safe regardless of document length.
+    * Features: hashed word n-grams (fastText's bag-of-tricks recipe,
+    * Joulin et al. 2016: unigrams + `wordNgrams`-order n-grams through
+    * the hashing trick), valued x_b = log(1 + tf_b) — sublinear tf, NOT
+    * length-normalized. Two lessons are load-bearing here:
+    * (1) per-token evidence must ACCUMULATE over the document (exactly
+    * what [[nbSeedScore]]'s per-token log-odds sum does) — dividing by
+    * doc length turns the margin into a mean of weights and a
+    * weak-signal corpus becomes unlearnable — while the log damps
+    * burstiness so a single repeated token cannot dominate; (2) word
+    * BIGRAMS carry the sequence signal a bag of unigrams cannot: two
+    * sources with near-identical unigram frequency profiles but
+    * different transition structure (the hard case for the generative
+    * unigram [[nbSeedScore]]) are linearly separable in bigram space.
+    * The AdaGrad (Duchi et al. 2011) denominator sqrt(Σ g_b²) rescales
+    * each coordinate's first update to O(stepSize) regardless of
+    * feature scale, so the model moves off zero immediately instead of
+    * needing a step size tuned to the corpus.
     *
     * Each epoch is ONE distributed pass: the weight vector (nBuckets
     * doubles — model-sized, like the centroid/codebook/vocab collects in
     * [[Similarity]]/[[Pq]]/[[Bpe]]) broadcasts as a bucket→weight table;
-    * margins come from a broadcast-join + doc-keyed sum; the gradient
-    * `sum_docs (sigmoid(margin) - y) * x` comes back as ONE
-    * nBuckets-bounded aggregate. Nothing data-sized ever reaches the
-    * driver, and epochs = E means E passes — no per-doc driver loop.
-    * Gradient partials are decimal-quantized so accumulation order cannot
-    * perturb the trained model: training is bit-deterministic.
+    * margins come from a broadcast-join + doc-keyed sum over ALL docs
+    * (a token-less doc's feature vector is the zero vector — it still
+    * contributes `sigmoid(bias) - y` to the bias gradient, keeping the
+    * trained bias on-model); the gradient `sum_docs (sigmoid(margin) - y)
+    * * x` comes back as ONE nBuckets-bounded aggregate. Nothing data-sized
+    * ever reaches the driver, and epochs = E means E passes — no per-doc
+    * driver loop. Gradient partials are decimal-quantized so accumulation
+    * order cannot perturb the trained model, and the AdaGrad accumulators
+    * are driver-side scalar math on those deterministic aggregates:
+    * training is bit-deterministic.
     *
     * Iterative training is not SQL-expressible, so this op is
-    * equivalence-tested (separable fixture, determinism, NB ranking
-    * agreement) rather than DuckDB-oracled — same verification contract
-    * as the BPE/unigram/k-means trainers.
+    * equivalence-tested (separable fixture, determinism, en-vs-zh
+    * separation on the real corpus, NB ranking agreement) rather than
+    * DuckDB-oracled — same verification contract as the
+    * BPE/unigram/k-means trainers.
     *
     * Output: (idCol, is_positive, lr_score) with lr_score = sigmoid(w·x+b)
     * rounded to 6 dp; token-less docs score at the bias. */
   def lrSeedScore(docs: DataFrame, isPositive: Column,
                   nBuckets: Int = 4096, epochs: Int = 8,
-                  stepSize: Double = 4.0,
+                  stepSize: Double = 0.5, wordNgrams: Int = 2,
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     require(epochs >= 1, s"epochs must be >= 1 (got $epochs)")
     require(stepSize > 0.0, s"stepSize must be > 0 (got $stepSize)")
+    require(wordNgrams >= 1 && wordNgrams <= 3,
+      s"wordNgrams must be in [1, 3] (got $wordNgrams)")
     val spark = docs.sparkSession
     import spark.implicits._
 
     val flagged = docs.withColumn("__pos", isPositive)
-    // (doc, bucket, x) feature triples + per-doc label; cached — every
-    // epoch re-reads them, and at fixture scale the cache is tiny while
-    // at 100 TB a real deployment would persist this projection once.
+    // Terms = unigrams ++ space-joined n-grams up to wordNgrams, built
+    // scan-local over the token array (no string ever shuffles — terms
+    // bucket to longs in the same projection).
+    val toks = TextFunctions.tokens(col(textCol))
+    val terms = (1 to wordNgrams).map { n =>
+      if (n == 1) toks
+      else transform(
+        slice(toks, lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+        (t, i) => concat_ws(" ",
+          (Seq(t) ++ (2 to n).map(k => element_at(toks, i + lit(k)))): _*))
+    }.reduce(concat(_, _))
+    // (doc, bucket, x) feature triples + per-doc label; checkpointed —
+    // every epoch re-reads them, and at fixture scale the cache is tiny
+    // while at 100 TB a real deployment would persist this projection
+    // once.
     val feats = flagged
-      .select(col(idCol), col("__pos"),
-        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(col(idCol), col("__pos"), explode(terms).as("__tok"))
       .select(col(idCol), col("__pos"),
         bucketOf(col("__tok"), nBuckets).as("__bkt"))
       .groupBy(col(idCol), col("__pos"), col("__bkt"))
       .agg(count(lit(1)).cast("double").as("__tf"))
-      .withColumn("__len",
-        sum(col("__tf")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col(idCol))))
       .select(col(idCol), col("__pos"), col("__bkt"),
-        (col("__tf") / col("__len")).as("__x"))
+        log1p(col("__tf")).as("__x"))
       .localCheckpoint()
     val nDocs = flagged.count().toDouble
 
+    // Labels for EVERY doc — token-less docs have the zero feature vector
+    // but still belong to the bias gradient (err = sigmoid(bias) - y).
+    val labels = flagged.select(col(idCol), col("__pos")).localCheckpoint()
+
+    val adaEps = 1e-8
     var weights = Map.empty[Long, Double]
+    var gradSq = Map.empty[Long, Double] // AdaGrad per-feature accumulators
     var bias = 0.0
+    var biasSq = 0.0
     for (_ <- 1 to epochs) {
       val wDf = broadcast(
         weights.toSeq.toDF("__bkt", "__w"))
-      val margins = feats
+      val dots = feats
         .join(wDf, Seq("__bkt"), "left")
-        .groupBy(col(idCol), col("__pos"))
-        .agg((dsum(coalesce(col("__w"), lit(0.0)) * col("__x"), 12)
-          + lit(bias)).as("__m"))
-        .select(col(idCol), col("__pos"),
-          (lit(1.0) / (lit(1.0) + exp(-col("__m"))) -
+        .groupBy(col(idCol))
+        .agg(dsum(coalesce(col("__w"), lit(0.0)) * col("__x"), 12)
+          .as("__dot"))
+      val margins = labels
+        .join(dots, Seq(idCol), "left")
+        .select(col(idCol),
+          (lit(1.0) / (lit(1.0) +
+              exp(-(coalesce(col("__dot"), lit(0.0)) + lit(bias)))) -
             when(col("__pos"), lit(1.0)).otherwise(lit(0.0))).as("__err"))
+        .localCheckpoint()
       // bucket-keyed gradient: one nBuckets-bounded aggregate
-      val grad = feats.join(margins.drop("__pos"), idCol)
+      val grad = feats.join(margins, idCol)
         .groupBy(col("__bkt"))
         .agg(dsum(col("__err") * col("__x"), 12).as("__g"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        .collect().map(r => r.getLong(0) -> r.getDouble(1) / nDocs).toMap
       val biasGrad = margins.agg(dsum(col("__err"), 12)).collect()(0)
-        .getDouble(0)
+        .getDouble(0) / nDocs
+      gradSq = (gradSq.keySet ++ grad.keySet).iterator.map { b =>
+        val g = grad.getOrElse(b, 0.0)
+        b -> (gradSq.getOrElse(b, 0.0) + g * g)
+      }.toMap
       weights = (weights.keySet ++ grad.keySet).iterator.map { b =>
         b -> (weights.getOrElse(b, 0.0) -
-          stepSize * grad.getOrElse(b, 0.0) / nDocs)
+          stepSize * grad.getOrElse(b, 0.0) /
+            (math.sqrt(gradSq.getOrElse(b, 0.0)) + adaEps))
       }.toMap
-      bias = bias - stepSize * biasGrad / nDocs
+      biasSq += biasGrad * biasGrad
+      bias = bias - stepSize * biasGrad / (math.sqrt(biasSq) + adaEps)
     }
 
     val wFinal = broadcast(weights.toSeq.toDF("__bkt", "__w"))

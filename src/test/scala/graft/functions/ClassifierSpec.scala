@@ -74,31 +74,84 @@ class ClassifierSpec extends SparkSpec {
     assert(run() === run())
   }
 
-  test("lrSeedScore agrees with nbSeedScore on the fixture corpus ranking") {
+  test("lrSeedScore dominates nbSeedScore's label precision on the corpus") {
     // Both classifiers score the corpus against the same seed (lang=en);
-    // their top-25 "most English" sets should substantially overlap —
-    // a generative/discriminative agreement gate, not bit equality.
+    // the gate is label-grounded: each model's top-25 "most English" set
+    // is scored for en-precision against the actual lang labels, and the
+    // discriminative bigram LR must (a) clear 0.9 on its own and
+    // (b) dominate the generative unigram-NB yardstick. (A mutual
+    // top-25-overlap gate is NOT meaningful here: both models put en
+    // docs on top, but with ~200 en docs the order WITHIN the class is
+    // not identifiability-constrained between a unigram-generative and
+    // a bigram-discriminative model — overlap measured ≈0 while both
+    // models are behaving correctly. What curation needs is that the
+    // kept slice IS the seed language.)
     val docs = graft.Tables.documents(spark, sfTiny)
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
     val nbTop = Classifier.nbSeedScore(docs, col("lang") === "en")
       .orderBy(desc("nb_logodds"), asc("doc_id")).limit(25)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
+      .select("doc_id").collect().map(_.getLong(0))
+    // epochs = 8 is what the text_quality_classifier_lr catalog entry
+    // ships — the spec gates the shipped hyperparameters.
     val lrTop = Classifier.lrSeedScore(docs, col("lang") === "en",
-        epochs = 12)
+        epochs = 8)
       .orderBy(desc("lr_score"), asc("doc_id")).limit(25)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(nbTop.intersect(lrTop).size >= 15,
-      s"top-25 overlap only ${nbTop.intersect(lrTop).size}")
+      .select("doc_id").collect().map(_.getLong(0))
+    val nbPrec = nbTop.count(langOf(_) == "en")
+    val lrPrec = lrTop.count(langOf(_) == "en")
+    assert(lrPrec >= 23, s"LR top-25 en-precision only $lrPrec/25")
+    assert(lrPrec >= nbPrec,
+      s"LR top-25 en-precision $lrPrec below NB's $nbPrec")
   }
 
   test("lrSeedScore separates en from zh on the real fixture") {
     val docs = graft.Tables.documents(spark, sfTiny)
+    // epochs = 8: same hyperparameters as the shipped catalog entry.
     val scored = Classifier.lrSeedScore(docs, col("lang") === "en",
-        epochs = 12)
+        epochs = 8)
       .join(docs.select("doc_id", "lang"), "doc_id")
     val means = scored.groupBy("lang").agg(avg("lr_score").as("m"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(means("en") > means("zh") + 0.2,
       s"en=${means("en")} zh=${means("zh")}")
+  }
+
+  test("lrSeedScore wordNgrams=2 separates sources a bag of unigrams cannot") {
+    // Two sources with IDENTICAL unigram frequency profiles but opposite
+    // transition structure: positives alternate x->y, negatives y->x.
+    // In unigram space the classes coincide; in bigram space they are
+    // disjoint — the fastText wordNgrams signal this op exists for.
+    val docs = Seq(
+      (1L, "x y x y x y x y", true), (2L, "x y x y x y", true),
+      (3L, "x y x y x y x y x y", true),
+      (4L, "y x y x y x y x", false), (5L, "y x y x y x", false),
+      (6L, "y x y x y x y x y x", false)
+    ).toDF("doc_id", "text", "lbl")
+    val bi = Classifier.lrSeedScore(docs, col("lbl"), nBuckets = 64,
+        epochs = 10, wordNgrams = 2)
+      .collect().map(r => (r.getBoolean(1), r.getDouble(2)))
+    for ((pos, s) <- bi)
+      assert(if (pos) s > 0.5 else s < 0.5, s"bigram LR: pos=$pos scored $s")
+    // unigram-only LR sees identical feature profiles (x and y both at
+    // ~50% in every doc, lengths matched pairwise) — no separation
+    val uni = Classifier.lrSeedScore(docs, col("lbl"), nBuckets = 64,
+        epochs = 10, wordNgrams = 1)
+      .collect().map(r => (r.getBoolean(1), r.getDouble(2)))
+    val uniPos = uni.filter(_._1).map(_._2).sum / 3.0
+    val uniNeg = uni.filterNot(_._1).map(_._2).sum / 3.0
+    assert(math.abs(uniPos - uniNeg) < 0.05,
+      s"unigram LR should not separate transition-only classes " +
+        s"(pos=$uniPos neg=$uniNeg)")
+  }
+
+  test("lrSeedScore refuses out-of-range wordNgrams") {
+    intercept[IllegalArgumentException] {
+      Classifier.lrSeedScore(seedDocs, col("lbl"), wordNgrams = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.lrSeedScore(seedDocs, col("lbl"), wordNgrams = 4)
+    }
   }
 
   test("lrSeedScore model stays nBuckets-bounded") {

@@ -35,6 +35,12 @@ object Graphs {
     *
     * `edges` must carry (srcCol, dstCol) and, if `weightCol` is set, a
     * non-negative numeric weight (unweighted = every edge weighs 1).
+    * Edges with zero (or null) weight carry no rank mass: they are
+    * excluded from the transition structure BEFORE out-weights are
+    * computed, so a node whose out-edges all weigh 0 is treated as
+    * dangling (its rank teleports uniformly) instead of silently losing
+    * its mass to a 0/0 division — total mass stays exactly 1. Their
+    * endpoints still count as graph nodes.
     * Output: (node, pagerank) over every node appearing as src or dst,
     * pagerank rounded to `outScale` dp. */
   def pageRank(edges: DataFrame, iterations: Int = 3,
@@ -45,18 +51,21 @@ object Graphs {
     require(iterations >= 0, s"iterations must be >= 0 (got $iterations)")
     require(damping >= 0.0 && damping < 1.0,
       s"damping must be in [0,1) (got $damping)")
-    val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+    val eAll = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
         weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
           .as("__w"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
       .localCheckpoint()
-    val nodes = e.select(col("__src").as("node"))
-      .union(e.select(col("__dst").as("node")))
+    val nodes = eAll.select(col("__src").as("node"))
+      .union(eAll.select(col("__dst").as("node")))
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank needs at least one edge")
     val nD = lit(n.toDouble)
+    // zero/null-weight edges carry no mass — drop them BEFORE out-weights
+    // so an all-zero-out node lands in the dangling anti-join below
+    val e = eAll.filter(col("__w") > 0.0).localCheckpoint()
     val outW = e.groupBy(col("__src"))
       .agg(sum(col("__w").cast("decimal(38,12)")).cast("double").as("__outw"))
       .localCheckpoint()

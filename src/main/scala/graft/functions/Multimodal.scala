@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * The Spark-side plumbing — schema, partitioning, batch iteration shape,
   * encoder boundaries — is real and tested. IMAGE decode is real: payloads
   * any registered `javax.imageio` reader accepts (JPEG/PNG/GIF/BMP — the
-  * JDK ships the codecs) yield true pixel dimensions and mean luma.
-  * Payloads no reader recognizes (the driver fixtures carry text bytes as
-  * a stand-in blob) fall back to a deterministic hash STUB, as do the
-  * audio/video codecs and the vision-encoder embedding (no media/model
-  * libraries in this environment): every stub is marked `STUB:` and
+  * JDK ships the codecs) yield true pixel dimensions and mean luma. AUDIO
+  * decode is real for `javax.sound.sampled`-readable payloads (WAV — the
+  * JDK ships the reader): true sample rate/channels/duration plus RMS and
+  * peak level from the samples. Payloads no reader recognizes (the driver
+  * fixtures carry text bytes as a stand-in blob) fall back to a
+  * deterministic hash STUB, as do the video codec and the vision-encoder
+  * embedding (no media/model libraries in this environment): every stub
+  * is marked `STUB:` and
   * derives its output from a payload hash, so results are reproducible
   * and the surrounding pipeline (metadata propagation, batching,
   * downstream ANN) is fully exercised. Swapping a stub for a real decoder
@@ -33,6 +36,13 @@ object Multimodal {
   final case class ImageFeatures(assetId: Long, widthPx: Int, heightPx: Int,
                                  channels: Int, meanLuma: Double,
                                  embedding: Array[Float])
+  /** `decoded = true` iff the payload came through the real codec path —
+    * a curation filter ("keep only assets we could actually parse") and
+    * the spec's proof that pixels/samples, not metadata, won. */
+  final case class AudioFeatures(assetId: Long, sampleRateHz: Int,
+                                 channels: Int, durationMs: Long,
+                                 rms: Double, peak: Double,
+                                 decoded: Boolean)
 
   /** Derive a deterministic multimodal asset table from the `documents`
     * fixture: payload bytes are the document text (a stand-in blob),
@@ -139,6 +149,89 @@ object Multimodal {
       }
       (w, h, channels, sum / (w.toLong * h) / 255.0)
     }
+  }
+
+  /** RIFF/WAVE container sniff — same role as [[looksLikeImage]]: don't
+    * let the sampled-audio reader chew on every opaque blob. */
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** STUB fallback for payloads the audio reader rejects: deterministic
+    * hash-derived level stats; rate/duration fall back to metadata. */
+  private def decodeAudioStub(payload: Array[Byte], meta: AssetMeta)
+      : (Int, Int, Long, Double, Double, Boolean) = {
+    val h = java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
+    ((meta.sampleRateHz, 1, meta.durationMs,
+      (h % 1000).toDouble / 1000.0,
+      ((h / 1000) % 1000).toDouble / 1000.0, false))
+  }
+
+  /** REAL audio decode via `javax.sound.sampled` (JDK-resident WAV/AIFF/AU
+    * readers — the audio twin of the javax.imageio move): true sample
+    * rate, channel count and duration from the stream header, and level
+    * stats (RMS + absolute peak, full-scale = 1.0) from ONE pass over the
+    * samples, normalized to signed 16-bit PCM first so 8/24/32-bit and
+    * unsigned sources measure identically. Per-asset work is linear in
+    * the payload — the same cost class as the md5 the stats pass already
+    * pays — and everything stays executor-local in the batched
+    * [[audioFeatures]] pass. Metadata is NOT trusted: samples win.
+    * Payloads that don't sniff as RIFF/WAVE or fail to parse fall back to
+    * the deterministic stub, flagged `decoded = false`. */
+  private[functions] def decodeAudio(payload: Array[Byte], meta: AssetMeta)
+      : (Int, Int, Long, Double, Double, Boolean) = {
+    if (!looksLikeWav(payload)) decodeAudioStub(payload, meta)
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, fmt.getChannels,
+          2 * fmt.getChannels, fmt.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val nSamples = bytes.length / 2
+        var sumSq = 0.0
+        var peak = 0.0
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val s = (((bytes(i) & 0xff) | (bytes(i + 1) << 8)).toShort) / 32768.0
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 2
+        }
+        val frames = nSamples / math.max(fmt.getChannels, 1)
+        ((math.round(fmt.getSampleRate), fmt.getChannels,
+          math.round(frames * 1000.0 / fmt.getSampleRate),
+          if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples),
+          peak, true))
+      } finally in.close()
+    } catch { case _: Exception => decodeAudioStub(payload, meta) }
+  }
+
+  /** Audio decode + level analysis as the same BATCHED per-partition pass
+    * as [[imageFeatures]]: payloads stay executor-local, output is one
+    * narrow typed row per audio asset. */
+  def audioFeatures(assets: DataFrame): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    implicit val inEnc = Encoders.product[Asset]
+    assets.filter(col("modality") === "audio")
+      .select(col("asset_id").as("assetId"), col("modality"), col("payload"),
+        struct(col("meta.format").as("format"),
+          col("meta.width_px").as("widthPx"),
+          col("meta.height_px").as("heightPx"),
+          col("meta.sample_rate_hz").as("sampleRateHz"),
+          col("meta.duration_ms").as("durationMs")).as("meta"))
+      .as[Asset]
+      .mapPartitions(_.map { a =>
+        val (rate, ch, dur, rms, peak, real) = decodeAudio(a.payload, a.meta)
+        AudioFeatures(a.assetId, rate, ch, dur, rms, peak, real)
+      })
   }
 
   /** STUB: a real implementation runs a vision encoder over decoded

@@ -98,6 +98,65 @@ class MultimodalSpec extends SparkSpec {
     assert(magic(3L).startsWith("FFD8"))  // JPEG SOI
   }
 
+  test("real WAV payloads decode through javax.sound.sampled: samples beat metadata") {
+    import spark.implicits._
+    // Plant a genuine RIFF/WAVE payload: mono 8 kHz signed-16-bit PCM,
+    // 4000 frames (500 ms) of a half-scale square wave -> RMS = peak = 0.5
+    def wav(rateHz: Int, frames: Int, amp: Short): Array[Byte] = {
+      val samples = new Array[Byte](frames * 2)
+      var i = 0
+      while (i < frames) {
+        val s: Short = if (i % 2 == 0) amp else (-amp).toShort
+        samples(2 * i) = (s & 0xff).toByte
+        samples(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rateHz.toFloat, 16, 1, 2, rateHz.toFloat, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val real = wav(8000, 4000, 16384) // half full-scale
+    val fake = "definitely not audio bytes".getBytes("UTF-8")
+    // metadata deliberately lies (16 kHz / 60 s): decoded samples must win
+    val assets = Seq((1L, real), (2L, fake)).toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("audio").as("modality"), col("payload"),
+        struct(lit("wav").as("format"), lit(0).as("width_px"),
+          lit(0).as("height_px"), lit(16000).as("sample_rate_hz"),
+          lit(60000L).as("duration_ms")).as("meta"))
+    val feats = Multimodal.audioFeatures(assets)
+      .collect().map(f => f.assetId -> f).toMap
+    val r = feats(1L)
+    assert(r.decoded, "RIFF/WAVE payload must take the real codec path")
+    assert(r.sampleRateHz === 8000, "rate must come from the stream header")
+    assert(r.channels === 1)
+    assert(r.durationMs === 500L, "duration must come from the frame count")
+    assert(math.abs(r.rms - 0.5) < 0.001, s"square-wave RMS ${r.rms}")
+    assert(math.abs(r.peak - 0.5) < 0.001, s"square-wave peak ${r.peak}")
+    // non-audio payload: deterministic stub, metadata passthrough, flagged
+    val s = feats(2L)
+    assert(!s.decoded)
+    assert(s.sampleRateHz === 16000 && s.durationMs === 60000L)
+    val again = Multimodal.audioFeatures(assets)
+      .collect().map(f => f.assetId -> f).toMap
+    assert(again(2L) === s, "stub path must be deterministic")
+  }
+
+  test("audioFeatures covers every audio asset in the fixture corpus") {
+    val feats = Multimodal.audioFeatures(assets)
+    val nAudio = assets.filter(col("modality") === "audio").count()
+    assert(feats.count() === nAudio)
+    // fixture payloads are text bytes -> all stub-flagged, all in-range
+    val rows = feats.collect()
+    assert(rows.forall(!_.decoded))
+    assert(rows.forall(f => f.rms >= 0.0 && f.rms < 1.0))
+  }
+
   test("stub embeddings flow into the similarity operators end-to-end") {
     val feats = Multimodal.imageFeatures(assets, embeddingDim = 32)
       .select(col("assetId").as("vec_id"), col("embedding"))

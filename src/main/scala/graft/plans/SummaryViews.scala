@@ -24,7 +24,12 @@ import graft.streaming.BucketedStateTable
   * the summary can serve EXACTLY:
   *
   *  - grouping keys ⊆ the view's key columns (a coarser roll-up re-sums
-  *    the summary — sums of sums are sums);
+  *    the summary — sums of sums are sums), or DETERMINISTIC grouping
+  *    expressions whose references are all key columns
+  *    (`date_trunc(key)`, `substring(key, …)`: the expression evaluates
+  *    over the summary's key values to exactly its value over the base
+  *    rows of that key, and every served aggregate composes across the
+  *    key groups a coarser expression-group merges);
   *  - aggregates are plain `SUM(col)` over registered sum columns
   *    (no DISTINCT, no FILTER), `COUNT(*)`/`COUNT(1)` when the view
   *    maintains a count column (rewritten to `coalesce(SUM(n),0)`),
@@ -92,22 +97,34 @@ object SummaryViews {
                         minCols: Map[String, String] = Map.empty,
                         maxCols: Map[String, String] = Map.empty)
 
+  /** Registrations per base path. A base may carry SEVERAL summaries
+    * (a fine-keyed one for drill-downs, a coarse-keyed one for
+    * dashboards); the rule picks, among the views that can serve a given
+    * query exactly, the one with the FEWEST key columns — the smallest
+    * summary to re-aggregate. Re-registering the same (basePath,
+    * statePath) pair REPLACES that registration in place (the idempotent
+    * "update my view's columns" path); a different statePath appends. */
   private val views =
-    new java.util.concurrent.ConcurrentHashMap[String, View]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[View]]()
 
   private def norm(p: String): String =
     p.stripSuffix("/").replaceFirst("^file:", "")
 
-  def register(v: View): Unit = views.put(norm(v.basePath), v)
+  def register(v: View): Unit =
+    views.compute(norm(v.basePath), (_, cur) =>
+      Option(cur).getOrElse(Nil)
+        .filterNot(x => norm(x.statePath) == norm(v.statePath)) :+ v)
   def unregister(basePath: String): Unit = {
     Option(views.remove(norm(basePath)))
-      .foreach(v => planCache.remove(norm(v.statePath)))
+      .foreach(_.foreach(v => planCache.remove(norm(v.statePath))))
   }
   def clear(): Unit = { views.clear(); planCache.clear() }
   def isEmpty: Boolean = views.isEmpty
 
-  private[plans] def forPaths(paths: Seq[String]): Option[View] =
-    paths.map(norm).flatMap(p => Option(views.get(p))).headOption
+  /** Candidate views for a scanned base, coarsest (fewest keys) first. */
+  private[plans] def forPaths(paths: Seq[String]): Seq[View] =
+    paths.map(norm).flatMap(p => Option(views.get(p)).getOrElse(Nil))
+      .distinct.sortBy(_.keyCols.size)
 
   /** Resolved summary-scan plan per registered view, keyed by state path and
     * stamped with [[BucketedStateTable.stateVersion]] at resolve time.
@@ -188,46 +205,101 @@ final case class RewriteToSummary(spark: SparkSession)
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** Strip pure-attribute Projects, collect key-only Filters, and land on
-    * the base relation — anything else refuses. */
-  private def unwrap(plan: LogicalPlan,
-                     filters: List[Expression])
-      : Option[(View, List[Expression])] = plan match {
-    case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
-      unwrap(child, filters)
-    case Filter(cond, child) =>
-      unwrap(child, cond :: filters)
-    case rel: LogicalRelation =>
-      val matched = rel.relation match {
-        case fs: HadoopFsRelation =>
-          forPaths(fs.location.rootPaths.map(_.toString))
-        case _ => None
-      }
-      matched match {
-        // key-only AND deterministic: a non-deterministic predicate (e.g.
-        // rand() < 0.5 — which also passes the reference check vacuously)
-        // pushed onto the summary would sample GROUPS instead of base rows
-        case Some(v)
-            if filters.forall(f => f.deterministic &&
-              f.references.forall(a =>
-                v.keyCols.contains(a.name))) => Some((v, filters))
-        case _ => None
-      }
-    case _ => None
+  /** Strip Projects (attributes, plus Aliases — the analyzer extracts
+    * grouping expressions into `… AS _groupingexpression#N` projections
+    * below the Aggregate; their definitions are collected and inlined so
+    * eligibility is judged on the REAL expressions over base columns),
+    * collect Filters, and land on the base relation — anything else
+    * refuses. Filter eligibility (key-only, deterministic) is judged per
+    * candidate view by [[rewriteWith]]. */
+  private def unwrap(plan: LogicalPlan, filters: List[Expression],
+                     defs: Map[Long, Expression])
+      : Option[(Seq[View], List[Expression], Map[Long, Expression])] =
+    plan match {
+      case Project(exprs, child)
+          if exprs.forall(e => e.isInstanceOf[AttributeReference] ||
+            e.isInstanceOf[Alias]) =>
+        // outer defs may reference THIS project's aliases — resolve after
+        // the recursion returns, substituting inner definitions upward
+        val layer = exprs.collect {
+          case al: Alias => al.exprId.id -> al.child
+        }.toMap
+        unwrap(child, filters, defs).map { case (cands, fs, inner) =>
+          val resolved = layer.map { case (id, e) =>
+            id -> e.transformUp {
+              case a: AttributeReference if inner.contains(a.exprId.id) =>
+                inner(a.exprId.id)
+            }
+          }
+          (cands, fs, inner ++ resolved)
+        }
+      case Filter(cond, child) =>
+        unwrap(child, cond :: filters, defs)
+      case rel: LogicalRelation =>
+        val cands = rel.relation match {
+          case fs: HadoopFsRelation =>
+            forPaths(fs.location.rootPaths.map(_.toString))
+          case _ => Nil
+        }
+        if (cands.nonEmpty) Some((cands, filters, defs)) else None
+      case _ => None
+    }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
+    unwrap(agg.child, Nil, Map.empty).flatMap { case (cands, filters, defs) =>
+      // candidates arrive coarsest-first ([[SummaryViews.forPaths]]): the
+      // first view that serves the query exactly is the cheapest to read
+      cands.iterator.map(v => rewriteWith(agg, v, filters, defs))
+        .collectFirst { case Some(p) => p }
+    }
+
+  /** A grouping is servable from `view` iff it is a key attribute or a
+    * DETERMINISTIC expression whose references are all key columns: such
+    * an expression evaluates over the summary's key VALUES to exactly
+    * what it evaluates to over the base rows of that key (the same
+    * commuting argument as the key-only filter pushdown), and every
+    * served aggregate composes across the key groups a coarser
+    * f(key)-group merges. Non-deterministic groupings (rand() buckets —
+    * which would bucket GROUPS instead of rows) and expressions touching
+    * non-key columns refuse. */
+  private def groupingServable(view: View, e: Expression): Boolean =
+    e.deterministic &&
+      e.references.forall(a => view.keyCols.contains(a.name))
+
+  /** `groupBy(expr.as("x"))` leaves the Alias inside groupingExpressions;
+    * SQL `GROUP BY expr` does not — compare modulo the outer alias. */
+  private def stripAlias(e: Expression): Expression = e match {
+    case Alias(child, _) => child
+    case other => other
   }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val groupings = agg.groupingExpressions
+  private def rewriteWith(agg: Aggregate, view: View,
+                          filters: List[Expression],
+                          defs: Map[Long, Expression]): Option[LogicalPlan] = {
+    /** Substitute extracted-projection aliases with their definitions so
+      * every eligibility check and every rewritten expression sees base
+      * columns only. */
+    def inline(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if defs.contains(a.exprId.id) =>
+        defs(a.exprId.id)
+    }
+    val groupings = agg.groupingExpressions.map(inline)
     val aggExprs = agg.aggregateExpressions
-    unwrap(agg.child, Nil).flatMap { case (view, filters) =>
-      val groupAttrs = groupings.collect { case a: AttributeReference => a }
-      val eligibleKeys = groupAttrs.length == groupings.length &&
-        groupAttrs.forall(a => view.keyCols.contains(a.name))
+    locally {
+      // key-only AND deterministic: a non-deterministic predicate (e.g.
+      // rand() < 0.5 — which also passes the reference check vacuously)
+      // pushed onto the summary would sample GROUPS instead of base rows
+      val filtersOk = filters.map(inline).forall(f => f.deterministic &&
+        f.references.forall(a => view.keyCols.contains(a.name)))
+      val groupAttrs = agg.groupingExpressions.collect {
+        case a: AttributeReference if !defs.contains(a.exprId.id) => a
+      }
+      val eligibleKeys = groupings.forall(groupingServable(view, _))
       // the summary side: resolved parquet scan of the state dir, from the
       // version-stamped plan cache (the bucket/guard bookkeeping columns
       // prune away — nothing below references them)
       val stateOpt =
-        if (!eligibleKeys) None
+        if (!filtersOk || !eligibleKeys) None
         else SummaryViews.statePlan(spark, view)
       stateOpt.flatMap { state =>
         val stateAttr: Map[String, Attribute] =
@@ -244,6 +316,39 @@ final case class RewriteToSummary(spark: SparkSession)
             case a: AttributeReference
                 if groupAttrs.exists(_.exprId == a.exprId) =>
               Some(Alias(stateAttr(a.name), a.name)(exprId = a.exprId))
+            case a: AttributeReference
+                if defs.contains(a.exprId.id) &&
+                  groupings.exists(_.semanticEquals(inline(a))) =>
+              // output referencing an EXTRACTED grouping expression by id
+              // (the analyzer's _groupingexpression#N projection shape)
+              Some(Alias(inline(a).transform {
+                case ar: AttributeReference => stateAttr(ar.name)
+              }, a.name)(exprId = a.exprId))
+            case a: AttributeReference
+                if agg.groupingExpressions.exists {
+                  case al: Alias => al.exprId == a.exprId
+                  case _ => false
+                } =>
+              // output referencing an ALIASED grouping expression by id
+              // (the groupBy(expr.as("x")) shape): re-root the aliased
+              // expression's key references onto the summary scan
+              val src = agg.groupingExpressions.collectFirst {
+                case al: Alias if al.exprId == a.exprId => inline(al.child)
+              }.get
+              Some(Alias(src.transform {
+                case ar: AttributeReference => stateAttr(ar.name)
+              }, a.name)(exprId = a.exprId))
+            case al @ Alias(e, name)
+                if groupings.exists(g =>
+                  stripAlias(g).semanticEquals(inline(e))) =>
+              // a key-derived grouping EXPRESSION (date_trunc(key),
+              // substring(key, …)) surfacing in the output: re-root its
+              // key references onto the summary scan. groupingServable
+              // already held for every grouping, and groupings never
+              // contain aggregates, so the transform is total.
+              Some(Alias(inline(e).transform {
+                case a: AttributeReference => stateAttr(a.name)
+              }, name)(exprId = al.exprId))
             case al @ Alias(ae @ AggregateExpression(
                   Sum(c: AttributeReference, _), _, false, None, _), name)
                 if view.sumCols.contains(c.name) =>
@@ -347,8 +452,10 @@ final case class RewriteToSummary(spark: SparkSession)
           if (mapped.exists(_.isEmpty)) None
           else {
             val newGroupings: Seq[Expression] =
-              groupAttrs.map(a => stateAttr(a.name))
-            val rewrittenFilters = filters.map(_.transform {
+              groupings.map(_.transform {
+                case a: AttributeReference => stateAttr(a.name)
+              })
+            val rewrittenFilters = filters.map(f => inline(f).transform {
               case a: AttributeReference => stateAttr(a.name)
             })
             // liveness: only summary rows with base rows still behind them

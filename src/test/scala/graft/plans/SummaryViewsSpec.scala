@@ -215,9 +215,39 @@ class SummaryViewsSpec extends SparkSpec
     assert(!fired(q))
   }
 
-  test("refuses expression groupings") {
-    assert(!fired(base.groupBy(upper(col("k1")).as("K"))
-      .agg(sum("v").as("sv"))))
+  test("key-derived expression groupings fire: the expression evaluates " +
+    "over summary key values exactly") {
+    // substring(k1, 1, 1) collapses k0/k1/k2 into ONE group — the rewrite
+    // must merge summary groups under the derived value, exactly, for
+    // every served aggregate shape at once
+    val rows = assertParity(
+      base.groupBy(substring(col("k1"), 1, 1).as("kgrp"))
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"), avg("v").as("av"),
+          min("v").as("mn"), max("v").as("mx"),
+          countDistinct(col("k2")).as("nk2")),
+      expectFired = true)
+    assert(rows.length === 1 && rows.head.getString(0) === "k")
+    assert(rows.head.getLong(2) === 60L)
+    // a non-collapsing derivation and a multi-key expression also fire
+    assertParity(
+      base.groupBy(upper(col("k1")).as("K")).agg(sum("v").as("sv")),
+      expectFired = true)
+    assertParity(
+      base.groupBy(concat_ws("|", col("k1"), col("k2")).as("kk"))
+        .agg(sum("v").as("sv")),
+      expectFired = true)
+  }
+
+  test("expression groupings refuse non-key references and non-determinism") {
+    // v is not a key: f(v) cannot be evaluated over summary key values
+    assert(!fired(base.groupBy((col("v") % 10).as("vb"))
+      .agg(count(lit(1)).as("n"))))
+    // a mixed expression touching any non-key column refuses too
+    assert(!fired(base.groupBy(concat(col("k1"), col("v")).as("kv"))
+      .agg(count(lit(1)).as("n"))))
+    // non-deterministic grouping would bucket GROUPS instead of rows
+    assert(!fired(base.groupBy((rand(7) * 3).cast("int").as("rb"))
+      .agg(count(lit(1)).as("n"))))
   }
 
   test("refuses an unregistered base") {
@@ -417,6 +447,67 @@ class SummaryViewsSpec extends SparkSpec
     val global = assertParity(
       base.agg(countDistinct(col("k1")).as("nk1")), expectFired = true)
     assert(global.head.getLong(0) === 3L)
+  }
+
+  // ------------------------------------------------- multi-view selection
+
+  test("two views on one base: the coarse query picks the coarse summary, " +
+    "the fine query the fine one; re-registration replaces in place") {
+    val coarsePath = s"$root/mv-state-coarse"
+    fs.delete(new org.apache.hadoop.fs.Path(coarsePath), true)
+    // maintain a k1-only summary next to the standing (k1, k2) view
+    val deltas = spark.read.parquet(basePath)
+      .select(col("k1"), col("v"), lit(1L).as("n_rows"))
+    graft.streaming.IncrementalAgg.applyDelta(spark, coarsePath, deltas,
+      keyCols = Seq("k1"), sumCols = Seq("v", "n_rows"),
+      nBuckets = 4, batchId = 0L)
+    SummaryViews.register(SummaryViews.View(
+      basePath, coarsePath, Seq("k1"), Set("v"), Some("n_rows")))
+    def landsOn(df: DataFrame, suffix: String): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(_.toString.endsWith(suffix))
+            case _ => false
+          }
+      }.exists(identity)
+    try {
+      // coarse query: BOTH views can serve it — the k1-only summary has
+      // fewer rows and must win
+      val coarseQ = base.groupBy("k1")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      assert(landsOn(coarseQ, "mv-state-coarse/state"),
+        s"coarse query must pick the coarse view:\n${
+          coarseQ.queryExecution.optimizedPlan}")
+      assert(sortedRows(coarseQ) === withoutRule(sortedRows(
+        base.groupBy("k1").agg(sum("v").as("sv"), count(lit(1)).as("n")))))
+      // fine query: only the (k1, k2) view can serve it
+      val fineQ = base.groupBy("k1", "k2").agg(sum("v").as("sv"))
+      assert(landsOn(fineQ, "mv-state/state"),
+        s"fine query must fall through to the fine view:\n${
+          fineQ.queryExecution.optimizedPlan}")
+      assert(sortedRows(fineQ) === withoutRule(sortedRows(
+        base.groupBy("k1", "k2").agg(sum("v").as("sv")))))
+      // d is only maintained by the fine view: selection is per-QUERY
+      // coverage, not just key arity
+      val dQ = base.groupBy("k1").agg(sum("d").as("sd"))
+      assert(landsOn(dQ, "mv-state/state"))
+      // re-registering the same (base, state) pair REPLACES: drop the
+      // coarse view's count column and COUNT(*) must fall through to fine
+      SummaryViews.register(SummaryViews.View(
+        basePath, coarsePath, Seq("k1"), Set("v"), None))
+      val countQ = base.groupBy("k1").agg(count(lit(1)).as("n"))
+      assert(landsOn(countQ, "mv-state/state"),
+        "replaced registration must lose the coarse COUNT(*) capability")
+    } finally {
+      // restore the single-view standing fixture
+      SummaryViews.clear()
+      SummaryViews.register(SummaryViews.View(
+        basePath, statePath, Seq("k1", "k2"), Set("v", "d"), Some("n_rows"),
+        nnCounts = Map("v" -> "v_nn"),
+        minCols = Map("v" -> "v_min"), maxCols = Map("v" -> "v_max")))
+    }
   }
 
   test("HAVING above the aggregate rewrites (filter lands on preserved " +

@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // it. injectOptimizerRule hands the builder the owning session — each
     // session gets its own RewriteToSummary instance.
     ext.injectOptimizerRule(session => graft.plans.RewriteToSummary(session))
+    // bloom-pruned star joins (graft.plans.BloomJoins): same economics —
+    // inactive until a layout is registered.
+    ext.injectOptimizerRule(session =>
+      graft.plans.RewriteToBloomPrunedJoin(session))
   }
 }
 

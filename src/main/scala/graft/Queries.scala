@@ -629,6 +629,64 @@ object Queries {
     }
   }
 
+  register("agg_mv_rewrite_expr", Some(
+    """SELECT upper(lang) AS lang_uc, substring(source, 1, 2) AS src2,
+      |  count(*) AS n_docs, count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    // MV rewrite under KEY-DERIVED grouping expressions — the dashboard
+    // shape (`GROUP BY date_trunc('day', k)` / `substring(k, …)`): a
+    // deterministic expression whose references are all key columns
+    // evaluates over the summary's key VALUES to exactly its value over
+    // the base rows of that key, so the rewrite merges summary groups
+    // under the derived values and still answers exactly (the hash gate
+    // runs the same expressions over the RAW table in DuckDB). The
+    // rewrite firing is REQUIREd; refusal paths (non-key references,
+    // non-determinism) are pinned in SummaryViewsSpec. At 100 TB the
+    // query reads O(lang×source) summary rows, zero base I/O.
+    val base = Tables.path(dir, "documents")
+    val path = s"$sinkRoot/agg_mv_rewrite_expr-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val deltas = s.read.parquet(base).select(col("lang"), col("source"),
+      lit(1L).as("n_docs"), pmod(col("doc_id"), lit(2)).as("__chunk"))
+    (0L to 1L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("lang", "source"), sumCols = Seq("n_docs"),
+        nBuckets = 8, batchId = i)
+    }
+    graft.plans.SummaryViews.register(graft.plans.SummaryViews.View(
+      base, path, Seq("lang", "source"), Set.empty, Some("n_docs")))
+    graft.plans.SummaryViews.install(s)
+    try {
+      val q = s.read.parquet(base)
+        .groupBy(upper(col("lang")).as("lang_uc"),
+          substring(col("source"), 1, 2).as("src2"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+      val readsState = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(p =>
+                p.toString.contains("agg_mv_rewrite_expr") &&
+                  p.toString.endsWith("/state"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(readsState,
+        "agg_mv_rewrite_expr: the summary rewrite did not fire on the " +
+          "expression-grouped query — the optimized plan still reads the " +
+          "base table")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.SummaryViews.uninstall(s)
+      graft.plans.SummaryViews.unregister(base)
+    }
+  }
+
   register("join_bloom_pruned", Some(
     """SELECT l.l_returnflag, count(*) AS n_items,
       |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
@@ -680,6 +738,66 @@ object Queries {
       .agg(count(lit(1)).as("n_items"),
         dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
           .as("revenue"))
+  }
+
+  register("join_bloom_pruned_auto", Some(
+    """SELECT l.l_returnflag, count(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IN (SELECT o_orderkey FROM orders
+      |                       ORDER BY o_totalprice DESC, o_orderkey
+      |                       LIMIT 5)
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // The OPTIMIZER-tier sibling of join_bloom_pruned: the user writes a
+    // PLAIN join — no BloomIndex API in sight — and the registered
+    // graft.plans.BloomJoins rule routes the fact scan through the
+    // manifest probe (same move SummaryViews makes for IncrementalAgg).
+    // Same layout, same oracle; the entry REQUIRES that the optimized
+    // plan's fact side reads fewer files than the layout holds.
+    val path = s"$sinkRoot/join_bloom_pruned_auto-${
+      dir.replaceAll("[^0-9.]", "")}"
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .repartition(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.BloomIndex.write(s, path, Seq("l_orderkey"),
+      expectedItemsPerFile = 200000, fpp = 0.01)
+    graft.plans.BloomJoins.register(graft.plans.BloomJoins.Layout(
+      path, "l_orderkey"))
+    graft.plans.BloomJoins.install(s)
+    try {
+      val fact = s.read.parquet(path)
+      val dim = Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5).select("o_orderkey")
+      val joined = fact.join(dim,
+        fact("l_orderkey") === dim("o_orderkey")) // the PLAIN spelling
+      val totalFiles = s.read.parquet(s"$path/_bloomindex").count()
+      val factFiles = joined.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(_.toString.contains(
+                  "join_bloom_pruned_auto")) =>
+              // count the FILE LISTING, not rootPaths — an un-rewritten
+              // directory scan has one root path over all 16 files
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(factFiles > 0 && factFiles < totalFiles,
+        s"join_bloom_pruned_auto: expected the RULE to skip files " +
+          s"($factFiles of $totalFiles)")
+      joined.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+        .localCheckpoint()
+    } finally {
+      graft.plans.BloomJoins.uninstall(s)
+      graft.plans.BloomJoins.unregister(path)
+    }
   }
 
   // ==========================================================================
@@ -5728,6 +5846,23 @@ object Queries {
       .limit(10)
   }
 
+  register("mm_audio_levels", None) { (s, dir) =>
+    // Audio-level curation stats: batched per-partition decode via
+    // javax.sound.sampled — REAL WAV decode (rate/channels/duration from
+    // the stream header, RMS + peak from one normalized-PCM pass over the
+    // samples), deterministic stub for payloads the reader rejects (this
+    // fixture's text-blob payloads; flagged decoded=false). no_oracle
+    // (mapPartitions Dataset over a JVM codec); MultimodalSpec gates the
+    // real-decode path on a planted half-scale square wave (RMS == peak
+    // == 0.5, header rate beats lying metadata) and stub determinism.
+    graft.functions.Multimodal.audioFeatures(
+        graft.functions.Multimodal.assetsFromDocuments(
+          Tables.documents(s, dir)))
+      .toDF()
+      .orderBy(col("assetId"))
+      .limit(100)
+  }
+
   register("embed_quantized_topk", Some(
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x ->
@@ -6061,13 +6196,16 @@ object Queries {
   }
 
   register("text_quality_classifier_lr", None) { (s, dir) =>
-    // The iterative sibling: fastText-style logistic regression over the
-    // same hashed features, full-batch GD — each epoch is ONE distributed
-    // pass (broadcast weights in, one nBuckets-bounded gradient aggregate
-    // back), decimal-routed so training is bit-deterministic. Iterative =
-    // not SQL-expressible; ClassifierSpec gates separable-fixture
-    // accuracy, determinism, en-vs-zh separation on this corpus, and
-    // top-k ranking agreement with the oracled NB entry.
+    // The iterative sibling: fastText-style logistic regression over
+    // hashed unigram+bigram features (wordNgrams=2 — bigrams carry the
+    // transition signal the generative unigram NB cannot see), full-batch
+    // AdaGrad — each epoch is ONE distributed pass (broadcast weights in,
+    // one nBuckets-bounded gradient aggregate back), decimal-routed so
+    // training is bit-deterministic. Iterative = not SQL-expressible;
+    // ClassifierSpec gates separable-fixture accuracy, determinism,
+    // en-vs-zh separation (mean-sigmoid margin >= 0.2) on this corpus,
+    // label-precision domination over the oracled NB entry, and the
+    // bigram-vs-unigram separation contract.
     graft.functions.Classifier.lrSeedScore(
         Tables.documents(s, dir), isPositive = col("lang") === "en",
         epochs = 8)

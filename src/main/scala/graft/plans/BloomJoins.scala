@@ -1,0 +1,220 @@
+package graft.plans
+
+import org.apache.spark.sql.{GraftBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.sources.BloomIndex
+
+/** Bloom-pruned star joins as an OPTIMIZER rule — the ergonomics tier on
+  * top of [[graft.sources.BloomIndex.prunedJoin]], the same move
+  * [[SummaryViews]] made for `IncrementalAgg`: `prunedJoin` only helps
+  * callers who KNOW the index exists; with this rule installed, a plain
+  * `fact.join(dim, fact("k") === dim("k"))` — including `spark.sql` from
+  * users who never heard of the manifest — routes the fact scan through
+  * the per-file Bloom probe and reads only the files that can hold a
+  * matching key. At 100 TB this is the star-join point-lookup shape: a
+  * dimension filtered to thousands of keys touches a sliver of the fact
+  * layout's files, and scan cost follows the sliver.
+  *
+  * Scope is deliberately TIGHT — the rule REFUSES (leaves the plan
+  * untouched) unless every condition holds:
+  *
+  *  - INNER equi-join on exactly ONE key pair, both sides bare column
+  *    references (composite or expression conditions refuse);
+  *  - the fact side unwraps through attribute/rename Projects and
+  *    Filters to a parquet scan of a REGISTERED layout ([[register]]),
+  *    and the join key resolves — through any renames — to that
+  *    layout's indexed column;
+  *  - the dim side is fully DETERMINISTIC (it is executed once at
+  *    optimization time to collect its distinct keys and again at run
+  *    time inside the join — a non-deterministic dim could produce
+  *    different keys and turn Bloom's false-negative-freedom into real
+  *    false negatives);
+  *  - the dim's distinct-key count fits the layout's `maxKeys` cap
+  *    (hashes-only collect, 8 bytes/key; past that width file skipping
+  *    degenerates toward a full scan and the plain join is the honest
+  *    plan).
+  *
+  * Exactness: candidate files are a SUPERSET of every file holding a
+  * matching key (Bloom filters have no false negatives); the join itself
+  * discards false-positive files' rows, and fact-side Filters stay in
+  * place above the swapped scan. The fact scan's output is re-aliased
+  * under the ORIGINAL attribute ids, so parents never see the
+  * substitution. An empty dim prunes to an empty fact scan — the join's
+  * exact answer.
+  *
+  * Cost & staleness: firing costs two driver-visible jobs at
+  * optimization time (the dim distinct-key collect and the files-sized
+  * manifest probe) — the price `prunedJoin` callers already pay, moved
+  * into planning. The manifest answers AS OF the probe; maintain it with
+  * the write path ([[graft.sources.BloomIndex.update]] /
+  * [[graft.sources.Compaction]]) exactly as `prunedJoin` requires.
+  */
+object BloomJoins {
+
+  /** A bloom-indexed fact layout opted into automatic join pruning.
+    * `factPath` must carry a `_bloomindex` manifest on `col`. */
+  final case class Layout(factPath: String, col: String,
+                          maxKeys: Int = 100000)
+
+  private val layouts =
+    new java.util.concurrent.ConcurrentHashMap[String, Layout]()
+
+  private def norm(p: String): String =
+    p.stripSuffix("/").replaceFirst("^file:", "")
+
+  def register(l: Layout): Unit = layouts.put(norm(l.factPath), l)
+  def unregister(factPath: String): Unit = layouts.remove(norm(factPath))
+  def clear(): Unit = layouts.clear()
+  def isEmpty: Boolean = layouts.isEmpty
+
+  private[plans] def forPaths(paths: Seq[String]): Option[Layout] =
+    paths.map(norm).flatMap(p => Option(layouts.get(p))).headOption
+
+  /** Install on an existing session (the extensions hook only runs at
+    * construction). Idempotent. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[RewriteToBloomPrunedJoin]))
+      spark.experimental.extraOptimizations =
+        cur :+ RewriteToBloomPrunedJoin(spark)
+  }
+
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[RewriteToBloomPrunedJoin])
+}
+
+/** The rewrite rule. Runs in the user-provided-optimizer batch; the
+  * guarded pattern is `Join(Inner, …, EqualTo(factKey, dimKey))` with the
+  * fact side landing on a registered parquet layout. */
+final case class RewriteToBloomPrunedJoin(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  import BloomJoins._
+
+  /** Collecting the dim keys executes a query WHILE this rule is running;
+    * that inner query's optimization must not re-enter the rule (a dim
+    * containing its own prunable join is served un-pruned — conservative
+    * and terminating). */
+  private val inRule = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (BloomJoins.isEmpty || inRule.get()) plan
+    else {
+      inRule.set(true)
+      try plan.transformUp {
+        case j @ Join(left, right, Inner,
+            Some(EqualTo(a: AttributeReference, b: AttributeReference)),
+            hint) =>
+          tryPrune(j, left, right, a, b)
+            .orElse(tryPrune(j, right, left, b, a))
+            .getOrElse(j)
+      } finally inRule.set(false)
+    }
+
+  /** Swap the registered relation under `factSide` for a candidate-files
+    * scan driven by `dimSide`'s distinct keys; None refuses. */
+  private def tryPrune(join: Join, factSide: LogicalPlan,
+                       dimSide: LogicalPlan,
+                       factKey: AttributeReference,
+                       dimKey: AttributeReference): Option[LogicalPlan] = {
+    if (!factSide.outputSet.contains(factKey) ||
+        !dimSide.outputSet.contains(dimKey) ||
+        !deterministic(dimSide)) None
+    else rewriteFact(factSide, factKey, dimSide, dimKey).map { newFact =>
+      if (factSide eq join.left) join.copy(left = newFact)
+      else join.copy(right = newFact)
+    }
+  }
+
+  private def deterministic(plan: LogicalPlan): Boolean =
+    !plan.exists(p => p.expressions.exists(!_.deterministic))
+
+  /** Unwrap attribute/rename Projects and Filters down to the registered
+    * relation, rebuild the same stack over the pruned scan. The join key
+    * is tracked THROUGH renames (`Alias(attr, name)` projections the
+    * optimizer interposes), so the registry check compares the
+    * RELATION-level column name. */
+  private def rewriteFact(plan: LogicalPlan, factKey: AttributeReference,
+                          dimSide: LogicalPlan, dimKey: AttributeReference)
+      : Option[LogicalPlan] = plan match {
+    case p @ Project(exprs, child)
+        if exprs.forall {
+          case _: AttributeReference => true
+          case Alias(_: AttributeReference, _) => true
+          case _ => false
+        } =>
+      val childKey = exprs.collectFirst {
+        case al @ Alias(c: AttributeReference, _)
+            if al.exprId == factKey.exprId => c
+        case a: AttributeReference if a.exprId == factKey.exprId => a
+      }
+      childKey.flatMap(ck => rewriteFact(child, ck, dimSide, dimKey))
+        .map(c => p.copy(child = c))
+    case f @ Filter(_, child) =>
+      rewriteFact(child, factKey, dimSide, dimKey)
+        .map(c => f.copy(child = c))
+    case rel: LogicalRelation =>
+      val layout = rel.relation match {
+        case fs: HadoopFsRelation =>
+          forPaths(fs.location.rootPaths.map(_.toString))
+        case _ => None
+      }
+      layout match {
+        case Some(l)
+            if factKey.name == l.col &&
+              rel.output.exists(_.exprId == factKey.exprId) =>
+          prunedScan(rel, l, dimSide, dimKey)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** The pruned replacement for `rel`: probe the manifest with the dim's
+    * distinct key hashes, scan only firing files, re-alias to `rel`'s
+    * original output ids. */
+  private def prunedScan(rel: LogicalRelation, layout: Layout,
+                         dimSide: LogicalPlan, dimKey: AttributeReference)
+      : Option[LogicalPlan] = {
+    try {
+      val dimDf = GraftBridge.ofRows(spark, dimSide)
+      val hashes = dimDf.filter(col(dimKey.name).isNotNull)
+        .select(col(dimKey.name).cast("string").as("__k"))
+        .distinct().limit(layout.maxKeys + 1)
+        .select(xxhash64(col("__k")).as("h"))
+        .collect().map(_.getLong(0))
+      if (hashes.length > layout.maxKeys) None // too wide: plain join wins
+      else if (hashes.isEmpty)
+        // no live dim keys: the inner join is empty — exact
+        Some(LocalRelation(rel.output))
+      else {
+        val files = BloomIndex.candidateFilesForHashes(
+          spark, layout.factPath, layout.col, hashes)
+        if (files.isEmpty) Some(LocalRelation(rel.output))
+        else {
+          val scan = graft.sources.Manifests
+            .batchedRead(spark, files.iterator)
+            .get.queryExecution.analyzed
+          val byName = scan.output.map(a => a.name -> a).toMap
+          // every original column must exist in the pruned scan (same
+          // files, same schema) — refuse on any surprise
+          if (!rel.output.forall(o => byName.contains(o.name))) None
+          else {
+            val restored: Seq[NamedExpression] = rel.output.map(o =>
+              Alias(byName(o.name), o.name)(exprId = o.exprId))
+            Some(Project(restored, scan))
+          }
+        }
+      }
+    } catch { case _: Exception => None } // probe failed: refuse, not crash
+  }
+}

@@ -136,11 +136,20 @@ object BloomIndex {
     val cols = m.schema.fieldNames.filter(_.endsWith("_bloom"))
       .map(_.stripSuffix("_bloom")).toSeq
     if (cols.isEmpty) return
-    val sample = m.filter(col(s"${cols.head}_bloom").isNotNull)
-      .select(col(s"${cols.head}_bloom"), col("n_rows")).head()
-    val numBits = BloomFilter.readFrom(
-      new ByteArrayInputStream(sample.getAs[Array[Byte]](0))).bitSize()
-    val estItems = sample.getLong(1)
+    // Sizing sample: first manifest row with a non-null filter cell, trying
+    // every indexed column (an all-null column — e.g. a manifest built over
+    // empty files — must not crash the compactor's refresh). If NO cell is
+    // non-null anywhere, fall back to [[build]]'s default sizing: there is
+    // no original envelope left to preserve.
+    val sample = cols.iterator
+      .map(c => m.filter(col(s"${c}_bloom").isNotNull)
+        .select(col(s"${c}_bloom"), col("n_rows")).take(1).headOption)
+      .collectFirst { case Some(r) => r }
+    val (estItems, numBits) = sample match {
+      case Some(r) => (r.getLong(1), BloomFilter.readFrom(
+        new ByteArrayInputStream(r.getAs[Array[Byte]](0))).bitSize())
+      case None => (1000000L, BloomFilter.optimalNumOfBits(1000000L, 0.01))
+    }
     val (_, root) = Manifests.fsFor(spark, path)
     val rootAbs = root.toUri.getPath
     val abs = dirs.map(d =>
@@ -241,9 +250,14 @@ object BloomIndex {
                  maxKeys: Int = 100000,
                  parts: Seq[String] = Nil,
                  broadcastDim: Boolean = true): DataFrame = {
+    // The cap is measured on distinct KEYS (string images), not on their
+    // hashes — a collision must not let a too-wide dim slip under the cap.
+    // Hashing happens AFTER distinct+limit, so the collect is still
+    // hashes-only (8 bytes/key; duplicates from collisions are harmless).
     val hashes = dim.filter(col(dimKey).isNotNull)
-      .select(xxhash64(col(dimKey).cast("string")).as("h"))
+      .select(col(dimKey).cast("string").as("__k"))
       .distinct().limit(maxKeys + 1)
+      .select(xxhash64(col("__k")).as("h"))
       .collect().map(_.getLong(0))
     require(hashes.length <= maxKeys,
       s"prunedJoin: dim side exceeds maxKeys=$maxKeys distinct keys — " +
@@ -252,27 +266,35 @@ object BloomIndex {
     val empty = spark.read.parquet(path).limit(0)
     val fact =
       if (hashes.isEmpty) empty
-      else {
-        val hs = hashes // closure capture: one deserialize + hs probes/file
-        val probeSet = udf { (bloom: Array[Byte]) =>
-          bloom != null && {
-            val bf = BloomFilter.readFrom(new ByteArrayInputStream(bloom))
-            hs.exists(bf.mightContainLong)
-          }
-        }
-        val m = spark.read.parquet(s"$path/_bloomindex")
-        val sharded =
-          if (parts.isEmpty) m else m.filter(col("part_dir").isin(parts: _*))
-        val files = sharded.filter(probeSet(col(s"${c}_bloom")))
-          .select("part_dir", "file").sort("part_dir", "file")
-          .toLocalIterator()
-        Manifests.batchedRead(spark,
-            scala.jdk.CollectionConverters.IteratorHasAsScala(files)
-              .asScala.map(_.getString(1)))
-          .getOrElse(empty)
-      }
+      else Manifests.batchedRead(spark,
+          candidateFilesForHashes(spark, path, c, hashes, parts).iterator)
+        .getOrElse(empty)
     val dimSide = if (broadcastDim) broadcast(dim) else dim
     fact.join(dimSide, fact(c) === dimSide(dimKey), "inner")
+  }
+
+  /** Files whose `c` filter fires for ANY of the precomputed string-image
+    * hashes ([[bloomAgg]]'s key function) — the probe leg shared by
+    * [[prunedJoin]] and the [[graft.plans.BloomJoins]] optimizer rule. One
+    * distributed manifest job (files-sized); paths return sorted. */
+  private[graft] def candidateFilesForHashes(spark: SparkSession,
+                                             path: String, c: String,
+                                             hashes: Array[Long],
+                                             parts: Seq[String] = Nil)
+      : Seq[String] = {
+    val hs = hashes // closure capture: one deserialize + hs probes/file
+    val probeSet = udf { (bloom: Array[Byte]) =>
+      bloom != null && {
+        val bf = BloomFilter.readFrom(new ByteArrayInputStream(bloom))
+        hs.exists(bf.mightContainLong)
+      }
+    }
+    val m = spark.read.parquet(s"$path/_bloomindex")
+    val sharded =
+      if (parts.isEmpty) m else m.filter(col("part_dir").isin(parts: _*))
+    sharded.filter(probeSet(col(s"${c}_bloom")))
+      .select("part_dir", "file").sort("part_dir", "file")
+      .collect().map(_.getString(1)).toSeq
   }
 
   /** Index health from the manifest alone: files covered, bytes per

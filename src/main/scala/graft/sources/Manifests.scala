@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * All driver-side state here is METADATA-sized: file listings and
   * basename→shard maps, never row data.
   */
-private[sources] object Manifests {
+private[graft] object Manifests {
 
   def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
@@ -53,7 +53,7 @@ private[sources] object Manifests {
     * query. Callers stream file paths in (a `toLocalIterator` over the
     * manifest keeps driver memory one batch wide); returns None for an
     * empty iterator. */
-  private[sources] def batchedRead(spark: SparkSession,
+  private[graft] def batchedRead(spark: SparkSession,
                                    files: Iterator[String],
                                    maxFilesPerArm: Int = MaxFilesPerArm)
       : Option[DataFrame] = {

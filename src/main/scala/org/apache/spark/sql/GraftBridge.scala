@@ -25,6 +25,12 @@ object GraftBridge {
                         key: String): Unit =
     sc.conf.remove(key)
 
+  /** `Dataset.ofRows` is `private[sql]`; optimizer rules that must
+    * EXECUTE a sub-plan (the BloomJoins dim-key collect) wrap it here. */
+  def ofRows(spark: SparkSession,
+             plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Install catalyst-expression functions on an EXISTING session —
     * `sessionState` is `private[sql]`. New sessions should use the public
     * `spark.sql.extensions=graft.GraftExtensions` hook instead. */

@@ -1,0 +1,198 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.sources.BloomIndex
+
+/** The bloom-pruned-join rule's contract: a globally injected rewriter
+  * must prove it never fires wrongly (every refusal path), that firing
+  * actually SKIPS files, and that the answer is bit-identical to the
+  * plain join. */
+class BloomJoinsSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val root = "/root/repo/target/test-out/bloom-joins"
+  private val factPath = s"$root/fact"
+  private val fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // hash-spread layout: doc_id ranges overlap across every file, so only
+  // the Bloom manifest can skip files for a point-ish dim
+  fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  Tables.documents(spark, sfTiny)
+    .select("doc_id", "lang", "source")
+    .repartition(8, col("doc_id"))
+    .write.parquet(factPath)
+  BloomIndex.write(spark, factPath, Seq("doc_id"),
+    expectedItemsPerFile = 2000, fpp = 0.01)
+  BloomJoins.clear()
+  BloomJoins.register(BloomJoins.Layout(factPath, "doc_id"))
+  BloomJoins.install(spark)
+
+  override def afterAll(): Unit = {
+    BloomJoins.uninstall(spark)
+    BloomJoins.clear()
+    super.afterAll()
+  }
+
+  private def fact: DataFrame = spark.read.parquet(factPath)
+  private def dimOf(ids: Long*): DataFrame =
+    ids.toSeq.toDF("id")
+
+  /** Number of fact files the optimized plan reads (0 when the scan
+    * collapsed to a LocalRelation). Counts the file listing, not
+    * rootPaths — a directory scan has ONE root path over 8 files. */
+  private def factFiles(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if f.location.rootPaths.exists(_.toString.contains(
+                "bloom-joins/fact")) =>
+            f.location.inputFiles.length.toLong
+          case _ => 0L
+        }
+    }.sum
+
+  private def withoutRule[T](f: => T): T = {
+    BloomJoins.uninstall(spark)
+    try f finally BloomJoins.install(spark)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Row] =
+    df.collect().toSeq.sortBy(_.mkString("|"))
+
+  /** Pruned and plain answers must agree; returns (rows, files read). */
+  private def assertParity(q: => DataFrame): (Seq[Row], Long) = {
+    val pruned = q
+    val got = sortedRows(pruned)
+    val exp = withoutRule {
+      val e = q
+      assert(factFiles(e) === 8L, "rule must be inert while uninstalled")
+      sortedRows(e)
+    }
+    assert(got === exp)
+    (got, factFiles(pruned))
+  }
+
+  test("a plain DataFrame inner join fires: files skipped, answer exact") {
+    val dim = dimOf(3L, 7L, 11L)
+    val (rows, files) = assertParity {
+      val f = fact
+      f.join(dim, f("doc_id") === dim("id"))
+    }
+    assert(rows.length === 3)
+    assert(files > 0 && files < 8,
+      s"expected file skipping, read $files of 8")
+  }
+
+  test("spark.sql spelling fires too, with parents resolving above the join") {
+    fact.createOrReplaceTempView("bj_fact")
+    dimOf(5L, 9L).createOrReplaceTempView("bj_dim")
+    val q = spark.sql(
+      """SELECT f.lang, count(*) AS n FROM bj_fact f
+        |JOIN bj_dim d ON f.doc_id = d.id GROUP BY f.lang""".stripMargin)
+    assert(factFiles(q) < 8, q.queryExecution.optimizedPlan.toString)
+    val exp = withoutRule(sortedRows(spark.sql(
+      """SELECT f.lang, count(*) AS n FROM bj_fact f
+        |JOIN bj_dim d ON f.doc_id = d.id GROUP BY f.lang""".stripMargin)))
+    assert(sortedRows(q) === exp)
+  }
+
+  test("fact-side filters stay in place above the pruned scan") {
+    val dim = dimOf(3L, 7L)
+    val (rows, files) = assertParity {
+      val f = fact
+      f.where(col("lang") =!= "zz").join(dim, f("doc_id") === dim("id"))
+    }
+    assert(files < 8)
+    assert(rows.length === 2)
+  }
+
+  test("an empty dim prunes to the exact empty answer") {
+    val dim = dimOf()
+    val f = fact
+    val q = f.join(dim, f("doc_id") === dim("id"))
+    assert(factFiles(q) === 0L,
+      "empty dim must collapse the fact scan entirely")
+    assert(q.count() === 0L)
+  }
+
+  test("refuses an unregistered layout") {
+    val other = s"$root/unregistered"
+    fact.limit(50).write.mode("overwrite").parquet(other)
+    val o = spark.read.parquet(other)
+    val dim = dimOf(3L)
+    val q = o.join(dim, o("doc_id") === dim("id"))
+    val reads = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.exists(_.toString.contains("unregistered"))
+          case _ => false
+        }
+    }
+    assert(reads.exists(identity), "plain scan of the unregistered layout")
+  }
+
+  test("refuses outer joins and cross-side composite conditions") {
+    val dim = dimOf(3L, 7L)
+    val f = fact
+    assert(factFiles(f.join(dim,
+      f("doc_id") === dim("id"), "left")) === 8L)
+    // a cross-side non-equi conjunct stays in the join condition (the
+    // optimizer cannot split it to one side), so the rule must refuse.
+    // (A SINGLE-side conjunct like `&& f("doc_id") > 0` is a non-test:
+    // predicate pushdown splits it into a fact filter before this rule
+    // runs, leaving a clean equi-join — firing there is correct.)
+    val f2 = fact
+    assert(factFiles(f2.join(dim,
+      f2("doc_id") === dim("id") && f2("doc_id") =!= dim("id") + 1)) === 8L)
+  }
+
+  test("single-side extra conjuncts split into fact filters and still fire") {
+    val dim = dimOf(3L, 7L)
+    val (rows, files) = assertParity {
+      val f = fact
+      f.join(dim, f("doc_id") === dim("id") && f("doc_id") > 3)
+    }
+    assert(files > 0 && files < 8)
+    assert(rows.length === 1)
+  }
+
+  test("refuses a non-deterministic dim (non-collapsible source)") {
+    // the dim must be parquet-backed: a rand-filtered LOCAL relation is
+    // eagerly evaluated by ConvertToLocalRelation into frozen rows before
+    // this rule runs — at that point it IS deterministic and firing is
+    // exact. Over a file source the Filter(rand…) survives into the
+    // optimized plan and the rule must refuse (plan-time keys could
+    // differ from run-time keys).
+    val f = fact
+    val dim = fact.select(col("doc_id").as("id"))
+      .where(rand(42) < 0.001)
+    val q = f.join(dim, f("doc_id") === dim("id"))
+    val planStr = q.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("rand("), s"premise: rand must survive\n$planStr")
+    assert(factFiles(q) >= 8L, // both sides scan the full layout
+      s"non-deterministic dim must not prune:\n$planStr")
+  }
+
+  test("refuses a dim wider than maxKeys instead of degrading") {
+    BloomJoins.register(BloomJoins.Layout(factPath, "doc_id", maxKeys = 2))
+    try {
+      val dim = dimOf(1L, 2L, 3L, 4L)
+      val f = fact
+      assert(factFiles(f.join(dim, f("doc_id") === dim("id"))) === 8L)
+    } finally BloomJoins.register(BloomJoins.Layout(factPath, "doc_id"))
+  }
+
+  test("refuses when the join key is not the indexed column") {
+    val dim = Seq("en").toDF("l")
+    val f = fact
+    val q = f.join(dim, f("lang") === dim("l"))
+    assert(factFiles(q) === 8L)
+  }
+}

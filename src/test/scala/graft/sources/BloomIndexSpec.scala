@@ -157,6 +157,28 @@ class BloomIndexSpec extends SparkSpec {
       s"refreshed filters must keep the build sizing: $bytesBefore -> $bytesAfter")
   }
 
+  test("refreshShards survives an all-null indexed column (falls back to " +
+      "default sizing instead of crashing)") {
+    import spark.implicits._
+    val path = fresh("allnull")
+    // every cell of the indexed column is NULL -> every filter cell in the
+    // manifest is NULL (NULLs are never indexed); the sizing sample must
+    // not throw, and the refresh must still rewrite the shard
+    Seq.tabulate(20)(i => (i.toLong, null.asInstanceOf[String]))
+      .toDF("id", "tag").repartition(2)
+      .write.mode("overwrite").parquet(path)
+    BloomIndex.write(spark, path, Seq("tag"), expectedItemsPerFile = 100)
+    val m0 = spark.read.parquet(s"$path/_bloomindex")
+    assert(m0.filter(col("tag_bloom").isNotNull).count() === 0)
+    // must not throw (was: NoSuchElementException from .head() on empty)
+    BloomIndex.refreshShards(spark, path, Seq("."))
+    val m1 = spark.read.parquet(s"$path/_bloomindex")
+    assert(m1.count() === 2 &&
+      m1.filter(col("tag_bloom").isNotNull).count() === 0)
+    // a probe over the refreshed manifest still answers (matches nothing)
+    assert(BloomIndex.candidateFiles(spark, path, "tag", Seq("x")).isEmpty)
+  }
+
   test("diagnose reads health from the manifest alone") {
     val path = fresh("diag")
     docs.repartition(4).write.mode("overwrite").parquet(path)

@@ -5863,6 +5863,23 @@ object Queries {
       .limit(100)
   }
 
+  register("mm_video_meta", None) { (s, dir) =>
+    // Video container stats: batched per-partition ISO-BMFF box walking —
+    // REAL MP4/MOV header parse (duration from moov/mvhd, dimensions and
+    // track count from trak/tkhd; no frame decode — per-asset work is the
+    // box walk, independent of media size), deterministic stub for
+    // payloads that don't parse (this fixture's text blobs; flagged
+    // decoded=false). no_oracle (mapPartitions Dataset); MultimodalSpec
+    // gates the real parse on a hand-assembled MP4 (header beats lying
+    // metadata) and stub determinism.
+    graft.functions.Multimodal.videoMeta(
+        graft.functions.Multimodal.assetsFromDocuments(
+          Tables.documents(s, dir)))
+      .toDF()
+      .orderBy(col("assetId"))
+      .limit(100)
+  }
+
   register("embed_quantized_topk", Some(
     """WITH base AS (
       |  SELECT vec_id, list_transform(embedding, x ->

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * JDK ships the codecs) yield true pixel dimensions and mean luma. AUDIO
   * decode is real for `javax.sound.sampled`-readable payloads (WAV — the
   * JDK ships the reader): true sample rate/channels/duration plus RMS and
-  * peak level from the samples. Payloads no reader recognizes (the driver
-  * fixtures carry text bytes as a stand-in blob) fall back to a
-  * deterministic hash STUB, as do the video codec and the vision-encoder
-  * embedding (no media/model libraries in this environment): every stub
-  * is marked `STUB:` and
+  * peak level from the samples. VIDEO container parsing is real for
+  * ISO-BMFF (MP4/MOV) payloads — duration/dimensions/track count from
+  * the box structure, no codec needed. Payloads no reader recognizes
+  * (the driver fixtures carry text bytes as a stand-in blob) fall back
+  * to a deterministic hash STUB, as do video FRAME decode and the
+  * vision-encoder embedding (no media/model libraries in this
+  * environment): every stub is marked `STUB:` and
   * derives its output from a payload hash, so results are reproducible
   * and the surrounding pipeline (metadata propagation, batching,
   * downstream ANN) is fully exercised. Swapping a stub for a real decoder
@@ -43,6 +45,9 @@ object Multimodal {
                                  channels: Int, durationMs: Long,
                                  rms: Double, peak: Double,
                                  decoded: Boolean)
+  final case class VideoMeta(assetId: Long, widthPx: Int, heightPx: Int,
+                             durationMs: Long, nTracks: Int,
+                             decoded: Boolean)
 
   /** Derive a deterministic multimodal asset table from the `documents`
     * fixture: payload bytes are the document text (a stand-in blob),
@@ -231,6 +236,105 @@ object Multimodal {
       .mapPartitions(_.map { a =>
         val (rate, ch, dur, rms, peak, real) = decodeAudio(a.payload, a.meta)
         AudioFeatures(a.assetId, rate, ch, dur, rms, peak, real)
+      })
+  }
+
+  /** ISO-BMFF (MP4/MOV) container sniff: a `ftyp` box at the top. */
+  private def looksLikeMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  /** STUB fallback for payloads that don't parse as ISO-BMFF. */
+  private def decodeVideoStub(payload: Array[Byte], meta: AssetMeta)
+      : (Int, Int, Long, Int, Boolean) = {
+    val h = java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
+    ((meta.widthPx, meta.heightPx, meta.durationMs,
+      1 + (h % 3).toInt, false))
+  }
+
+  private def be32(p: Array[Byte], o: Int): Long =
+    ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+  private def be64(p: Array[Byte], o: Int): Long =
+    (be32(p, o) << 32) | be32(p, o + 4)
+
+  /** REAL video container parse — ISO/IEC 14496-12 box walking (the JDK
+    * ships no video codec, but the CONTAINER header is plain structure):
+    * top-level boxes are scanned for `moov`; `moov/mvhd` yields the
+    * presentation duration (duration/timescale), `moov/trak/tkhd` the
+    * track count and the maximal track width/height (16.16 fixed point).
+    * No frame is decoded — per-asset work is the box walk, independent
+    * of media size, which is exactly the ingest-stats shape a 100 TB
+    * video corpus needs (frame DECODE remains the honest stub in
+    * [[frameSamplePlan]]'s downstream). 64-bit (`size == 1`) and
+    * to-end-of-file (`size == 0`) boxes are honored; a malformed box
+    * walk falls back to the deterministic stub, flagged
+    * `decoded = false`. Metadata is NOT trusted: the header wins. */
+  private[functions] def decodeVideoMeta(payload: Array[Byte],
+                                         meta: AssetMeta)
+      : (Int, Int, Long, Int, Boolean) = {
+    if (!looksLikeMp4(payload)) decodeVideoStub(payload, meta)
+    else try {
+      // walk children of [from, to) and return each (type, start, end)
+      def boxes(from: Int, to: Int): Seq[(String, Int, Int)] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var o = from
+        while (o + 8 <= to) {
+          val size32 = be32(payload, o)
+          val tpe = new String(payload, o + 4, 4, "ISO-8859-1")
+          val (bodyStart, end) =
+            if (size32 == 1L && o + 16 <= to)
+              (o + 16, o + be64(payload, o + 8).toInt)
+            else if (size32 == 0L) (o + 8, to)
+            else (o + 8, o + size32.toInt)
+          if (end <= o || end > to) return out.toSeq // malformed: stop
+          out += ((tpe, bodyStart, end))
+          o = end
+        }
+        out.toSeq
+      }
+      val moov = boxes(0, payload.length).collectFirst {
+        case ("moov", s, e) => (s, e)
+      }.getOrElse(throw new IllegalArgumentException("no moov"))
+      val kids = boxes(moov._1, moov._2)
+      val durMs = kids.collectFirst { case ("mvhd", s, _) =>
+        val version = payload(s) & 0xff
+        val (timescale, duration) =
+          if (version == 1) (be32(payload, s + 20), be64(payload, s + 24))
+          else (be32(payload, s + 12), be32(payload, s + 16))
+        if (timescale == 0) 0L else duration * 1000L / timescale
+      }.getOrElse(0L)
+      val tkhds = kids.collect { case ("trak", s, e) =>
+        boxes(s, e).collectFirst { case ("tkhd", ts, _) =>
+          val version = payload(ts) & 0xff
+          val dimOff = ts + (if (version == 1) 88 else 76)
+          // width/height are 16.16 fixed point at the end of tkhd
+          ((be32(payload, dimOff) >> 16).toInt,
+            (be32(payload, dimOff + 4) >> 16).toInt)
+        }
+      }.flatten
+      val w = if (tkhds.isEmpty) 0 else tkhds.map(_._1).max
+      val h = if (tkhds.isEmpty) 0 else tkhds.map(_._2).max
+      ((w, h, durMs, tkhds.length, true))
+    } catch { case _: Exception => decodeVideoStub(payload, meta) }
+  }
+
+  /** Video container stats as the same BATCHED per-partition pass as
+    * [[imageFeatures]]/[[audioFeatures]]. */
+  def videoMeta(assets: DataFrame): Dataset[VideoMeta] = {
+    implicit val enc = Encoders.product[VideoMeta]
+    implicit val inEnc = Encoders.product[Asset]
+    assets.filter(col("modality") === "video")
+      .select(col("asset_id").as("assetId"), col("modality"), col("payload"),
+        struct(col("meta.format").as("format"),
+          col("meta.width_px").as("widthPx"),
+          col("meta.height_px").as("heightPx"),
+          col("meta.sample_rate_hz").as("sampleRateHz"),
+          col("meta.duration_ms").as("durationMs")).as("meta"))
+      .as[Asset]
+      .mapPartitions(_.map { a =>
+        val (w, h, dur, n, real) = decodeVideoMeta(a.payload, a.meta)
+        VideoMeta(a.assetId, w, h, dur, n, real)
       })
   }
 

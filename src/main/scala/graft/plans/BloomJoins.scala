@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -24,8 +24,10 @@ import graft.sources.BloomIndex
   * Scope is deliberately TIGHT — the rule REFUSES (leaves the plan
   * untouched) unless every condition holds:
   *
-  *  - INNER equi-join on exactly ONE key pair, both sides bare column
-  *    references (composite or expression conditions refuse);
+  *  - INNER or LEFT-SEMI equi-join (the latter is how `k IN (SELECT …)`
+  *    plans) on exactly ONE key pair, both sides bare column references
+  *    (composite or expression conditions refuse); ANTI joins never
+  *    prune — they keep exactly the rows a pruned scan would drop;
   *  - the fact side unwraps through attribute/rename Projects and
   *    Filters to a parquet scan of a REGISTERED layout ([[register]]),
   *    and the join key resolves — through any renames — to that
@@ -115,8 +117,22 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
         case j @ Join(left, right, Inner,
             Some(EqualTo(a: AttributeReference, b: AttributeReference)),
             hint) =>
+          // either side may be the fact, and the equality may be written
+          // in either order — try all orientations, first success wins
           tryPrune(j, left, right, a, b)
+            .orElse(tryPrune(j, left, right, b, a))
             .orElse(tryPrune(j, right, left, b, a))
+            .orElse(tryPrune(j, right, left, a, b))
+            .getOrElse(j)
+        case j @ Join(left, right, LeftSemi,
+            Some(EqualTo(a: AttributeReference, b: AttributeReference)),
+            hint) =>
+          // the `k IN (SELECT …)` plan shape: semi output = matching fact
+          // rows only, so the candidate-superset swap stays exact. The
+          // fact is ALWAYS the left side; anti joins must never prune
+          // (they keep exactly the rows a pruned scan would drop).
+          tryPrune(j, left, right, a, b)
+            .orElse(tryPrune(j, left, right, b, a))
             .getOrElse(j)
       } finally inRule.set(false)
     }

@@ -147,6 +147,45 @@ class MultimodalSpec extends SparkSpec {
     assert(again(2L) === s, "stub path must be deterministic")
   }
 
+  test("real MP4 payloads parse through the ISO-BMFF box walk: header beats metadata") {
+    import spark.implicits._
+    // hand-assemble a minimal valid MP4: ftyp + moov(mvhd + trak(tkhd))
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ tpe.getBytes("ISO-8859-1") ++ body
+    val mvhd = box("mvhd", // v0: timescale 1000, duration 7500 -> 7500 ms
+      Array.fill[Byte](12)(0) ++ be32(1000) ++ be32(7500) ++
+        Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd", // v0: width 640, height 360 as 16.16 fixed
+      Array.fill[Byte](76)(0) ++ be32(640L << 16) ++ be32(360L << 16))
+    val mp4 = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    val junk = "not a video at all".getBytes("UTF-8")
+    // metadata deliberately lies (1920x1080, 60 s): the header must win
+    val assets = Seq((1L, mp4), (2L, junk)).toDF("asset_id", "payload")
+      .select(col("asset_id"), lit("video").as("modality"), col("payload"),
+        struct(lit("mp4").as("format"), lit(1920).as("width_px"),
+          lit(1080).as("height_px"), lit(0).as("sample_rate_hz"),
+          lit(60000L).as("duration_ms")).as("meta"))
+    val metas = Multimodal.videoMeta(assets)
+      .collect().map(v => v.assetId -> v).toMap
+    val r = metas(1L)
+    assert(r.decoded, "ISO-BMFF payload must take the real parse path")
+    assert((r.widthPx, r.heightPx) === (640, 360),
+      "dimensions must come from tkhd, not the metadata")
+    assert(r.durationMs === 7500L, "duration must come from mvhd")
+    assert(r.nTracks === 1)
+    // junk payload: deterministic stub, metadata passthrough, flagged
+    val s = metas(2L)
+    assert(!s.decoded)
+    assert((s.widthPx, s.heightPx, s.durationMs) === (1920, 1080, 60000L))
+    val again = Multimodal.videoMeta(assets)
+      .collect().map(v => v.assetId -> v).toMap
+    assert(again(2L) === s, "stub path must be deterministic")
+  }
+
   test("audioFeatures covers every audio asset in the fixture corpus") {
     val feats = Multimodal.audioFeatures(assets)
     val nAudio = assets.filter(col("modality") === "audio").count()

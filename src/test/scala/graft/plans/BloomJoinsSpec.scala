@@ -121,6 +121,24 @@ class BloomJoinsSpec extends SparkSpec
     assert(q.count() === 0L)
   }
 
+  test("IN-subquery (left-semi) fires; NOT IN / anti never prunes") {
+    fact.createOrReplaceTempView("bj_fact")
+    dimOf(3L, 7L).createOrReplaceTempView("bj_dim_semi")
+    val semi = spark.sql(
+      "SELECT * FROM bj_fact WHERE doc_id IN (SELECT id FROM bj_dim_semi)")
+    assert(factFiles(semi) > 0 && factFiles(semi) < 8,
+      semi.queryExecution.optimizedPlan.toString)
+    val exp = withoutRule(sortedRows(spark.sql(
+      "SELECT * FROM bj_fact WHERE doc_id IN (SELECT id FROM bj_dim_semi)")))
+    assert(sortedRows(semi) === exp)
+    // anti: the kept rows are exactly the ones a pruned scan would drop
+    val anti = spark.sql(
+      "SELECT * FROM bj_fact WHERE doc_id NOT IN (SELECT id FROM bj_dim_semi)")
+    assert(factFiles(anti) === 8L,
+      anti.queryExecution.optimizedPlan.toString)
+    assert(anti.count() === 498L)
+  }
+
   test("refuses an unregistered layout") {
     val other = s"$root/unregistered"
     fact.limit(50).write.mode("overwrite").parquet(other)

@@ -6212,6 +6212,43 @@ object Queries {
       Tables.documents(s, dir), isPositive = col("lang") === "en")
   }
 
+  register("text_quality_classifier_bigram", Some(
+    """WITH d AS (SELECT doc_id, (lang = 'en') AS is_positive,
+      |    str_split(text, ' ') AS t FROM documents),
+      |d2 AS (SELECT doc_id, is_positive,
+      |    t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |      AS terms FROM d),
+      |f AS (SELECT doc_id, is_positive,
+      |    unnest(list_transform(terms, x ->
+      |      CAST(('0x' || substring(md5(x), 1, 8)) AS BIGINT) % 4096)) AS bkt
+      |  FROM d2),
+      |bc AS (SELECT bkt, count(*) FILTER (WHERE is_positive) AS pos_n,
+      |    count(*) FILTER (WHERE NOT is_positive) AS neg_n FROM f GROUP BY 1),
+      |tot AS (SELECT sum(pos_n) AS pos_total, sum(neg_n) AS neg_total FROM bc),
+      |lo AS (SELECT bkt,
+      |    ln((pos_n + 0.5) / (pos_total + 0.5 * 4096)) -
+      |    ln((neg_n + 0.5) / (neg_total + 0.5 * 4096)) AS lo
+      |  FROM bc CROSS JOIN tot),
+      |w AS (SELECT doc_id, count(*) AS n_toks,
+      |    round(CAST(sum(CAST(lo AS DECIMAL(38,9))) AS DOUBLE) / count(*), 6)
+      |      AS nb_logodds
+      |  FROM f JOIN lo USING (bkt) GROUP BY 1)
+      |SELECT d.doc_id, d.is_positive,
+      |  coalesce(w.n_toks, 0) AS n_toks,
+      |  coalesce(w.nb_logodds, 0.0) AS nb_logodds
+      |FROM d LEFT JOIN w USING (doc_id)""".stripMargin)) { (s, dir) =>
+    // The bigram sibling of text_quality_classifier: same generative NB,
+    // wordNgrams=2 hashed features — the transition signal that separates
+    // sources whose unigram profiles coincide (the signal the r10 LR
+    // rework exploits), still one aggregation pass, still fully
+    // SQL-expressible: TRAINING over unigram+bigram features is replayed
+    // in DuckDB (bigrams via list_transform over the token array) and the
+    // whole classifier sits under the hash gate.
+    graft.functions.Classifier.nbSeedScore(
+      Tables.documents(s, dir), isPositive = col("lang") === "en",
+      wordNgrams = 2)
+  }
+
   register("text_quality_classifier_lr", None) { (s, dir) =>
     // The iterative sibling: fastText-style logistic regression over
     // hashed unigram+bigram features (wordNgrams=2 — bigrams carry the

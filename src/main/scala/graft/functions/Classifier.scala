@@ -25,6 +25,20 @@ object Classifier {
     pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"),
       lit(nBuckets.toLong))
 
+  /** Unigrams ++ space-joined n-grams up to `wordNgrams`, built
+    * scan-local over the token array (terms bucket to longs in the same
+    * projection — no string ever shuffles). */
+  private def termsOf(textCol: String, wordNgrams: Int): Column = {
+    val toks = TextFunctions.tokens(col(textCol))
+    (1 to wordNgrams).map { n =>
+      if (n == 1) toks
+      else transform(
+        slice(toks, lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+        (t, i) => concat_ws(" ",
+          (Seq(t) ++ (2 to n).map(k => element_at(toks, i + lit(k)))): _*))
+    }.reduce(concat(_, _))
+  }
+
   /** Decimal-routed deterministic sum (order-free accumulation). */
   private def dsum(c: Column, scale: Int) =
     sum(c.cast(s"decimal(38,$scale)")).cast("double")
@@ -53,18 +67,26 @@ object Classifier {
     *
     * `isPositive` marks the seed slice (e.g. `col("source") === "wiki"`).
     * Docs with no tokens (null text) surface with n_toks = 0, score 0.0.
+    * `wordNgrams` > 1 adds hashed word n-gram features exactly as
+    * [[lrSeedScore]] does (the transition signal a bag of unigrams
+    * cannot see); n_toks then counts FEATURES (unigrams + n-grams) and
+    * the score is the mean per-FEATURE log-odds — still
+    * length-invariant, still fully SQL-expressible.
     *
     * Output: (idCol, is_positive, n_toks, nb_logodds). */
   def nbSeedScore(docs: DataFrame, isPositive: Column,
                   nBuckets: Int = 4096, smoothing: Double = 0.5,
+                  wordNgrams: Int = 1,
                   idCol: String = "doc_id",
                   textCol: String = "text"): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1 (got $nBuckets)")
     require(smoothing > 0.0, s"smoothing must be > 0 (got $smoothing)")
+    require(wordNgrams >= 1 && wordNgrams <= 3,
+      s"wordNgrams must be in [1, 3] (got $wordNgrams)")
     val flagged = docs.withColumn("__pos", isPositive)
     val toks = flagged
       .select(col(idCol), col("__pos"),
-        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+        explode(termsOf(textCol, wordNgrams)).as("__tok"))
       .select(col(idCol), col("__pos"),
         bucketOf(col("__tok"), nBuckets).as("__bkt"))
     val counts = toks.groupBy(col("__bkt"))
@@ -151,23 +173,13 @@ object Classifier {
     import spark.implicits._
 
     val flagged = docs.withColumn("__pos", isPositive)
-    // Terms = unigrams ++ space-joined n-grams up to wordNgrams, built
-    // scan-local over the token array (no string ever shuffles — terms
-    // bucket to longs in the same projection).
-    val toks = TextFunctions.tokens(col(textCol))
-    val terms = (1 to wordNgrams).map { n =>
-      if (n == 1) toks
-      else transform(
-        slice(toks, lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-        (t, i) => concat_ws(" ",
-          (Seq(t) ++ (2 to n).map(k => element_at(toks, i + lit(k)))): _*))
-    }.reduce(concat(_, _))
     // (doc, bucket, x) feature triples + per-doc label; checkpointed —
     // every epoch re-reads them, and at fixture scale the cache is tiny
     // while at 100 TB a real deployment would persist this projection
     // once.
     val feats = flagged
-      .select(col(idCol), col("__pos"), explode(terms).as("__tok"))
+      .select(col(idCol), col("__pos"),
+        explode(termsOf(textCol, wordNgrams)).as("__tok"))
       .select(col(idCol), col("__pos"),
         bucketOf(col("__tok"), nBuckets).as("__bkt"))
       .groupBy(col(idCol), col("__pos"), col("__bkt"))

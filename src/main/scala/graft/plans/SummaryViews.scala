@@ -431,20 +431,20 @@ final case class RewriteToSummary(spark: SparkSession)
             case al @ Alias(ae @ AggregateExpression(
                   Count(cs), _, true, None, _), name)
                 if view.countCol.isDefined && cs.nonEmpty &&
-                  cs.forall {
-                    case a: AttributeReference => view.keyCols.contains(a.name)
-                    case _ => false
-                  } =>
-              // COUNT(DISTINCT key cols): every LIVE summary row is one
-              // distinct key combination, so distinct-over-keys is a
-              // distinct count of the summary's own key values — exact
+                  cs.forall(c => groupingServable(view, inline(c))) =>
+              // COUNT(DISTINCT key cols — or deterministic expressions
+              // over them, same commuting argument as the groupings):
+              // every LIVE summary row is one distinct key combination,
+              // so distinct-over-f(keys) counts the same value set over
+              // the summary's key values as over the base rows — exact
               // only under the liveness filter below (a fully-deleted
               // group's row lingers in state with count 0). Count keeps
-              // LongType: no cast. Multi-arg COUNT(DISTINCT a, b) skips
-              // rows with any NULL arg on both sides — same semantics.
-              val mappedArgs: Seq[Expression] = cs.map {
-                case a: AttributeReference => stateAttr(a.name)
-              }
+              // LongType: no cast. NULL args skip rows identically on
+              // both sides (f is deterministic).
+              val mappedArgs: Seq[Expression] = cs.map(c =>
+                inline(c).transform {
+                  case a: AttributeReference => stateAttr(a.name)
+                })
               Some(Alias(ae.copy(aggregateFunction = Count(mappedArgs)),
                 name)(exprId = al.exprId))
             case _ => None

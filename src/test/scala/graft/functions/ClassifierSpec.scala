@@ -56,6 +56,30 @@ class ClassifierSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Classifier.nbSeedScore(seedDocs, col("lbl"), smoothing = 0.0)
     }
+    intercept[IllegalArgumentException] {
+      Classifier.nbSeedScore(seedDocs, col("lbl"), wordNgrams = 4)
+    }
+  }
+
+  test("nbSeedScore wordNgrams=2 widens the en/zh log-odds gap on the " +
+    "transition-signal corpus") {
+    // the fixture's languages share one small vocabulary and differ
+    // mostly in token TRANSITIONS: bigram features must separate the
+    // class means more than unigram features do
+    val docs = graft.Tables.documents(spark, sfTiny)
+    def gap(n: Int): Double = {
+      val scored = Classifier.nbSeedScore(docs, col("lang") === "en",
+          wordNgrams = n)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(avg("nb_logodds").as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      scored("en") - scored("zh")
+    }
+    val uni = gap(1)
+    val bi = gap(2)
+    assert(bi > 0, s"bigram NB must separate en from zh (gap $bi)")
+    assert(bi > uni * 2,
+      s"bigram gap $bi should dwarf the unigram gap $uni")
   }
 
   test("lrSeedScore learns the separable fixture to 100% training accuracy") {

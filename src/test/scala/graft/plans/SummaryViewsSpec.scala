@@ -401,6 +401,21 @@ class SummaryViewsSpec extends SparkSpec
     assert(global.head.getLong(0) === 6L)
   }
 
+  test("COUNT(DISTINCT expr-of-keys) fires; SELECT DISTINCT keys is served " +
+    "from the summary's key values") {
+    // distinct over a key-derived expression: distinct substring values
+    // over live summary rows == over base rows (f deterministic)
+    val rows = assertParity(
+      base.groupBy("k1")
+        .agg(countDistinct(concat(col("k1"), col("k2"))).as("nkk")),
+      expectFired = true)
+    assert(rows.forall(_.getLong(1) === 2L))
+    // SELECT DISTINCT over key columns is an Aggregate with no aggregate
+    // functions — served straight from the summary's live key values
+    assertParity(base.select("k1", "k2").distinct(), expectFired = true)
+    assertParity(base.select("k1").distinct(), expectFired = true)
+  }
+
   test("COUNT(DISTINCT) refuses non-key columns and count-less views") {
     // d is maintained as a sum, but distinct d is not answerable from a
     // (k1, k2)-keyed summary

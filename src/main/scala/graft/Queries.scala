@@ -1555,6 +1555,55 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  register("layout_bloom_auto_pointlookup", Some(
+    """SELECT doc_id, source, lang, n_chars FROM documents
+      |WHERE doc_id IN (SELECT doc_id FROM documents
+      |                 ORDER BY doc_id LIMIT 5)
+      |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    // The OPTIMIZER-tier sibling of layout_bloom_pointlookup: the user
+    // writes a PLAIN IN-list filter — no BloomIndex API — and the
+    // registered graft.plans.BloomJoins rule swaps the scan for the
+    // candidate files (the Filter stays above, so fpp noise re-filters
+    // exactly). REQUIREs that the optimized plan reads fewer files than
+    // the layout holds.
+    val path = s"$sinkRoot/layout_bloom_auto_pl-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val docs = Tables.table(s, dir, "documents")
+    docs.repartition(16)
+      .write.mode("overwrite").parquet(path)
+    graft.sources.BloomIndex.write(s, path, Seq("doc_id"),
+      expectedItemsPerFile = 100000, fpp = 0.01)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    graft.plans.BloomJoins.register(graft.plans.BloomJoins.Layout(
+      path, "doc_id"))
+    graft.plans.BloomJoins.install(s)
+    try {
+      val q = s.read.parquet(path)
+        .where(col("doc_id").isin(ids: _*)) // the PLAIN spelling
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      val totalFiles = s.read.parquet(s"$path/_bloomindex").count()
+      val factFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(_.toString.contains(
+                  "layout_bloom_auto_pl")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(factFiles > 0 && factFiles < totalFiles,
+        s"layout_bloom_auto_pointlookup: expected the RULE to skip files " +
+          s"($factFiles of $totalFiles)")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.BloomJoins.uninstall(s)
+      graft.plans.BloomJoins.unregister(path)
+    }
+  }
+
   register("layout_hilbert_events", Some(
     s"""WITH zin AS (
        |  SELECT (user_id & 255) AS a,

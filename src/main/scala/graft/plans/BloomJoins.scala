@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, NamedExpression}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, In, InSet, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -19,7 +20,13 @@ import graft.sources.BloomIndex
   * the per-file Bloom probe and reads only the files that can hold a
   * matching key. At 100 TB this is the star-join point-lookup shape: a
   * dimension filtered to thousands of keys touches a sliver of the fact
-  * layout's files, and scan cost follows the sliver.
+  * layout's files, and scan cost follows the sliver. LITERAL point
+  * lookups get the same treatment: a plain `WHERE key IN (…)` /
+  * `key = lit` over a registered layout (any top-level conjunct that
+  * pins the indexed column to literals, including the optimizer's InSet
+  * form) swaps the scan for the candidate files while the Filter stays
+  * above it — `BloomIndex.prunedRead` ergonomics for users who only
+  * speak SQL.
   *
   * Scope is deliberately TIGHT — the rule REFUSES (leaves the plan
   * untouched) unless every condition holds:
@@ -134,8 +141,74 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
           tryPrune(j, left, right, a, b)
             .orElse(tryPrune(j, left, right, b, a))
             .getOrElse(j)
+        case fl @ Filter(cond, rel: LogicalRelation) =>
+          // LITERAL point lookups — `key IN (…)` / `key = lit` spelled as
+          // plain SQL over a registered layout: a top-level conjunct that
+          // pins the indexed column to literals bounds the matching rows
+          // to the files whose filters fire; the Filter itself stays
+          // above the swapped scan, so false positives are re-filtered
+          // exactly. OR-branches never prune (only top-level conjuncts
+          // are inspected).
+          tryPruneScan(fl, cond, rel).getOrElse(fl)
       } finally inRule.set(false)
     }
+
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
+    case other => Seq(other)
+  }
+
+  /** Literal values a top-level conjunct pins `key` to — the smallest
+    * such list (any pinning conjunct yields a sound candidate superset).
+    * NULL literals are dropped: `key = NULL` / `IN (…, NULL)` never
+    * match rows, so they need no candidate files. */
+  private def pinnedValues(cond: Expression,
+                           key: AttributeReference): Option[Seq[Any]] = {
+    val toScala = CatalystTypeConverters.createToScalaConverter(key.dataType)
+    val lists = conjunctsOf(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal)
+          if a.exprId == key.exprId => Some(Seq(l.value))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if a.exprId == key.exprId => Some(Seq(l.value))
+      case In(a: AttributeReference, vs)
+          if a.exprId == key.exprId &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.map(_.asInstanceOf[Literal].value))
+      case InSet(a: AttributeReference, hset)
+          if a.exprId == key.exprId => Some(hset.toSeq)
+      case _ => None
+    }
+    if (lists.isEmpty) None
+    else Some(lists.minBy(_.length)
+      .filter(_ != null).map(toScala))
+  }
+
+  /** Swap a registered relation under a literal-pinned Filter for the
+    * candidate-files scan; None refuses (unregistered, no pinning
+    * conjunct, list wider than maxKeys, probe failure). */
+  private def tryPruneScan(fl: Filter, cond: Expression,
+                           rel: LogicalRelation): Option[LogicalPlan] = {
+    val layout = rel.relation match {
+      case fs: HadoopFsRelation =>
+        forPaths(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+    layout.flatMap { l =>
+      rel.output.find(a => a.name == l.col).flatMap { key =>
+        pinnedValues(cond, key).flatMap { values =>
+          if (values.length > l.maxKeys) None
+          else if (values.isEmpty)
+            // every pinned literal was NULL: no row can match
+            Some(fl.copy(child = LocalRelation(rel.output)))
+          else try {
+            val files = BloomIndex.candidateFiles(
+              spark, l.factPath, l.col, values)
+            swappedScan(rel, files).map(s => fl.copy(child = s))
+          } catch { case _: Exception => None }
+        }
+      }
+    }
+  }
 
   /** Swap the registered relation under `factSide` for a candidate-files
     * scan driven by `dimSide`'s distinct keys; None refuses. */
@@ -212,25 +285,31 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
       else if (hashes.isEmpty)
         // no live dim keys: the inner join is empty — exact
         Some(LocalRelation(rel.output))
-      else {
-        val files = BloomIndex.candidateFilesForHashes(
-          spark, layout.factPath, layout.col, hashes)
-        if (files.isEmpty) Some(LocalRelation(rel.output))
-        else {
-          val scan = graft.sources.Manifests
-            .batchedRead(spark, files.iterator)
-            .get.queryExecution.analyzed
-          val byName = scan.output.map(a => a.name -> a).toMap
-          // every original column must exist in the pruned scan (same
-          // files, same schema) — refuse on any surprise
-          if (!rel.output.forall(o => byName.contains(o.name))) None
-          else {
-            val restored: Seq[NamedExpression] = rel.output.map(o =>
-              Alias(byName(o.name), o.name)(exprId = o.exprId))
-            Some(Project(restored, scan))
-          }
-        }
-      }
+      else swappedScan(rel,
+        BloomIndex.candidateFilesForHashes(
+          spark, layout.factPath, layout.col, hashes))
     } catch { case _: Exception => None } // probe failed: refuse, not crash
+  }
+
+  /** A scan of exactly `files`, re-aliased under `rel`'s original output
+    * ids (parents never see the substitution); empty file list collapses
+    * to an exact empty LocalRelation. */
+  private def swappedScan(rel: LogicalRelation,
+                          files: Seq[String]): Option[LogicalPlan] = {
+    if (files.isEmpty) Some(LocalRelation(rel.output))
+    else {
+      val scan = graft.sources.Manifests
+        .batchedRead(spark, files.iterator)
+        .get.queryExecution.analyzed
+      val byName = scan.output.map(a => a.name -> a).toMap
+      // every original column must exist in the pruned scan (same
+      // files, same schema) — refuse on any surprise
+      if (!rel.output.forall(o => byName.contains(o.name))) None
+      else {
+        val restored: Seq[NamedExpression] = rel.output.map(o =>
+          Alias(byName(o.name), o.name)(exprId = o.exprId))
+        Some(Project(restored, scan))
+      }
+    }
   }
 }

@@ -139,6 +139,51 @@ class BloomJoinsSpec extends SparkSpec
     assert(anti.count() === 498L)
   }
 
+  test("literal IN / = filters prune the scan; OR branches never do") {
+    val all = withoutRule(sortedRows(
+      fact.where(col("doc_id").isin(3L, 7L, 11L))))
+    // IN over the indexed column: scan swapped, filter stays, answer exact
+    val q = fact.where(col("doc_id").isin(3L, 7L, 11L))
+    assert(factFiles(q) > 0 && factFiles(q) < 8,
+      q.queryExecution.optimizedPlan.toString)
+    assert(sortedRows(q) === all)
+    // single equality, spelled through SQL
+    fact.createOrReplaceTempView("bj_fact")
+    val eq = spark.sql("SELECT lang FROM bj_fact WHERE doc_id = 7")
+    assert(factFiles(eq) > 0 && factFiles(eq) < 8)
+    assert(eq.count() === 1L)
+    // a conjunct on another column rides along (still prunes, still exact)
+    val conj = fact.where(col("doc_id").isin(3L, 7L) && col("lang").isNotNull)
+    assert(factFiles(conj) < 8)
+    assert(conj.count() === 2L)
+    // an OR involving the key must NOT prune: the other branch admits
+    // rows in any file
+    val or = fact.where(col("doc_id") === 3L || col("lang") === "en")
+    assert(factFiles(or) === 8L,
+      or.queryExecution.optimizedPlan.toString)
+    // a large IN list goes through the optimizer's InSet form and still
+    // prunes (cap permitting)
+    val big = (1L to 15L).toSeq
+    val inset = fact.where(col("doc_id").isin(big: _*))
+    assert(factFiles(inset) < 8)
+    assert(inset.count() === withoutRule(
+      fact.where(col("doc_id").isin(big: _*)).count()))
+  }
+
+  test("literal pruning: NULL-only pins collapse to empty; non-key " +
+    "columns and over-wide lists refuse") {
+    val nullPin = fact.where(col("doc_id") === lit(null).cast("long"))
+    assert(nullPin.count() === 0L)
+    // literal filter on a non-indexed column: plain scan
+    val nonKey = fact.where(col("lang") === "en")
+    assert(factFiles(nonKey) === 8L)
+    BloomJoins.register(BloomJoins.Layout(factPath, "doc_id", maxKeys = 2))
+    try {
+      val wide = fact.where(col("doc_id").isin(1L, 2L, 3L, 4L))
+      assert(factFiles(wide) === 8L, "over-wide IN must refuse")
+    } finally BloomJoins.register(BloomJoins.Layout(factPath, "doc_id"))
+  }
+
   test("refuses an unregistered layout") {
     val other = s"$root/unregistered"
     fact.limit(50).write.mode("overwrite").parquet(other)

@@ -1555,6 +1555,55 @@ object Queries {
       .orderBy(col("doc_id"))
   }
 
+  register("layout_zonemap_auto_range", Some(
+    """SELECT count(*) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE value >= 100 AND value <= 200""".stripMargin)) {
+    (s, dir) =>
+      // The OPTIMIZER-tier sibling of layout_zonemap_events: the user
+      // writes a PLAIN range filter — no ZoneMap API — and the registered
+      // graft.plans.BloomJoins zone rule swaps the scan for the files
+      // whose min/max zone intersects (the two BETWEEN conjuncts probe
+      // independently and their candidate sets intersect; the Filter
+      // stays above, so zone false-positives re-filter exactly).
+      // REQUIREs that the optimized plan reads fewer files than the
+      // layout holds.
+      val path = s"$sinkRoot/layout_zonemap_auto_range-${
+        dir.replaceAll("[^0-9.]", "")}"
+      Tables.events(s, dir).repartitionByRange(16, col("value"))
+        .write.mode("overwrite").parquet(path)
+      graft.sources.ZoneMap.write(s, path, Seq("value"))
+      graft.plans.BloomJoins.registerZone(graft.plans.BloomJoins.ZoneLayout(
+        path, "value"))
+      graft.plans.BloomJoins.install(s)
+      try {
+        val q = s.read.parquet(path)
+          .where(col("value") >= 100.0 && col("value") <= 200.0) // PLAIN
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            dsum(col("value")).as("sum_value"))
+        val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+        val factFiles = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if f.location.rootPaths.exists(_.toString.contains(
+                    "layout_zonemap_auto_range")) =>
+                f.location.inputFiles.length.toLong
+              case _ => 0L
+            }
+        }.sum
+        require(factFiles > 0 && factFiles < totalFiles,
+          s"layout_zonemap_auto_range: expected the RULE to skip files " +
+            s"($factFiles of $totalFiles)")
+        q.localCheckpoint()
+      } finally {
+        graft.plans.BloomJoins.uninstall(s)
+        graft.plans.BloomJoins.unregisterZone(path)
+      }
+  }
+
   register("layout_bloom_auto_pointlookup", Some(
     """SELECT doc_id, source, lang, n_chars FROM documents
       |WHERE doc_id IN (SELECT doc_id FROM documents

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, In, InSet, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -26,7 +26,15 @@ import graft.sources.BloomIndex
   * pins the indexed column to literals, including the optimizer's InSet
   * form) swaps the scan for the candidate files while the Filter stays
   * above it — `BloomIndex.prunedRead` ergonomics for users who only
-  * speak SQL.
+  * speak SQL. RANGE predicates get the zone-map analog: register a
+  * zone-mapped layout ([[registerZone]]) and a plain
+  * `WHERE col BETWEEN …` / `col >= lit` (any top-level range or
+  * equality conjunct on the zoned column; open-ended bounds allowed)
+  * swaps the scan for the files whose min/max zone intersects —
+  * `ZoneMap.prunedRead` ergonomics, same exactness argument (the
+  * Filter stays above; strict bounds probe the closed interval, a
+  * sound superset). Multiple pinned conjuncts/columns INTERSECT their
+  * candidate sets.
   *
   * Scope is deliberately TIGHT — the rule REFUSES (leaves the plan
   * untouched) unless every condition holds:
@@ -71,19 +79,32 @@ object BloomJoins {
   final case class Layout(factPath: String, col: String,
                           maxKeys: Int = 100000)
 
+  /** A zone-mapped fact layout opted into automatic range-scan pruning.
+    * `factPath` must carry a `_zonemap` manifest on `col`. */
+  final case class ZoneLayout(factPath: String, col: String)
+
   private val layouts =
     new java.util.concurrent.ConcurrentHashMap[String, Layout]()
+  private val zones =
+    new java.util.concurrent.ConcurrentHashMap[String, List[ZoneLayout]]()
 
   private def norm(p: String): String =
     p.stripSuffix("/").replaceFirst("^file:", "")
 
   def register(l: Layout): Unit = layouts.put(norm(l.factPath), l)
   def unregister(factPath: String): Unit = layouts.remove(norm(factPath))
-  def clear(): Unit = layouts.clear()
-  def isEmpty: Boolean = layouts.isEmpty
+  def registerZone(l: ZoneLayout): Unit =
+    zones.compute(norm(l.factPath), (_, cur) =>
+      Option(cur).getOrElse(Nil).filterNot(_.col == l.col) :+ l)
+  def unregisterZone(factPath: String): Unit = zones.remove(norm(factPath))
+  def clear(): Unit = { layouts.clear(); zones.clear() }
+  def isEmpty: Boolean = layouts.isEmpty && zones.isEmpty
 
   private[plans] def forPaths(paths: Seq[String]): Option[Layout] =
     paths.map(norm).flatMap(p => Option(layouts.get(p))).headOption
+
+  private[plans] def zonesForPaths(paths: Seq[String]): Seq[ZoneLayout] =
+    paths.map(norm).flatMap(p => Option(zones.get(p)).getOrElse(Nil))
 
   /** Install on an existing session (the extensions hook only runs at
     * construction). Idempotent. */
@@ -148,8 +169,11 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
           // to the files whose filters fire; the Filter itself stays
           // above the swapped scan, so false positives are re-filtered
           // exactly. OR-branches never prune (only top-level conjuncts
-          // are inspected).
-          tryPruneScan(fl, cond, rel).getOrElse(fl)
+          // are inspected). Range conjuncts route through the zone-map
+          // registry the same way.
+          tryPruneScan(fl, cond, rel)
+            .orElse(tryPruneZoneScan(fl, cond, rel))
+            .getOrElse(fl)
       } finally inRule.set(false)
     }
 
@@ -288,6 +312,68 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
       else swappedScan(rel,
         BloomIndex.candidateFilesForHashes(
           spark, layout.factPath, layout.col, hashes))
+    } catch { case _: Exception => None } // probe failed: refuse, not crash
+  }
+
+  /** (lo, hi) interval bounds a top-level conjunct pins `key` into —
+    * None = open on that side. Strict bounds map to the closed interval
+    * (a sound candidate superset; the Filter above is exact). NULL
+    * literals never match a range comparison and are skipped. */
+  private def rangeBounds(cond: Expression, key: AttributeReference)
+      : Seq[(Option[Any], Option[Any])] = {
+    val toScala = CatalystTypeConverters.createToScalaConverter(key.dataType)
+    def v(l: Literal): Any = toScala(l.value)
+    conjunctsOf(cond).flatMap {
+      case _ @ (GreaterThan(_, Literal(null, _)) |
+                LessThan(_, Literal(null, _)) |
+                GreaterThanOrEqual(_, Literal(null, _)) |
+                LessThanOrEqual(_, Literal(null, _)) |
+                EqualTo(_, Literal(null, _))) => None
+      case GreaterThan(a: AttributeReference, l: Literal)
+          if a.exprId == key.exprId => Some((Some(v(l)), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+          if a.exprId == key.exprId => Some((Some(v(l)), None))
+      case LessThan(a: AttributeReference, l: Literal)
+          if a.exprId == key.exprId => Some((None, Some(v(l))))
+      case LessThanOrEqual(a: AttributeReference, l: Literal)
+          if a.exprId == key.exprId => Some((None, Some(v(l))))
+      case GreaterThan(l: Literal, a: AttributeReference)
+          if a.exprId == key.exprId => Some((None, Some(v(l))))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+          if a.exprId == key.exprId => Some((None, Some(v(l))))
+      case LessThan(l: Literal, a: AttributeReference)
+          if a.exprId == key.exprId => Some((Some(v(l)), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference)
+          if a.exprId == key.exprId => Some((Some(v(l)), None))
+      case EqualTo(a: AttributeReference, l: Literal)
+          if a.exprId == key.exprId => Some((Some(v(l)), Some(v(l))))
+      case EqualTo(l: Literal, a: AttributeReference)
+          if a.exprId == key.exprId => Some((Some(v(l)), Some(v(l))))
+      case _ => None
+    }
+  }
+
+  /** Swap a zone-registered relation under a range-pinned Filter for the
+    * zone-intersecting files; multiple pinned conjuncts/columns
+    * INTERSECT their candidate sets. None refuses. */
+  private def tryPruneZoneScan(fl: Filter, cond: Expression,
+                               rel: LogicalRelation): Option[LogicalPlan] = {
+    val zls = rel.relation match {
+      case fs: HadoopFsRelation =>
+        zonesForPaths(fs.location.rootPaths.map(_.toString))
+      case _ => Nil
+    }
+    if (zls.isEmpty) None
+    else try {
+      val sets = for {
+        zl <- zls
+        key <- rel.output.find(_.name == zl.col).toSeq
+        (lo, hi) <- rangeBounds(cond, key)
+      } yield graft.sources.ZoneMap.candidateFilesBounded(
+        spark, zl.factPath, zl.col, lo, hi).toSet
+      if (sets.isEmpty) None
+      else swappedScan(rel, sets.reduce(_ intersect _).toSeq.sorted)
+        .map(s => fl.copy(child = s))
     } catch { case _: Exception => None } // probe failed: refuse, not crash
   }
 

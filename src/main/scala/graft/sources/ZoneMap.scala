@@ -142,6 +142,27 @@ object ZoneMap {
     m.select("file").collect().map(_.getString(0)).toSeq
   }
 
+  /** Candidate files for an OPTIONALLY-OPEN interval (None = unbounded
+    * on that side) — the probe leg of the
+    * [[graft.plans.RewriteToBloomPrunedJoin]] optimizer rule's range
+    * case. Files whose zone cells are all-NULL never match a range
+    * predicate (range comparisons are null-rejecting), so the
+    * min-isNotNull guard is exact. */
+  private[graft] def candidateFilesBounded(spark: SparkSession,
+                                           path: String, c: String,
+                                           lo: Option[Any], hi: Option[Any],
+                                           parts: Seq[String] = Nil)
+      : Seq[String] = {
+    val m = spark.read.parquet(s"$path/_zonemap")
+    val sharded =
+      if (parts.isEmpty) m else m.filter(col("part_dir").isin(parts: _*))
+    val loC = lo.map(v => col(s"${c}_max") >= lit(v)).getOrElse(lit(true))
+    val hiC = hi.map(v => col(s"${c}_min") <= lit(v)).getOrElse(lit(true))
+    sharded.filter(col(s"${c}_min").isNotNull && loC && hiC)
+      .select("part_dir", "file").sort("part_dir", "file")
+      .collect().map(_.getString(1)).toSeq
+  }
+
   private def zoneFilter(spark: SparkSession, path: String, c: String,
                          lo: Any, hi: Any, parts: Seq[String]): DataFrame = {
     val m = spark.read.parquet(s"$path/_zonemap")

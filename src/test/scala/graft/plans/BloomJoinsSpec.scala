@@ -184,6 +184,57 @@ class BloomJoinsSpec extends SparkSpec
     } finally BloomJoins.register(BloomJoins.Layout(factPath, "doc_id"))
   }
 
+  test("zone-registered range filters prune: BETWEEN, open-ended, " +
+    "intersection; OR and unregistered columns refuse") {
+    val zpath = s"$root/zfact"
+    // range-cluster on doc_id so zones are tight
+    Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang", "n_chars")
+      .repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(zpath)
+    graft.sources.ZoneMap.write(spark, zpath, Seq("doc_id", "n_chars"))
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(zpath, "doc_id"))
+    def zfiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(_.toString.contains("zfact")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+    def z = spark.read.parquet(zpath)
+    try {
+      // closed interval: two conjuncts intersect to the holding files
+      val between = z.where(col("doc_id") >= 100L && col("doc_id") <= 140L)
+      assert(zfiles(between) > 0 && zfiles(between) < 8,
+        between.queryExecution.optimizedPlan.toString)
+      val exp = withoutRule(sortedRows(
+        z.where(col("doc_id") >= 100L && col("doc_id") <= 140L)))
+      assert(sortedRows(between) === exp)
+      // open-ended bound prunes too (strict > probes the closed interval)
+      val open = z.where(col("doc_id") > 450L)
+      assert(zfiles(open) > 0 && zfiles(open) < 8)
+      assert(open.count() === withoutRule(
+        z.where(col("doc_id") > 450L).count()))
+      // a second zoned column intersects its candidate set with the first
+      BloomJoins.registerZone(BloomJoins.ZoneLayout(zpath, "n_chars"))
+      val both = z.where(col("doc_id") <= 80L && col("n_chars") >= 0)
+      assert(zfiles(both) > 0 && zfiles(both) < 8)
+      assert(both.count() === withoutRule(
+        z.where(col("doc_id") <= 80L && col("n_chars") >= 0).count()))
+      // OR involving the zoned column must not prune
+      val or = z.where(col("doc_id") <= 10L || col("lang") === "en")
+      assert(zfiles(or) === 8L)
+      // a range on an unregistered column alone must not prune
+      BloomJoins.unregisterZone(zpath)
+      BloomJoins.registerZone(BloomJoins.ZoneLayout(zpath, "n_chars"))
+      val unreg = z.where(col("doc_id") <= 10L)
+      assert(zfiles(unreg) === 8L)
+    } finally BloomJoins.unregisterZone(zpath)
+  }
+
   test("refuses an unregistered layout") {
     val other = s"$root/unregistered"
     fact.limit(50).write.mode("overwrite").parquet(other)

@@ -61,7 +61,13 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // two cost classes (Queries.fixedCost): write-once builds / iterative
+    // trainers vs per-row throughput — pair-trend analysis and the
+    // baseline gate read them separately
+    val fixedTotal = results.collect {
+      case (k, v) if v >= 0 && Queries.fixedCost(k) => v }.sum
+    val perRowTotal = total - fixedTotal
+    println(s"""{"metric":"total","value":$total,"unit":"sec","fixed_cost_total":$fixedTotal,"per_row_total":$perRowTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

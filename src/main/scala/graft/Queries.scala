@@ -687,6 +687,76 @@ object Queries {
     }
   }
 
+  register("agg_mv_rewrite_join", Some(
+    """WITH dim AS (SELECT DISTINCT lang AS d_lang,
+      |  substring(lang, 1, 1) AS tier FROM documents)
+      |SELECT d.tier, CAST(sum(f.n_chars) AS BIGINT) AS sum_chars,
+      |  count(*) AS n_docs
+      |FROM documents f JOIN dim d ON f.lang = d.d_lang
+      |WHERE f.source <> 'web'
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // STAR-SCHEMA MV rewrite, end-to-end: an aggregate over
+    // `fact ⋈ dim` grouped by a DIM attribute is served from
+    // `Join(summary, dim)` — exact because every fact-side reference
+    // (join key, WHERE, groupings) resolves to view KEY columns, so all
+    // rows of a key group pass the join together and the summary row
+    // stands in for the group (N:M-safe; see SummaryViews scaladoc). The
+    // dim here is itself a DISTINCT over the base — served by the
+    // single-base rewrite — so the REQUIRE below demands the optimized
+    // plan read the summary state and NOT touch the base table at all:
+    // two rewrite tiers compose in one plan, and the driver hashes the
+    // result against DuckDB over the raw table. At 100 TB the dashboard
+    // join pays O(keys), zero base I/O.
+    val base = Tables.path(dir, "documents")
+    val path = s"$sinkRoot/agg_mv_rewrite_join-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val deltas = s.read.parquet(base).select(col("lang"), col("source"),
+      col("n_chars").cast("long").as("n_chars"), lit(1L).as("n_docs"),
+      pmod(col("doc_id"), lit(2)).as("__chunk"))
+    (0L to 1L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("lang", "source"), sumCols = Seq("n_chars", "n_docs"),
+        nBuckets = 8, batchId = i)
+    }
+    graft.plans.SummaryViews.register(graft.plans.SummaryViews.View(
+      base, path, Seq("lang", "source"), Set("n_chars"), Some("n_docs")))
+    graft.plans.SummaryViews.install(s)
+    try {
+      val f = s.read.parquet(base)
+      val dim = s.read.parquet(base)
+        .select(col("lang").as("d_lang"),
+          substring(col("lang"), 1, 1).as("tier"))
+        .distinct()
+      val q = f.where(col("source") =!= "web")
+        .join(dim, f("lang") === dim("d_lang"))
+        .groupBy("tier")
+        .agg(sum(col("n_chars")).as("sum_chars"),
+          count(lit(1)).as("n_docs"))
+      val rels = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case hf: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              hf.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      require(rels.exists(p => p.contains("agg_mv_rewrite_join") &&
+          p.endsWith("/state")),
+        "agg_mv_rewrite_join: the star-schema rewrite did not fire")
+      require(!rels.exists(_.contains("documents")),
+        "agg_mv_rewrite_join: the plan still reads the BASE table — " +
+          "both rewrite tiers must compose to summary-only I/O")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.SummaryViews.uninstall(s)
+      graft.plans.SummaryViews.unregister(base)
+    }
+  }
+
   register("join_bloom_pruned", Some(
     """SELECT l.l_returnflag, count(*) AS n_items,
       |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
@@ -789,6 +859,73 @@ object Queries {
       require(factFiles > 0 && factFiles < totalFiles,
         s"join_bloom_pruned_auto: expected the RULE to skip files " +
           s"($factFiles of $totalFiles)")
+      joined.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+            .as("revenue"))
+        .localCheckpoint()
+    } finally {
+      graft.plans.BloomJoins.uninstall(s)
+      graft.plans.BloomJoins.unregister(path)
+    }
+  }
+
+  register("join_bloom_pruned_composite", Some(
+    """SELECT l.l_returnflag, count(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN (SELECT l_orderkey AS k1, l_partkey AS k2 FROM lineitem
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_partkey
+      |      LIMIT 5) d
+      |  ON l.l_orderkey = d.k1 AND l.l_partkey = d.k2
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // COMPOSITE-key bloom pruning under the oracle: the layout carries
+    // per-file filters on BOTH join columns, the two-key equi-join probes
+    // each and INTERSECTS the candidate sets (each set is a superset of
+    // the files holding its column's matches, so the intersection is a
+    // superset of the files holding rows matching both — sound). The dim
+    // is a top-5 whose ordering includes both keys — the Limit carve-out
+    // certifies each collected key set. REQUIREs fewer files read than
+    // the layout holds.
+    val path = s"$sinkRoot/join_bloom_composite-${
+      dir.replaceAll("[^0-9.]", "")}"
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey", "l_returnflag",
+        "l_extendedprice", "l_discount")
+      .repartition(16, col("l_orderkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.BloomIndex.write(s, path,
+      Seq("l_orderkey", "l_partkey"),
+      expectedItemsPerFile = 200000, fpp = 0.01)
+    graft.plans.BloomJoins.register(graft.plans.BloomJoins.Layout(
+      path, "l_orderkey"))
+    graft.plans.BloomJoins.register(graft.plans.BloomJoins.Layout(
+      path, "l_partkey"))
+    graft.plans.BloomJoins.install(s)
+    try {
+      val fact = s.read.parquet(path)
+      val dim = Tables.lineitem(s, dir)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_partkey"))
+        .limit(5)
+        .select(col("l_orderkey").as("k1"), col("l_partkey").as("k2"))
+      val joined = fact.join(dim,
+        fact("l_orderkey") === dim("k1") &&
+          fact("l_partkey") === dim("k2")) // the PLAIN two-key spelling
+      val totalFiles = s.read.parquet(s"$path/_bloomindex").count()
+      val factFiles = joined.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(_.toString.contains(
+                  "join_bloom_composite")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(factFiles > 0 && factFiles < totalFiles,
+        s"join_bloom_pruned_composite: expected the two-key RULE to skip " +
+          s"files ($factFiles of $totalFiles)")
       joined.groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
@@ -1650,6 +1787,61 @@ object Queries {
     } finally {
       graft.plans.BloomJoins.uninstall(s)
       graft.plans.BloomJoins.unregister(path)
+    }
+  }
+
+  register("layout_catalog_fresh_session", Some(
+    """SELECT doc_id, source, lang, n_chars FROM documents
+      |WHERE doc_id IN (SELECT doc_id FROM documents
+      |                 ORDER BY doc_id DESC LIMIT 5)
+      |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+    // The PERSISTED-registry path, end-to-end: the bloom layout
+    // registration is written beside the data (GraftCatalog.save) and
+    // every in-memory registry plus the discovery cache is then cleared —
+    // exactly the state a brand-new session starts from. The plain
+    // IN-list query must file-skip purely through catalog DISCOVERY
+    // (REQUIREd below: no register() call stands when it plans), and the
+    // rows the driver hashes against DuckDB come from that discovered
+    // pruned plan.
+    val path = s"$sinkRoot/layout_catalog_fs-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val docs = Tables.table(s, dir, "documents")
+    docs.repartition(16)
+      .write.mode("overwrite").parquet(path)
+    graft.sources.BloomIndex.write(s, path, Seq("doc_id"),
+      expectedItemsPerFile = 100000, fpp = 0.01)
+    val ids = docs.select(col("doc_id")).orderBy(col("doc_id").desc)
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    graft.plans.BloomJoins.register(graft.plans.BloomJoins.Layout(
+      path, "doc_id"))
+    graft.plans.GraftCatalog.save(s, path)
+    // the fresh-session state: registries and discovery memory emptied
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.BloomJoins.install(s)
+    try {
+      val q = s.read.parquet(path)
+        .where(col("doc_id").isin(ids: _*)) // the PLAIN spelling
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      val totalFiles = s.read.parquet(s"$path/_bloomindex").count()
+      val factFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(_.toString.contains(
+                  "layout_catalog_fs")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(factFiles > 0 && factFiles < totalFiles,
+        s"layout_catalog_fresh_session: expected DISCOVERY to let the " +
+          s"rule skip files ($factFiles of $totalFiles)")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.BloomJoins.uninstall(s)
+      graft.plans.BloomJoins.clear()
     }
   }
 
@@ -6444,6 +6636,37 @@ object Queries {
 
   def all: Map[String, QueryFn] = reg.toMap
   def oracles: Map[String, String] = sql.toMap
+
+  /** Entries whose bench time is dominated by a WRITE-ONCE cost — a
+    * layout/index/summary-state build inside the entry, or iterative
+    * model training — rather than by per-row throughput. `graft.Bench`
+    * sums the two classes separately so pair-trend analysis and the
+    * baseline-throughput gate read scan/join/agg performance without
+    * build noise (the build class scales with ITERATIONS × model size,
+    * not rows; at 100 TB it amortizes over every query that reuses the
+    * artifact). Criterion: the entry persists an index/layout/state/model
+    * before its measured query, or trains over multiple passes. */
+  val fixedCost: Set[String] = Set(
+    // summary-state folds + MV rewrites (IncrementalAgg.applyDelta × batches)
+    "agg_mv_rewrite", "agg_mv_rewrite_avg", "agg_mv_rewrite_minmax",
+    "agg_mv_rewrite_distinct", "agg_mv_rewrite_expr", "agg_mv_rewrite_join",
+    "cdc_incremental_agg", "cdc_replica_table",
+    // layout + manifest builds (bloom/zone/bucketing/catalog)
+    "join_bloom_pruned", "join_bloom_pruned_auto",
+    "join_bloom_pruned_composite",
+    "layout_zonemap_events", "layout_zonemap_metaonly",
+    "layout_bloom_pointlookup", "layout_zonemap_auto_range",
+    "layout_bloom_auto_pointlookup", "layout_catalog_fresh_session",
+    "sink_bucketed_colocated_join", "sink_compact_small_files",
+    "dedup_incremental_index",
+    // ANN index train + build (k-means / codebooks persisted, then probed)
+    "embed_ann_ivf_indexed", "embed_ann_ivfpq", "embed_ann_pq",
+    // tokenizer / classifier training (iterative or multi-pass)
+    "text_bpe_vocab", "text_unigram_tokens", "text_wordpiece_tokens",
+    "text_quality_classifier", "text_quality_classifier_bigram",
+    "text_quality_classifier_lr",
+    // iterative graph computation
+    "graph_pagerank_trade")
 
   /** Flagship end-to-end slice (SURVEY §7.1): envelope → op filter →
     * partition keys → per-op/hour counts. */

@@ -206,20 +206,28 @@ object Classifier {
         .groupBy(col(idCol))
         .agg(dsum(coalesce(col("__w"), lit(0.0)) * col("__x"), 12)
           .as("__dot"))
+      // persisted (NOT localCheckpoint'd — checkpoint blocks cannot be
+      // released and would accumulate across epochs): __err is consumed
+      // twice within this epoch only, and both parents are checkpointed,
+      // so the lineage is one join deep — unpersist frees the blocks the
+      // moment the second collect lands
       val margins = labels
         .join(dots, Seq(idCol), "left")
         .select(col(idCol),
           (lit(1.0) / (lit(1.0) +
               exp(-(coalesce(col("__dot"), lit(0.0)) + lit(bias)))) -
             when(col("__pos"), lit(1.0)).otherwise(lit(0.0))).as("__err"))
-        .localCheckpoint()
+        .persist()
       // bucket-keyed gradient: one nBuckets-bounded aggregate
-      val grad = feats.join(margins, idCol)
-        .groupBy(col("__bkt"))
-        .agg(dsum(col("__err") * col("__x"), 12).as("__g"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1) / nDocs).toMap
-      val biasGrad = margins.agg(dsum(col("__err"), 12)).collect()(0)
-        .getDouble(0) / nDocs
+      val (grad, biasGrad) = try {
+        val g = feats.join(margins, idCol)
+          .groupBy(col("__bkt"))
+          .agg(dsum(col("__err") * col("__x"), 12).as("__g"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1) / nDocs).toMap
+        val bg = margins.agg(dsum(col("__err"), 12)).collect()(0)
+          .getDouble(0) / nDocs
+        (g, bg)
+      } finally margins.unpersist(false)
       gradSq = (gradSq.keySet ++ grad.keySet).iterator.map { b =>
         val g = grad.getOrElse(b, 0.0)
         b -> (gradSq.getOrElse(b, 0.0) + g * g)

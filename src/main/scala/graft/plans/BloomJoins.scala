@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.{GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, NamedExpression, PlanExpression}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Project, Sample, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -40,9 +40,11 @@ import graft.sources.BloomIndex
   * untouched) unless every condition holds:
   *
   *  - INNER or LEFT-SEMI equi-join (the latter is how `k IN (SELECT …)`
-  *    plans) on exactly ONE key pair, both sides bare column references
-  *    (composite or expression conditions refuse); ANTI joins never
-  *    prune — they keep exactly the rows a pruned scan would drop;
+  *    plans) whose every conjunct is a bare cross-side column equality
+  *    (expression or non-equi conjuncts refuse); COMPOSITE keys probe
+  *    each registered column and INTERSECT the per-column candidate
+  *    sets; ANTI joins never prune — they keep exactly the rows a
+  *    pruned scan would drop;
   *  - the fact side unwraps through attribute/rename Projects and
   *    Filters to a parquet scan of a REGISTERED layout ([[register]]),
   *    and the join key resolves — through any renames — to that
@@ -83,28 +85,105 @@ object BloomJoins {
     * `factPath` must carry a `_zonemap` manifest on `col`. */
   final case class ZoneLayout(factPath: String, col: String)
 
+  /** A path may carry SEVERAL bloom layouts — one per indexed column
+    * (`_bloomindex` itself is multi-column); a composite-key equi-join
+    * INTERSECTS the candidate sets of every registered join column.
+    * Re-registering the same (path, col) replaces in place. */
   private val layouts =
-    new java.util.concurrent.ConcurrentHashMap[String, Layout]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[Layout]]()
   private val zones =
     new java.util.concurrent.ConcurrentHashMap[String, List[ZoneLayout]]()
 
-  private def norm(p: String): String =
+  private[plans] def norm(p: String): String =
     p.stripSuffix("/").replaceFirst("^file:", "")
 
-  def register(l: Layout): Unit = layouts.put(norm(l.factPath), l)
+  def register(l: Layout): Unit =
+    layouts.compute(norm(l.factPath), (_, cur) =>
+      Option(cur).getOrElse(Nil).filterNot(_.col == l.col) :+ l)
   def unregister(factPath: String): Unit = layouts.remove(norm(factPath))
   def registerZone(l: ZoneLayout): Unit =
     zones.compute(norm(l.factPath), (_, cur) =>
       Option(cur).getOrElse(Nil).filterNot(_.col == l.col) :+ l)
   def unregisterZone(factPath: String): Unit = zones.remove(norm(factPath))
-  def clear(): Unit = { layouts.clear(); zones.clear() }
+  def clear(): Unit = {
+    layouts.clear(); zones.clear(); probeCache.clear(); warned.clear()
+  }
   def isEmpty: Boolean = layouts.isEmpty && zones.isEmpty
 
-  private[plans] def forPaths(paths: Seq[String]): Option[Layout] =
-    paths.map(norm).flatMap(p => Option(layouts.get(p))).headOption
+  // ------------------------------------------------------ probe/plan cache
+
+  /** Plan-time probe results keyed by (leg, layout, column, MANIFEST
+    * VERSION, probe input — dim plan canonicalized + data fingerprint, or
+    * the literal/bound values): a dashboard re-issuing the same query
+    * pays the dim key collect + manifest probe ONCE, not per planning —
+    * the [[SummaryViews]] version-stamped plan-cache move applied to this
+    * rule. Invalidation is the version stamp: every
+    * [[graft.sources.BloomIndex]]/[[graft.sources.ZoneMap]] write path
+    * bumps [[graft.sources.Manifests.manifestVersion]], changing the key.
+    * REFUSALS are cached too (an over-wide dim or a broken manifest would
+    * otherwise re-pay its probe on every planning); the sentinel maps
+    * back to None. Crude size bound: past 512 entries the cache drops
+    * wholesale — a refill costs one probe. */
+  private val probeCache =
+    new java.util.concurrent.ConcurrentHashMap[Any, Seq[String]]()
+  private val Refused = Seq(" refused sentinel ")
+
+  /** Test spy: probes actually RUN (cache misses). */
+  private[graft] val probeRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The join leg's key is (descriptor string, canonicalized dim PLAN) —
+    * the plan OBJECT, not its string image: `LocalRelation.toString`
+    * elides the row data, so two literal dims with the same schema would
+    * collide on a string key and serve each other's candidate files
+    * (MISSING JOIN ROWS); structural plan equality includes the rows. */
+  private[plans] def cachedProbe(key: Any)
+      (compute: => Option[Seq[String]]): Option[Seq[String]] =
+    Option(probeCache.get(key)) match {
+      case Some(v) => if (v == Refused) None else Some(v)
+      case None =>
+        probeRuns.incrementAndGet()
+        val res = compute
+        if (probeCache.size > 512) probeCache.clear()
+        probeCache.put(key, res.getOrElse(Refused))
+        res
+    }
+
+  // --------------------------------------------------- refusal surfacing
+
+  /** Counter (rendered on the /metrics endpoint via
+    * [[graft.streaming.GraftMetrics]]) for probe-failure refusals,
+    * labelled by layout and rule leg. */
+  val RefusalMetric = "graft_rule_refusals_total"
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.plans.BloomJoins")
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** A probe failure REFUSES (plans stay exact) but must never be silent:
+    * at 100 TB a corrupted or permission-broken manifest would otherwise
+    * turn every pruned query into an invisible full scan — a 100× cost
+    * regression nobody can see. Counted per (layout, leg) and logged once
+    * per pair. */
+  private[plans] def refused(path: String, leg: String, e: Throwable): Unit = {
+    graft.streaming.GraftMetrics.inc(RefusalMetric,
+      "layout" -> norm(path), "leg" -> leg)
+    if (warned.add(s"$leg|${norm(path)}"))
+      log.warn(s"graft BloomJoins: $leg probe failed for layout " +
+        s"'${norm(path)}' — refusing to prune (answers stay exact, scans " +
+        s"go FULL until the manifest is repaired): $e")
+  }
+
+  private[plans] def forPaths(paths: Seq[String]): Seq[Layout] =
+    paths.map(norm).flatMap(p => Option(layouts.get(p)).getOrElse(Nil))
 
   private[plans] def zonesForPaths(paths: Seq[String]): Seq[ZoneLayout] =
     paths.map(norm).flatMap(p => Option(zones.get(p)).getOrElse(Nil))
+
+  private[plans] def layoutsFor(path: String): Seq[Layout] =
+    Option(layouts.get(norm(path))).getOrElse(Nil)
+
+  private[plans] def zoneLayoutsFor(path: String): Seq[ZoneLayout] =
+    Option(zones.get(norm(path))).getOrElse(Nil)
 
   /** Install on an existing session (the extensions hook only runs at
     * construction). Idempotent. */
@@ -138,29 +217,26 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (BloomJoins.isEmpty || inRule.get()) plan
-    else {
+    if (inRule.get()) plan // registries may fill via catalog DISCOVERY —
+    else {                 // no isEmpty fast-path (lookups below are cheap)
       inRule.set(true)
       try plan.transformUp {
-        case j @ Join(left, right, Inner,
-            Some(EqualTo(a: AttributeReference, b: AttributeReference)),
-            hint) =>
-          // either side may be the fact, and the equality may be written
-          // in either order — try all orientations, first success wins
-          tryPrune(j, left, right, a, b)
-            .orElse(tryPrune(j, left, right, b, a))
-            .orElse(tryPrune(j, right, left, b, a))
-            .orElse(tryPrune(j, right, left, a, b))
-            .getOrElse(j)
-        case j @ Join(left, right, LeftSemi,
-            Some(EqualTo(a: AttributeReference, b: AttributeReference)),
-            hint) =>
+        case j @ Join(left, right, Inner, Some(cond), _) =>
+          // either side may be the fact, and each equality may be written
+          // in either order — normalize conjuncts to (left, right) pairs,
+          // then try both orientations, first success wins. COMPOSITE
+          // equi-joins prune too: per-column candidate sets INTERSECT.
+          equiPairs(cond, left, right).flatMap { pairs =>
+            tryPrune(j, left, right, pairs)
+              .orElse(tryPrune(j, right, left, pairs.map(_.swap)))
+          }.getOrElse(j)
+        case j @ Join(left, right, LeftSemi, Some(cond), _) =>
           // the `k IN (SELECT …)` plan shape: semi output = matching fact
           // rows only, so the candidate-superset swap stays exact. The
           // fact is ALWAYS the left side; anti joins must never prune
           // (they keep exactly the rows a pruned scan would drop).
-          tryPrune(j, left, right, a, b)
-            .orElse(tryPrune(j, left, right, b, a))
+          equiPairs(cond, left, right)
+            .flatMap(pairs => tryPrune(j, left, right, pairs))
             .getOrElse(j)
         case fl @ Filter(cond, rel: LogicalRelation) =>
           // LITERAL point lookups — `key IN (…)` / `key = lit` spelled as
@@ -180,6 +256,26 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
     case other => Seq(other)
+  }
+
+  /** The join condition normalized to (left-side attr, right-side attr)
+    * pairs — defined only when EVERY conjunct is a bare cross-side
+    * equality (a non-equi or single-side conjunct refuses the whole
+    * join: pushdown already split what could be split, so whatever is
+    * left genuinely constrains the pair set). */
+  private def equiPairs(cond: Expression, left: LogicalPlan,
+                        right: LogicalPlan)
+      : Option[Seq[(AttributeReference, AttributeReference)]] = {
+    val pairs = conjunctsOf(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if left.outputSet.contains(a) && right.outputSet.contains(b) =>
+        Some((a, b))
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if left.outputSet.contains(b) && right.outputSet.contains(a) =>
+        Some((b, a))
+      case _ => None
+    }
+    if (pairs.exists(_.isEmpty)) None else Some(pairs.map(_.get))
   }
 
   /** Literal values a top-level conjunct pins `key` to — the smallest
@@ -209,116 +305,305 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
 
   /** Swap a registered relation under a literal-pinned Filter for the
     * candidate-files scan; None refuses (unregistered, no pinning
-    * conjunct, list wider than maxKeys, probe failure). */
+    * conjunct, list wider than maxKeys, probe failure). Pins on SEVERAL
+    * registered columns INTERSECT their candidate sets; a column that
+    * refuses (too wide, probe failure) contributes nothing, and only
+    * when EVERY pinned column refuses does the whole rewrite. */
   private def tryPruneScan(fl: Filter, cond: Expression,
                            rel: LogicalRelation): Option[LogicalPlan] = {
-    val layout = rel.relation match {
+    val ls = rel.relation match {
       case fs: HadoopFsRelation =>
-        forPaths(fs.location.rootPaths.map(_.toString))
-      case _ => None
+        val paths = fs.location.rootPaths.map(_.toString)
+        GraftCatalog.ensureDiscovered(spark, paths)
+        forPaths(paths)
+      case _ => Nil
     }
-    layout.flatMap { l =>
-      rel.output.find(a => a.name == l.col).flatMap { key =>
-        pinnedValues(cond, key).flatMap { values =>
-          if (values.length > l.maxKeys) None
-          else if (values.isEmpty)
-            // every pinned literal was NULL: no row can match
-            Some(fl.copy(child = LocalRelation(rel.output)))
-          else try {
-            val files = BloomIndex.candidateFiles(
-              spark, l.factPath, l.col, values)
-            swappedScan(rel, files).map(s => fl.copy(child = s))
-          } catch { case _: Exception => None }
+    val perCol: Seq[Option[Seq[String]]] = for {
+      l <- ls
+      key <- rel.output.find(a => a.name == l.col).toSeq
+      values <- pinnedValues(cond, key).toSeq
+    } yield {
+      if (values.length > l.maxKeys) None
+      else if (values.isEmpty)
+        // every pinned literal was NULL: no row can match - zero
+        // candidates is this conjunct's exact answer
+        Some(Nil)
+      else {
+        val ck = s"lit|${norm(l.factPath)}|${l.col}|" +
+          s"v${graft.sources.Manifests.manifestVersion(
+            l.factPath, "_bloomindex")}|" +
+          values.map(String.valueOf).sorted.mkString(",")
+        cachedProbe(ck) {
+          try Some(BloomIndex.candidateFiles(
+            spark, l.factPath, l.col, values))
+          catch { case e: Exception =>
+            refused(l.factPath, "literal-scan", e); None }
         }
       }
     }
+    val probed = perCol.flatten
+    if (probed.isEmpty) None
+    else swappedScan(rel,
+        probed.map(_.toSet).reduce(_ intersect _).toSeq.sorted)
+      .map(s => fl.copy(child = s))
   }
 
   /** Swap the registered relation under `factSide` for a candidate-files
-    * scan driven by `dimSide`'s distinct keys; None refuses. */
+    * scan driven by `dimSide`'s distinct keys; None refuses. `pairs` are
+    * the normalized (factKey, dimKey) equi-conjuncts — a composite key
+    * probes each registered column independently and INTERSECTS the
+    * candidate sets (sound: each set is a superset of the files holding
+    * rows matching its column, so the intersection is a superset of the
+    * files holding rows matching all of them). Only pairs whose dim KEY
+    * SET is reproducible ([[deterministic]]) probe; if none qualifies,
+    * the join is left untouched. */
   private def tryPrune(join: Join, factSide: LogicalPlan,
                        dimSide: LogicalPlan,
-                       factKey: AttributeReference,
-                       dimKey: AttributeReference): Option[LogicalPlan] = {
-    if (!factSide.outputSet.contains(factKey) ||
-        !dimSide.outputSet.contains(dimKey) ||
-        !deterministic(dimSide)) None
-    else rewriteFact(factSide, factKey, dimSide, dimKey).map { newFact =>
+                       pairs: Seq[(AttributeReference, AttributeReference)])
+      : Option[LogicalPlan] = {
+    val oriented = pairs.filter { case (fk, dk) =>
+      factSide.outputSet.contains(fk) && dimSide.outputSet.contains(dk)
+    }
+    val probeable = oriented.filter { case (_, dk) =>
+      deterministic(dimSide, dk)
+    }
+    if (oriented.length != pairs.length || probeable.isEmpty) None
+    else rewriteFact(factSide, probeable, dimSide).map { newFact =>
       if (factSide eq join.left) join.copy(left = newFact)
       else join.copy(right = newFact)
     }
   }
 
-  private def deterministic(plan: LogicalPlan): Boolean =
-    !plan.exists(p => p.expressions.exists(!_.deterministic))
+  /** The dim is executed TWICE — once at plan time (the key collect) and
+    * once at run time (inside the join) — so its KEY SET must be
+    * reproducible, not merely its expressions:
+    *
+    *  - expression-level: any non-deterministic expression refuses, and
+    *    SUBQUERY expressions are recursed into explicitly — a dim
+    *    filtered by `x > (SELECT rand() …)` carries the non-determinism
+    *    in a nested PLAN that the expression's own `deterministic` flag
+    *    does not reliably surface;
+    *  - plan-level: `Sample` and `Limit` select a run-dependent SUBSET of
+    *    deterministic rows (a limit without a total order is
+    *    whichever-rows-arrive-first), so two executions can legally
+    *    return different keys — both refuse, with ONE carve-out: a Limit
+    *    above a GLOBAL Sort whose deterministic ordering includes the
+    *    key column ITSELF is reproducible in the only sense that matters
+    *    here (rows tied on the full ordering carry equal keys, so
+    *    whichever tie-rows the limit keeps, the selected KEY SET is
+    *    identical run to run — the `ORDER BY price DESC, key LIMIT n`
+    *    top-n dim). Bloom's no-false-negatives guarantee only holds when
+    *    the run-time keys are a subset of the plan-time collect.
+    *
+    * `key` is tracked through attribute/rename Projects; in subtrees that
+    * do not produce the key (the far side of a nested join — whose row
+    * set still selects WHICH keys survive), limits refuse unconditionally
+    * because the sort-contains-key carve-out can never certify them. */
+  private def deterministic(plan: LogicalPlan,
+                            key: AttributeReference): Boolean = plan match {
+    case _: Sample => false
+    case GlobalLimit(_, child) => limitedSortOk(child, key)
+    case LocalLimit(_, child) => limitedSortOk(child, key)
+    case Project(exprs, child) if exprs.forall(exprDeterministic) =>
+      exprs.collectFirst {
+        case al @ Alias(a: AttributeReference, _)
+          if al.exprId == key.exprId => a
+        case a: AttributeReference if a.exprId == key.exprId => a
+      } match {
+        case Some(k) => deterministic(child, k)
+        case None => // key computed or absent here: no limit may hide below
+          deterministic(child, key)
+      }
+    case p =>
+      p.expressions.forall(exprDeterministic) &&
+        p.children.forall(c => deterministic(c, key))
+  }
+
+  /** The body under a Limit: unwrap the paired inner limit and rename
+    * Projects, then demand a global Sort that is deterministic AND orders
+    * on the key column (see [[deterministic]]'s carve-out). */
+  private def limitedSortOk(plan: LogicalPlan,
+                            key: AttributeReference): Boolean = plan match {
+    case LocalLimit(_, child) => limitedSortOk(child, key)
+    case Project(exprs, child) if exprs.forall(exprDeterministic) =>
+      exprs.collectFirst {
+        case al @ Alias(a: AttributeReference, _)
+          if al.exprId == key.exprId => a
+        case a: AttributeReference if a.exprId == key.exprId => a
+      }.exists(k => limitedSortOk(child, k))
+    case s: Sort if s.global =>
+      s.order.forall(o => exprDeterministic(o.child)) &&
+        s.order.exists(_.child match {
+          case a: AttributeReference => a.exprId == key.exprId
+          case _ => false
+        }) &&
+        deterministic(s.child, key)
+    case _ => false
+  }
+
+  private def exprDeterministic(e: Expression): Boolean =
+    e.deterministic && !e.exists {
+      case pe: PlanExpression[_] => pe.plan match {
+        case lp: LogicalPlan =>
+          // inside a subquery there is no key to track — strict scan:
+          // Sample/Limit there are run-dependent row selection too
+          lp.exists {
+            case _: Sample | _: GlobalLimit | _: LocalLimit => true
+            case p => p.expressions.exists(x => !exprDeterministic(x))
+          }
+        case _ => false
+      }
+      case _ => false
+    }
 
   /** Unwrap attribute/rename Projects and Filters down to the registered
-    * relation, rebuild the same stack over the pruned scan. The join key
+    * relation, rebuild the same stack over the pruned scan. Each join key
     * is tracked THROUGH renames (`Alias(attr, name)` projections the
-    * optimizer interposes), so the registry check compares the
-    * RELATION-level column name. */
-  private def rewriteFact(plan: LogicalPlan, factKey: AttributeReference,
-                          dimSide: LogicalPlan, dimKey: AttributeReference)
-      : Option[LogicalPlan] = plan match {
-    case p @ Project(exprs, child)
-        if exprs.forall {
-          case _: AttributeReference => true
-          case Alias(_: AttributeReference, _) => true
-          case _ => false
-        } =>
-      val childKey = exprs.collectFirst {
-        case al @ Alias(c: AttributeReference, _)
-            if al.exprId == factKey.exprId => c
-        case a: AttributeReference if a.exprId == factKey.exprId => a
+    * optimizer interposes), so the registry check compares RELATION-level
+    * column names. A key that stops being a bare attribute mid-stack
+    * drops out (its conjunct just cannot drive pruning); the rewrite
+    * refuses only when NO key survives to a registered column. */
+  private def rewriteFact(plan: LogicalPlan,
+                          pairs: Seq[(AttributeReference, AttributeReference)],
+                          dimSide: LogicalPlan): Option[LogicalPlan] =
+    plan match {
+      case p @ Project(exprs, child)
+          if exprs.forall {
+            case _: AttributeReference => true
+            case Alias(_: AttributeReference, _) => true
+            case _ => false
+          } =>
+        val mapped = pairs.flatMap { case (fk, dk) =>
+          exprs.collectFirst {
+            case al @ Alias(c: AttributeReference, _)
+                if al.exprId == fk.exprId => (c, dk)
+            case a: AttributeReference if a.exprId == fk.exprId => (a, dk)
+          }
+        }
+        if (mapped.isEmpty) None
+        else rewriteFact(child, mapped, dimSide).map(c => p.copy(child = c))
+      case f @ Filter(_, child) =>
+        rewriteFact(child, pairs, dimSide).map(c => f.copy(child = c))
+      case rel: LogicalRelation =>
+        val ls = rel.relation match {
+          case fs: HadoopFsRelation =>
+            val paths = fs.location.rootPaths.map(_.toString)
+            GraftCatalog.ensureDiscovered(spark, paths)
+            forPaths(paths)
+          case _ => Nil
+        }
+        val usable = pairs.flatMap { case (fk, dk) =>
+          ls.find(l => l.col == fk.name &&
+              rel.output.exists(_.exprId == fk.exprId))
+            .map(l => (l, dk))
+        }
+        if (usable.isEmpty) None else prunedScan(rel, usable, dimSide)
+      case _ => None
+    }
+
+  /** The pruned replacement for `rel`: probe the manifest with each dim
+    * key's distinct hashes, intersect the per-column candidate sets, scan
+    * only surviving files, re-alias to `rel`'s original output ids. Both
+    * driver jobs per column (key collect + manifest probe) run under
+    * [[BloomJoins.cachedProbe]]: replanning the same query is a memory
+    * lookup until either the manifest version bumps or the dim's data
+    * fingerprint changes. A column whose probe refuses (over-wide dim,
+    * broken manifest) contributes nothing; the swap happens as long as
+    * at least one column's probe lands. */
+  private def prunedScan(rel: LogicalRelation,
+                         usable: Seq[(Layout, AttributeReference)],
+                         dimSide: LogicalPlan): Option[LogicalPlan] = {
+    val perCol: Seq[Option[Seq[String]]] = usable.map { case (layout, dk) =>
+      // the key's POSITION in the dim output is canonical across plan
+      // instances (exprIds are re-minted per query, the ordinal is not)
+      val keyOrd = dimSide.output.indexWhere(_.exprId == dk.exprId)
+      val ck = (s"join|${norm(layout.factPath)}|${layout.col}|" +
+        s"${layout.maxKeys}|" +
+        s"v${graft.sources.Manifests.manifestVersion(
+          layout.factPath, "_bloomindex")}|k$keyOrd|" +
+        dimFingerprint(dimSide)) -> dimSide.canonicalized
+      cachedProbe(ck) {
+        try {
+          val dimDf = GraftBridge.ofRows(spark, dimSide)
+          // bind by the attribute itself, not the name — dim outputs may
+          // carry duplicate names after self-joins
+          val keyCol = GraftBridge.column(dk)
+          val hashes = dimDf.filter(keyCol.isNotNull)
+            .select(keyCol.cast("string").as("__k"))
+            .distinct().limit(layout.maxKeys + 1)
+            .select(xxhash64(col("__k")).as("h"))
+            .collect().map(_.getLong(0))
+          if (hashes.length > layout.maxKeys) None // too wide: plain join wins
+          else if (hashes.isEmpty)
+            // no live dim keys: the inner join is empty - exact
+            Some(Nil)
+          else Some(BloomIndex.candidateFilesForHashes(
+            spark, layout.factPath, layout.col, hashes))
+        } catch { case e: Exception => // probe failed: refuse, not crash
+          refused(layout.factPath, "join", e); None }
       }
-      childKey.flatMap(ck => rewriteFact(child, ck, dimSide, dimKey))
-        .map(c => p.copy(child = c))
-    case f @ Filter(_, child) =>
-      rewriteFact(child, factKey, dimSide, dimKey)
-        .map(c => f.copy(child = c))
-    case rel: LogicalRelation =>
-      val layout = rel.relation match {
-        case fs: HadoopFsRelation =>
-          forPaths(fs.location.rootPaths.map(_.toString))
-        case _ => None
-      }
-      layout match {
-        case Some(l)
-            if factKey.name == l.col &&
-              rel.output.exists(_.exprId == factKey.exprId) =>
-          prunedScan(rel, l, dimSide, dimKey)
-        case _ => None
-      }
-    case _ => None
+    }
+    val probed = perCol.flatten
+    if (probed.isEmpty) None
+    else swappedScan(rel,
+      probed.map(_.toSet).reduce(_ intersect _).toSeq.sorted)
   }
 
-  /** The pruned replacement for `rel`: probe the manifest with the dim's
-    * distinct key hashes, scan only firing files, re-alias to `rel`'s
-    * original output ids. */
-  private def prunedScan(rel: LogicalRelation, layout: Layout,
-                         dimSide: LogicalPlan, dimKey: AttributeReference)
-      : Option[LogicalPlan] = {
-    try {
-      val dimDf = GraftBridge.ofRows(spark, dimSide)
-      val hashes = dimDf.filter(col(dimKey.name).isNotNull)
-        .select(col(dimKey.name).cast("string").as("__k"))
-        .distinct().limit(layout.maxKeys + 1)
-        .select(xxhash64(col("__k")).as("h"))
-        .collect().map(_.getLong(0))
-      if (hashes.length > layout.maxKeys) None // too wide: plain join wins
-      else if (hashes.isEmpty)
-        // no live dim keys: the inner join is empty — exact
-        Some(LocalRelation(rel.output))
-      else swappedScan(rel,
-        BloomIndex.candidateFilesForHashes(
-          spark, layout.factPath, layout.col, hashes))
-    } catch { case _: Exception => None } // probe failed: refuse, not crash
-  }
+  /** Data fingerprint of the dim's file-backed leaves (including inside
+    * subquery plans): a dim table OVERWRITTEN at the same path must miss
+    * the probe cache — the canonicalized plan alone is listing-blind.
+    * Parquet (over-)writes mint fresh part-file names, so the listing
+    * hash catches them; in-place mutation of an existing file is outside
+    * the contract (it would break Spark's own FileIndex caching too). */
+  private def dimFingerprint(plan: LogicalPlan): String =
+    plan.collectWithSubqueries {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation =>
+          val files = fs.location.inputFiles
+          s"${files.length}:${files.toSeq.hashCode}:${fs.sizeInBytes}"
+        case o => o.toString
+      }
+    }.mkString(";")
+
+  /** Does any top-level conjunct compare `key` to a NULL literal (either
+    * side)? Such a conjunct evaluates to NULL on every row — the Filter
+    * keeps nothing — so the pruned scan may collapse to the exact empty
+    * answer without relying on downstream null semantics. (The main
+    * optimizer's NullPropagation usually folds this shape away before the
+    * rule runs; the rule stays explicit about it regardless.) */
+  private def nullComparison(cond: Expression,
+                             key: AttributeReference): Boolean =
+    conjunctsOf(cond).exists {
+      case GreaterThan(a: AttributeReference, Literal(null, _))
+        if a.exprId == key.exprId => true
+      case LessThan(a: AttributeReference, Literal(null, _))
+        if a.exprId == key.exprId => true
+      case GreaterThanOrEqual(a: AttributeReference, Literal(null, _))
+        if a.exprId == key.exprId => true
+      case LessThanOrEqual(a: AttributeReference, Literal(null, _))
+        if a.exprId == key.exprId => true
+      case EqualTo(a: AttributeReference, Literal(null, _))
+        if a.exprId == key.exprId => true
+      case GreaterThan(Literal(null, _), a: AttributeReference)
+        if a.exprId == key.exprId => true
+      case LessThan(Literal(null, _), a: AttributeReference)
+        if a.exprId == key.exprId => true
+      case GreaterThanOrEqual(Literal(null, _), a: AttributeReference)
+        if a.exprId == key.exprId => true
+      case LessThanOrEqual(Literal(null, _), a: AttributeReference)
+        if a.exprId == key.exprId => true
+      case EqualTo(Literal(null, _), a: AttributeReference)
+        if a.exprId == key.exprId => true
+      case _ => false
+    }
 
   /** (lo, hi) interval bounds a top-level conjunct pins `key` into —
     * None = open on that side. Strict bounds map to the closed interval
     * (a sound candidate superset; the Filter above is exact). NULL
-    * literals never match a range comparison and are skipped. */
+    * literals never match a range comparison and are skipped SYMMETRICALLY
+    * (either side of the comparison — a left-side `lit(null) > col` must
+    * not leak a `Some(null)` bound into the zone probe); the
+    * [[nullComparison]] check above already collapsed the scan. */
   private def rangeBounds(cond: Expression, key: AttributeReference)
       : Seq[(Option[Any], Option[Any])] = {
     val toScala = CatalystTypeConverters.createToScalaConverter(key.dataType)
@@ -328,7 +613,12 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
                 LessThan(_, Literal(null, _)) |
                 GreaterThanOrEqual(_, Literal(null, _)) |
                 LessThanOrEqual(_, Literal(null, _)) |
-                EqualTo(_, Literal(null, _))) => None
+                EqualTo(_, Literal(null, _)) |
+                GreaterThan(Literal(null, _), _) |
+                LessThan(Literal(null, _), _) |
+                GreaterThanOrEqual(Literal(null, _), _) |
+                LessThanOrEqual(Literal(null, _), _) |
+                EqualTo(Literal(null, _), _)) => None
       case GreaterThan(a: AttributeReference, l: Literal)
           if a.exprId == key.exprId => Some((Some(v(l)), None))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal)
@@ -360,21 +650,37 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
                                rel: LogicalRelation): Option[LogicalPlan] = {
     val zls = rel.relation match {
       case fs: HadoopFsRelation =>
-        zonesForPaths(fs.location.rootPaths.map(_.toString))
+        val paths = fs.location.rootPaths.map(_.toString)
+        GraftCatalog.ensureDiscovered(spark, paths)
+        zonesForPaths(paths)
       case _ => Nil
     }
     if (zls.isEmpty) None
-    else try {
-      val sets = for {
+    else if (zls.exists(zl => rel.output.find(_.name == zl.col)
+        .exists(key => nullComparison(cond, key))))
+      // a NULL comparison on a zoned column keeps no rows: exact empty
+      Some(fl.copy(child = LocalRelation(rel.output)))
+    else {
+      val sets: Seq[Option[Set[String]]] = for {
         zl <- zls
         key <- rel.output.find(_.name == zl.col).toSeq
         (lo, hi) <- rangeBounds(cond, key)
-      } yield graft.sources.ZoneMap.candidateFilesBounded(
-        spark, zl.factPath, zl.col, lo, hi).toSet
-      if (sets.isEmpty) None
-      else swappedScan(rel, sets.reduce(_ intersect _).toSeq.sorted)
+      } yield {
+        val ck = s"zone|${norm(zl.factPath)}|${zl.col}|" +
+          s"v${graft.sources.Manifests.manifestVersion(
+            zl.factPath, "_zonemap")}|$lo|$hi"
+        cachedProbe(ck) {
+          try Some(graft.sources.ZoneMap.candidateFilesBounded(
+            spark, zl.factPath, zl.col, lo, hi))
+          catch { case e: Exception => // probe failed: refuse, not crash
+            refused(zl.factPath, "zone-scan", e); None }
+        }.map(_.toSet)
+      }
+      if (sets.isEmpty || sets.exists(_.isEmpty)) None
+      else swappedScan(rel, sets.map(_.get).reduce(_ intersect _)
+          .toSeq.sorted)
         .map(s => fl.copy(child = s))
-    } catch { case _: Exception => None } // probe failed: refuse, not crash
+    }
   }
 
   /** A scan of exactly `files`, re-aliased under `rel`'s original output

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, GreaterThan, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.types.DoubleType
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sample}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -118,6 +119,18 @@ object SummaryViews {
     Option(views.remove(norm(basePath)))
       .foreach(_.foreach(v => planCache.remove(norm(v.statePath))))
   }
+  /** Remove ONE view of a multi-view base (and its plan-cache slot),
+    * leaving sibling registrations intact; the single-argument form
+    * remains the remove-ALL-views-of-this-base operation. */
+  def unregister(basePath: String, statePath: String): Unit = {
+    val sp = norm(statePath)
+    views.computeIfPresent(norm(basePath), (_, cur) =>
+      cur.filterNot(v => norm(v.statePath) == sp) match {
+        case Nil => null // last view gone: drop the base entry entirely
+        case rest => rest
+      })
+    planCache.remove(sp)
+  }
   def clear(): Unit = { views.clear(); planCache.clear() }
   def isEmpty: Boolean = views.isEmpty
 
@@ -125,6 +138,9 @@ object SummaryViews {
   private[plans] def forPaths(paths: Seq[String]): Seq[View] =
     paths.map(norm).flatMap(p => Option(views.get(p)).getOrElse(Nil))
       .distinct.sortBy(_.keyCols.size)
+
+  private[plans] def viewsFor(path: String): Seq[View] =
+    Option(views.get(norm(path))).getOrElse(Nil)
 
   /** Resolved summary-scan plan per registered view, keyed by state path and
     * stamped with [[BucketedStateTable.stateVersion]] at resolve time.
@@ -162,8 +178,12 @@ object SummaryViews {
         Some(p)
       case _ =>
         val resolved =
+          // state absent/unreadable: refuse (exact, via the base), retry
+          // next query — but surface the cause on the metrics registry so
+          // a CORRUPTED summary doesn't silently un-optimize every query
           try Some(spark.read.parquet(dir).queryExecution.analyzed)
-          catch { case _: Exception => None } // state absent: refuse, retry next query
+          catch { case e: Exception =>
+            BloomJoins.refused(view.statePath, "summary-state", e); None }
         resolved.foreach { p =>
           stateResolves.incrementAndGet()
           if (p.isInstanceOf[MultiInstanceRelation])
@@ -200,9 +220,11 @@ final case class RewriteToSummary(spark: SparkSession)
   import SummaryViews._
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (SummaryViews.isEmpty) plan
-    else plan.transformUp {
-      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    // no isEmpty fast-path: views may appear via catalog DISCOVERY the
+    // first time a catalogued base is scanned (GraftCatalog)
+    plan.transformUp {
+      case agg: Aggregate =>
+        tryRewrite(agg).orElse(tryRewriteJoin(agg)).getOrElse(agg)
     }
 
   /** Strip Projects (attributes, plus Aliases — the analyzer extracts
@@ -238,7 +260,9 @@ final case class RewriteToSummary(spark: SparkSession)
       case rel: LogicalRelation =>
         val cands = rel.relation match {
           case fs: HadoopFsRelation =>
-            forPaths(fs.location.rootPaths.map(_.toString))
+            val paths = fs.location.rootPaths.map(_.toString)
+            GraftCatalog.ensureDiscovered(spark, paths)
+            forPaths(paths)
           case _ => Nil
         }
         if (cands.nonEmpty) Some((cands, filters, defs)) else None
@@ -283,6 +307,20 @@ final case class RewriteToSummary(spark: SparkSession)
       case a: AttributeReference if defs.contains(a.exprId.id) =>
         defs(a.exprId.id)
     }
+    /** The BASE relation column an aggregate-argument attribute denotes,
+      * inlined through extracted-projection aliases: a bare relation
+      * attribute (possibly RENAMED — `select(col("x").as("v"))`) resolves
+      * to the underlying attribute and every view lookup below uses ITS
+      * name; a COMPUTED alias (`(col("v") * 2).as("v")` surviving
+      * CollapseProject) resolves to None and the aggregate case REFUSES —
+      * the summary's maintained column aggregates the raw base column,
+      * not the caller's computation, and matching by surface name alone
+      * would silently return the wrong sums. */
+    def baseArg(c: AttributeReference): Option[AttributeReference] =
+      inline(c) match {
+        case a: AttributeReference => Some(a)
+        case _ => None
+      }
     val groupings = agg.groupingExpressions.map(inline)
     val aggExprs = agg.aggregateExpressions
     locally {
@@ -351,7 +389,8 @@ final case class RewriteToSummary(spark: SparkSession)
               }, name)(exprId = al.exprId))
             case al @ Alias(ae @ AggregateExpression(
                   Sum(c: AttributeReference, _), _, false, None, _), name)
-                if view.sumCols.contains(c.name) =>
+                if baseArg(c).exists(b => view.sumCols.contains(b.name)) =>
+              val b = baseArg(c).get
               // re-summing the summary can WIDEN the type (decimal Sum adds
               // 10 precision again: state holds decimal(p+10,s), Sum over it
               // yields decimal(p+20,s)); parents recorded the ORIGINAL type
@@ -359,7 +398,7 @@ final case class RewriteToSummary(spark: SparkSession)
               // the true total fits the original Sum type — the same
               // condition under which the un-rewritten query succeeds.
               val reSum: Expression =
-                ae.copy(aggregateFunction = Sum(stateAttr(c.name)))
+                ae.copy(aggregateFunction = Sum(stateAttr(b.name)))
               val typed =
                 if (reSum.dataType == ae.dataType) reSum
                 else Cast(reSum, ae.dataType)
@@ -379,11 +418,11 @@ final case class RewriteToSummary(spark: SparkSession)
                 name)(exprId = al.exprId))
             case al @ Alias(ae @ AggregateExpression(
                   Count(Seq(c: AttributeReference)), _, false, None, _), name)
-                if view.nnCounts.contains(c.name) =>
+                if baseArg(c).exists(b => view.nnCounts.contains(b.name)) =>
               // COUNT(col) = total of the maintained per-column non-null
               // count; a group whose every value was null holds nn = 0 and
               // re-sums to 0, matching COUNT's never-null contract
-              val nn = stateAttr(view.nnCounts(c.name))
+              val nn = stateAttr(view.nnCounts(baseArg(c).get.name))
               val summed: Expression = ae.copy(aggregateFunction = Sum(nn))
               val typed =
                 if (summed.dataType == ae.dataType) summed
@@ -393,26 +432,27 @@ final case class RewriteToSummary(spark: SparkSession)
                 name)(exprId = al.exprId))
             case al @ Alias(ae @ AggregateExpression(
                   Min(c: AttributeReference), _, false, None, _), name)
-                if view.minCols.contains(c.name) =>
+                if baseArg(c).exists(b => view.minCols.contains(b.name)) =>
               // min of per-key mins; null state cells (all-null groups)
               // skip, exactly as Min over the base skips null rows. No
               // widening — Min keeps its input type.
               Some(Alias(
                 ae.copy(aggregateFunction = Min(
-                  stateAttr(view.minCols(c.name)))),
+                  stateAttr(view.minCols(baseArg(c).get.name)))),
                 name)(exprId = al.exprId))
             case al @ Alias(ae @ AggregateExpression(
                   Max(c: AttributeReference), _, false, None, _), name)
-                if view.maxCols.contains(c.name) =>
+                if baseArg(c).exists(b => view.maxCols.contains(b.name)) =>
               Some(Alias(
                 ae.copy(aggregateFunction = Max(
-                  stateAttr(view.maxCols(c.name)))),
+                  stateAttr(view.maxCols(baseArg(c).get.name)))),
                 name)(exprId = al.exprId))
             case al @ Alias(ae @ AggregateExpression(
                   Average(c: AttributeReference, _), _, false, None, _), name)
-                if view.sumCols.contains(c.name) &&
-                  view.nnCounts.contains(c.name) &&
+                if baseArg(c).exists(b => view.sumCols.contains(b.name) &&
+                    view.nnCounts.contains(b.name)) &&
                   ae.dataType == DoubleType =>
+              val b = baseArg(c).get
               // AVG(col) = SUM(partial sums) / SUM(non-null counts). Two
               // NEW AggregateExpressions (fresh resultIds — ae.copy twice
               // would collide on ae's). Restricted to DoubleType results:
@@ -420,10 +460,10 @@ final case class RewriteToSummary(spark: SparkSession)
               // sum-then-divide would have to re-derive — refused instead.
               // All-null group: sums re-sum to null, null/0 = null = AVG.
               val sumE: Expression = AggregateExpression(
-                Sum(stateAttr(c.name)), ae.mode, isDistinct = false,
+                Sum(stateAttr(b.name)), ae.mode, isDistinct = false,
                 None, NamedExpression.newExprId)
               val cntE: Expression = AggregateExpression(
-                Sum(stateAttr(view.nnCounts(c.name))), ae.mode,
+                Sum(stateAttr(view.nnCounts(b.name))), ae.mode,
                 isDistinct = false, None, NamedExpression.newExprId)
               Some(Alias(
                 Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)),
@@ -469,6 +509,289 @@ final case class RewriteToSummary(spark: SparkSession)
               .foldLeft(state)((p, c) => Filter(c, p))
             Some(Aggregate(newGroupings, mapped.map(_.get), newChild))
           }
+        }
+      }
+    }
+  }
+
+  // ======================================================= star-schema path
+
+  /** Star-schema rewrite: `Aggregate → [Project|Filter]* → Join(Inner,
+    * fact ⋈ dim)` with the FACT side landing on a registered base is
+    * served from `Join(summary, dim)` — the dim subtree is kept verbatim.
+    *
+    * Exactness argument. Eligibility requires every FACT-side reference
+    * in the join condition, in filters above the join, and in the
+    * grouping expressions to resolve to view KEY columns — the query then
+    * sees a fact row only through its key vector κ(f): all rows of one
+    * key group pass or fail the join together and land in the same
+    * output group. Each live summary row stands for exactly one key
+    * group, carrying that group's sums/counts/extrema, so fact-side
+    * SUM / COUNT(*) / COUNT(col) / MIN / MAX / AVG commute through the
+    * join REGARDLESS of dim-side multiplicity — N:M included: a key
+    * group matching m dim rows contributes its whole aggregate to each
+    * of the m (key, dim-row) pairs, identically on both sides. (No N:1
+    * restriction is needed; the restriction that IS needed is on the
+    * aggregate ARGUMENTS, below.)
+    *
+    * Refusals beyond the single-base rule's: aggregates over DIM columns
+    * (a dim value weighs once per FACT ROW originally but once per
+    * SUMMARY ROW after the rewrite — multiplicities differ), DISTINCT
+    * aggregates (key multiplicity across dim rows is no longer 1:1 with
+    * base rows), non-inner joins (outer sides fabricate or keep rows the
+    * key argument cannot see), and dims whose ROW SET is run-dependent
+    * (non-deterministic expressions, Sample, Limit — the parity claim
+    * quantifies over both plans). */
+  private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] =
+    unwrapToJoin(agg.child, Nil, Map.empty).flatMap {
+      case (j, aboveFilters, defs) if j.joinType == Inner =>
+        tryJoinSide(agg, j, j.left, j.right, aboveFilters, defs,
+            factIsLeft = true)
+          .orElse(tryJoinSide(agg, j, j.right, j.left, aboveFilters, defs,
+            factIsLeft = false))
+      case _ => None
+    }
+
+  /** Strip Projects/Filters between the Aggregate and a Join, collecting
+    * alias definitions and filter conjuncts exactly like [[unwrap]]. */
+  private def unwrapToJoin(plan: LogicalPlan, filters: List[Expression],
+                           defs: Map[Long, Expression])
+      : Option[(Join, List[Expression], Map[Long, Expression])] =
+    plan match {
+      case Project(exprs, child)
+          if exprs.forall(e => e.isInstanceOf[AttributeReference] ||
+            e.isInstanceOf[Alias]) =>
+        val layer = exprs.collect {
+          case al: Alias => al.exprId.id -> al.child
+        }.toMap
+        unwrapToJoin(child, filters, defs).map { case (jn, fs, inner) =>
+          val resolved = layer.map { case (id, e) =>
+            id -> e.transformUp {
+              case a: AttributeReference if inner.contains(a.exprId.id) =>
+                inner(a.exprId.id)
+            }
+          }
+          (jn, fs, inner ++ resolved)
+        }
+      case Filter(cond, child) =>
+        unwrapToJoin(child, cond :: filters, defs)
+      case jn: Join => Some((jn, filters, defs))
+      case _ => None
+    }
+
+  /** Row-set reproducibility for the untouched dim side: a dim whose row
+    * set is run-dependent makes the parity claim meaningless. */
+  private def dimStable(plan: LogicalPlan): Boolean =
+    !plan.exists {
+      case _: Sample | _: GlobalLimit | _: LocalLimit => true
+      case p => p.expressions.exists(!_.deterministic)
+    }
+
+  private def tryJoinSide(agg: Aggregate, j: Join, factSide: LogicalPlan,
+                          dimSide: LogicalPlan,
+                          aboveFilters: List[Expression],
+                          aboveDefs: Map[Long, Expression],
+                          factIsLeft: Boolean): Option[LogicalPlan] =
+    unwrap(factSide, Nil, Map.empty).flatMap {
+      case (cands, factFilters, factDefs) =>
+        if (!dimStable(dimSide)) None
+        else {
+          // above-join defs may reference fact-side aliases: resolve them
+          // against the fact layer so one inline pass reaches base columns
+          val resolvedAbove = aboveDefs.map { case (id, e) =>
+            id -> e.transformUp {
+              case a: AttributeReference if factDefs.contains(a.exprId.id) =>
+                factDefs(a.exprId.id)
+            }
+          }
+          val defs = factDefs ++ resolvedAbove
+          cands.iterator
+            .map(v => rewriteJoinWith(agg, j, v, dimSide, aboveFilters,
+              factFilters, defs, factIsLeft))
+            .collectFirst { case Some(p) => p }
+        }
+    }
+
+  private def rewriteJoinWith(agg: Aggregate, j: Join, view: View,
+                              dimSide: LogicalPlan,
+                              aboveFilters: List[Expression],
+                              factFilters: List[Expression],
+                              defs: Map[Long, Expression],
+                              factIsLeft: Boolean): Option[LogicalPlan] = {
+    val dimOut = dimSide.outputSet
+    def inline(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference if defs.contains(a.exprId.id) =>
+        defs(a.exprId.id)
+    }
+    /** Post-inline reference discipline: every reference is either a dim
+      * attribute (kept verbatim) or a fact BASE attribute naming a view
+      * key column. */
+    def refsOk(e: Expression): Boolean = e.references.forall(a =>
+      dimOut.contains(a) || view.keyCols.contains(a.name))
+    def exprOk(e: Expression): Boolean = {
+      val inl = inline(e)
+      inl.deterministic && refsOk(inl)
+    }
+    /** The base-column resolution of an aggregate argument (the
+      * [[rewriteWith]] `baseArg` discipline): bare base attribute or
+      * refuse — and a DIM attribute refuses too (dim-side aggregates do
+      * not commute, see the scaladoc). */
+    def factArg(c: AttributeReference): Option[AttributeReference] =
+      inline(c) match {
+        case a: AttributeReference if !dimOut.contains(a) => Some(a)
+        case _ => None
+      }
+
+    val condOk = j.condition.forall(exprOk)
+    val aboveOk = aboveFilters.forall(exprOk)
+    val factFiltersOk = factFilters.forall { f =>
+      val inl = inline(f)
+      // below-join filters cannot reference the dim; key-only like the
+      // single-base path
+      inl.deterministic &&
+        inl.references.forall(a => view.keyCols.contains(a.name))
+    }
+    val groupings = agg.groupingExpressions.map(inline)
+    val groupingsOk = groupings.forall(g => g.deterministic && refsOk(g))
+    val groupAttrs = agg.groupingExpressions.collect {
+      case a: AttributeReference if !defs.contains(a.exprId.id) => a
+    }
+
+    val stateOpt =
+      if (!condOk || !aboveOk || !factFiltersOk || !groupingsOk) None
+      else SummaryViews.statePlan(spark, view)
+    stateOpt.flatMap { state =>
+      val stateAttr: Map[String, Attribute] =
+        state.output.map(a => a.name -> a).toMap
+      val covered =
+        (view.keyCols ++ view.sumCols ++ view.countCol ++
+          view.nnCounts.values ++ view.minCols.values ++
+          view.maxCols.values).forall(stateAttr.contains)
+      if (!covered) None
+      else {
+        /** Re-root an INLINED expression onto the rewritten join: fact
+          * base attributes (guaranteed key columns by [[refsOk]]) move to
+          * the summary scan, dim attributes stay themselves. */
+        def reRoot(e: Expression): Expression = e.transform {
+          case a: AttributeReference if !dimOut.contains(a) =>
+            stateAttr(a.name)
+        }
+        val mapped: Seq[Option[NamedExpression]] =
+          agg.aggregateExpressions.map {
+            case a: AttributeReference if dimOut.contains(a) &&
+                groupAttrs.exists(_.exprId == a.exprId) =>
+              // dim-side grouping attribute: the dim subtree is untouched,
+              // the attribute stays valid as-is
+              Some(a)
+            case a: AttributeReference
+                if groupAttrs.exists(_.exprId == a.exprId) =>
+              // fact-side key grouping attribute
+              Some(Alias(stateAttr(a.name), a.name)(exprId = a.exprId))
+            case a: AttributeReference
+                if defs.contains(a.exprId.id) &&
+                  groupings.exists(_.semanticEquals(inline(a))) =>
+              // extracted grouping expression (_groupingexpression#N)
+              Some(Alias(reRoot(inline(a)), a.name)(exprId = a.exprId))
+            case a: AttributeReference
+                if agg.groupingExpressions.exists {
+                  case al: Alias => al.exprId == a.exprId
+                  case _ => false
+                } =>
+              // groupBy(expr.as("x")) shape
+              val src = agg.groupingExpressions.collectFirst {
+                case al: Alias if al.exprId == a.exprId => inline(al.child)
+              }.get
+              Some(Alias(reRoot(src), a.name)(exprId = a.exprId))
+            case al @ Alias(e, name)
+                if !e.exists(_.isInstanceOf[AggregateExpression]) &&
+                  groupings.exists(g =>
+                    stripAlias(g).semanticEquals(inline(e))) =>
+              // grouping EXPRESSION surfacing in the output
+              Some(Alias(reRoot(inline(e)), name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Sum(c: AttributeReference, _), _, false, None, _), name)
+                if factArg(c).exists(b => view.sumCols.contains(b.name)) =>
+              val b = factArg(c).get
+              val reSum: Expression =
+                ae.copy(aggregateFunction = Sum(stateAttr(b.name)))
+              val typed =
+                if (reSum.dataType == ae.dataType) reSum
+                else Cast(reSum, ae.dataType)
+              Some(Alias(typed, name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Count(Seq(Literal(_, _))), _, false, None, _), name)
+                if view.countCol.isDefined =>
+              // COUNT(*) over the join = Σ over matching (key, dim-row)
+              // pairs of the key group's row count
+              val n = stateAttr(view.countCol.get)
+              val summed: Expression = ae.copy(aggregateFunction = Sum(n))
+              val typed =
+                if (summed.dataType == ae.dataType) summed
+                else Cast(summed, ae.dataType)
+              Some(Alias(
+                Coalesce(Seq(typed, Literal(0L))),
+                name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Count(Seq(c: AttributeReference)), _, false, None, _), name)
+                if factArg(c).exists(b => view.nnCounts.contains(b.name)) =>
+              val nn = stateAttr(view.nnCounts(factArg(c).get.name))
+              val summed: Expression = ae.copy(aggregateFunction = Sum(nn))
+              val typed =
+                if (summed.dataType == ae.dataType) summed
+                else Cast(summed, ae.dataType)
+              Some(Alias(
+                Coalesce(Seq(typed, Literal(0L))),
+                name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Min(c: AttributeReference), _, false, None, _), name)
+                if factArg(c).exists(b => view.minCols.contains(b.name)) =>
+              Some(Alias(
+                ae.copy(aggregateFunction = Min(
+                  stateAttr(view.minCols(factArg(c).get.name)))),
+                name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Max(c: AttributeReference), _, false, None, _), name)
+                if factArg(c).exists(b => view.maxCols.contains(b.name)) =>
+              Some(Alias(
+                ae.copy(aggregateFunction = Max(
+                  stateAttr(view.maxCols(factArg(c).get.name)))),
+                name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Average(c: AttributeReference, _), _, false, None, _), name)
+                if factArg(c).exists(b => view.sumCols.contains(b.name) &&
+                    view.nnCounts.contains(b.name)) &&
+                  ae.dataType == DoubleType =>
+              val b = factArg(c).get
+              val sumE: Expression = AggregateExpression(
+                Sum(stateAttr(b.name)), ae.mode, isDistinct = false,
+                None, NamedExpression.newExprId)
+              val cntE: Expression = AggregateExpression(
+                Sum(stateAttr(view.nnCounts(b.name))), ae.mode,
+                isDistinct = false, None, NamedExpression.newExprId)
+              Some(Alias(
+                Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)),
+                name)(exprId = al.exprId))
+            case _ => None
+          }
+        if (mapped.exists(_.isEmpty)) None
+        else {
+          val liveness: Option[Expression] = view.countCol.map { nc =>
+            GreaterThan(stateAttr(nc),
+              Cast(Literal(0), stateAttr(nc).dataType))
+          }
+          val factScan = (factFilters.map(f => reRoot(inline(f))) ++
+              liveness)
+            .foldLeft(state)((p, c) => Filter(c, p))
+          val newCond = j.condition.map(c => reRoot(inline(c)))
+          val newJoin =
+            if (factIsLeft) j.copy(left = factScan, right = dimSide,
+              condition = newCond)
+            else j.copy(left = dimSide, right = factScan,
+              condition = newCond)
+          val withAbove = aboveFilters.map(f => reRoot(inline(f)))
+            .foldLeft(newJoin: LogicalPlan)((p, c) => Filter(c, p))
+          Some(Aggregate(groupings.map(reRoot), mapped.map(_.get),
+            withAbove))
         }
       }
     }

@@ -83,10 +83,12 @@ object BloomIndex {
   /** Persist the manifest next to the data (full rebuild, overwrite). */
   def write(spark: SparkSession, path: String, cols: Seq[String],
             expectedItemsPerFile: Long = 1000000L,
-            fpp: Double = 0.01): Unit =
+            fpp: Double = 0.01): Unit = {
     build(spark, path, cols, expectedItemsPerFile, fpp).coalesce(1)
       .write.mode("overwrite").partitionBy("part_dir")
       .parquet(s"$path/_bloomindex")
+    Manifests.bumpManifestVersion(path, "_bloomindex")
+  }
 
   /** Incremental maintenance via the shared [[Manifests]] protocol:
     * index only manifest-unknown files (O(new files) scan), reap rows
@@ -164,6 +166,7 @@ object BloomIndex {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part_dir")
       .parquet(s"$path/_bloomindex")
+    Manifests.bumpManifestVersion(path, "_bloomindex")
   }
 
   /** Deserialize-and-probe, evaluated over manifest rows only. The filter

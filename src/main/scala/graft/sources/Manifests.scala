@@ -21,6 +21,31 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object Manifests {
 
+  /** In-process manifest VERSION per (layout root, manifest kind), bumped
+    * by every write path ([[ZoneMap]]/[[BloomIndex]] write / update /
+    * refreshShards) — the invalidation stamp for plan-time probe caches
+    * ([[graft.plans.BloomJoins]]), mirroring
+    * [[graft.streaming.BucketedStateTable.stateVersion]]. Staleness
+    * contract is the same one: the maintaining writer runs in THIS
+    * process; an out-of-process writer does not bump (and could not keep
+    * any in-process cache current in the first place). */
+  private val manifestVersions =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def versionKey(path: String, kind: String): String =
+    path.stripSuffix("/").replaceFirst("^file:", "") + "|" + kind
+
+  def manifestVersion(path: String, kind: String): Long =
+    Option(manifestVersions.get(versionKey(path, kind)))
+      .map(_.get()).getOrElse(0L)
+
+  def bumpManifestVersion(path: String, kind: String): Unit =
+    manifestVersions
+      .computeIfAbsent(versionKey(path, kind),
+        _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet()
+
   def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -114,6 +139,7 @@ private[graft] object Manifests {
         }.toMap
     val fresh = live.filterNot(p => known.contains(relOf(p)))
     val stale = known.filterNot { case (rel, _) => liveRel.contains(rel) }
+    // a no-op update leaves probe caches warm: no version bump
     if (fresh.isEmpty && stale.isEmpty) return (0L, 0L)
 
     val freshStats = if (fresh.isEmpty) None else Some(statsFn(fresh))
@@ -162,6 +188,10 @@ private[graft] object Manifests {
             st.isDirectory && st.getPath.getName.startsWith("part_dir=")))
         fs.delete(manifestPath, true)
     }
+    // bumped only AFTER the rewrite landed — a concurrent cache refill
+    // between bump and write would otherwise pin the OLD manifest under
+    // the NEW version
+    bumpManifestVersion(path, manifestName)
     (fresh.length.toLong, stale.size.toLong)
   }
 }

@@ -106,10 +106,12 @@ object ZoneMap {
   }
 
   /** Persist the manifest next to the data (full rebuild, overwrite). */
-  def write(spark: SparkSession, path: String, cols: Seq[String]): Unit =
+  def write(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
     build(spark, path, cols).coalesce(1)
       .write.mode("overwrite").partitionBy("part_dir")
       .parquet(s"$path/_zonemap")
+    Manifests.bumpManifestVersion(path, "_zonemap")
+  }
 
   /** Rewrite the manifest shards for `dirs` (leaf directories relative to
     * the root) from the files currently on disk — [[Compaction]]'s hook:
@@ -128,6 +130,7 @@ object ZoneMap {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part_dir")
       .parquet(s"$path/_zonemap")
+    Manifests.bumpManifestVersion(path, "_zonemap")
   }
 
   /** Files whose zone intersects `[lo, hi]` on `c` (inclusive). A file

@@ -263,6 +263,72 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"input sorted despite heap aggregate:\n$plan")
   }
 
+  test("TPC-H dim-driven shape (Q17/Q20 class) plans through the bloom " +
+    "rule: files skipped, dim broadcast, answer exact") {
+    // the engine's flagship suite running through its own optimizer tier:
+    // a brand-filtered part dimension joined to a bloom-indexed lineitem
+    // layout on l_partkey — the star-join point-lookup shape at 100 TB
+    val path = "/root/repo/target/test-out/planaudit-bloom-lineitem"
+    Tables.lineitem(spark, sfSmall)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .repartition(16, col("l_partkey"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.BloomIndex.write(spark, path, Seq("l_partkey"),
+      expectedItemsPerFile = 200000, fpp = 0.01)
+    graft.plans.BloomJoins.register(graft.plans.BloomJoins.Layout(
+      path, "l_partkey"))
+    graft.plans.BloomJoins.install(spark)
+    try {
+      def q: DataFrame = {
+        val l = spark.read.parquet(path)
+        // the 5 priciest Brand#4 parts: a POINT-ish dim (file skipping is
+        // the sparse-key regime; a whole brand touches every fact file by
+        // pigeonhole). The ordering includes the join key, so the Limit
+        // carve-out certifies the collected key set.
+        val part = Tables.part(spark, sfSmall)
+          .where(col("p_brand") === "Brand#4")
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+          .limit(5)
+          .select("p_partkey")
+        l.join(part, l("l_partkey") === part("p_partkey"))
+          .agg(sum(col("l_extendedprice")).as("rev"),
+            count(lit(1)).as("n"))
+      }
+      val planned = q
+      val files = planned.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation
+                if f.location.rootPaths.exists(
+                  _.toString.contains("planaudit-bloom-lineitem")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      assert(files > 0 && files < 16,
+        s"the Q17-class dim join must skip fact files ($files of 16):\n${
+          planned.queryExecution.optimizedPlan}")
+      // the dim still broadcasts over the pruned scan — no shuffle added
+      val phys = physical(planned)
+      assert(phys.contains("BroadcastHashJoin"), phys)
+      assert(!phys.contains("CartesianProduct") &&
+        !phys.contains("BroadcastNestedLoopJoin"), phys)
+      // double sums are fold-order-sensitive (the pruned scan reads fewer
+      // files, so partial-sum order differs) — compare at 1e-3, count exact
+      val got = planned.collect().head
+      graft.plans.BloomJoins.uninstall(spark)
+      val exp = q.collect().head
+      assert(math.abs(got.getDouble(0) - exp.getDouble(0)) < 1e-3,
+        s"pruned and plain revenue must agree: $got vs $exp")
+      assert(got.getLong(1) === exp.getLong(1),
+        "pruned and plain counts must agree exactly")
+    } finally {
+      graft.plans.BloomJoins.uninstall(spark)
+      graft.plans.BloomJoins.unregister(path)
+    }
+  }
+
   test("whole-stage codegen covers the relational hot paths") {
     Seq("tpch_q1_pricing_summary", "cdc_filter_ops", "cdc_group_by_collection")
       .foreach { n =>

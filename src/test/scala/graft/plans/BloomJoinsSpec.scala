@@ -294,6 +294,117 @@ class BloomJoinsSpec extends SparkSpec
       s"non-deterministic dim must not prune:\n$planStr")
   }
 
+  test("refuses a dim whose non-determinism hides in a scalar-subquery PLAN") {
+    // the rand lives in a NESTED subquery plan, not in the dim's own
+    // expressions — the determinism guard must recurse into PlanExpression
+    // plans, or plan-time keys could come from one rand draw and run-time
+    // keys from another (real false negatives). The dim is a SEPARATE
+    // parquet table so the only prunable orientation is fact=registered.
+    val dimPath = s"$root/subq-dim"
+    dimOf(3L, 7L).write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("bj_subq_dim")
+    val dim = spark.sql(
+      "SELECT id FROM bj_subq_dim WHERE id >= (SELECT min(r) FROM " +
+        "(SELECT rand(42) AS r FROM bj_subq_dim) t)")
+    val f = fact
+    val q = f.join(dim, f("doc_id") === dim("id"))
+    assert(factFiles(q) === 8L,
+      s"subquery-hidden non-determinism must refuse:\n${
+        q.queryExecution.optimizedPlan}")
+    // the same dim table WITHOUT the subquery still prunes — the refusal
+    // above is the guard biting, not the fixture failing to qualify
+    val plain = spark.read.parquet(dimPath)
+    val f2 = fact
+    val q2 = f2.join(plain, f2("doc_id") === plain("id"))
+    assert(factFiles(q2) > 0 && factFiles(q2) < 8,
+      q2.queryExecution.optimizedPlan.toString)
+  }
+
+  test("refuses plan-level row-set non-determinism: Limit and Sample dims") {
+    // a Limit (no total order) or Sample selects a run-dependent SUBSET of
+    // deterministic rows: two executions can return different keys, so the
+    // plan-time collect is not authoritative and the rule must refuse
+    val dimPath = s"$root/subq-dim"
+    dimOf(3L, 7L, 11L).write.mode("overwrite").parquet(dimPath)
+    val d = spark.read.parquet(dimPath)
+    val f = fact
+    val lim = d.limit(2)
+    val ql = f.join(lim, f("doc_id") === lim("id"))
+    assert(ql.queryExecution.optimizedPlan.toString.contains("Limit"),
+      "premise: the limit must survive optimization")
+    assert(factFiles(ql) === 8L,
+      s"Limit dim must refuse:\n${ql.queryExecution.optimizedPlan}")
+    val smp = d.sample(0.99, 7L)
+    val qs = f.join(smp, f("doc_id") === smp("id"))
+    assert(qs.queryExecution.optimizedPlan.toString.contains("Sample"),
+      "premise: the sample must survive optimization")
+    assert(factFiles(qs) === 8L,
+      s"Sample dim must refuse:\n${qs.queryExecution.optimizedPlan}")
+    // a limit above a global sort that does NOT order on the key still
+    // refuses: ties on the sort column are free to swap key rows
+    val limNoKey = d.orderBy(col("id") % 2).limit(2)
+    val qn = f.join(limNoKey, f("doc_id") === limNoKey("id"))
+    assert(factFiles(qn) === 8L,
+      s"sorted-limit WITHOUT the key in the order must refuse:\n${
+        qn.queryExecution.optimizedPlan}")
+    // the carve-out: a top-n whose ordering includes the key itself is
+    // key-set-reproducible and FIRES (the `ORDER BY x DESC, key LIMIT n`
+    // dim shape)
+    val topn = d.orderBy((col("id") % 5).desc, col("id")).limit(2)
+    val qt = f.join(topn, f("doc_id") === topn("id"))
+    assert(qt.queryExecution.optimizedPlan.toString.contains("Limit") ||
+      qt.queryExecution.optimizedPlan.toString.contains("Sort"),
+      "premise: the top-n must survive optimization")
+    assert(factFiles(qt) > 0 && factFiles(qt) < 8,
+      s"key-ordered top-n dim must fire:\n${qt.queryExecution.optimizedPlan}")
+    val exp = withoutRule {
+      val f3 = fact
+      val t3 = d.orderBy((col("id") % 5).desc, col("id")).limit(2)
+      sortedRows(f3.join(t3, f3("doc_id") === t3("id")))
+    }
+    assert(sortedRows(qt) === exp)
+  }
+
+  test("zone rule: NULL comparisons collapse to the exact empty scan, " +
+    "literal on either side") {
+    // applied to the rule DIRECTLY — the main optimizer normally folds
+    // null comparisons away before user rules run, but the rule itself
+    // must never leak a Some(null) bound into the zone probe
+    val zpath = s"$root/zfact-null"
+    Tables.documents(spark, sfTiny).select("doc_id", "lang")
+      .repartitionByRange(4, col("doc_id"))
+      .write.mode("overwrite").parquet(zpath)
+    graft.sources.ZoneMap.write(spark, zpath, Seq("doc_id"))
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(zpath, "doc_id"))
+    try {
+      val rel = spark.read.parquet(zpath).queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r
+      }.head
+      val key = rel.output.find(_.name == "doc_id").get
+      val rule = RewriteToBloomPrunedJoin(spark)
+      def assertEmptyCollapse(
+          cond: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Unit = {
+        val out = rule(
+          org.apache.spark.sql.catalyst.plans.logical.Filter(cond, rel))
+        assert(out.collect {
+          case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            true
+        }.nonEmpty, s"expected the scan to collapse:\n$out")
+        // the exact empty answer, executed — not just a plan shape
+        assert(org.apache.spark.sql.GraftBridge.ofRows(spark, out)
+          .count() === 0L)
+      }
+      val nullLong = org.apache.spark.sql.catalyst.expressions
+        .Literal(null, org.apache.spark.sql.types.LongType)
+      assertEmptyCollapse(org.apache.spark.sql.catalyst.expressions
+        .GreaterThan(nullLong, key)) // null on the LEFT
+      assertEmptyCollapse(org.apache.spark.sql.catalyst.expressions
+        .LessThan(key, nullLong)) // null on the RIGHT
+    } finally BloomJoins.unregisterZone(zpath)
+  }
+
   test("refuses a dim wider than maxKeys instead of degrading") {
     BloomJoins.register(BloomJoins.Layout(factPath, "doc_id", maxKeys = 2))
     try {
@@ -308,5 +419,156 @@ class BloomJoinsSpec extends SparkSpec
     val f = fact
     val q = f.join(dim, f("lang") === dim("l"))
     assert(factFiles(q) === 8L)
+  }
+
+  test("composite-key equi-joins prune by intersecting per-column " +
+    "candidate sets") {
+    val cpath = s"$root/composite-fact"
+    Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(7)).as("grp"),
+        col("lang"))
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(cpath)
+    BloomIndex.write(spark, cpath, Seq("doc_id", "grp"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    BloomJoins.register(BloomJoins.Layout(cpath, "doc_id"))
+    BloomJoins.register(BloomJoins.Layout(cpath, "grp"))
+    def cfiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation
+                if f.location.rootPaths.exists(
+                  _.toString.contains("composite-fact")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+    try {
+      val f = spark.read.parquet(cpath)
+      // (3, 3) matches (doc 3 has grp 3 % 7); (7, 0) matches (7 % 7 = 0)
+      val dim = Seq((3L, 3L), (7L, 0L)).toDF("id", "g")
+      val q = f.join(dim,
+        f("doc_id") === dim("id") && f("grp") === dim("g"))
+      assert(cfiles(q) > 0 && cfiles(q) < 8,
+        s"two-key join must prune:\n${q.queryExecution.optimizedPlan}")
+      val exp = withoutRule {
+        val f2 = spark.read.parquet(cpath)
+        sortedRows(f2.join(dim,
+          f2("doc_id") === dim("id") && f2("grp") === dim("g")))
+      }
+      assert(sortedRows(q) === exp)
+      assert(exp.length === 2, "premise: both composite keys must match")
+      // a pair on an UNREGISTERED column rides along: pruning comes from
+      // the registered column alone, answer stays exact
+      val f3 = spark.read.parquet(cpath)
+      val dim2 = Seq((3L, "en"), (7L, "zh")).toDF("id", "lg")
+      val q2 = f3.join(dim2,
+        f3("doc_id") === dim2("id") && f3("lang") === dim2("lg"))
+      assert(cfiles(q2) > 0 && cfiles(q2) < 8,
+        q2.queryExecution.optimizedPlan.toString)
+      assert(sortedRows(q2) === withoutRule {
+        val f4 = spark.read.parquet(cpath)
+        sortedRows(f4.join(dim2,
+          f4("doc_id") === dim2("id") && f4("lang") === dim2("lg")))
+      })
+    } finally BloomJoins.unregister(cpath)
+  }
+
+  test("probe cache: replanning the same query costs one probe; a manifest " +
+    "rebuild and a dim overwrite each invalidate exactly once") {
+    val dimPath = s"$root/cache-dim"
+    dimOf(3L, 7L).write.mode("overwrite").parquet(dimPath)
+    def q: org.apache.spark.sql.DataFrame = {
+      val f = fact
+      val d = spark.read.parquet(dimPath)
+      f.join(d, f("doc_id") === d("id"))
+    }
+    assert(factFiles(q) > 0 && factFiles(q) < 8) // prime the cache
+    val r0 = BloomJoins.probeRuns.get()
+    (1 to 4).foreach(_ => assert(factFiles(q) > 0 && factFiles(q) < 8))
+    assert(BloomJoins.probeRuns.get() === r0,
+      "replanning the same query must be served from the probe cache")
+    // a manifest rebuild bumps the version: exactly one fresh probe
+    BloomIndex.write(spark, factPath, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    assert(factFiles(q) > 0 && factFiles(q) < 8)
+    assert(BloomJoins.probeRuns.get() === r0 + 1,
+      "a manifest version bump must invalidate the cached probe")
+    // overwriting the DIM at the same path changes its data fingerprint:
+    // the canonicalized plan alone would serve the stale key set
+    dimOf(3L, 7L, 11L).write.mode("overwrite").parquet(dimPath)
+    val rows = {
+      val f = fact
+      val d = spark.read.parquet(dimPath)
+      val j = f.join(d, f("doc_id") === d("id"))
+      assert(factFiles(j) > 0 && factFiles(j) < 8)
+      sortedRows(j)
+    }
+    assert(BloomJoins.probeRuns.get() === r0 + 2,
+      "a dim data change must invalidate the cached probe")
+    assert(rows.length === 3, "the fresh dim's keys must all join")
+    // two LITERAL dims with the same schema but different rows must not
+    // collide (LocalRelation's string image elides the data — the cache
+    // keys on the canonicalized plan OBJECT, whose equality includes it)
+    val dA = dimOf(3L)
+    val fA = fact
+    assert(sortedRows(fA.join(dA, fA("doc_id") === dA("id")))
+      .map(_.getLong(0)) === Seq(3L))
+    val dB = dimOf(7L)
+    val fB = fact
+    assert(sortedRows(fB.join(dB, fB("doc_id") === dB("id")))
+      .map(_.getLong(0)) === Seq(7L),
+      "a same-schema literal dim must get ITS OWN candidate files")
+  }
+
+  test("a corrupted manifest refuses LOUDLY: exact answer over a full " +
+    "scan, refusal counter on the metrics surface") {
+    val cpath = s"$root/corrupt-fact"
+    Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang")
+      .repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(cpath)
+    BloomIndex.write(spark, cpath, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    BloomJoins.register(BloomJoins.Layout(cpath, "doc_id"))
+    // corrupt the manifest: junk bytes where parquet should be
+    val mdir = new org.apache.hadoop.fs.Path(s"$cpath/_bloomindex")
+    fs.delete(mdir, true)
+    fs.mkdirs(mdir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(mdir, "part-00000.parquet"))
+    out.write("this is not a parquet file".getBytes("UTF-8"))
+    out.close()
+    val before = graft.streaming.GraftMetrics
+      .counterTotal(BloomJoins.RefusalMetric)
+    try {
+      def q: org.apache.spark.sql.DataFrame =
+        spark.read.parquet(cpath).where(col("doc_id").isin(3L, 7L))
+      def cfiles(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case f: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation
+                  if f.location.rootPaths.exists(
+                    _.toString.contains("corrupt-fact")) =>
+                f.location.inputFiles.length.toLong
+              case _ => 0L
+            }
+        }.sum
+      val planned = q
+      assert(cfiles(planned) === 4L,
+        "broken manifest must refuse to prune — full scan")
+      assert(sortedRows(planned) === withoutRule(sortedRows(q)),
+        "the answer must stay exact")
+      assert(graft.streaming.GraftMetrics
+        .counterTotal(BloomJoins.RefusalMetric) > before,
+        "the refusal must be counted, not swallowed")
+      assert(graft.streaming.GraftMetrics.render()
+        .contains(BloomJoins.RefusalMetric),
+        "the counter must render on the /metrics surface")
+    } finally BloomJoins.unregister(cpath)
   }
 }

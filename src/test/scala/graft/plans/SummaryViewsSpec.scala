@@ -250,6 +250,61 @@ class SummaryViewsSpec extends SparkSpec
       .agg(count(lit(1)).as("n"))))
   }
 
+  test("refuses aggregates over a COMPUTED alias shadowing a registered " +
+    "column") {
+    // (v * 2).as("v") is non-cheap and referenced twice, so CollapseProject
+    // leaves the projection BELOW the aggregate and the rule sees it as an
+    // extracted definition; matching the registered sum column by surface
+    // NAME alone would rewrite to the raw v-sums — silently half the right
+    // answer. The rule must refuse on the computed def (for every
+    // aggregate shape: SUM, AVG, COUNT(col), MIN, MAX).
+    def q: DataFrame = base.select(col("k1"), (col("v") * 2).as("v"))
+      .groupBy("k1").agg(sum("v").as("sv"), avg("v").as("av"))
+    val planned = q
+    val hasComputedDef = planned.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.exists {
+          case al: org.apache.spark.sql.catalyst.expressions.Alias =>
+            !al.child.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.AttributeReference]
+          case _ => false
+        }
+    }.exists(identity)
+    assert(hasComputedDef,
+      s"premise: the computed projection must survive below the " +
+        s"aggregate\n${planned.queryExecution.optimizedPlan}")
+    assertParity(q, expectFired = false)
+    assert(!fired(base.select(col("k1"), (col("v") * 2).as("v"))
+      .groupBy("k1").agg(min("v").as("mn"), max("v").as("mx"))))
+    // a RENAME of a registered column is still served — and from the
+    // UNDERLYING column, not the surface name
+    assertParity(
+      base.select(col("k1"), col("d").as("vv"))
+        .groupBy("k1").agg(sum("vv").as("s")),
+      expectFired = true)
+  }
+
+  test("unregister(base, state) removes exactly one view of a multi-view " +
+    "base") {
+    SummaryViews.register(SummaryViews.View(
+      basePath, s"$root/mv-ghost", Seq("k1"), Set("v"), None))
+    try {
+      // remove the ghost by pair: the standing (k1, k2) view keeps serving
+      SummaryViews.unregister(basePath, s"$root/mv-ghost/")
+      assert(fired(base.groupBy("k1", "k2").agg(sum("v").as("sv"))))
+      // remove the standing view by pair (spelled with a trailing slash —
+      // paths must normalize): nothing serves anymore
+      SummaryViews.unregister(basePath, statePath + "/")
+      assert(!fired(base.groupBy("k1", "k2").agg(sum("v").as("sv"))))
+    } finally {
+      SummaryViews.clear()
+      SummaryViews.register(SummaryViews.View(
+        basePath, statePath, Seq("k1", "k2"), Set("v", "d"), Some("n_rows"),
+        nnCounts = Map("v" -> "v_nn"),
+        minCols = Map("v" -> "v_min"), maxCols = Map("v" -> "v_max")))
+    }
+  }
+
   test("refuses an unregistered base") {
     assert(!fired(spark.read.parquet(baseUnregistered)
       .groupBy("k1").agg(sum("v").as("sv"))))
@@ -523,6 +578,106 @@ class SummaryViewsSpec extends SparkSpec
         nnCounts = Map("v" -> "v_nn"),
         minCols = Map("v" -> "v_min"), maxCols = Map("v" -> "v_max")))
     }
+  }
+
+  // ------------------------------------------------- star-schema join path
+
+  test("star-schema: Aggregate over fact ⋈ dim is served from " +
+    "Join(summary, dim) — every aggregate shape at once") {
+    val dim = Seq(("k0", "west"), ("k1", "east"), ("k2", "west"))
+      .toDF("dk", "tier")
+    val rows = assertParity({
+      val f = base
+      f.join(dim, f("k1") === dim("dk"))
+        .groupBy("tier")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"),
+          min("v").as("mn"), max("v").as("mx"), avg("v").as("av"),
+          count(col("v")).as("nv"))
+    }, expectFired = true)
+    assert(rows.length === 2)
+    assert(rows.map(_.getLong(2)).sum === 60L, "every base row joins")
+  }
+
+  test("star-schema: N:M dim multiplicity stays exact (a key group's " +
+    "aggregate replicates to each matching dim row)") {
+    val dim = Seq(("k0", "a"), ("k0", "b"), ("k1", "a")).toDF("dk", "tag")
+    val rows = assertParity({
+      val f = base
+      f.join(dim, f("k1") === dim("dk"))
+        .groupBy("tag")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    }, expectFired = true)
+    // k0 rows land in BOTH tags; tag a additionally holds k1's rows
+    assert(rows.find(_.getString(0) == "b").get.getLong(2) === 20L)
+    assert(rows.find(_.getString(0) == "a").get.getLong(2) === 40L)
+  }
+
+  test("star-schema: mixed groupings (dim attr + fact key), key-only fact " +
+    "filters, dim filters above the join — all fire") {
+    val dim = Seq(("k0", "west"), ("k1", "east"), ("k2", "west"))
+      .toDF("dk", "tier")
+    assertParity({
+      val f = base
+      f.where(col("k2") =!= "gX") // key-only fact filter (below the join)
+        .join(dim, f("k1") === dim("dk"))
+        .where(col("tier").isNotNull) // dim filter (above/into the join)
+        .groupBy(col("tier"), col("k2"))
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    }, expectFired = true)
+    // spark.sql spelling with a dim-side predicate and HAVING
+    base.createOrReplaceTempView("sv_base")
+    dim.createOrReplaceTempView("sv_dim")
+    assertParity(
+      spark.sql(
+        """SELECT d.tier, sum(f.v) AS sv, count(*) AS n
+          |FROM sv_base f JOIN sv_dim d ON f.k1 = d.dk
+          |WHERE d.tier <> 'none'
+          |GROUP BY d.tier HAVING count(*) > 1""".stripMargin),
+      expectFired = true)
+  }
+
+  test("star-schema: key-derived grouping expressions over the join fire") {
+    val dim = Seq(("k0", "west"), ("k1", "east")).toDF("dk", "tier")
+    assertParity({
+      val f = base
+      f.join(dim, f("k1") === dim("dk"))
+        .groupBy(upper(col("tier")).as("T"), substring(col("k2"), 1, 1)
+          .as("kg"))
+        .agg(sum("v").as("sv"))
+    }, expectFired = true)
+  }
+
+  test("star-schema refusals: dim-side aggregates, fact non-key " +
+    "references, outer joins, DISTINCT, unstable dims") {
+    val dim = Seq(("k0", 1L), ("k1", 2L), ("k2", 3L)).toDF("dk", "w")
+    val f = base
+    // SUM over a DIM column does not commute (weighs once per fact row
+    // originally, once per summary row after) — must refuse
+    assert(!fired(f.join(dim, f("k1") === dim("dk"))
+      .groupBy("k1").agg(sum("w").as("sw"))))
+    // fact NON-KEY column in the join condition sees rows, not key groups
+    val f2 = base
+    assert(!fired(f2.join(dim, f2("v") === dim("w"))
+      .groupBy("k1").agg(sum("v").as("sv"))))
+    // grouping on a fact non-key column
+    val f3 = base
+    assert(!fired(f3.join(dim, f3("k1") === dim("dk"))
+      .groupBy("v").agg(count(lit(1)).as("n"))))
+    // outer joins fabricate/keep rows the key argument cannot see
+    val f4 = base
+    assert(!fired(f4.join(dim, f4("k1") === dim("dk"), "left")
+      .groupBy("k1").agg(sum("v").as("sv"))))
+    // DISTINCT aggregates: key multiplicity is no longer 1:1 with rows
+    val f5 = base
+    assert(!fired(f5.join(dim, f5("k1") === dim("dk"))
+      .groupBy("dk").agg(countDistinct(col("k2")).as("nk"))))
+    // a Limit dim's row set is run-dependent: parity is meaningless
+    val dimFile = s"$root/join-dim"
+    dim.write.mode("overwrite").parquet(dimFile)
+    val dLim = spark.read.parquet(dimFile).limit(2)
+    val f6 = base
+    assert(!fired(f6.join(dLim, f6("k1") === dLim("dk"))
+      .groupBy("dk").agg(sum("v").as("sv"))))
   }
 
   test("HAVING above the aggregate rewrites (filter lands on preserved " +

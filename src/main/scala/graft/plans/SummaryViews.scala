@@ -771,6 +771,22 @@ final case class RewriteToSummary(spark: SparkSession)
               Some(Alias(
                 Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)),
                 name)(exprId = al.exprId))
+            case al @ Alias(ae @ AggregateExpression(
+                  Count(cs), _, true, None, _), name)
+                if view.countCol.isDefined && cs.nonEmpty &&
+                  cs.forall { c =>
+                    val inl = inline(c); inl.deterministic && refsOk(inl)
+                  } =>
+              // COUNT(DISTINCT f(keys ∪ dim cols)): DISTINCT collapses
+              // multiplicities, and under the liveness filter the SET of
+              // (key-group, dim-row) pairs is identical on both sides —
+              // each live summary row stands for exactly one key group.
+              // f deterministic ⇒ identical null-skipping too. Fact
+              // NON-key references fail refsOk and refuse (their distinct
+              // values are genuinely row-level).
+              val mappedArgs: Seq[Expression] = cs.map(c => reRoot(inline(c)))
+              Some(Alias(ae.copy(aggregateFunction = Count(mappedArgs)),
+                name)(exprId = al.exprId))
             case _ => None
           }
         if (mapped.exists(_.isEmpty)) None

@@ -636,6 +636,37 @@ class SummaryViewsSpec extends SparkSpec
       expectFired = true)
   }
 
+  test("star-schema: COUNT(DISTINCT keys / dim attrs / expressions) fires " +
+    "— the (key-group, dim-row) pair set is identical under liveness") {
+    // ONE distinct group per query: several distinct-arg groups expand
+    // through RewriteDistinctAggregates (Expand + double Aggregate)
+    // before user rules run — same served shape as the single-base path
+    val dim = Seq(("k0", "west"), ("k1", "east"), ("k2", "west"))
+      .toDF("dk", "tier")
+    val rows = assertParity({
+      val f = base
+      f.join(dim, f("k1") === dim("dk"))
+        .groupBy("tier")
+        .agg(countDistinct(col("k2")).as("nk2"), sum("v").as("sv"),
+          count(lit(1)).as("n"))
+    }, expectFired = true)
+    assert(rows.length === 2)
+    assert(rows.forall(_.getLong(1) === 2L), "both k2 values under each tier")
+    // multi-ARG single distinct group, mixing a key and a dim attribute
+    assertParity({
+      val f = base
+      f.join(dim, f("k1") === dim("dk"))
+        .groupBy("tier")
+        .agg(countDistinct(col("k1"), col("tier")).as("nkt"))
+    }, expectFired = true)
+    // a key-derived EXPRESSION under the distinct
+    assertParity({
+      val f = base
+      f.join(dim, f("k1") === dim("dk"))
+        .agg(countDistinct(concat(col("k1"), col("k2"))).as("nkk"))
+    }, expectFired = true)
+  }
+
   test("star-schema: key-derived grouping expressions over the join fire") {
     val dim = Seq(("k0", "west"), ("k1", "east")).toDF("dk", "tier")
     assertParity({
@@ -667,10 +698,10 @@ class SummaryViewsSpec extends SparkSpec
     val f4 = base
     assert(!fired(f4.join(dim, f4("k1") === dim("dk"), "left")
       .groupBy("k1").agg(sum("v").as("sv"))))
-    // DISTINCT aggregates: key multiplicity is no longer 1:1 with rows
+    // DISTINCT over a fact NON-KEY column is genuinely row-level — refuses
     val f5 = base
     assert(!fired(f5.join(dim, f5("k1") === dim("dk"))
-      .groupBy("dk").agg(countDistinct(col("k2")).as("nk"))))
+      .groupBy("dk").agg(countDistinct(col("v")).as("nv"))))
     // a Limit dim's row set is run-dependent: parity is meaningless
     val dimFile = s"$root/join-dim"
     dim.write.mode("overwrite").parquet(dimFile)

@@ -757,6 +757,77 @@ object Queries {
     }
   }
 
+  register("agg_mv_rewrite_star", Some(
+    """WITH d1 AS (SELECT DISTINCT lang AS d_lang,
+      |  substring(lang, 1, 1) AS tier FROM documents),
+      |d2 AS (SELECT DISTINCT source AS d_src,
+      |  upper(source) AS src_u FROM documents)
+      |SELECT d1.tier, d2.src_u,
+      |  CAST(sum(f.n_chars) AS BIGINT) AS sum_chars, count(*) AS n_docs
+      |FROM documents f
+      |JOIN d1 ON f.lang = d1.d_lang
+      |JOIN d2 ON f.source = d2.d_src
+      |GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    // MULTI-DIM star rewrite end-to-end: an aggregate over
+    // fact ⋈ dim1 ⋈ dim2 grouped by both dims' attributes — the NESTED
+    // join tree (column-pruning Projects between the join nodes included)
+    // is served with the fact leg replaced by the summary and both dim
+    // subtrees verbatim. Both dims here are DISTINCTs over the base, each
+    // served by the single-base rewrite, so the REQUIRE demands the final
+    // plan read summary state and NO base table anywhere: three rewrite
+    // firings compose in one plan, hashed against DuckDB over raw tables.
+    val base = Tables.path(dir, "documents")
+    val path = s"$sinkRoot/agg_mv_rewrite_star-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val deltas = s.read.parquet(base).select(col("lang"), col("source"),
+      col("n_chars").cast("long").as("n_chars"), lit(1L).as("n_docs"),
+      pmod(col("doc_id"), lit(2)).as("__chunk"))
+    (0L to 1L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("lang", "source"), sumCols = Seq("n_chars", "n_docs"),
+        nBuckets = 8, batchId = i)
+    }
+    graft.plans.SummaryViews.register(graft.plans.SummaryViews.View(
+      base, path, Seq("lang", "source"), Set("n_chars"), Some("n_docs")))
+    graft.plans.SummaryViews.install(s)
+    try {
+      val f = s.read.parquet(base)
+      val d1 = s.read.parquet(base)
+        .select(col("lang").as("d_lang"),
+          substring(col("lang"), 1, 1).as("tier")).distinct()
+      val d2 = s.read.parquet(base)
+        .select(col("source").as("d_src"),
+          upper(col("source")).as("src_u")).distinct()
+      val q = f.join(d1, f("lang") === d1("d_lang"))
+        .join(d2, f("source") === d2("d_src"))
+        .groupBy("tier", "src_u")
+        .agg(sum(col("n_chars")).as("sum_chars"),
+          count(lit(1)).as("n_docs"))
+      val rels = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case hf: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              hf.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      require(rels.exists(p => p.contains("agg_mv_rewrite_star") &&
+          p.endsWith("/state")),
+        "agg_mv_rewrite_star: the multi-dim star rewrite did not fire")
+      require(!rels.exists(_.contains("documents")),
+        "agg_mv_rewrite_star: the plan still reads the BASE table — " +
+          "all three rewrite firings must compose to summary-only I/O")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.SummaryViews.uninstall(s)
+      graft.plans.SummaryViews.unregister(base)
+    }
+  }
+
   register("join_bloom_pruned", Some(
     """SELECT l.l_returnflag, count(*) AS n_items,
       |  CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
@@ -6650,7 +6721,7 @@ object Queries {
     // summary-state folds + MV rewrites (IncrementalAgg.applyDelta × batches)
     "agg_mv_rewrite", "agg_mv_rewrite_avg", "agg_mv_rewrite_minmax",
     "agg_mv_rewrite_distinct", "agg_mv_rewrite_expr", "agg_mv_rewrite_join",
-    "cdc_incremental_agg", "cdc_replica_table",
+    "agg_mv_rewrite_star", "cdc_incremental_agg", "cdc_replica_table",
     // layout + manifest builds (bloom/zone/bucketing/catalog)
     "join_bloom_pruned", "join_bloom_pruned_auto",
     "join_bloom_pruned_composite",

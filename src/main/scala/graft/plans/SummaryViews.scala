@@ -516,13 +516,16 @@ final case class RewriteToSummary(spark: SparkSession)
 
   // ======================================================= star-schema path
 
-  /** Star-schema rewrite: `Aggregate → [Project|Filter]* → Join(Inner,
-    * fact ⋈ dim)` with the FACT side landing on a registered base is
-    * served from `Join(summary, dim)` — the dim subtree is kept verbatim.
+  /** Star-schema rewrite: `Aggregate → [Project|Filter]* → (possibly
+    * NESTED Inner-join tree)` in which exactly one leg lands on a
+    * registered base is served with that leg replaced by the summary
+    * scan — every dim subtree is kept verbatim. Multi-dim stars
+    * (`fact ⋈ dim1 ⋈ dim2 …`, the real dashboard shape) fall out of the
+    * same recursion ([[starShape]]); the single join is the depth-1 case.
     *
     * Exactness argument. Eligibility requires every FACT-side reference
-    * in the join condition, in filters above the join, and in the
-    * grouping expressions to resolve to view KEY columns — the query then
+    * in every join condition on the path, in filters above the joins, and
+    * in the grouping expressions to resolve to view KEY columns — the query then
     * sees a fact row only through its key vector κ(f): all rows of one
     * key group pass or fail the join together and land in the same
     * output group. Each live summary row stands for exactly one key
@@ -544,12 +547,94 @@ final case class RewriteToSummary(spark: SparkSession)
     * quantifies over both plans). */
   private def tryRewriteJoin(agg: Aggregate): Option[LogicalPlan] =
     unwrapToJoin(agg.child, Nil, Map.empty).flatMap {
-      case (j, aboveFilters, defs) if j.joinType == Inner =>
-        tryJoinSide(agg, j, j.left, j.right, aboveFilters, defs,
-            factIsLeft = true)
-          .orElse(tryJoinSide(agg, j, j.right, j.left, aboveFilters, defs,
-            factIsLeft = false))
-      case _ => None
+      case (j, aboveFilters, aboveDefs) =>
+        starShape(j).flatMap { star =>
+          // above-join defs may reference fact-side aliases: resolve them
+          // against the fact layer so one inline pass reaches base columns
+          val resolvedAbove = aboveDefs.map { case (id, e) =>
+            id -> e.transformUp {
+              case a: AttributeReference
+                if star.factDefs.contains(a.exprId.id) =>
+                star.factDefs(a.exprId.id)
+            }
+          }
+          val defs = star.factDefs ++ resolvedAbove
+          star.views.iterator
+            .map(v => rewriteStarWith(agg, v, star, aboveFilters, defs))
+            .collectFirst { case Some(p) => p }
+        }
+    }
+
+  /** A (possibly NESTED) Inner-join tree in which exactly one leg unwraps
+    * to a registered base: `views`/`factFilters`/`factDefs` describe that
+    * leg, `dimOut` unions every other leg's output, `conds` collects every
+    * join condition on the path, and `rebuild(newFact, subst)` rebuilds
+    * the tree with the fact leg replaced and each condition mapped
+    * through `subst` (the fact attrs it references move to the summary
+    * scan). Multi-dim stars — `fact ⋈ dim1 ⋈ dim2 …`, the real dashboard
+    * shape — fall out of the recursion; the single-join case is the
+    * depth-1 instance. */
+  private final case class Star(
+      views: Seq[SummaryViews.View], factFilters: List[Expression],
+      factDefs: Map[Long, Expression],
+      dimOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      conds: List[Expression],
+      rebuild: (LogicalPlan, Expression => Expression) => LogicalPlan)
+
+  private def starShape(plan: LogicalPlan): Option[Star] =
+    unwrap(plan, Nil, Map.empty) match {
+      case Some((views, ff, fd)) =>
+        Some(Star(views, ff, fd,
+          org.apache.spark.sql.catalyst.expressions.AttributeSet.empty,
+          Nil, (nf, _) => nf))
+      case None => plan match {
+        case jn: Join if jn.joinType == Inner =>
+          starShape(jn.left).filter(_ => dimStable(jn.right)).map { s =>
+            s.copy(dimOut = s.dimOut ++ jn.right.outputSet,
+              conds = jn.condition.toList ::: s.conds,
+              rebuild = (nf, subst) => jn.copy(
+                left = s.rebuild(nf, subst),
+                condition = jn.condition.map(subst)))
+          }.orElse(
+            starShape(jn.right).filter(_ => dimStable(jn.left)).map { s =>
+              s.copy(dimOut = s.dimOut ++ jn.left.outputSet,
+                conds = jn.condition.toList ::: s.conds,
+                rebuild = (nf, subst) => jn.copy(
+                  right = s.rebuild(nf, subst),
+                  condition = jn.condition.map(subst)))
+            })
+        case p @ Project(exprs, child)
+            if exprs.forall(e => e.isInstanceOf[AttributeReference] ||
+              e.isInstanceOf[Alias]) =>
+          // column pruning interposes attribute/rename Projects BETWEEN
+          // the join nodes of a multi-dim star; the aliases live on as
+          // defs and the Project itself is DROPPED from the rebuilt tree
+          // (pure pruning — physical planning re-derives required columns
+          // from the new operators' references)
+          val layer = exprs.collect {
+            case al: Alias => al.exprId.id -> al.child
+          }.toMap
+          starShape(child).map { s =>
+            val resolved = layer.map { case (id, e) =>
+              id -> e.transformUp {
+                case a: AttributeReference
+                  if s.factDefs.contains(a.exprId.id) =>
+                  s.factDefs(a.exprId.id)
+              }
+            }
+            s.copy(factDefs = s.factDefs ++ resolved)
+          }
+        case Filter(cond, child) =>
+          // a mid-tree filter (mixed-side predicates the optimizer could
+          // not push into a join condition): validated like a condition,
+          // rebuilt in place over the substituted subtree
+          starShape(child).map { s =>
+            s.copy(conds = cond :: s.conds,
+              rebuild = (nf, subst) =>
+                Filter(subst(cond), s.rebuild(nf, subst)))
+          }
+        case _ => None
+      }
     }
 
   /** Strip Projects/Filters between the Aggregate and a Join, collecting
@@ -587,38 +672,12 @@ final case class RewriteToSummary(spark: SparkSession)
       case p => p.expressions.exists(!_.deterministic)
     }
 
-  private def tryJoinSide(agg: Aggregate, j: Join, factSide: LogicalPlan,
-                          dimSide: LogicalPlan,
-                          aboveFilters: List[Expression],
-                          aboveDefs: Map[Long, Expression],
-                          factIsLeft: Boolean): Option[LogicalPlan] =
-    unwrap(factSide, Nil, Map.empty).flatMap {
-      case (cands, factFilters, factDefs) =>
-        if (!dimStable(dimSide)) None
-        else {
-          // above-join defs may reference fact-side aliases: resolve them
-          // against the fact layer so one inline pass reaches base columns
-          val resolvedAbove = aboveDefs.map { case (id, e) =>
-            id -> e.transformUp {
-              case a: AttributeReference if factDefs.contains(a.exprId.id) =>
-                factDefs(a.exprId.id)
-            }
-          }
-          val defs = factDefs ++ resolvedAbove
-          cands.iterator
-            .map(v => rewriteJoinWith(agg, j, v, dimSide, aboveFilters,
-              factFilters, defs, factIsLeft))
-            .collectFirst { case Some(p) => p }
-        }
-    }
-
-  private def rewriteJoinWith(agg: Aggregate, j: Join, view: View,
-                              dimSide: LogicalPlan,
+  private def rewriteStarWith(agg: Aggregate, view: View, star: Star,
                               aboveFilters: List[Expression],
-                              factFilters: List[Expression],
-                              defs: Map[Long, Expression],
-                              factIsLeft: Boolean): Option[LogicalPlan] = {
-    val dimOut = dimSide.outputSet
+                              defs: Map[Long, Expression])
+      : Option[LogicalPlan] = {
+    val dimOut = star.dimOut
+    val factFilters = star.factFilters
     def inline(e: Expression): Expression = e.transformUp {
       case a: AttributeReference if defs.contains(a.exprId.id) =>
         defs(a.exprId.id)
@@ -642,7 +701,7 @@ final case class RewriteToSummary(spark: SparkSession)
         case _ => None
       }
 
-    val condOk = j.condition.forall(exprOk)
+    val condOk = star.conds.forall(exprOk)
     val aboveOk = aboveFilters.forall(exprOk)
     val factFiltersOk = factFilters.forall { f =>
       val inl = inline(f)
@@ -798,14 +857,13 @@ final case class RewriteToSummary(spark: SparkSession)
           val factScan = (factFilters.map(f => reRoot(inline(f))) ++
               liveness)
             .foldLeft(state)((p, c) => Filter(c, p))
-          val newCond = j.condition.map(c => reRoot(inline(c)))
-          val newJoin =
-            if (factIsLeft) j.copy(left = factScan, right = dimSide,
-              condition = newCond)
-            else j.copy(left = dimSide, right = factScan,
-              condition = newCond)
+          // rebuild the join TREE around the summary scan, every node's
+          // condition re-rooted (fact key refs → summary attrs, dim refs
+          // untouched)
+          val subst: Expression => Expression = e => reRoot(inline(e))
+          val newTree = star.rebuild(factScan, subst)
           val withAbove = aboveFilters.map(f => reRoot(inline(f)))
-            .foldLeft(newJoin: LogicalPlan)((p, c) => Filter(c, p))
+            .foldLeft(newTree)((p, c) => Filter(c, p))
           Some(Aggregate(groupings.map(reRoot), mapped.map(_.get),
             withAbove))
         }

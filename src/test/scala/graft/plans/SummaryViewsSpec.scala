@@ -667,6 +667,37 @@ class SummaryViewsSpec extends SparkSpec
     }, expectFired = true)
   }
 
+  test("star-schema: MULTI-DIM stars (fact ⋈ dim1 ⋈ dim2) rewrite — the " +
+    "nested join tree keeps both dims verbatim") {
+    val dim1 = Seq(("k0", "west"), ("k1", "east"), ("k2", "west"))
+      .toDF("dk", "tier")
+    val dim2 = Seq(("g0", "zero"), ("g1", "one")).toDF("gk", "par")
+    val rows = assertParity({
+      val f = base
+      f.join(dim1, f("k1") === dim1("dk"))
+        .join(dim2, f("k2") === dim2("gk"))
+        .groupBy("tier", "par")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"),
+          min("v").as("mn"))
+    }, expectFired = true)
+    assert(rows.length === 4, "3 k1 × 2 k2 collapse to 2 tiers × 2 pars")
+    assert(rows.map(_.getLong(3)).sum === 60L)
+    // a dim joined on a fact NON-KEY column refuses the whole star
+    val dim3 = Seq((7L, "x"), (14L, "y")).toDF("w", "t")
+    val f2 = base
+    assert(!fired(f2.join(dim1, f2("k1") === dim1("dk"))
+      .join(dim3, f2("v") === dim3("w"))
+      .groupBy("tier").agg(sum("v").as("sv"))))
+    // an unstable SECOND dim refuses too (file-backed — a limit over a
+    // LITERAL dim is executed away by the optimizer before rules run)
+    dim2.write.mode("overwrite").parquet(s"$root/join-dim2")
+    val f3 = base
+    val d2lim = spark.read.parquet(s"$root/join-dim2").limit(1)
+    assert(!fired(f3.join(dim1, f3("k1") === dim1("dk"))
+      .join(d2lim, f3("k2") === d2lim("gk"))
+      .groupBy("tier").agg(sum("v").as("sv"))))
+  }
+
   test("star-schema: key-derived grouping expressions over the join fire") {
     val dim = Seq(("k0", "west"), ("k1", "east")).toDF("dk", "tier")
     assertParity({

@@ -201,8 +201,9 @@ object BloomJoins {
 }
 
 /** The rewrite rule. Runs in the user-provided-optimizer batch; the
-  * guarded pattern is `Join(Inner, …, EqualTo(factKey, dimKey))` with the
-  * fact side landing on a registered parquet layout. */
+  * guarded pattern is `Join(Inner|LeftSemi, …, ⋀ EqualTo(factKeyᵢ,
+  * dimKeyᵢ))` with the fact side landing on a registered parquet layout —
+  * composite keys probe per column and intersect candidate sets. */
 final case class RewriteToBloomPrunedJoin(spark: SparkSession)
     extends Rule[LogicalPlan] {
 

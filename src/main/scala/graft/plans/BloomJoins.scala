@@ -179,10 +179,10 @@ object BloomJoins {
   private[plans] def zonesForPaths(paths: Seq[String]): Seq[ZoneLayout] =
     paths.map(norm).flatMap(p => Option(zones.get(p)).getOrElse(Nil))
 
-  private[plans] def layoutsFor(path: String): Seq[Layout] =
+  private[graft] def layoutsFor(path: String): Seq[Layout] =
     Option(layouts.get(norm(path))).getOrElse(Nil)
 
-  private[plans] def zoneLayoutsFor(path: String): Seq[ZoneLayout] =
+  private[graft] def zoneLayoutsFor(path: String): Seq[ZoneLayout] =
     Option(zones.get(norm(path))).getOrElse(Nil)
 
   /** Install on an existing session (the extensions hook only runs at
@@ -691,8 +691,18 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
                           files: Seq[String]): Option[LogicalPlan] = {
     if (files.isEmpty) Some(LocalRelation(rel.output))
     else {
+      // anchor the candidate-file read at the layout root so a
+      // HIVE-PARTITIONED layout (the FileDestination batch_id=/collection=
+      // shape) keeps its directory-derived partition columns — without
+      // basePath the pruned scan would lose them and the schema guard
+      // below would refuse every partitioned layout
+      val basePath = rel.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption.map(_.toString)
+        case _ => None
+      }
       val scan = graft.sources.Manifests
-        .batchedRead(spark, files.iterator)
+        .batchedRead(spark, files.iterator, basePath = basePath)
         .get.queryExecution.analyzed
       val byName = scan.output.map(a => a.name -> a).toMap
       // every original column must exist in the pruned scan (same

@@ -216,7 +216,8 @@ object BloomIndex {
       .sort("part_dir", "file").toLocalIterator()
     Manifests.batchedRead(spark,
         scala.jdk.CollectionConverters.IteratorHasAsScala(files)
-          .asScala.map(_.getString(1)))
+          .asScala.map(_.getString(1)),
+        basePath = Some(path)) // keep Hive partition columns (if any)
       .getOrElse(spark.read.parquet(path).limit(0))
       .filter(predicate)
   }
@@ -270,7 +271,8 @@ object BloomIndex {
     val fact =
       if (hashes.isEmpty) empty
       else Manifests.batchedRead(spark,
-          candidateFilesForHashes(spark, path, c, hashes, parts).iterator)
+          candidateFilesForHashes(spark, path, c, hashes, parts).iterator,
+          basePath = Some(path)) // keep Hive partition columns (if any)
         .getOrElse(empty)
     val dimSide = if (broadcastDim) broadcast(dim) else dim
     fact.join(dimSide, fact(c) === dimSide(dimKey), "inner")

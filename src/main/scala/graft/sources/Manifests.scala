@@ -80,18 +80,26 @@ private[graft] object Manifests {
     * empty iterator. */
   private[graft] def batchedRead(spark: SparkSession,
                                    files: Iterator[String],
-                                   maxFilesPerArm: Int = MaxFilesPerArm)
+                                   maxFilesPerArm: Int = MaxFilesPerArm,
+                                   basePath: Option[String] = None)
       : Option[DataFrame] = {
     require(maxFilesPerArm >= 1, s"maxFilesPerArm must be >= 1")
+    // basePath: reading SPECIFIC files of a Hive-partitioned layout loses
+    // the directory-derived partition columns; anchoring the reader at the
+    // layout root restores them exactly (values parse from the same dir
+    // names either way). Harmless for flat layouts.
+    def read(fs: Seq[String]): DataFrame =
+      basePath.fold(spark.read)(bp => spark.read.option("basePath", bp))
+        .parquet(fs: _*)
     val arms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     files.foreach { f =>
       buf += f
       if (buf.length >= maxFilesPerArm) {
-        arms += spark.read.parquet(buf.toSeq: _*); buf.clear()
+        arms += read(buf.toSeq); buf.clear()
       }
     }
-    if (buf.nonEmpty) arms += spark.read.parquet(buf.toSeq: _*)
+    if (buf.nonEmpty) arms += read(buf.toSeq)
     arms.reduceOption(_ unionByName _)
   }
 

@@ -192,7 +192,8 @@ object ZoneMap {
       .sort("part_dir", "file").toLocalIterator()
     Manifests.batchedRead(spark,
         scala.jdk.CollectionConverters.IteratorHasAsScala(files)
-          .asScala.map(_.getString(1)))
+          .asScala.map(_.getString(1)),
+        basePath = Some(path)) // keep Hive partition columns (if any)
       .getOrElse(spark.read.parquet(path).limit(0))
       .filter(predicate)
   }

@@ -96,6 +96,7 @@ final class FileDestination(
     "index maintenance (zone map / bloom) needs the parquet format")
 
   @volatile private var closed = false
+  @volatile private var catalogued = false
   @volatile private[streaming] var batchesWritten = 0L
 
   override def writeBatch(df: DataFrame, batchId: Long): Unit = {
@@ -110,6 +111,28 @@ final class FileDestination(
     if (bloomIndexCols.nonEmpty)
       graft.sources.BloomIndex.update(df.sparkSession, outputDir,
         bloomIndexCols, bloomExpectedItemsPerFile, bloomFpp)
+    if ((zoneMapCols.nonEmpty || bloomIndexCols.nonEmpty) && !catalogued) {
+      // self-describe ONCE: persist the layout registrations beside the
+      // data (`_graft_catalog.json`), so a FRESH query session's plain SQL
+      // prunes this sink's output with zero setup calls — the catalog
+      // DISCOVERY path. Any prior catalog is merged first (load before
+      // save), and columns already registered keep their settings (a
+      // custom maxKeys survives the sink's defaults).
+      val spark = df.sparkSession
+      graft.plans.GraftCatalog.load(spark, outputDir)
+      val haveBloom =
+        graft.plans.BloomJoins.layoutsFor(outputDir).map(_.col).toSet
+      bloomIndexCols.filterNot(haveBloom).foreach(c =>
+        graft.plans.BloomJoins.register(
+          graft.plans.BloomJoins.Layout(outputDir, c)))
+      val haveZone =
+        graft.plans.BloomJoins.zoneLayoutsFor(outputDir).map(_.col).toSet
+      zoneMapCols.filterNot(haveZone).foreach(c =>
+        graft.plans.BloomJoins.registerZone(
+          graft.plans.BloomJoins.ZoneLayout(outputDir, c)))
+      graft.plans.GraftCatalog.save(spark, outputDir)
+      catalogued = true
+    }
     batchesWritten += 1
     // metrics.rs:184 destination_write_bytes — size of what just landed
     try {

@@ -176,6 +176,36 @@ class StreamingSpec extends SparkSpec {
       "compaction must leave the bloom manifest current")
     assert(BloomIndex.prunedRead(spark, out, "event_id", ids)
       .count() === ids.length.toLong)
+    // the sink SELF-DESCRIBED: the catalog it wrote at first batch lets a
+    // FRESH session's plain IN-query prune this layout with zero
+    // register() calls (GraftCatalog discovery; registries + discovery
+    // memory cleared = the state a new JVM starts from)
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.BloomJoins.install(spark)
+    try {
+      val q = spark.read.parquet(out).where(col("event_id").isin(ids: _*))
+      val files = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation
+                if f.location.rootPaths.exists(
+                  _.toString.contains("bloom-sink")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      val total = spark.read.parquet(s"$out/_bloomindex").count()
+      assert(files > 0 && files < total,
+        s"fresh-session discovery must prune the sink layout " +
+          s"($files of $total)")
+      assert(q.count() === ids.length.toLong)
+    } finally {
+      graft.plans.BloomJoins.uninstall(spark)
+      graft.plans.BloomJoins.clear()
+      graft.plans.GraftCatalog.clearCache()
+    }
   }
 
   test("checkpoint resume processes only new files, exactly once (S5/O4)") {

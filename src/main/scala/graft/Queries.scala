@@ -2078,6 +2078,71 @@ object Queries {
         dsum(col("value")).as("sum_value"))
   }
 
+  register("stream_catalog_pointlookup", Some(
+    """SELECT event_id, event_type AS operation, user_id
+      |FROM events WHERE event_id IN (1, 2, 3, 4, 5)
+      |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // The FULL self-describing-layout loop under the oracle: the feed
+    // streams through CdcPipeline into a parquet FileDestination that
+    // maintains a bloom index per batch AND writes the layout catalog at
+    // first batch; every in-memory registry is then cleared (the state a
+    // brand-new session starts from) and a plain IN-query over the sink's
+    // output must file-skip purely through catalog DISCOVERY (REQUIREd) —
+    // rows hashed against DuckDB over the ORIGINAL events table, so
+    // exactly-once delivery, index maintenance, catalog persistence and
+    // discovery-driven pruning all sit under one gate.
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-catalog-$tag"
+    val src = s"$base/source"
+    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val out = s"$base/out"
+    val dest = new FileDestination(out, graft.sources.OutFormat.Parquet,
+      graft.sources.OutCompression.Snappy,
+      graft.operators.KeyStrategy.CollectionBased,
+      bloomIndexCols = Seq("event_id"),
+      bloomExpectedItemsPerFile = 200000)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-cat-$tag",
+      triggerInterval = None) // AvailableNow: drain-and-stop
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    // the fresh-session state: registries + discovery memory emptied —
+    // only the catalog the SINK wrote can make the query prune
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.BloomJoins.install(s)
+    try {
+      val qq = s.read.parquet(out)
+        .where(col("event_id").isin(1L, 2L, 3L, 4L, 5L))
+        .select(col("event_id"), col("operation"), col("user_id"))
+        .orderBy("event_id")
+      val totalFiles = s.read.parquet(s"$out/_bloomindex").count()
+      val factFiles = qq.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(_.toString.contains(
+                  "stream-catalog")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(factFiles > 0 && factFiles < totalFiles,
+        s"stream_catalog_pointlookup: the sink-written catalog must let a " +
+          s"fresh session prune ($factFiles of $totalFiles files)")
+      qq.localCheckpoint()
+    } finally {
+      graft.plans.BloomJoins.uninstall(s)
+      graft.plans.BloomJoins.clear()
+      graft.plans.GraftCatalog.clearCache()
+    }
+  }
+
   register("stream_windowed_counts", Some(
     """SELECT date_trunc('hour', ts) AS window_start,
       |  event_type AS operation, count(*) AS n_events

@@ -69,7 +69,11 @@ object GraftMetrics {
     * metrics.rs:112-227). Counters/gauges seed an unlabeled 0 series;
     * histograms seed an empty (count=0, sum=0) series. Idempotent. */
   def seedDefaults(): Unit = {
-    Seq(EventsProcessed, EventsFailed, Retries, BatchesWritten, WriteErrors)
+    Seq(EventsProcessed, EventsFailed, Retries, BatchesWritten, WriteErrors,
+        // graft-native: optimizer-rule probe refusals
+        // (graft.plans.BloomJoins.RefusalMetric) — visible at 0 so a
+        // scrape distinguishes "no refusals" from "not exported"
+        "graft_rule_refusals_total")
       .foreach(n => counters.computeIfAbsent(n, _ => new LongAdder))
     Seq(ActiveCollections, PipelineStatus, BatchQueueSize)
       .foreach(n => gauges.putIfAbsent(n, 0.0))

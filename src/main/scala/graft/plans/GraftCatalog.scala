@@ -7,15 +7,18 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 /** Persistence + discovery for the optimizer-tier registries — the fix
-  * for "the registry dies with the session": [[BloomJoins]] layouts,
-  * zone layouts and [[SummaryViews]] views registered with
-  * `persist = true` are recorded in a small `_graft_catalog.json` file
-  * BESIDE the data (exactly where the `_bloomindex`/`_zonemap` manifests
-  * and the summary state already live), and the rules DISCOVER it: the
+  * for "the registry dies with the session": `register(...)` then
+  * [[save]] records [[BloomJoins]] layouts, zone layouts and
+  * [[SummaryViews]] views in a small `_graft_catalog.json` file BESIDE
+  * the data (exactly where the `_bloomindex`/`_zonemap` manifests and
+  * the summary state already live), and the rules DISCOVER it: the
   * first time a query plans over an unregistered path, the rule checks
   * once for a catalog file and loads it. A fresh session — including a
   * SQL-only user who has never heard of `register()` — then prunes plain
   * `spark.sql` over any previously-catalogued layout with zero setup.
+  * [[graft.streaming.Destination]]'s `FileDestination` writes this
+  * catalog itself when it maintains zone/bloom manifests, so streamed
+  * layouts self-describe without any call at all.
   *
   * Cost discipline: discovery is one filesystem `exists` per DISTINCT
   * scanned root per session (hit or miss, the attempt is cached in

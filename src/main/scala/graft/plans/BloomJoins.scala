@@ -101,10 +101,26 @@ object BloomJoins {
     layouts.compute(norm(l.factPath), (_, cur) =>
       Option(cur).getOrElse(Nil).filterNot(_.col == l.col) :+ l)
   def unregister(factPath: String): Unit = layouts.remove(norm(factPath))
+  /** Remove ONE indexed column's layout, keeping siblings (the
+    * [[SummaryViews.unregister]] two-arg discipline applied here: the
+    * single-arg form stays the remove-ALL operation). */
+  def unregister(factPath: String, col: String): Unit =
+    layouts.computeIfPresent(norm(factPath), (_, cur) =>
+      cur.filterNot(_.col == col) match {
+        case Nil => null
+        case rest => rest
+      })
   def registerZone(l: ZoneLayout): Unit =
     zones.compute(norm(l.factPath), (_, cur) =>
       Option(cur).getOrElse(Nil).filterNot(_.col == l.col) :+ l)
   def unregisterZone(factPath: String): Unit = zones.remove(norm(factPath))
+  /** Remove ONE zoned column's layout, keeping siblings. */
+  def unregisterZone(factPath: String, col: String): Unit =
+    zones.computeIfPresent(norm(factPath), (_, cur) =>
+      cur.filterNot(_.col == col) match {
+        case Nil => null
+        case rest => rest
+      })
   def clear(): Unit = {
     layouts.clear(); zones.clear(); probeCache.clear(); warned.clear()
   }

@@ -473,6 +473,17 @@ class BloomJoinsSpec extends SparkSpec
         sortedRows(f4.join(dim2,
           f4("doc_id") === dim2("id") && f4("lang") === dim2("lg")))
       })
+      // per-column unregister keeps the sibling layout serving
+      BloomJoins.unregister(cpath, "grp")
+      val f5 = spark.read.parquet(cpath)
+      val q3 = f5.join(dim, f5("doc_id") === dim("id") &&
+        f5("grp") === dim("g"))
+      assert(cfiles(q3) > 0 && cfiles(q3) < 8,
+        "doc_id layout must keep pruning after grp's removal")
+      BloomJoins.unregister(cpath, "doc_id")
+      val f6 = spark.read.parquet(cpath)
+      assert(cfiles(f6.join(dim, f6("doc_id") === dim("id"))) === 8L,
+        "removing the last layout must stop pruning entirely")
     } finally BloomJoins.unregister(cpath)
   }
 

@@ -157,6 +157,18 @@ object Demo {
       if (status != "OK") ok = false
       println(f"[demo]   $c%-4s events=$n%5d distinct=$distinct%5d expected=$want%5d  $status")
     }
+    // --- 6. the lake self-documents: build one indexed layout from the
+    //        delivered feed and read the catalog back (describe) ----------
+    val lakeDir = s"$root/lake"
+    dests(Collections.head).readBack(spark, Some(envDDL))
+      .write.mode("overwrite").parquet(lakeDir)
+    graft.sources.BloomIndex.write(spark, lakeDir, Seq("event_id"),
+      expectedItemsPerFile = 100000)
+    graft.plans.GraftCatalog.describe(spark, lakeDir).collect().foreach { r =>
+      println(s"[demo] catalog: kind=${r.getString(1)} name=${r.getString(2)}" +
+        s" ${r.getString(3)} v=${r.getLong(4)} refusals=${r.getLong(5)}")
+    }
+
     spark.stop()
     if (!ok) { println("[demo] FAILED: lost or duplicated events"); sys.exit(1) }
     println("[demo] all events delivered exactly once")

@@ -505,6 +505,74 @@ object Queries {
     }
   }
 
+  register("agg_mv_rewrite_avg_decimal", Some(
+    """SELECT source,
+      |  CAST(avg(CAST(n_chars AS DECIMAL(12,2))) AS DOUBLE) AS avg_price,
+      |  CAST(sum(CAST(n_chars AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM documents WHERE lang <> 'en' GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // DECIMAL AVG through the MV rewrite — the type the money columns
+    // actually have at 100 TB. The rewrite replicates Spark's own decimal
+    // Average formula over the re-summed partials (DecimalDivideWith-
+    // OverflowCheck into decimal(p+4,s+4) — SummaryViews.decimalAvg), so
+    // the served value is bit-equal to the base query's. Both output
+    // columns are CAST(agg AS DOUBLE) — CollapseProject folds those casts
+    // into the Aggregate's own output list, so this entry also gates the
+    // Alias(Cast(agg)) serving shape. The base is an owned COPY of
+    // `documents` with the decimal column materialized (same rows, so the
+    // DuckDB oracle over the raw table still matches).
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val baseCopy = s"$sinkRoot/agg_mv_avg_dec_base-$tag"
+    val path = s"$sinkRoot/agg_mv_avg_dec_state-$tag"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("decimal(12,2)").as("price"))
+      .write.mode("overwrite").parquet(baseCopy)
+    // decimal deltas pre-widened to precision 28 (IncrementalAgg's stable
+    // decimal(38,s) fold contract); nn column enables the AVG divisor
+    val deltas = s.read.parquet(baseCopy).select(col("lang"), col("source"),
+      col("price").cast("decimal(28,2)").as("price"), lit(1L).as("n_docs"),
+      when(col("price").isNotNull, 1L).otherwise(0L).as("price_nn"),
+      pmod(col("doc_id"), lit(3)).as("__chunk"))
+    (0L to 2L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("lang", "source"),
+        sumCols = Seq("price", "n_docs", "price_nn"),
+        nBuckets = 8, batchId = i)
+    }
+    graft.plans.SummaryViews.register(graft.plans.SummaryViews.View(
+      baseCopy, path, Seq("lang", "source"), Set("price"), Some("n_docs"),
+      nnCounts = Map("price" -> "price_nn")))
+    graft.plans.SummaryViews.install(s)
+    try {
+      val q = s.read.parquet(baseCopy)
+        .where(col("lang") =!= "en")
+        .groupBy("source")
+        .agg(avg(col("price")).cast("double").as("avg_price"),
+          sum(col("price")).cast("double").as("sum_price"))
+      val readsState = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(p =>
+                p.toString.contains("agg_mv_avg_dec_state") &&
+                  p.toString.endsWith("/state"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(readsState,
+        "agg_mv_rewrite_avg_decimal: the decimal-AVG rewrite did not " +
+          "fire — the optimized plan still reads the base table")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.SummaryViews.uninstall(s)
+      graft.plans.SummaryViews.unregister(baseCopy)
+    }
+  }
+
   register("agg_mv_rewrite_minmax", Some(
     """SELECT lang, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -1005,6 +1073,67 @@ object Queries {
     } finally {
       graft.plans.BloomJoins.uninstall(s)
       graft.plans.BloomJoins.unregister(path)
+    }
+  }
+
+  register("join_bloom_zone_composed", Some(
+    """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+      |WHERE d.n_chars >= 300
+      |  AND d.doc_id IN (SELECT doc_id FROM documents
+      |                   ORDER BY n_chars DESC, doc_id LIMIT 5)
+      |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+    // The two pruning tiers COMPOSED on one scan: the fact carries BOTH a
+    // bloom index on doc_id (hash-spread — only membership skips) and a
+    // zone map on n_chars (range-clustered — only zones skip); the query
+    // is a dim-driven semi-join AND a plain range filter, and the rule
+    // intersects the two candidate sets before swapping the scan — files
+    // outside the range are skipped even when their bloom filter fires,
+    // and in-range files without the keys are skipped even though the
+    // zone intersects. The top-5 dim is a Limit above a Sort whose
+    // ordering includes the KEY (n_chars DESC, doc_id), the one limit
+    // shape the determinism contract certifies. REQUIREs file skipping;
+    // rows hash against DuckDB over the raw table.
+    val path = s"$sinkRoot/join_bloom_zone-${dir.replaceAll("[^0-9.]", "")}"
+    val docs = Tables.table(s, dir, "documents")
+    docs.select("doc_id", "lang", "n_chars")
+      .repartitionByRange(16, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.BloomIndex.write(s, path, Seq("doc_id"),
+      expectedItemsPerFile = 100000, fpp = 0.01)
+    graft.sources.ZoneMap.write(s, path, Seq("n_chars"))
+    // registrations arrive via the writers' self-description: clear the
+    // registries to the fresh-session state and let DISCOVERY fill them
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.BloomJoins.install(s)
+    try {
+      val f = s.read.parquet(path).where(col("n_chars") >= 300L)
+      // the dim reads the ORIGINAL table (same rows), so the file-count
+      // REQUIRE below measures the fact layout alone
+      val dim = docs
+        .orderBy(col("n_chars").desc, col("doc_id"))
+        .limit(5).select(col("doc_id").as("id"))
+      val q = f.join(dim, f("doc_id") === dim("id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+      val factFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(_.toString.contains(
+                  "join_bloom_zone")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(factFiles > 0 && factFiles < totalFiles,
+        s"join_bloom_zone_composed: expected the composed rule to skip " +
+          s"files ($factFiles of $totalFiles)")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.BloomJoins.uninstall(s)
+      graft.plans.BloomJoins.clear()
     }
   }
 
@@ -1781,9 +1910,13 @@ object Queries {
         dir.replaceAll("[^0-9.]", "")}"
       Tables.events(s, dir).repartitionByRange(16, col("value"))
         .write.mode("overwrite").parquet(path)
+      // the WRITE is the only setup: ZoneMap.write SELF-DESCRIBES the
+      // layout in _graft_catalog.json, and the fresh-session state below
+      // (registries + discovery cache cleared) REQUIREs the pruning to
+      // arrive purely through catalog DISCOVERY — zero register() calls
       graft.sources.ZoneMap.write(s, path, Seq("value"))
-      graft.plans.BloomJoins.registerZone(graft.plans.BloomJoins.ZoneLayout(
-        path, "value"))
+      graft.plans.BloomJoins.clear()
+      graft.plans.GraftCatalog.clearCache()
       graft.plans.BloomJoins.install(s)
       try {
         val q = s.read.parquet(path)
@@ -1808,7 +1941,7 @@ object Queries {
         q.localCheckpoint()
       } finally {
         graft.plans.BloomJoins.uninstall(s)
-        graft.plans.BloomJoins.unregisterZone(path)
+        graft.plans.BloomJoins.clear()
       }
   }
 
@@ -1828,12 +1961,16 @@ object Queries {
     val docs = Tables.table(s, dir, "documents")
     docs.repartition(16)
       .write.mode("overwrite").parquet(path)
+    // the WRITE is the only setup: BloomIndex.write SELF-DESCRIBES the
+    // layout in _graft_catalog.json; registries + discovery cache are
+    // then cleared (a brand-new session's state), so the file skipping
+    // REQUIREd below arrives purely through catalog DISCOVERY
     graft.sources.BloomIndex.write(s, path, Seq("doc_id"),
       expectedItemsPerFile = 100000, fpp = 0.01)
     val ids = docs.select(col("doc_id")).orderBy(col("doc_id")).limit(5)
       .collect().map(_.getLong(0)).toSeq
-    graft.plans.BloomJoins.register(graft.plans.BloomJoins.Layout(
-      path, "doc_id"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
     graft.plans.BloomJoins.install(s)
     try {
       val q = s.read.parquet(path)
@@ -1852,12 +1989,12 @@ object Queries {
           }
       }.sum
       require(factFiles > 0 && factFiles < totalFiles,
-        s"layout_bloom_auto_pointlookup: expected the RULE to skip files " +
-          s"($factFiles of $totalFiles)")
+        s"layout_bloom_auto_pointlookup: expected DISCOVERY of the " +
+          s"self-written catalog to skip files ($factFiles of $totalFiles)")
       q.localCheckpoint()
     } finally {
       graft.plans.BloomJoins.uninstall(s)
-      graft.plans.BloomJoins.unregister(path)
+      graft.plans.BloomJoins.clear()
     }
   }
 
@@ -1913,6 +2050,72 @@ object Queries {
     } finally {
       graft.plans.BloomJoins.uninstall(s)
       graft.plans.BloomJoins.clear()
+    }
+  }
+
+  register("agg_mv_rewrite_catalog", Some(
+    """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // The summary tier's SELF-DESCRIPTION loop, end-to-end — the
+    // layout_catalog_fresh_session gate one tier up: the maintenance fold
+    // ITSELF (IncrementalAgg.applyDelta describeView) registers the view
+    // and merge-writes _graft_catalog.json beside the BASE table; every
+    // registry and the discovery cache are then cleared (a brand-new
+    // session's state), and the plain GROUP BY below must re-plan onto
+    // the summary purely through catalog DISCOVERY (REQUIREd below) —
+    // rows hashed against DuckDB over the raw table. Maintenance,
+    // self-description, discovery and rewrite under one oracle; at
+    // 100 TB this is "the dashboard is fast in every session, nobody
+    // ever called register()".
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val baseCopy = s"$sinkRoot/agg_mv_catalog_base-$tag"
+    val path = s"$sinkRoot/agg_mv_catalog_state-$tag"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    // a base WE own: the catalog lives beside the base table, and the
+    // driver's testdata is read-only — same rows, so the DuckDB oracle
+    // over the raw `documents` still matches
+    Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(baseCopy)
+    val view = graft.plans.SummaryViews.View(
+      baseCopy, path, Seq("lang", "source"), Set("n_chars"), Some("n_docs"))
+    val deltas = s.read.parquet(baseCopy).select(col("lang"), col("source"),
+      col("n_chars").cast("long").as("n_chars"), lit(1L).as("n_docs"),
+      pmod(col("doc_id"), lit(3)).as("__chunk"))
+    (0L to 2L).foreach { i =>
+      graft.streaming.IncrementalAgg.applyDelta(s, path,
+        deltas.filter(col("__chunk") === i).drop("__chunk"),
+        keyCols = Seq("lang", "source"), sumCols = Seq("n_chars", "n_docs"),
+        nBuckets = 8, batchId = i, describeView = Some(view))
+    }
+    // the fresh-session state: registries and discovery memory emptied
+    graft.plans.SummaryViews.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.SummaryViews.install(s)
+    try {
+      val q = s.read.parquet(baseCopy)
+        .groupBy("lang")
+        .agg(sum(col("n_chars")).as("sum_chars"),
+          count(lit(1)).as("n_docs"))
+      val readsState = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(p =>
+                p.toString.contains("agg_mv_catalog_state") &&
+                  p.toString.endsWith("/state"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(readsState,
+        "agg_mv_rewrite_catalog: expected DISCOVERY of the fold-written " +
+          "catalog to route the aggregate onto the summary")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.SummaryViews.uninstall(s)
+      graft.plans.SummaryViews.clear()
     }
   }
 
@@ -2042,6 +2245,21 @@ object Queries {
     fs.create(new org.apache.hadoop.fs.Path(s"$path/_STAGED"), true).close()
   }
 
+  /** ONE shared staged copy of the plain envelope feed per sf dir: every
+    * entry whose source is the feed VERBATIM (no appended sentinel rows)
+    * reads this directory instead of staging its own identical copy —
+    * the first entry of a cold run stages once, the other four reuse it,
+    * trimming pure fixed cost from every bench pair. Entries that append
+    * sentinels keep private dirs (their content differs). Read-only after
+    * [[markStaged]] seals it, so sharing across sequential entries (and
+    * their streaming checkpoints, which key on their OWN checkpoint dirs)
+    * is safe. */
+  private def sharedStreamSource(s: SparkSession, dir: String): String = {
+    val src = s"$sinkRoot/stream-source-shared-${dir.replaceAll("[^0-9.]", "")}"
+    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    src
+  }
+
   private val streamDDL =
     "operation string, database string, collection string, " +
       "cluster_time timestamp, document_key string, full_document string, " +
@@ -2056,8 +2274,7 @@ object Queries {
     import graft.streaming._
     val tag = dir.replaceAll("[^0-9.]", "")
     val base = s"$sinkRoot/stream-pipeline-$tag"
-    val src = s"$base/source"
-    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    val src = sharedStreamSource(s, dir)
     // fresh checkpoint/output per invocation => deterministic full replay
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     Seq("checkpoint", "out").foreach(d =>
@@ -2094,8 +2311,7 @@ object Queries {
     // discovery-driven pruning all sit under one gate.
     val tag = dir.replaceAll("[^0-9.]", "")
     val base = s"$sinkRoot/stream-catalog-$tag"
-    val src = s"$base/source"
-    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    val src = sharedStreamSource(s, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       s.sparkContext.hadoopConfiguration)
     Seq("checkpoint", "out").foreach(d =>
@@ -2228,8 +2444,7 @@ object Queries {
     // seconds (verified identical over every matched pair).
     val tag = dir.replaceAll("[^0-9.]", "")
     val base = s"$sinkRoot/stream-ssjoin-$tag"
-    val src = s"$base/source"
-    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    val src = sharedStreamSource(s, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     Seq("checkpoint", "out").foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
@@ -2287,8 +2502,7 @@ object Queries {
     import org.apache.spark.sql.streaming.Trigger
     val tag = dir.replaceAll("[^0-9.]", "")
     val base = s"$sinkRoot/stream-drift-$tag"
-    val src = s"$base/source"
-    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    val src = sharedStreamSource(s, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(s"$base/checkpoint"), true)
     val cols = Seq("value", "user_id")
@@ -2476,8 +2690,7 @@ object Queries {
     // enrichment row for row.
     val tag = dir.replaceAll("[^0-9.]", "")
     val base = s"$sinkRoot/stream-enrich-$tag"
-    val src = s"$base/source"
-    if (stageStreamSource(s, dir, src)) markStaged(s, src)
+    val src = sharedStreamSource(s, dir)
     val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     Seq("checkpoint", "out").foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
@@ -3524,6 +3737,39 @@ object Queries {
     probed.join(exact, Seq("week", "event_type"), "left")
       .select(col("week"), col("event_type"), col("approx_n"),
         coalesce(col("exact_n"), lit(0L)).as("exact_n"))
+  }
+
+  register("agg_cms_exact_regime", Some(
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+      |  count(*) AS approx_n, count(*) AS exact_n
+      |FROM events GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    // The CMS entry's EXACT-REGIME sibling under the full hash gate (the
+    // theta-sketch discipline applied to frequency sketches): with the
+    // event-type alphabet far narrower than the sketch width (~5 values
+    // vs ~2,719 counters/row × 5 rows, seed pinned at 42), no two types
+    // share a cell in every row, and the CMS point estimate is EXACTLY
+    // the count — deterministically, since the hash depends only on the
+    // type strings, not the scale factor. The oracle therefore demands
+    // approx_n == count(*) == exact_n per (week, type); a collision would
+    // surface as an honest hash mismatch, not a silently tolerated error.
+    // agg_cms_mergeable keeps gating the merge identity + error bound in
+    // the regime beyond this one.
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+    val daily = ev.groupBy(col("week"), col("day"))
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+    val weekly = daily.groupBy(col("week"))
+      .agg(graft.functions.Sketches.cmsMerge(col("sk")).as("wsk"))
+    val exact = ev.groupBy(col("week"), col("event_type"))
+      .agg(count(lit(1)).as("exact_n"))
+    // probe only PRESENT (week, type) pairs — the oracle's GROUP BY emits
+    // exactly those
+    exact.join(weekly, Seq("week"))
+      .select(col("week"), col("event_type"),
+        graft.functions.Sketches.cmsEstimateString(col("wsk"),
+          col("event_type")).as("approx_n"),
+        col("exact_n"))
   }
 
   register("agg_theta_overlap", Some(
@@ -6784,12 +7030,14 @@ object Queries {
     * before its measured query, or trains over multiple passes. */
   val fixedCost: Set[String] = Set(
     // summary-state folds + MV rewrites (IncrementalAgg.applyDelta × batches)
-    "agg_mv_rewrite", "agg_mv_rewrite_avg", "agg_mv_rewrite_minmax",
+    "agg_mv_rewrite", "agg_mv_rewrite_avg", "agg_mv_rewrite_avg_decimal",
+    "agg_mv_rewrite_minmax",
     "agg_mv_rewrite_distinct", "agg_mv_rewrite_expr", "agg_mv_rewrite_join",
-    "agg_mv_rewrite_star", "cdc_incremental_agg", "cdc_replica_table",
+    "agg_mv_rewrite_star", "agg_mv_rewrite_catalog",
+    "cdc_incremental_agg", "cdc_replica_table",
     // layout + manifest builds (bloom/zone/bucketing/catalog)
     "join_bloom_pruned", "join_bloom_pruned_auto",
-    "join_bloom_pruned_composite",
+    "join_bloom_pruned_composite", "join_bloom_zone_composed",
     "layout_zonemap_events", "layout_zonemap_metaonly",
     "layout_bloom_pointlookup", "layout_zonemap_auto_range",
     "layout_bloom_auto_pointlookup", "layout_catalog_fresh_session",

@@ -148,21 +148,44 @@ object BloomJoins {
   private[graft] val probeRuns =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** One probe attempt's outcome, distinguishing CACHEABLE refusals from
+    * TRANSIENT ones: an over-wide dim stays over-wide until the data or
+    * the manifest version changes (cache it under the stamped key), but an
+    * exception-driven refusal (filesystem hiccup, permission blip) must
+    * not pin pruning off for the rest of a read-only session — nothing
+    * would ever bump the version to clear it. Transient refusals are NOT
+    * cached: the next planning retries the probe (the [[SummaryViews]]
+    * statePlan discipline). */
+  private[plans] sealed trait ProbeOutcome
+  private[plans] final case class Probed(files: Seq[String]) extends ProbeOutcome
+  private[plans] case object RefusedWide extends ProbeOutcome
+  private[plans] case object RefusedTransient extends ProbeOutcome
+
   /** The join leg's key is (descriptor string, canonicalized dim PLAN) —
     * the plan OBJECT, not its string image: `LocalRelation.toString`
     * elides the row data, so two literal dims with the same schema would
     * collide on a string key and serve each other's candidate files
-    * (MISSING JOIN ROWS); structural plan equality includes the rows. */
+    * (MISSING JOIN ROWS); structural plan equality includes the rows.
+    * Literal/zone legs key on TUPLES of the raw parts for the same
+    * reason: a delimiter-joined string would let `IN ('a,b')` and
+    * `IN ('a','b')` collide on one key and serve each other's files. */
   private[plans] def cachedProbe(key: Any)
-      (compute: => Option[Seq[String]]): Option[Seq[String]] =
+      (compute: => ProbeOutcome): Option[Seq[String]] =
     Option(probeCache.get(key)) match {
       case Some(v) => if (v == Refused) None else Some(v)
       case None =>
         probeRuns.incrementAndGet()
-        val res = compute
-        if (probeCache.size > 512) probeCache.clear()
-        probeCache.put(key, res.getOrElse(Refused))
-        res
+        compute match {
+          case Probed(files) =>
+            if (probeCache.size > 512) probeCache.clear()
+            probeCache.put(key, files)
+            Some(files)
+          case RefusedWide =>
+            if (probeCache.size > 512) probeCache.clear()
+            probeCache.put(key, Refused)
+            None
+          case RefusedTransient => None // retry next planning
+        }
     }
 
   // --------------------------------------------------- refusal surfacing
@@ -237,7 +260,13 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
     if (inRule.get()) plan // registries may fill via catalog DISCOVERY —
     else {                 // no isEmpty fast-path (lookups below are cheap)
       inRule.set(true)
-      try plan.transformUp {
+      // TOP-DOWN so the join site sees the fact leg's ORIGINAL Filter
+      // stack: the join rewrite collects those conjuncts and intersects
+      // their literal/zone candidate sets with the dim-driven ones on ONE
+      // scan; bottom-up, the Filter site would swap the scan first and the
+      // join leg's pruning would be lost. Filters not under a prunable
+      // join still match the Filter case on the downward recursion.
+      try plan.transformDown {
         case j @ Join(left, right, Inner, Some(cond), _) =>
           // either side may be the fact, and each equality may be written
           // in either order — normalize conjuncts to (left, right) pairs,
@@ -263,10 +292,9 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
           // above the swapped scan, so false positives are re-filtered
           // exactly. OR-branches never prune (only top-level conjuncts
           // are inspected). Range conjuncts route through the zone-map
-          // registry the same way.
-          tryPruneScan(fl, cond, rel)
-            .orElse(tryPruneZoneScan(fl, cond, rel))
-            .getOrElse(fl)
+          // registry the same way, and the two tiers COMPOSE: bloom and
+          // zone candidate sets on one relation intersect.
+          tryPruneFilter(fl, cond, rel).getOrElse(fl)
       } finally inRule.set(false)
     }
 
@@ -320,22 +348,29 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
       .filter(_ != null).map(toScala))
   }
 
-  /** Swap a registered relation under a literal-pinned Filter for the
-    * candidate-files scan; None refuses (unregistered, no pinning
-    * conjunct, list wider than maxKeys, probe failure). Pins on SEVERAL
-    * registered columns INTERSECT their candidate sets; a column that
-    * refuses (too wide, probe failure) contributes nothing, and only
-    * when EVERY pinned column refuses does the whole rewrite. */
-  private def tryPruneScan(fl: Filter, cond: Expression,
-                           rel: LogicalRelation): Option[LogicalPlan] = {
-    val ls = rel.relation match {
-      case fs: HadoopFsRelation =>
-        val paths = fs.location.rootPaths.map(_.toString)
-        GraftCatalog.ensureDiscovered(spark, paths)
-        forPaths(paths)
-      case _ => Nil
+  /** The relation's single layout root, when it is a single-root parquet
+    * scan, with catalog discovery probed on the way. MULTI-root relations
+    * (`spark.read.parquet(a, b)`) refuse: candidate files of different
+    * roots cannot anchor at one `basePath`, and per-root candidate sets
+    * for the SAME column would have to union across roots before any
+    * cross-column intersection — refusing is the sound plan until someone
+    * actually needs that shape. */
+  private def singleRoot(rel: LogicalRelation): Option[String] =
+    rel.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+        val p = fs.location.rootPaths.head.toString
+        GraftCatalog.ensureDiscovered(spark, Seq(p))
+        Some(p)
+      case _ => None
     }
-    val perCol: Seq[Option[Seq[String]]] = for {
+
+  /** Candidate-file sets from LITERAL pins on bloom-registered columns:
+    * one entry per (registered column × pinning conjunct set); None =
+    * that leg refused (too wide, probe failure) and contributes nothing.
+    * Only when EVERY leg refuses does the caller's rewrite refuse. */
+  private def bloomLiteralSets(cond: Expression, rel: LogicalRelation,
+                               ls: Seq[Layout]): Seq[Option[Seq[String]]] =
+    for {
       l <- ls
       key <- rel.output.find(a => a.name == l.col).toSeq
       values <- pinnedValues(cond, key).toSeq
@@ -346,24 +381,66 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
         // candidates is this conjunct's exact answer
         Some(Nil)
       else {
-        val ck = s"lit|${norm(l.factPath)}|${l.col}|" +
-          s"v${graft.sources.Manifests.manifestVersion(
-            l.factPath, "_bloomindex")}|" +
-          values.map(String.valueOf).sorted.mkString(",")
+        // collision-free tuple key: raw parts, values as a sorted LIST
+        val ck = ("lit", norm(l.factPath), l.col,
+          graft.sources.Manifests.manifestVersion(l.factPath, "_bloomindex"),
+          values.map(String.valueOf).sorted.toList)
         cachedProbe(ck) {
-          try Some(BloomIndex.candidateFiles(
+          try Probed(BloomIndex.candidateFiles(
             spark, l.factPath, l.col, values))
           catch { case e: Exception =>
-            refused(l.factPath, "literal-scan", e); None }
+            refused(l.factPath, "literal-scan", e); RefusedTransient }
         }
       }
     }
-    val probed = perCol.flatten
-    if (probed.isEmpty) None
-    else swappedScan(rel,
-        probed.map(_.toSet).reduce(_ intersect _).toSeq.sorted)
-      .map(s => fl.copy(child = s))
-  }
+
+  /** Candidate-file sets from RANGE/equality bounds on zone-registered
+    * columns, same refusal semantics as [[bloomLiteralSets]]. */
+  private def zoneRangeSets(cond: Expression, rel: LogicalRelation,
+                            zls: Seq[ZoneLayout]): Seq[Option[Seq[String]]] =
+    for {
+      zl <- zls
+      key <- rel.output.find(_.name == zl.col).toSeq
+      (lo, hi) <- rangeBounds(cond, key)
+    } yield {
+      val ck = ("zone", norm(zl.factPath), zl.col,
+        graft.sources.Manifests.manifestVersion(zl.factPath, "_zonemap"),
+        lo, hi)
+      cachedProbe(ck) {
+        try Probed(graft.sources.ZoneMap.candidateFilesBounded(
+          spark, zl.factPath, zl.col, lo, hi))
+        catch { case e: Exception =>
+          refused(zl.factPath, "zone-scan", e); RefusedTransient }
+      }
+    }
+
+  /** Swap a registered relation under a literal/range-pinned Filter for
+    * the candidate-files scan; None refuses (unregistered, no pinning
+    * conjunct, every leg refused). The BLOOM and ZONE tiers COMPOSE here:
+    * pins on several bloom-registered columns, ranges on zone-registered
+    * columns, and any mix of the two INTERSECT their candidate sets on
+    * the one scan — `WHERE key IN (…) AND day BETWEEN …` skips by both
+    * legs at once. A leg that refuses (too wide, probe failure)
+    * contributes nothing; only when NO leg lands does the rewrite. */
+  private def tryPruneFilter(fl: Filter, cond: Expression,
+                             rel: LogicalRelation): Option[LogicalPlan] =
+    singleRoot(rel).flatMap { root =>
+      val ls = forPaths(Seq(root))
+      val zls = zonesForPaths(Seq(root))
+      if (zls.exists(zl => rel.output.find(_.name == zl.col)
+          .exists(key => nullComparison(cond, key))))
+        // a NULL comparison on a zoned column keeps no rows: exact empty
+        Some(fl.copy(child = LocalRelation(rel.output)))
+      else {
+        val probed = (bloomLiteralSets(cond, rel, ls) ++
+          zoneRangeSets(cond, rel, zls)).flatten
+        if (probed.isEmpty) None
+        else swappedScan(rel,
+            probed.map(_.toSet).reduce(_ intersect _).toSeq.sorted,
+            root, "filter-scan")
+          .map(s => fl.copy(child = s))
+      }
+    }
 
   /** Swap the registered relation under `factSide` for a candidate-files
     * scan driven by `dimSide`'s distinct keys; None refuses. `pairs` are
@@ -385,7 +462,7 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
       deterministic(dimSide, dk)
     }
     if (oriented.length != pairs.length || probeable.isEmpty) None
-    else rewriteFact(factSide, probeable, dimSide).map { newFact =>
+    else rewriteFact(factSide, probeable, dimSide, Nil).map { newFact =>
       if (factSide eq join.left) join.copy(left = newFact)
       else join.copy(right = newFact)
     }
@@ -479,10 +556,17 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
     * optimizer interposes), so the registry check compares RELATION-level
     * column names. A key that stops being a bare attribute mid-stack
     * drops out (its conjunct just cannot drive pruning); the rewrite
-    * refuses only when NO key survives to a registered column. */
+    * refuses only when NO key survives to a registered column. Filter
+    * CONDITIONS on the way down are collected: at the relation, literal
+    * pins and zone ranges among them contribute their candidate sets to
+    * the same intersection as the dim-driven probe (conjuncts reference
+    * attributes by exprId, so a condition above a rename simply never
+    * matches the relation's output — a missed opportunity, never a wrong
+    * prune). */
   private def rewriteFact(plan: LogicalPlan,
                           pairs: Seq[(AttributeReference, AttributeReference)],
-                          dimSide: LogicalPlan): Option[LogicalPlan] =
+                          dimSide: LogicalPlan,
+                          conds: List[Expression]): Option[LogicalPlan] =
     plan match {
       case p @ Project(exprs, child)
           if exprs.forall {
@@ -498,23 +582,22 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
           }
         }
         if (mapped.isEmpty) None
-        else rewriteFact(child, mapped, dimSide).map(c => p.copy(child = c))
-      case f @ Filter(_, child) =>
-        rewriteFact(child, pairs, dimSide).map(c => f.copy(child = c))
+        else rewriteFact(child, mapped, dimSide, conds)
+          .map(c => p.copy(child = c))
+      case f @ Filter(fc, child) =>
+        rewriteFact(child, pairs, dimSide, fc :: conds)
+          .map(c => f.copy(child = c))
       case rel: LogicalRelation =>
-        val ls = rel.relation match {
-          case fs: HadoopFsRelation =>
-            val paths = fs.location.rootPaths.map(_.toString)
-            GraftCatalog.ensureDiscovered(spark, paths)
-            forPaths(paths)
-          case _ => Nil
+        singleRoot(rel).flatMap { root =>
+          val ls = forPaths(Seq(root))
+          val usable = pairs.flatMap { case (fk, dk) =>
+            ls.find(l => l.col == fk.name &&
+                rel.output.exists(_.exprId == fk.exprId))
+              .map(l => (l, dk))
+          }
+          if (usable.isEmpty) None
+          else prunedScan(rel, usable, dimSide, conds, root)
         }
-        val usable = pairs.flatMap { case (fk, dk) =>
-          ls.find(l => l.col == fk.name &&
-              rel.output.exists(_.exprId == fk.exprId))
-            .map(l => (l, dk))
-        }
-        if (usable.isEmpty) None else prunedScan(rel, usable, dimSide)
       case _ => None
     }
 
@@ -529,7 +612,9 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
     * at least one column's probe lands. */
   private def prunedScan(rel: LogicalRelation,
                          usable: Seq[(Layout, AttributeReference)],
-                         dimSide: LogicalPlan): Option[LogicalPlan] = {
+                         dimSide: LogicalPlan,
+                         conds: List[Expression],
+                         root: String): Option[LogicalPlan] = {
     val perCol: Seq[Option[Seq[String]]] = usable.map { case (layout, dk) =>
       // the key's POSITION in the dim output is canonical across plan
       // instances (exprIds are re-minted per query, the ordinal is not)
@@ -550,20 +635,34 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
             .distinct().limit(layout.maxKeys + 1)
             .select(xxhash64(col("__k")).as("h"))
             .collect().map(_.getLong(0))
-          if (hashes.length > layout.maxKeys) None // too wide: plain join wins
+          if (hashes.length > layout.maxKeys)
+            RefusedWide // too wide: plain join wins (stays wide until the
+                        // data changes — cacheable under the stamped key)
           else if (hashes.isEmpty)
             // no live dim keys: the inner join is empty - exact
-            Some(Nil)
-          else Some(BloomIndex.candidateFilesForHashes(
+            Probed(Nil)
+          else Probed(BloomIndex.candidateFilesForHashes(
             spark, layout.factPath, layout.col, hashes))
         } catch { case e: Exception => // probe failed: refuse, not crash
-          refused(layout.factPath, "join", e); None }
+          refused(layout.factPath, "join", e); RefusedTransient }
       }
     }
-    val probed = perCol.flatten
-    if (probed.isEmpty) None
-    else swappedScan(rel,
-      probed.map(_.toSet).reduce(_ intersect _).toSeq.sorted)
+    val joinSets = perCol.flatten
+    if (joinSets.isEmpty) None // no join leg landed: the Filter site (if
+    else {                     // any pins match) still fires further down
+      // compose with the fact side's own Filters: literal pins on
+      // bloom-registered columns and ranges on zone-registered columns
+      // contribute their candidate sets to the SAME intersection — the
+      // `dim ⋈ fact WHERE fact.day BETWEEN …` shape skips by both legs
+      val filterSets = conds.reduceOption(And).toSeq.flatMap { c =>
+        bloomLiteralSets(c, rel, forPaths(Seq(root))) ++
+          zoneRangeSets(c, rel, zonesForPaths(Seq(root)))
+      }.flatten
+      swappedScan(rel,
+        (joinSets ++ filterSets).map(_.toSet).reduce(_ intersect _)
+          .toSeq.sorted,
+        root, "join")
+    }
   }
 
   /** Data fingerprint of the dim's file-backed leaves (including inside
@@ -660,65 +759,26 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
     }
   }
 
-  /** Swap a zone-registered relation under a range-pinned Filter for the
-    * zone-intersecting files; multiple pinned conjuncts/columns
-    * INTERSECT their candidate sets. None refuses. */
-  private def tryPruneZoneScan(fl: Filter, cond: Expression,
-                               rel: LogicalRelation): Option[LogicalPlan] = {
-    val zls = rel.relation match {
-      case fs: HadoopFsRelation =>
-        val paths = fs.location.rootPaths.map(_.toString)
-        GraftCatalog.ensureDiscovered(spark, paths)
-        zonesForPaths(paths)
-      case _ => Nil
-    }
-    if (zls.isEmpty) None
-    else if (zls.exists(zl => rel.output.find(_.name == zl.col)
-        .exists(key => nullComparison(cond, key))))
-      // a NULL comparison on a zoned column keeps no rows: exact empty
-      Some(fl.copy(child = LocalRelation(rel.output)))
-    else {
-      val sets: Seq[Option[Set[String]]] = for {
-        zl <- zls
-        key <- rel.output.find(_.name == zl.col).toSeq
-        (lo, hi) <- rangeBounds(cond, key)
-      } yield {
-        val ck = s"zone|${norm(zl.factPath)}|${zl.col}|" +
-          s"v${graft.sources.Manifests.manifestVersion(
-            zl.factPath, "_zonemap")}|$lo|$hi"
-        cachedProbe(ck) {
-          try Some(graft.sources.ZoneMap.candidateFilesBounded(
-            spark, zl.factPath, zl.col, lo, hi))
-          catch { case e: Exception => // probe failed: refuse, not crash
-            refused(zl.factPath, "zone-scan", e); None }
-        }.map(_.toSet)
-      }
-      if (sets.isEmpty || sets.exists(_.isEmpty)) None
-      else swappedScan(rel, sets.map(_.get).reduce(_ intersect _)
-          .toSeq.sorted)
-        .map(s => fl.copy(child = s))
-    }
-  }
-
   /** A scan of exactly `files`, re-aliased under `rel`'s original output
     * ids (parents never see the substitution); empty file list collapses
-    * to an exact empty LocalRelation. */
-  private def swappedScan(rel: LogicalRelation,
-                          files: Seq[String]): Option[LogicalPlan] = {
+    * to an exact empty LocalRelation. The read is under the same
+    * refuse-not-crash discipline as the probes: a candidate file deleted
+    * between the manifest probe and the swap (a compaction window, an
+    * out-of-process rewrite) refuses to prune instead of failing the
+    * whole query at planning time. */
+  private def swappedScan(rel: LogicalRelation, files: Seq[String],
+                          root: String, leg: String): Option[LogicalPlan] = {
     if (files.isEmpty) Some(LocalRelation(rel.output))
-    else {
+    else try {
       // anchor the candidate-file read at the layout root so a
       // HIVE-PARTITIONED layout (the FileDestination batch_id=/collection=
       // shape) keeps its directory-derived partition columns — without
       // basePath the pruned scan would lose them and the schema guard
-      // below would refuse every partitioned layout
-      val basePath = rel.relation match {
-        case fs: HadoopFsRelation =>
-          fs.location.rootPaths.headOption.map(_.toString)
-        case _ => None
-      }
+      // below would refuse every partitioned layout. `root` is the
+      // relation's SINGLE root ([[singleRoot]]), by construction the
+      // directory every candidate file lives under.
       val scan = graft.sources.Manifests
-        .batchedRead(spark, files.iterator, basePath = basePath)
+        .batchedRead(spark, files.iterator, basePath = Some(root))
         .get.queryExecution.analyzed
       val byName = scan.output.map(a => a.name -> a).toMap
       // every original column must exist in the pruned scan (same
@@ -729,6 +789,8 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
           Alias(byName(o.name), o.name)(exprId = o.exprId))
         Some(Project(restored, scan))
       }
+    } catch { case e: Exception =>
+      refused(root, leg, e); None
     }
   }
 }

@@ -21,14 +21,24 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * layouts self-describe without any call at all.
   *
   * Cost discipline: discovery is one filesystem `exists` per DISTINCT
-  * scanned root per session (hit or miss, the attempt is cached in
-  * memory); every subsequent query pays a set lookup. A catalog written
-  * by another process AFTER this session already probed the path is not
-  * seen until [[load]] is called explicitly or a new session starts —
-  * the same freshness contract as Spark's own FileIndex caching.
+  * scanned root (hit or miss, the attempt is cached in memory); every
+  * subsequent query pays a map lookup. A HIT is pinned for the session
+  * (the same freshness contract as Spark's own FileIndex caching); a
+  * MISS expires after `spark.graft.catalog.negativeTtlMs` (default
+  * 5 min), so a long-lived session eventually sees a catalog another
+  * process wrote after its first look — at one re-probe per TTL window.
   *
   * Off switch: `spark.graft.catalog.autoload=false` disables discovery
   * (explicit `register()`/[[load]] calls keep working).
+  *
+  * Concurrency contract: [[save]] merges with the existing catalog and
+  * renames atomically, so SEQUENTIAL writers (however many sessions)
+  * always compose — but two saves racing in the same instant still
+  * last-rename-wins, and the loser's just-added entry waits for its next
+  * save to land. Entries are per-column upserts, so the race loses
+  * PRUNING (temporarily), never correctness. Run one catalog-writing
+  * maintenance process per root where that matters — the same contract
+  * every manifest tier in this library already imposes.
   */
 object GraftCatalog {
 
@@ -36,10 +46,19 @@ object GraftCatalog {
 
   private def norm(p: String): String = BloomJoins.norm(p)
 
-  /** Roots already probed for a catalog this session (positive or
-    * negative) — discovery never re-lists. */
+  /** Roots already probed for a catalog this session, mapped to the
+    * probe's re-check deadline: a POSITIVE probe (catalog found and
+    * loaded) never re-probes (`Long.MaxValue` — the same freshness
+    * contract as Spark's FileIndex caching), while a NEGATIVE probe
+    * expires after `spark.graft.catalog.negativeTtlMs` (default 5 min) so
+    * a long-lived session eventually SEES a catalog written after its
+    * first look. One `exists` per TTL window per missing root is the
+    * whole steady-state cost. */
   private val attempted =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Injectable clock (specs drive the negative-TTL expiry). */
+  private[plans] var clock: () => Long = () => System.currentTimeMillis()
 
   /** Drop the discovery memory (NOT the registries): the next query
     * re-probes. Spec/fresh-session hook. */
@@ -48,23 +67,33 @@ object GraftCatalog {
   private val mapper = new ObjectMapper()
 
   /** Write the catalog for `root`: every CURRENTLY-registered bloom
-    * layout, zone layout and summary view whose data path is `root`.
-    * Call after `register(...)` to make the registration outlive the
-    * session. Overwrites atomically (temp file + rename). */
-  def save(spark: SparkSession, root: String): Unit = {
+    * layout, zone layout and summary view whose data path is `root`,
+    * MERGED over whatever catalog already sits there — an existing
+    * on-disk entry survives unless this session carries its OWN entry
+    * for the same identity (bloom/zone column, view state path), in
+    * which case the in-memory one wins. Merge-by-default means two
+    * sequential sessions each registering one column both survive, and a
+    * session that never called [[load]] cannot clobber entries it has
+    * never seen. Pass `merge = false` to OVERWRITE — the explicit
+    * "drop what I did not re-register" path (e.g. after an unregister).
+    * The write is atomic: temp file + rename-with-overwrite (no
+    * delete-then-rename window where readers see no catalog). */
+  def save(spark: SparkSession, root: String, merge: Boolean = true): Unit = {
     val doc = mapper.createObjectNode()
     val blooms = doc.putArray("bloom")
-    BloomJoins.layoutsFor(root).foreach { l =>
+    val bloomCols = BloomJoins.layoutsFor(root).map { l =>
       val n = blooms.addObject()
       n.put("col", l.col)
       n.put("maxKeys", l.maxKeys)
-    }
+      l.col
+    }.toSet
     val zs = doc.putArray("zones")
-    BloomJoins.zoneLayoutsFor(root).foreach { z =>
+    val zoneCols = BloomJoins.zoneLayoutsFor(root).map { z =>
       zs.addObject().put("col", z.col)
-    }
+      z.col
+    }.toSet
     val vs = doc.putArray("views")
-    SummaryViews.viewsFor(root).foreach { v =>
+    val viewPaths = SummaryViews.viewsFor(root).map { v =>
       val n = vs.addObject()
       n.put("statePath", v.statePath)
       strArr(n, "keyCols", v.keyCols)
@@ -73,19 +102,92 @@ object GraftCatalog {
       strMap(n, "nnCounts", v.nnCounts)
       strMap(n, "minCols", v.minCols)
       strMap(n, "maxCols", v.maxCols)
-    }
+      norm(v.statePath)
+    }.toSet
     val (fs, rootPath) = graft.sources.Manifests.fsFor(spark, root)
     val target = new Path(rootPath, FileName)
+    if (merge && fs.exists(target)) {
+      // fold in on-disk entries this session does not itself carry (a
+      // malformed existing catalog refuses the MERGE loudly but never
+      // the save — the fresh entries still land)
+      try {
+        val in = fs.open(target)
+        val old = try mapper.readTree(in) finally in.close()
+        arr(old, "bloom")
+          .filterNot(n => bloomCols.contains(n.get("col").asText()))
+          .foreach(n => blooms.add(n))
+        arr(old, "zones")
+          .filterNot(n => zoneCols.contains(n.get("col").asText()))
+          .foreach(n => zs.add(n))
+        arr(old, "views")
+          .filterNot(n =>
+            viewPaths.contains(norm(n.get("statePath").asText())))
+          .foreach(n => vs.add(n))
+      } catch { case e: Exception =>
+        BloomJoins.refused(root, "catalog-merge", e)
+      }
+    }
     val tmp = new Path(rootPath, s".$FileName.tmp")
     val out = fs.create(tmp, true)
     out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(doc))
     out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"catalog rename failed: $target")
+    renameOverwrite(spark, fs, tmp, target)
     // this session has by definition "attempted" the root — and found it
-    attempted.add(norm(root))
+    attempted.put(norm(root), java.lang.Long.MAX_VALUE)
+  }
+
+  /** The batch writers' self-description hook — [[graft.sources.BloomIndex]]
+    * `.write`, [[graft.sources.ZoneMap]]`.write` and
+    * [[graft.sources.Compaction]] call this after their manifest lands,
+    * extending `FileDestination`'s streaming discipline to the batch
+    * path: derive this root's registrations from the manifests ON DISK
+    * (the `<col>_bloom` / `<col>_min` schema columns), merge them into
+    * the in-memory registries, and merge-write the catalog. Precedence:
+    * in-session registrations win over the on-disk catalog, which wins
+    * over manifest-derived defaults — so a custom `maxKeys` survives any
+    * later writer, whether it was registered in this session or a
+    * previous one. A layout built in batch then self-describes exactly
+    * like a streamed one: the next session's plain SQL prunes with zero
+    * setup calls. */
+  def selfDescribe(spark: SparkSession, root: String): Unit = {
+    val (fs, rootPath) = graft.sources.Manifests.fsFor(spark, root)
+    def manifestCols(kind: String, suffix: String): Seq[String] =
+      if (!fs.exists(new Path(rootPath, kind))) Nil
+      else try spark.read.parquet(s"$root/$kind").schema.fieldNames
+        .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix)).toSeq
+      catch { case e: Exception =>
+        BloomJoins.refused(root, "self-describe", e); Nil }
+    // precedence falls out of load()'s fill-gaps contract: in-session
+    // registrations stay, the on-disk catalog fills columns this session
+    // never touched, manifest-derived defaults fill the rest
+    load(spark, root)
+    val haveBloom = BloomJoins.layoutsFor(root).map(_.col).toSet
+    manifestCols("_bloomindex", "_bloom").filterNot(haveBloom)
+      .foreach(c => BloomJoins.register(BloomJoins.Layout(root, c)))
+    val haveZone = BloomJoins.zoneLayoutsFor(root).map(_.col).toSet
+    manifestCols("_zonemap", "_min").filterNot(haveZone)
+      .foreach(c => BloomJoins.registerZone(BloomJoins.ZoneLayout(root, c)))
+    save(spark, root)
+  }
+
+  /** Atomic rename onto a possibly-existing target: FileContext rename
+    * with OVERWRITE where the filesystem supports it (readers always see
+    * either the old or the new catalog); fall back to delete+rename only
+    * where FileContext is unavailable. */
+  private def renameOverwrite(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              tmp: Path, target: Path): Unit = {
+    try {
+      val ctx = org.apache.hadoop.fs.FileContext.getFileContext(
+        target.toUri, spark.sparkContext.hadoopConfiguration)
+      ctx.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"catalog rename failed: $target")
+    }
   }
 
   private def strArr(n: ObjectNode, field: String, vs: Seq[String]): Unit = {
@@ -100,7 +202,13 @@ object GraftCatalog {
   }
 
   /** Read the catalog at `root` (if any) and register its contents in
-    * the in-memory registries. Returns true iff a catalog was loaded.
+    * the in-memory registries — FILL-GAPS ONLY: an identity already
+    * registered in this session (bloom/zone column, view state path)
+    * keeps its in-memory settings. Load can fire implicitly through
+    * DISCOVERY while any query plans, so it must never override what
+    * this session registered on purpose (a custom `maxKeys` must not be
+    * silently reset by the first scan that happens to probe the root).
+    * Returns true iff a catalog file was found and parsed.
     * A malformed catalog is a REFUSAL, not a crash: the session keeps
     * planning plain scans, and the failure is counted on the metrics
     * registry (the [[BloomJoins.RefusalMetric]] discipline). */
@@ -114,25 +222,36 @@ object GraftCatalog {
         val doc =
           try mapper.readTree(in)
           finally in.close()
-        arr(doc, "bloom").foreach { n =>
-          BloomJoins.register(BloomJoins.Layout(root, n.get("col").asText(),
-            if (n.has("maxKeys")) n.get("maxKeys").asInt() else 100000))
-        }
-        arr(doc, "zones").foreach { n =>
-          BloomJoins.registerZone(
-            BloomJoins.ZoneLayout(root, n.get("col").asText()))
-        }
-        arr(doc, "views").foreach { n =>
-          SummaryViews.register(SummaryViews.View(
-            root,
-            n.get("statePath").asText(),
-            strs(n, "keyCols"),
-            strs(n, "sumCols").toSet,
-            if (n.has("countCol")) Some(n.get("countCol").asText()) else None,
-            nnCounts = pairs(n, "nnCounts"),
-            minCols = pairs(n, "minCols"),
-            maxCols = pairs(n, "maxCols")))
-        }
+        val haveBloom = BloomJoins.layoutsFor(root).map(_.col).toSet
+        arr(doc, "bloom")
+          .filterNot(n => haveBloom.contains(n.get("col").asText()))
+          .foreach { n =>
+            BloomJoins.register(BloomJoins.Layout(root, n.get("col").asText(),
+              if (n.has("maxKeys")) n.get("maxKeys").asInt() else 100000))
+          }
+        val haveZone = BloomJoins.zoneLayoutsFor(root).map(_.col).toSet
+        arr(doc, "zones")
+          .filterNot(n => haveZone.contains(n.get("col").asText()))
+          .foreach { n =>
+            BloomJoins.registerZone(
+              BloomJoins.ZoneLayout(root, n.get("col").asText()))
+          }
+        val haveView = SummaryViews.viewsFor(root)
+          .map(v => norm(v.statePath)).toSet
+        arr(doc, "views")
+          .filterNot(n => haveView.contains(norm(n.get("statePath").asText())))
+          .foreach { n =>
+            SummaryViews.register(SummaryViews.View(
+              root,
+              n.get("statePath").asText(),
+              strs(n, "keyCols"),
+              strs(n, "sumCols").toSet,
+              if (n.has("countCol")) Some(n.get("countCol").asText())
+              else None,
+              nnCounts = pairs(n, "nnCounts"),
+              minCols = pairs(n, "minCols"),
+              maxCols = pairs(n, "maxCols")))
+          }
         true
       }
     } catch {
@@ -174,12 +293,17 @@ object GraftCatalog {
   private[plans] def ensureDiscovered(spark: SparkSession,
                                       paths: Seq[String]): Unit = {
     if (!autoload(spark)) return
+    val now = clock()
     paths.foreach { p =>
       val k = norm(p)
-      if (!attempted.contains(k)) {
-        attempted.add(k)
+      val entry = attempted.get(k)
+      if (entry == null || (entry != java.lang.Long.MAX_VALUE &&
+          now >= entry)) {
         discoveryProbes.incrementAndGet()
-        load(spark, k)
+        val found = load(spark, k)
+        attempted.put(k,
+          if (found) java.lang.Long.MAX_VALUE
+          else java.lang.Long.valueOf(now + negativeTtlMs(spark)))
       }
     }
   }
@@ -187,10 +311,54 @@ object GraftCatalog {
   private def autoload(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.catalog.autoload", "true") == "true"
 
+  /** How long a MISSED probe suppresses re-probing (see [[attempted]]). */
+  private def negativeTtlMs(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.catalog.negativeTtlMs", "300000").toLong
+
   /** Remove the catalog file at `root` (registrations in memory stay). */
   def delete(spark: SparkSession, root: String): Unit = {
     val (fs, rootPath) = graft.sources.Manifests.fsFor(spark, root)
     fs.delete(new Path(rootPath, FileName), false)
     attempted.remove(norm(root))
+  }
+
+  /** The lake's self-documentation, read back from the artifacts: one row
+    * per discovered layout/view at `root` — kind, column-or-state-path,
+    * settings, the in-process manifest version, and the refusal count the
+    * metrics registry carries for the root. Loads the on-disk catalog
+    * first (explicit call — no autoload gate), so a fresh session can
+    * `describe` a lake it has never queried. Metadata-sized by
+    * construction: rows = registrations, never files or data. */
+  def describe(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
+    load(spark, root)
+    val r = norm(root)
+    val legs = Seq("literal-scan", "zone-scan", "join", "filter-scan",
+      "catalog-load", "catalog-merge", "summary-state")
+    def refusals: Long = legs.map(l => graft.streaming.GraftMetrics
+      .counter(BloomJoins.RefusalMetric, "layout" -> r, "leg" -> l)).sum
+    val rows =
+      BloomJoins.layoutsFor(root).map(l => (r, "bloom", l.col,
+        s"maxKeys=${l.maxKeys}",
+        graft.sources.Manifests.manifestVersion(l.factPath, "_bloomindex"),
+        refusals)) ++
+      BloomJoins.zoneLayoutsFor(root).map(z => (r, "zone", z.col, "",
+        graft.sources.Manifests.manifestVersion(z.factPath, "_zonemap"),
+        refusals)) ++
+      SummaryViews.viewsFor(root).map { v =>
+        val detail = s"keys=${v.keyCols.mkString("+")};" +
+          s"sums=${v.sumCols.toSeq.sorted.mkString("+")}" +
+          v.countCol.fold("")(c => s";count=$c") +
+          (if (v.nnCounts.isEmpty) ""
+           else s";nn=${v.nnCounts.keys.toSeq.sorted.mkString("+")}") +
+          (if (v.minCols.isEmpty) ""
+           else s";min=${v.minCols.keys.toSeq.sorted.mkString("+")}") +
+          (if (v.maxCols.isEmpty) ""
+           else s";max=${v.maxCols.keys.toSeq.sorted.mkString("+")}")
+        (r, "view", norm(v.statePath), detail,
+          graft.streaming.BucketedStateTable.stateVersion(v.statePath),
+          refusals)
+      }
+    import spark.implicits._
+    rows.toDF("root", "kind", "name", "detail", "version", "refusals")
   }
 }

@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, GreaterThan, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, DecimalDivideWithOverflowCheck, Divide, EqualTo, EvalMode, Expression, GreaterThan, If, Literal, Multiply, NamedExpression, UnscaledValue}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, LongType}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Project, Sample}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -35,8 +35,12 @@ import graft.streaming.BucketedStateTable
   *    (no DISTINCT, no FILTER), `COUNT(*)`/`COUNT(1)` when the view
   *    maintains a count column (rewritten to `coalesce(SUM(n),0)`),
   *    `COUNT(col)` when the view maintains that column's non-null count,
-  *    `AVG(col)` (double results) when it maintains BOTH the sum and
-  *    the non-null count (rewritten to `SUM(sums)/SUM(counts)`), and
+  *    `AVG(col)` (double results rewritten to `SUM(sums)/SUM(counts)`;
+  *    decimal results replicate Average's own decimal divide —
+  *    [[RewriteToSummary.decimalAvg]]) when it maintains BOTH the sum
+  *    and the non-null count, a `CAST` wrapped around any served
+  *    aggregate (CollapseProject folds post-aggregation casts into the
+  *    output list), and
   *    `MIN(col)`/`MAX(col)` when it maintains per-key extrema
   *    (append-only pipelines only — extrema are not delete-invertible),
   *    and `COUNT(DISTINCT k…)` over KEY columns when the view maintains
@@ -45,8 +49,8 @@ import graft.streaming.BucketedStateTable
   *  - an optional deterministic `WHERE` whose references are all key
   *    columns (pushed onto the summary scan — key predicates commute
   *    with the roll-up);
-  *  - anything else (expressions over non-key columns, decimal AVG,
-  *    DISTINCT/FILTER clauses, joins in between) leaves the plan
+  *  - anything else (expressions over non-key columns, DISTINCT/FILTER
+  *    clauses on non-key aggregates, windows in between) leaves the plan
   *    untouched — the rule REFUSES rather than approximates.
   *
   * Liveness: when the view maintains a count column, the rewrite reads
@@ -139,7 +143,7 @@ object SummaryViews {
     paths.map(norm).flatMap(p => Option(views.get(p)).getOrElse(Nil))
       .distinct.sortBy(_.keyCols.size)
 
-  private[plans] def viewsFor(path: String): Seq[View] =
+  private[graft] def viewsFor(path: String): Seq[View] =
     Option(views.get(norm(path))).getOrElse(Nil)
 
   /** Resolved summary-scan plan per registered view, keyed by state path and
@@ -277,6 +281,100 @@ final case class RewriteToSummary(spark: SparkSession)
         .collectFirst { case Some(p) => p }
     }
 
+  /** `AVG(decimal)` served from maintained sums and non-null counts,
+    * replicating Spark's own decimal Average formula EXPRESSION FOR
+    * EXPRESSION (Average.evaluateExpression for DecimalType):
+    * `If(count = 0, null, DecimalDivideWithOverflowCheck(sum,
+    * count.cast(decimal(20,0)), resultType, nullOnOverflow))` — identical
+    * operand decimal types, identical divide node, identical overflow
+    * mode, so the rewritten value is bit-equal to the base query's
+    * whenever the re-summed total fits the original sum type (the same
+    * condition as the plain SUM rewrite's cast-back). `childType` is the
+    * base column's decimal(p, s): Average sums in decimal(p+10, s) and
+    * divides into decimal(p+4, s+4) = `ae.dataType`. */
+  private[plans] def decimalAvg(ae: AggregateExpression, childType: DecimalType,
+                                em: EvalMode.Value, sumCol: Attribute,
+                                nnCol: Attribute): Expression = {
+    // DecimalType.bounded(p + 10, s) — private[sql], spelled out
+    val sumType = DecimalType(math.min(childType.precision + 10, 38),
+      math.min(childType.scale, 38))
+    val sumE: Expression = AggregateExpression(
+      Sum(sumCol), ae.mode, isDistinct = false, None,
+      NamedExpression.newExprId)
+    val sumTotal = if (sumE.dataType == sumType) sumE else Cast(sumE, sumType)
+    val cntE: Expression = AggregateExpression(
+      Sum(nnCol), ae.mode, isDistinct = false, None,
+      NamedExpression.newExprId)
+    val cntLong = if (cntE.dataType == LongType) cntE else Cast(cntE, LongType)
+    If(EqualTo(cntLong, Literal(0L)),
+      Literal(null, ae.dataType),
+      DecimalDivideWithOverflowCheck(
+        sumTotal, Cast(cntLong, DecimalType(20, 0)),
+        ae.dataType.asInstanceOf[DecimalType], null,
+        nullOnOverflow = em != EvalMode.ANSI))
+  }
+
+  /** Serve `f(agg₁, …, aggₙ)` — an output expression whose every
+    * aggregate call is servable and whose parts OUTSIDE the aggregates
+    * are deterministic and reference-free (casts, literals, arithmetic):
+    * f over the served values then equals f over the base values, because
+    * each served aggregate is value-equal. Covers `CAST(agg AS t)`
+    * (CollapseProject folds post-aggregation projections into the output
+    * list), the DecimalAggregates shape
+    * `cast((avg(UnscaledValue(d)) / 10^s) as decimal(p+4, s+4))`, and
+    * manual agg arithmetic like `sum(x) / count(*)`. A bare column
+    * reference outside an aggregate refuses (grouping shapes matched
+    * earlier; anything else is genuinely row-level). */
+  private def serveWrapped(e: Expression,
+                           serveAgg: AggregateExpression => Option[Expression])
+      : Option[Expression] = e match {
+    case ae: AggregateExpression => serveAgg(ae)
+    case _: AttributeReference => None
+    case leaf if leaf.children.isEmpty =>
+      if (leaf.deterministic) Some(leaf) else None
+    case other if other.deterministic =>
+      val kids = other.children.map(k => serveWrapped(k, serveAgg))
+      if (kids.exists(_.isEmpty)) None
+      else Some(other.withNewChildren(kids.map(_.get)))
+    case _ => None
+  }
+
+  /** The [[org.apache.spark.sql.catalyst.optimizer.DecimalAggregates]]
+    * Average shape `avg(UnscaledValue(d))` (double result; the `/10^s`
+    * and the cast back to decimal live in the wrapper [[serveWrapped]]
+    * preserves) served from state: the unscaled total is the decimal
+    * total ·10^s — computed decimal-EXACTLY, then cast (a double of an
+    * integer < 2^53 is exact), then divided by the non-null count in the
+    * same double arithmetic as the rewritten base plan. Value-equal to
+    * the base plan whenever ITS double sum of unscaled longs is exact —
+    * precisely the regime DecimalAggregates itself relies on. */
+  private def unscaledAvg(ae: AggregateExpression, dt: DecimalType,
+                          sumCol: Attribute, nnCol: Attribute): Expression = {
+    val sumE: Expression = AggregateExpression(Sum(sumCol), ae.mode,
+      isDistinct = false, None, NamedExpression.newExprId)
+    val cntE: Expression = AggregateExpression(Sum(nnCol), ae.mode,
+      isDistinct = false, None, NamedExpression.newExprId)
+    Divide(Cast(unscaledTotal(sumE, dt), DoubleType), Cast(cntE, DoubleType))
+  }
+
+  /** The DecimalAggregates Sum shape `sum(UnscaledValue(d))` (LongType;
+    * the `MakeDecimal` wrapper is preserved by [[serveWrapped]]) served
+    * from state — exact inside the ≤18-digit regime the base rewrite
+    * itself guarantees (it only fires when p+10 ≤ 18). */
+  private def unscaledSum(ae: AggregateExpression, dt: DecimalType,
+                          sumCol: Attribute): Expression = {
+    val sumE: Expression = AggregateExpression(Sum(sumCol), ae.mode,
+      isDistinct = false, None, NamedExpression.newExprId)
+    Cast(unscaledTotal(sumE, dt), LongType)
+  }
+
+  /** `total · 10^scale` as an exact integer-valued decimal. */
+  private def unscaledTotal(sumE: Expression, dt: DecimalType): Expression =
+    if (dt.scale == 0) sumE
+    else Multiply(sumE,
+      Literal(Decimal(BigDecimal(10).pow(dt.scale)),
+        DecimalType(dt.scale + 1, 0)))
+
   /** A grouping is servable from `view` iff it is a key attribute or a
     * DETERMINISTIC expression whose references are all key columns: such
     * an expression evaluates over the summary's key VALUES to exactly
@@ -348,6 +446,136 @@ final case class RewriteToSummary(spark: SparkSession)
             view.maxCols.values).forall(stateAttr.contains)
         if (!covered) None
         else {
+          /** Serve one aggregate call from the summary, or refuse. Shared
+            * by the bare `Alias(agg)` shape and the `Alias(Cast(agg))`
+            * shape (CollapseProject folds a post-aggregation cast into
+            * the Aggregate's own output list, so `CAST(SUM(x) AS …)`
+            * arrives here as one alias). */
+          def serveAgg(ae: AggregateExpression): Option[Expression] =
+            ae match {
+              case AggregateExpression(
+                    Sum(c: AttributeReference, _), _, false, None, _)
+                  if baseArg(c).exists(b => view.sumCols.contains(b.name)) =>
+                val b = baseArg(c).get
+                // re-summing the summary can WIDEN the type (decimal Sum
+                // adds 10 precision again: state holds decimal(p+10,s), Sum
+                // over it yields decimal(p+20,s)); parents recorded the
+                // ORIGINAL type for this exprId, so cast back. The cast is
+                // exact whenever the true total fits the original Sum type
+                // — the same condition under which the un-rewritten query
+                // succeeds.
+                val reSum: Expression =
+                  ae.copy(aggregateFunction = Sum(stateAttr(b.name)))
+                Some(if (reSum.dataType == ae.dataType) reSum
+                  else Cast(reSum, ae.dataType))
+              case AggregateExpression(
+                    Count(Seq(Literal(_, _))), _, false, None, _)
+                  if view.countCol.isDefined =>
+                val n = stateAttr(view.countCol.get)
+                val summed: Expression = ae.copy(aggregateFunction = Sum(n))
+                // post-analysis plans get no implicit coercion: pin the
+                // summed count back to COUNT's own LongType
+                val typed =
+                  if (summed.dataType == ae.dataType) summed
+                  else Cast(summed, ae.dataType)
+                Some(Coalesce(Seq(typed, Literal(0L))))
+              case AggregateExpression(
+                    Count(Seq(c: AttributeReference)), _, false, None, _)
+                  if baseArg(c).exists(b => view.nnCounts.contains(b.name)) =>
+                // COUNT(col) = total of the maintained per-column non-null
+                // count; a group whose every value was null holds nn = 0
+                // and re-sums to 0, matching COUNT's never-null contract
+                val nn = stateAttr(view.nnCounts(baseArg(c).get.name))
+                val summed: Expression = ae.copy(aggregateFunction = Sum(nn))
+                val typed =
+                  if (summed.dataType == ae.dataType) summed
+                  else Cast(summed, ae.dataType)
+                Some(Coalesce(Seq(typed, Literal(0L))))
+              case AggregateExpression(
+                    Min(c: AttributeReference), _, false, None, _)
+                  if baseArg(c).exists(b => view.minCols.contains(b.name)) =>
+                // min of per-key mins; null state cells (all-null groups)
+                // skip, exactly as Min over the base skips null rows. No
+                // widening — Min keeps its input type.
+                Some(ae.copy(aggregateFunction = Min(
+                  stateAttr(view.minCols(baseArg(c).get.name)))))
+              case AggregateExpression(
+                    Max(c: AttributeReference), _, false, None, _)
+                  if baseArg(c).exists(b => view.maxCols.contains(b.name)) =>
+                Some(ae.copy(aggregateFunction = Max(
+                  stateAttr(view.maxCols(baseArg(c).get.name)))))
+              case AggregateExpression(
+                    Average(c: AttributeReference, _), _, false, None, _)
+                  if baseArg(c).exists(b => view.sumCols.contains(b.name) &&
+                      view.nnCounts.contains(b.name)) &&
+                    ae.dataType == DoubleType =>
+                val b = baseArg(c).get
+                // AVG(col) = SUM(partial sums) / SUM(non-null counts). Two
+                // NEW AggregateExpressions (fresh resultIds — ae.copy twice
+                // would collide on ae's). All-null group: sums re-sum to
+                // null, null/0 = null = AVG.
+                val sumE: Expression = AggregateExpression(
+                  Sum(stateAttr(b.name)), ae.mode, isDistinct = false,
+                  None, NamedExpression.newExprId)
+                val cntE: Expression = AggregateExpression(
+                  Sum(stateAttr(view.nnCounts(b.name))), ae.mode,
+                  isDistinct = false, None, NamedExpression.newExprId)
+                Some(Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)))
+              case AggregateExpression(
+                    Average(c: AttributeReference, em), _, false, None, _)
+                  if baseArg(c).exists(b => view.sumCols.contains(b.name) &&
+                      view.nnCounts.contains(b.name)) &&
+                    ae.dataType.isInstanceOf[DecimalType] &&
+                    c.dataType.isInstanceOf[DecimalType] =>
+                val b = baseArg(c).get
+                Some(decimalAvg(ae, c.dataType.asInstanceOf[DecimalType], em,
+                  stateAttr(b.name), stateAttr(view.nnCounts(b.name))))
+              case AggregateExpression(
+                    Average(u: UnscaledValue, _), _, false, None, _)
+                  if u.child.isInstanceOf[AttributeReference] && {
+                    val c = u.child.asInstanceOf[AttributeReference]
+                    c.dataType.isInstanceOf[DecimalType] &&
+                      baseArg(c).exists(b => view.sumCols.contains(b.name) &&
+                        view.nnCounts.contains(b.name))
+                  } =>
+                // DecimalAggregates rewrote avg(decimal(p≤11,s)) to
+                // avg(unscaled longs) before this rule ran — serve the
+                // same double arithmetic from the state sums
+                val c = u.child.asInstanceOf[AttributeReference]
+                val b = baseArg(c).get
+                Some(unscaledAvg(ae, c.dataType.asInstanceOf[DecimalType],
+                  stateAttr(b.name), stateAttr(view.nnCounts(b.name))))
+              case AggregateExpression(
+                    Sum(u: UnscaledValue, _), _, false, None, _)
+                  if u.child.isInstanceOf[AttributeReference] && {
+                    val c = u.child.asInstanceOf[AttributeReference]
+                    c.dataType.isInstanceOf[DecimalType] &&
+                      baseArg(c).exists(b => view.sumCols.contains(b.name))
+                  } =>
+                // DecimalAggregates' sum(decimal(p≤8,s)) unscaled-long form
+                val c = u.child.asInstanceOf[AttributeReference]
+                val b = baseArg(c).get
+                Some(unscaledSum(ae, c.dataType.asInstanceOf[DecimalType],
+                  stateAttr(b.name)))
+              case AggregateExpression(Count(cs), _, true, None, _)
+                  if view.countCol.isDefined && cs.nonEmpty &&
+                    cs.forall(c => groupingServable(view, inline(c))) =>
+                // COUNT(DISTINCT key cols — or deterministic expressions
+                // over them, same commuting argument as the groupings):
+                // every LIVE summary row is one distinct key combination,
+                // so distinct-over-f(keys) counts the same value set over
+                // the summary's key values as over the base rows — exact
+                // only under the liveness filter below (a fully-deleted
+                // group's row lingers in state with count 0). Count keeps
+                // LongType: no cast. NULL args skip rows identically on
+                // both sides (f is deterministic).
+                val mappedArgs: Seq[Expression] = cs.map(c =>
+                  inline(c).transform {
+                    case a: AttributeReference => stateAttr(a.name)
+                  })
+                Some(ae.copy(aggregateFunction = Count(mappedArgs)))
+              case _ => None
+            }
           // every output expression must map exactly, preserving both the
           // name and the exprId — parents never see the substitution
           val mapped: Seq[Option[NamedExpression]] = aggExprs.map {
@@ -387,106 +615,10 @@ final case class RewriteToSummary(spark: SparkSession)
               Some(Alias(inline(e).transform {
                 case a: AttributeReference => stateAttr(a.name)
               }, name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Sum(c: AttributeReference, _), _, false, None, _), name)
-                if baseArg(c).exists(b => view.sumCols.contains(b.name)) =>
-              val b = baseArg(c).get
-              // re-summing the summary can WIDEN the type (decimal Sum adds
-              // 10 precision again: state holds decimal(p+10,s), Sum over it
-              // yields decimal(p+20,s)); parents recorded the ORIGINAL type
-              // for this exprId, so cast back. The cast is exact whenever
-              // the true total fits the original Sum type — the same
-              // condition under which the un-rewritten query succeeds.
-              val reSum: Expression =
-                ae.copy(aggregateFunction = Sum(stateAttr(b.name)))
-              val typed =
-                if (reSum.dataType == ae.dataType) reSum
-                else Cast(reSum, ae.dataType)
-              Some(Alias(typed, name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Count(Seq(Literal(_, _))), _, false, None, _), name)
-                if view.countCol.isDefined =>
-              val n = stateAttr(view.countCol.get)
-              val summed: Expression = ae.copy(aggregateFunction = Sum(n))
-              // post-analysis plans get no implicit coercion: pin the summed
-              // count back to COUNT's own LongType before the coalesce
-              val typed =
-                if (summed.dataType == ae.dataType) summed
-                else Cast(summed, ae.dataType)
-              Some(Alias(
-                Coalesce(Seq(typed, Literal(0L))),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Count(Seq(c: AttributeReference)), _, false, None, _), name)
-                if baseArg(c).exists(b => view.nnCounts.contains(b.name)) =>
-              // COUNT(col) = total of the maintained per-column non-null
-              // count; a group whose every value was null holds nn = 0 and
-              // re-sums to 0, matching COUNT's never-null contract
-              val nn = stateAttr(view.nnCounts(baseArg(c).get.name))
-              val summed: Expression = ae.copy(aggregateFunction = Sum(nn))
-              val typed =
-                if (summed.dataType == ae.dataType) summed
-                else Cast(summed, ae.dataType)
-              Some(Alias(
-                Coalesce(Seq(typed, Literal(0L))),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Min(c: AttributeReference), _, false, None, _), name)
-                if baseArg(c).exists(b => view.minCols.contains(b.name)) =>
-              // min of per-key mins; null state cells (all-null groups)
-              // skip, exactly as Min over the base skips null rows. No
-              // widening — Min keeps its input type.
-              Some(Alias(
-                ae.copy(aggregateFunction = Min(
-                  stateAttr(view.minCols(baseArg(c).get.name)))),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Max(c: AttributeReference), _, false, None, _), name)
-                if baseArg(c).exists(b => view.maxCols.contains(b.name)) =>
-              Some(Alias(
-                ae.copy(aggregateFunction = Max(
-                  stateAttr(view.maxCols(baseArg(c).get.name)))),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Average(c: AttributeReference, _), _, false, None, _), name)
-                if baseArg(c).exists(b => view.sumCols.contains(b.name) &&
-                    view.nnCounts.contains(b.name)) &&
-                  ae.dataType == DoubleType =>
-              val b = baseArg(c).get
-              // AVG(col) = SUM(partial sums) / SUM(non-null counts). Two
-              // NEW AggregateExpressions (fresh resultIds — ae.copy twice
-              // would collide on ae's). Restricted to DoubleType results:
-              // decimal Average carries its own precision/scale bump that a
-              // sum-then-divide would have to re-derive — refused instead.
-              // All-null group: sums re-sum to null, null/0 = null = AVG.
-              val sumE: Expression = AggregateExpression(
-                Sum(stateAttr(b.name)), ae.mode, isDistinct = false,
-                None, NamedExpression.newExprId)
-              val cntE: Expression = AggregateExpression(
-                Sum(stateAttr(view.nnCounts(b.name))), ae.mode,
-                isDistinct = false, None, NamedExpression.newExprId)
-              Some(Alias(
-                Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Count(cs), _, true, None, _), name)
-                if view.countCol.isDefined && cs.nonEmpty &&
-                  cs.forall(c => groupingServable(view, inline(c))) =>
-              // COUNT(DISTINCT key cols — or deterministic expressions
-              // over them, same commuting argument as the groupings):
-              // every LIVE summary row is one distinct key combination,
-              // so distinct-over-f(keys) counts the same value set over
-              // the summary's key values as over the base rows — exact
-              // only under the liveness filter below (a fully-deleted
-              // group's row lingers in state with count 0). Count keeps
-              // LongType: no cast. NULL args skip rows identically on
-              // both sides (f is deterministic).
-              val mappedArgs: Seq[Expression] = cs.map(c =>
-                inline(c).transform {
-                  case a: AttributeReference => stateAttr(a.name)
-                })
-              Some(Alias(ae.copy(aggregateFunction = Count(mappedArgs)),
-                name)(exprId = al.exprId))
+            case al @ Alias(e, name)
+                if e.exists(_.isInstanceOf[AggregateExpression]) =>
+              serveWrapped(e, serveAgg).map(se =>
+                Alias(se, name)(exprId = al.exprId))
             case _ => None
           }
           if (mapped.exists(_.isEmpty)) None
@@ -735,6 +867,115 @@ final case class RewriteToSummary(spark: SparkSession)
           case a: AttributeReference if !dimOut.contains(a) =>
             stateAttr(a.name)
         }
+        /** Serve one aggregate call from the summary through the star
+          * shape, or refuse — the [[rewriteWith]] serveAgg with the
+          * star's stricter argument discipline ([[factArg]]: dim-side
+          * aggregates refuse, they do not commute). Shared by the bare
+          * `Alias(agg)` and `Alias(Cast(agg))` shapes. */
+        def serveAgg(ae: AggregateExpression): Option[Expression] =
+          ae match {
+            case AggregateExpression(
+                  Sum(c: AttributeReference, _), _, false, None, _)
+                if factArg(c).exists(b => view.sumCols.contains(b.name)) =>
+              val b = factArg(c).get
+              val reSum: Expression =
+                ae.copy(aggregateFunction = Sum(stateAttr(b.name)))
+              Some(if (reSum.dataType == ae.dataType) reSum
+                else Cast(reSum, ae.dataType))
+            case AggregateExpression(
+                  Count(Seq(Literal(_, _))), _, false, None, _)
+                if view.countCol.isDefined =>
+              // COUNT(*) over the join = Σ over matching (key, dim-row)
+              // pairs of the key group's row count
+              val n = stateAttr(view.countCol.get)
+              val summed: Expression = ae.copy(aggregateFunction = Sum(n))
+              val typed =
+                if (summed.dataType == ae.dataType) summed
+                else Cast(summed, ae.dataType)
+              Some(Coalesce(Seq(typed, Literal(0L))))
+            case AggregateExpression(
+                  Count(Seq(c: AttributeReference)), _, false, None, _)
+                if factArg(c).exists(b => view.nnCounts.contains(b.name)) =>
+              val nn = stateAttr(view.nnCounts(factArg(c).get.name))
+              val summed: Expression = ae.copy(aggregateFunction = Sum(nn))
+              val typed =
+                if (summed.dataType == ae.dataType) summed
+                else Cast(summed, ae.dataType)
+              Some(Coalesce(Seq(typed, Literal(0L))))
+            case AggregateExpression(
+                  Min(c: AttributeReference), _, false, None, _)
+                if factArg(c).exists(b => view.minCols.contains(b.name)) =>
+              Some(ae.copy(aggregateFunction = Min(
+                stateAttr(view.minCols(factArg(c).get.name)))))
+            case AggregateExpression(
+                  Max(c: AttributeReference), _, false, None, _)
+                if factArg(c).exists(b => view.maxCols.contains(b.name)) =>
+              Some(ae.copy(aggregateFunction = Max(
+                stateAttr(view.maxCols(factArg(c).get.name)))))
+            case AggregateExpression(
+                  Average(c: AttributeReference, _), _, false, None, _)
+                if factArg(c).exists(b => view.sumCols.contains(b.name) &&
+                    view.nnCounts.contains(b.name)) &&
+                  ae.dataType == DoubleType =>
+              val b = factArg(c).get
+              val sumE: Expression = AggregateExpression(
+                Sum(stateAttr(b.name)), ae.mode, isDistinct = false,
+                None, NamedExpression.newExprId)
+              val cntE: Expression = AggregateExpression(
+                Sum(stateAttr(view.nnCounts(b.name))), ae.mode,
+                isDistinct = false, None, NamedExpression.newExprId)
+              Some(Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)))
+            case AggregateExpression(
+                  Average(c: AttributeReference, em), _, false, None, _)
+                if factArg(c).exists(b => view.sumCols.contains(b.name) &&
+                    view.nnCounts.contains(b.name)) &&
+                  ae.dataType.isInstanceOf[DecimalType] &&
+                  c.dataType.isInstanceOf[DecimalType] =>
+              // decimal AVG commutes through the star exactly like the
+              // other fact-side aggregates (the key-vector argument is
+              // type-blind); the formula replication is [[decimalAvg]]
+              val b = factArg(c).get
+              Some(decimalAvg(ae, c.dataType.asInstanceOf[DecimalType], em,
+                stateAttr(b.name), stateAttr(view.nnCounts(b.name))))
+            case AggregateExpression(
+                  Average(u: UnscaledValue, _), _, false, None, _)
+                if u.child.isInstanceOf[AttributeReference] && {
+                  val c = u.child.asInstanceOf[AttributeReference]
+                  c.dataType.isInstanceOf[DecimalType] &&
+                    factArg(c).exists(b => view.sumCols.contains(b.name) &&
+                      view.nnCounts.contains(b.name))
+                } =>
+              val c = u.child.asInstanceOf[AttributeReference]
+              val b = factArg(c).get
+              Some(unscaledAvg(ae, c.dataType.asInstanceOf[DecimalType],
+                stateAttr(b.name), stateAttr(view.nnCounts(b.name))))
+            case AggregateExpression(
+                  Sum(u: UnscaledValue, _), _, false, None, _)
+                if u.child.isInstanceOf[AttributeReference] && {
+                  val c = u.child.asInstanceOf[AttributeReference]
+                  c.dataType.isInstanceOf[DecimalType] &&
+                    factArg(c).exists(b => view.sumCols.contains(b.name))
+                } =>
+              val c = u.child.asInstanceOf[AttributeReference]
+              val b = factArg(c).get
+              Some(unscaledSum(ae, c.dataType.asInstanceOf[DecimalType],
+                stateAttr(b.name)))
+            case AggregateExpression(Count(cs), _, true, None, _)
+                if view.countCol.isDefined && cs.nonEmpty &&
+                  cs.forall { c =>
+                    val inl = inline(c); inl.deterministic && refsOk(inl)
+                  } =>
+              // COUNT(DISTINCT f(keys ∪ dim cols)): DISTINCT collapses
+              // multiplicities, and under the liveness filter the SET of
+              // (key-group, dim-row) pairs is identical on both sides —
+              // each live summary row stands for exactly one key group.
+              // f deterministic ⇒ identical null-skipping too. Fact
+              // NON-key references fail refsOk and refuse (their distinct
+              // values are genuinely row-level).
+              val mappedArgs: Seq[Expression] = cs.map(c => reRoot(inline(c)))
+              Some(ae.copy(aggregateFunction = Count(mappedArgs)))
+            case _ => None
+          }
         val mapped: Seq[Option[NamedExpression]] =
           agg.aggregateExpressions.map {
             case a: AttributeReference if dimOut.contains(a) &&
@@ -767,85 +1008,10 @@ final case class RewriteToSummary(spark: SparkSession)
                     stripAlias(g).semanticEquals(inline(e))) =>
               // grouping EXPRESSION surfacing in the output
               Some(Alias(reRoot(inline(e)), name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Sum(c: AttributeReference, _), _, false, None, _), name)
-                if factArg(c).exists(b => view.sumCols.contains(b.name)) =>
-              val b = factArg(c).get
-              val reSum: Expression =
-                ae.copy(aggregateFunction = Sum(stateAttr(b.name)))
-              val typed =
-                if (reSum.dataType == ae.dataType) reSum
-                else Cast(reSum, ae.dataType)
-              Some(Alias(typed, name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Count(Seq(Literal(_, _))), _, false, None, _), name)
-                if view.countCol.isDefined =>
-              // COUNT(*) over the join = Σ over matching (key, dim-row)
-              // pairs of the key group's row count
-              val n = stateAttr(view.countCol.get)
-              val summed: Expression = ae.copy(aggregateFunction = Sum(n))
-              val typed =
-                if (summed.dataType == ae.dataType) summed
-                else Cast(summed, ae.dataType)
-              Some(Alias(
-                Coalesce(Seq(typed, Literal(0L))),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Count(Seq(c: AttributeReference)), _, false, None, _), name)
-                if factArg(c).exists(b => view.nnCounts.contains(b.name)) =>
-              val nn = stateAttr(view.nnCounts(factArg(c).get.name))
-              val summed: Expression = ae.copy(aggregateFunction = Sum(nn))
-              val typed =
-                if (summed.dataType == ae.dataType) summed
-                else Cast(summed, ae.dataType)
-              Some(Alias(
-                Coalesce(Seq(typed, Literal(0L))),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Min(c: AttributeReference), _, false, None, _), name)
-                if factArg(c).exists(b => view.minCols.contains(b.name)) =>
-              Some(Alias(
-                ae.copy(aggregateFunction = Min(
-                  stateAttr(view.minCols(factArg(c).get.name)))),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Max(c: AttributeReference), _, false, None, _), name)
-                if factArg(c).exists(b => view.maxCols.contains(b.name)) =>
-              Some(Alias(
-                ae.copy(aggregateFunction = Max(
-                  stateAttr(view.maxCols(factArg(c).get.name)))),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Average(c: AttributeReference, _), _, false, None, _), name)
-                if factArg(c).exists(b => view.sumCols.contains(b.name) &&
-                    view.nnCounts.contains(b.name)) &&
-                  ae.dataType == DoubleType =>
-              val b = factArg(c).get
-              val sumE: Expression = AggregateExpression(
-                Sum(stateAttr(b.name)), ae.mode, isDistinct = false,
-                None, NamedExpression.newExprId)
-              val cntE: Expression = AggregateExpression(
-                Sum(stateAttr(view.nnCounts(b.name))), ae.mode,
-                isDistinct = false, None, NamedExpression.newExprId)
-              Some(Alias(
-                Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)),
-                name)(exprId = al.exprId))
-            case al @ Alias(ae @ AggregateExpression(
-                  Count(cs), _, true, None, _), name)
-                if view.countCol.isDefined && cs.nonEmpty &&
-                  cs.forall { c =>
-                    val inl = inline(c); inl.deterministic && refsOk(inl)
-                  } =>
-              // COUNT(DISTINCT f(keys ∪ dim cols)): DISTINCT collapses
-              // multiplicities, and under the liveness filter the SET of
-              // (key-group, dim-row) pairs is identical on both sides —
-              // each live summary row stands for exactly one key group.
-              // f deterministic ⇒ identical null-skipping too. Fact
-              // NON-key references fail refsOk and refuse (their distinct
-              // values are genuinely row-level).
-              val mappedArgs: Seq[Expression] = cs.map(c => reRoot(inline(c)))
-              Some(Alias(ae.copy(aggregateFunction = Count(mappedArgs)),
-                name)(exprId = al.exprId))
+            case al @ Alias(e, name)
+                if e.exists(_.isInstanceOf[AggregateExpression]) =>
+              serveWrapped(e, serveAgg).map(se =>
+                Alias(se, name)(exprId = al.exprId))
             case _ => None
           }
         if (mapped.exists(_.isEmpty)) None

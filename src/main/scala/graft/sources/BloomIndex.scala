@@ -80,14 +80,23 @@ object BloomIndex {
       expectedItemsPerFile, fpp)
   }
 
-  /** Persist the manifest next to the data (full rebuild, overwrite). */
+  /** Persist the manifest next to the data (full rebuild, overwrite),
+    * then SELF-DESCRIBE: merge-write the layout registration into
+    * `_graft_catalog.json` beside the data
+    * ([[graft.plans.GraftCatalog.selfDescribe]]), so a fresh session's
+    * plain SQL prunes this layout with zero setup calls — the same
+    * discipline the streaming `FileDestination` already follows. Columns
+    * already registered (in-session or in the existing catalog) keep
+    * their settings. `updateCatalog = false` opts out. */
   def write(spark: SparkSession, path: String, cols: Seq[String],
             expectedItemsPerFile: Long = 1000000L,
-            fpp: Double = 0.01): Unit = {
+            fpp: Double = 0.01,
+            updateCatalog: Boolean = true): Unit = {
     build(spark, path, cols, expectedItemsPerFile, fpp).coalesce(1)
       .write.mode("overwrite").partitionBy("part_dir")
       .parquet(s"$path/_bloomindex")
     Manifests.bumpManifestVersion(path, "_bloomindex")
+    if (updateCatalog) graft.plans.GraftCatalog.selfDescribe(spark, path)
   }
 
   /** Incremental maintenance via the shared [[Manifests]] protocol:

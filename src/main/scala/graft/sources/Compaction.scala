@@ -156,6 +156,14 @@ object Compaction {
       }
       ZoneMap.refreshShards(spark, path, rewritten)
       BloomIndex.refreshShards(spark, path, rewritten)
+      // …and so must the catalog: a compacted layout whose manifests were
+      // never self-described (built before the catalog existed, or with
+      // updateCatalog=false then compacted) becomes discoverable here —
+      // merge semantics keep every existing entry's settings
+      if (rewritten.nonEmpty &&
+          (ZoneMap.manifestExists(spark, path) ||
+            BloomIndex.manifestExists(spark, path)))
+        graft.plans.GraftCatalog.selfDescribe(spark, path)
     }
 
     spark.createDataFrame(

@@ -105,12 +105,19 @@ object ZoneMap {
     UpdateDelta(added, reaped)
   }
 
-  /** Persist the manifest next to the data (full rebuild, overwrite). */
-  def write(spark: SparkSession, path: String, cols: Seq[String]): Unit = {
+  /** Persist the manifest next to the data (full rebuild, overwrite),
+    * then SELF-DESCRIBE the layout in `_graft_catalog.json` beside the
+    * data ([[graft.plans.GraftCatalog.selfDescribe]] — the
+    * `FileDestination` discipline on the batch path): a fresh session's
+    * plain range query prunes with zero setup. `updateCatalog = false`
+    * opts out. */
+  def write(spark: SparkSession, path: String, cols: Seq[String],
+            updateCatalog: Boolean = true): Unit = {
     build(spark, path, cols).coalesce(1)
       .write.mode("overwrite").partitionBy("part_dir")
       .parquet(s"$path/_zonemap")
     Manifests.bumpManifestVersion(path, "_zonemap")
+    if (updateCatalog) graft.plans.GraftCatalog.selfDescribe(spark, path)
   }
 
   /** Rewrite the manifest shards for `dirs` (leaf directories relative to

@@ -215,13 +215,28 @@ final class SummaryDestination(
     deltas: DataFrame => DataFrame = identity,
     nBuckets: Int = 64,
     minCols: Seq[String] = Nil,
-    maxCols: Seq[String] = Nil) extends Destination {
+    maxCols: Seq[String] = Nil,
+    // self-description: when set, the first successful fold REGISTERS
+    // this view and merge-writes `_graft_catalog.json` beside the BASE
+    // table (view.basePath), so a fresh session's plain dashboard
+    // GROUP BY rewrites onto this summary with zero setup calls — the
+    // FileDestination catalog discipline one tier up. The sink cannot
+    // derive the base path itself (it only ever sees deltas), hence the
+    // explicit View.
+    describeView: Option[graft.plans.SummaryViews.View] = None)
+  extends Destination {
   @volatile private var closed = false
+  @volatile private var catalogued = false
   override def writeBatch(df: DataFrame, batchId: Long): Unit = {
     if (closed) throw new DestinationError.Closed(
       s"write_batch on closed summary destination $statePath")
     IncrementalAgg.applyDelta(df.sparkSession, statePath, deltas(df),
       keyCols, sumCols, nBuckets, batchId, minCols, maxCols)
+    if (!catalogued) describeView.foreach { v =>
+      graft.plans.SummaryViews.register(v)
+      graft.plans.GraftCatalog.save(df.sparkSession, v.basePath)
+      catalogued = true
+    }
   }
   override def close(): Unit = closed = true
   override def metadata: DestinationMetadata = DestinationMetadata(

@@ -55,7 +55,14 @@ object IncrementalAgg {
                  keyCols: Seq[String], sumCols: Seq[String],
                  nBuckets: Int = 64, batchId: Long = -1L,
                  minCols: Seq[String] = Nil,
-                 maxCols: Seq[String] = Nil): Unit = {
+                 maxCols: Seq[String] = Nil,
+                 // when set, the fold SELF-DESCRIBES: registers this view
+                 // and merge-writes `_graft_catalog.json` beside the BASE
+                 // table so a fresh session's plain GROUP BY rewrites onto
+                 // this summary with zero setup (idempotent: skipped while
+                 // an identical registration is already in memory)
+                 describeView: Option[graft.plans.SummaryViews.View] = None)
+      : Unit = {
     require(keyCols.nonEmpty &&
       (sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty),
       "applyDelta needs key columns and at least one aggregate column")
@@ -75,6 +82,13 @@ object IncrementalAgg {
       BucketedStateTable.bucketOf(keyCols, nBuckets)))
     BucketedStateTable.fold(spark, path, d, batchId,
       merge = (old, dlt) => reAgg(old.unionByName(dlt)))
+    // after the fold: the catalog only ever points at state that exists
+    describeView.foreach { v =>
+      if (!graft.plans.SummaryViews.viewsFor(v.basePath).contains(v)) {
+        graft.plans.SummaryViews.register(v)
+        graft.plans.GraftCatalog.save(spark, v.basePath)
+      }
+    }
   }
 
   /** The current aggregate table (bookkeeping columns dropped). */

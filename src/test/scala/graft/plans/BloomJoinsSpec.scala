@@ -582,4 +582,185 @@ class BloomJoinsSpec extends SparkSpec
         "the counter must render on the /metrics surface")
     } finally BloomJoins.unregister(cpath)
   }
+
+  // -------------------------------------------------- bloom × zone composition
+
+  /** A layout carrying BOTH tiers: range-clustered by n_chars (zone maps
+    * prune ranges) with doc_id spread across every file (bloom prunes
+    * point lookups). Built once, shared by the composition tests. */
+  private lazy val composePath: String = {
+    val p = s"$root/compose-fact"
+    Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .repartitionByRange(8, col("n_chars"), col("doc_id"))
+      .write.mode("overwrite").parquet(p)
+    graft.sources.ZoneMap.write(spark, p, Seq("n_chars"))
+    BloomIndex.write(spark, p, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    // the writers SELF-DESCRIBE (catalog beside the data) — drop that
+    // here: these tests measure each pruning leg in ISOLATION, and
+    // discovery would re-register the other leg at first planning
+    GraftCatalog.delete(spark, p)
+    BloomJoins.unregister(p)
+    BloomJoins.unregisterZone(p)
+    p
+  }
+
+  private def composeFiles(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if f.location.rootPaths.exists(_.toString.contains(
+                "compose-fact")) =>
+            f.location.inputFiles.length.toLong
+          case _ => 0L
+        }
+    }.sum
+
+  /** (two low-n_chars ids in different low files, the max-n_chars id,
+    * the median n_chars threshold) — chosen so the bloom leg and the
+    * zone leg each keep SOME files and their intersection keeps fewer
+    * than either. */
+  private lazy val composeProbe: (Long, Long, Long, Long) = {
+    val byChars = spark.read.parquet(composePath)
+      .select("doc_id", "n_chars").orderBy(col("n_chars"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val low1 = byChars.head._1
+    val low2 = byChars(byChars.length / 4)._1
+    val high = byChars.last._1
+    val thr = byChars(byChars.length / 2)._2
+    (low1, low2, high, thr)
+  }
+
+  test("bloom IN-list and zone range candidate sets INTERSECT on one scan") {
+    val (low1, low2, high, thr) = composeProbe
+    def q: DataFrame = spark.read.parquet(composePath)
+      .where(col("doc_id").isin(low1, low2, high) && col("n_chars") >= thr)
+    def withBloom[T](on: Boolean)(f: => T): T = {
+      if (on) BloomJoins.register(BloomJoins.Layout(composePath, "doc_id"))
+      try f finally BloomJoins.unregister(composePath)
+    }
+    def withZone[T](on: Boolean)(f: => T): T = {
+      if (on) BloomJoins.registerZone(
+        BloomJoins.ZoneLayout(composePath, "n_chars"))
+      try f finally BloomJoins.unregisterZone(composePath)
+    }
+    val bloomOnly = withBloom(true)(withZone(false)(composeFiles(q)))
+    val zoneOnly = withBloom(false)(withZone(true)(composeFiles(q)))
+    val both = withBloom(true)(withZone(true)(composeFiles(q)))
+    val exp = withBloom(false)(withZone(false)(sortedRows(q)))
+    val got = withBloom(true)(withZone(true)(sortedRows(q)))
+    assert(got === exp, "the composed prune must stay exact")
+    assert(bloomOnly > 0 && bloomOnly < 8,
+      s"bloom leg alone must skip some files (read $bloomOnly of 8)")
+    assert(zoneOnly > 0 && zoneOnly < 8,
+      s"zone leg alone must skip some files (read $zoneOnly of 8)")
+    assert(both < bloomOnly && both < zoneOnly,
+      s"the intersection must beat either leg alone " +
+        s"(both=$both bloom=$bloomOnly zone=$zoneOnly)")
+  }
+
+  test("join pruning composes with a zone range on the fact side") {
+    val (low1, _, high, thr) = composeProbe
+    BloomJoins.register(BloomJoins.Layout(composePath, "doc_id"))
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(composePath, "n_chars"))
+    try {
+      def q: DataFrame = {
+        val f = spark.read.parquet(composePath)
+          .where(col("n_chars") >= thr)
+        val d = dimOf(low1, high)
+        f.join(d, f("doc_id") === d("id"))
+      }
+      val both = composeFiles(q)
+      BloomJoins.unregisterZone(composePath)
+      val joinOnly = composeFiles(q)
+      BloomJoins.unregister(composePath)
+      BloomJoins.registerZone(BloomJoins.ZoneLayout(composePath, "n_chars"))
+      val zoneOnly = composeFiles(q)
+      BloomJoins.register(BloomJoins.Layout(composePath, "doc_id"))
+      val got = sortedRows(q)
+      val exp = withoutRule(sortedRows(q))
+      assert(got === exp, "the composed join prune must stay exact")
+      assert(joinOnly > 0 && joinOnly < 8 && zoneOnly > 0 && zoneOnly < 8)
+      assert(both < joinOnly && both < zoneOnly,
+        s"join ∩ zone must beat either leg alone " +
+          s"(both=$both join=$joinOnly zone=$zoneOnly)")
+    } finally {
+      BloomJoins.unregister(composePath)
+      BloomJoins.unregisterZone(composePath)
+    }
+  }
+
+  test("literal IN-list cache keys are collision-free: IN ('a,b') vs " +
+    "IN ('a','b')") {
+    val cpath = s"$root/comma-fact"
+    Seq(("a,b", 1), ("a", 2), ("b", 3)).toDF("s", "v")
+      .repartitionByRange(3, col("v"))
+      .write.mode("overwrite").parquet(cpath)
+    BloomIndex.write(spark, cpath, Seq("s"),
+      expectedItemsPerFile = 10, fpp = 0.01)
+    assert(spark.read.parquet(s"$cpath/_bloomindex").count() === 3L,
+      "fixture needs one file per row for the collision to be observable")
+    BloomJoins.register(BloomJoins.Layout(cpath, "s"))
+    try {
+      def q(vals: String*): DataFrame =
+        spark.read.parquet(cpath).where(col("s").isin(vals: _*))
+      // prime the cache with the comma-carrying single value…
+      assert(q("a,b").collect().map(_.getInt(1)).toSeq === Seq(1))
+      // …then the two-value list on the same column and manifest version
+      // must get ITS OWN candidate files, not the cached single-value set
+      assert(q("a", "b").collect().map(_.getInt(1)).sorted.toSeq ===
+        Seq(2, 3),
+        "IN ('a','b') must not be served IN ('a,b')'s candidate files")
+    } finally BloomJoins.unregister(cpath)
+  }
+
+  test("an exception-driven probe refusal is NOT cached: repairing the " +
+    "manifest on disk re-enables pruning without a version bump") {
+    val cpath = s"$root/transient-fact"
+    Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang")
+      .repartition(4, col("doc_id"))
+      .write.mode("overwrite").parquet(cpath)
+    BloomIndex.write(spark, cpath, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    BloomJoins.register(BloomJoins.Layout(cpath, "doc_id"))
+    val mdir = new org.apache.hadoop.fs.Path(s"$cpath/_bloomindex")
+    val stash = new org.apache.hadoop.fs.Path(s"$cpath/_bloomindex_stash")
+    try {
+      // break the manifest ON DISK (stash the real one — nothing bumps
+      // the in-process manifest version in this test, by design)
+      assert(fs.rename(mdir, stash))
+      fs.mkdirs(mdir)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(mdir, "part-00000.parquet"))
+      out.write("junk".getBytes("UTF-8"))
+      out.close()
+      def q: DataFrame =
+        spark.read.parquet(cpath).where(col("doc_id").isin(3L, 7L))
+      def cfiles(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case f: org.apache.spark.sql.execution.datasources
+                  .HadoopFsRelation
+                  if f.location.rootPaths.exists(
+                    _.toString.contains("transient-fact")) =>
+                f.location.inputFiles.length.toLong
+              case _ => 0L
+            }
+        }.sum
+      assert(cfiles(q) === 4L, "broken manifest must refuse — full scan")
+      // repair on disk only: a transient-refusal cache entry would pin
+      // the full scan forever (no write path runs to bump the version)
+      fs.delete(mdir, true)
+      assert(fs.rename(stash, mdir))
+      assert(cfiles(q) < 4L,
+        "the next planning must RETRY the probe and prune again")
+    } finally {
+      BloomJoins.unregister(cpath)
+      if (fs.exists(stash)) { fs.delete(mdir, true); fs.rename(stash, mdir) }
+    }
+  }
 }

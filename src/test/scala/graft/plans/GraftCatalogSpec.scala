@@ -246,4 +246,234 @@ class GraftCatalogSpec extends SparkSpec
     GraftCatalog.save(spark, factPath)
     GraftCatalog.save(spark, basePath)
   }
+
+  test("save MERGES by default: two sessions each registering a different " +
+    "column both survive; merge=false overwrites") {
+    val mpath = s"$root/merge-fact"
+    spark.range(10).select(col("id").as("doc_id"), col("id").as("n_chars"))
+      .write.mode("overwrite").parquet(mpath)
+    // session 1: registers doc_id only, saves
+    freshSession()
+    BloomJoins.register(BloomJoins.Layout(mpath, "doc_id", maxKeys = 50))
+    GraftCatalog.save(spark, mpath)
+    // session 2: NEVER loads, registers a different column, saves — the
+    // save-clobber shape: without merge, session 1's entry would vanish
+    freshSession()
+    BloomJoins.register(BloomJoins.Layout(mpath, "n_chars", maxKeys = 77))
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(mpath, "n_chars"))
+    GraftCatalog.save(spark, mpath)
+    // session 3: discovery sees BOTH registrations, settings intact
+    freshSession()
+    assert(GraftCatalog.load(spark, mpath))
+    assert(BloomJoins.layoutsFor(mpath).sortBy(_.col) === Seq(
+      BloomJoins.Layout(mpath, "doc_id", maxKeys = 50),
+      BloomJoins.Layout(mpath, "n_chars", maxKeys = 77)))
+    assert(BloomJoins.zoneLayoutsFor(mpath) ===
+      Seq(BloomJoins.ZoneLayout(mpath, "n_chars")))
+    // merge=false is the explicit drop-what-I-did-not-re-register path
+    freshSession()
+    BloomJoins.register(BloomJoins.Layout(mpath, "doc_id", maxKeys = 50))
+    GraftCatalog.save(spark, mpath, merge = false)
+    freshSession()
+    assert(GraftCatalog.load(spark, mpath))
+    assert(BloomJoins.layoutsFor(mpath) ===
+      Seq(BloomJoins.Layout(mpath, "doc_id", maxKeys = 50)))
+    assert(BloomJoins.zoneLayoutsFor(mpath).isEmpty,
+      "overwrite must drop entries this session did not carry")
+  }
+
+  test("a catalog written AFTER a negative probe is seen once the " +
+    "negative TTL expires") {
+    val tpath = s"$root/ttl-fact"
+    Tables.documents(spark, sfTiny).select("doc_id", "lang")
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(tpath)
+    BloomIndex.write(spark, tpath, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    GraftCatalog.delete(spark, tpath) // premise: no catalog yet
+    freshSession()
+    var now = 1000L * 1000L
+    GraftCatalog.clock = () => now
+    spark.conf.set("spark.graft.catalog.negativeTtlMs", "60000")
+    try {
+      def q: DataFrame =
+        spark.read.parquet(tpath).where(col("doc_id").isin(3L, 7L))
+      q.queryExecution.optimizedPlan // negative probe at t0
+      val p0 = GraftCatalog.discoveryProbes.get()
+      // another PROCESS writes the catalog now (out-of-band file write —
+      // save() would mark this session's own cache positive)
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$tpath/_graft_catalog.json"), true)
+      out.write(
+        """{"bloom":[{"col":"doc_id","maxKeys":100000}]}"""
+          .getBytes("UTF-8"))
+      out.close()
+      // within the TTL: no re-probe, still a full scan
+      now += 30000L
+      assert(factFiles(q, "graft-catalog/ttl-fact") === 8L)
+      assert(GraftCatalog.discoveryProbes.get() === p0,
+        "a negative probe must not re-check within its TTL")
+      // past the TTL: exactly one re-probe, discovery lands, scan prunes
+      now += 31000L
+      val pruned = factFiles(q, "graft-catalog/ttl-fact")
+      assert(GraftCatalog.discoveryProbes.get() === p0 + 1,
+        "the expired negative entry must re-probe exactly once")
+      assert(pruned > 0 && pruned < 8,
+        "the late-written catalog must now drive pruning")
+      (1 to 3).foreach(_ => q.queryExecution.optimizedPlan)
+      assert(GraftCatalog.discoveryProbes.get() === p0 + 1,
+        "the hit is pinned: no further probes")
+    } finally {
+      GraftCatalog.clock = () => System.currentTimeMillis()
+      spark.conf.unset("spark.graft.catalog.negativeTtlMs")
+      BloomJoins.unregister(tpath)
+    }
+  }
+
+  test("batch writers SELF-DESCRIBE: BloomIndex.write alone makes a " +
+    "fresh session prune, and a later ZoneMap.write preserves sibling " +
+    "settings") {
+    val p = s"$root/selfdesc"
+    Tables.documents(spark, sfTiny).select("doc_id", "lang", "n_chars")
+      .repartition(8, col("doc_id"))
+      .write.mode("overwrite").parquet(p)
+    freshSession()
+    // the WRITE is the only call — no register(), no save()
+    graft.sources.BloomIndex.write(spark, p, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    freshSession()
+    val q = spark.read.parquet(p).where(col("doc_id").isin(3L, 7L))
+    assert(factFiles(q, "graft-catalog/selfdesc") > 0 &&
+      factFiles(q, "graft-catalog/selfdesc") < 8,
+      s"the self-written catalog must drive discovery pruning:\n${
+        q.queryExecution.optimizedPlan}")
+    // custom settings persisted by a PREVIOUS session survive a later
+    // writer on a DIFFERENT column (merge + catalog-over-default
+    // precedence in selfDescribe)
+    freshSession()
+    BloomJoins.register(BloomJoins.Layout(p, "doc_id", maxKeys = 7))
+    GraftCatalog.save(spark, p)
+    freshSession()
+    graft.sources.ZoneMap.write(spark, p, Seq("n_chars"))
+    freshSession()
+    assert(GraftCatalog.load(spark, p))
+    assert(BloomJoins.layoutsFor(p) ===
+      Seq(BloomJoins.Layout(p, "doc_id", maxKeys = 7)),
+      "the catalogued custom maxKeys must survive the zone writer")
+    assert(BloomJoins.zoneLayoutsFor(p).map(_.col) === Seq("n_chars"))
+    // and IN-SESSION registrations outrank the on-disk catalog
+    freshSession()
+    BloomJoins.register(BloomJoins.Layout(p, "doc_id", maxKeys = 9))
+    graft.sources.BloomIndex.write(spark, p, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01)
+    assert(BloomJoins.layoutsFor(p) ===
+      Seq(BloomJoins.Layout(p, "doc_id", maxKeys = 9)),
+      "an in-session registration must win over the on-disk catalog")
+    freshSession()
+    assert(GraftCatalog.load(spark, p))
+    assert(BloomJoins.layoutsFor(p) ===
+      Seq(BloomJoins.Layout(p, "doc_id", maxKeys = 9)))
+  }
+
+  test("updateCatalog=false opts a batch writer out of self-description") {
+    val p = s"$root/selfdesc-off"
+    spark.range(20).select(col("id").as("doc_id")).write
+      .mode("overwrite").parquet(p)
+    freshSession()
+    graft.sources.BloomIndex.write(spark, p, Seq("doc_id"),
+      expectedItemsPerFile = 100, fpp = 0.01, updateCatalog = false)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$p/_graft_catalog.json")), "opt-out must not write a catalog")
+    assert(BloomJoins.layoutsFor(p).isEmpty,
+      "opt-out must not register either")
+  }
+
+  test("IncrementalAgg.applyDelta self-describes a summary view: a fresh " +
+    "session's plain GROUP BY rewrites with zero setup") {
+    val bcopy = s"$root/sd-base"
+    val spath = s"$root/sd-state"
+    Tables.documents(spark, sfTiny)
+      .select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(bcopy)
+    fs.delete(new org.apache.hadoop.fs.Path(spath), true)
+    freshSession()
+    val view = SummaryViews.View(
+      bcopy, spath, Seq("lang"), Set("n_chars"), Some("n_docs"))
+    IncrementalAgg.applyDelta(spark, spath,
+      spark.read.parquet(bcopy).select(col("lang"),
+        col("n_chars").cast("long").as("n_chars"), lit(1L).as("n_docs")),
+      keyCols = Seq("lang"), sumCols = Seq("n_chars", "n_docs"),
+      nBuckets = 4, batchId = 0L, describeView = Some(view))
+    assert(SummaryViews.viewsFor(bcopy) === Seq(view),
+      "the fold must register the view it was asked to describe")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$bcopy/_graft_catalog.json")),
+      "the fold must write the catalog beside the BASE table")
+    // fresh session: the plain aggregate must discover and rewrite
+    freshSession()
+    val q = spark.sql(
+      s"""SELECT lang, sum(n_chars) AS sc, count(*) AS n
+         |FROM parquet.`$bcopy` GROUP BY lang""".stripMargin)
+    val fired = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.exists(_.toString.contains("sd-state/state"))
+          case _ => false
+        }
+    }.exists(identity)
+    assert(fired,
+      s"discovery must route the aggregate onto the self-described " +
+        s"summary:\n${q.queryExecution.optimizedPlan}")
+    val exp = withoutRules(sortedRows(spark.sql(
+      s"""SELECT lang, sum(n_chars) AS sc, count(*) AS n
+         |FROM parquet.`$bcopy` GROUP BY lang""".stripMargin)))
+    assert(sortedRows(q) === exp)
+  }
+
+  test("two FileDestinations on one root (different columns) are both " +
+    "discoverable after their writes") {
+    val out = s"$root/two-sinks"
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    freshSession()
+    val feed = Tables.documents(spark, sfTiny)
+      .select(col("doc_id"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"))
+    val destA = new graft.streaming.FileDestination(out,
+      graft.sources.OutFormat.Parquet, graft.sources.OutCompression.Snappy,
+      graft.operators.KeyStrategy.Flat,
+      bloomIndexCols = Seq("doc_id"), bloomExpectedItemsPerFile = 2000)
+    destA.writeBatch(feed, 0L)
+    // a SECOND sink on the same root, maintaining a DIFFERENT column —
+    // its self-description must merge, not clobber, the first sink's
+    freshSession()
+    val destB = new graft.streaming.FileDestination(out,
+      graft.sources.OutFormat.Parquet, graft.sources.OutCompression.Snappy,
+      graft.operators.KeyStrategy.Flat,
+      zoneMapCols = Seq("n_chars"))
+    destB.writeBatch(feed, 1L)
+    freshSession()
+    assert(GraftCatalog.load(spark, out))
+    assert(BloomJoins.layoutsFor(out).map(_.col) === Seq("doc_id"),
+      "sink A's bloom registration must survive sink B's save")
+    assert(BloomJoins.zoneLayoutsFor(out).map(_.col) === Seq("n_chars"),
+      "sink B's zone registration must land beside it")
+  }
+
+  test("describe() reads the lake's self-documentation back from the " +
+    "artifacts") {
+    freshSession()
+    val d = GraftCatalog.describe(spark, factPath)
+    assert(d.columns.toSeq ===
+      Seq("root", "kind", "name", "detail", "version", "refusals"))
+    val byKind = d.collect().groupBy(_.getString(1))
+    assert(byKind("bloom").map(_.getString(2)).toSeq === Seq("doc_id"))
+    assert(byKind("zone").map(_.getString(2)).toSeq === Seq("n_chars"))
+    val dv = GraftCatalog.describe(spark, basePath)
+    val views = dv.where(col("kind") === "view").collect()
+    assert(views.length === 1)
+    assert(views.head.getString(2).endsWith("mv-state"))
+    assert(views.head.getString(3).contains("keys=lang"),
+      s"view detail must carry the key columns: ${views.head.getString(3)}")
+  }
 }

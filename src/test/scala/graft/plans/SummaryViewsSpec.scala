@@ -751,4 +751,102 @@ class SummaryViewsSpec extends SparkSpec
           "FROM sv_base GROUP BY k1 HAVING count(*) > 10"),
       expectFired = true)
   }
+
+  test("decimal AVG fires — single-base, Cast-wrapped, and star — and is " +
+    "BIT-EXACT against the base (Average's own decimal formula)") {
+    val b2 = s"$root/avg-dec-base"
+    val st2 = s"$root/avg-dec-state"
+    fs.delete(new org.apache.hadoop.fs.Path(b2), true)
+    fs.delete(new org.apache.hadoop.fs.Path(st2), true)
+    // group sums are non-terminating thirds (quadratic values, 3 rows per
+    // group), so the 6-fractional-digit rounding genuinely bites; group
+    // g3 is ALL-NULL so the zero-divisor branch is exercised too.
+    // TWO decimal widths, deliberately: avg(d: decimal(12,2)) reaches the
+    // rule as a TRUE decimal Average (12+4 > 15 keeps DecimalAggregates
+    // away), while avg(u: decimal(10,2)) arrives REWRITTEN by
+    // DecimalAggregates into cast(avg(UnscaledValue(u))/10^2) — both
+    // shapes must serve.
+    spark.range(12).select(
+      concat(lit("g"), (col("id") % 4).cast("string")).as("k"),
+      when(col("id") % 4 === 3, lit(null).cast(DecimalType(12, 2)))
+        .otherwise((col("id") * col("id") * 7 + 1).cast(DecimalType(12, 2)))
+        .as("d"),
+      when(col("id") % 4 === 3, lit(null).cast(DecimalType(10, 2)))
+        .otherwise((col("id") * col("id") * 7 + 1).cast(DecimalType(10, 2)))
+        .as("u"))
+      .write.parquet(b2)
+    IncrementalAgg.applyDelta(spark, st2,
+      spark.read.parquet(b2).select(col("k"),
+        col("d").cast(DecimalType(28, 2)).as("d"),
+        col("u").cast(DecimalType(28, 2)).as("u"),
+        lit(1L).as("n"),
+        when(col("d").isNotNull, 1L).otherwise(0L).as("d_nn"),
+        when(col("u").isNotNull, 1L).otherwise(0L).as("u_nn")),
+      keyCols = Seq("k"), sumCols = Seq("d", "u", "n", "d_nn", "u_nn"),
+      nBuckets = 2, batchId = 0L)
+    SummaryViews.register(SummaryViews.View(
+      b2, st2, Seq("k"), Set("d", "u"), Some("n"),
+      nnCounts = Map("d" -> "d_nn", "u" -> "u_nn")))
+    def firedOn(df: DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              f.location.rootPaths.exists(
+                _.toString.endsWith("avg-dec-state/state"))
+            case _ => false
+          }
+      }.exists(identity)
+    def decRows(df: DataFrame): Seq[(String, java.math.BigDecimal)] =
+      df.collect().toSeq
+        .map(r => (r.getString(0), r.getAs[java.math.BigDecimal](1)))
+        .sortBy(_._1)
+    try {
+      def q = spark.read.parquet(b2).groupBy("k").agg(avg(col("d")).as("ad"))
+      val p = q
+      assert(firedOn(p), p.queryExecution.optimizedPlan.toString)
+      // Average's decimal contract: avg(decimal(12,2)) = decimal(16,6)
+      assert(p.schema("ad").dataType === DecimalType(16, 6))
+      val got = decRows(p)
+      val exp = withoutRule(decRows(q))
+      assert(got === exp,
+        "decimal AVG must be BIT-equal to the base (value AND scale)")
+      assert(exp.exists(t => t._2 != null &&
+          t._2.toPlainString.endsWith("666667")),
+        s"premise: rounding must actually bite ($exp)")
+      assert(got.exists(_._2 == null), "the all-null group must stay null")
+      // the DecimalAggregates shape: avg(decimal(10,2)) is rewritten by
+      // the MAIN optimizer into cast(avg(UnscaledValue(u))/100.0) before
+      // this rule runs — the unscaled serving path + the generalized
+      // wrapper must land it on the summary with the identical value
+      def qu = spark.read.parquet(b2).groupBy("k").agg(avg(col("u")).as("au"))
+      val pu = qu
+      assert(firedOn(pu),
+        s"the unscaled-avg shape must serve:\n${
+          pu.queryExecution.optimizedPlan}")
+      assert(pu.schema("au").dataType === DecimalType(14, 6))
+      assert(decRows(pu) === withoutRule(decRows(qu)),
+        "unscaled-avg serving must be value-equal to the base plan")
+      // CAST-wrapped aggregates serve through the same path
+      def qc = spark.read.parquet(b2).groupBy("k")
+        .agg(avg(col("d")).cast("double").as("ad"),
+          sum(col("d")).cast("double").as("sd"))
+      val pc = qc
+      assert(firedOn(pc), "Alias(Cast(agg)) must serve from the summary")
+      assert(pc.collect().toSeq.sortBy(_.getString(0)) ===
+        withoutRule(qc.collect().toSeq.sortBy(_.getString(0))))
+      // and through the STAR path (fact ⋈ dim, aggregate on a dim label)
+      val dim = Seq(("g0", "A"), ("g1", "B"), ("g2", "C"), ("g3", "D"))
+        .toDF("dk", "tag")
+      def qs = {
+        val f = spark.read.parquet(b2)
+        f.join(dim, f("k") === dim("dk"))
+          .groupBy("tag").agg(avg(col("d")).as("ad"))
+      }
+      val ps = qs
+      assert(firedOn(ps),
+        s"star decimal AVG must serve:\n${ps.queryExecution.optimizedPlan}")
+      assert(decRows(ps) === withoutRule(decRows(qs)))
+    } finally SummaryViews.unregister(b2)
+  }
 }

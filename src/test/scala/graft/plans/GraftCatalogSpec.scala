@@ -431,6 +431,33 @@ class GraftCatalogSpec extends SparkSpec
     assert(sortedRows(q) === exp)
   }
 
+  test("Compaction self-describes a layout that was never catalogued: " +
+    "the rewrite makes it discoverable") {
+    val p = s"$root/compact-sd"
+    fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    // a fragmented bloom-indexed layout built BEFORE the catalog existed
+    // (updateCatalog=false simulates that): 16 small files, no catalog
+    Tables.documents(spark, sfTiny).select("doc_id", "lang")
+      .repartition(16, col("doc_id"))
+      .write.mode("overwrite").parquet(p)
+    graft.sources.BloomIndex.write(spark, p, Seq("doc_id"),
+      expectedItemsPerFile = 2000, fpp = 0.01, updateCatalog = false)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$p/_graft_catalog.json")), "premise: no catalog before compaction")
+    freshSession()
+    val report = graft.sources.Compaction.compact(spark, p,
+      graft.sources.OutFormat.Parquet, targetFileBytes = 512L << 20)
+    assert(report.filter(col("compacted")).count() > 0,
+      "premise: compaction must actually rewrite the fragmented dir")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$p/_graft_catalog.json")),
+      "the compactor must write the catalog after refreshing manifests")
+    freshSession()
+    assert(GraftCatalog.load(spark, p))
+    assert(BloomJoins.layoutsFor(p).map(_.col) === Seq("doc_id"),
+      "the refreshed manifest's columns must be discoverable")
+  }
+
   test("two FileDestinations on one root (different columns) are both " +
     "discoverable after their writes") {
     val out = s"$root/two-sinks"

@@ -1076,6 +1076,58 @@ object Queries {
     }
   }
 
+  register("join_zone_pruned_range", Some(
+    """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+      |WHERE d.doc_id IN (SELECT doc_id FROM documents
+      |                   ORDER BY doc_id LIMIT 8)
+      |ORDER BY d.doc_id""".stripMargin)) { (s, dir) =>
+    // ZONE-driven join pruning — no bloom index anywhere: the fact is
+    // range-CLUSTERED on the join key and carries only the cheap zone
+    // manifest; the dim-driven semi-join probes with the dim's
+    // [min, max] and scans only the files whose zone intersects. This is
+    // the natural 100 TB plan for time-bucketed / id-sorted layouts,
+    // where building per-file blooms on the clustering key would be
+    // wasted bytes. The top-8 dim is a Limit above a Sort ON the key —
+    // the certified limit shape. REQUIREs file skipping; rows hash
+    // against DuckDB over the raw table.
+    val path = s"$sinkRoot/join_zone_pruned-${dir.replaceAll("[^0-9.]", "")}"
+    val docs = Tables.table(s, dir, "documents")
+    docs.select("doc_id", "lang", "n_chars")
+      .repartitionByRange(16, col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("doc_id"))
+    // registration arrives via the writer's self-description + discovery
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.BloomJoins.install(s)
+    try {
+      val f = s.read.parquet(path)
+      val dim = docs.orderBy(col("doc_id")).limit(8)
+        .select(col("doc_id").as("id"))
+      val q = f.join(dim, f("doc_id") === dim("id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+      val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+      val factFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(_.toString.contains(
+                  "join_zone_pruned")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(factFiles > 0 && factFiles < totalFiles,
+        s"join_zone_pruned_range: expected the dim [min,max] to zone-skip " +
+          s"files ($factFiles of $totalFiles)")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.BloomJoins.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
   register("join_bloom_zone_composed", Some(
     """SELECT d.doc_id, d.lang, d.n_chars FROM documents d
       |WHERE d.n_chars >= 300
@@ -7038,6 +7090,7 @@ object Queries {
     // layout + manifest builds (bloom/zone/bucketing/catalog)
     "join_bloom_pruned", "join_bloom_pruned_auto",
     "join_bloom_pruned_composite", "join_bloom_zone_composed",
+    "join_zone_pruned_range",
     "layout_zonemap_events", "layout_zonemap_metaonly",
     "layout_bloom_pointlookup", "layout_zonemap_auto_range",
     "layout_bloom_auto_pointlookup", "layout_catalog_fresh_session",

@@ -33,8 +33,13 @@ import graft.sources.BloomIndex
   * swaps the scan for the files whose min/max zone intersects —
   * `ZoneMap.prunedRead` ergonomics, same exactness argument (the
   * Filter stays above; strict bounds probe the closed interval, a
-  * sound superset). Multiple pinned conjuncts/columns INTERSECT their
-  * candidate sets.
+  * sound superset). Zone maps also serve JOINS: an equi-join key
+  * landing on a zone-registered column probes with the dim's
+  * [min, max] — the natural plan when the layout is range-CLUSTERED on
+  * the join key and carries only the cheap zone manifest, no bloom.
+  * Multiple pinned conjuncts/columns INTERSECT their candidate sets,
+  * across tiers and across legs (join probes ∩ fact-side literal pins ∩
+  * fact-side ranges, all on the one swapped scan).
   *
   * Scope is deliberately TIGHT — the rule REFUSES (leaves the plan
   * untouched) unless every condition holds:
@@ -138,10 +143,18 @@ object BloomJoins {
     * bumps [[graft.sources.Manifests.manifestVersion]], changing the key.
     * REFUSALS are cached too (an over-wide dim or a broken manifest would
     * otherwise re-pay its probe on every planning); the sentinel maps
-    * back to None. Crude size bound: past 512 entries the cache drops
-    * wholesale — a refill costs one probe. */
-  private val probeCache =
-    new java.util.concurrent.ConcurrentHashMap[Any, Seq[String]]()
+    * back to None. Size bound: ACCESS-ORDER LRU capped at 512 entries —
+    * the hot dashboard queries stay cached while one-off probes age out
+    * (an eviction costs that query one re-probe). Synchronized map: the
+    * cache is touched at PLAN time on the driver, where contention is a
+    * handful of concurrent query optimizations at most. */
+  private val ProbeCacheCap = 512
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[Any, Seq[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, Seq[String]]): Boolean =
+        size() > ProbeCacheCap
+    })
   private val Refused = Seq(" refused sentinel ")
 
   /** Test spy: probes actually RUN (cache misses). */
@@ -177,11 +190,9 @@ object BloomJoins {
         probeRuns.incrementAndGet()
         compute match {
           case Probed(files) =>
-            if (probeCache.size > 512) probeCache.clear()
             probeCache.put(key, files)
             Some(files)
           case RefusedWide =>
-            if (probeCache.size > 512) probeCache.clear()
             probeCache.put(key, Refused)
             None
           case RefusedTransient => None // retry next planning
@@ -595,8 +606,19 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
                 rel.output.exists(_.exprId == fk.exprId))
               .map(l => (l, dk))
           }
-          if (usable.isEmpty) None
-          else prunedScan(rel, usable, dimSide, conds, root)
+          // ZONE-driven join pruning: an equi-join key landing on a
+          // zone-registered column probes with the dim's [min, max] —
+          // files whose zone misses that interval cannot hold a matching
+          // key. No bloom index needed: the natural plan for layouts
+          // that are range-CLUSTERED on the join key (time-bucketed,
+          // id-sorted), where a zone map is the cheap manifest.
+          val usableZone = pairs.flatMap { case (fk, dk) =>
+            zonesForPaths(Seq(root)).find(z => z.col == fk.name &&
+                rel.output.exists(_.exprId == fk.exprId))
+              .map(z => (z, dk))
+          }
+          if (usable.isEmpty && usableZone.isEmpty) None
+          else prunedScan(rel, usable, usableZone, dimSide, conds, root)
         }
       case _ => None
     }
@@ -612,6 +634,7 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
     * at least one column's probe lands. */
   private def prunedScan(rel: LogicalRelation,
                          usable: Seq[(Layout, AttributeReference)],
+                         usableZone: Seq[(ZoneLayout, AttributeReference)],
                          dimSide: LogicalPlan,
                          conds: List[Expression],
                          root: String): Option[LogicalPlan] = {
@@ -647,7 +670,31 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
           refused(layout.factPath, "join", e); RefusedTransient }
       }
     }
-    val joinSets = perCol.flatten
+    // zone-driven join legs: collect the dim key's [min, max] (one cheap
+    // two-value aggregate, cached like the bloom probe) and keep the
+    // files whose zone intersects it — a sound candidate superset (every
+    // matching key lies inside the dim's own extremes)
+    val perZone: Seq[Option[Seq[String]]] = usableZone.map { case (zl, dk) =>
+      val keyOrd = dimSide.output.indexWhere(_.exprId == dk.exprId)
+      val ck = (s"zjoin|${norm(zl.factPath)}|${zl.col}|" +
+        s"v${graft.sources.Manifests.manifestVersion(
+          zl.factPath, "_zonemap")}|k$keyOrd|" +
+        dimFingerprint(dimSide)) -> dimSide.canonicalized
+      cachedProbe(ck) {
+        try {
+          val dimDf = GraftBridge.ofRows(spark, dimSide)
+          val keyCol = GraftBridge.column(dk)
+          val mm = dimDf.agg(min(keyCol).as("lo"), max(keyCol).as("hi"))
+            .collect().head
+          if (mm.isNullAt(0))
+            Probed(Nil) // no live dim keys: the inner join is empty
+          else Probed(graft.sources.ZoneMap.candidateFilesBounded(
+            spark, zl.factPath, zl.col, Some(mm.get(0)), Some(mm.get(1))))
+        } catch { case e: Exception =>
+          refused(zl.factPath, "zone-join", e); RefusedTransient }
+      }
+    }
+    val joinSets = (perCol ++ perZone).flatten
     if (joinSets.isEmpty) None // no join leg landed: the Filter site (if
     else {                     // any pins match) still fires further down
       // compose with the fact side's own Filters: literal pins on

@@ -534,6 +534,72 @@ class BloomJoinsSpec extends SparkSpec
       "a same-schema literal dim must get ITS OWN candidate files")
   }
 
+  test("zone maps serve JOINS: a dim-driven equi-join on a " +
+    "range-clustered column prunes by the dim's [min, max]") {
+    val zpath = s"$root/zjoin-fact"
+    Tables.documents(spark, sfTiny).select("doc_id", "lang")
+      .repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(zpath)
+    // ZONE manifest only — no bloom index anywhere on this layout
+    graft.sources.ZoneMap.write(spark, zpath, Seq("doc_id"),
+      updateCatalog = false)
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(zpath, "doc_id"))
+    def zfiles(df: DataFrame): Long =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation
+                if f.location.rootPaths.exists(
+                  _.toString.contains("zjoin-fact")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+    try {
+      val dim = dimOf(3L, 7L, 11L) // a narrow id interval: few zones hit
+      def q: DataFrame = {
+        val f = spark.read.parquet(zpath)
+        f.join(dim, f("doc_id") === dim("id"))
+      }
+      val p = q
+      assert(zfiles(p) > 0 && zfiles(p) < 8,
+        s"the dim's [min,max] must zone-skip files:\n${
+          p.queryExecution.optimizedPlan}")
+      assert(sortedRows(p) === withoutRule(sortedRows(q)))
+      assert(p.count() === 3L)
+      // an empty dim still collapses to the exact empty answer
+      val dEmpty = dimOf()
+      val fe = spark.read.parquet(zpath)
+      assert(zfiles(fe.join(dEmpty, fe("doc_id") === dEmpty("id"))) === 0L)
+      // the shared determinism gate applies: a bare Limit dim refuses
+      val dimFile = s"$root/zjoin-dim"
+      dimOf(1L, 2L, 3L).write.mode("overwrite").parquet(dimFile)
+      val dLim = spark.read.parquet(dimFile).limit(2)
+      val f2 = spark.read.parquet(zpath)
+      assert(zfiles(f2.join(dLim, f2("doc_id") === dLim("id"))) === 8L,
+        "a run-dependent dim row set must refuse zone-join pruning too")
+    } finally BloomJoins.unregisterZone(zpath)
+  }
+
+  test("probe cache is an access-order LRU: hot keys survive the cap, " +
+    "cold keys age out") {
+    val r0 = BloomJoins.probeRuns.get()
+    BloomJoins.cachedProbe("lru-hot")(BloomJoins.Probed(Seq("f"))) // one miss, cached
+    (1 to 600).foreach { i =>
+      BloomJoins.cachedProbe(s"lru-cold-$i")(BloomJoins.Probed(Nil))
+      // the hot key is TOUCHED between every insertion: access-order LRU
+      // must keep it alive through 600 evict-worthy puts
+      BloomJoins.cachedProbe("lru-hot")(
+        sys.error("the hot key must never be recomputed"))
+    }
+    assert(BloomJoins.probeRuns.get() === r0 + 601,
+      "601 misses expected: 1 hot + 600 cold; the hot key always hits")
+    var recomputed = false
+    BloomJoins.cachedProbe("lru-cold-1") { recomputed = true; BloomJoins.Probed(Nil) }
+    assert(recomputed, "a cold key beyond the cap must have aged out")
+  }
+
   test("a corrupted manifest refuses LOUDLY: exact answer over a full " +
     "scan, refusal counter on the metrics surface") {
     val cpath = s"$root/corrupt-fact"

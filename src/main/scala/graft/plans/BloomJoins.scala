@@ -214,7 +214,7 @@ object BloomJoins {
     * turn every pruned query into an invisible full scan — a 100× cost
     * regression nobody can see. Counted per (layout, leg) and logged once
     * per pair. */
-  private[plans] def refused(path: String, leg: String, e: Throwable): Unit = {
+  private[graft] def refused(path: String, leg: String, e: Throwable): Unit = {
     graft.streaming.GraftMetrics.inc(RefusalMetric,
       "layout" -> norm(path), "leg" -> leg)
     if (warned.add(s"$leg|${norm(path)}"))

@@ -151,11 +151,11 @@ object GraftCatalog {
     * like a streamed one: the next session's plain SQL prunes with zero
     * setup calls. */
   def selfDescribe(spark: SparkSession, root: String): Unit = {
-    val (fs, rootPath) = graft.sources.Manifests.fsFor(spark, root)
-    def manifestCols(kind: String, suffix: String): Seq[String] =
-      if (!fs.exists(new Path(rootPath, kind))) Nil
-      else try spark.read.parquet(s"$root/$kind").schema.fieldNames
-        .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix)).toSeq
+    // column derivation is the writers' OWN manifest-schema readers —
+    // one source of truth with refreshShards/Compaction maintenance
+    def cols(exists: Boolean, read: => Seq[String]): Seq[String] =
+      if (!exists) Nil
+      else try read
       catch { case e: Exception =>
         BloomJoins.refused(root, "self-describe", e); Nil }
     // precedence falls out of load()'s fill-gaps contract: in-session
@@ -163,10 +163,14 @@ object GraftCatalog {
     // never touched, manifest-derived defaults fill the rest
     load(spark, root)
     val haveBloom = BloomJoins.layoutsFor(root).map(_.col).toSet
-    manifestCols("_bloomindex", "_bloom").filterNot(haveBloom)
+    cols(graft.sources.BloomIndex.manifestExists(spark, root),
+        graft.sources.BloomIndex.manifestCols(spark, root))
+      .filterNot(haveBloom)
       .foreach(c => BloomJoins.register(BloomJoins.Layout(root, c)))
     val haveZone = BloomJoins.zoneLayoutsFor(root).map(_.col).toSet
-    manifestCols("_zonemap", "_min").filterNot(haveZone)
+    cols(graft.sources.ZoneMap.manifestExists(spark, root),
+        graft.sources.ZoneMap.manifestCols(spark, root))
+      .filterNot(haveZone)
       .foreach(c => BloomJoins.registerZone(BloomJoins.ZoneLayout(root, c)))
     save(spark, root)
   }
@@ -311,9 +315,12 @@ object GraftCatalog {
   private def autoload(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.catalog.autoload", "true") == "true"
 
-  /** How long a MISSED probe suppresses re-probing (see [[attempted]]). */
+  /** How long a MISSED probe suppresses re-probing (see [[attempted]]).
+    * Parsed defensively: this runs inside the optimizer on every query —
+    * a malformed setting must degrade to the default, never fail plans. */
   private def negativeTtlMs(spark: SparkSession): Long =
-    spark.conf.get("spark.graft.catalog.negativeTtlMs", "300000").toLong
+    try spark.conf.get("spark.graft.catalog.negativeTtlMs", "300000").toLong
+    catch { case _: NumberFormatException => 300000L }
 
   /** Remove the catalog file at `root` (registrations in memory stay). */
   def delete(spark: SparkSession, root: String): Unit = {
@@ -332,10 +339,14 @@ object GraftCatalog {
   def describe(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame = {
     load(spark, root)
     val r = norm(root)
-    val legs = Seq("literal-scan", "zone-scan", "join", "filter-scan",
-      "catalog-load", "catalog-merge", "summary-state")
-    def refusals: Long = legs.map(l => graft.streaming.GraftMetrics
-      .counter(BloomJoins.RefusalMetric, "layout" -> r, "leg" -> l)).sum
+    val legs = Seq("literal-scan", "zone-scan", "join", "zone-join",
+      "filter-scan", "catalog-load", "catalog-merge", "self-describe",
+      "summary-state")
+    def refusalsFor(layout: String): Long =
+      legs.map(l => graft.streaming.GraftMetrics
+        .counter(BloomJoins.RefusalMetric, "layout" -> layout, "leg" -> l))
+        .sum
+    def refusals: Long = refusalsFor(r)
     val rows =
       BloomJoins.layoutsFor(root).map(l => (r, "bloom", l.col,
         s"maxKeys=${l.maxKeys}",
@@ -354,9 +365,12 @@ object GraftCatalog {
            else s";min=${v.minCols.keys.toSeq.sorted.mkString("+")}") +
           (if (v.maxCols.isEmpty) ""
            else s";max=${v.maxCols.keys.toSeq.sorted.mkString("+")}")
+        // state-read refusals are recorded under the view's STATE PATH
+        // (SummaryViews.statePlan refuses with that label) — a view row
+        // must surface those, not the base root's
         (r, "view", norm(v.statePath), detail,
           graft.streaming.BucketedStateTable.stateVersion(v.statePath),
-          refusals)
+          refusals + refusalsFor(norm(v.statePath)))
       }
     import spark.implicits._
     rows.toDF("root", "kind", "name", "detail", "version", "refusals")

@@ -114,11 +114,19 @@ object BloomIndex {
     ZoneMap.UpdateDelta(added, reaped)
   }
 
-  private[sources] def manifestExists(spark: SparkSession,
-                                      path: String): Boolean = {
+  private[graft] def manifestExists(spark: SparkSession,
+                                    path: String): Boolean = {
     val (fs, root) = Manifests.fsFor(spark, path)
     fs.exists(new Path(root, "_bloomindex"))
   }
+
+  /** The indexed column names, recovered from a manifest's schema — the
+    * single source of truth shared by [[refreshShards]] and
+    * [[graft.plans.GraftCatalog.selfDescribe]]. */
+  private[graft] def manifestCols(spark: SparkSession,
+                                  path: String): Seq[String] =
+    spark.read.parquet(s"$path/_bloomindex").schema.fieldNames
+      .filter(_.endsWith("_bloom")).map(_.stripSuffix("_bloom")).toSeq
 
   /** Per-file Bloom aggregate pinned to an explicit bitmap size — the
     * refresh path, which must reproduce the ORIGINAL build's sizing
@@ -144,8 +152,7 @@ object BloomIndex {
                                      dirs: Seq[String]): Unit = {
     if (dirs.isEmpty || !manifestExists(spark, path)) return
     val m = spark.read.parquet(s"$path/_bloomindex")
-    val cols = m.schema.fieldNames.filter(_.endsWith("_bloom"))
-      .map(_.stripSuffix("_bloom")).toSeq
+    val cols = manifestCols(spark, path)
     if (cols.isEmpty) return
     // Sizing sample: first manifest row with a non-null filter cell, trying
     // every indexed column (an all-null column — e.g. a manifest built over

@@ -73,7 +73,13 @@ object Compaction {
               targetFileBytes: Long = 128L << 20,
               schemaDDL: Option[String] = None,
               sortCols: Seq[String] = Nil,
-              parallelism: Int = 1): DataFrame = {
+              parallelism: Int = 1,
+              // after refreshing index manifests, also merge-write the
+              // layout's _graft_catalog.json (GraftCatalog.selfDescribe) —
+              // pass false for layouts whose writers deliberately opted
+              // out of discovery (the BloomIndex/ZoneMap updateCatalog
+              // opt-out must not be silently undone by maintenance)
+              updateCatalog: Boolean = true): DataFrame = {
     require(targetFileBytes >= 1,
       s"targetFileBytes must be >= 1 (got $targetFileBytes)")
     require(parallelism >= 1, s"parallelism must be >= 1 (got $parallelism)")
@@ -157,10 +163,10 @@ object Compaction {
       ZoneMap.refreshShards(spark, path, rewritten)
       BloomIndex.refreshShards(spark, path, rewritten)
       // …and so must the catalog: a compacted layout whose manifests were
-      // never self-described (built before the catalog existed, or with
-      // updateCatalog=false then compacted) becomes discoverable here —
-      // merge semantics keep every existing entry's settings
-      if (rewritten.nonEmpty &&
+      // never self-described (built before the catalog existed) becomes
+      // discoverable here — merge semantics keep every existing entry's
+      // settings; updateCatalog=false preserves a deliberate opt-out
+      if (updateCatalog && rewritten.nonEmpty &&
           (ZoneMap.manifestExists(spark, path) ||
             BloomIndex.manifestExists(spark, path)))
         graft.plans.GraftCatalog.selfDescribe(spark, path)

@@ -69,15 +69,16 @@ object ZoneMap {
   }
 
   /** The indexed column names, recovered from a manifest's schema — how
-    * [[Compaction]] maintains a zone map it didn't build. */
-  private[sources] def manifestCols(spark: SparkSession,
-                                    path: String): Seq[String] = {
+    * [[Compaction]] maintains (and [[graft.plans.GraftCatalog]]
+    * self-describes) a zone map it didn't build. */
+  private[graft] def manifestCols(spark: SparkSession,
+                                  path: String): Seq[String] = {
     val fields = spark.read.parquet(s"$path/_zonemap").schema.fieldNames
     fields.filter(_.endsWith("_min")).map(_.stripSuffix("_min")).toSeq
   }
 
-  private[sources] def manifestExists(spark: SparkSession,
-                                      path: String): Boolean = {
+  private[graft] def manifestExists(spark: SparkSession,
+                                    path: String): Boolean = {
     val (fs, root) = fsFor(spark, path)
     fs.exists(new Path(root, "_zonemap"))
   }

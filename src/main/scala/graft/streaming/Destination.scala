@@ -226,17 +226,15 @@ final class SummaryDestination(
     describeView: Option[graft.plans.SummaryViews.View] = None)
   extends Destination {
   @volatile private var closed = false
-  @volatile private var catalogued = false
   override def writeBatch(df: DataFrame, batchId: Long): Unit = {
     if (closed) throw new DestinationError.Closed(
       s"write_batch on closed summary destination $statePath")
+    // self-description rides the fold itself (idempotent per batch; a
+    // failed catalog write refuses and retries next batch — see
+    // IncrementalAgg.applyDelta)
     IncrementalAgg.applyDelta(df.sparkSession, statePath, deltas(df),
-      keyCols, sumCols, nBuckets, batchId, minCols, maxCols)
-    if (!catalogued) describeView.foreach { v =>
-      graft.plans.SummaryViews.register(v)
-      graft.plans.GraftCatalog.save(df.sparkSession, v.basePath)
-      catalogued = true
-    }
+      keyCols, sumCols, nBuckets, batchId, minCols, maxCols,
+      describeView = describeView)
   }
   override def close(): Unit = closed = true
   override def metadata: DestinationMetadata = DestinationMetadata(

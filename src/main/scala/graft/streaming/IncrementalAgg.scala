@@ -82,11 +82,20 @@ object IncrementalAgg {
       BucketedStateTable.bucketOf(keyCols, nBuckets)))
     BucketedStateTable.fold(spark, path, d, batchId,
       merge = (old, dlt) => reAgg(old.unionByName(dlt)))
-    // after the fold: the catalog only ever points at state that exists
+    // after the fold: the catalog only ever points at state that exists.
+    // A failed catalog write must NOT fail the fold (the state already
+    // landed; the sink would otherwise crash a streaming batch over an
+    // optional metadata file) — refuse loudly, retry on the next fold.
     describeView.foreach { v =>
       if (!graft.plans.SummaryViews.viewsFor(v.basePath).contains(v)) {
         graft.plans.SummaryViews.register(v)
-        graft.plans.GraftCatalog.save(spark, v.basePath)
+        try graft.plans.GraftCatalog.save(spark, v.basePath)
+        catch { case e: Exception =>
+          graft.plans.BloomJoins.refused(v.basePath, "self-describe", e)
+          // drop the registration so the NEXT fold retries the save (the
+          // in-memory view alone would mask the missing catalog forever)
+          graft.plans.SummaryViews.unregister(v.basePath, v.statePath)
+        }
       }
     }
   }

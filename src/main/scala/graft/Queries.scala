@@ -2105,6 +2105,167 @@ object Queries {
     }
   }
 
+  register("agg_meta_profile", Some(
+    """SELECT count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  count(n_chars) AS chars_cnt,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents""".stripMargin)) { (s, dir) =>
+    // MANIFEST-SERVED aggregates (graft.plans.MetaAgg) — the zero-scan
+    // tier: the whole-corpus profile (count / sum / min / max / count(c))
+    // over a zone-mapped layout is answered from the `_zonemap` manifest
+    // ALONE. The write is the only setup (ZoneMap.write self-describes in
+    // _graft_catalog.json); registries and the discovery cache are then
+    // cleared, so the rewrite fires purely through DISCOVERY, and the
+    // REQUIRE pins that ZERO data files of the layout are read — at
+    // 100 TB the dashboard never touches the data. Rows hash-checked
+    // against DuckDB over the raw table.
+    val path = s"$sinkRoot/agg_meta_profile-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.table(s, dir, "documents")
+      .repartitionByRange(8, col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("doc_id", "n_chars"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.served.get()
+      val q = s.read.parquet(path).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        count(col("n_chars")).as("chars_cnt"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      val dataFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_profile") &&
+                    !p.toString.contains("_zonemap")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.served.get() > fired0 && dataFiles == 0L,
+        s"agg_meta_profile: expected a manifest-only plan " +
+          s"(fired=${graft.plans.MetaAgg.served.get() - fired0}, " +
+          s"dataFiles=$dataFiles)")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
+  register("agg_meta_range", Some(
+    """SELECT count(*) AS n_events, count(user_id) AS users_cnt,
+      |  min(value) AS value_min, max(value) AS value_max
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 00:00:00'""".stripMargin)) {
+    (s, dir) =>
+      // The covered/boundary split of the manifest-served tier: the feed
+      // layout is range-clustered on `ts`, and a plain 12-day-window
+      // aggregate serves every INTERIOR file from the manifest while
+      // scanning only the boundary files whose zone straddles a window
+      // edge (REQUIREd below: fewer data files than the layout holds).
+      // The exactness burden sits in the rule: covered files certify
+      // zone ⊆ window AND zero nulls; boundary files re-apply the exact
+      // filter. At 100 TB this is the daily-dashboard shape — cost
+      // follows the two boundary files, not the window width.
+      val path = s"$sinkRoot/agg_meta_range-${dir.replaceAll("[^0-9.]", "")}"
+      Tables.events(s, dir).repartitionByRange(16, col("ts"))
+        .write.mode("overwrite").parquet(path)
+      graft.sources.ZoneMap.write(s, path, Seq("ts", "user_id", "value"))
+      graft.plans.BloomJoins.clear()
+      graft.plans.GraftCatalog.clearCache()
+      graft.plans.MetaAgg.install(s)
+      try {
+        val fired0 = graft.plans.MetaAgg.served.get()
+        val q = s.read.parquet(path)
+          .where(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("user_id")).as("users_cnt"),
+            min(col("value")).as("value_min"),
+            max(col("value")).as("value_max"))
+        val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+        val dataFiles = q.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                  if f.location.rootPaths.exists(p =>
+                    p.toString.contains("agg_meta_range") &&
+                      !p.toString.contains("_zonemap")) =>
+                f.location.inputFiles.length.toLong
+              case _ => 0L
+            }
+        }.sum
+        require(graft.plans.MetaAgg.served.get() > fired0 &&
+            dataFiles < totalFiles,
+          s"agg_meta_range: expected boundary-only scanning " +
+            s"($dataFiles of $totalFiles)")
+        q.localCheckpoint()
+      } finally {
+        graft.plans.MetaAgg.uninstall(s)
+        graft.plans.BloomJoins.clear()
+      }
+  }
+
+  register("agg_meta_grouped", Some(
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // GROUPED manifest serving: the layout is range-clustered on
+    // (lang, doc_id), so most files are HOMOGENEOUS in lang (zone
+    // min == max, zero nulls) and the per-language roll-up is served from
+    // their manifest rows alone; only the boundary files where two
+    // languages meet are scanned, grouped, and folded in. REQUIREs fewer
+    // data files than the layout holds — at 100 TB this is the
+    // per-source/per-day ingest dashboard on a sorted lake: cost follows
+    // cluster boundaries, not corpus size.
+    val path = s"$sinkRoot/agg_meta_grouped-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.table(s, dir, "documents")
+      .repartitionByRange(8, col("lang"), col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("lang", "n_chars", "doc_id"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.served.get()
+      val q = s.read.parquet(path).groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+      val dataFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_grouped") &&
+                    !p.toString.contains("_zonemap")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.served.get() > fired0 &&
+          dataFiles < totalFiles,
+        s"agg_meta_grouped: expected homogeneous files served from the " +
+          s"manifest ($dataFiles of $totalFiles)")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
   register("agg_mv_rewrite_catalog", Some(
     """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  count(*) AS n_docs
@@ -7094,6 +7255,7 @@ object Queries {
     "layout_zonemap_events", "layout_zonemap_metaonly",
     "layout_bloom_pointlookup", "layout_zonemap_auto_range",
     "layout_bloom_auto_pointlookup", "layout_catalog_fresh_session",
+    "agg_meta_profile", "agg_meta_range", "agg_meta_grouped",
     "sink_bucketed_colocated_join", "sink_compact_small_files",
     "dedup_incremental_index",
     // ANN index train + build (k-means / codebooks persisted, then probed)

@@ -232,6 +232,23 @@ object BloomJoins {
   private[graft] def layoutsFor(path: String): Seq[Layout] =
     Option(layouts.get(norm(path))).getOrElse(Nil)
 
+  /** The relation's single layout root, when it is a single-root parquet
+    * scan, with catalog discovery probed on the way — shared by every
+    * rule in this tier ([[RewriteToBloomPrunedJoin]],
+    * [[RewriteToMetaAggregate]]). MULTI-root relations refuse: candidate
+    * files of different roots cannot anchor at one `basePath`, and
+    * per-root sets would have to union before any intersection. */
+  private[plans] def singleRootOf(
+      spark: SparkSession,
+      rel: LogicalRelation): Option[String] =
+    rel.relation match {
+      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
+        val p = fs.location.rootPaths.head.toString
+        GraftCatalog.ensureDiscovered(spark, Seq(p))
+        Some(p)
+      case _ => None
+    }
+
   private[graft] def zoneLayoutsFor(path: String): Seq[ZoneLayout] =
     Option(zones.get(norm(path))).getOrElse(Nil)
 
@@ -367,13 +384,7 @@ final case class RewriteToBloomPrunedJoin(spark: SparkSession)
     * cross-column intersection — refusing is the sound plan until someone
     * actually needs that shape. */
   private def singleRoot(rel: LogicalRelation): Option[String] =
-    rel.relation match {
-      case fs: HadoopFsRelation if fs.location.rootPaths.length == 1 =>
-        val p = fs.location.rootPaths.head.toString
-        GraftCatalog.ensureDiscovered(spark, Seq(p))
-        Some(p)
-      case _ => None
-    }
+    BloomJoins.singleRootOf(spark, rel)
 
   /** Candidate-file sets from LITERAL pins on bloom-registered columns:
     * one entry per (registered column × pinning conjunct set); None =

@@ -47,13 +47,35 @@ object ZoneMap {
   private def partDirCol(rootAbs: String): Column =
     Manifests.partDirCol(rootAbs)
 
+  /** Types whose per-file SUM is recorded in the manifest: exactly the
+    * types where re-aggregating file sums is bit-identical to summing the
+    * rows in any order — integral types (long arithmetic is associative,
+    * wraparound included) and decimals (exact arithmetic; the widened
+    * re-aggregate casts back losslessly or overflows exactly where the
+    * direct sum would). Float/double sums are order-dependent and are
+    * deliberately NOT recorded — [[graft.plans.RewriteToMetaAggregate]]
+    * refuses them, and a manifest column would only invite wrong serving. */
+  private[graft] def sumable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+
   private def statsFor(df: DataFrame, cols: Seq[String],
                        rootAbs: String): DataFrame = {
     require(cols.nonEmpty, "zone map needs at least one column")
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
       cols.flatMap { c =>
         Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
-          (count(lit(1)) - count(col(c))).as(s"${c}_nulls"))
+          (count(lit(1)) - count(col(c))).as(s"${c}_nulls")) ++
+          (if (types.get(c).exists(sumable))
+             Seq(sum(col(c)).as(s"${c}_sum"))
+           else Nil)
       }
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)

@@ -1,0 +1,382 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.ZoneMap
+
+/** The manifest-served-aggregate rule's contract: a globally injected
+  * rewriter must prove it never fires wrongly (every refusal path), that
+  * firing actually SERVES from metadata (zero or boundary-only data
+  * files), and that the answer is bit-identical to the plain aggregate. */
+class MetaAggSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val root = "/root/repo/target/test-out/meta-agg"
+  private val layout = s"$root/fact"
+  private val fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // range-clustered on k: 4 files with disjoint k ranges (0-24, 25-49,
+  // 50-74, 75-99). n mirrors k but is NULL at multiples of 10; d is an
+  // exact decimal; v is a double (min/max servable, sum refused); b is
+  // the file's bucket id (k / 25) — HOMOGENEOUS per file, the grouped
+  // serving shape.
+  private def rows = (0 until 100).map { i =>
+    (i.toLong,
+      if (i % 10 == 0) None else Some(i.toLong),
+      BigDecimal(i).setScale(2),
+      i / 4.0,
+      s"s$i",
+      (i / 25).toLong)
+  }
+
+  /** Write one file per exact k-range (0-24, 25-49, 50-74, 75-99): the
+    * strict-bound scenarios reason about file EDGES, so the boundaries
+    * must be pinned, not sampled by a range partitioner. */
+  private def writeRanged(path: String): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Seq(0, 25, 50, 75).foreach { lo =>
+      rows.filter(r => r._1 >= lo && r._1 < lo + 25)
+        .toDF("k", "n", "d", "v", "s", "b")
+        .withColumn("d", col("d").cast("decimal(10,2)"))
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+  }
+
+  fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  writeRanged(layout)
+  ZoneMap.write(spark, layout, Seq("k", "n", "d", "v", "b"))
+  BloomJoins.clear()
+  GraftCatalog.clearCache()
+  BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "k"))
+  BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "n"))
+  BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "d"))
+  BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "v"))
+  BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "b"))
+  MetaAgg.install(spark)
+
+  override def afterAll(): Unit = {
+    MetaAgg.uninstall(spark)
+    BloomJoins.uninstall(spark)
+    BloomJoins.clear()
+    super.afterAll()
+  }
+
+  private def fact: DataFrame = spark.read.parquet(layout)
+
+  /** Data files of THIS layout the optimized plan still reads (the
+    * `_zonemap` manifest scan is excluded — reading it is the point). */
+  private def dataFiles(df: DataFrame): Long =
+    df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if f.location.rootPaths.exists(p =>
+                p.toString.contains("meta-agg/fact") &&
+                  !p.toString.contains("_zonemap")) =>
+            f.location.inputFiles.length.toLong
+          case _ => 0L
+        }
+    }.sum
+
+  private def servedBy(q: => DataFrame): (DataFrame, Long) = {
+    val before = MetaAgg.served.get()
+    val df = q
+    df.queryExecution.optimizedPlan // force planning
+    (df, MetaAgg.served.get() - before)
+  }
+
+  private def withoutRule[T](f: => T): T = {
+    MetaAgg.uninstall(spark)
+    try f finally MetaAgg.install(spark)
+  }
+
+  private def assertParity(q: => DataFrame): (Seq[Row], Long) = {
+    val (df, fired) = servedBy(q)
+    assert(fired >= 1, "expected the rule to fire\n" +
+      df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().toSeq.sortBy(_.mkString("|"))
+    val exp = withoutRule {
+      val e = q
+      assert(dataFiles(e) === 4L, "rule must be inert while uninstalled")
+      e.collect().toSeq.sortBy(_.mkString("|"))
+    }
+    assert(got === exp)
+    (got, dataFiles(df))
+  }
+
+  test("no predicate: the dashboard profile reads ZERO data files") {
+    val (rows, files) = assertParity(
+      fact.agg(count(lit(1)).as("n_rows"), min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"), sum(col("k")).as("k_sum"),
+        count(col("n")).as("n_cnt"), sum(col("n")).as("n_sum"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max")))
+    assert(files === 0L, "fully covered: no data file may be opened")
+    val r = rows.head
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(1) === 0L && r.getLong(2) === 99L)
+    assert(r.getLong(3) === (0 until 100).map(_.toLong).sum)
+    assert(r.getLong(4) === 90L) // 10 nulls
+    assert(r.getLong(5) === (0 until 100).filter(_ % 10 != 0).map(_.toLong).sum)
+  }
+
+  test("range predicate: covered files served, only boundary files scanned") {
+    // k in [20, 60]: file 0 (0-24) partial, file 1 (25-49) covered,
+    // file 2 (50-74) partial, file 3 excluded
+    val (rows, files) = assertParity(
+      fact.where(col("k") >= 20L && col("k") <= 60L)
+        .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"),
+          min(col("k")).as("mn"), max(col("k")).as("mx")))
+    assert(files === 2L, s"expected the two boundary files, read $files")
+    val r = rows.head
+    assert(r.getLong(0) === 41L)
+    assert(r.getLong(1) === (20 to 60).map(_.toLong).sum)
+    assert(r.getLong(2) === 20L && r.getLong(3) === 60L)
+  }
+
+  test("strict bounds respect coverage: file edges are not over-covered") {
+    // k > 24 && k < 75: file 1 and 2 covered, files 0 and 3 EXCLUDED by
+    // the strict candidate test (0-24 has max 24, not > 24)
+    val (rows, files) = assertParity(
+      fact.where(col("k") > 24L && col("k") < 75L)
+        .agg(count(lit(1)).as("c"), min(col("k")).as("mn"),
+          max(col("k")).as("mx")))
+    assert(files === 0L,
+      s"strict bounds land exactly on file edges: all-covered, read $files")
+    assert(rows.head.getLong(0) === 50L)
+    assert(rows.head.getLong(1) === 25L && rows.head.getLong(2) === 74L)
+  }
+
+  test("a predicate on the NULL-bearing column is never certified covered") {
+    // every file holds a NULL n (multiples of 10), so NO file is covered
+    // for a predicate on n — everything routes to the partial scan
+    val (rows, files) = assertParity(
+      fact.where(col("n") >= 0L)
+        .agg(count(lit(1)).as("c"), count(col("n")).as("cn")))
+    assert(files === 4L, "nulls in the predicate column forbid coverage")
+    assert(rows.head.getLong(0) === 90L && rows.head.getLong(1) === 90L)
+  }
+
+  test("decimal SUM serves exactly, cast back to the original sum type") {
+    val (rows, files) = assertParity(
+      fact.where(col("k") >= 25L && col("k") <= 74L)
+        .agg(sum(col("d")).as("sd"), min(col("d")).as("mnd"),
+          max(col("d")).as("mxd")))
+    assert(files === 0L)
+    val r = rows.head
+    assert(r.getDecimal(0).compareTo(
+      BigDecimal((25 to 74).sum).bigDecimal) === 0)
+    assert(r.getDecimal(1).compareTo(BigDecimal(25).bigDecimal) === 0)
+    assert(r.getDecimal(2).compareTo(BigDecimal(74).bigDecimal) === 0)
+  }
+
+  test("double SUM refuses (order-dependent); min/max on double serve") {
+    val (_, firedSum) = servedBy(fact.agg(sum(col("v")).as("sv")))
+    assert(firedSum === 0L, "double sum must not be served from sums")
+    val (df, firedMm) = servedBy(
+      fact.agg(min(col("v")).as("mn"), max(col("v")).as("mx")))
+    assert(firedMm === 1L)
+    val r = df.collect().head
+    assert(r.getDouble(0) === 0.0 && r.getDouble(1) === 99 / 4.0)
+  }
+
+  test("empty match: count 0, min/max/sum NULL — exactly the plain answer") {
+    val (rows, files) = assertParity(
+      fact.where(col("k") > 1000L)
+        .agg(count(lit(1)).as("c"), min(col("k")).as("mn"),
+          sum(col("k")).as("sk")))
+    assert(files === 0L)
+    val r = rows.head
+    assert(r.getLong(0) === 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("spark.sql spelling with aliases and BETWEEN fires through renames") {
+    fact.createOrReplaceTempView("ma_fact")
+    def q = spark.sql(
+      """SELECT count(*) AS c, sum(k) AS sk, max(k) AS mx
+        |FROM ma_fact WHERE k BETWEEN 30 AND 40""".stripMargin)
+    val (df, fired) = servedBy(q)
+    assert(fired === 1L, df.queryExecution.optimizedPlan.toString)
+    // [30,40] sits INSIDE file 1's zone [25,49]: the file is candidate
+    // but not covered - exactly one boundary file scans
+    assert(dataFiles(df) === 1L)
+    val exp = withoutRule(q.collect().toSeq)
+    assert(df.collect().toSeq === exp)
+  }
+
+  test("projection renames between aggregate and scan resolve to the layout") {
+    val (rows, files) = assertParity(
+      fact.select(col("k").as("key2"), col("n").as("n2"))
+        .where(col("key2") <= 49L)
+        .agg(count(lit(1)).as("c"), sum(col("key2")).as("sk"),
+          count(col("n2")).as("cn")))
+    assert(files === 0L)
+    val r = rows.head
+    assert(r.getLong(0) === 50L)
+    assert(r.getLong(1) === (0 until 50).map(_.toLong).sum)
+    assert(r.getLong(2) === 45L)
+  }
+
+  test("refusals: GROUP BY, DISTINCT, AVG, non-zone conjunct, expression arg") {
+    def refuses(q: => DataFrame): Unit = {
+      val (_, fired) = servedBy(q)
+      assert(fired === 0L)
+    }
+    refuses(fact.groupBy(col("s")).agg(count(lit(1)).as("c")))
+    refuses(fact.agg(countDistinct(col("k")).as("c")))
+    refuses(fact.agg(avg(col("k")).as("a")))
+    refuses(fact.where(col("s") === "s3").agg(count(lit(1)).as("c")))
+    refuses(fact.agg(sum(col("k") + 1L).as("c")))
+    // and refusal leaves answers exact (plain plan)
+    val got = fact.where(col("s") === "s3").agg(count(lit(1))).collect()
+    assert(got.head.getLong(0) === 1L)
+  }
+
+  test("appended files the manifest has not seen yet scan raw — never missed") {
+    val extra = s"$root/appended"
+    writeRanged(extra)
+    ZoneMap.write(spark, extra, Seq("k"), updateCatalog = false)
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(extra, "k"))
+    // append rows OUTSIDE the old range, without updating the manifest
+    Seq((200L, Some(200L), BigDecimal(200).setScale(2), 1.0, "x", 8L))
+      .toDF("k", "n", "d", "v", "s", "b")
+      .write.mode("append").parquet(extra)
+    val (df, fired) = servedBy(
+      spark.read.parquet(extra).agg(count(lit(1)).as("c"),
+        max(col("k")).as("mx"), sum(col("k")).as("sk")))
+    assert(fired === 1L)
+    val r = df.collect().head
+    assert(r.getLong(0) === 101L)
+    assert(r.getLong(1) === 200L)
+    assert(r.getLong(2) === (0 until 100).map(_.toLong).sum + 200L)
+    // after ZoneMap.update the appended file is indexed: zero data files
+    ZoneMap.update(spark, extra, Seq("k"))
+    val (df2, fired2) = servedBy(
+      spark.read.parquet(extra).agg(count(lit(1)).as("c")))
+    assert(fired2 === 1L && dataFiles(df2) === 0L)
+    assert(df2.collect().head.getLong(0) === 101L)
+  }
+
+  test("a stale manifest (files vanished) refuses — fresh data answers plainly") {
+    val stale = s"$root/stale"
+    writeRanged(stale)
+    ZoneMap.write(spark, stale, Seq("k"), updateCatalog = false)
+    // delete the k=[0,24] data file OUT FROM UNDER the manifest
+    val doomed = spark.read.parquet(s"$stale/_zonemap")
+      .filter(col("k_min") === 0L).select("file")
+      .collect().head.getString(0)
+    fs.delete(new org.apache.hadoop.fs.Path(doomed), false)
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(stale, "k"))
+    val (df, fired) = servedBy(
+      spark.read.parquet(stale).agg(count(lit(1)).as("c")))
+    assert(fired === 0L, "manifest rows for vanished files must refuse")
+    assert(df.collect().head.getLong(0) === 75L)
+  }
+
+  test("plan-time probes are cached: replanning the same query probes zero") {
+    val q1 = fact.where(col("k") >= 20L && col("k") <= 60L)
+      .agg(count(lit(1)).as("c"))
+    q1.queryExecution.optimizedPlan
+    val before = BloomJoins.probeRuns.get()
+    val q2 = fact.where(col("k") >= 20L && col("k") <= 60L)
+      .agg(count(lit(1)).as("c"))
+    q2.queryExecution.optimizedPlan
+    assert(BloomJoins.probeRuns.get() === before,
+      "identical re-plan must be served from the probe cache")
+    assert(q2.collect().head.getLong(0) === 41L)
+  }
+
+  test("discovery: a fresh session state serves purely through the catalog") {
+    // ZoneMap.write self-described the layout; drop every in-memory trace
+    BloomJoins.clear()
+    GraftCatalog.clearCache()
+    val (df, fired) = servedBy(
+      fact.agg(count(lit(1)).as("c"), max(col("k")).as("mx")))
+    assert(fired === 1L, "catalog discovery must re-arm the rule")
+    val r = df.collect().head
+    assert(r.getLong(0) === 100L && r.getLong(1) === 99L)
+  }
+
+  test("GROUP BY a file-homogeneous column serves with zero data files") {
+    val (rows0, files) = assertParity(
+      fact.groupBy(col("b")).agg(count(lit(1)).as("c"),
+        sum(col("k")).as("sk"), min(col("k")).as("mn"),
+        max(col("k")).as("mx"), count(col("n")).as("cn")))
+    assert(files === 0L, "homogeneous groups must be served from zones")
+    assert(rows0.length === 4)
+    val b0 = rows0.find(_.getLong(0) === 0L).get
+    assert(b0.getLong(1) === 25L)
+    assert(b0.getLong(2) === (0 until 25).map(_.toLong).sum)
+    assert(b0.getLong(3) === 0L && b0.getLong(4) === 24L)
+    assert(b0.getLong(5) === 22L) // nulls at 0, 10, 20
+  }
+
+  test("GROUP BY with a predicate: interior groups served, boundaries scanned") {
+    val (rows0, files) = assertParity(
+      fact.where(col("k") >= 20L && col("k") <= 60L)
+        .groupBy(col("b")).agg(count(lit(1)).as("c"),
+          sum(col("k")).as("sk")))
+    assert(files === 2L, s"expected the two boundary files, read $files")
+    assert(rows0.length === 3)
+    val b1 = rows0.find(_.getLong(0) === 1L).get
+    assert(b1.getLong(1) === 25L)
+    assert(b1.getLong(2) === (25 to 49).map(_.toLong).sum)
+  }
+
+  test("GROUP BY a mixed column scans everything but stays exact") {
+    // n is not file-homogeneous (25 distinct values per file): every
+    // candidate file routes to the partial leg, answers stay exact
+    val (rows0, files) = assertParity(
+      fact.groupBy(col("n")).agg(count(lit(1)).as("c")))
+    assert(files === 4L)
+    assert(rows0.length === 91) // 90 non-null n values + the NULL group
+  }
+
+  test("an all-NULL group zone serves as the SQL NULL group") {
+    val ng = s"$root/nullgroup"
+    fs.delete(new org.apache.hadoop.fs.Path(ng), true)
+    Seq((1L, Some(1L)), (2L, Some(1L))).toDF("k", "g")
+      .coalesce(1).write.mode("append").parquet(ng)
+    Seq((3L, None: Option[Long]), (4L, None: Option[Long])).toDF("k", "g")
+      .coalesce(1).write.mode("append").parquet(ng)
+    ZoneMap.write(spark, ng, Seq("k", "g"), updateCatalog = false)
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(ng, "k"))
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(ng, "g"))
+    val (df, fired) = servedBy(
+      spark.read.parquet(ng).groupBy(col("g"))
+        .agg(count(lit(1)).as("c"), sum(col("k")).as("sk")))
+    assert(fired === 1L)
+    val got = df.collect().toSeq.sortBy(_.mkString("|"))
+    val exp = withoutRule(
+      spark.read.parquet(ng).groupBy(col("g"))
+        .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+        .collect().toSeq.sortBy(_.mkString("|")))
+    assert(got === exp)
+    assert(got.exists(r => r.isNullAt(0) && r.getLong(1) === 2L &&
+      r.getLong(2) === 7L))
+  }
+
+  test("grouped refusals: bare DISTINCT shape, non-zone group column") {
+    def refuses(q: => DataFrame): Unit = {
+      val (_, fired) = servedBy(q)
+      assert(fired === 0L)
+    }
+    refuses(fact.select(col("b")).distinct())
+    refuses(fact.groupBy(col("s")).agg(count(lit(1)).as("c")))
+  }
+
+  test("composes with the scan-pruning rule: aggregate wins the fixed point") {
+    BloomJoins.install(spark) // both rules live, MetaAgg installed first
+    try {
+      val (df, fired) = servedBy(
+        fact.where(col("k") >= 20L && col("k") <= 60L)
+          .agg(count(lit(1)).as("c")))
+      assert(fired === 1L,
+        "the aggregate must be manifest-served, not merely scan-pruned")
+      assert(df.collect().head.getLong(0) === 41L)
+    } finally BloomJoins.uninstall(spark)
+  }
+}

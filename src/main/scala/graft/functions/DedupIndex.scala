@@ -50,7 +50,8 @@ object DedupIndex {
     * `path`. */
   def write(docs: DataFrame, path: String, shingleN: Int = 3, k: Int = 32,
             bands: Int = 8, idCol: String = "doc_id",
-            textCol: String = "text"): Unit = {
+            textCol: String = "text",
+            updateCatalog: Boolean = true): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     Seq((shingleN, k, bands)).toDF("shingle_n", "k", "bands")
@@ -63,6 +64,13 @@ object DedupIndex {
       .withColumn("gen", lit(-1L))
       .write.mode("overwrite").partitionBy("gen")
       .parquet(s"$path/entries")
+    // self-describe at the index root: the pinned parameters become
+    // discoverable documentation (the authoritative copy stays in meta/)
+    if (updateCatalog)
+      graft.plans.GraftCatalog.describeArtifact(spark, path, "dedup-index",
+        Map("shingleN" -> shingleN.toString, "k" -> k.toString,
+          "bands" -> bands.toString, "idCol" -> idCol,
+          "textCol" -> textCol))
   }
 
   private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {

@@ -187,7 +187,8 @@ object Pq {
                       m: Int = 16, kCodes: Int = 32, ivfIters: Int = 2,
                       pqIters: Int = 3, idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      maxTrainRows: Long = 200000L): Unit = {
+                      maxTrainRows: Long = 200000L,
+                      updateCatalog: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = Similarity.ivfCentroids(corpus, nLists, ivfIters, idCol,
@@ -209,6 +210,12 @@ object Pq {
       .withColumn("gen", lit(-1L))
       .write.mode("overwrite").partitionBy("cid", "gen")
       .parquet(s"$path/vectors")
+    // self-describe at the index root (see Similarity.writeIvfIndex)
+    if (updateCatalog)
+      graft.plans.GraftCatalog.describeArtifact(spark, path, "ivfpq-index",
+        Map("nLists" -> nLists.toString, "m" -> m.toString,
+          "kCodes" -> kCodes.toString, "idCol" -> idCol,
+          "vecCol" -> vecCol))
   }
 
   private[functions] def readCodebooks(

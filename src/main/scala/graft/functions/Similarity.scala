@@ -485,7 +485,8 @@ object Similarity {
   def writeIvfIndex(corpus: DataFrame, path: String, nLists: Int = 16,
                     iters: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding",
-                    maxTrainRows: Long = 200000L): Unit = {
+                    maxTrainRows: Long = 200000L,
+                    updateCatalog: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = ivfCentroids(corpus, nLists, iters, idCol, vecCol, maxTrainRows)
@@ -502,6 +503,13 @@ object Similarity {
       .withColumn("gen", lit(-1L))
       .write.mode("overwrite").partitionBy("cid", "gen")
       .parquet(s"$path/vectors")
+    // the index self-describes in _graft_catalog.json at its own root
+    // (the layout writers' discipline): describe(path) in any later
+    // session lists the index and its parameters with zero setup
+    if (updateCatalog)
+      graft.plans.GraftCatalog.describeArtifact(spark, path, "ivf-index",
+        Map("nLists" -> nLists.toString, "idCol" -> idCol,
+          "vecCol" -> vecCol))
   }
 
   /** The persisted centroid model of a [[writeIvfIndex]] layout — one

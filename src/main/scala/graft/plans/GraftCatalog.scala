@@ -60,6 +60,45 @@ object GraftCatalog {
   /** Injectable clock (specs drive the negative-TTL expiry). */
   private[plans] var clock: () => Long = () => System.currentTimeMillis()
 
+  /** A persisted non-layout artifact living at its own root — an ANN
+    * index, a dedup index, a bucketed table. Artifacts carry no
+    * optimizer behavior (their consumers take the path explicitly); the
+    * catalog records WHAT lives there and under WHICH parameters, so
+    * `describe` makes the lake self-documenting and a fresh session can
+    * rediscover an index another process built. One artifact per KIND
+    * per root (the writers own their roots exclusively). */
+  final case class Artifact(kind: String, params: Map[String, String])
+
+  private val artifactReg =
+    new java.util.concurrent.ConcurrentHashMap[String, List[Artifact]]()
+
+  def registerArtifact(root: String, a: Artifact): Unit =
+    artifactReg.compute(norm(root), (_, cur) =>
+      Option(cur).getOrElse(Nil).filterNot(_.kind == a.kind) :+ a)
+
+  def artifactsFor(root: String): Seq[Artifact] =
+    Option(artifactReg.get(norm(root))).getOrElse(Nil)
+
+  /** Spec/fresh-session hook (the registries sibling of [[clearCache]]). */
+  private[graft] def clearArtifacts(): Unit = artifactReg.clear()
+
+  /** The artifact writers' self-description hook — [[graft.functions]]
+    * index builders and [[graft.sources.Bucketing]] call this after their
+    * write lands, mirroring [[selfDescribe]] for layouts: register the
+    * artifact (in-session registration wins over on-disk, which [[load]]
+    * fills first) and merge-write the catalog AT THE ARTIFACT ROOT. A
+    * catalog failure REFUSES loudly (the artifact itself already landed
+    * and stays fully usable by path) — never fails the build. */
+  def describeArtifact(spark: SparkSession, root: String,
+                       kind: String, params: Map[String, String]): Unit =
+    try {
+      load(spark, root)
+      registerArtifact(root, Artifact(kind, params))
+      save(spark, root)
+    } catch { case e: Exception =>
+      BloomJoins.refused(root, "self-describe", e)
+    }
+
   /** Drop the discovery memory (NOT the registries): the next query
     * re-probes. Spec/fresh-session hook. */
   def clearCache(): Unit = attempted.clear()
@@ -104,6 +143,13 @@ object GraftCatalog {
       strMap(n, "maxCols", v.maxCols)
       norm(v.statePath)
     }.toSet
+    val arts = doc.putArray("artifacts")
+    val artKinds = artifactsFor(root).map { a =>
+      val n = arts.addObject()
+      n.put("kind", a.kind)
+      strMap(n, "params", a.params)
+      a.kind
+    }.toSet
     val (fs, rootPath) = graft.sources.Manifests.fsFor(spark, root)
     val target = new Path(rootPath, FileName)
     if (merge && fs.exists(target)) {
@@ -123,6 +169,9 @@ object GraftCatalog {
           .filterNot(n =>
             viewPaths.contains(norm(n.get("statePath").asText())))
           .foreach(n => vs.add(n))
+        arr(old, "artifacts")
+          .filterNot(n => artKinds.contains(n.get("kind").asText()))
+          .foreach(n => arts.add(n))
       } catch { case e: Exception =>
         BloomJoins.refused(root, "catalog-merge", e)
       }
@@ -240,6 +289,13 @@ object GraftCatalog {
             BloomJoins.registerZone(
               BloomJoins.ZoneLayout(root, n.get("col").asText()))
           }
+        val haveArt = artifactsFor(root).map(_.kind).toSet
+        arr(doc, "artifacts")
+          .filterNot(n => haveArt.contains(n.get("kind").asText()))
+          .foreach { n =>
+            registerArtifact(root,
+              Artifact(n.get("kind").asText(), pairs(n, "params")))
+          }
         val haveView = SummaryViews.viewsFor(root)
           .map(v => norm(v.statePath)).toSet
         arr(doc, "views")
@@ -355,6 +411,12 @@ object GraftCatalog {
       BloomJoins.zoneLayoutsFor(root).map(z => (r, "zone", z.col, "",
         graft.sources.Manifests.manifestVersion(z.factPath, "_zonemap"),
         refusals)) ++
+      artifactsFor(root).map { a =>
+        (r, "artifact:" + a.kind, r,
+          a.params.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=$v" }.mkString(";"),
+          0L, refusals)
+      } ++
       SummaryViews.viewsFor(root).map { v =>
         val detail = s"keys=${v.keyCols.mkString("+")};" +
           s"sums=${v.sumCols.toSeq.sorted.mkString("+")}" +

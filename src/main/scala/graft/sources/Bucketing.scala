@@ -23,7 +23,8 @@ object Bucketing {
     * at `path` (external — the layout lives with the data, not wherever
     * the session's warehouse points). Overwrites any previous layout. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    nBuckets: Int, path: String): Unit = {
+                    nBuckets: Int, path: String,
+                    updateCatalog: Boolean = true): Unit = {
     require(nBuckets >= 1, s"bucket count must be >= 1 (got $nBuckets)")
     df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
     df.write.mode("overwrite")
@@ -31,6 +32,14 @@ object Bucketing {
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
+    // self-describe at the layout root: a session without the metastore
+    // entry can still discover HOW the files are bucketed (table name,
+    // key, count) and re-register the table to get exchange-free joins
+    if (updateCatalog)
+      graft.plans.GraftCatalog.describeArtifact(df.sparkSession, path,
+        "bucketed-table",
+        Map("table" -> table, "key" -> key,
+          "nBuckets" -> nBuckets.toString))
   }
 
   /** The two bucketed sides joined on their bucket key. The MERGE hint

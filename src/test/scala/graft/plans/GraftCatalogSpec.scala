@@ -64,6 +64,7 @@ class GraftCatalogSpec extends SparkSpec
   private def freshSession(): Unit = {
     BloomJoins.clear()
     SummaryViews.clear()
+    GraftCatalog.clearArtifacts()
     GraftCatalog.clearCache()
   }
 
@@ -502,5 +503,77 @@ class GraftCatalogSpec extends SparkSpec
     assert(views.head.getString(2).endsWith("mv-state"))
     assert(views.head.getString(3).contains("keys=lang"),
       s"view detail must carry the key columns: ${views.head.getString(3)}")
+  }
+
+  test("artifacts round-trip the catalog and merge beside layout entries") {
+    val aroot = s"$root/artifact-merge"
+    fs.delete(new org.apache.hadoop.fs.Path(aroot), true)
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").write.parquet(aroot)
+    // session A: a zone layout self-describes
+    graft.sources.ZoneMap.write(spark, aroot, Seq("v"))
+    // session B (fresh): registers ONLY an artifact and saves — the zone
+    // entry on disk must survive the merge
+    freshSession()
+    GraftCatalog.registerArtifact(aroot,
+      GraftCatalog.Artifact("ivf-index", Map("nLists" -> "4")))
+    GraftCatalog.save(spark, aroot)
+    // session C (fresh): discovery sees BOTH
+    freshSession()
+    assert(GraftCatalog.load(spark, aroot))
+    assert(BloomJoins.zoneLayoutsFor(aroot).map(_.col) === Seq("v"))
+    val arts = GraftCatalog.artifactsFor(aroot)
+    assert(arts.map(_.kind) === Seq("ivf-index"))
+    assert(arts.head.params("nLists") === "4")
+    val d = GraftCatalog.describe(spark, aroot)
+    val arow = d.where(col("kind") === "artifact:ivf-index").collect()
+    assert(arow.length === 1)
+    assert(arow.head.getString(3).contains("nLists=4"))
+  }
+
+  test("index builders SELF-DESCRIBE: describe() on a fresh session lists " +
+    "the IVF index and the dedup index with their parameters") {
+    val ivfPath = s"$root/ivf-idx"
+    val dedupPath = s"$root/dedup-idx"
+    fs.delete(new org.apache.hadoop.fs.Path(ivfPath), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dedupPath), true)
+    graft.functions.Similarity.writeIvfIndex(
+      Tables.table(spark, sfTiny, "embeddings"), ivfPath, nLists = 4,
+      iters = 1)
+    graft.functions.DedupIndex.write(
+      Tables.documents(spark, sfTiny).limit(50), dedupPath,
+      shingleN = 3, k = 16, bands = 4)
+    freshSession()
+    val di = GraftCatalog.describe(spark, ivfPath)
+      .where(col("kind") === "artifact:ivf-index").collect()
+    assert(di.length === 1, "writeIvfIndex must self-describe")
+    assert(di.head.getString(3).contains("nLists=4"))
+    freshSession()
+    val dd = GraftCatalog.describe(spark, dedupPath)
+      .where(col("kind") === "artifact:dedup-index").collect()
+    assert(dd.length === 1, "DedupIndex.write must self-describe")
+    assert(dd.head.getString(3).contains("bands=4") &&
+      dd.head.getString(3).contains("k=16"))
+  }
+
+  test("bucketed tables self-describe; updateCatalog=false opts out") {
+    val bPath = s"$root/bucketed"
+    fs.delete(new org.apache.hadoop.fs.Path(bPath), true)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.documents(spark, sfTiny).select("doc_id", "n_chars"),
+      "gc_bucketed_docs", "doc_id", 4, bPath)
+    freshSession()
+    val db = GraftCatalog.describe(spark, bPath)
+      .where(col("kind") === "artifact:bucketed-table").collect()
+    assert(db.length === 1)
+    assert(db.head.getString(3).contains("nBuckets=4") &&
+      db.head.getString(3).contains("key=doc_id"))
+    // opt-out: no catalog file is written
+    val oPath = s"$root/bucketed-optout"
+    fs.delete(new org.apache.hadoop.fs.Path(oPath), true)
+    graft.sources.Bucketing.writeBucketed(
+      Tables.documents(spark, sfTiny).select("doc_id", "n_chars"),
+      "gc_bucketed_optout", "doc_id", 4, oPath, updateCatalog = false)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$oPath/_graft_catalog.json")))
   }
 }

@@ -2266,6 +2266,55 @@ object Queries {
     }
   }
 
+  register("agg_meta_distinct", Some(
+    """SELECT DISTINCT lang FROM documents""".stripMargin)) { (s, dir) =>
+    // DISTINCT through the manifest tier: on a lang-clustered layout a
+    // file HOMOGENEOUS in lang contributes its one value straight from
+    // the manifest — "which languages exist" costs the manifest plus the
+    // boundary files where two languages meet. The count(DISTINCT lang)
+    // sibling runs through the same legs and is REQUIREd to serve too;
+    // both REQUIRE fewer data files than the layout holds. At 100 TB
+    // this is the catalog-discovery question (which days / sources /
+    // languages does this lake hold) answered without touching data.
+    val path = s"$sinkRoot/agg_meta_distinct-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.table(s, dir, "documents")
+      .repartitionByRange(16, col("lang"), col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("lang"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.served.get()
+      val qd = s.read.parquet(path).select(col("lang")).distinct()
+      val qc = s.read.parquet(path)
+        .agg(countDistinct(col("lang")).as("n_langs"))
+      val nLangs = qc.collect().head.getLong(0)
+      val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+      val dataFiles = qd.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_distinct") &&
+                    !p.toString.contains("_zonemap")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.served.get() - fired0 >= 2 &&
+          dataFiles < totalFiles,
+        s"agg_meta_distinct: expected distinct values served from the " +
+          s"manifest ($dataFiles of $totalFiles)")
+      require(nLangs == qd.count(),
+        "count(DISTINCT lang) must agree with the distinct row set")
+      qd.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
   register("agg_mv_rewrite_catalog", Some(
     """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  count(*) AS n_docs
@@ -7256,6 +7305,7 @@ object Queries {
     "layout_bloom_pointlookup", "layout_zonemap_auto_range",
     "layout_bloom_auto_pointlookup", "layout_catalog_fresh_session",
     "agg_meta_profile", "agg_meta_range", "agg_meta_grouped",
+    "agg_meta_distinct",
     "sink_bucketed_colocated_join", "sink_compact_small_files",
     "dedup_incremental_index",
     // ANN index train + build (k-means / codebooks persisted, then probed)

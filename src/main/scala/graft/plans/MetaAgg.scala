@@ -97,6 +97,8 @@ object MetaAgg {
   private[plans] final case class SumCol(c: String) extends Spec
   /** A grouping column passed through to the output (grouped serving). */
   private[plans] final case class GroupKey(c: String) extends Spec
+  /** `count(DISTINCT c)` — served through distinct-value legs. */
+  private[plans] final case class DistinctCount(c: String) extends Spec
 
   /** One WHERE conjunct's contribution: an optionally-open interval on a
     * zone column, with STRICTNESS kept (the covered test needs it: a file
@@ -133,7 +135,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   import BloomJoins.{cachedProbe, refused, Probed, RefusedTransient}
-  import MetaAgg.{Bound, ColRange, CountCol, CountStar, GroupKey, MaxCol, MinCol, Spec, SumCol}
+  import MetaAgg.{Bound, ColRange, CountCol, CountStar, DistinctCount, GroupKey, MaxCol, MinCol, Spec, SumCol}
 
   /** The plan-time manifest collects execute queries WHILE this rule is
     * running; their optimization must not re-enter the rule. */
@@ -288,9 +290,13 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       zcols = zls.map(_.col).toSet
       groupCols <- resolveGroups(gexprs, sub, rel, zcols)
       specs <- parseSpecs(aggExprs, sub, rel, zcols, groupCols)
-      // at least one true aggregate: bare GROUP BY (a DISTINCT) stays with
-      // the scan-pruning tier
-      if specs.exists(sp => !sp.isInstanceOf[GroupKey])
+      // shape validation: a DISTINCT COUNT never mixes with other
+      // aggregates (Spark plans that mix through Expand — a different
+      // shape that never reaches here anyway); at most one
+      if specs.count(_.isInstanceOf[DistinctCount]) <= 1 &&
+        (!specs.exists(_.isInstanceOf[DistinctCount]) ||
+          specs.forall(sp => sp.isInstanceOf[DistinctCount] ||
+            sp.isInstanceOf[GroupKey]))
       ranges <- parseConds(conds, zcols, sub, rel)
       plan <- serve(aggExprs, specs, groupCols, conds, ranges, rel, root)
     } yield plan
@@ -336,9 +342,16 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         case x: AggregateExpression => Some(x)
         case _ => None
       }
-      aeOpt.filter(ae => !ae.isDistinct && ae.filter.isEmpty)
+      aeOpt.filter(_.filter.isEmpty)
         .flatMap { ae =>
           ae.aggregateFunction match {
+            case c: Count if ae.isDistinct && c.children.length == 1 =>
+              // count(DISTINCT c): served via distinct-value legs
+              c.children.head match {
+                case e => relCol(e, sub, rel).filter(zcols.contains)
+                    .map(DistinctCount)
+              }
+            case _ if ae.isDistinct => None
             case c: Count if c.children.length == 1 =>
               c.children.head match {
                 case Literal(v, _) if v != null => Some(CountStar)
@@ -381,11 +394,24 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       case MaxCol(c) => Seq(s"${c}_max")
       case SumCol(c) => Seq(s"${c}_sum", s"${c}_nulls")
       case GroupKey(_) => Nil
+      case DistinctCount(c) => Seq(s"${c}_min", s"${c}_max", s"${c}_nulls")
     } ++ ranges.flatMap(r =>
       Seq(s"${r.c}_min", s"${r.c}_max", s"${r.c}_nulls")) ++
       groupCols.flatMap(g =>
         Seq(s"${g}_min", s"${g}_max", s"${g}_nulls"))
     if (!needed.forall(fields.contains)) return None
+
+    // distinct-value serving: a pure SELECT DISTINCT (all specs group
+    // keys) or a count(DISTINCT c) [GROUP BY ...] routes through legs of
+    // DISTINCT VALUES instead of folded statistics; homogeneity is then
+    // required on the distinct column too (its value set per servable
+    // file must be exactly {min} or {NULL})
+    val dcCol: Option[String] =
+      specs.collectFirst { case DistinctCount(c) => c }
+    val distinctMode = specs.forall(sp =>
+      sp.isInstanceOf[GroupKey] || sp.isInstanceOf[DistinctCount])
+    if (dcCol.isDefined && !distinctMode) return None
+    val legsCols: Seq[String] = groupCols ++ dcCol.toSeq
 
     // listing vs manifest: appended files scan raw; a manifest row whose
     // file vanished means a rewrite raced the manifest — refuse
@@ -436,23 +462,24 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     // every group column: one value throughout (zero nulls, min == max)
     // or all-NULL (the SQL NULL group) — only then do the file's
     // statistics belong to a single output group
-    val homog = groupCols.map { g =>
+    val homog = legsCols.distinct.map { g =>
       (col(s"${g}_nulls") === 0L &&
         col(s"${g}_min") === col(s"${g}_max")) ||
         col(s"${g}_nulls") === col("n_rows")
     }.reduceOption(_ && _).getOrElse(lit(true))
 
-    // files scanned raw: predicate-boundary files and (when grouping)
-    // covered-but-mixed files — the original filter re-applies there
+    // files scanned raw: predicate-boundary files and (when grouping or
+    // serving distincts) covered-but-mixed files — the original filter
+    // re-applies there
     val servableM = covered && homog
     val partialFiles: Seq[String] =
-      if (ranges.isEmpty && groupCols.isEmpty) Nil
+      if (ranges.isEmpty && legsCols.isEmpty) Nil
       else {
         val bk = ranges.map(r => (r.c,
           r.lo.map(b => (String.valueOf(b.value), b.inclusive)),
           r.hi.map(b => (String.valueOf(b.value), b.inclusive))))
           .sortBy(_._1).toList
-        cachedProbe(("metapartial", nroot, ver, bk, groupCols.toList)) {
+        cachedProbe(("metapartial", nroot, ver, bk, legsCols.toList)) {
           try Probed(spark.read.parquet(mpath)
             .filter(candidate && !servableM)
             .select("file").sort("file")
@@ -467,7 +494,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     // grouping: its min — or NULL for an all-null zone)
     def aliasN(i: Int) = s"a$i"
     def gAlias(j: Int) = s"g$j"
-    val gVals: Seq[Column] = groupCols.zipWithIndex.map { case (g, j) =>
+    val gVals: Seq[Column] = legsCols.zipWithIndex.map { case (g, j) =>
       when(col(s"${g}_nulls") === col("n_rows"), lit(null))
         .otherwise(col(s"${g}_min")).as(gAlias(j))
     }
@@ -479,9 +506,19 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       case (MaxCol(c), i) => max(col(s"${c}_max")).as(aliasN(i))
       case (SumCol(c), i) => sum(col(s"${c}_sum")).as(aliasN(i))
     }
+    // .distinct() would emit a Deduplicate node — the main optimizer's
+    // ReplaceDeduplicateWithAggregate has already run by the time this
+    // rule fires, so build the distinct as the Aggregate it would have
+    // become
+    def distinctOf(df: DataFrame): DataFrame = {
+      val lp = df.queryExecution.analyzed
+      GraftBridge.ofRows(spark,
+        Aggregate(lp.output, lp.output, lp))
+    }
     val mBase = spark.read.parquet(mpath).filter(servableM)
     val mleg =
-      if (groupCols.isEmpty) mBase.agg(mAggs.head, mAggs.tail: _*)
+      if (distinctMode) distinctOf(mBase.select(gVals: _*))
+      else if (groupCols.isEmpty) mBase.agg(mAggs.head, mAggs.tail: _*)
       else mBase.groupBy(gVals: _*).agg(mAggs.head, mAggs.tail: _*)
 
     // ---- partial leg: boundary + unknown files, original filter re-applied
@@ -507,12 +544,14 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
           case (MaxCol(c), i) => max(col(c)).as(aliasN(i))
           case (SumCol(c), i) => sum(col(c)).as(aliasN(i))
         }
-        val pGroups = groupCols.zipWithIndex.map { case (g, j) =>
+        val pGroups = legsCols.zipWithIndex.map { case (g, j) =>
           col(g).as(gAlias(j))
         }
         val pleg =
-          if (groupCols.isEmpty) pdf.agg(pAggs.head, pAggs.tail: _*)
-          else pdf.groupBy(pGroups: _*).agg(pAggs.head, pAggs.tail: _*)
+          if (distinctMode) distinctOf(pdf.select(pGroups: _*))
+          else if (groupCols.isEmpty) pdf.agg(pAggs.head, pAggs.tail: _*)
+          else pdf.groupBy(pGroups.take(groupCols.length): _*)
+            .agg(pAggs.head, pAggs.tail: _*)
         mleg.unionByName(pleg)
       }
 
@@ -529,20 +568,36 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       case (SumCol(_), i) => sum(col(aliasN(i))).as(aliasN(i))
     }
     val outer =
-      if (groupCols.isEmpty) combined.agg(cAggs.head, cAggs.tail: _*)
+      if (distinctMode) {
+        // distinct values across both legs (a value seen by the manifest
+        // AND a scanned file collapses to one row), then — for a
+        // count(DISTINCT c) — count the non-null distinct values per group
+        val d = distinctOf(combined)
+        dcCol match {
+          case None => d
+          case Some(_) =>
+            val dcIdx = legsCols.length - 1
+            val cnt = specs.zipWithIndex.collectFirst {
+              case (DistinctCount(_), i) =>
+                count(col(gAlias(dcIdx))).as(aliasN(i))
+            }.get
+            if (groupCols.isEmpty) d.agg(cnt)
+            else d.groupBy(groupCols.indices.map(j => col(gAlias(j))): _*)
+              .agg(cnt)
+        }
+      }
+      else if (groupCols.isEmpty) combined.agg(cAggs.head, cAggs.tail: _*)
       else combined
         .groupBy(groupCols.indices.map(j => col(gAlias(j))): _*)
         .agg(cAggs.head, cAggs.tail: _*)
     val fin = outer.select(aggExprs.zipWithIndex.map { case (ne, i) =>
-      val c0 = specs(i) match {
-        case GroupKey(c) => col(gAlias(groupCols.indexOf(c)))
-        case _ => col(aliasN(i))
+      val srcName = specs(i) match {
+        case GroupKey(c) => gAlias(groupCols.indexOf(c))
+        case _ => aliasN(i)
       }
-      val srcType = specs(i) match {
-        case GroupKey(c) => outer.schema(gAlias(groupCols.indexOf(c))).dataType
-        case _ => outer.schema(aliasN(i)).dataType
-      }
-      val c = if (srcType == ne.dataType) c0 else c0.cast(ne.dataType)
+      val c0 = col(srcName)
+      val c = if (outer.schema(srcName).dataType == ne.dataType) c0
+        else c0.cast(ne.dataType)
       c.as(ne.name)
     }: _*)
     val fplan = fin.queryExecution.analyzed

@@ -30,7 +30,8 @@ class MetaAggSpec extends SparkSpec
       BigDecimal(i).setScale(2),
       i / 4.0,
       s"s$i",
-      (i / 25).toLong)
+      (i / 25).toLong,
+      (i / 50).toLong)
   }
 
   /** Write one file per exact k-range (0-24, 25-49, 50-74, 75-99): the
@@ -40,7 +41,7 @@ class MetaAggSpec extends SparkSpec
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     Seq(0, 25, 50, 75).foreach { lo =>
       rows.filter(r => r._1 >= lo && r._1 < lo + 25)
-        .toDF("k", "n", "d", "v", "s", "b")
+        .toDF("k", "n", "d", "v", "s", "b", "b2")
         .withColumn("d", col("d").cast("decimal(10,2)"))
         .coalesce(1).write.mode("append").parquet(path)
     }
@@ -48,7 +49,7 @@ class MetaAggSpec extends SparkSpec
 
   fs.delete(new org.apache.hadoop.fs.Path(root), true)
   writeRanged(layout)
-  ZoneMap.write(spark, layout, Seq("k", "n", "d", "v", "b"))
+  ZoneMap.write(spark, layout, Seq("k", "n", "d", "v", "b", "b2"))
   BloomJoins.clear()
   GraftCatalog.clearCache()
   BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "k"))
@@ -56,6 +57,7 @@ class MetaAggSpec extends SparkSpec
   BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "d"))
   BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "v"))
   BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "b"))
+  BloomJoins.registerZone(BloomJoins.ZoneLayout(layout, "b2"))
   MetaAgg.install(spark)
 
   override def afterAll(): Unit = {
@@ -220,13 +222,12 @@ class MetaAggSpec extends SparkSpec
     assert(r.getLong(2) === 45L)
   }
 
-  test("refusals: GROUP BY, DISTINCT, AVG, non-zone conjunct, expression arg") {
+  test("refusals: non-zone GROUP BY, AVG, non-zone conjunct, expression arg") {
     def refuses(q: => DataFrame): Unit = {
       val (_, fired) = servedBy(q)
       assert(fired === 0L)
     }
     refuses(fact.groupBy(col("s")).agg(count(lit(1)).as("c")))
-    refuses(fact.agg(countDistinct(col("k")).as("c")))
     refuses(fact.agg(avg(col("k")).as("a")))
     refuses(fact.where(col("s") === "s3").agg(count(lit(1)).as("c")))
     refuses(fact.agg(sum(col("k") + 1L).as("c")))
@@ -241,8 +242,8 @@ class MetaAggSpec extends SparkSpec
     ZoneMap.write(spark, extra, Seq("k"), updateCatalog = false)
     BloomJoins.registerZone(BloomJoins.ZoneLayout(extra, "k"))
     // append rows OUTSIDE the old range, without updating the manifest
-    Seq((200L, Some(200L), BigDecimal(200).setScale(2), 1.0, "x", 8L))
-      .toDF("k", "n", "d", "v", "s", "b")
+    Seq((200L, Some(200L), BigDecimal(200).setScale(2), 1.0, "x", 8L, 4L))
+      .toDF("k", "n", "d", "v", "s", "b", "b2")
       .write.mode("append").parquet(extra)
     val (df, fired) = servedBy(
       spark.read.parquet(extra).agg(count(lit(1)).as("c"),
@@ -359,13 +360,51 @@ class MetaAggSpec extends SparkSpec
       r.getLong(2) === 7L))
   }
 
-  test("grouped refusals: bare DISTINCT shape, non-zone group column") {
+  test("grouped refusals: non-zone group column, distinct+plain agg mix") {
     def refuses(q: => DataFrame): Unit = {
       val (_, fired) = servedBy(q)
       assert(fired === 0L)
     }
-    refuses(fact.select(col("b")).distinct())
     refuses(fact.groupBy(col("s")).agg(count(lit(1)).as("c")))
+    // a distinct count mixed with a plain aggregate plans through Expand
+    // (or would need mixed legs) — must never be half-served
+    refuses(fact.agg(countDistinct(col("b")).as("db"),
+      count(lit(1)).as("c")))
+  }
+
+  test("SELECT DISTINCT over a homogeneous column reads zero data files") {
+    val (rows0, files) = assertParity(fact.select(col("b")).distinct())
+    assert(files === 0L)
+    assert(rows0.map(_.getLong(0)) === Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("DISTINCT with a predicate scans only the boundary files") {
+    val (rows0, files) = assertParity(
+      fact.where(col("k") >= 20L && col("k") <= 60L)
+        .select(col("b")).distinct())
+    assert(files === 2L)
+    assert(rows0.map(_.getLong(0)) === Seq(0L, 1L, 2L))
+  }
+
+  test("count(DISTINCT c) serves globally and per group") {
+    val (df, fired) = servedBy(fact.agg(countDistinct(col("b")).as("db")))
+    assert(fired === 1L && dataFiles(df) === 0L)
+    assert(df.collect().head.getLong(0) === 4L)
+    // grouped: distinct fine buckets per coarse bucket — both homogeneous
+    val (rows0, files) = assertParity(
+      fact.groupBy(col("b2")).agg(countDistinct(col("b")).as("db")))
+    assert(files === 0L)
+    assert(rows0.map(r => (r.getLong(0), r.getLong(1))) ===
+      Seq((0L, 2L), (1L, 2L)))
+  }
+
+  test("distinct serving over a mixed column falls back to scanning, exactly") {
+    val (rows0, files) = assertParity(fact.select(col("n")).distinct())
+    assert(files === 4L)
+    assert(rows0.length === 91) // 90 values + the NULL row
+    val (df, fired) = servedBy(fact.agg(countDistinct(col("n")).as("dn")))
+    assert(fired === 1L)
+    assert(df.collect().head.getLong(0) === 90L) // NULL never counted
   }
 
   test("composes with the scan-pruning rule: aggregate wins the fixed point") {

@@ -169,6 +169,23 @@ object Demo {
         s" ${r.getString(3)} v=${r.getLong(4)} refusals=${r.getLong(5)}")
     }
 
+    // --- 7. manifest-served aggregates: the feed profile without
+    //        touching a single data file (MetaAgg over the zone map) -----
+    graft.sources.ZoneMap.write(spark, lakeDir, Seq("event_id"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache() // a fresh session's state
+    graft.plans.MetaAgg.install(spark)
+    val profile = spark.read.parquet(lakeDir)
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.min(col("event_id")).as("first_id"),
+        org.apache.spark.sql.functions.max(col("event_id")).as("last_id"))
+      .collect().head
+    println(s"[demo] manifest-served profile (zero data files): " +
+      s"n=${profile.getLong(0)} ids=[${profile.getLong(1)}," +
+      s"${profile.getLong(2)}]")
+    graft.plans.MetaAgg.uninstall(spark)
+
     spark.stop()
     if (!ok) { println("[demo] FAILED: lost or duplicated events"); sys.exit(1) }
     println("[demo] all events delivered exactly once")

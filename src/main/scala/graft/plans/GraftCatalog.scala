@@ -397,7 +397,7 @@ object GraftCatalog {
     val r = norm(root)
     val legs = Seq("literal-scan", "zone-scan", "join", "zone-join",
       "filter-scan", "catalog-load", "catalog-merge", "self-describe",
-      "summary-state")
+      "summary-state", "meta-agg")
     def refusalsFor(layout: String): Long =
       legs.map(l => graft.streaming.GraftMetrics
         .counter(BloomJoins.RefusalMetric, "layout" -> layout, "leg" -> l))

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.EvalMode
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -65,13 +66,22 @@ import org.apache.spark.sql.types._
   * listing equality certifies statistic validity — the same contract
   * Spark's own FileIndex caching and every manifest tier here relies on.
   *
-  * Scope is deliberately tight; the rule REFUSES (leaves the plan
+  * GROUP BY serves when the layout is CLUSTERED by the group columns: a
+  * file HOMOGENEOUS in every one of them (zone min == max with zero
+  * nulls, or all-NULL — the SQL NULL group) contributes its statistics
+  * to a single output group straight from its manifest row; mixed files
+  * scan, group and fold in. The same homogeneity serves DISTINCT
+  * shapes — `SELECT DISTINCT g` and `count(DISTINCT c)` (global or per
+  * group) — through legs of distinct VALUES; a distinct count never
+  * mixes with plain aggregates.
+  *
+  * Scope is otherwise tight; the rule REFUSES (leaves the plan
   * untouched, full scan, exact answers) unless every condition holds:
-  * global aggregate (no GROUP BY — grouped serving is
-  * [[SummaryViews]]' job), no DISTINCT, no FILTER clause, every
-  * aggregate one of count(*)/count(c)/min(c)/max(c)/sum(c) on a
-  * zone-indexed DATA column, every WHERE conjunct a literal range /
-  * equality comparison on a zone-indexed column, single-root registered
+  * every aggregate one of count(*)/count(c)/min(c)/max(c)/sum(c)/
+  * count(DISTINCT c) on a zone-indexed DATA column (no FILTER clause,
+  * no TRY-mode sums), every grouping expression a bare zone-indexed
+  * attribute, every WHERE conjunct a literal range / equality
+  * comparison on a zone-indexed column, single-root registered
   * relation, manifest schema carrying the needed statistic columns.
   * Probe failures refuse loudly through the
   * [[BloomJoins.RefusalMetric]] counter ("meta-agg" leg).
@@ -108,18 +118,23 @@ object MetaAgg {
                                     hi: Option[Bound])
 
 
-  /** Install on an existing session, AHEAD of the scan-pruning rule: in
-    * the user-rule fixed point the first matching rewrite wins, and an
-    * aggregate this rule can serve from the manifest must not first have
-    * its scan swapped by [[RewriteToBloomPrunedJoin]] (after the swap the
-    * relation is no longer a registered single-root scan and the
-    * metadata serving is lost — pruned scan instead of no scan).
-    * Idempotent. */
+  /** Install on an existing session, AHEAD of the scan-pruning rule but
+    * BEHIND the summary-view rewrite: in the user-rule fixed point the
+    * first matching rewrite wins. An aggregate this rule can serve from
+    * the manifest must not first have its scan swapped by
+    * [[RewriteToBloomPrunedJoin]] (after the swap the relation is no
+    * longer a registered single-root scan — pruned scan instead of no
+    * scan); conversely a query a MAINTAINED summary can serve must go to
+    * [[RewriteToSummary]] first — the O(keys) state table beats the
+    * files-sized manifest leg plus boundary scans every time. Idempotent. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.exists(_.isInstanceOf[RewriteToMetaAggregate]))
+    if (!cur.exists(_.isInstanceOf[RewriteToMetaAggregate])) {
+      val (summaries, rest) =
+        cur.partition(_.isInstanceOf[RewriteToSummary])
       spark.experimental.extraOptimizations =
-        RewriteToMetaAggregate(spark) +: cur
+        summaries ++ (RewriteToMetaAggregate(spark) +: rest)
+    }
   }
 
   def uninstall(spark: SparkSession): Unit =
@@ -134,7 +149,7 @@ object MetaAgg {
 final case class RewriteToMetaAggregate(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
-  import BloomJoins.{cachedProbe, refused, Probed, RefusedTransient}
+  import BloomJoins.{cachedProbe, refused, Probed, RefusedTransient, RefusedWide}
   import MetaAgg.{Bound, ColRange, CountCol, CountStar, DistinctCount, GroupKey, MaxCol, MinCol, Spec, SumCol}
 
   /** The plan-time manifest collects execute queries WHILE this rule is
@@ -214,8 +229,9 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     * ALL conjuncts must parse or the whole rule refuses (one undecidable
     * conjunct means no file can be certified fully covered). NULL-literal
     * comparisons refuse here — [[RewriteToBloomPrunedJoin]]'s Filter leg
-    * already collapses those scans. Conjuncts on one column MERGE
-    * (interval intersection, strictest bound wins at equal values). */
+    * already collapses those scans. Several conjuncts on one column each
+    * stay their own [[ColRange]]; the covered/candidate tests AND over
+    * all of them, which IS the interval intersection. */
   private def parseConds(conds: Seq[Expression], zcols: Set[String],
                          sub: Map[ExprId, AttributeReference],
                          rel: LogicalRelation): Option[Seq[ColRange]] = {
@@ -271,6 +287,14 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
   private def scalaV(a: AttributeReference, v: Any): Any =
     org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToScalaConverter(a.dataType)(v)
+
+  /** Value → stable cache-key string: Array[Byte] (a BinaryType bound)
+    * stringifies by CONTENT, not identity — an identity image would make
+    * the probe key unique per planning and churn the shared LRU. */
+  private def keyStr(v: Any): String = v match {
+    case a: Array[Byte] => java.util.Arrays.toString(a)
+    case other => String.valueOf(other)
+  }
 
   private def conjunctsOf(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjunctsOf(l) ++ conjunctsOf(r)
@@ -362,7 +386,11 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
               relCol(m.child, sub, rel).filter(zcols.contains).map(MinCol)
             case m: Max =>
               relCol(m.child, sub, rel).filter(zcols.contains).map(MaxCol)
-            case s: Sum if sumableType(s.child.dataType) =>
+            case s: Sum if sumableType(s.child.dataType) &&
+                s.evalContext.evalMode != EvalMode.TRY =>
+              // TRY sums return NULL on overflow — a semantics the
+              // composed per-file sums cannot replicate; LEGACY (wraps)
+              // and ANSI (errors) both compose, argued in the scaladoc
               relCol(s.child, sub, rel).filter(zcols.contains).map(SumCol)
             case _ => None
           }
@@ -400,6 +428,28 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       groupCols.flatMap(g =>
         Seq(s"${g}_min", s"${g}_max", s"${g}_nulls"))
     if (!needed.forall(fields.contains)) return None
+
+    // SUM validity: on a mixed-schema manifest (an out-of-process append
+    // beside pre-`_sum` rows) the old files' sums read as NULL and a
+    // served SUM would silently drop them. A NULL sum is only legitimate
+    // for an all-NULL-column file; anything else refuses SUM serving
+    // until the manifest is rebuilt (ZoneMap.update does so on schema
+    // drift). Version-cached: one tiny manifest job per manifest version.
+    val sumColsNeeded = specs.collect { case SumCol(c) => c }.distinct
+    sumColsNeeded.foreach { c =>
+      val ok = cachedProbe(("metasumok", nroot, ver, c)) {
+        try {
+          val bad = spark.read.parquet(mpath)
+            .filter(col(s"${c}_sum").isNull &&
+              col(s"${c}_nulls") =!= col("n_rows"))
+            .limit(1).count()
+          if (bad > 0L) RefusedWide // stays refused until a rebuild bumps
+          else Probed(Nil)
+        } catch { case e: Exception =>
+          refused(root, "meta-agg", e); RefusedTransient }
+      }
+      if (ok.isEmpty) return None
+    }
 
     // distinct-value serving: a pure SELECT DISTINCT (all specs group
     // keys) or a count(DISTINCT c) [GROUP BY ...] routes through legs of
@@ -476,8 +526,8 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       if (ranges.isEmpty && legsCols.isEmpty) Nil
       else {
         val bk = ranges.map(r => (r.c,
-          r.lo.map(b => (String.valueOf(b.value), b.inclusive)),
-          r.hi.map(b => (String.valueOf(b.value), b.inclusive))))
+          r.lo.map(b => (keyStr(b.value), b.inclusive)),
+          r.hi.map(b => (keyStr(b.value), b.inclusive))))
           .sortBy(_._1).toList
         cachedProbe(("metapartial", nroot, ver, bk, legsCols.toList)) {
           try Probed(spark.read.parquet(mpath)

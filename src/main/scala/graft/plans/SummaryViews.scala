@@ -202,11 +202,22 @@ object SummaryViews {
   }
 
   /** Install on an existing session (the extensions hook only runs at
-    * construction). Idempotent. */
+    * construction). Idempotent. Inserts AHEAD of any
+    * [[RewriteToMetaAggregate]]: when both tiers can serve a query, the
+    * O(keys) summary state beats the files-sized manifest leg — and the
+    * first matching rewrite in the user-rule fixed point wins (MetaAgg's
+    * own install honors the same ordering from the other side). */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.exists(_.isInstanceOf[RewriteToSummary]))
-      spark.experimental.extraOptimizations = cur :+ RewriteToSummary(spark)
+    if (!cur.exists(_.isInstanceOf[RewriteToSummary])) {
+      val idx = cur.indexWhere(_.isInstanceOf[RewriteToMetaAggregate])
+      spark.experimental.extraOptimizations =
+        if (idx < 0) cur :+ RewriteToSummary(spark)
+        else {
+          val (before, after) = cur.splitAt(idx)
+          before ++ (RewriteToSummary(spark) +: after)
+        }
+    }
   }
 
   def uninstall(spark: SparkSession): Unit =

@@ -120,12 +120,44 @@ object ZoneMap {
     * partition columns already have partition pruning). */
   def update(spark: SparkSession, path: String,
              cols: Seq[String]): UpdateDelta = {
-    val (_, root) = fsFor(spark, path)
+    val (fs, root) = fsFor(spark, path)
     val rootAbs = root.toUri.getPath
+    // SCHEMA-DRIFT guard: a manifest written before a stats-schema change
+    // (e.g. the per-file `<c>_sum` columns) cannot be extended
+    // incrementally — a union would throw on the reap path and a plain
+    // append would leave a SILENT mixed-schema manifest whose reader
+    // drops the old files' sums. Rebuild the whole manifest once instead
+    // (one distributed pass, the build cost) and return it as all-added.
+    if (manifestExists(spark, path) &&
+        !schemaMatches(spark, path, cols)) {
+      write(spark, path, cols, updateCatalog = false)
+      val n = Manifests.listDataFiles(fs, root).length.toLong
+      return UpdateDelta(n, 0L)
+    }
     val (added, reaped) = Manifests.incrementalUpdate(spark, path, "_zonemap",
       fresh => statsFor(
         spark.read.parquet(fresh.map(_.toString): _*), cols, rootAbs))
     UpdateDelta(added, reaped)
+  }
+
+  /** Does the on-disk manifest carry exactly the statistic columns
+    * [[statsFor]] would emit today for `cols` over this layout? */
+  private def schemaMatches(spark: SparkSession, path: String,
+                            cols: Seq[String]): Boolean = {
+    // a layout with ZERO data files left (full retention wipe) cannot
+    // answer a schema read — and needs no stats schema either: nothing
+    // fresh will be indexed, the reap path never unions fresh stats
+    val types =
+      try spark.read.parquet(path).schema.fields
+        .map(f => f.name -> f.dataType).toMap
+      catch { case _: org.apache.spark.sql.AnalysisException => return true }
+    val expected: Set[String] = Set("file", "n_rows", "part_dir") ++
+      cols.flatMap { c =>
+        Seq(s"${c}_min", s"${c}_max", s"${c}_nulls") ++
+          (if (types.get(c).exists(sumable)) Seq(s"${c}_sum") else Nil)
+      }
+    spark.read.parquet(s"$path/_zonemap")
+      .schema.fieldNames.toSet == expected
   }
 
   /** Persist the manifest next to the data (full rebuild, overwrite),
@@ -151,6 +183,14 @@ object ZoneMap {
                                      dirs: Seq[String]): Unit = {
     if (dirs.isEmpty || !manifestExists(spark, path)) return
     val cols = manifestCols(spark, path)
+    // same schema-drift guard as [[update]]: a per-shard overwrite onto a
+    // pre-drift manifest would leave shards with DIFFERENT schemas (the
+    // reader then silently drops whichever columns its sampled footer
+    // lacks) — rebuild wholesale instead
+    if (!schemaMatches(spark, path, cols)) {
+      write(spark, path, cols, updateCatalog = false)
+      return
+    }
     val (_, root) = fsFor(spark, path)
     val rootAbs = root.toUri.getPath
     val abs = dirs.map(d =>

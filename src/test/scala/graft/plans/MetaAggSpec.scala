@@ -407,6 +407,96 @@ class MetaAggSpec extends SparkSpec
     assert(df.collect().head.getLong(0) === 90L) // NULL never counted
   }
 
+  test("a mixed-schema manifest refuses SUM serving; min/max/count still serve") {
+    val mixed = s"$root/mixedsum"
+    writeRanged(mixed)
+    ZoneMap.write(spark, mixed, Seq("k"), updateCatalog = false)
+    // simulate a pre-upgrade row: null out one file's k_sum although the
+    // file has non-null k values — a served sum would silently drop it
+    val m = spark.read.parquet(s"$mixed/_zonemap")
+    val damaged = m.withColumn("k_sum",
+      when(col("k_min") === 0L, lit(null).cast("long"))
+        .otherwise(col("k_sum")))
+    val staging = s"$root/mixedsum-manifest"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    damaged.write.parquet(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$mixed/_zonemap"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(s"$mixed/_zonemap"))
+    graft.sources.Manifests.bumpManifestVersion(mixed, "_zonemap")
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(mixed, "k"))
+    val (dfSum, firedSum) = servedBy(
+      spark.read.parquet(mixed).agg(sum(col("k")).as("sk")))
+    assert(firedSum === 0L, "a missing per-file sum must refuse serving")
+    assert(dfSum.collect().head.getLong(0) ===
+      (0 until 100).map(_.toLong).sum)
+    val (dfMm, firedMm) = servedBy(
+      spark.read.parquet(mixed).agg(min(col("k")).as("mn"),
+        count(lit(1)).as("c")))
+    assert(firedMm === 1L)
+    val r = dfMm.collect().head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 100L)
+  }
+
+  test("ZoneMap.update rebuilds a pre-upgrade manifest instead of mixing schemas") {
+    val up = s"$root/upgrade"
+    writeRanged(up)
+    ZoneMap.write(spark, up, Seq("k"), updateCatalog = false)
+    // simulate a manifest from before the `_sum` columns existed
+    val m = spark.read.parquet(s"$up/_zonemap").drop("k_sum")
+    val staging = s"$root/upgrade-manifest"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    m.write.parquet(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$up/_zonemap"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(s"$up/_zonemap"))
+    // append a file AND delete one (the reap path that would throw on a
+    // schema-mismatched union)
+    Seq((200L, Some(200L), BigDecimal(200).setScale(2), 1.0, "x", 8L, 4L))
+      .toDF("k", "n", "d", "v", "s", "b", "b2")
+      .write.mode("append").parquet(up)
+    val delta = ZoneMap.update(spark, up, Seq("k"))
+    assert(delta.added === 5L && delta.reaped === 0L,
+      s"schema drift must trigger a full rebuild, got $delta")
+    val rebuilt = spark.read.parquet(s"$up/_zonemap")
+    assert(rebuilt.columns.contains("k_sum"))
+    assert(rebuilt.count() === 5L)
+    // and the rebuilt manifest serves sums again
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(up, "k"))
+    val (df, fired) = servedBy(
+      spark.read.parquet(up).agg(sum(col("k")).as("sk")))
+    assert(fired === 1L && dataFiles(df) === 0L)
+    assert(df.collect().head.getLong(0) ===
+      (0 until 100).map(_.toLong).sum + 200L)
+  }
+
+  test("try_sum refuses: TRY overflow semantics cannot be composed") {
+    val (_, fired) = servedBy(
+      fact.select(expr("try_sum(k)").as("ts")))
+    assert(fired === 0L)
+  }
+
+  test("install order: the summary rewrite stays ahead of meta-agg, both ways") {
+    val before = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = Seq.empty
+      MetaAgg.install(spark)
+      SummaryViews.install(spark)
+      val a = spark.experimental.extraOptimizations.map(_.getClass.getSimpleName)
+      assert(a.indexOf("RewriteToSummary") <
+        a.indexOf("RewriteToMetaAggregate"), a.mkString(","))
+      spark.experimental.extraOptimizations = Seq.empty
+      SummaryViews.install(spark)
+      MetaAgg.install(spark)
+      val b = spark.experimental.extraOptimizations.map(_.getClass.getSimpleName)
+      assert(b.indexOf("RewriteToSummary") <
+        b.indexOf("RewriteToMetaAggregate"), b.mkString(","))
+    } finally {
+      spark.experimental.extraOptimizations = before
+      SummaryViews.uninstall(spark)
+    }
+  }
+
   test("composes with the scan-pruning rule: aggregate wins the fixed point") {
     BloomJoins.install(spark) // both rules live, MetaAgg installed first
     try {

@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // it. injectOptimizerRule hands the builder the owning session — each
     // session gets its own RewriteToSummary instance.
     ext.injectOptimizerRule(session => graft.plans.RewriteToSummary(session))
+    // manifest-served aggregates (graft.plans.MetaAgg): injected AFTER the
+    // summary rewrite (an O(keys) state table beats the manifest leg when
+    // both serve) and BEFORE the scan-pruning rule (a servable aggregate
+    // must not have its scan swapped first) — the same ordering the
+    // install() methods enforce on existing sessions.
+    ext.injectOptimizerRule(session =>
+      graft.plans.RewriteToMetaAggregate(session))
     // bloom-pruned star joins (graft.plans.BloomJoins): same economics —
     // inactive until a layout is registered.
     ext.injectOptimizerRule(session =>

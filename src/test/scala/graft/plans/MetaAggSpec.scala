@@ -497,6 +497,38 @@ class MetaAggSpec extends SparkSpec
     }
   }
 
+  test("the rule fires in a session built with spark.sql.extensions " +
+    "(the spark-submit path, no install())") {
+    val orig = spark
+    org.apache.spark.sql.GraftBridge.setContextConf(orig.sparkContext,
+      "spark.sql.extensions", "graft.GraftExtensions")
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      assert(s2 ne orig)
+      // fresh-session registries: serving must arrive purely through the
+      // injected rule + catalog discovery
+      BloomJoins.clear()
+      GraftCatalog.clearCache()
+      val before = MetaAgg.served.get()
+      val q = s2.read.parquet(layout)
+        .agg(count(lit(1)).as("c"), max(col("k")).as("mx"))
+      q.queryExecution.optimizedPlan
+      assert(MetaAgg.served.get() > before,
+        "the extensions-injected rule must serve with zero install() calls")
+      val r = q.collect().head
+      assert(r.getLong(0) === 100L && r.getLong(1) === 99L)
+    } finally {
+      org.apache.spark.sql.GraftBridge.removeContextConf(orig.sparkContext,
+        "spark.sql.extensions")
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("composes with the scan-pruning rule: aggregate wins the fixed point") {
     BloomJoins.install(spark) // both rules live, MetaAgg installed first
     try {

@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Ceil, EqualTo, ExprId, Expression, Floor, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Substring, TruncDate, TruncTimestamp, Year}
 import org.apache.spark.sql.catalyst.expressions.EvalMode
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.functions._
@@ -52,6 +53,14 @@ import org.apache.spark.sql.types._
   * type losslessly or overflows exactly where the direct sum would).
   * Float/double sums are order-dependent — the manifest doesn't even
   * record them ([[graft.sources.ZoneMap.sumable]]), and the rule refuses.
+  * Composition across OVERFLOW MODES is guarded: the manifest records
+  * each build session's mode (`built_ansi`), and an integral SUM is
+  * served to an ANSI-mode query only when every row was built under ANSI
+  * (a LEGACY build may have wrapped silently inside a file — the direct
+  * ANSI scan would error where the served total would not). LEGACY
+  * queries compose over any build mode; decimal sums self-police (a
+  * LEGACY decimal overflow nulls the per-file sum, which the sum-validity
+  * probe refuses).
   * AVG is never served: Spark's Average accumulates doubles in row
   * order; recomposing it from exact sum/count would be a DIFFERENT
   * double. Users who want the metadata speed spell `sum(c)/count(c)`.
@@ -65,24 +74,43 @@ import org.apache.spark.sql.types._
   * part files are immutable-by-name (every writer mints fresh names), so
   * listing equality certifies statistic validity — the same contract
   * Spark's own FileIndex caching and every manifest tier here relies on.
+  * The manifest itself is read as a PINNED SNAPSHOT: one part-file list
+  * probed per manifest version, and every plan-time probe plus the
+  * run-time manifest leg read exactly those files. The two legs of the
+  * rewritten plan therefore split one consistent file universe — an
+  * out-of-process append + update landing between probes goes entirely
+  * to the raw-scan leg (its fresh manifest rows are invisible to the
+  * pinned read), never to both.
   *
   * GROUP BY serves when the layout is CLUSTERED by the group columns: a
   * file HOMOGENEOUS in every one of them (zone min == max with zero
   * nulls, or all-NULL — the SQL NULL group) contributes its statistics
   * to a single output group straight from its manifest row; mixed files
-  * scan, group and fold in. The same homogeneity serves DISTINCT
-  * shapes — `SELECT DISTINCT g` and `count(DISTINCT c)` (global or per
-  * group) — through legs of distinct VALUES; a distinct count never
-  * mixes with plain aggregates.
+  * scan, group and fold in. KEY-DERIVED groupings serve too: for a
+  * deterministic expression `f` of exactly one zone column, a file
+  * homogeneous in `c` is homogeneous in `f(c)` and the group value is
+  * `f` evaluated over the manifest's single value — and when `f` is
+  * certified MONOTONE (date/time truncation, year, prefix substring,
+  * floor/ceil, order-preserving casts — [[RewriteToMetaAggregate]]'s
+  * whitelist) the test widens to `f(min) == f(max)`: the dashboard
+  * `GROUP BY date_trunc('month', day)` over a day-clustered layout
+  * serves every interior file whose whole range falls in one month.
+  * Periodic expressions (`month(ts)` across years) are deliberately NOT
+  * whitelisted — `f(min) == f(max)` does not bound the values between —
+  * and serve only strictly-homogeneous files. The same homogeneity
+  * serves DISTINCT shapes — `SELECT DISTINCT g` and `count(DISTINCT c)`
+  * (global or per group) — through legs of distinct VALUES; a distinct
+  * count never mixes with plain aggregates.
   *
   * Scope is otherwise tight; the rule REFUSES (leaves the plan
   * untouched, full scan, exact answers) unless every condition holds:
   * every aggregate one of count(*)/count(c)/min(c)/max(c)/sum(c)/
   * count(DISTINCT c) on a zone-indexed DATA column (no FILTER clause,
   * no TRY-mode sums), every grouping expression a bare zone-indexed
-  * attribute, every WHERE conjunct a literal range / equality
-  * comparison on a zone-indexed column, single-root registered
-  * relation, manifest schema carrying the needed statistic columns.
+  * attribute or a deterministic single-column expression of one, every
+  * WHERE conjunct a literal range / equality comparison on a
+  * zone-indexed column, single-root registered relation, manifest
+  * schema carrying the needed statistic columns.
   * Probe failures refuse loudly through the
   * [[BloomJoins.RefusalMetric]] counter ("meta-agg" leg).
   *
@@ -97,6 +125,10 @@ object MetaAgg {
 
   /** Test spy: rewrites actually fired. */
   private[graft] val served = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Test spy: dim-join rewrites actually fired (also counted in
+    * [[served]]). */
+  private[graft] val servedJoin =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** One servable aggregate, resolved to a RELATION column name. */
   private[plans] sealed trait Spec
@@ -104,18 +136,47 @@ object MetaAgg {
   private[plans] final case class CountCol(c: String) extends Spec
   private[plans] final case class MinCol(c: String) extends Spec
   private[plans] final case class MaxCol(c: String) extends Spec
-  private[plans] final case class SumCol(c: String) extends Spec
-  /** A grouping column passed through to the output (grouped serving). */
-  private[plans] final case class GroupKey(c: String) extends Spec
+  /** `ansi` = the QUERY's eval mode: an ANSI-mode integral sum may only
+    * be served from a manifest whose every row was built under ANSI
+    * (no silent per-file wrap possible — see ZoneMap.built_ansi). */
+  private[plans] final case class SumCol(c: String,
+                                         ansi: Boolean) extends Spec
+  /** A grouping (by index into the resolved groupings) passed through to
+    * the output (grouped serving). */
+  private[plans] final case class GroupKey(g: Int) extends Spec
   /** `count(DISTINCT c)` — served through distinct-value legs. */
   private[plans] final case class DistinctCount(c: String) extends Spec
 
-  /** One WHERE conjunct's contribution: an optionally-open interval on a
-    * zone column, with STRICTNESS kept (the covered test needs it: a file
-    * with `c_min == lo` is fully covered by `c >= lo` but not `c > lo`). */
+  /** One resolved grouping: either a bare zone column (`f = None`) or a
+    * deterministic expression of exactly ONE zone column (key-derived
+    * grouping — `date_trunc('month', day)`, `substring(source, 1, 3)`).
+    * `monotone` records whether `f` is certified order-preserving: a
+    * monotone `f` serves every file with `f(min) == f(max)` (the squeeze:
+    * min ≤ v ≤ max ⇒ f(min) ≤ f(v) ≤ f(max) = f(min)); a general
+    * deterministic `f` serves only STRICTLY homogeneous files
+    * (min == max — the file holds one value, so one f-value). Both are
+    * exact; monotonicity only widens which files serve. `f`'s references
+    * are RELATION attributes of the base column. */
+  private[plans] final case class Grouping(base: String,
+                                           f: Option[Expression],
+                                           monotone: Boolean)
+
+  /** One WHERE conjunct's zone contribution. */
+  private[plans] sealed trait ZonePred { def c: String }
+  /** An optionally-open interval on a zone column, with STRICTNESS kept
+    * (the covered test needs it: a file with `c_min == lo` is fully
+    * covered by `c >= lo` but not `c > lo`). */
   private[plans] final case class Bound(value: Any, inclusive: Boolean)
   private[plans] final case class ColRange(c: String, lo: Option[Bound],
-                                    hi: Option[Bound])
+                                    hi: Option[Bound]) extends ZonePred
+  /** A literal IN-list on a zone column (also what the optimizer infers
+    * onto the fact side of a join against a filtered dim). A file is
+    * COVERED only when single-valued on a listed value (between two
+    * listed values other values may hide); it is a CANDIDATE when any
+    * listed value falls inside its zone. NULL literals drop: `x IN (v,
+    * NULL)` filters exactly like `x IN (v)`. */
+  private[plans] final case class ColIn(c: String,
+                                        values: Seq[Any]) extends ZonePred
 
 
   /** Install on an existing session, AHEAD of the scan-pruning rule but
@@ -150,7 +211,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
   import BloomJoins.{cachedProbe, refused, Probed, RefusedTransient, RefusedWide}
-  import MetaAgg.{Bound, ColRange, CountCol, CountStar, DistinctCount, GroupKey, MaxCol, MinCol, Spec, SumCol}
+  import MetaAgg.{Bound, ColIn, ColRange, CountCol, CountStar, DistinctCount, GroupKey, MaxCol, MinCol, Spec, SumCol, ZonePred}
 
   /** The plan-time manifest collects execute queries WHILE this rule is
     * running; their optimization must not re-enter the rule. */
@@ -167,36 +228,52 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
             if aggExprs.nonEmpty &&
               gexprs.forall(_.isInstanceOf[AttributeReference]) =>
           tryServe(gexprs.map(_.asInstanceOf[AttributeReference]),
-            aggExprs, child).getOrElse(agg)
+            aggExprs, child)
+            .orElse(if (gexprs.isEmpty) tryServeJoin(aggExprs, child)
+                    else None)
+            .getOrElse(agg)
       } finally inRule.set(false)
     }
 
   // ------------------------------------------------------------ matching
 
-  /** Unwrap attribute/rename Projects and Filters down to the relation,
-    * keeping the invariant that collected conditions and the
-    * substitution map are expressed in CURRENT-depth attributes — at the
-    * relation both are in relation attrs. Any other node refuses. */
+  /** Unwrap Projects and Filters down to the relation, keeping the
+    * invariant that collected conditions and the substitution map are
+    * expressed in CURRENT-depth attributes — at the relation both are in
+    * relation attrs. Projects may carry GENERAL aliases (the analyzer's
+    * extracted `_groupingexpression#N` projections): their definitions
+    * are collected into `defs` (id → definition), rename-substituted as
+    * the walk descends and fixpoint-resolved against each other at the
+    * relation, so a def's leaves are relation attributes (or deeper def
+    * ids that never resolved — the consumers refuse those). Any other
+    * node refuses. */
   private def unwrap(plan: LogicalPlan)
       : Option[(LogicalRelation, List[Expression],
-                Map[ExprId, AttributeReference])] = {
+                Map[ExprId, AttributeReference], Map[Long, Expression])] = {
     var cur = plan
     var conds: List[Expression] = Nil
     var sub = Map.empty[ExprId, AttributeReference]
+    var defs = Map.empty[Long, Expression]
     while (true) {
       cur match {
         case Project(exprs, pchild) if exprs.forall {
               case _: AttributeReference => true
-              case Alias(_: AttributeReference, _) => true
+              case _: Alias => true
               case _ => false
             } =>
           val m: Map[ExprId, AttributeReference] = exprs.collect {
             case a: AttributeReference => a.exprId -> a
             case al @ Alias(a: AttributeReference, _) => al.exprId -> a
           }.toMap
-          conds = conds.map(_.transform {
+          def renamed(e: Expression): Expression = e.transform {
             case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
-          })
+          }
+          conds = conds.map(renamed)
+          defs = defs.map { case (k, e) => k -> renamed(e) } ++
+            exprs.collect {
+              case al @ Alias(d, _) if !d.isInstanceOf[AttributeReference] =>
+                al.exprId.id -> d
+            }
           sub = sub.map { case (k, v) =>
             k -> m.getOrElse(v.exprId, v)
           } ++ m
@@ -205,7 +282,25 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
           conds = conds :+ c
           cur = fchild
         case rel: LogicalRelation =>
-          return Some((rel, conds, sub))
+          // defs collected at an OUTER project may reference a def alias
+          // from an inner one: substitute to a fixpoint (depth-bounded)
+          var resolved = defs
+          var changed = true
+          var fuel = 8
+          while (changed && fuel > 0) {
+            changed = false
+            fuel -= 1
+            resolved = resolved.map { case (k, e) =>
+              val e2 = e.transform {
+                case a: AttributeReference
+                    if a.exprId.id != k && resolved.contains(a.exprId.id) =>
+                  resolved(a.exprId.id)
+              }
+              if (!(e2 fastEquals e)) changed = true
+              k -> e2
+            }
+          }
+          return Some((rel, conds, sub, resolved))
         case _ => return None
       }
     }
@@ -234,11 +329,22 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     * all of them, which IS the interval intersection. */
   private def parseConds(conds: Seq[Expression], zcols: Set[String],
                          sub: Map[ExprId, AttributeReference],
-                         rel: LogicalRelation): Option[Seq[ColRange]] = {
+                         rel: LogicalRelation): Option[Seq[ZonePred]] = {
     def zc(e: Expression): Option[String] =
       relCol(e, sub, rel).filter(zcols.contains)
     def litV(l: Literal): Option[Any] = Option(l.value)
-    val parsed: Seq[Option[ColRange]] = conds.flatMap(conjunctsOf).map {
+    val parsed: Seq[Option[ZonePred]] = conds.flatMap(conjunctsOf).map {
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        // NULL literals drop (they only ever yield NULL, filtered anyway);
+        // an all-NULL list matches nothing — the empty ColIn covers no
+        // file and admits no candidate, which is exactly that semantics
+        zc(a).map(c => ColIn(c,
+          vs.collect { case l: Literal if l.value != null =>
+            scalaV(a, l.value) }))
+      case InSet(a: AttributeReference, hset) =>
+        zc(a).map(c => ColIn(c,
+          hset.toSeq.filter(_ != null).map(scalaV(a, _))))
       case IsNotNull(a: AttributeReference) =>
         // the optimizer infers IsNotNull beside every range conjunct; on a
         // zone column it maps to the unbounded range (covered = zero
@@ -307,13 +413,13 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
                        aggExprs: Seq[NamedExpression],
                        child: LogicalPlan): Option[LogicalPlan] =
     for {
-      (rel, conds, sub) <- unwrap(child)
+      (rel, conds, sub, defs) <- unwrap(child)
       root <- BloomJoins.singleRootOf(spark, rel)
       zls = BloomJoins.zoneLayoutsFor(root)
       if zls.nonEmpty
       zcols = zls.map(_.col).toSet
-      groupCols <- resolveGroups(gexprs, sub, rel, zcols)
-      specs <- parseSpecs(aggExprs, sub, rel, zcols, groupCols)
+      groupCols <- resolveGroups(gexprs, sub, defs, rel, zcols)
+      specs <- parseSpecs(aggExprs, gexprs, sub, rel, zcols, groupCols)
       // shape validation: a DISTINCT COUNT never mixes with other
       // aggregates (Spark plans that mix through Expand — a different
       // shape that never reaches here anyway); at most one
@@ -325,30 +431,207 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       plan <- serve(aggExprs, specs, groupCols, conds, ranges, rel, root)
     } yield plan
 
-  /** Every grouping expression must be a bare attribute resolving to a
-    * zone-indexed relation column — homogeneity (one group value per
-    * file) is certified from that column's zone. */
-  private def resolveGroups(gexprs: Seq[AttributeReference],
-                            sub: Map[ExprId, AttributeReference],
-                            rel: LogicalRelation,
-                            zcols: Set[String]): Option[Seq[String]] = {
-    val cols = gexprs.map(g => relCol(g, sub, rel).filter(zcols.contains))
-    if (cols.exists(_.isEmpty)) None else Some(cols.map(_.get))
+  /** A fact-side layout joined to a dim, aggregated globally — resolved
+    * by [[tryServeJoin]] and threaded through [[serve]]'s legs: the
+    * manifest leg joins rows homogeneous in `factKeyCol` against the dim
+    * on the zone's single value, the partial leg replays the ORIGINAL
+    * join under the rebuilt fact scan. */
+  private final case class JoinDim(dimPlan: LogicalPlan,
+                                   dimKey: AttributeReference,
+                                   factKeyCol: String,
+                                   factKeyRel: AttributeReference)
+
+  /** `SELECT <fact aggregates> FROM fact JOIN dim ON fact.k = dim.k
+    * [fact-side WHERE]` over a layout clustered by `k`: a fact file
+    * HOMOGENEOUS in `k` (one key throughout, zero nulls) joins the dim
+    * AS A UNIT — its manifest row matched against the dim's keys stands
+    * for every row in the file, multiplicity included (a key matching m
+    * dim rows duplicates the manifest row m times, exactly as the join
+    * duplicates the fact rows). The exactness argument transfers from
+    * the star-schema summary rewrite: inner equi-join, fact-side
+    * aggregates only, so each served file contributes n_rows (count),
+    * n_rows − nulls (count(c)), min/max, and the per-file sum, once per
+    * dim match. Mixed files, boundary files and appended files scan raw
+    * and replay the original join; files ALL-NULL in `k` join nothing
+    * (null never equals) and are excluded from both legs. Scope is
+    * tight and everything else refuses: global aggregates (no GROUP
+    * BY), a single bare-attribute equality condition, a DETERMINISTIC
+    * dim sub-plan (it executes in both legs), no distinct aggregates,
+    * no filters remaining above the join. */
+  private def tryServeJoin(aggExprs: Seq[NamedExpression],
+                           child: LogicalPlan): Option[LogicalPlan] = {
+    // strip attr/rename Projects between the Aggregate and the Join,
+    // composing the rename map exactly as [[unwrap]] does
+    var cur = child
+    var osub = Map.empty[ExprId, AttributeReference]
+    var done = false
+    while (!done) {
+      cur match {
+        case Project(exprs, pchild) if exprs.forall {
+              case _: AttributeReference => true
+              case Alias(_: AttributeReference, _) => true
+              case _ => false
+            } =>
+          val m: Map[ExprId, AttributeReference] = exprs.collect {
+            case a: AttributeReference => a.exprId -> a
+            case al @ Alias(a: AttributeReference, _) => al.exprId -> a
+          }.toMap
+          osub = osub.map { case (k, v) =>
+            k -> m.getOrElse(v.exprId, v)
+          } ++ m
+          cur = pchild
+        case _ => done = true
+      }
+    }
+    cur match {
+      case Join(l, r, Inner, Some(EqualTo(x: AttributeReference,
+          y: AttributeReference)), _) =>
+        val sides = Seq((l, r), (r, l))
+        val keys = Seq((x, y), (y, x))
+        sides.zip(keys).collectFirst(Function.unlift {
+          case ((factPlan, dimPlan), _) =>
+            val fk = if (factPlan.outputSet.contains(x)) Some(x)
+              else if (factPlan.outputSet.contains(y)) Some(y) else None
+            val dk = fk.flatMap(f =>
+              Seq(x, y).find(a => a.exprId != f.exprId)
+                .filter(dimPlan.outputSet.contains))
+            (fk, dk) match {
+              case (Some(f), Some(d)) =>
+                attemptJoinServe(aggExprs, osub, factPlan, dimPlan, f, d)
+              case _ => None
+            }
+        })
+      case _ => None
+    }
   }
 
-  /** Every output expression must be a servable aggregate; any other
-    * shape refuses the whole rewrite. */
+  private def attemptJoinServe(aggExprs: Seq[NamedExpression],
+                               osub: Map[ExprId, AttributeReference],
+                               factPlan: LogicalPlan, dimPlan: LogicalPlan,
+                               fk: AttributeReference,
+                               dk: AttributeReference): Option[LogicalPlan] =
+    for {
+      (rel, conds, sub, _) <- unwrap(factPlan)
+      root <- BloomJoins.singleRootOf(spark, rel)
+      zls = BloomJoins.zoneLayoutsFor(root)
+      if zls.nonEmpty
+      zcols = zls.map(_.col).toSet
+      k <- relCol(fk, sub, rel).filter(zcols.contains)
+      kRel <- rel.output.collectFirst {
+        case a: AttributeReference if a.name == k => a }
+      // the dim executes inside BOTH legs of the rewritten plan — a
+      // non-deterministic dim would diverge between them
+      if dimPlan.find(p => p.expressions.exists(!_.deterministic)).isEmpty
+      // aggExprs resolve through the above-join renames THEN the
+      // fact-side ones (composed single-step map)
+      fullSub = osub.map { case (kk, v) =>
+        kk -> sub.getOrElse(v.exprId, v) } ++ sub
+      specs <- parseSpecs(aggExprs, Nil, fullSub, rel, zcols, Nil)
+      if !specs.exists(_.isInstanceOf[DistinctCount])
+      ranges <- parseConds(conds, zcols, sub, rel)
+      plan <- serve(aggExprs, specs, Nil, conds, ranges, rel, root,
+        Some(JoinDim(dimPlan, dk, k, kRel)))
+    } yield plan
+
+  /** Every grouping expression must be a bare attribute resolving to a
+    * zone-indexed relation column, OR a deterministic expression of
+    * exactly one such column (the analyzer's extracted
+    * `_groupingexpression` alias, inlined through `defs`) — homogeneity
+    * (one group value per file) is certified from the base column's
+    * zone, and the expression evaluates over the file's single value
+    * exactly as it would over every row. Non-deterministic and
+    * multi-column expressions refuse. */
+  private def resolveGroups(gexprs: Seq[AttributeReference],
+                            sub: Map[ExprId, AttributeReference],
+                            defs: Map[Long, Expression],
+                            rel: LogicalRelation,
+                            zcols: Set[String]): Option[Seq[MetaAgg.Grouping]] = {
+    val gs: Seq[Option[MetaAgg.Grouping]] = gexprs.map { g =>
+      relCol(g, sub, rel).filter(zcols.contains) match {
+        case Some(c) => Some(MetaAgg.Grouping(c, None, monotone = true))
+        case None =>
+          defs.get(g.exprId.id).flatMap { d =>
+            // canonicalize every reference to THE relation attribute of
+            // its base column (references may be renames of it)
+            val refCols = d.references.toSeq
+              .map(a => relCol(a, sub, rel).filter(zcols.contains))
+            if (!d.deterministic || refCols.isEmpty ||
+                refCols.exists(_.isEmpty) ||
+                refCols.flatten.distinct.length != 1) None
+            else {
+              val c = refCols.head.get
+              val base = rel.output.find(_.name == c).get
+              val f = d.transform {
+                case _: AttributeReference => base
+              }
+              Some(MetaAgg.Grouping(c, Some(f), monotone = isMonotone(f)))
+            }
+          }
+      }
+    }
+    if (gs.exists(_.isEmpty)) None else Some(gs.map(_.get))
+  }
+
+  /** Certified ORDER-PRESERVING (non-decreasing) expression shapes over
+    * one attribute — the whitelist that widens grouped serving from
+    * strictly-homogeneous files (min == max) to range-homogeneous ones
+    * (f(min) == f(max)): time/date truncation (floor on the time line),
+    * year, prefix substring under binary collation, numeric floor/ceil,
+    * and the order-preserving casts. Everything else serves under the
+    * strict test — still exact, just narrower. */
+  private def isMonotone(e: Expression): Boolean = e match {
+    case _: AttributeReference => true
+    case c: Cast => monoCast(c.child.dataType, c.dataType) && isMonotone(c.child)
+    case t: TruncTimestamp if t.format.isInstanceOf[Literal] =>
+      isMonotone(t.timestamp)
+    case t: TruncDate if t.format.isInstanceOf[Literal] =>
+      isMonotone(t.date)
+    case y: Year => isMonotone(y.child)
+    case s: Substring => (s.pos, s.len) match {
+      case (Literal(p: Int, _), Literal(l: Int, _))
+          if p == 1 && l >= 0 && s.str.dataType == StringType =>
+        isMonotone(s.str)
+      case _ => false
+    }
+    case f: Floor => isMonotone(f.child)
+    case c: Ceil => isMonotone(c.child)
+    case _ => false
+  }
+
+  /** Casts that preserve order and can never wrap: timestamp ↔ date and
+    * integral widening. (Narrowing wraps; numeric → string is not
+    * lexicographically monotone; fractional → integral is floor-like but
+    * ANSI-mode may error — excluded for simplicity.) */
+  private def monoCast(from: DataType, to: DataType): Boolean = {
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4
+      case _ => -1
+    }
+    (from, to) match {
+      case (TimestampType, DateType) => true
+      case (DateType, TimestampType) => true
+      case _ => rank(from) > 0 && rank(to) >= rank(from)
+    }
+  }
+
+  /** Every output expression must be a grouping pass-through (matched to
+    * its grouping by exprId — bare or key-derived alike) or a servable
+    * aggregate; any other shape refuses the whole rewrite. */
   private def parseSpecs(aggExprs: Seq[NamedExpression],
+                         gexprs: Seq[AttributeReference],
                          sub: Map[ExprId, AttributeReference],
                          rel: LogicalRelation,
                          zcols: Set[String],
-                         groupCols: Seq[String]): Option[Seq[Spec]] = {
+                         groupCols: Seq[MetaAgg.Grouping]): Option[Seq[Spec]] = {
+    def keyIdx(a: AttributeReference): Option[Int] = {
+      val i = gexprs.indexWhere(_.exprId == a.exprId)
+      if (i >= 0) Some(i) else None
+    }
     val specs: Seq[Option[Spec]] = aggExprs.map { ne =>
       val keyOpt = ne match {
-        case a: AttributeReference =>
-          relCol(a, sub, rel).filter(groupCols.contains).map(GroupKey)
-        case al @ Alias(a: AttributeReference, _) =>
-          relCol(a, sub, rel).filter(groupCols.contains).map(GroupKey)
+        case a: AttributeReference => keyIdx(a).map(GroupKey)
+        case Alias(a: AttributeReference, _) => keyIdx(a).map(GroupKey)
         case _ => None
       }
       if (keyOpt.isDefined) keyOpt
@@ -391,42 +674,87 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
               // TRY sums return NULL on overflow — a semantics the
               // composed per-file sums cannot replicate; LEGACY (wraps)
               // and ANSI (errors) both compose, argued in the scaladoc
-              relCol(s.child, sub, rel).filter(zcols.contains).map(SumCol)
+              relCol(s.child, sub, rel).filter(zcols.contains)
+                .map(SumCol(_, s.evalContext.evalMode == EvalMode.ANSI))
             case _ => None
           }
         }
   }
 
+  /** Evaluate `f` (a one-attribute expression) over an arbitrary input
+    * column — every attribute reference is replaced by the column's
+    * expression. How the manifest legs apply a key-derived grouping to
+    * zone values instead of rows. */
+  private def fOver(f: Expression, in: Column): Column =
+    GraftBridge.column(f.transform {
+      case _: AttributeReference => GraftBridge.expression(in)
+    })
+
   /** Build the two-leg replacement plan; None refuses (stale manifest,
-    * missing statistic columns, probe failure). */
+    * missing statistic columns, probe failure). `joinDim` switches both
+    * legs into dim-join mode ([[tryServeJoin]]). */
   private def serve(aggExprs: Seq[NamedExpression], specs: Seq[Spec],
-                    groupCols: Seq[String],
-                    conds: List[Expression], ranges: Seq[ColRange],
-                    rel: LogicalRelation, root: String)
+                    groupCols: Seq[MetaAgg.Grouping],
+                    conds: List[Expression], ranges: Seq[ZonePred],
+                    rel: LogicalRelation, root: String,
+                    joinDim: Option[JoinDim] = None)
       : Option[LogicalPlan] = try {
     val nroot = BloomJoins.norm(root)
     val mpath = s"$root/_zonemap"
     val ver = graft.sources.Manifests.manifestVersion(root, "_zonemap")
 
+    // PIN the manifest snapshot: every probe below AND the run-time
+    // manifest leg read exactly the part files listed here, not "the
+    // manifest directory as it exists when each read happens". Without
+    // the pin, an out-of-process append + ZoneMap.update between probes
+    // (no in-process version bump) would put the appended files in the
+    // raw-scan leg via the CACHED file list while their fresh manifest
+    // rows also pass the manifest leg — counted twice, silently wrong.
+    // Parquet part files are immutable-by-name, so a pinned list is a
+    // consistent snapshot; a concurrent manifest REBUILD that deletes
+    // these part files fails the read loudly (plan-time probes refuse,
+    // a mid-execution delete errors) — never a silent wrong answer.
+    val mpartFiles = cachedProbe(("metasnap", nroot, ver)) {
+      try {
+        val (mfs, mp) = graft.sources.Manifests.fsFor(spark, mpath)
+        Probed(graft.sources.Manifests.listDataFiles(mfs, mp)
+          .map(_.toString).sorted)
+      } catch { case e: Exception =>
+        refused(root, "meta-agg", e); RefusedTransient }
+    }.getOrElse(return None)
+    if (mpartFiles.isEmpty) return None
+    def mSnap: DataFrame =
+      spark.read.option("basePath", mpath).parquet(mpartFiles: _*)
+
     // manifest schema: every needed statistic column must exist (an older
     // manifest without <c>_sum refuses SUM serving but a rebuilt one serves)
     val fields = cachedProbe(("metaschema", nroot, ver)) {
-      try Probed(spark.read.parquet(mpath).schema.fieldNames.toSeq)
+      try Probed(mSnap.schema.fieldNames.toSeq)
       catch { case e: Exception =>
         refused(root, "meta-agg", e); RefusedTransient }
     }.getOrElse(return None).toSet
+    def integral(c: String): Boolean =
+      rel.output.find(_.name == c).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
     val needed: Seq[String] = specs.flatMap {
       case CountStar => Nil
       case CountCol(c) => Seq(s"${c}_nulls")
       case MinCol(c) => Seq(s"${c}_min")
       case MaxCol(c) => Seq(s"${c}_max")
-      case SumCol(c) => Seq(s"${c}_sum", s"${c}_nulls")
+      case SumCol(c, ansi) => Seq(s"${c}_sum", s"${c}_nulls") ++
+        // an ANSI integral sum additionally needs the build-mode column:
+        // a pre-upgrade manifest refuses until its next rebuild
+        (if (ansi && integral(c)) Seq("built_ansi") else Nil)
       case GroupKey(_) => Nil
       case DistinctCount(c) => Seq(s"${c}_min", s"${c}_max", s"${c}_nulls")
     } ++ ranges.flatMap(r =>
       Seq(s"${r.c}_min", s"${r.c}_max", s"${r.c}_nulls")) ++
       groupCols.flatMap(g =>
-        Seq(s"${g}_min", s"${g}_max", s"${g}_nulls"))
+        Seq(s"${g.base}_min", s"${g.base}_max", s"${g.base}_nulls")) ++
+      joinDim.toSeq.flatMap(jd => Seq(s"${jd.factKeyCol}_min",
+        s"${jd.factKeyCol}_max", s"${jd.factKeyCol}_nulls"))
     if (!needed.forall(fields.contains)) return None
 
     // SUM validity: on a mixed-schema manifest (an out-of-process append
@@ -435,15 +763,35 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     // for an all-NULL-column file; anything else refuses SUM serving
     // until the manifest is rebuilt (ZoneMap.update does so on schema
     // drift). Version-cached: one tiny manifest job per manifest version.
-    val sumColsNeeded = specs.collect { case SumCol(c) => c }.distinct
+    val sumColsNeeded = specs.collect { case SumCol(c, _) => c }.distinct
     sumColsNeeded.foreach { c =>
       val ok = cachedProbe(("metasumok", nroot, ver, c)) {
         try {
-          val bad = spark.read.parquet(mpath)
+          val bad = mSnap
             .filter(col(s"${c}_sum").isNull &&
               col(s"${c}_nulls") =!= col("n_rows"))
             .limit(1).count()
           if (bad > 0L) RefusedWide // stays refused until a rebuild bumps
+          else Probed(Nil)
+        } catch { case e: Exception =>
+          refused(root, "meta-agg", e); RefusedTransient }
+      }
+      if (ok.isEmpty) return None
+    }
+
+    // overflow-mode composition (the built_ansi contract, see ZoneMap):
+    // serving an INTEGRAL sum to an ANSI-mode query requires every
+    // manifest row built under ANSI — a LEGACY-built per-file sum may
+    // have wrapped silently where the direct ANSI scan would error.
+    // LEGACY queries compose over any build mode (modular arithmetic),
+    // and decimal sums self-police via the NULL-sum check above.
+    if (specs.exists { case SumCol(c, true) => integral(c); case _ => false }) {
+      val ok = cachedProbe(("metaansiok", nroot, ver)) {
+        try {
+          val bad = mSnap
+            .filter(not(coalesce(col("built_ansi"), lit(false))))
+            .limit(1).count()
+          if (bad > 0L) RefusedWide // until a rebuild bumps the version
           else Probed(Nil)
         } catch { case e: Exception =>
           refused(root, "meta-agg", e); RefusedTransient }
@@ -461,7 +809,10 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     val distinctMode = specs.forall(sp =>
       sp.isInstanceOf[GroupKey] || sp.isInstanceOf[DistinctCount])
     if (dcCol.isDefined && !distinctMode) return None
-    val legsCols: Seq[String] = groupCols ++ dcCol.toSeq
+    if (joinDim.isDefined && (distinctMode || groupCols.nonEmpty))
+      return None // dim-join mode serves global plain aggregates only
+    val legsCols: Seq[MetaAgg.Grouping] = groupCols ++
+      dcCol.map(MetaAgg.Grouping(_, None, monotone = true))
 
     // listing vs manifest: appended files scan raw; a manifest row whose
     // file vanished means a rewrite raced the manifest — refuse
@@ -474,7 +825,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     }
     val listingByNorm = listing.map(f => normF(f) -> f).toMap
     val manifestFiles = cachedProbe(("metafiles", nroot, ver)) {
-      try Probed(spark.read.parquet(mpath).select("file")
+      try Probed(mSnap.select("file")
         .collect().map(r => normF(r.getString(0))).toSeq)
       catch { case e: Exception =>
         refused(root, "meta-agg", e); RefusedTransient }
@@ -483,55 +834,93 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     if (!manifestSet.subsetOf(listingByNorm.keySet)) return None // stale
     val unknown = listing.filterNot(f => manifestSet.contains(normF(f)))
 
-    // zone tests per parsed range, strictness-aware
-    def coveredTest(r: ColRange): Column = {
-      val base = col(s"${r.c}_nulls") === 0L
-      val loT = r.lo.fold(lit(true))(b =>
-        if (b.inclusive) col(s"${r.c}_min") >= lit(b.value)
-        else col(s"${r.c}_min") > lit(b.value))
-      val hiT = r.hi.fold(lit(true))(b =>
-        if (b.inclusive) col(s"${r.c}_max") <= lit(b.value)
-        else col(s"${r.c}_max") < lit(b.value))
-      base && loT && hiT
+    // zone tests per parsed predicate, strictness-aware
+    def coveredTest(p: ZonePred): Column = p match {
+      case r: ColRange =>
+        val base = col(s"${r.c}_nulls") === 0L
+        val loT = r.lo.fold(lit(true))(b =>
+          if (b.inclusive) col(s"${r.c}_min") >= lit(b.value)
+          else col(s"${r.c}_min") > lit(b.value))
+        val hiT = r.hi.fold(lit(true))(b =>
+          if (b.inclusive) col(s"${r.c}_max") <= lit(b.value)
+          else col(s"${r.c}_max") < lit(b.value))
+        base && loT && hiT
+      case i: ColIn =>
+        // only a SINGLE-VALUED file on a listed value is covered: a zone
+        // spanning two listed values may hide unlisted values between
+        if (i.values.isEmpty) lit(false)
+        else col(s"${i.c}_nulls") === 0L &&
+          col(s"${i.c}_min") === col(s"${i.c}_max") &&
+          col(s"${i.c}_min").isin(i.values: _*)
     }
-    def candidateTest(r: ColRange): Column = {
-      val base = col(s"${r.c}_min").isNotNull // all-NULL zones never match
-      val loT = r.lo.fold(lit(true))(b =>
-        if (b.inclusive) col(s"${r.c}_max") >= lit(b.value)
-        else col(s"${r.c}_max") > lit(b.value))
-      val hiT = r.hi.fold(lit(true))(b =>
-        if (b.inclusive) col(s"${r.c}_min") <= lit(b.value)
-        else col(s"${r.c}_min") < lit(b.value))
-      base && loT && hiT
+    def candidateTest(p: ZonePred): Column = p match {
+      case r: ColRange =>
+        val base = col(s"${r.c}_min").isNotNull // all-NULL zones never match
+        val loT = r.lo.fold(lit(true))(b =>
+          if (b.inclusive) col(s"${r.c}_max") >= lit(b.value)
+          else col(s"${r.c}_max") > lit(b.value))
+        val hiT = r.hi.fold(lit(true))(b =>
+          if (b.inclusive) col(s"${r.c}_min") <= lit(b.value)
+          else col(s"${r.c}_min") < lit(b.value))
+        base && loT && hiT
+      case i: ColIn =>
+        if (i.values.isEmpty) lit(false)
+        else col(s"${i.c}_min").isNotNull &&
+          i.values.map(v => col(s"${i.c}_min") <= lit(v) &&
+            col(s"${i.c}_max") >= lit(v)).reduce(_ || _)
     }
     val covered = ranges.map(coveredTest)
       .reduceOption(_ && _).getOrElse(lit(true))
     val candidate = ranges.map(candidateTest)
       .reduceOption(_ && _).getOrElse(lit(true))
     // grouped serving additionally demands each file be HOMOGENEOUS in
-    // every group column: one value throughout (zero nulls, min == max)
-    // or all-NULL (the SQL NULL group) — only then do the file's
+    // every grouping: one value throughout (zero nulls, min == max — or,
+    // for a certified-monotone derived grouping, f(min) == f(max): the
+    // squeeze argument in [[MetaAgg.Grouping]]) or all-NULL (the SQL
+    // NULL group / the f(NULL) group) — only then do the file's
     // statistics belong to a single output group
     val homog = legsCols.distinct.map { g =>
-      (col(s"${g}_nulls") === 0L &&
-        col(s"${g}_min") === col(s"${g}_max")) ||
-        col(s"${g}_nulls") === col("n_rows")
+      val sameValue = g.f match {
+        case Some(f) if g.monotone =>
+          fOver(f, col(s"${g.base}_min")) <=>
+            fOver(f, col(s"${g.base}_max"))
+        case _ => col(s"${g.base}_min") === col(s"${g.base}_max")
+      }
+      (col(s"${g.base}_nulls") === 0L && sameValue) ||
+        col(s"${g.base}_nulls") === col("n_rows")
     }.reduceOption(_ && _).getOrElse(lit(true))
 
+    // dim-join mode: a file serves only when HOMOGENEOUS in the join key
+    // (one key, zero nulls — its manifest row joins the dim as the whole
+    // file); files ALL-NULL in the key join nothing (null never equals)
+    // and are excluded from BOTH legs
+    val joinHomog = joinDim.fold(lit(true))(jd =>
+      col(s"${jd.factKeyCol}_nulls") === 0L &&
+        col(s"${jd.factKeyCol}_min") === col(s"${jd.factKeyCol}_max"))
+    val joinExcluded = joinDim.fold(lit(false))(jd =>
+      col(s"${jd.factKeyCol}_nulls") === col("n_rows"))
     // files scanned raw: predicate-boundary files and (when grouping or
     // serving distincts) covered-but-mixed files — the original filter
     // re-applies there
-    val servableM = covered && homog
+    val servableM = covered && homog && joinHomog
     val partialFiles: Seq[String] =
-      if (ranges.isEmpty && legsCols.isEmpty) Nil
+      if (ranges.isEmpty && legsCols.isEmpty && joinDim.isEmpty) Nil
       else {
-        val bk = ranges.map(r => (r.c,
-          r.lo.map(b => (keyStr(b.value), b.inclusive)),
-          r.hi.map(b => (keyStr(b.value), b.inclusive))))
-          .sortBy(_._1).toList
-        cachedProbe(("metapartial", nroot, ver, bk, legsCols.toList)) {
-          try Probed(spark.read.parquet(mpath)
-            .filter(candidate && !servableM)
+        val bk = ranges.map {
+          case r: ColRange => (r.c, "range",
+            r.lo.map(b => (keyStr(b.value), b.inclusive)).toString,
+            r.hi.map(b => (keyStr(b.value), b.inclusive)).toString)
+          case i: ColIn => (i.c, "in",
+            i.values.map(keyStr).sorted.mkString(","), "")
+        }.sortBy(t => (t._1, t._2, t._3, t._4)).toList
+        // groupings key by canonicalized form — exprIds normalize away,
+        // so the same query re-planned hits the cache
+        val gk = legsCols.map(g => (g.base,
+          g.f.map(_.canonicalized.toString).getOrElse(""), g.monotone)).toList ++
+          joinDim.map(jd => ("__joinkey", jd.factKeyCol, true)).toList
+        cachedProbe(("metapartial", nroot, ver, bk, gk)) {
+          try Probed(mSnap
+            .filter(candidate && !servableM && !joinExcluded)
             .select("file").sort("file")
             .collect().map(_.getString(0)).toSeq)
           catch { case e: Exception =>
@@ -539,14 +928,26 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         }.getOrElse(return None)
       }
 
+    // dim-join mode serves nothing when NO file is key-homogeneous —
+    // refuse instead of hijacking the join from the scan-pruning tier
+    // ([[RewriteToBloomPrunedJoin]] runs after this rule and can still
+    // prune the very same join when we stand aside)
+    if (joinDim.isDefined &&
+        partialFiles.length + unknown.length >= listing.length)
+      return None
+
     // ---- manifest leg: servable files' statistics, aggregated
     // distributed (grouped by each file's single group value when
     // grouping: its min — or NULL for an all-null zone)
     def aliasN(i: Int) = s"a$i"
     def gAlias(j: Int) = s"g$j"
     val gVals: Seq[Column] = legsCols.zipWithIndex.map { case (g, j) =>
-      when(col(s"${g}_nulls") === col("n_rows"), lit(null))
-        .otherwise(col(s"${g}_min")).as(gAlias(j))
+      // the file's single base value: NULL for an all-null zone, else the
+      // zone min (== every value under strict homogeneity; under the
+      // monotone test any representative gives the same f-value)
+      val v = when(col(s"${g.base}_nulls") === col("n_rows"), lit(null))
+        .otherwise(col(s"${g.base}_min"))
+      g.f.fold(v)(f => fOver(f, v)).as(gAlias(j))
     }
     val mAggs: Seq[Column] = specs.zipWithIndex.collect {
       case (CountStar, i) => sum(col("n_rows")).as(aliasN(i))
@@ -554,7 +955,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         sum(col("n_rows") - col(s"${c}_nulls")).as(aliasN(i))
       case (MinCol(c), i) => min(col(s"${c}_min")).as(aliasN(i))
       case (MaxCol(c), i) => max(col(s"${c}_max")).as(aliasN(i))
-      case (SumCol(c), i) => sum(col(s"${c}_sum")).as(aliasN(i))
+      case (SumCol(c, _), i) => sum(col(s"${c}_sum")).as(aliasN(i))
     }
     // .distinct() would emit a Deduplicate node — the main optimizer's
     // ReplaceDeduplicateWithAggregate has already run by the time this
@@ -565,11 +966,40 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       GraftBridge.ofRows(spark,
         Aggregate(lp.output, lp.output, lp))
     }
-    val mBase = spark.read.parquet(mpath).filter(servableM)
-    val mleg =
-      if (distinctMode) distinctOf(mBase.select(gVals: _*))
-      else if (groupCols.isEmpty) mBase.agg(mAggs.head, mAggs.tail: _*)
-      else mBase.groupBy(gVals: _*).agg(mAggs.head, mAggs.tail: _*)
+    val mBase = mSnap.filter(servableM)
+    val mleg = joinDim match {
+      case Some(jd) =>
+        // join the SERVED manifest rows against the dim on the zone's
+        // single key value: each dim match stands for the whole file, so
+        // multiplicity replicates manifest rows exactly as the original
+        // join replicates fact rows. Stat columns are renamed onto a
+        // reserved prefix first — the dim may carry any column names.
+        val statCols: Seq[String] = ("n_rows" +: specs.collect {
+          case CountCol(c) => Seq(s"${c}_nulls")
+          case MinCol(c) => Seq(s"${c}_min")
+          case MaxCol(c) => Seq(s"${c}_max")
+          case SumCol(c, _) => Seq(s"${c}_sum")
+        }.flatten) :+ s"${jd.factKeyCol}_min"
+        val mPre = mBase.select(statCols.distinct.map(c =>
+          col(c).as(s"__zm_$c")): _*)
+        val dimDF = GraftBridge.ofRows(spark, jd.dimPlan)
+        val joined = mPre.join(dimDF,
+          col(s"__zm_${jd.factKeyCol}_min") === GraftBridge.column(jd.dimKey),
+          "inner")
+        val jAggs: Seq[Column] = specs.zipWithIndex.collect {
+          case (CountStar, i) => sum(col("__zm_n_rows")).as(aliasN(i))
+          case (CountCol(c), i) =>
+            sum(col("__zm_n_rows") - col(s"__zm_${c}_nulls")).as(aliasN(i))
+          case (MinCol(c), i) => min(col(s"__zm_${c}_min")).as(aliasN(i))
+          case (MaxCol(c), i) => max(col(s"__zm_${c}_max")).as(aliasN(i))
+          case (SumCol(c, _), i) => sum(col(s"__zm_${c}_sum")).as(aliasN(i))
+        }
+        joined.agg(jAggs.head, jAggs.tail: _*)
+      case None =>
+        if (distinctMode) distinctOf(mBase.select(gVals: _*))
+        else if (groupCols.isEmpty) mBase.agg(mAggs.head, mAggs.tail: _*)
+        else mBase.groupBy(gVals: _*).agg(mAggs.head, mAggs.tail: _*)
+    }
 
     // ---- partial leg: boundary + unknown files, original filter re-applied
     val scanFiles = partialFiles ++ unknown.sorted
@@ -586,16 +1016,25 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         val filtered = conds.reduceOption(And)
           .map(c => Filter(c, Project(restored, scan)): LogicalPlan)
           .getOrElse(Project(restored, scan))
-        val pdf = GraftBridge.ofRows(spark, filtered)
+        // dim-join mode: the raw-scanned files replay the ORIGINAL join
+        // (rebuilt on the restored fact attributes) before aggregating
+        val pplan = joinDim.fold(filtered)(jd =>
+          Join(filtered, jd.dimPlan, Inner,
+            Some(EqualTo(jd.factKeyRel, jd.dimKey)), JoinHint.NONE))
+        val pdf = GraftBridge.ofRows(spark, pplan)
+        // reference fact columns by ATTRIBUTE, not name — the dim side
+        // may carry identically-named columns
+        val relByName = rel.output.map(a => a.name -> a).toMap
+        def relC(c: String): Column = GraftBridge.column(relByName(c))
         val pAggs: Seq[Column] = specs.zipWithIndex.collect {
           case (CountStar, i) => count(lit(1)).as(aliasN(i))
-          case (CountCol(c), i) => count(col(c)).as(aliasN(i))
-          case (MinCol(c), i) => min(col(c)).as(aliasN(i))
-          case (MaxCol(c), i) => max(col(c)).as(aliasN(i))
-          case (SumCol(c), i) => sum(col(c)).as(aliasN(i))
+          case (CountCol(c), i) => count(relC(c)).as(aliasN(i))
+          case (MinCol(c), i) => min(relC(c)).as(aliasN(i))
+          case (MaxCol(c), i) => max(relC(c)).as(aliasN(i))
+          case (SumCol(c, _), i) => sum(relC(c)).as(aliasN(i))
         }
         val pGroups = legsCols.zipWithIndex.map { case (g, j) =>
-          col(g).as(gAlias(j))
+          g.f.fold(col(g.base))(f => GraftBridge.column(f)).as(gAlias(j))
         }
         val pleg =
           if (distinctMode) distinctOf(pdf.select(pGroups: _*))
@@ -615,7 +1054,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         coalesce(sum(col(aliasN(i))), lit(0L)).as(aliasN(i))
       case (MinCol(_), i) => min(col(aliasN(i))).as(aliasN(i))
       case (MaxCol(_), i) => max(col(aliasN(i))).as(aliasN(i))
-      case (SumCol(_), i) => sum(col(aliasN(i))).as(aliasN(i))
+      case (SumCol(_, _), i) => sum(col(aliasN(i))).as(aliasN(i))
     }
     val outer =
       if (distinctMode) {
@@ -642,7 +1081,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         .agg(cAggs.head, cAggs.tail: _*)
     val fin = outer.select(aggExprs.zipWithIndex.map { case (ne, i) =>
       val srcName = specs(i) match {
-        case GroupKey(c) => gAlias(groupCols.indexOf(c))
+        case GroupKey(j) => gAlias(j)
         case _ => aliasN(i)
       }
       val c0 = col(srcName)
@@ -655,6 +1094,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     if (!fplan.output.zip(aggExprs)
         .forall { case (a, o) => a.dataType == o.dataType }) return None
     MetaAgg.served.incrementAndGet()
+    if (joinDim.isDefined) MetaAgg.servedJoin.incrementAndGet()
     Some(Project(aggExprs.zip(fplan.output).map { case (o, a) =>
       Alias(a, o.name)(exprId = o.exprId)
     }, fplan))

@@ -46,6 +46,17 @@ private[graft] object Manifests {
         _ => new java.util.concurrent.atomic.AtomicLong(0L))
       .incrementAndGet()
 
+  /** Spec-only hook: REWIND the in-process version to simulate an
+    * out-of-process writer (which updates the on-disk manifest without
+    * this process ever seeing a bump — the exact blind spot the
+    * snapshot-pinning specs exercise). */
+  private[graft] def setManifestVersion(path: String, kind: String,
+                                        v: Long): Unit =
+    manifestVersions
+      .computeIfAbsent(versionKey(path, kind),
+        _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .set(v)
+
   def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

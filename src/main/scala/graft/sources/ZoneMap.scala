@@ -65,29 +65,107 @@ object ZoneMap {
       case _ => false
     }
 
+  // ------------------------------------------------- per-file sketch tier
+
+  /** Sketch parameters are FIXED so sketches written by any maintenance
+    * tick merge with sketches written by any other (merging is only
+    * defined at compatible parameters): KLL k=200 → ~1.65% one-sided
+    * rank error; HLL lgK=12 → ~0.8% RSE, exact below sparse-mode
+    * capacity. Bumping either is a manifest schema change in spirit —
+    * rebuild the manifest if you must retune. */
+  private[graft] val KllK = 200
+  private[graft] val HllLgK = 12
+
+  /** KLL records NUMERIC columns (sketched as double — quantiles of an
+    * integral column come back as exact item values cast to double). */
+  private def kllable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
+
+  /** HLL records the types Spark's `hll_sketch_agg` accepts. */
+  private def hllable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.BinaryType => true
+      case st: org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+
+  /** Columns carrying a sketch in an existing manifest — how [[update]],
+    * [[refreshShards]] and [[Compaction]] preserve a sketch tier they
+    * didn't configure (the `_kll`/`_hll` schema suffixes are the single
+    * source of truth, like `_min` for the zone columns). */
+  private[graft] def manifestSketchCols(spark: SparkSession,
+                                        path: String): Seq[String] = {
+    val fields = spark.read.parquet(s"$path/_zonemap").schema.fieldNames
+    (fields.filter(_.endsWith("_kll")).map(_.stripSuffix("_kll")) ++
+      fields.filter(_.endsWith("_hll")).map(_.stripSuffix("_hll")))
+      .distinct.sorted.toSeq
+  }
+
+  /** The build session's arithmetic-overflow mode, recorded per manifest
+    * row (`built_ansi`): an INTEGRAL per-file sum computed under LEGACY
+    * mode may have WRAPPED silently inside the file — serving it to an
+    * ANSI session would return the wrapped total where the direct scan
+    * raises ARITHMETIC_OVERFLOW. An ANSI build certifies no per-file wrap
+    * happened (the build itself would have errored), so
+    * [[graft.plans.RewriteToMetaAggregate]] serves integral SUMs to an
+    * ANSI session only when every row carries `built_ansi = true`; LEGACY
+    * sessions compose either way (modular long arithmetic is
+    * order-independent), and decimal sums self-police (a LEGACY decimal
+    * overflow nulls the per-file sum, which the sum-validity probe
+    * already refuses). */
+  private def ansiNow(spark: SparkSession): Boolean =
+    try spark.conf.get("spark.sql.ansi.enabled", "true").toBoolean
+    catch { case _: IllegalArgumentException => true }
+
   private def statsFor(df: DataFrame, cols: Seq[String],
-                       rootAbs: String): DataFrame = {
+                       rootAbs: String,
+                       sketchCols: Seq[String] = Nil): DataFrame = {
     require(cols.nonEmpty, "zone map needs at least one column")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
-      cols.flatMap { c =>
+      (cols.flatMap { c =>
         Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"),
           (count(lit(1)) - count(col(c))).as(s"${c}_nulls")) ++
           (if (types.get(c).exists(sumable))
              Seq(sum(col(c)).as(s"${c}_sum"))
            else Nil)
-      }
+      } ++ sketchCols.distinct.sorted.flatMap { c =>
+        // the sketch tier: one KLL (quantiles) and one HLL (distincts)
+        // blob per file per column, type-permitting — both fixed-size and
+        // MERGEABLE, so any later union of manifest rows answers the
+        // approx profile of exactly those files
+        (if (types.get(c).exists(kllable))
+           Seq(expr(s"kll_sketch_agg_double(CAST(`$c` AS DOUBLE), $KllK)")
+             .as(s"${c}_kll"))
+         else Nil) ++
+          (if (types.get(c).exists(hllable))
+             Seq(expr(s"hll_sketch_agg(`$c`, $HllLgK)").as(s"${c}_hll"))
+           else Nil)
+      })
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .withColumn("built_ansi", lit(ansiNow(df.sparkSession)))
       .withColumn("part_dir", partDirCol(rootAbs))
   }
 
   /** One pass: per data file, per indexed column — min/max/null count.
     * Wide-format manifest: `file, n_rows, <c>_min, <c>_max, <c>_nulls,
     * part_dir` (the shard key). */
-  def build(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+  def build(spark: SparkSession, path: String, cols: Seq[String],
+            sketchCols: Seq[String] = Nil): DataFrame = {
     val (_, root) = fsFor(spark, path)
-    statsFor(spark.read.parquet(path), cols, root.toUri.getPath)
+    statsFor(spark.read.parquet(path), cols, root.toUri.getPath, sketchCols)
   }
 
   /** The indexed column names, recovered from a manifest's schema — how
@@ -122,6 +200,12 @@ object ZoneMap {
              cols: Seq[String]): UpdateDelta = {
     val (fs, root) = fsFor(spark, path)
     val rootAbs = root.toUri.getPath
+    // an existing SKETCH tier is preserved across maintenance ticks even
+    // by callers that never configured it (streaming sinks pass only the
+    // zone columns): the manifest schema is the source of truth
+    val sketchCols =
+      if (manifestExists(spark, path)) manifestSketchCols(spark, path)
+      else Nil
     // SCHEMA-DRIFT guard: a manifest written before a stats-schema change
     // (e.g. the per-file `<c>_sum` columns) cannot be extended
     // incrementally — a union would throw on the reap path and a plain
@@ -129,21 +213,58 @@ object ZoneMap {
     // drops the old files' sums. Rebuild the whole manifest once instead
     // (one distributed pass, the build cost) and return it as all-added.
     if (manifestExists(spark, path) &&
-        !schemaMatches(spark, path, cols)) {
-      write(spark, path, cols, updateCatalog = false)
+        !schemaMatches(spark, path, cols, sketchCols)) {
+      write(spark, path, cols, updateCatalog = false,
+        sketchCols = sketchCols)
       val n = Manifests.listDataFiles(fs, root).length.toLong
       return UpdateDelta(n, 0L)
     }
     val (added, reaped) = Manifests.incrementalUpdate(spark, path, "_zonemap",
       fresh => statsFor(
-        spark.read.parquet(fresh.map(_.toString): _*), cols, rootAbs))
+        spark.read.parquet(fresh.map(_.toString): _*), cols, rootAbs,
+        sketchCols))
     UpdateDelta(added, reaped)
   }
+
+  /** [[schemaMatches]] verdicts, cached per (root, manifest version, cols):
+    * the check costs two footer/listing round-trips (data-layout schema
+    * sample + manifest schema) and its inputs can only change when the
+    * manifest is rewritten — which bumps the version. Without the cache
+    * every maintenance tick of a streaming sink re-pays the round-trips
+    * on an object store. A MISMATCH verdict is never cached: it triggers
+    * a rebuild (which bumps the version) and must be re-evaluated if the
+    * rebuild failed. */
+  private val schemaVerdict =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Seq[String]),
+      java.lang.Boolean]()
 
   /** Does the on-disk manifest carry exactly the statistic columns
     * [[statsFor]] would emit today for `cols` over this layout? */
   private def schemaMatches(spark: SparkSession, path: String,
-                            cols: Seq[String]): Boolean = {
+                            cols: Seq[String],
+                            sketchCols: Seq[String] = Nil): Boolean = {
+    val key = (Manifests.fsFor(spark, path)._2.toUri.getPath,
+      Manifests.manifestVersion(path, "_zonemap"),
+      cols.sorted ++ ("|" +: sketchCols.sorted))
+    Option(schemaVerdict.get(key)) match {
+      case Some(v) => v.booleanValue()
+      case None =>
+        val v = schemaMatchesUncached(spark, path, cols, sketchCols)
+        if (v) {
+          // stale-version entries accumulate one per maintenance tick —
+          // a wholesale clear past a generous cap bounds the map without
+          // an LRU's bookkeeping (re-probing after a clear is one tick's
+          // round-trips)
+          if (schemaVerdict.size() > 4096) schemaVerdict.clear()
+          schemaVerdict.put(key, java.lang.Boolean.TRUE)
+        }
+        v
+    }
+  }
+
+  private def schemaMatchesUncached(spark: SparkSession, path: String,
+                                    cols: Seq[String],
+                                    sketchCols: Seq[String]): Boolean = {
     // a layout with ZERO data files left (full retention wipe) cannot
     // answer a schema read — and needs no stats schema either: nothing
     // fresh will be indexed, the reap path never unions fresh stats
@@ -151,10 +272,15 @@ object ZoneMap {
       try spark.read.parquet(path).schema.fields
         .map(f => f.name -> f.dataType).toMap
       catch { case _: org.apache.spark.sql.AnalysisException => return true }
-    val expected: Set[String] = Set("file", "n_rows", "part_dir") ++
+    val expected: Set[String] =
+      Set("file", "n_rows", "built_ansi", "part_dir") ++
       cols.flatMap { c =>
         Seq(s"${c}_min", s"${c}_max", s"${c}_nulls") ++
           (if (types.get(c).exists(sumable)) Seq(s"${c}_sum") else Nil)
+      } ++
+      sketchCols.flatMap { c =>
+        (if (types.get(c).exists(kllable)) Seq(s"${c}_kll") else Nil) ++
+          (if (types.get(c).exists(hllable)) Seq(s"${c}_hll") else Nil)
       }
     spark.read.parquet(s"$path/_zonemap")
       .schema.fieldNames.toSet == expected
@@ -167,8 +293,9 @@ object ZoneMap {
     * plain range query prunes with zero setup. `updateCatalog = false`
     * opts out. */
   def write(spark: SparkSession, path: String, cols: Seq[String],
-            updateCatalog: Boolean = true): Unit = {
-    build(spark, path, cols).coalesce(1)
+            updateCatalog: Boolean = true,
+            sketchCols: Seq[String] = Nil): Unit = {
+    build(spark, path, cols, sketchCols).coalesce(1)
       .write.mode("overwrite").partitionBy("part_dir")
       .parquet(s"$path/_zonemap")
     Manifests.bumpManifestVersion(path, "_zonemap")
@@ -183,19 +310,21 @@ object ZoneMap {
                                      dirs: Seq[String]): Unit = {
     if (dirs.isEmpty || !manifestExists(spark, path)) return
     val cols = manifestCols(spark, path)
+    val sketchCols = manifestSketchCols(spark, path)
     // same schema-drift guard as [[update]]: a per-shard overwrite onto a
     // pre-drift manifest would leave shards with DIFFERENT schemas (the
     // reader then silently drops whichever columns its sampled footer
     // lacks) — rebuild wholesale instead
-    if (!schemaMatches(spark, path, cols)) {
-      write(spark, path, cols, updateCatalog = false)
+    if (!schemaMatches(spark, path, cols, sketchCols)) {
+      write(spark, path, cols, updateCatalog = false,
+        sketchCols = sketchCols)
       return
     }
     val (_, root) = fsFor(spark, path)
     val rootAbs = root.toUri.getPath
     val abs = dirs.map(d =>
       if (d == ".") root.toString else new Path(root, d).toString)
-    statsFor(spark.read.parquet(abs: _*), cols, rootAbs)
+    statsFor(spark.read.parquet(abs: _*), cols, rootAbs, sketchCols)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("part_dir")
@@ -281,8 +410,10 @@ object ZoneMap {
     * SUM/COUNT/AVG roll-ups need maintained summaries
     * ([[graft.plans.SummaryViews]] over
     * [[graft.streaming.IncrementalAgg]]), and distincts/quantiles/heavy
-    * hitters need the sketch tier ([[graft.functions.Sketches]]) —
-    * anything past that honestly needs the data.
+    * hitters need the sketch tier — which the manifest itself can carry
+    * per file ([[write]]'s `sketchCols` → [[metaApproxProfile]]), with
+    * [[graft.functions.Sketches]] as the general surface — anything past
+    * that honestly needs the data.
     *
     * Output: one row — `n_rows`, then per indexed column `<c>_min,
     * <c>_max, <c>_nulls` in NATIVE types (exactly what a raw-table
@@ -297,6 +428,69 @@ object ZoneMap {
           sum(col(s"${c}_nulls")).as(s"${c}_nulls"))
       }
     m.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Approximate quantiles and distinct counts from the manifest ALONE —
+    * the sketch tier ([[write]]'s `sketchCols`) merged across files: the
+    * per-file KLL/HLL blobs are MERGEABLE, and merging every file's
+    * sketch is exactly sketching the whole layout (KLL merge preserves
+    * the rank-error contract at equal k; HLL union is lossless at equal
+    * lgK), so `approx_percentile`/`approx_count_distinct`-class questions
+    * cost a files-sized manifest scan — zero data files opened, at any
+    * layout size. Error contracts: KLL rank error ~1.65% (k=200,
+    * one-sided per bound), HLL RSE ~0.8% (lgK=12) and EXACT below
+    * sparse-mode capacity.
+    *
+    * This is deliberately an API, not a fourth rewrite rule: the rewrite
+    * tier's contract is "rewrites never change answers", and serving
+    * Spark's built-in `approx_count_distinct` (HyperLogLog++) or
+    * `approx_percentile` (Greenwald-Khanna) from DataSketches blobs would
+    * return a DIFFERENT estimate than the un-rewritten plan — same error
+    * class, different bits. The honest surface is an explicit call whose
+    * name says "approx".
+    *
+    * Output: one row — `n_rows` (exact, from the zone tier), then per
+    * requested quantile `<c>_p<q*100>` (absent when the column carries no
+    * KLL blob, i.e. non-numeric) and `<c>_approx_distinct` (absent
+    * without an HLL blob). Columns the manifest never sketched throw —
+    * the caller asked for a tier the layout doesn't carry. */
+  def metaApproxProfile(spark: SparkSession, path: String,
+                        cols: Seq[String],
+                        quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+      : DataFrame = {
+    require(quantiles.forall(q => q > 0 && q <= 1), s"bad quantiles: $quantiles")
+    val m = spark.read.parquet(s"$path/_zonemap")
+    val fields = m.schema.fieldNames.toSet
+    require(cols.nonEmpty && cols.forall(c =>
+        fields.contains(s"${c}_kll") || fields.contains(s"${c}_hll")),
+      s"no sketch tier for ${cols.filterNot(c => fields.contains(s"${c}_kll") ||
+        fields.contains(s"${c}_hll")).mkString(",")} — " +
+        s"rebuild the manifest with sketchCols")
+    def pct(q: Double): String = {
+      val v = q * 100
+      if (v == v.floor) f"${v.toInt}%d" else f"$v%.4f".replace('.', '_')
+    }
+    val merges: Seq[Column] = lit(1).as("one") +: cols.flatMap { c =>
+      (if (fields.contains(s"${c}_kll"))
+         Seq(expr(s"kll_merge_agg_double(`${c}_kll`)").as(s"${c}_mk"))
+       else Nil) ++
+        (if (fields.contains(s"${c}_hll"))
+           Seq(expr(s"hll_union_agg(`${c}_hll`, true)").as(s"${c}_mh"))
+         else Nil)
+    } :+ sum(col("n_rows")).as("n_rows")
+    val merged = m.agg(merges.head, merges.tail: _*)
+    val outs: Seq[Column] = col("n_rows") +: cols.flatMap { c =>
+      (if (fields.contains(s"${c}_kll"))
+         quantiles.map(q =>
+           expr(s"kll_sketch_get_quantile_double(`${c}_mk`, $q)")
+             .as(s"${c}_p${pct(q)}"))
+       else Nil) ++
+        (if (fields.contains(s"${c}_hll"))
+           Seq(round(expr(s"hll_sketch_estimate(`${c}_mh`)")).cast("long")
+             .as(s"${c}_approx_distinct"))
+         else Nil)
+    }
+    merged.select(outs: _*)
   }
 
   /** Clustering diagnostic per indexed NUMERIC column: mean zone width

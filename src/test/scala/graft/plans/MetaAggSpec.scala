@@ -69,15 +69,16 @@ class MetaAggSpec extends SparkSpec
 
   private def fact: DataFrame = spark.read.parquet(layout)
 
-  /** Data files of THIS layout the optimized plan still reads (the
+  /** Data files of a layout the optimized plan still reads (the
     * `_zonemap` manifest scan is excluded — reading it is the point). */
-  private def dataFiles(df: DataFrame): Long =
+  private def dataFiles(df: DataFrame,
+                        marker: String = "meta-agg/fact"): Long =
     df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         r.relation match {
           case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
               if f.location.rootPaths.exists(p =>
-                p.toString.contains("meta-agg/fact") &&
+                p.toString.contains(marker) &&
                   !p.toString.contains("_zonemap")) =>
             f.location.inputFiles.length.toLong
           case _ => 0L
@@ -150,6 +151,27 @@ class MetaAggSpec extends SparkSpec
       s"strict bounds land exactly on file edges: all-covered, read $files")
     assert(rows.head.getLong(0) === 50L)
     assert(rows.head.getLong(1) === 25L && rows.head.getLong(2) === 74L)
+  }
+
+  test("IN-list predicates: single-valued files on a listed value are " +
+      "covered; a zone spanning two listed values scans (values between " +
+      "may hide)") {
+    // b is file-homogeneous (0,1,2,3): IN (0, 2) covers files 0 and 2
+    // fully, excludes the rest — zero data files
+    val (rows, files) = assertParity(
+      fact.where(col("b").isin(0L, 2L))
+        .agg(count(lit(1)).as("c"), sum(col("k")).as("sk")))
+    assert(files === 0L, s"homogeneous IN-covered files must serve, read $files")
+    assert(rows.head.getLong(0) === 50L)
+    assert(rows.head.getLong(1) ===
+      ((0 until 25) ++ (50 until 75)).map(_.toLong).sum)
+    // k spans 25 values per file: IN (5, 30) finds files 0 and 1 as
+    // candidates, but NEITHER is covered (their zones span the listed
+    // values, unlisted values sit between) — both scan, answers exact
+    val (rows2, files2) = assertParity(
+      fact.where(col("k").isin(5L, 30L)).agg(count(lit(1)).as("c")))
+    assert(files2 === 2L, s"spanning zones must scan, read $files2")
+    assert(rows2.head.getLong(0) === 2L)
   }
 
   test("a predicate on the NULL-bearing column is never certified covered") {
@@ -261,6 +283,43 @@ class MetaAggSpec extends SparkSpec
     assert(df2.collect().head.getLong(0) === 101L)
   }
 
+  test("an out-of-process append + manifest update between plannings " +
+      "cannot double-count (pinned snapshot)") {
+    val raced = s"$root/raced"
+    writeRanged(raced)
+    ZoneMap.write(spark, raced, Seq("k"), updateCatalog = false)
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(raced, "k"))
+    // 1. plan once — every probe (snapshot, file list, schema) now cached
+    //    under the current in-process manifest version
+    val (warm, fired0) = servedBy(
+      spark.read.parquet(raced).agg(count(lit(1)).as("c"),
+        sum(col("k")).as("sk")))
+    assert(fired0 === 1L && warm.collect().head.getLong(0) === 100L)
+    // 2. ANOTHER PROCESS appends a file and runs ZoneMap.update: the
+    //    on-disk manifest gains the new file's row, but this process's
+    //    version counter never moves (simulated by rewinding it after a
+    //    local update) — the cached probes stay pinned to the OLD snapshot
+    val verBefore =
+      graft.sources.Manifests.manifestVersion(raced, "_zonemap")
+    Seq((300L, Some(300L), BigDecimal(300).setScale(2), 1.0, "x", 12L, 6L))
+      .toDF("k", "n", "d", "v", "s", "b", "b2")
+      .write.mode("append").parquet(raced)
+    ZoneMap.update(spark, raced, Seq("k"))
+    graft.sources.Manifests.setManifestVersion(raced, "_zonemap", verBefore)
+    // 3. replan: the appended file is UNKNOWN to the pinned snapshot, so
+    //    it scans raw — and its fresh manifest row must be invisible to
+    //    the manifest leg. Without the pin the row passes the fresh
+    //    manifest read too and the file is counted twice.
+    val (df, fired) = servedBy(
+      spark.read.parquet(raced).agg(count(lit(1)).as("c"),
+        sum(col("k")).as("sk")))
+    assert(fired === 1L)
+    val r = df.collect().head
+    assert(r.getLong(0) === 101L,
+      "appended file must be counted exactly once across the two legs")
+    assert(r.getLong(1) === (0 until 100).map(_.toLong).sum + 300L)
+  }
+
   test("a stale manifest (files vanished) refuses — fresh data answers plainly") {
     val stale = s"$root/stale"
     writeRanged(stale)
@@ -360,6 +419,110 @@ class MetaAggSpec extends SparkSpec
       r.getLong(2) === 7L))
   }
 
+  test("GROUP BY date_trunc (monotone, key-derived): range-homogeneous " +
+      "files serve, only the week-straddling file scans") {
+    val dpath = s"$root/derived"
+    fs.delete(new org.apache.hadoop.fs.Path(dpath), true)
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // 2024-01-01 is a Monday. File A inside week 1, file B inside week 2,
+    // file C straddles the Jan-8 boundary — its ts range crosses a week
+    // edge, so f(min) != f(max) and it must scan.
+    val fileA = Seq((ts(1), 10L, "web-1"), (ts(2), 20L, "web-2"),
+      (ts(3), 30L, "web-3"))
+    val fileB = Seq((ts(9), 40L, "app-4"), (ts(10), 50L, "app-5"))
+    val fileC = Seq((ts(6), 60L, "app-6"), (ts(9), 70L, "web-7"))
+    Seq(fileA, fileB, fileC).foreach(rs =>
+      rs.toDF("ts", "amt", "src").coalesce(1)
+        .write.mode("append").parquet(dpath))
+    ZoneMap.write(spark, dpath, Seq("ts", "amt", "src"),
+      updateCatalog = false)
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(dpath, "ts"))
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(dpath, "amt"))
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(dpath, "src"))
+    def q() = spark.read.parquet(dpath)
+      .groupBy(date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("c"), sum(col("amt")).as("sa"),
+        min(col("ts")).as("first_ts"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L)
+    assert(dataFiles(df, "meta-agg/derived") === 1L,
+      "only the straddling file may scan\n" +
+        df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().toSeq.sortBy(_.mkString("|"))
+    val exp = withoutRule(q().collect().toSeq.sortBy(_.mkString("|")))
+    assert(got === exp)
+    // SELECT DISTINCT over the same derived expression rides the
+    // distinct-value legs
+    def qd() = spark.read.parquet(dpath)
+      .select(date_trunc("week", col("ts")).as("wk")).distinct()
+    val (dd, firedD) = servedBy(qd())
+    assert(firedD === 1L && dataFiles(dd, "meta-agg/derived") === 1L)
+    assert(dd.collect().map(_.getTimestamp(0)).sorted(
+        Ordering.by((t: java.sql.Timestamp) => t.getTime)).toSeq ===
+      withoutRule(qd().collect().map(_.getTimestamp(0)).sorted(
+        Ordering.by((t: java.sql.Timestamp) => t.getTime)).toSeq))
+  }
+
+  test("GROUP BY a prefix substring (monotone on binary collation) " +
+      "serves files homogeneous in the prefix") {
+    val dpath = s"$root/derived"
+    // file A is all web-*, file B all app-*: f(min)==f(max) though the
+    // column itself is mixed per file; file C holds both prefixes → scans
+    def q() = spark.read.parquet(dpath)
+      .groupBy(substring(col("src"), 1, 3).as("p"))
+      .agg(count(lit(1)).as("c"), max(col("amt")).as("mx"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L)
+    assert(dataFiles(df, "meta-agg/derived") === 1L,
+      "files A and B are prefix-homogeneous and must serve")
+    assert(df.collect().toSeq.sortBy(_.mkString("|")) ===
+      withoutRule(q().collect().toSeq.sortBy(_.mkString("|"))))
+  }
+
+  test("a PERIODIC expression (month over a multi-year file) is not " +
+      "whitelisted: f(min)==f(max) alone must not serve — answers exact") {
+    val tpath = s"$root/periodic"
+    fs.delete(new org.apache.hadoop.fs.Path(tpath), true)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // one file spans Jan 2023 → Jan 2024: month(min)=1 == month(max)=1,
+    // but a June row sits between — serving it from the manifest would
+    // LOSE the June group and double the January count
+    val trap = Seq((t("2023-01-15 00:00:00"), 1L),
+      (t("2023-06-15 00:00:00"), 2L), (t("2024-01-10 00:00:00"), 3L))
+    val clean = Seq((t("2024-03-05 00:00:00"), 4L),
+      (t("2024-03-20 00:00:00"), 5L))
+    Seq(trap, clean).foreach(rs => rs.toDF("ts", "amt").coalesce(1)
+      .write.mode("append").parquet(tpath))
+    ZoneMap.write(spark, tpath, Seq("ts"), updateCatalog = false)
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(tpath, "ts"))
+    def q() = spark.read.parquet(tpath)
+      .groupBy(month(col("ts")).as("m")).agg(count(lit(1)).as("c"))
+    val (df, fired) = servedBy(q())
+    val got = df.collect().toSeq.sortBy(_.mkString("|"))
+    val exp = withoutRule(q().collect().toSeq.sortBy(_.mkString("|")))
+    assert(got === exp, "month groups must be exact")
+    assert(got.map(r => (r.getInt(0), r.getLong(1))).toMap ===
+      Map(1 -> 2L, 3 -> 2L, 6 -> 1L))
+    if (fired > 0)
+      assert(dataFiles(df, "meta-agg/periodic") >= 1L,
+        "the multi-year file must scan — month is not order-preserving")
+  }
+
+  test("derived-grouping refusals: non-deterministic and multi-column " +
+      "expressions leave the plan untouched") {
+    val dpath = s"$root/derived"
+    def refuses(q: => DataFrame): Unit = {
+      val (_, fired) = servedBy(q)
+      assert(fired === 0L)
+    }
+    refuses(spark.read.parquet(dpath)
+      .groupBy((rand(7) * 2).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("c")))
+    refuses(spark.read.parquet(dpath)
+      .groupBy(concat(col("src"), col("amt").cast("string")).as("k2"))
+      .agg(count(lit(1)).as("c")))
+  }
+
   test("grouped refusals: non-zone group column, distinct+plain agg mix") {
     def refuses(q: => DataFrame): Unit = {
       val (_, fired) = servedBy(q)
@@ -405,6 +568,98 @@ class MetaAggSpec extends SparkSpec
     val (df, fired) = servedBy(fact.agg(countDistinct(col("n")).as("dn")))
     assert(fired === 1L)
     assert(df.collect().head.getLong(0) === 90L) // NULL never counted
+  }
+
+  test("dim-join serving: fact aggregates under an inner equi-join on a " +
+      "key-homogeneous layout read ZERO fact files") {
+    val dim = Seq((0L, "x"), (1L, "y"), (3L, "z")).toDF("bk", "tag")
+    val f = fact
+    def q() = f.join(dim, f("b") === dim("bk"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"),
+        min(col("k")).as("mn"), max(col("n")).as("mx"))
+    val before = MetaAgg.servedJoin.get()
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && MetaAgg.servedJoin.get() === before + 1)
+    assert(dataFiles(df) === 0L,
+      "every file is b-homogeneous: the join must be answered from the " +
+        "manifest\n" + df.queryExecution.optimizedPlan.toString)
+    val r = df.collect().head
+    val expRows = (0 until 100).filter(i => Set(0, 1, 3)(i / 25))
+    assert(r.getLong(0) === expRows.length.toLong)
+    assert(r.getLong(1) === expRows.map(_.toLong).sum)
+    assert(r.getLong(2) === 0L)
+    assert(r.getLong(3) === 99L)
+    // parity against the un-rewritten plan
+    assert(withoutRule(q().collect().head) === r)
+  }
+
+  test("dim-join serving handles MULTIPLICITY: a key matching m dim rows " +
+      "counts the file m times — exactly like the real join") {
+    val dim = Seq((0L, "x"), (0L, "x2"), (1L, "y")).toDF("bk", "tag")
+    val f = fact
+    def q() = f.join(dim, f("b") === dim("bk"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && dataFiles(df) === 0L)
+    val r = df.collect().head
+    assert(r.getLong(0) === 75L) // 2×25 + 25
+    assert(r.getLong(1) ===
+      2L * (0 until 25).map(_.toLong).sum + (25 until 50).map(_.toLong).sum)
+    assert(withoutRule(q().collect().head) === r)
+    // fact-side WHERE composes: range conjuncts narrow the served files
+    val f2 = fact
+    def q2() = f2.where(col("k") >= 25L)
+      .join(dim, f2("b") === dim("bk")).agg(count(lit(1)).as("c"))
+    val (df2, fired2) = servedBy(q2())
+    assert(fired2 === 1L)
+    assert(df2.collect().head.getLong(0) === 25L)
+    assert(withoutRule(q2().collect().head.getLong(0)) === 25L)
+  }
+
+  test("dim-join refusals: non-homogeneous key stands aside for the " +
+      "pruning tier; dim-side aggregate, outer join, non-deterministic " +
+      "dim all refuse") {
+    val dim = Seq((10L, "x")).toDF("kk", "tag")
+    def refuses(tag: String)(q: => DataFrame): Unit = {
+      val before = MetaAgg.servedJoin.get()
+      val (df, fired) = servedBy(q)
+      assert(fired === 0L && MetaAgg.servedJoin.get() === before,
+        s"[$tag] must refuse:\n" + df.queryExecution.optimizedPlan.toString +
+          "\n--- without rule ---\n" +
+          withoutRule(q.queryExecution.optimizedPlan.toString))
+    }
+    // k is NOT file-homogeneous (each file spans 25 values): zero files
+    // can serve — the rule must refuse so RewriteToBloomPrunedJoin can
+    // still prune this exact join shape
+    val f = fact
+    refuses("non-homog")(f.join(dim, f("k") === dim("kk"))
+      .agg(count(lit(1)).as("c")))
+    val bdim = Seq((0L, 7L)).toDF("bk", "w")
+    // dim-side aggregate argument
+    val f3 = fact
+    refuses("dim-agg")(f3.join(bdim, f3("b") === bdim("bk"))
+      .agg(sum(bdim("w")).as("sw")))
+    // outer joins change the row multiset — only Inner serves
+    val f4 = fact
+    refuses("outer")(f4.join(bdim, f4("b") === bdim("bk"), "left")
+      .agg(count(lit(1)).as("c")))
+    // a non-deterministic dim would diverge between the two legs — the
+    // non-determinism must be LOAD-BEARING (a filter), or the optimizer
+    // rightly prunes it away before the rule ever sees it
+    // the non-determinism must SURVIVE to the rule: over a one-row
+    // LocalRelation the main optimizer evaluates even rand-bearing
+    // projections away (leaving a genuinely deterministic dim — serving
+    // is then correct); a parquet-backed dim with a non-decidable rand
+    // filter cannot be folded, and the rule must refuse it
+    val dimPath = s"$root/nondet-dim"
+    bdim.write.mode("overwrite").parquet(dimPath)
+    val f5 = fact
+    val ndim = spark.read.parquet(dimPath).where(rand(3) < 0.9999)
+    refuses("nondet-dim")(f5.join(ndim, f5("b") === ndim("bk"))
+      .agg(count(lit(1)).as("c")))
+    // and the refused shapes stay exact on the plain plan
+    assert(f.join(dim, f("k") === dim("kk"))
+      .agg(count(lit(1))).collect().head.getLong(0) === 1L)
   }
 
   test("a mixed-schema manifest refuses SUM serving; min/max/count still serve") {
@@ -468,6 +723,48 @@ class MetaAggSpec extends SparkSpec
     assert(fired === 1L && dataFiles(df) === 0L)
     assert(df.collect().head.getLong(0) ===
       (0 until 100).map(_.toLong).sum + 200L)
+  }
+
+  test("a LEGACY-built manifest refuses integral SUM serving to an ANSI " +
+      "query; a rebuild under ANSI re-enables it") {
+    val modes = s"$root/modes"
+    writeRanged(modes)
+    // build the manifest under LEGACY mode — per-file integral sums may
+    // have wrapped silently (not here, but the rule cannot know that)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try ZoneMap.write(spark, modes, Seq("k"), updateCatalog = false)
+    finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(modes, "k"))
+    // ANSI query: sum(k) must REFUSE (full scan, exact); count/min/max
+    // have no overflow semantics and keep serving
+    val (dfSum, firedSum) = servedBy(
+      spark.read.parquet(modes).agg(sum(col("k")).as("sk")))
+    assert(firedSum === 0L,
+      "ANSI integral sum over a LEGACY-built manifest must refuse")
+    assert(dfSum.collect().head.getLong(0) === (0 until 100).map(_.toLong).sum)
+    val (dfMx, firedMx) = servedBy(
+      spark.read.parquet(modes).agg(count(lit(1)).as("c"),
+        max(col("k")).as("mx")))
+    assert(firedMx === 1L && dataFiles(dfMx) === 0L,
+      "aggregates without overflow semantics keep serving")
+    // a LEGACY query composes over the LEGACY build — wraps are modular
+    // either way
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val (dfLeg, firedLeg) = servedBy(
+        spark.read.parquet(modes).agg(sum(col("k")).as("sk")))
+      assert(firedLeg === 1L && dataFiles(dfLeg) === 0L)
+      assert(dfLeg.collect().head.getLong(0) ===
+        (0 until 100).map(_.toLong).sum)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // rebuild under ANSI: every row now certifies no per-file wrap — the
+    // ANSI sum serves again
+    ZoneMap.write(spark, modes, Seq("k"), updateCatalog = false)
+    val (dfSum2, firedSum2) = servedBy(
+      spark.read.parquet(modes).agg(sum(col("k")).as("sk")))
+    assert(firedSum2 === 1L && dataFiles(dfSum2) === 0L)
+    assert(dfSum2.collect().head.getLong(0) ===
+      (0 until 100).map(_.toLong).sum)
   }
 
   test("try_sum refuses: TRY overflow semantics cannot be composed") {

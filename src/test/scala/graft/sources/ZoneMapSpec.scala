@@ -68,6 +68,77 @@ class ZoneMapSpec extends SparkSpec {
     check()
   }
 
+  test("sketch tier: metaApproxProfile answers quantiles + distincts from " +
+      "the manifest alone — exact in the small regime, data files gone") {
+    import spark.implicits._
+    val path = fresh("sketch")
+    // 4 files × 25 rows: per-file n=25 ≤ k=200 and merged n=100 ≤ k, so
+    // KLL retains every item and quantiles are TRUE order statistics
+    // (inclusive rank: the ceil(q·n)-th item); 100 distincts sit far
+    // below HLL sparse capacity, so the estimate is the exact count
+    Seq(0, 25, 50, 75).foreach(lo =>
+      (lo until lo + 25).map(i => (i.toLong, i / 2.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(path))
+    ZoneMap.write(spark, path, Seq("k", "v"), updateCatalog = false,
+      sketchCols = Seq("k", "v"))
+    def check(): Unit = {
+      val p = ZoneMap.metaApproxProfile(spark, path, Seq("k", "v"),
+        Seq(0.5, 0.9)).head()
+      val byName = p.schema.fieldNames.zipWithIndex.toMap
+      assert(p.getLong(byName("n_rows")) === 100L)
+      assert(p.getDouble(byName("k_p50")) === 49.0) // ceil(.5·100) = 50th
+      assert(p.getDouble(byName("k_p90")) === 89.0)
+      assert(p.getLong(byName("k_approx_distinct")) === 100L)
+      assert(p.getDouble(byName("v_p50")) === 24.5)
+      assert(!byName.contains("v_approx_distinct"),
+        "doubles carry no HLL blob — the column must be absent, not wrong")
+    }
+    check()
+    // the proof it never touches data: drop every data file, manifest only
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Manifests.listDataFiles(fs, new org.apache.hadoop.fs.Path(path))
+      .foreach(f => fs.delete(f, false))
+    check()
+  }
+
+  test("sketch tier survives maintenance: update() without sketchCols " +
+      "preserves it; a drift rebuild keeps it; compaction refreshes it") {
+    import spark.implicits._
+    val path = fresh("sketch-maint")
+    Seq(0, 25, 50, 75).foreach(lo =>
+      (lo until lo + 25).map(i => (i.toLong, i / 2.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(path))
+    ZoneMap.write(spark, path, Seq("k"), updateCatalog = false,
+      sketchCols = Seq("k"))
+    // 1. a maintenance tick that never heard of the sketch tier (the
+    //    streaming-sink call shape): appended file must be sketched too
+    (100 until 125).map(i => (i.toLong, i / 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    val d = ZoneMap.update(spark, path, Seq("k"))
+    assert(d.added === 1L)
+    val p1 = ZoneMap.metaApproxProfile(spark, path, Seq("k"), Seq(0.5)).head()
+    assert(p1.getLong(0) === 125L)
+    assert(p1.getDouble(1) === 62.0) // ceil(.5·125) = 63rd of 0..124
+    assert(p1.getLong(2) === 125L)
+    // 2. schema drift (a NEW zone column) rebuilds — the sketch tier must
+    //    ride the rebuild, not vanish
+    ZoneMap.update(spark, path, Seq("k", "v"))
+    val fields = spark.read.parquet(s"$path/_zonemap").schema.fieldNames.toSet
+    assert(fields.contains("v_min") && fields.contains("k_kll") &&
+      fields.contains("k_hll"),
+      s"drift rebuild must keep the sketch tier: $fields")
+    assert(ZoneMap.metaApproxProfile(spark, path, Seq("k"), Seq(0.5))
+      .head().getDouble(1) === 62.0)
+    // 3. compaction rewrites files and refreshes shards — sketches follow
+    Compaction.compact(spark, path, OutFormat.Parquet,
+      targetFileBytes = 512L << 20)
+    val p3 = ZoneMap.metaApproxProfile(spark, path, Seq("k"), Seq(0.5)).head()
+    assert(p3.getLong(0) === 125L && p3.getDouble(1) === 62.0 &&
+      p3.getLong(2) === 125L,
+      "compacted layout must re-sketch exactly (same value set)")
+  }
+
   test("width_share separates clustered from random layouts") {
     val cPath = fresh("diag-clustered")
     val rPath = fresh("diag-random")

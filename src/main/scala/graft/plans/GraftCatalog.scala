@@ -31,14 +31,17 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * Off switch: `spark.graft.catalog.autoload=false` disables discovery
   * (explicit `register()`/[[load]] calls keep working).
   *
-  * Concurrency contract: [[save]] merges with the existing catalog and
-  * renames atomically, so SEQUENTIAL writers (however many sessions)
-  * always compose — but two saves racing in the same instant still
-  * last-rename-wins, and the loser's just-added entry waits for its next
-  * save to land. Entries are per-column upserts, so the race loses
-  * PRUNING (temporarily), never correctness. Run one catalog-writing
-  * maintenance process per root where that matters — the same contract
-  * every manifest tier in this library already imposes.
+  * Concurrency contract, two layers. IN-PROCESS: saves serialize on a
+  * per-root lock, so concurrent threads registering different entries
+  * both land, deterministically (spec-proven with two threads).
+  * CROSS-PROCESS: each save merges with the existing catalog, renames
+  * atomically, then READS BACK and verifies its own entries — a racing
+  * process whose rename landed between our merge-read and our rename is
+  * detected and the merge retries from the new on-disk state. The one
+  * residual window (a stale writer's rename landing AFTER our verify
+  * read) is narrowed to a single read's width and, entries being
+  * per-identity upserts, costs PRUNING until the loser's next save —
+  * never correctness.
   */
 object GraftCatalog {
 
@@ -88,7 +91,11 @@ object GraftCatalog {
     * artifact (in-session registration wins over on-disk, which [[load]]
     * fills first) and merge-write the catalog AT THE ARTIFACT ROOT. A
     * catalog failure REFUSES loudly (the artifact itself already landed
-    * and stays fully usable by path) — never fails the build. */
+    * and stays fully usable by path) — never fails the build. Concurrent
+    * describes of DIFFERENT kinds at one root converge through [[save]]'s
+    * read-verify-retry (the load→register→save here is not itself
+    * locked; the save-level verification is what makes the composed
+    * read-modify-write safe). */
   def describeArtifact(spark: SparkSession, root: String,
                        kind: String, params: Map[String, String]): Unit =
     try {
@@ -116,8 +123,65 @@ object GraftCatalog {
     * never seen. Pass `merge = false` to OVERWRITE — the explicit
     * "drop what I did not re-register" path (e.g. after an unregister).
     * The write is atomic: temp file + rename-with-overwrite (no
-    * delete-then-rename window where readers see no catalog). */
-  def save(spark: SparkSession, root: String, merge: Boolean = true): Unit = {
+    * delete-then-rename window where readers see no catalog).
+    *
+    * CONCURRENT merge-writers converge through read-verify-retry: after
+    * the rename, the catalog is read back and this session's own entries
+    * checked present — a racing writer whose rename landed after ours
+    * (built from a pre-merge read) is detected and the merge re-runs
+    * from the NEW on-disk state, which by then carries the racer's
+    * entries. Entries are per-identity upserts, so every retry is
+    * monotone; exhausting the retries refuses loudly (pruning lost,
+    * never correctness). `merge = false` skips verification — overwrite
+    * IS last-writer-wins by contract. */
+  def save(spark: SparkSession, root: String, merge: Boolean = true): Unit =
+    // IN-PROCESS writers serialize per root: two threads saving the same
+    // root compose deterministically (no retry needed). The verify-retry
+    // below is the CROSS-PROCESS backstop, where no shared lock exists.
+    saveLocks.computeIfAbsent(norm(root), _ => new Object).synchronized {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val written = saveOnce(spark, root, merge)
+        attempt += 1
+        if (!merge || verifyOwn(spark, root, written)) done = true
+        else if (attempt >= 5) {
+          refused(root, "catalog-save", new java.io.IOException(
+            "concurrent catalog writers kept racing; an entry of this " +
+              "session may be missing until its next save"))
+          done = true
+        }
+      }
+    }
+
+  private val saveLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The identities this session wrote — what [[save]] verifies. */
+  private final case class Written(bloom: Set[String], zones: Set[String],
+                                   views: Set[String], arts: Set[String])
+
+  private def refused(root: String, leg: String, e: Throwable): Unit =
+    BloomJoins.refused(root, leg, e)
+
+  private def verifyOwn(spark: SparkSession, root: String,
+                        w: Written): Boolean =
+    try {
+      val (fs, rootPath) = graft.sources.Manifests.fsFor(spark, root)
+      val in = fs.open(new Path(rootPath, FileName))
+      val doc = try mapper.readTree(in) finally in.close()
+      w.bloom.subsetOf(
+        arr(doc, "bloom").map(_.get("col").asText()).toSet) &&
+        w.zones.subsetOf(
+          arr(doc, "zones").map(_.get("col").asText()).toSet) &&
+        w.views.subsetOf(
+          arr(doc, "views").map(n => norm(n.get("statePath").asText())).toSet) &&
+        w.arts.subsetOf(
+          arr(doc, "artifacts").map(_.get("kind").asText()).toSet)
+    } catch { case _: Exception => false } // unreadable: let the loop retry
+
+  private def saveOnce(spark: SparkSession, root: String,
+                       merge: Boolean): Written = {
     val doc = mapper.createObjectNode()
     val blooms = doc.putArray("bloom")
     val bloomCols = BloomJoins.layoutsFor(root).map { l =>
@@ -176,15 +240,26 @@ object GraftCatalog {
         BloomJoins.refused(root, "catalog-merge", e)
       }
     }
-    val tmp = new Path(rootPath, s".$FileName.tmp")
+    // per-write temp name: concurrent writers must not truncate each
+    // other's in-flight temp (the rename below is the only shared step)
+    val tmp = new Path(rootPath,
+      s".$FileName.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(doc))
     out.close()
     renameOverwrite(spark, fs, tmp, target)
+    testAfterRename() // spec-only hook: simulates a cross-process racer
     // this session has by definition "attempted" the root — and found it
     attempted.put(norm(root), java.lang.Long.MAX_VALUE)
+    Written(bloomCols, zoneCols, viewPaths, artKinds)
   }
+
+  /** Spec-only injection point: runs between [[saveOnce]]'s rename and
+    * [[save]]'s verification read — the window where a CROSS-PROCESS
+    * writer's stale rename can land. Specs overwrite the catalog here to
+    * prove the verify-retry re-merges and converges. */
+  private[plans] var testAfterRename: () => Unit = () => ()
 
   /** The batch writers' self-description hook — [[graft.sources.BloomIndex]]
     * `.write`, [[graft.sources.ZoneMap]]`.write` and
@@ -396,26 +471,33 @@ object GraftCatalog {
     load(spark, root)
     val r = norm(root)
     val legs = Seq("literal-scan", "zone-scan", "join", "zone-join",
-      "filter-scan", "catalog-load", "catalog-merge", "self-describe",
-      "summary-state", "meta-agg")
-    def refusalsFor(layout: String): Long =
-      legs.map(l => graft.streaming.GraftMetrics
-        .counter(BloomJoins.RefusalMetric, "layout" -> layout, "leg" -> l))
-        .sum
+      "filter-scan", "catalog-load", "catalog-merge", "catalog-save",
+      "self-describe", "summary-state", "meta-agg")
+    def perLeg(layout: String): Seq[(String, Long)] =
+      legs.map(l => l -> graft.streaming.GraftMetrics
+          .counter(BloomJoins.RefusalMetric, "layout" -> layout, "leg" -> l))
+        .filter(_._2 > 0)
+    def refusalsFor(layout: String): Long = perLeg(layout).map(_._2).sum
     def refusals: Long = refusalsFor(r)
+    /** "pruning off — WHY": the nonzero legs, `leg=count` — the per-leg
+      * breakdown of `graft_rule_refusals_total` an operator needs to see
+      * in one place beside each layout row. */
+    def detailFor(layouts: String*): String =
+      layouts.distinct.flatMap(l => perLeg(l).map { case (leg, n) =>
+        s"$leg=$n" }).mkString(";")
     val rows =
       BloomJoins.layoutsFor(root).map(l => (r, "bloom", l.col,
         s"maxKeys=${l.maxKeys}",
         graft.sources.Manifests.manifestVersion(l.factPath, "_bloomindex"),
-        refusals)) ++
+        refusals, detailFor(r))) ++
       BloomJoins.zoneLayoutsFor(root).map(z => (r, "zone", z.col, "",
         graft.sources.Manifests.manifestVersion(z.factPath, "_zonemap"),
-        refusals)) ++
+        refusals, detailFor(r))) ++
       artifactsFor(root).map { a =>
         (r, "artifact:" + a.kind, r,
           a.params.toSeq.sortBy(_._1)
             .map { case (k, v) => s"$k=$v" }.mkString(";"),
-          0L, refusals)
+          0L, refusals, detailFor(r))
       } ++
       SummaryViews.viewsFor(root).map { v =>
         val detail = s"keys=${v.keyCols.mkString("+")};" +
@@ -432,9 +514,11 @@ object GraftCatalog {
         // must surface those, not the base root's
         (r, "view", norm(v.statePath), detail,
           graft.streaming.BucketedStateTable.stateVersion(v.statePath),
-          refusals + refusalsFor(norm(v.statePath)))
+          refusals + refusalsFor(norm(v.statePath)),
+          detailFor(r, norm(v.statePath)))
       }
     import spark.implicits._
-    rows.toDF("root", "kind", "name", "detail", "version", "refusals")
+    rows.toDF("root", "kind", "name", "detail", "version", "refusals",
+      "refusal_detail")
   }
 }

@@ -283,6 +283,66 @@ class GraftCatalogSpec extends SparkSpec
       "overwrite must drop entries this session did not carry")
   }
 
+  test("two concurrent threads register+save on one root: both entries " +
+    "land (saves serialize in-process)") {
+    val cpath = s"$root/concurrent-fact"
+    spark.range(10).select(col("id").as("a"), col("id").as("b"))
+      .write.mode("overwrite").parquet(cpath)
+    freshSession()
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(c: String, mk: Int): Thread = {
+      val t = new Thread(() =>
+        try {
+          barrier.await()
+          BloomJoins.register(BloomJoins.Layout(cpath, c, maxKeys = mk))
+          GraftCatalog.save(spark, cpath)
+        } catch { case e: Throwable => errs.add(e) })
+      t.start(); t
+    }
+    val ts = Seq(writer("a", 11), writer("b", 22))
+    ts.foreach(_.join(60000))
+    assert(errs.isEmpty, s"concurrent saves must not fail: ${errs.peek()}")
+    freshSession()
+    assert(GraftCatalog.load(spark, cpath))
+    assert(BloomJoins.layoutsFor(cpath).map(_.col).sorted === Seq("a", "b"),
+      "both concurrent writers' entries must be discoverable")
+  }
+
+  test("a cross-process rename landing inside the save window is detected " +
+    "and re-merged (read-verify-retry)") {
+    val rpath = s"$root/raced-fact"
+    spark.range(10).select(col("id").as("mine"))
+      .write.mode("overwrite").parquet(rpath)
+    freshSession()
+    // the racer: a catalog carrying ONLY a foreign entry, renamed over
+    // ours right after our rename lands (the stale-writer clobber)
+    val foreign =
+      """{"bloom":[{"col":"theirs","maxKeys":33}],
+        |"zones":[],"views":[],"artifacts":[]}""".stripMargin
+    val target = new org.apache.hadoop.fs.Path(rpath, "_graft_catalog.json")
+    var clobbers = 0
+    GraftCatalog.testAfterRename = () => {
+      if (clobbers == 0) { // only the first save attempt is raced
+        clobbers += 1
+        val out = fs.create(target, true)
+        out.write(foreign.getBytes("UTF-8"))
+        out.close()
+      }
+    }
+    try {
+      BloomJoins.register(BloomJoins.Layout(rpath, "mine", maxKeys = 44))
+      GraftCatalog.save(spark, rpath)
+    } finally GraftCatalog.testAfterRename = () => ()
+    assert(clobbers === 1, "the injected racer must have fired")
+    // the retry re-merged from the racer's file: BOTH entries survive
+    freshSession()
+    assert(GraftCatalog.load(spark, rpath))
+    assert(BloomJoins.layoutsFor(rpath).sortBy(_.col) === Seq(
+      BloomJoins.Layout(rpath, "mine", maxKeys = 44),
+      BloomJoins.Layout(rpath, "theirs", maxKeys = 33)))
+  }
+
   test("a catalog written AFTER a negative probe is seen once the " +
     "negative TTL expires") {
     val tpath = s"$root/ttl-fact"
@@ -493,10 +553,23 @@ class GraftCatalogSpec extends SparkSpec
     freshSession()
     val d = GraftCatalog.describe(spark, factPath)
     assert(d.columns.toSeq ===
-      Seq("root", "kind", "name", "detail", "version", "refusals"))
+      Seq("root", "kind", "name", "detail", "version", "refusals",
+        "refusal_detail"))
     val byKind = d.collect().groupBy(_.getString(1))
     assert(byKind("bloom").map(_.getString(2)).toSeq === Seq("doc_id"))
     assert(byKind("zone").map(_.getString(2)).toSeq === Seq("n_chars"))
+    // the per-leg WHY: a refusal recorded for this layout surfaces as
+    // `leg=count` in refusal_detail, beside the total — "pruning off,
+    // why" in one place
+    val before = byKind("bloom").head.getLong(5)
+    BloomJoins.refused(factPath, "literal-scan",
+      new java.io.IOException("spec-injected"))
+    val d2 = GraftCatalog.describe(spark, factPath).collect()
+      .filter(_.getString(1) == "bloom").head
+    assert(d2.getLong(5) === before + 1)
+    assert(d2.getString(6).contains(s"literal-scan=${before + 1}") ||
+      d2.getString(6).contains("literal-scan="),
+      s"refusal_detail must name the refusing leg: ${d2.getString(6)}")
     val dv = GraftCatalog.describe(spark, basePath)
     val views = dv.where(col("kind") === "view").collect()
     assert(views.length === 1)

@@ -2266,6 +2266,61 @@ object Queries {
     }
   }
 
+  register("agg_meta_grouped_expr", Some(
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |  count(*) AS n_events, count(user_id) AS users_cnt,
+      |  min(value) AS value_min, max(value) AS value_max
+      |FROM events GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // KEY-DERIVED grouped manifest serving — the dashboard shape on a
+    // time-clustered lake: GROUP BY date_trunc('week', ts) over a layout
+    // range-clustered on ts. date_trunc is on the rule's MONOTONE
+    // whitelist, so every file whose ts range falls inside one week
+    // (f(min) == f(max)) serves straight from its manifest row; only the
+    // files straddling a week boundary are scanned, grouped and folded
+    // in. REQUIREs both that the rewrite fired AND that fewer data files
+    // than the layout holds were read — at 100 TB the weekly roll-up
+    // costs the boundary files, not the weeks between. Rows hash-matched
+    // against DuckDB over the raw table (Monday-based weeks in both
+    // engines).
+    val path =
+      s"$sinkRoot/agg_meta_grouped_expr-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.events(s, dir).repartitionByRange(16, col("ts"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("ts", "user_id", "value"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.served.get()
+      val q = s.read.parquet(path)
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("user_id")).as("users_cnt"),
+          min(col("value")).as("value_min"),
+          max(col("value")).as("value_max"))
+      val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+      val dataFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_grouped_expr") &&
+                    !p.toString.contains("_zonemap")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.served.get() > fired0 &&
+          dataFiles < totalFiles,
+        s"agg_meta_grouped_expr: expected week-homogeneous files served " +
+          s"from the manifest ($dataFiles of $totalFiles)")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
   register("agg_meta_distinct", Some(
     """SELECT DISTINCT lang FROM documents""".stripMargin)) { (s, dir) =>
     // DISTINCT through the manifest tier: on a lang-clustered layout a
@@ -2313,6 +2368,119 @@ object Queries {
       graft.plans.MetaAgg.uninstall(s)
       graft.plans.BloomJoins.clear()
     }
+  }
+
+  register("agg_meta_join_dim", Some(
+    """SELECT count(*) AS n_events, count(user_id) AS users_cnt,
+      |  min(value) AS v_min, max(value) AS v_max
+      |FROM events e JOIN (
+      |  SELECT DISTINCT event_type FROM events
+      |  WHERE event_type IN ('purchase', 'signup')) d
+      |ON e.event_type = d.event_type""".stripMargin)) { (s, dir) =>
+    // MANIFEST-SERVED aggregates UNDER A DIM-DRIVEN JOIN — the
+    // dashboard-with-a-dimension shape: the fact layout is clustered by
+    // the join key (event_type), so most files are KEY-HOMOGENEOUS and
+    // their manifest rows join the dim AS WHOLE FILES (multiplicity
+    // included); only the files where two types meet scan raw and replay
+    // the original join. The dim is an arbitrary deterministic sub-plan
+    // (here a filtered DISTINCT over the raw feed — it executes in both
+    // legs). REQUIREs the dim-join rewrite fired AND fewer fact files
+    // than the layout holds were read. At 100 TB: "count the events of
+    // the dim-selected types" costs the dim plus the type-boundary
+    // files, not a fact scan. Rows hash-matched against DuckDB replaying
+    // the same join on the raw tables.
+    val path =
+      s"$sinkRoot/agg_meta_join_dim-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.events(s, dir)
+      .repartitionByRange(8, col("event_type"), col("event_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path,
+      Seq("event_type", "user_id", "value"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.servedJoin.get()
+      val dim = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "signup"))
+        .select(col("event_type").as("d_type")).distinct()
+      val f = s.read.parquet(path)
+      val q = f.join(dim, f("event_type") === dim("d_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("user_id")).as("users_cnt"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"))
+      val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+      val dataFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fr: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if fr.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_join_dim") &&
+                    !p.toString.contains("_zonemap")) =>
+              fr.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.servedJoin.get() > fired0 &&
+          dataFiles < totalFiles,
+        s"agg_meta_join_dim: expected key-homogeneous files served under " +
+          s"the join ($dataFiles of $totalFiles)\n" +
+          q.queryExecution.optimizedPlan.toString)
+      q.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
+  register("agg_meta_sketch_profile", None) { (s, dir) =>
+    // The manifest's SKETCH tier: ZoneMap.write(sketchCols=…) records one
+    // mergeable KLL (quantiles) + HLL (distincts) blob per file per
+    // column beside the zones, and metaApproxProfile answers the
+    // approx-profile dashboard (p50/p99 of value, distinct users) from
+    // the manifest ALONE — zero data files, at any layout size; cost
+    // follows file count. No DuckDB oracle (sketch estimates are
+    // engine-specific; a rewrite of the built-in approx functions would
+    // CHANGE answers, so this is an explicit API — see the scaladoc);
+    // the REQUIREs below gate the contracts instead, against exact
+    // answers computed from the raw feed: KLL rank error ≤ 2·1.65%
+    // per quantile, HLL relative error ≤ 5% (lgK=12), n_rows exact.
+    // ZoneMapSpec pins the exact regime (order statistics, equality).
+    val path =
+      s"$sinkRoot/agg_meta_sketch_profile-${dir.replaceAll("[^0-9.]", "")}"
+    val ev = Tables.events(s, dir)
+    ev.repartitionByRange(16, col("ts"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("ts", "value", "user_id"),
+      updateCatalog = false, sketchCols = Seq("value", "user_id"))
+    val prof = graft.sources.ZoneMap.metaApproxProfile(
+      s, path, Seq("value", "user_id"), Seq(0.5, 0.99)).head()
+    val n = prof.getAs[Long]("n_rows")
+    val p50 = prof.getAs[Double]("value_p50")
+    val p99 = prof.getAs[Double]("value_p99")
+    val du = prof.getAs[Long]("user_id_approx_distinct")
+    val exact = ev.agg(count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("du"),
+      (count(when(col("value") <= p50, 1)) / count(col("value")))
+        .as("rank50"),
+      (count(when(col("value") <= p99, 1)) / count(col("value")))
+        .as("rank99")).head()
+    require(n == exact.getAs[Long]("n"),
+      "n_rows rides the exact zone tier")
+    require(math.abs(exact.getAs[Double]("rank50") - 0.5) <= 0.033 &&
+        math.abs(exact.getAs[Double]("rank99") - 0.99) <= 0.033,
+      s"KLL rank contract violated: rank(p50)=${exact.getAs[Double]("rank50")}" +
+        s", rank(p99)=${exact.getAs[Double]("rank99")}")
+    val exactDu = exact.getAs[Long]("du")
+    require(math.abs(du - exactDu).toDouble / exactDu <= 0.05,
+      s"HLL estimate off: $du vs $exactDu")
+    // the deliverable row: the manifest-served profile beside the exact
+    // yardsticks it was gated against
+    import s.implicits._
+    Seq((n, p50, p99, du, exactDu))
+      .toDF("n_rows", "value_p50", "value_p99",
+        "approx_users", "exact_users")
   }
 
   register("agg_mv_rewrite_catalog", Some(
@@ -3967,6 +4135,76 @@ object Queries {
     weekly.join(exact, "week")
       .select(col("week"), col("approx_p50"), col("exact_p50"),
         col("approx_p99"), col("exact_p99"))
+  }
+
+  register("agg_hll_exact_regime", Some(
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+      |  count(DISTINCT user_id) AS approx_users,
+      |  count(DISTINCT user_id) AS exact_users
+      |FROM events WHERE user_id IS NOT NULL GROUP BY 1""".stripMargin)) {
+    (s, dir) =>
+      // The HLL entry's EXACT-REGIME sibling under the full hash gate
+      // (the CMS/theta discipline applied to distinct sketches): below
+      // sparse-mode capacity a DataSketches HLL stores coupons EXACTLY,
+      // and union-of-dailies stays in the exact regime, so the weekly
+      // estimate IS the distinct count — deterministically (the coupon
+      // hash depends only on the user_id values; a 26-bit coupon
+      // collision would surface as an honest hash mismatch, not a
+      // silently tolerated error). lgK=21 keeps sparse mode far beyond
+      // any tested scale's weekly user count. agg_hll_mergeable keeps
+      // gating the ESTIMATION regime's error and merge losslessness.
+      val ev = Tables.events(s, dir)
+        .where(col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          to_date(date_trunc("week", col("ts"))).as("week"))
+      val daily = ev.groupBy(col("week"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 21)").as("sk"))
+      daily.groupBy(col("week"))
+        .agg(round(expr("hll_sketch_estimate(hll_union_agg(sk, true))"))
+          .cast("long").as("approx_users"))
+        .join(ev.groupBy(col("week"))
+          .agg(countDistinct(col("user_id")).as("exact_users")), Seq("week"))
+        .select(col("week"), col("approx_users"), col("exact_users"))
+  }
+
+  register("agg_kll_exact_regime", Some(
+    """WITH d AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT n, row_number() OVER (ORDER BY n) AS rk,
+      |        count(*) OVER () AS cnt FROM d)
+      |SELECT
+      |  max(CASE WHEN rk = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END) AS p50,
+      |  max(CASE WHEN rk = CAST(ceil(0.9 * cnt) AS BIGINT) THEN n END) AS p90,
+      |  CAST(max(cnt) AS BIGINT) AS n_days
+      |FROM r""".stripMargin)) { (s, dir) =>
+    // The KLL entry's EXACT-REGIME sibling: a KLL sketch holds every item
+    // uncompacted while n <= k, and merging sketches whose combined count
+    // stays under k keeps the exact set — quantiles are then true order
+    // statistics (INCLUSIVE rank: the ceil(q*n)-th item), which the
+    // oracle replays EXPLICITLY via row_number so no engine's quantile
+    // interpolation convention is trusted. The feed's DAY COUNT is
+    // bounded by the fixture's date range at every scale factor (days,
+    // not rows), so daily-volume quantiles sit in the exact regime
+    // tri-scale: p50/p90 of per-day event volume — the ops question —
+    // served from mergeable weekly sketches, under the full hash gate.
+    // agg_kll_mergeable keeps gating the randomized-compaction regime's
+    // rank-error contract.
+    val daily = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .groupBy(col("week"), col("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val weekly = daily.groupBy(col("week"))
+      .agg(expr("kll_sketch_agg_double(n, 200)").as("sk"),
+        count(lit(1)).as("nd"))
+    weekly.agg(expr("kll_merge_agg_double(sk)").as("msk"),
+        sum(col("nd")).as("n_days"))
+      .select(
+        expr("kll_sketch_get_quantile_double(msk, 0.5)").as("p50"),
+        expr("kll_sketch_get_quantile_double(msk, 0.9)").as("p90"),
+        col("n_days"))
   }
 
   register("agg_cms_mergeable", None) { (s, dir) =>
@@ -7305,7 +7543,8 @@ object Queries {
     "layout_bloom_pointlookup", "layout_zonemap_auto_range",
     "layout_bloom_auto_pointlookup", "layout_catalog_fresh_session",
     "agg_meta_profile", "agg_meta_range", "agg_meta_grouped",
-    "agg_meta_distinct",
+    "agg_meta_distinct", "agg_meta_grouped_expr", "agg_meta_join_dim",
+    "agg_meta_sketch_profile",
     "sink_bucketed_colocated_join", "sink_compact_small_files",
     "dedup_incremental_index",
     // ANN index train + build (k-means / codebooks persisted, then probed)

@@ -1,0 +1,481 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcEnvelope
+import graft.operators.{Batching, Enrichment, Filters, PartitionKeys}
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions => TF}
+
+/** Streaming runtime entries (SURVEY §7.2): the same feed through readStream → CdcPipeline → destination, verified by the batch oracle.
+  *
+  * One slice of the [[Queries]] catalog — registrations run at
+  * trait initialization, in the linearization order [[Queries]]
+  * declares, so the catalog order is identical to the pre-split
+  * single file. */
+private[graft] trait QueriesStreaming { this: QueryDomain =>
+
+  // ==========================================================================
+  // Streaming runtime (SURVEY §7.2 step 4): the SAME event feed pushed
+  // through readStream → CdcPipeline → foreachBatch destination under
+  // Trigger.AvailableNow, then read back — batch/stream unification means
+  // the DuckDB batch oracle verifies the streaming run. This is the
+  // flagship lifecycle of the reference (pipeline.rs:1101-1282) under the
+  // correctness gate.
+  // ==========================================================================
+
+
+  private val streamDDL =
+    "operation string, database string, collection string, " +
+      "cluster_time timestamp, document_key string, full_document string, " +
+      "resume_token string, event_id long, user_id long, value double"
+
+  register("stream_pipeline_roundtrip", Some(
+    """SELECT 'c_' || CAST(user_id % 8 AS VARCHAR) AS collection,
+      |  count(*) AS n_events, count(DISTINCT event_id) AS n_ids,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('purchase','signup')
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-pipeline-$tag"
+    val src = sharedStreamSource(s, dir)
+    // fresh checkpoint/output per invocation => deterministic full replay
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.CollectionBased)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-rt-$tag",
+      triggerInterval = None, // AvailableNow: drain-and-stop
+      transform = df => graft.operators.Filters
+        .byOperations(df, Seq("purchase", "signup")))
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s, Some(streamDDL))
+      .groupBy("collection")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_ids"),
+        dsum(col("value")).as("sum_value"))
+  }
+
+  register("stream_catalog_pointlookup", Some(
+    """SELECT event_id, event_type AS operation, user_id
+      |FROM events WHERE event_id IN (1, 2, 3, 4, 5)
+      |ORDER BY event_id""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // The FULL self-describing-layout loop under the oracle: the feed
+    // streams through CdcPipeline into a parquet FileDestination that
+    // maintains a bloom index per batch AND writes the layout catalog at
+    // first batch; every in-memory registry is then cleared (the state a
+    // brand-new session starts from) and a plain IN-query over the sink's
+    // output must file-skip purely through catalog DISCOVERY (REQUIREd) —
+    // rows hashed against DuckDB over the ORIGINAL events table, so
+    // exactly-once delivery, index maintenance, catalog persistence and
+    // discovery-driven pruning all sit under one gate.
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-catalog-$tag"
+    val src = sharedStreamSource(s, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val out = s"$base/out"
+    val dest = new FileDestination(out, graft.sources.OutFormat.Parquet,
+      graft.sources.OutCompression.Snappy,
+      graft.operators.KeyStrategy.CollectionBased,
+      bloomIndexCols = Seq("event_id"),
+      bloomExpectedItemsPerFile = 200000)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-cat-$tag",
+      triggerInterval = None) // AvailableNow: drain-and-stop
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    // the fresh-session state: registries + discovery memory emptied —
+    // only the catalog the SINK wrote can make the query prune
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.BloomJoins.install(s)
+    try {
+      val qq = s.read.parquet(out)
+        .where(col("event_id").isin(1L, 2L, 3L, 4L, 5L))
+        .select(col("event_id"), col("operation"), col("user_id"))
+        .orderBy("event_id")
+      val totalFiles = s.read.parquet(s"$out/_bloomindex").count()
+      val factFiles = qq.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if f.location.rootPaths.exists(_.toString.contains(
+                  "stream-catalog")) =>
+              f.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(factFiles > 0 && factFiles < totalFiles,
+        s"stream_catalog_pointlookup: the sink-written catalog must let a " +
+          s"fresh session prune ($factFiles of $totalFiles files)")
+      qq.localCheckpoint()
+    } finally {
+      graft.plans.BloomJoins.uninstall(s)
+      graft.plans.BloomJoins.clear()
+      graft.plans.GraftCatalog.clearCache()
+    }
+  }
+
+  register("stream_windowed_counts", Some(
+    """SELECT date_trunc('hour', ts) AS window_start,
+      |  event_type AS operation, count(*) AS n_events
+      |FROM events GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-window-$tag"
+    val src = s"$base/source"
+    val staged = stageStreamSource(s, dir, src)
+    // Event-time tumbling-window aggregation ON THE STREAM (A2 in its
+    // native trigger form), in APPEND mode through a FileDestination —
+    // the shape that scales: only watermark-closed windows leave the
+    // state store, each exactly once, and nothing accumulates on the
+    // driver (the previous complete-mode memory sink re-emitted the whole
+    // result every batch and collected it driver-side).
+    //
+    // Append mode only emits a window once the watermark passes its end,
+    // so a drained bounded source would otherwise hold the LAST window in
+    // state forever. One sentinel event 2 hours past the newest real event
+    // advances the watermark over every real window. The sentinel is NOT
+    // filtered out in the stream: a pre-aggregation filter on `operation`
+    // gets pushed below the EventTimeWatermark node by Catalyst, dropping
+    // the sentinel before its timestamp is observed (verified: the final
+    // real window then never closes). Instead the sentinel self-excludes —
+    // its own window's end lies beyond the final watermark, so it stays in
+    // state and is never emitted; the read-back filter is belt-and-braces.
+    val sentinel = "__watermark_sentinel__"
+    if (staged) {
+      val maxTs = Tables.events(s, dir)
+        .agg(max(col("ts")).cast("long")).head().getLong(0)
+      s.range(1).select(
+          lit(sentinel).as("operation"),
+          (lit(maxTs) + lit(7200L)).cast("timestamp").as("cluster_time"))
+        .write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+      markStaged(s, src) // seal only once source AND sentinel are on disk
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-win-$tag",
+      triggerInterval = None,
+      // keyed state at this feed volume is MBs: 8 fat state stores beat 32
+      // per-trigger store open/commit cycles (see PipelineConfig scaladoc)
+      statePartitions = Some(8), // AvailableNow: drain, then evict closed state
+      transform = df => df
+        .withWatermark("cluster_time", "0 seconds")
+        .groupBy(window(col("cluster_time"), "1 hour").as("w"), col("operation"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("window_start"), col("operation"),
+          col("n_events")))
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s,
+        Some("window_start timestamp, operation string, n_events long"))
+      .filter(col("operation") =!= sentinel)
+      .select(col("window_start"), col("operation"), col("n_events"))
+  }
+
+  register("stream_interval_join", Some(
+    """SELECT v.user_id, v.event_id AS view_event, p.event_id AS purchase_event,
+      |  CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_to_purchase
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // STREAM-STREAM interval join (click-to-purchase attribution): both
+    // sides of the SAME change feed, watermarked, joined on user within a
+    // 30-minute event-time band. The interval bound + two watermarks is
+    // what bounds join state on an unbounded stream — the engine evicts a
+    // buffered row once the watermark clears its reachable join range, so
+    // state is O(events within the band), not O(stream). Inner matches
+    // emit as they arrive (no sentinel needed; only outer-null emission
+    // waits on the watermark). The batch DuckDB range-join oracle proves
+    // stream==batch on the real feed; StreamingSpec proves the same shape
+    // on a hand-built fixture with a known answer.
+    // `secs_to_purchase` = epoch-second floors on both engines: Spark's
+    // cast(ts as long) and DuckDB's date_diff('second') both count whole
+    // seconds (verified identical over every matched pair).
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-ssjoin-$tag"
+    val src = sharedStreamSource(s, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-ssj-$tag",
+      triggerInterval = None,
+      // keyed state at this feed volume is MBs: 8 fat state stores beat 32
+      // per-trigger store open/commit cycles (see PipelineConfig scaladoc)
+      statePartitions = Some(8), // AvailableNow: drain-and-stop
+      transform = df => {
+        val views = df.filter(col("operation") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_event"),
+            col("cluster_time").as("view_time"))
+          .withWatermark("view_time", "0 seconds")
+        val buys = df.filter(col("operation") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_event"),
+            col("cluster_time").as("purchase_time"))
+          .withWatermark("purchase_time", "0 seconds")
+        views.join(buys, expr(
+          """v_user = p_user AND
+            |purchase_time >= view_time AND
+            |purchase_time < view_time + INTERVAL 30 MINUTES""".stripMargin))
+          .select(col("v_user").as("user_id"), col("view_event"),
+            col("purchase_event"),
+            (col("purchase_time").cast("long") - col("view_time").cast("long"))
+              .as("secs_to_purchase"))
+      })
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s, Some("user_id long, view_event long, " +
+        "purchase_event long, secs_to_purchase long"))
+      .select(col("user_id"), col("view_event"), col("purchase_event"),
+        col("secs_to_purchase"))
+  }
+
+  register("stream_drift_psi", Some(driftPsiOracle)) { (s, dir) =>
+    // STREAMING drift monitor — quality_drift_psi's incremental leg: the
+    // current-side bucket counts accumulate in the STATE STORE across
+    // micro-batches (complete-mode streaming aggregation over the melted
+    // (col, bucket) pairs from Quality.psiMelted — a pure narrow
+    // projection, so it drops onto the stream unchanged), under a
+    // binning model FROZEN from the batch reference (psiBounds, the
+    // monitor's published recipe). Complete mode + a memory sink is the
+    // CORRECT shape here, not a scale compromise: the streamed result IS
+    // the k·(buckets+2)-row count table — model-sized by construction —
+    // where the data-sized stream entries rightly use append-mode file
+    // sinks. Two triggers (maxFilesPerTrigger=2 over 4 staged files)
+    // prove cross-batch accumulation; the tiny PSI finisher runs
+    // batch-side on the final counts. Oracle = the quality_drift_psi SQL
+    // VERBATIM — the monitor's reading after draining the feed must
+    // equal the batch reading exactly.
+    import org.apache.spark.sql.streaming.Trigger
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-drift-$tag"
+    val src = sharedStreamSource(s, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/checkpoint"), true)
+    val cols = Seq("value", "user_id")
+    val events = Tables.events(s, dir)
+    val bounds = graft.operators.Quality.psiBounds(events, cols)
+    val refCounts = graft.operators.Quality
+      .psiMelted(events, cols, bounds, 10)
+      .groupBy(col("col_name"), col("bucket")).agg(count(lit(1)).as("n"))
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(streamDDL))
+      .option("maxFilesPerTrigger", "2")
+      .json(src)
+      .filter(col("operation") === "purchase")
+    val curCounts = graft.operators.Quality
+      .psiMelted(stream, cols, bounds, 10)
+      .groupBy(col("col_name"), col("bucket")).agg(count(lit(1)).as("n"))
+    val qname = s"stream_drift_psi_${tag.replace(".", "_")}"
+    val q = curCounts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .option("checkpointLocation", s"$base/checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    graft.operators.Quality.psiFromCounts(refCounts, s.table(qname))
+      .orderBy(col("col_name"))
+  }
+
+  register("stream_interval_join_outer", Some(
+    """SELECT v.user_id, v.event_id AS view_event, p.event_id AS purchase_event
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id
+      | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // LEFT-OUTER stream-stream interval join: every view, matched or not.
+    // Outer null rows can only emit once the watermark proves no match can
+    // still arrive, so a drained bounded feed needs the sentinel trick —
+    // and unlike the aggregation entries it needs one sentinel PER SIDE:
+    // the per-side operation filters are pushed below each
+    // EventTimeWatermark node, so a view-only sentinel would advance the
+    // view watermark while the purchase side (and with it the GLOBAL
+    // watermark = min of both) stayed at the real feed's edge, holding
+    // every trailing unmatched view in state forever. Both sentinels carry
+    // user_id = -1: the view sentinel's own emission window sits past the
+    // final watermark (self-excluding), the purchase sentinel matches
+    // nothing, and the read-back filter is belt-and-braces.
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-ssjoin-outer-$tag"
+    val src = s"$base/source"
+    if (stageStreamSource(s, dir, src)) {
+      val maxTs = Tables.events(s, dir)
+        .agg(max(col("ts")).cast("long")).head().getLong(0)
+      Seq("view", "purchase").foreach { op =>
+        s.range(1).select(
+            lit(op).as("operation"), lit(-1L).as("user_id"),
+            lit(-1L).as("event_id"),
+            (lit(maxTs) + lit(7200L)).cast("timestamp").as("cluster_time"))
+          .write.mode("append")
+          .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+      }
+      markStaged(s, src)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-ssjo-$tag",
+      triggerInterval = None,
+      // keyed state at this feed volume is MBs: 8 fat state stores beat 32
+      // per-trigger store open/commit cycles (see PipelineConfig scaladoc)
+      statePartitions = Some(8),
+      transform = df => {
+        val views = df.filter(col("operation") === "view")
+          .select(col("user_id").as("v_user"), col("event_id").as("view_event"),
+            col("cluster_time").as("view_time"))
+          .withWatermark("view_time", "0 seconds")
+        val buys = df.filter(col("operation") === "purchase")
+          .select(col("user_id").as("p_user"),
+            col("event_id").as("purchase_event"),
+            col("cluster_time").as("purchase_time"))
+          .withWatermark("purchase_time", "0 seconds")
+        views.join(buys, expr(
+          """v_user = p_user AND
+            |purchase_time >= view_time AND
+            |purchase_time < view_time + INTERVAL 30 MINUTES""".stripMargin),
+          "left_outer")
+          .select(col("v_user").as("user_id"), col("view_event"),
+            col("purchase_event"))
+      })
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s,
+        Some("user_id long, view_event long, purchase_event long"))
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("view_event"), col("purchase_event"))
+  }
+
+  register("stream_sessionize", Some(
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (SELECT *, SUM(brk) OVER
+      |  (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS UNBOUNDED PRECEDING) AS sid FROM d)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM i GROUP BY user_id, sid""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // Sessionization ON THE STREAM: the same session_window aggregation as
+    // the batch agg_session_windows entry (same gaps-and-islands oracle,
+    // timestamp for timestamp) run through the streaming runtime in append
+    // mode — sessions leave the state store exactly once, when the
+    // watermark passes their end. State is keyed (user, open session),
+    // spilled to RocksDB, so memory is bounded by concurrently-OPEN
+    // sessions, not total history — the shape that sessionizes an
+    // unbounded 100 TB feed. One sentinel (user_id = -1) two hours past
+    // the newest real event closes every real session; its own session
+    // end sits past the final watermark, so it stays in state unemitted.
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-session-$tag"
+    val src = s"$base/source"
+    if (stageStreamSource(s, dir, src)) {
+      val maxTs = Tables.events(s, dir)
+        .agg(max(col("ts")).cast("long")).head().getLong(0)
+      s.range(1).select(
+          lit("__sentinel__").as("operation"), lit(-1L).as("user_id"),
+          (lit(maxTs) + lit(7200L)).cast("timestamp").as("cluster_time"))
+        .write.mode("append")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").json(src)
+      markStaged(s, src)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-sess-$tag",
+      triggerInterval = None,
+      // keyed state at this feed volume is MBs: 8 fat state stores beat 32
+      // per-trigger store open/commit cycles (see PipelineConfig scaladoc)
+      statePartitions = Some(8),
+      transform = df => df
+        .withWatermark("cluster_time", "0 seconds")
+        .groupBy(col("user_id"),
+          session_window(col("cluster_time"), "10 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_value")))
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s, Some("user_id long, session_start timestamp, " +
+        "session_end timestamp, n_events long, sum_value double"))
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
+  register("stream_enrich_broadcast", Some(
+    """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_events,
+      |  count(DISTINCT e.user_id) AS n_users,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // STREAM-STATIC enrichment (§2.5 in its streaming trigger form): the
+    // third join mode the engine distinguishes — the dimension side is a
+    // plain batch DataFrame broadcast into every micro-batch, no state
+    // store at all (unlike stream-stream, nothing is buffered: the static
+    // side is re-resolvable per trigger, which is also what picks up
+    // slowly-changing dim reloads between triggers at production scale).
+    // Enriched rows land append-mode; the aggregation runs on the batch
+    // read-back, same as stream_pipeline_roundtrip. Oracle = the batch
+    // cdc_enrich_join SQL — streaming enrichment must match batch
+    // enrichment row for row.
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-enrich-$tag"
+    val src = sharedStreamSource(s, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val dim = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    val dest = new FileDestination(s"$base/out", graft.sources.OutFormat.Jsonl,
+      graft.sources.OutCompression.Gzip, graft.operators.KeyStrategy.Flat)
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-enr-$tag",
+      triggerInterval = None,
+      transform = df => graft.operators.Enrichment
+        .enrich(df, dim, col("user_id") === col("c_custkey"))
+        .select(col("c_mktsegment").as("mktsegment"), col("user_id"),
+          col("value")))
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    dest.readBack(s, Some("mktsegment string, user_id long, value double"))
+      .groupBy("mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+  }
+}

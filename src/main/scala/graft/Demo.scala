@@ -165,13 +165,22 @@ object Demo {
     graft.sources.BloomIndex.write(spark, lakeDir, Seq("event_id"),
       expectedItemsPerFile = 100000)
     graft.plans.GraftCatalog.describe(spark, lakeDir).collect().foreach { r =>
+      val why = Option(r.getString(6)).filter(_.nonEmpty)
+        .fold("")(d => s" ($d)")
       println(s"[demo] catalog: kind=${r.getString(1)} name=${r.getString(2)}" +
-        s" ${r.getString(3)} v=${r.getLong(4)} refusals=${r.getLong(5)}")
+        s" ${r.getString(3)} v=${r.getLong(4)} refusals=${r.getLong(5)}$why")
     }
 
     // --- 7. manifest-served aggregates: the feed profile without
-    //        touching a single data file (MetaAgg over the zone map) -----
-    graft.sources.ZoneMap.write(spark, lakeDir, Seq("event_id"))
+    //        touching a single data file (MetaAgg over the zone map,
+    //        plus the per-file sketch tier for the approx questions) ----
+    graft.sources.ZoneMap.write(spark, lakeDir, Seq("event_id"),
+      sketchCols = Seq("event_id"))
+    val approx = graft.sources.ZoneMap.metaApproxProfile(spark, lakeDir,
+      Seq("event_id"), Seq(0.5)).collect().head
+    println(s"[demo] manifest sketch tier: n=${approx.getAs[Long]("n_rows")} " +
+      s"p50(event_id)=${approx.getAs[Double]("event_id_p50")} " +
+      s"approx_distinct=${approx.getAs[Long]("event_id_approx_distinct")}")
     graft.plans.BloomJoins.clear()
     graft.plans.GraftCatalog.clearCache() // a fresh session's state
     graft.plans.MetaAgg.install(spark)

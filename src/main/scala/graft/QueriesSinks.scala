@@ -1146,6 +1146,66 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
     }
   }
 
+  register("agg_meta_join_dim_grouped", Some(
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+      |  count(*) AS n_events, min(value) AS v_min
+      |FROM events e JOIN (
+      |  SELECT DISTINCT event_type FROM events
+      |  WHERE event_type IN ('purchase', 'signup')) d
+      |ON e.event_type = d.event_type
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // The grouped dim-join composition — every manifest-tier leg at once:
+    // the fact layout is clustered by (event_type, ts), so files are
+    // key-homogeneous AND week-homogeneous; the rewrite joins their
+    // manifest rows against the dim, groups them by the KEY-DERIVED
+    // date_trunc('week', ts) evaluated over each file's zone, and scans
+    // only the files straddling a type or week boundary (replaying the
+    // original join there). REQUIREs the dim-join rewrite fired AND fewer
+    // fact files than the layout holds. At 100 TB this is the
+    // per-week-per-dimension dashboard costed by cluster boundaries.
+    val path =
+      s"$sinkRoot/agg_meta_join_dim_grp-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.events(s, dir)
+      .repartitionByRange(16, col("event_type"), col("ts"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path,
+      Seq("event_type", "ts", "value"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.servedJoin.get()
+      val dim = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "signup"))
+        .select(col("event_type").as("d_type")).distinct()
+      val f = s.read.parquet(path)
+      val q = f.join(dim, f("event_type") === dim("d_type"))
+        .groupBy(to_date(date_trunc("week", col("ts"))).as("wk"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("v_min"))
+      val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+      val dataFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fr: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if fr.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_join_dim_grp") &&
+                    !p.toString.contains("_zonemap")) =>
+              fr.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.servedJoin.get() > fired0 &&
+          dataFiles < totalFiles,
+        s"agg_meta_join_dim_grouped: expected grouped dim-join serving " +
+          s"($dataFiles of $totalFiles)")
+      q.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
   register("agg_meta_join_dim", Some(
     """SELECT count(*) AS n_events, count(user_id) AS users_cnt,
       |  min(value) AS v_min, max(value) AS v_max

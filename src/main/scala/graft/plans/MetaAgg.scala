@@ -229,8 +229,9 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
               gexprs.forall(_.isInstanceOf[AttributeReference]) =>
           tryServe(gexprs.map(_.asInstanceOf[AttributeReference]),
             aggExprs, child)
-            .orElse(if (gexprs.isEmpty) tryServeJoin(aggExprs, child)
-                    else None)
+            .orElse(tryServeJoin(
+              gexprs.map(_.asInstanceOf[AttributeReference]),
+              aggExprs, child))
             .getOrElse(agg)
       } finally inRule.set(false)
     }
@@ -451,31 +452,47 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     * the star-schema summary rewrite: inner equi-join, fact-side
     * aggregates only, so each served file contributes n_rows (count),
     * n_rows − nulls (count(c)), min/max, and the per-file sum, once per
-    * dim match. Mixed files, boundary files and appended files scan raw
-    * and replay the original join; files ALL-NULL in `k` join nothing
-    * (null never equals) and are excluded from both legs. Scope is
-    * tight and everything else refuses: global aggregates (no GROUP
-    * BY), a single bare-attribute equality condition, a DETERMINISTIC
-    * dim sub-plan (it executes in both legs), no distinct aggregates,
-    * no filters remaining above the join. */
-  private def tryServeJoin(aggExprs: Seq[NamedExpression],
+    * dim match. GROUP BY composes when the groupings are fact-side zone
+    * columns (or key-derived expressions of one): a served file must
+    * then be homogeneous in the join key AND every grouping, and its
+    * group values are computed from the manifest row before the join.
+    * Mixed files, boundary files and appended files scan raw and replay
+    * the original join; files ALL-NULL in `k` join nothing (null never
+    * equals) and are excluded from both legs. Scope is tight and
+    * everything else refuses: a single bare-attribute equality
+    * condition, a DETERMINISTIC dim sub-plan (it executes in both legs),
+    * fact-side groupings only, no distinct aggregates, no filters
+    * remaining above the join. */
+  private def tryServeJoin(gexprs: Seq[AttributeReference],
+                           aggExprs: Seq[NamedExpression],
                            child: LogicalPlan): Option[LogicalPlan] = {
-    // strip attr/rename Projects between the Aggregate and the Join,
-    // composing the rename map exactly as [[unwrap]] does
+    // strip Projects between the Aggregate and the Join, composing the
+    // rename map exactly as [[unwrap]] does and collecting GENERAL alias
+    // definitions (the analyzer's extracted grouping expressions live in
+    // a Project directly above the join)
     var cur = child
     var osub = Map.empty[ExprId, AttributeReference]
+    var odefs = Map.empty[Long, Expression]
     var done = false
     while (!done) {
       cur match {
         case Project(exprs, pchild) if exprs.forall {
               case _: AttributeReference => true
-              case Alias(_: AttributeReference, _) => true
+              case _: Alias => true
               case _ => false
             } =>
           val m: Map[ExprId, AttributeReference] = exprs.collect {
             case a: AttributeReference => a.exprId -> a
             case al @ Alias(a: AttributeReference, _) => al.exprId -> a
           }.toMap
+          def renamed(e: Expression): Expression = e.transform {
+            case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
+          }
+          odefs = odefs.map { case (k, e) => k -> renamed(e) } ++
+            exprs.collect {
+              case al @ Alias(d, _) if !d.isInstanceOf[AttributeReference] =>
+                al.exprId.id -> d
+            }
           osub = osub.map { case (k, v) =>
             k -> m.getOrElse(v.exprId, v)
           } ++ m
@@ -486,10 +503,8 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     cur match {
       case Join(l, r, Inner, Some(EqualTo(x: AttributeReference,
           y: AttributeReference)), _) =>
-        val sides = Seq((l, r), (r, l))
-        val keys = Seq((x, y), (y, x))
-        sides.zip(keys).collectFirst(Function.unlift {
-          case ((factPlan, dimPlan), _) =>
+        Seq((l, r), (r, l)).collectFirst(Function.unlift {
+          case (factPlan, dimPlan) =>
             val fk = if (factPlan.outputSet.contains(x)) Some(x)
               else if (factPlan.outputSet.contains(y)) Some(y) else None
             val dk = fk.flatMap(f =>
@@ -497,7 +512,8 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
                 .filter(dimPlan.outputSet.contains))
             (fk, dk) match {
               case (Some(f), Some(d)) =>
-                attemptJoinServe(aggExprs, osub, factPlan, dimPlan, f, d)
+                attemptJoinServe(gexprs, aggExprs, osub, odefs,
+                  factPlan, dimPlan, f, d)
               case _ => None
             }
         })
@@ -505,8 +521,10 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     }
   }
 
-  private def attemptJoinServe(aggExprs: Seq[NamedExpression],
+  private def attemptJoinServe(gexprs: Seq[AttributeReference],
+                               aggExprs: Seq[NamedExpression],
                                osub: Map[ExprId, AttributeReference],
+                               odefs: Map[Long, Expression],
                                factPlan: LogicalPlan, dimPlan: LogicalPlan,
                                fk: AttributeReference,
                                dk: AttributeReference): Option[LogicalPlan] =
@@ -522,14 +540,24 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       // the dim executes inside BOTH legs of the rewritten plan — a
       // non-deterministic dim would diverge between them
       if dimPlan.find(p => p.expressions.exists(!_.deterministic)).isEmpty
-      // aggExprs resolve through the above-join renames THEN the
-      // fact-side ones (composed single-step map)
+      // aggExprs and groupings resolve through the above-join renames
+      // THEN the fact-side ones (composed single-step map)
       fullSub = osub.map { case (kk, v) =>
         kk -> sub.getOrElse(v.exprId, v) } ++ sub
-      specs <- parseSpecs(aggExprs, Nil, fullSub, rel, zcols, Nil)
+      // above-join grouping definitions: rewrite their references down
+      // to fact-side attributes (a def referencing a DIM column then
+      // fails zone resolution and refuses in resolveGroups)
+      defs = odefs.map { case (kk, e) =>
+        kk -> e.transform {
+          case a: AttributeReference if fullSub.contains(a.exprId) =>
+            fullSub(a.exprId)
+        }
+      }
+      groupCols <- resolveGroups(gexprs, fullSub, defs, rel, zcols)
+      specs <- parseSpecs(aggExprs, gexprs, fullSub, rel, zcols, groupCols)
       if !specs.exists(_.isInstanceOf[DistinctCount])
       ranges <- parseConds(conds, zcols, sub, rel)
-      plan <- serve(aggExprs, specs, Nil, conds, ranges, rel, root,
+      plan <- serve(aggExprs, specs, groupCols, conds, ranges, rel, root,
         Some(JoinDim(dimPlan, dk, k, kRel)))
     } yield plan
 
@@ -809,8 +837,8 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     val distinctMode = specs.forall(sp =>
       sp.isInstanceOf[GroupKey] || sp.isInstanceOf[DistinctCount])
     if (dcCol.isDefined && !distinctMode) return None
-    if (joinDim.isDefined && (distinctMode || groupCols.nonEmpty))
-      return None // dim-join mode serves global plain aggregates only
+    if (joinDim.isDefined && distinctMode)
+      return None // dim-join mode serves plain aggregates, never distincts
     val legsCols: Seq[MetaAgg.Grouping] = groupCols ++
       dcCol.map(MetaAgg.Grouping(_, None, monotone = true))
 
@@ -941,14 +969,16 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     // grouping: its min — or NULL for an all-null zone)
     def aliasN(i: Int) = s"a$i"
     def gAlias(j: Int) = s"g$j"
-    val gVals: Seq[Column] = legsCols.zipWithIndex.map { case (g, j) =>
+    val gValsRaw: Seq[Column] = legsCols.map { g =>
       // the file's single base value: NULL for an all-null zone, else the
       // zone min (== every value under strict homogeneity; under the
       // monotone test any representative gives the same f-value)
       val v = when(col(s"${g.base}_nulls") === col("n_rows"), lit(null))
         .otherwise(col(s"${g.base}_min"))
-      g.f.fold(v)(f => fOver(f, v)).as(gAlias(j))
+      g.f.fold(v)(f => fOver(f, v))
     }
+    val gVals: Seq[Column] = gValsRaw.zipWithIndex.map { case (c, j) =>
+      c.as(gAlias(j)) }
     val mAggs: Seq[Column] = specs.zipWithIndex.collect {
       case (CountStar, i) => sum(col("n_rows")).as(aliasN(i))
       case (CountCol(c), i) =>
@@ -972,15 +1002,18 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         // join the SERVED manifest rows against the dim on the zone's
         // single key value: each dim match stands for the whole file, so
         // multiplicity replicates manifest rows exactly as the original
-        // join replicates fact rows. Stat columns are renamed onto a
-        // reserved prefix first — the dim may carry any column names.
+        // join replicates fact rows. Statistic and group-value columns
+        // are computed onto a reserved prefix BEFORE the join — the dim
+        // may carry any column names.
         val statCols: Seq[String] = ("n_rows" +: specs.collect {
           case CountCol(c) => Seq(s"${c}_nulls")
           case MinCol(c) => Seq(s"${c}_min")
           case MaxCol(c) => Seq(s"${c}_max")
           case SumCol(c, _) => Seq(s"${c}_sum")
         }.flatten) :+ s"${jd.factKeyCol}_min"
-        val mPre = mBase.select(statCols.distinct.map(c =>
+        val gPre: Seq[Column] = gValsRaw.zipWithIndex.map { case (c, j) =>
+          c.as(s"__zm_g$j") }
+        val mPre = mBase.select(gPre ++ statCols.distinct.map(c =>
           col(c).as(s"__zm_$c")): _*)
         val dimDF = GraftBridge.ofRows(spark, jd.dimPlan)
         val joined = mPre.join(dimDF,
@@ -994,7 +1027,10 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
           case (MaxCol(c), i) => max(col(s"__zm_${c}_max")).as(aliasN(i))
           case (SumCol(c, _), i) => sum(col(s"__zm_${c}_sum")).as(aliasN(i))
         }
-        joined.agg(jAggs.head, jAggs.tail: _*)
+        if (groupCols.isEmpty) joined.agg(jAggs.head, jAggs.tail: _*)
+        else joined.groupBy(groupCols.indices.map(j =>
+            col(s"__zm_g$j").as(gAlias(j))): _*)
+          .agg(jAggs.head, jAggs.tail: _*)
       case None =>
         if (distinctMode) distinctOf(mBase.select(gVals: _*))
         else if (groupCols.isEmpty) mBase.agg(mAggs.head, mAggs.tail: _*)
@@ -1033,8 +1069,10 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
           case (MaxCol(c), i) => max(relC(c)).as(aliasN(i))
           case (SumCol(c, _), i) => sum(relC(c)).as(aliasN(i))
         }
+        // groupings reference fact columns by ATTRIBUTE too (under a
+        // join, the dim could shadow a bare grouping's name)
         val pGroups = legsCols.zipWithIndex.map { case (g, j) =>
-          g.f.fold(col(g.base))(f => GraftBridge.column(f)).as(gAlias(j))
+          g.f.fold(relC(g.base))(f => GraftBridge.column(f)).as(gAlias(j))
         }
         val pleg =
           if (distinctMode) distinctOf(pdf.select(pGroups: _*))

@@ -616,6 +616,50 @@ class MetaAggSpec extends SparkSpec
     assert(withoutRule(q2().collect().head.getLong(0)) === 25L)
   }
 
+  test("dim-join serving composes with GROUP BY on fact zone columns — " +
+      "bare and key-derived alike") {
+    val dim = Seq((0L, "x"), (1L, "y"), (3L, "z")).toDF("bk", "tag")
+    // b2 (k/50) is file-homogeneous like b: grouped dim-join serves all
+    // four files from the manifest
+    val f = fact
+    def q() = f.join(dim, f("b") === dim("bk"))
+      .groupBy(col("b2"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val before = MetaAgg.servedJoin.get()
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && MetaAgg.servedJoin.get() === before + 1)
+    assert(dataFiles(df) === 0L,
+      "grouped dim-join over homogeneous files must be manifest-only\n" +
+        df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    // dim keys {0,1,3}: b2=0 gets files b=0 and b=1 (50 rows), b2=1 gets
+    // only file b=3 (25 rows; b=2 has no dim match)
+    assert(got === Seq(
+      (0L, 50L, (0 until 50).map(_.toLong).sum),
+      (1L, 25L, (75 until 100).map(_.toLong).sum)))
+    assert(withoutRule(q().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)) === got)
+    // a KEY-DERIVED grouping over the join rides the same legs
+    val f2 = fact
+    def q2() = f2.join(dim, f2("b") === dim("bk"))
+      .groupBy((col("b2") * 10L).as("g"))
+      .agg(count(lit(1)).as("c"))
+    val (df2, fired2) = servedBy(q2())
+    assert(fired2 === 1L && dataFiles(df2) === 0L)
+    val got2 = df2.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    assert(got2 === Seq((0L, 50L), (10L, 25L)))
+    assert(withoutRule(q2().collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)) === got2)
+    // grouping on a DIM column refuses — only fact-side groupings serve
+    val f3 = fact
+    val (_, fired3) = servedBy(
+      f3.join(dim, f3("b") === dim("bk"))
+        .groupBy(dim("tag")).agg(count(lit(1)).as("c")))
+    assert(fired3 === 0L)
+  }
+
   test("dim-join refusals: non-homogeneous key stands aside for the " +
       "pruning tier; dim-side aggregate, outer join, non-deterministic " +
       "dim all refuse") {

@@ -133,7 +133,20 @@ object GraftCatalog {
     * entries. Entries are per-identity upserts, so every retry is
     * monotone; exhausting the retries refuses loudly (pruning lost,
     * never correctness). `merge = false` skips verification — overwrite
-    * IS last-writer-wins by contract. */
+    * IS last-writer-wins by contract.
+    *
+    * OVERWRITE vs CONCURRENT MERGERS: the verify-retry cannot distinguish
+    * a lost race from an INTENTIONAL drop — a `merge = false` overwrite
+    * (the unregister path) landing between a merger's rename and its
+    * verify read looks to that merger exactly like a racing merge, and
+    * its retry re-merges from the overwritten state, resurrecting the
+    * deliberately-dropped entries. Unregistering therefore requires
+    * QUIESCING concurrent merge-writers of the same root first (the same
+    * single-maintenance-process discipline every manifest rebuild here
+    * already assumes); under that discipline the overwrite is the last
+    * write and sticks. The failure mode when violated is stale
+    * registrations (pruning attempted against a deleted manifest refuses
+    * loudly at probe time) — never wrong answers. */
   def save(spark: SparkSession, root: String, merge: Boolean = true): Unit =
     // IN-PROCESS writers serialize per root: two threads saving the same
     // root compose deterministically (no retry needed). The verify-retry
@@ -241,14 +254,25 @@ object GraftCatalog {
       }
     }
     // per-write temp name: concurrent writers must not truncate each
-    // other's in-flight temp (the rename below is the only shared step)
+    // other's in-flight temp (the rename below is the only shared step).
+    // Unique names LEAK on failure where the old fixed name self-overwrote,
+    // so any incomplete attempt deletes its own temp on the way out.
     val tmp = new Path(rootPath,
       s".$FileName.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(doc))
-    out.close()
-    renameOverwrite(spark, fs, tmp, target)
+    var renamed = false
+    try {
+      val out = fs.create(tmp, true)
+      try out.write(mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsBytes(doc))
+      finally out.close()
+      renameOverwrite(spark, fs, tmp, target)
+      renamed = true
+    } finally {
+      if (!renamed) {
+        try fs.delete(tmp, false)
+        catch { case _: Exception => () } // best effort; original error wins
+      }
+    }
     testAfterRename() // spec-only hook: simulates a cross-process racer
     // this session has by definition "attempted" the root — and found it
     attempted.put(norm(root), java.lang.Long.MAX_VALUE)
@@ -460,6 +484,34 @@ object GraftCatalog {
     attempted.remove(norm(root))
   }
 
+  /** The zone manifest's sketch columns (KLL list, HLL list) for `root`,
+    * or None when the root has no zone layouts or no sketch tier —
+    * [[describe]]'s "sketch" row. Version-cached through the shared probe
+    * cache; a read failure refuses (the row is absent, never a crash). */
+  private def sketchColsFor(spark: SparkSession,
+                            root: String): Option[(Seq[String], Seq[String])] = {
+    val r = norm(root)
+    if (BloomJoins.zoneLayoutsFor(root).isEmpty) return None
+    val ver = graft.sources.Manifests.manifestVersion(r, "_zonemap")
+    val tagged = BloomJoins.cachedProbe(("sketchcols", r, ver)) {
+      try {
+        val fields =
+          spark.read.parquet(s"$r/_zonemap").schema.fieldNames.toSeq
+        BloomJoins.Probed(
+          fields.filter(_.endsWith("_kll"))
+            .map(f => "kll:" + f.stripSuffix("_kll")).sorted ++
+            fields.filter(_.endsWith("_hll"))
+              .map(f => "hll:" + f.stripSuffix("_hll")).sorted)
+      } catch { case e: Exception =>
+        BloomJoins.refused(r, "self-describe", e)
+        BloomJoins.RefusedTransient
+      }
+    }.getOrElse(Nil)
+    if (tagged.isEmpty) None
+    else Some((tagged.collect { case s if s.startsWith("kll:") => s.drop(4) },
+      tagged.collect { case s if s.startsWith("hll:") => s.drop(4) }))
+  }
+
   /** The lake's self-documentation, read back from the artifacts: one row
     * per discovered layout/view at `root` — kind, column-or-state-path,
     * settings, the in-process manifest version, and the refusal count the
@@ -493,6 +545,18 @@ object GraftCatalog {
       BloomJoins.zoneLayoutsFor(root).map(z => (r, "zone", z.col, "",
         graft.sources.Manifests.manifestVersion(z.factPath, "_zonemap"),
         refusals, detailFor(r))) ++
+      // the SKETCH tier: which columns carry mergeable KLL/HLL blobs —
+      // the "can I approx-profile this lake from metadata alone" row.
+      // Read from the manifest schema, cached per manifest version (one
+      // footer round-trip per rewrite, not per describe).
+      sketchColsFor(spark, root).toSeq.map { case (klls, hlls) =>
+        val detail =
+          (if (klls.isEmpty) Nil else Seq(s"kll=${klls.mkString("+")}")) ++
+            (if (hlls.isEmpty) Nil else Seq(s"hll=${hlls.mkString("+")}"))
+        (r, "sketch", r, detail.mkString(";"),
+          graft.sources.Manifests.manifestVersion(r, "_zonemap"),
+          refusals, detailFor(r))
+      } ++
       artifactsFor(root).map { a =>
         (r, "artifact:" + a.kind, r,
           a.params.toSeq.sortBy(_._1)

@@ -197,15 +197,21 @@ object ZoneMap {
     * columns (reading a file set directly sees no Hive partition values —
     * partition columns already have partition pruning). */
   def update(spark: SparkSession, path: String,
-             cols: Seq[String]): UpdateDelta = {
+             cols: Seq[String],
+             sketchCols: Seq[String] = Nil): UpdateDelta = {
     val (fs, root) = fsFor(spark, path)
     val rootAbs = root.toUri.getPath
-    // an existing SKETCH tier is preserved across maintenance ticks even
-    // by callers that never configured it (streaming sinks pass only the
-    // zone columns): the manifest schema is the source of truth
-    val sketchCols =
-      if (manifestExists(spark, path)) manifestSketchCols(spark, path)
-      else Nil
+    // the effective sketch tier is the UNION of what the caller asks for
+    // and what the manifest already carries: an existing tier is
+    // preserved across maintenance ticks even by callers that never
+    // configured it (the manifest schema is the source of truth), and a
+    // caller ADDING sketch columns to a pre-sketch manifest triggers the
+    // schema-drift rebuild below exactly once, after which every
+    // incremental tick writes the blobs alongside the zones
+    val effSketch =
+      (sketchCols ++
+        (if (manifestExists(spark, path)) manifestSketchCols(spark, path)
+         else Nil)).distinct.sorted
     // SCHEMA-DRIFT guard: a manifest written before a stats-schema change
     // (e.g. the per-file `<c>_sum` columns) cannot be extended
     // incrementally — a union would throw on the reap path and a plain
@@ -213,30 +219,42 @@ object ZoneMap {
     // drops the old files' sums. Rebuild the whole manifest once instead
     // (one distributed pass, the build cost) and return it as all-added.
     if (manifestExists(spark, path) &&
-        !schemaMatches(spark, path, cols, sketchCols)) {
+        !schemaMatches(spark, path, cols, effSketch)) {
       write(spark, path, cols, updateCatalog = false,
-        sketchCols = sketchCols)
+        sketchCols = effSketch)
       val n = Manifests.listDataFiles(fs, root).length.toLong
       return UpdateDelta(n, 0L)
     }
     val (added, reaped) = Manifests.incrementalUpdate(spark, path, "_zonemap",
       fresh => statsFor(
         spark.read.parquet(fresh.map(_.toString): _*), cols, rootAbs,
-        sketchCols))
+        effSketch))
     UpdateDelta(added, reaped)
   }
 
-  /** [[schemaMatches]] verdicts, cached per (root, manifest version, cols):
-    * the check costs two footer/listing round-trips (data-layout schema
-    * sample + manifest schema) and its inputs can only change when the
-    * manifest is rewritten — which bumps the version. Without the cache
-    * every maintenance tick of a streaming sink re-pays the round-trips
-    * on an object store. A MISMATCH verdict is never cached: it triggers
-    * a rebuild (which bumps the version) and must be re-evaluated if the
-    * rebuild failed. */
+  /** [[schemaMatches]] verdicts, cached per (root, manifest version,
+    * ON-DISK FINGERPRINT, cols). The in-process version alone is not a
+    * safe key: an OUT-OF-PROCESS manifest rewrite with a different stats
+    * schema never bumps this process's version, and a stale TRUE verdict
+    * would let [[update]] incrementally union mismatched schemas — the
+    * exact failure the check exists to prevent. The fingerprint is the
+    * sorted `_zonemap` part-file listing (parquet part files are
+    * immutable-by-name, so any rewrite mints fresh names), costing one
+    * listing RPC per maintenance tick — still cheaper than the two
+    * footer/schema round-trips the verdict replaces. A MISMATCH verdict
+    * is never cached: it triggers a rebuild (new fingerprint) and must
+    * be re-evaluated if the rebuild failed. */
   private val schemaVerdict =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Seq[String]),
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Seq[String]),
       java.lang.Boolean]()
+
+  /** Hash of the sorted `_zonemap` part-file listing — the cheap on-disk
+    * identity that changes whenever ANY process rewrites the manifest. */
+  private def manifestFingerprint(spark: SparkSession, path: String): Int =
+    try {
+      val (mfs, mp) = Manifests.fsFor(spark, s"$path/_zonemap")
+      Manifests.listDataFiles(mfs, mp).map(_.toString).sorted.hashCode()
+    } catch { case _: Exception => 0 }
 
   /** Does the on-disk manifest carry exactly the statistic columns
     * [[statsFor]] would emit today for `cols` over this layout? */
@@ -245,6 +263,7 @@ object ZoneMap {
                             sketchCols: Seq[String] = Nil): Boolean = {
     val key = (Manifests.fsFor(spark, path)._2.toUri.getPath,
       Manifests.manifestVersion(path, "_zonemap"),
+      manifestFingerprint(spark, path),
       cols.sorted ++ ("|" +: sketchCols.sorted))
     Option(schemaVerdict.get(key)) match {
       case Some(v) => v.booleanValue()
@@ -479,6 +498,118 @@ object ZoneMap {
          else Nil)
     } :+ sum(col("n_rows")).as("n_rows")
     val merged = m.agg(merges.head, merges.tail: _*)
+    val outs: Seq[Column] = col("n_rows") +: cols.flatMap { c =>
+      (if (fields.contains(s"${c}_kll"))
+         quantiles.map(q =>
+           expr(s"kll_sketch_get_quantile_double(`${c}_mk`, $q)")
+             .as(s"${c}_p${pct(q)}"))
+       else Nil) ++
+        (if (fields.contains(s"${c}_hll"))
+           Seq(round(expr(s"hll_sketch_estimate(`${c}_mh`)")).cast("long")
+             .as(s"${c}_approx_distinct"))
+         else Nil)
+    }
+    merged.select(outs: _*)
+  }
+
+  /** [[metaApproxProfile]] under a SEMI-JOIN: approximate quantiles and
+    * distinct counts of the fact rows whose `factKey` matches a key in
+    * `dim` — "p99 of value and distinct users, for the dim-selected
+    * keys" — answered from the manifest's sketch tier wherever the
+    * layout's clustering allows. A file HOMOGENEOUS in `factKey` (one
+    * key throughout, zero nulls) either matches the dim entirely or not
+    * at all, so its per-file blobs ARE the sketches of its matching
+    * rows and merge in directly; mixed files scan raw with their
+    * matching rows re-sketched at the same FIXED parameters (mergeable
+    * with the manifest blobs by construction), and files all-NULL in
+    * the key match nothing (null never equals). Semantics are the SEMI
+    * join — each fact row counted once however many dim rows match, the
+    * natural reading of "rows matching this dim" (an INNER-join profile
+    * would weight rows by dim multiplicity, which a quantile/distinct
+    * question never wants). `n_rows` is exact; quantile/distinct error
+    * contracts as [[metaApproxProfile]]. The dim evaluates once per
+    * leg — pass a small, deterministic key set. At 100 TB over a
+    * key-clustered layout the cost is a files-sized manifest job plus
+    * the key-boundary files, never a fact scan. */
+  def metaApproxProfileSemiJoin(spark: SparkSession, path: String,
+                                factKey: String,
+                                dim: DataFrame, dimKey: String,
+                                cols: Seq[String],
+                                quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+      : DataFrame = {
+    require(quantiles.forall(q => q > 0 && q <= 1), s"bad quantiles: $quantiles")
+    val m = spark.read.parquet(s"$path/_zonemap")
+    val fields = m.schema.fieldNames.toSet
+    require(Seq("_min", "_max", "_nulls").forall(sfx =>
+        fields.contains(s"$factKey$sfx")),
+      s"fact key '$factKey' is not zone-indexed in this manifest")
+    require(cols.nonEmpty && cols.forall(c =>
+        fields.contains(s"${c}_kll") || fields.contains(s"${c}_hll")),
+      s"no sketch tier for ${cols.filterNot(c => fields.contains(s"${c}_kll") ||
+        fields.contains(s"${c}_hll")).mkString(",")} — " +
+        s"rebuild the manifest with sketchCols")
+    val keys = dim.select(col(dimKey).as("__graft_dim_key")).distinct()
+    val homog = col(s"${factKey}_nulls") === 0L &&
+      col(s"${factKey}_min") === col(s"${factKey}_max")
+    // leg 1 — served: key-homogeneous files whose single key matches the
+    // dim contribute their manifest blobs as whole files
+    val served = m.filter(homog)
+      .join(keys, col(s"${factKey}_min") === col("__graft_dim_key"),
+        "left_semi")
+    val servedBlobs = {
+      val aggs: Seq[Column] =
+        coalesce(sum(col("n_rows")), lit(0L)).as("__n") +:
+          cols.flatMap { c =>
+            (if (fields.contains(s"${c}_kll"))
+               Seq(expr(s"kll_merge_agg_double(`${c}_kll`)").as(s"${c}_b_kll"))
+             else Nil) ++
+              (if (fields.contains(s"${c}_hll"))
+                 Seq(expr(s"hll_union_agg(`${c}_hll`, true)").as(s"${c}_b_hll"))
+               else Nil)
+          }
+      served.agg(aggs.head, aggs.tail: _*)
+    }
+    // leg 2 — boundary: key-mixed files scan raw, their matching rows
+    // re-sketched at the SAME k/lgK so the blobs merge losslessly; files
+    // all-NULL in the key are excluded (they match nothing)
+    val boundary = m.filter(!(col(s"${factKey}_nulls") === 0L &&
+          col(s"${factKey}_min") === col(s"${factKey}_max")) &&
+        col(s"${factKey}_nulls") =!= col("n_rows"))
+      .select("part_dir", "file").sort("part_dir", "file").toLocalIterator()
+    val rawBlobs = Manifests.batchedRead(spark,
+        scala.jdk.CollectionConverters.IteratorHasAsScala(boundary)
+          .asScala.map(_.getString(1)),
+        basePath = Some(path))
+      .map { df =>
+        val rows = df.join(keys,
+          df.col(factKey) === col("__graft_dim_key"), "left_semi")
+        val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+          cols.flatMap { c =>
+            (if (fields.contains(s"${c}_kll"))
+               Seq(expr(s"kll_sketch_agg_double(CAST(`$c` AS DOUBLE), $KllK)")
+                 .as(s"${c}_b_kll"))
+             else Nil) ++
+              (if (fields.contains(s"${c}_hll"))
+                 Seq(expr(s"hll_sketch_agg(`$c`, $HllLgK)").as(s"${c}_b_hll"))
+               else Nil)
+          }
+        rows.agg(aggs.head, aggs.tail: _*)
+      }
+    val both = rawBlobs.fold(servedBlobs)(servedBlobs.unionByName(_))
+    val merges: Seq[Column] = sum(col("__n")).as("n_rows") +:
+      cols.flatMap { c =>
+        (if (fields.contains(s"${c}_kll"))
+           Seq(expr(s"kll_merge_agg_double(`${c}_b_kll`)").as(s"${c}_mk"))
+         else Nil) ++
+          (if (fields.contains(s"${c}_hll"))
+             Seq(expr(s"hll_union_agg(`${c}_b_hll`, true)").as(s"${c}_mh"))
+           else Nil)
+      }
+    val merged = both.agg(merges.head, merges.tail: _*)
+    def pct(q: Double): String = {
+      val v = q * 100
+      if (v == v.floor) f"${v.toInt}%d" else f"$v%.4f".replace('.', '_')
+    }
     val outs: Seq[Column] = col("n_rows") +: cols.flatMap { c =>
       (if (fields.contains(s"${c}_kll"))
          quantiles.map(q =>

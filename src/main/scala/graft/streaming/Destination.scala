@@ -71,6 +71,15 @@ final class FileDestination(
     strategy: KeyStrategy = KeyStrategy.CollectionBased,
     tsCol: String = "cluster_time",
     zoneMapCols: Seq[String] = Nil,
+    // sketch tier AT INGEST: per-file KLL (quantiles) + HLL (distincts)
+    // blobs written into the zone manifest as each batch lands, so a
+    // fresh session's ZoneMap.metaApproxProfile answers over the
+    // stream-ingested layout with zero offline rebuild. Blobs are
+    // mergeable at fixed parameters, and replay idempotence rides the
+    // same reap-and-reindex path as the zones: a rewritten batch dir's
+    // rows (blobs included) are reaped and rebuilt from the fresh files,
+    // leaving the tier exactly as a single clean run would.
+    sketchCols: Seq[String] = Nil,
     bloomIndexCols: Seq[String] = Nil,
     bloomExpectedItemsPerFile: Long = 1000000L,
     bloomFpp: Double = 0.01,
@@ -94,6 +103,10 @@ final class FileDestination(
   require((zoneMapCols.isEmpty && bloomIndexCols.isEmpty) ||
     format == OutFormat.Parquet,
     "index maintenance (zone map / bloom) needs the parquet format")
+  // the sketch blobs live in the zone manifest's rows — no zones, nowhere
+  // to put them
+  require(sketchCols.isEmpty || zoneMapCols.nonEmpty,
+    "sketchCols ride the zone manifest: set zoneMapCols too")
 
   @volatile private var closed = false
   @volatile private var catalogued = false
@@ -107,7 +120,8 @@ final class FileDestination(
       maxFilesPerKey = maxFilesPerKey, targetFileBytes = targetFileBytes,
       filesPerKeyHint = filesPerKeyHint)
     if (zoneMapCols.nonEmpty)
-      graft.sources.ZoneMap.update(df.sparkSession, outputDir, zoneMapCols)
+      graft.sources.ZoneMap.update(df.sparkSession, outputDir, zoneMapCols,
+        sketchCols = sketchCols)
     if (bloomIndexCols.nonEmpty)
       graft.sources.BloomIndex.update(df.sparkSession, outputDir,
         bloomIndexCols, bloomExpectedItemsPerFile, bloomFpp)

@@ -578,6 +578,29 @@ class GraftCatalogSpec extends SparkSpec
       s"view detail must carry the key columns: ${views.head.getString(3)}")
   }
 
+  test("describe() surfaces the SKETCH tier: which columns carry KLL/HLL " +
+    "blobs, read from the manifest schema") {
+    val sroot = s"$root/sketch-desc"
+    fs.delete(new org.apache.hadoop.fs.Path(sroot), true)
+    Seq((1L, 1.5, "a"), (2L, 2.5, "b")).toDF("id", "v", "s")
+      .write.parquet(sroot)
+    graft.sources.ZoneMap.write(spark, sroot, Seq("id", "v"),
+      sketchCols = Seq("id", "s"))
+    freshSession()
+    val d = GraftCatalog.describe(spark, sroot)
+    val srow = d.where(col("kind") === "sketch").collect()
+    assert(srow.length === 1,
+      "a sketch-carrying lake must self-document the tier")
+    // id is numeric (KLL + HLL); s is string (HLL only); v never sketched
+    assert(srow.head.getString(3) === "kll=id;hll=id+s",
+      s"sketch detail: ${srow.head.getString(3)}")
+    // a layout with zones but NO sketch tier carries no sketch row — the
+    // row answers "can I approx-profile this from metadata", so absence
+    // must mean no
+    val d0 = GraftCatalog.describe(spark, factPath)
+    assert(d0.where(col("kind") === "sketch").count() === 0L)
+  }
+
   test("artifacts round-trip the catalog and merge beside layout entries") {
     val aroot = s"$root/artifact-merge"
     fs.delete(new org.apache.hadoop.fs.Path(aroot), true)

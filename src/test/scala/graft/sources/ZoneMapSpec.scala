@@ -139,6 +139,80 @@ class ZoneMapSpec extends SparkSpec {
       "compacted layout must re-sketch exactly (same value set)")
   }
 
+  test("metaApproxProfileSemiJoin: served files answer from blobs, mixed " +
+      "files re-sketch their matching rows, all-null-key files drop — " +
+      "exact in the small regime") {
+    import spark.implicits._
+    val path = fresh("sketch-semijoin")
+    // g is the join key: files A/B/C homogeneous (g = 0/1/2), file D MIXED
+    // (g = 2 below k=88, else 3), file E all-NULL in g (matches nothing)
+    def write(rows: Seq[(Long, Option[Long])]): Unit =
+      rows.toDF("k", "g").coalesce(1).write.mode("append").parquet(path)
+    write((0 until 25).map(i => (i.toLong, Some(0L))))
+    write((25 until 50).map(i => (i.toLong, Some(1L))))
+    write((50 until 75).map(i => (i.toLong, Some(2L))))
+    write((75 until 100).map(i => (i.toLong, Some(if (i < 88) 2L else 3L))))
+    write((100 until 125).map(i => (i.toLong, None: Option[Long])))
+    ZoneMap.write(spark, path, Seq("k", "g"), updateCatalog = false,
+      sketchCols = Seq("k"))
+    val dim = Seq((0L, "a"), (2L, "b"), (2L, "b2")).toDF("gk", "tag")
+    def check(): Unit = {
+      val p = ZoneMap.metaApproxProfileSemiJoin(spark, path, "g",
+        dim, "gk", Seq("k"), Seq(0.5)).head()
+      val byName = p.schema.fieldNames.zipWithIndex.toMap
+      // matching rows: file A (k 0..24), file C (k 50..74), file D's g=2
+      // rows (k 75..87) — 63 rows, counted ONCE despite the duplicate
+      // dim key (semi semantics)
+      assert(p.getLong(byName("n_rows")) === 63L)
+      // 63 items ≤ k=200: true order statistic — ceil(.5·63) = 32nd of
+      // the sorted matches (0..24, 50..74, 75..87) = 56
+      assert(p.getDouble(byName("k_p50")) === 56.0)
+      assert(p.getLong(byName("k_approx_distinct")) === 63L)
+    }
+    check()
+    // only the MIXED file may be read: delete every other data file (the
+    // served files answer from their blobs, the non-matching and
+    // all-null-key files are never touched) — same answer
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mixedNames = spark.read.parquet(s"$path/_zonemap")
+      .filter(col("g_min") =!= col("g_max")).select("file")
+      .collect().map(r => Manifests.baseName(r.getString(0))).toSet
+    assert(mixedNames.size === 1)
+    Manifests.listDataFiles(fs, new org.apache.hadoop.fs.Path(path))
+      .filterNot(f => mixedNames.contains(f.getName))
+      .foreach(f => fs.delete(f, false))
+    check()
+  }
+
+  test("update(sketchCols=…) builds the sketch tier: fresh layouts get it " +
+      "incrementally, pre-sketch manifests rebuild once then tick") {
+    import spark.implicits._
+    val path = fresh("sketch-update")
+    (0 until 50).map(i => (i.toLong, i / 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    // 1. fresh layout, no manifest yet: update() with sketchCols builds
+    //    blobs from the first tick (the streaming-sink first batch)
+    val d0 = ZoneMap.update(spark, path, Seq("k"), sketchCols = Seq("k"))
+    assert(d0.added === 1L)
+    assert(ZoneMap.metaApproxProfile(spark, path, Seq("k"), Seq(0.5))
+      .head().getLong(0) === 50L)
+    // 2. later ticks keep the tier without re-passing sketchCols (the
+    //    manifest schema is the source of truth)
+    (50 until 75).map(i => (i.toLong, i / 2.0)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(path)
+    assert(ZoneMap.update(spark, path, Seq("k")).added === 1L)
+    assert(ZoneMap.metaApproxProfile(spark, path, Seq("k"), Seq(0.5))
+      .head().getLong(0) === 75L)
+    // 3. ADDING a sketch column to a pre-sketch manifest rebuilds once
+    //    (schema drift), after which the new tier answers too
+    val d2 = ZoneMap.update(spark, path, Seq("k"), sketchCols = Seq("k", "v"))
+    assert(d2.added === 2L && d2.reaped === 0L,
+      s"new sketch column must trigger the drift rebuild, got $d2")
+    val p = ZoneMap.metaApproxProfile(spark, path, Seq("v"), Seq(0.5)).head()
+    assert(p.getLong(0) === 75L)
+  }
+
   test("width_share separates clustered from random layouts") {
     val cPath = fresh("diag-clustered")
     val rPath = fresh("diag-random")

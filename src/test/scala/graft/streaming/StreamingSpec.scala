@@ -128,6 +128,65 @@ class StreamingSpec extends SparkSpec {
     assert(ZoneMap.update(spark, out, Seq("value")) === ZoneMap.UpdateDelta(0, 0))
   }
 
+  test("file destination maintains the SKETCH tier at ingest; a replayed " +
+      "batch re-sketches its files without ghosts") {
+    import graft.sources.ZoneMap
+    val (src, ckpt, out) = fresh("sketch-sink")
+    val n = stageSource(src, parts = 4)
+    val dest = new FileDestination(out, OutFormat.Parquet,
+      OutCompression.Snappy, KeyStrategy.CollectionBased,
+      zoneMapCols = Seq("value"), sketchCols = Seq("value", "user_id"))
+    val q = CdcPipeline.start(spark,
+      cfg(src, ckpt, "sketch-sink").copy(maxFilesPerTrigger = Some(2)),
+      dest)
+    q.awaitTermination(120000)
+    val env = CdcEnvelope.fromEvents(Tables.events(spark, sfTiny))
+    // a FRESH session's approx profile works with zero offline rebuild —
+    // gated against exact answers: n_rows exact, KLL rank within 2ε,
+    // HLL within 5%
+    def gate(): Unit = {
+      val prof = ZoneMap.metaApproxProfile(spark, out,
+        Seq("value", "user_id"), Seq(0.5)).head()
+      val mid = prof.getAs[Double]("value_p50")
+      val du = prof.getAs[Long]("user_id_approx_distinct")
+      val ex = env.agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("du"),
+        (count(when(col("value") <= mid, 1)) / count(col("value")))
+          .as("r")).head()
+      assert(prof.getAs[Long]("n_rows") === ex.getAs[Long]("n"))
+      assert(math.abs(ex.getAs[Double]("r") - 0.5) <= 0.033,
+        s"KLL rank contract violated at ingest: ${ex.getAs[Double]("r")}")
+      assert(math.abs(du - ex.getAs[Long]("du")).toDouble /
+          ex.getAs[Long]("du") <= 0.05,
+        s"HLL estimate off: $du vs ${ex.getAs[Long]("du")}")
+    }
+    gate()
+    val manifestRows =
+      spark.read.parquet(s"$out/_zonemap").count()
+    // REPLAY batch 0 under the same batchId (foreachBatch's at-least-once
+    // contract): the overwritten dir's fresh UUID files re-index WITH
+    // their blobs, the stale rows reap in the same tick — totals, blobs
+    // and file accounting identical to a single clean run
+    val batch0 = spark.read.parquet(f"$out/batch_id=${0L}%06d")
+    new FileDestination(out, OutFormat.Parquet, OutCompression.Snappy,
+      KeyStrategy.CollectionBased, zoneMapCols = Seq("value"),
+      sketchCols = Seq("value", "user_id"))
+      .writeBatch(batch0, 0L)
+    gate()
+    val manifest = spark.read.parquet(s"$out/_zonemap")
+    assert(manifest.count() === manifestRows, "reap must drop stale rows")
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) Nil
+        else if (f.isDirectory) dataFiles(f) else Seq(f)
+      }
+    val onDisk = dataFiles(new java.io.File(out)).map(_.getName).toSet
+    val indexed = manifest.select("file").collect()
+      .map(r => graft.sources.Manifests.baseName(r.getString(0))).toSet
+    assert(indexed === onDisk && onDisk.nonEmpty,
+      "no ghost manifest rows, no unindexed files after the replay")
+  }
+
   test("file destination maintains a bloom index as it writes; compaction composes; point reads exact") {
     import graft.sources.{BloomIndex, Compaction, OutFormat => OF, ZoneMap}
     val (src, ckpt, out) = fresh("bloom-sink")

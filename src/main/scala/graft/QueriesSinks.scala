@@ -1270,6 +1270,126 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
     }
   }
 
+  register("agg_meta_join_star", Some(
+    """SELECT count(*) AS n_events, count(user_id) AS users_cnt,
+      |  min(value) AS v_min, max(value) AS v_max
+      |FROM (SELECT *, substring(event_type, 1, 2) AS category FROM events) e
+      |JOIN (SELECT DISTINCT event_type FROM events
+      |      WHERE event_type IN ('purchase', 'signup', 'click')) d1
+      |ON e.event_type = d1.event_type
+      |JOIN (SELECT DISTINCT substring(event_type, 1, 2) AS cat FROM events
+      |      WHERE event_type IN ('purchase', 'click', 'error')) d2
+      |ON e.category = d2.cat""".stripMargin)) { (s, dir) =>
+    // MANIFEST-SERVED aggregates under a MULTI-DIM STAR — the round-14
+    // widening of the dim-join tier: the fact layout is clustered by
+    // event_type (and category, a prefix of it, rides the same
+    // clustering), so most files are homogeneous in BOTH join keys and
+    // their manifest rows join dim1 AND dim2 as whole files —
+    // multiplicities multiplying across dims exactly as the nested joins
+    // do; only type-boundary files scan raw and replay the original
+    // star. REQUIREs the dim-join rewrite fired AND fewer fact files than
+    // the layout holds were read. At 100 TB: the two-dimension dashboard
+    // costs the dims plus the boundary files, never a fact scan. Rows
+    // hash-matched against DuckDB replaying the same star on the raw
+    // tables.
+    val path =
+      s"$sinkRoot/agg_meta_join_star-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.events(s, dir)
+      .withColumn("category", substring(col("event_type"), 1, 2))
+      .repartitionByRange(8, col("event_type"), col("event_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path,
+      Seq("event_type", "category", "user_id", "value"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.servedJoin.get()
+      val d1 = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "signup", "click"))
+        .select(col("event_type").as("d_type")).distinct()
+      val d2 = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "click", "error"))
+        .select(substring(col("event_type"), 1, 2).as("cat")).distinct()
+      val f = s.read.parquet(path)
+      val q = f.join(d1, f("event_type") === d1("d_type"))
+        .join(d2, f("category") === d2("cat"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("user_id")).as("users_cnt"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"))
+      val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+      val dataFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fr: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if fr.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_join_star") &&
+                    !p.toString.contains("_zonemap")) =>
+              fr.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.servedJoin.get() > fired0 &&
+          dataFiles < totalFiles,
+        s"agg_meta_join_star: expected key-homogeneous files served under " +
+          s"the star ($dataFiles of $totalFiles)\n" +
+          q.queryExecution.optimizedPlan.toString)
+      q.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
+  register("agg_meta_grouped_part", Some(
+    """SELECT event_type, count(*) AS n_events, count(user_id) AS users_cnt,
+      |  min(value) AS v_min, max(value) AS v_max
+      |FROM events GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // GROUP BY a HIVE PARTITION COLUMN served from the manifest with NO
+    // zones on it: a directory-derived column is homogeneous per file by
+    // construction and `part_dir` is already a manifest column, so the
+    // per-partition dashboard reads ZERO data files (REQUIREd below) even
+    // though the zone tier only ever indexed user_id and value. At 100 TB
+    // this is "rows per tenant/day" costed as a files-sized manifest
+    // aggregate. Rows hash-matched against DuckDB grouping the raw table.
+    val path =
+      s"$sinkRoot/agg_meta_grouped_part-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.events(s, dir).repartition(2)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("user_id", "value"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.served.get()
+      val q = s.read.parquet(path).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("user_id")).as("users_cnt"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"))
+      val dataFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fr: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if fr.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_grouped_part") &&
+                    !p.toString.contains("_zonemap")) =>
+              fr.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.served.get() > fired0 && dataFiles == 0L,
+        s"agg_meta_grouped_part: expected partition-column groups served " +
+          s"from the manifest alone ($dataFiles files read)\n" +
+          q.queryExecution.optimizedPlan.toString)
+      q.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
   register("agg_meta_sketch_profile", None) { (s, dir) =>
     // The manifest's SKETCH tier: ZoneMap.write(sketchCols=…) records one
     // mergeable KLL (quantiles) + HLL (distincts) blob per file per
@@ -1313,6 +1433,57 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
       s"HLL estimate off: $du vs $exactDu")
     // the deliverable row: the manifest-served profile beside the exact
     // yardsticks it was gated against
+    import s.implicits._
+    Seq((n, p50, p99, du, exactDu))
+      .toDF("n_rows", "value_p50", "value_p99",
+        "approx_users", "exact_users")
+  }
+
+  register("agg_meta_sketch_semijoin", None) { (s, dir) =>
+    // The sketch tier UNDER A SEMI-JOIN (ZoneMap.metaApproxProfileSemiJoin):
+    // "p50/p99 of value and distinct users, for the dim-selected event
+    // types" answered by merging only the key-homogeneous matching files'
+    // KLL/HLL blobs and re-sketching the type-boundary files' matching
+    // rows — never a fact scan on a key-clustered layout. No DuckDB
+    // oracle (sketch estimates are engine-specific — same argument as
+    // agg_meta_sketch_profile); the REQUIREs gate the contracts against
+    // exact answers on the raw feed instead: n_rows exact, KLL rank
+    // error ≤ 2·1.65% per quantile, HLL relative error ≤ 5%.
+    // ZoneMapSpec pins the exact regime and the leg split.
+    val path =
+      s"$sinkRoot/agg_meta_sketch_semijoin-${dir.replaceAll("[^0-9.]", "")}"
+    val ev = Tables.events(s, dir)
+    ev.repartitionByRange(8, col("event_type"), col("event_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path,
+      Seq("event_type", "value", "user_id"),
+      updateCatalog = false, sketchCols = Seq("value", "user_id"))
+    val dim = ev.where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type").as("d_type")).distinct()
+    val prof = graft.sources.ZoneMap.metaApproxProfileSemiJoin(
+      s, path, "event_type", dim, "d_type",
+      Seq("value", "user_id"), Seq(0.5, 0.99)).head()
+    val n = prof.getAs[Long]("n_rows")
+    val p50 = prof.getAs[Double]("value_p50")
+    val p99 = prof.getAs[Double]("value_p99")
+    val du = prof.getAs[Long]("user_id_approx_distinct")
+    val matching = ev.where(col("event_type").isin("purchase", "click"))
+    val exact = matching.agg(count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("du"),
+      (count(when(col("value") <= p50, 1)) / count(col("value")))
+        .as("rank50"),
+      (count(when(col("value") <= p99, 1)) / count(col("value")))
+        .as("rank99")).head()
+    require(n == exact.getAs[Long]("n"),
+      s"semi-join n_rows must be exact: $n vs ${exact.getAs[Long]("n")}")
+    require(math.abs(exact.getAs[Double]("rank50") - 0.5) <= 0.033 &&
+        math.abs(exact.getAs[Double]("rank99") - 0.99) <= 0.033,
+      s"KLL rank contract violated under the semi-join: " +
+        s"rank(p50)=${exact.getAs[Double]("rank50")}, " +
+        s"rank(p99)=${exact.getAs[Double]("rank99")}")
+    val exactDu = exact.getAs[Long]("du")
+    require(math.abs(du - exactDu).toDouble / exactDu <= 0.05,
+      s"HLL estimate off under the semi-join: $du vs $exactDu")
     import s.implicits._
     Seq((n, p50, p99, du, exactDu))
       .toDF("n_rows", "value_p50", "value_p99",

@@ -97,20 +97,27 @@ import org.apache.spark.sql.types._
   * serves every interior file whose whole range falls in one month.
   * Periodic expressions (`month(ts)` across years) are deliberately NOT
   * whitelisted — `f(min) == f(max)` does not bound the values between —
-  * and serve only strictly-homogeneous files. The same homogeneity
+  * and serve only strictly-homogeneous files. HIVE PARTITION columns
+  * group with zero zone configuration: a directory-derived column is
+  * homogeneous per file by construction, so its per-file statistics
+  * synthesize from the manifest's `part_dir` (null/empty partition
+  * values form the SQL NULL group; percent-escaped values route to the
+  * raw-scan leg rather than risk a wrong decode). The same homogeneity
   * serves DISTINCT shapes — `SELECT DISTINCT g` and `count(DISTINCT c)`
   * (global or per group) — through legs of distinct VALUES; a distinct
-  * count never mixes with plain aggregates.
+  * count never mixes with plain aggregates. Inner equi-JOINS against
+  * dims serve too — single dims, multi-dim stars and composite keys —
+  * see [[RewriteToMetaAggregate.tryServeJoin]].
   *
   * Scope is otherwise tight; the rule REFUSES (leaves the plan
   * untouched, full scan, exact answers) unless every condition holds:
   * every aggregate one of count(*)/count(c)/min(c)/max(c)/sum(c)/
   * count(DISTINCT c) on a zone-indexed DATA column (no FILTER clause,
   * no TRY-mode sums), every grouping expression a bare zone-indexed
-  * attribute or a deterministic single-column expression of one, every
-  * WHERE conjunct a literal range / equality comparison on a
-  * zone-indexed column, single-root registered relation, manifest
-  * schema carrying the needed statistic columns.
+  * attribute / Hive partition column or a deterministic single-column
+  * expression of one, every WHERE conjunct a literal range / equality /
+  * IN comparison on a zone-indexed column, single-root registered
+  * relation, manifest schema carrying the needed statistic columns.
   * Probe failures refuse loudly through the
   * [[BloomJoins.RefusalMetric]] counter ("meta-agg" leg).
   *
@@ -321,6 +328,16 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
   private def sumableType(dt: DataType): Boolean =
     graft.sources.ZoneMap.sumable(dt)
 
+  /** The relation's Hive partition columns — per-file homogeneous by
+    * construction, servable as GROUPINGS without zones ([[serve]]'s
+    * `withPartStats` synthesizes their statistics from `part_dir`). */
+  private def partitionColsOf(rel: LogicalRelation): Set[String] =
+    rel.relation match {
+      case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        hfs.partitionSchema.fieldNames.toSet
+      case _ => Set.empty
+    }
+
   /** Parse every WHERE conjunct as a literal comparison on a zone column;
     * ALL conjuncts must parse or the whole rule refuses (one undecidable
     * conjunct means no file can be certified fully covered). NULL-literal
@@ -419,7 +436,10 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       zls = BloomJoins.zoneLayoutsFor(root)
       if zls.nonEmpty
       zcols = zls.map(_.col).toSet
-      groupCols <- resolveGroups(gexprs, sub, defs, rel, zcols)
+      // groupings may also be Hive partition-derived columns — per-file
+      // homogeneous by construction; [[serve]] synthesizes their stats
+      groupCols <- resolveGroups(gexprs, sub, defs, rel,
+        zcols ++ partitionColsOf(rel))
       specs <- parseSpecs(aggExprs, gexprs, sub, rel, zcols, groupCols)
       // shape validation: a DISTINCT COUNT never mixes with other
       // aggregates (Spark plans that mix through Expand — a different
@@ -432,47 +452,34 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       plan <- serve(aggExprs, specs, groupCols, conds, ranges, rel, root)
     } yield plan
 
-  /** A fact-side layout joined to a dim, aggregated globally — resolved
-    * by [[tryServeJoin]] and threaded through [[serve]]'s legs: the
-    * manifest leg joins rows homogeneous in `factKeyCol` against the dim
-    * on the zone's single value, the partial leg replays the ORIGINAL
-    * join under the rebuilt fact scan. */
-  private final case class JoinDim(dimPlan: LogicalPlan,
-                                   dimKey: AttributeReference,
-                                   factKeyCol: String,
-                                   factKeyRel: AttributeReference)
+  /** One dim of a star, resolved to the fact relation — threaded through
+    * [[serve]]'s legs: the manifest leg joins rows homogeneous in every
+    * `keys` fact column against the dim on the zones' single values, the
+    * partial leg replays the ORIGINAL joins under the rebuilt fact scan.
+    * `keys` is one-or-more equi-key pairs (fact relation column, fact
+    * relation attr, dim attr) — the composite-key case ANDs them. */
+  private final case class DimJoin(dimPlan: LogicalPlan,
+      keys: Seq[(String, AttributeReference, AttributeReference)])
 
-  /** `SELECT <fact aggregates> FROM fact JOIN dim ON fact.k = dim.k
-    * [fact-side WHERE]` over a layout clustered by `k`: a fact file
-    * HOMOGENEOUS in `k` (one key throughout, zero nulls) joins the dim
-    * AS A UNIT — its manifest row matched against the dim's keys stands
-    * for every row in the file, multiplicity included (a key matching m
-    * dim rows duplicates the manifest row m times, exactly as the join
-    * duplicates the fact rows). The exactness argument transfers from
-    * the star-schema summary rewrite: inner equi-join, fact-side
-    * aggregates only, so each served file contributes n_rows (count),
-    * n_rows − nulls (count(c)), min/max, and the per-file sum, once per
-    * dim match. GROUP BY composes when the groupings are fact-side zone
-    * columns (or key-derived expressions of one): a served file must
-    * then be homogeneous in the join key AND every grouping, and its
-    * group values are computed from the manifest row before the join.
-    * Mixed files, boundary files and appended files scan raw and replay
-    * the original join; files ALL-NULL in `k` join nothing (null never
-    * equals) and are excluded from both legs. Scope is tight and
-    * everything else refuses: a single bare-attribute equality
-    * condition, a DETERMINISTIC dim sub-plan (it executes in both legs),
-    * fact-side groupings only, no distinct aggregates, no filters
-    * remaining above the join. */
-  private def tryServeJoin(gexprs: Seq[AttributeReference],
-                           aggExprs: Seq[NamedExpression],
-                           child: LogicalPlan): Option[LogicalPlan] = {
-    // strip Projects between the Aggregate and the Join, composing the
-    // rename map exactly as [[unwrap]] does and collecting GENERAL alias
-    // definitions (the analyzer's extracted grouping expressions live in
-    // a Project directly above the join)
-    var cur = child
-    var osub = Map.empty[ExprId, AttributeReference]
-    var odefs = Map.empty[Long, Expression]
+  /** One dim side as EXTRACTED from the join tree, keys not yet resolved:
+    * (fact-side attr, dim attr) pairs in the namespace where the join
+    * condition was collected — the composed rename map resolves the fact
+    * attrs to relation columns later ([[resolveDims]]). */
+  private final case class DimSide(plan: LogicalPlan,
+      pairs: Seq[(AttributeReference, AttributeReference)])
+
+  /** Strip attribute/rename Projects, composing the rename map and
+    * collecting GENERAL alias definitions (the analyzer's extracted
+    * `_groupingexpression` projections) exactly as [[unwrap]] does —
+    * shared by the above-aggregate walk and the between-joins walk (the
+    * optimizer's column pruning inserts Projects between nested joins). */
+  private def stripRenames(plan: LogicalPlan,
+      sub0: Map[ExprId, AttributeReference],
+      defs0: Map[Long, Expression])
+      : (LogicalPlan, Map[ExprId, AttributeReference], Map[Long, Expression]) = {
+    var cur = plan
+    var sub = sub0
+    var defs = defs0
     var done = false
     while (!done) {
       cur match {
@@ -488,62 +495,154 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
           def renamed(e: Expression): Expression = e.transform {
             case a: AttributeReference if m.contains(a.exprId) => m(a.exprId)
           }
-          odefs = odefs.map { case (k, e) => k -> renamed(e) } ++
+          defs = defs.map { case (k, e) => k -> renamed(e) } ++
             exprs.collect {
               case al @ Alias(d, _) if !d.isInstanceOf[AttributeReference] =>
                 al.exprId.id -> d
             }
-          osub = osub.map { case (k, v) =>
+          sub = sub.map { case (k, v) =>
             k -> m.getOrElse(v.exprId, v)
           } ++ m
           cur = pchild
         case _ => done = true
       }
     }
+    (cur, sub, defs)
+  }
+
+  /** Decompose a (possibly nested) inner equi-join tree into candidate
+    * (fact plan, dims) splits — `fact ⋈ dim1 ⋈ dim2 …` in any
+    * association/orientation. Each Join node tries BOTH sides as the
+    * fact side (the zone-registered-relation check downstream picks the
+    * real one, and a failed candidate just falls through); dims stay
+    * whole sub-plans, never decomposed — a snowflake key (dim2 joined on
+    * dim1's column) fails fact-side key resolution downstream and
+    * refuses. `budget` bounds the walk (stars past 4 dims refuse — the
+    * summary-view tier is the right home for those). Dims come back
+    * INNER-FIRST, the original join order for the replay leg. */
+  private def starCandidates(plan: LogicalPlan,
+      sub0: Map[ExprId, AttributeReference],
+      defs0: Map[Long, Expression],
+      budget: Int)
+      : List[(LogicalPlan, List[DimSide],
+              Map[ExprId, AttributeReference], Map[Long, Expression])] = {
+    val (cur, sub, defs) = stripRenames(plan, sub0, defs0)
     cur match {
-      case Join(l, r, Inner, Some(EqualTo(x: AttributeReference,
-          y: AttributeReference)), _) =>
-        Seq((l, r), (r, l)).collectFirst(Function.unlift {
-          case (factPlan, dimPlan) =>
-            val fk = if (factPlan.outputSet.contains(x)) Some(x)
-              else if (factPlan.outputSet.contains(y)) Some(y) else None
-            val dk = fk.flatMap(f =>
-              Seq(x, y).find(a => a.exprId != f.exprId)
-                .filter(dimPlan.outputSet.contains))
-            (fk, dk) match {
-              case (Some(f), Some(d)) =>
-                attemptJoinServe(gexprs, aggExprs, osub, odefs,
-                  factPlan, dimPlan, f, d)
-              case _ => None
+      case Join(l, r, Inner, Some(cond), _) if budget > 0 =>
+        val eqs: Option[Seq[(AttributeReference, AttributeReference)]] = {
+          val cs = conjunctsOf(cond).map {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              Some((x, y))
+            case _ => None
+          }
+          if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
+        }
+        eqs.toList.flatMap { pairs =>
+          // orient every pair as (fact-side attr, dim attr); a pair whose
+          // attrs don't split one-per-side kills the orientation
+          def orient(fside: LogicalPlan, dside: LogicalPlan)
+              : Option[Seq[(AttributeReference, AttributeReference)]] = {
+            val o = pairs.map { case (x, y) =>
+              if (fside.outputSet.contains(x) && dside.outputSet.contains(y))
+                Some((x, y))
+              else if (fside.outputSet.contains(y) &&
+                  dside.outputSet.contains(x)) Some((y, x))
+              else None
             }
-        })
-      case _ => None
+            if (o.exists(_.isEmpty)) None else Some(o.map(_.get))
+          }
+          orient(l, r).toList.flatMap(ps =>
+            starCandidates(l, sub, defs, budget - 1).map {
+              case (f, ds, s2, d2) => (f, ds :+ DimSide(r, ps), s2, d2)
+            }) ++
+            orient(r, l).toList.flatMap(ps =>
+              starCandidates(r, sub, defs, budget - 1).map {
+                case (f, ds, s2, d2) => (f, ds :+ DimSide(l, ps), s2, d2)
+              })
+        }
+      case _ => List((cur, Nil, sub, defs))
     }
+  }
+
+  /** `SELECT <fact aggregates> FROM fact JOIN dim1 ON fact.k1 = dim1.k1
+    * [JOIN dim2 ON fact.k2 = dim2.k2 …] [fact-side WHERE]` over a layout
+    * clustered by the join keys — single dims, multi-dim STARS, and
+    * composite (multi-column) equi-keys alike: a fact file HOMOGENEOUS
+    * in every key column (one value throughout, zero nulls) joins each
+    * dim AS A UNIT — its manifest row matched against a dim's keys
+    * stands for every row in the file, multiplicity included (a key
+    * matching m dim rows duplicates the manifest row m times, exactly as
+    * the join duplicates the fact rows; across dims the multiplicities
+    * MULTIPLY, exactly as the nested joins do). A composite key
+    * (`fact.a = d.a AND fact.b = d.b`) serves when the file is
+    * homogeneous in EVERY key column — the single (a, b) pair is then
+    * the whole file's pair. The exactness argument transfers from the
+    * star-schema summary rewrite: inner equi-joins, fact-side aggregates
+    * only, so each served file contributes n_rows (count), n_rows −
+    * nulls (count(c)), min/max, and the per-file sum, once per
+    * combination of dim matches. GROUP BY composes when the groupings
+    * are fact-side zone columns (or key-derived expressions of one): a
+    * served file must then be homogeneous in every join key AND every
+    * grouping, and its group values are computed from the manifest row
+    * before the joins. Mixed files, boundary files and appended files
+    * scan raw and replay the original joins; files ALL-NULL in any key
+    * join nothing (null never equals) and are excluded from both legs.
+    * Scope is tight and everything else refuses: bare-attribute equality
+    * conditions only, DETERMINISTIC dim sub-plans (they execute in both
+    * legs), fact-side groupings only, no distinct aggregates, no filters
+    * remaining above the joins; snowflake keys (a dim joined on another
+    * dim's column) refuse at fact-side key resolution. */
+  private def tryServeJoin(gexprs: Seq[AttributeReference],
+                           aggExprs: Seq[NamedExpression],
+                           child: LogicalPlan): Option[LogicalPlan] =
+    starCandidates(child, Map.empty, Map.empty, budget = 4)
+      .iterator.flatMap { case (factPlan, dims, osub, odefs) =>
+        if (dims.isEmpty) None
+        else attemptJoinServe(gexprs, aggExprs, osub, odefs, factPlan, dims)
+      }.nextOption()
+
+  /** Resolve each extracted dim's fact-side key attrs to zone-indexed
+    * relation columns; any unresolvable key (snowflake, non-zone column)
+    * refuses the candidate. */
+  private def resolveDims(dims: List[DimSide],
+                          fullSub: Map[ExprId, AttributeReference],
+                          rel: LogicalRelation,
+                          zcols: Set[String]): Option[List[DimJoin]] = {
+    val out = dims.map { d =>
+      val keys = d.pairs.map { case (fa, da) =>
+        relCol(fa, fullSub, rel).filter(zcols.contains).flatMap { c =>
+          rel.output.collectFirst {
+            case a: AttributeReference if a.name == c => (c, a, da) }
+        }
+      }
+      if (keys.exists(_.isEmpty)) None
+      else Some(DimJoin(d.plan, keys.map(_.get)))
+    }
+    if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
   }
 
   private def attemptJoinServe(gexprs: Seq[AttributeReference],
                                aggExprs: Seq[NamedExpression],
                                osub: Map[ExprId, AttributeReference],
                                odefs: Map[Long, Expression],
-                               factPlan: LogicalPlan, dimPlan: LogicalPlan,
-                               fk: AttributeReference,
-                               dk: AttributeReference): Option[LogicalPlan] =
+                               factPlan: LogicalPlan,
+                               dims: List[DimSide]): Option[LogicalPlan] =
     for {
       (rel, conds, sub, _) <- unwrap(factPlan)
       root <- BloomJoins.singleRootOf(spark, rel)
       zls = BloomJoins.zoneLayoutsFor(root)
       if zls.nonEmpty
       zcols = zls.map(_.col).toSet
-      k <- relCol(fk, sub, rel).filter(zcols.contains)
-      kRel <- rel.output.collectFirst {
-        case a: AttributeReference if a.name == k => a }
-      // the dim executes inside BOTH legs of the rewritten plan — a
-      // non-deterministic dim would diverge between them
-      if dimPlan.find(p => p.expressions.exists(!_.deterministic)).isEmpty
-      // aggExprs and groupings resolve through the above-join renames
-      // THEN the fact-side ones (composed single-step map)
+      // aggExprs, groupings and join keys resolve through the above-join
+      // renames THEN the fact-side ones (composed single-step map) —
+      // nested-join candidates carry renames from Projects BETWEEN joins
       fullSub = osub.map { case (kk, v) =>
         kk -> sub.getOrElse(v.exprId, v) } ++ sub
+      rdims <- resolveDims(dims, fullSub, rel, zcols)
+      // the dims execute inside BOTH legs of the rewritten plan — a
+      // non-deterministic dim would diverge between them
+      if rdims.forall(_.dimPlan.find(p =>
+        p.expressions.exists(!_.deterministic)).isEmpty)
       // above-join grouping definitions: rewrite their references down
       // to fact-side attributes (a def referencing a DIM column then
       // fails zone resolution and refuses in resolveGroups)
@@ -553,12 +652,13 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
             fullSub(a.exprId)
         }
       }
-      groupCols <- resolveGroups(gexprs, fullSub, defs, rel, zcols)
+      groupCols <- resolveGroups(gexprs, fullSub, defs, rel,
+        zcols ++ partitionColsOf(rel))
       specs <- parseSpecs(aggExprs, gexprs, fullSub, rel, zcols, groupCols)
       if !specs.exists(_.isInstanceOf[DistinctCount])
       ranges <- parseConds(conds, zcols, sub, rel)
       plan <- serve(aggExprs, specs, groupCols, conds, ranges, rel, root,
-        Some(JoinDim(dimPlan, dk, k, kRel)))
+        rdims)
     } yield plan
 
   /** Every grouping expression must be a bare attribute resolving to a
@@ -719,13 +819,14 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     })
 
   /** Build the two-leg replacement plan; None refuses (stale manifest,
-    * missing statistic columns, probe failure). `joinDim` switches both
-    * legs into dim-join mode ([[tryServeJoin]]). */
+    * missing statistic columns, probe failure). A non-empty `joinDims`
+    * switches both legs into dim-join mode ([[tryServeJoin]]) — one
+    * entry per star dim, inner-first. */
   private def serve(aggExprs: Seq[NamedExpression], specs: Seq[Spec],
                     groupCols: Seq[MetaAgg.Grouping],
                     conds: List[Expression], ranges: Seq[ZonePred],
                     rel: LogicalRelation, root: String,
-                    joinDim: Option[JoinDim] = None)
+                    joinDims: Seq[DimJoin] = Nil)
       : Option[LogicalPlan] = try {
     val nroot = BloomJoins.norm(root)
     val mpath = s"$root/_zonemap"
@@ -766,6 +867,18 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         case ByteType | ShortType | IntegerType | LongType => true
         case _ => false
       }
+    // Hive partition-derived grouping columns: a directory-derived column
+    // is homogeneous per file BY CONSTRUCTION (every row in a file shares
+    // its directory's value), and `part_dir` is already a manifest
+    // column — so GROUP BY on a partition column serves from the manifest
+    // with zero zone configuration. [[withPartStats]] synthesizes its
+    // per-file statistics from the directory name, and the schema check
+    // below treats those synthetic names as present.
+    val partCols: Set[String] = partitionColsOf(rel)
+    val partBases: Set[String] =
+      groupCols.map(_.base).filter(partCols.contains).toSet
+    val joinKeyCols: Seq[String] =
+      joinDims.flatMap(_.keys.map(_._1)).distinct
     val needed: Seq[String] = specs.flatMap {
       case CountStar => Nil
       case CountCol(c) => Seq(s"${c}_nulls")
@@ -779,11 +892,37 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       case DistinctCount(c) => Seq(s"${c}_min", s"${c}_max", s"${c}_nulls")
     } ++ ranges.flatMap(r =>
       Seq(s"${r.c}_min", s"${r.c}_max", s"${r.c}_nulls")) ++
-      groupCols.flatMap(g =>
+      groupCols.filterNot(g => partBases(g.base)).flatMap(g =>
         Seq(s"${g.base}_min", s"${g.base}_max", s"${g.base}_nulls")) ++
-      joinDim.toSeq.flatMap(jd => Seq(s"${jd.factKeyCol}_min",
-        s"${jd.factKeyCol}_max", s"${jd.factKeyCol}_nulls"))
+      joinKeyCols.flatMap(k => Seq(s"${k}_min", s"${k}_max", s"${k}_nulls"))
     if (!needed.forall(fields.contains)) return None
+
+    // Synthesize per-file statistics for partition-derived grouping
+    // columns from `part_dir`: min = max = the parsed value, nulls = 0
+    // (or n_rows for the __HIVE_DEFAULT_PARTITION__ / empty-value null
+    // group — Spark writes null AND empty-string partition values as the
+    // default dir, and reads both back as null). A raw value carrying a
+    // '%' escape is NOT decoded here (Hive path-escaping is not plain URL
+    // decoding — a wrong decode would be a silent wrong group value):
+    // such files get nulls = -1, which fails BOTH homogeneity disjuncts
+    // and routes them to the raw-scan leg, where Spark's own partition
+    // parsing supplies the value — exact answers either way.
+    def withPartStats(df: DataFrame): DataFrame =
+      partBases.foldLeft(df) { (d, p) =>
+        val dt = rel.output.find(_.name == p).map(_.dataType)
+          .getOrElse(StringType)
+        val raw = regexp_extract(col("part_dir"),
+          "(?:^|/)" + java.util.regex.Pattern.quote(p) + "=([^/]*)", 1)
+        val nullish = raw === "__HIVE_DEFAULT_PARTITION__" || raw === ""
+        val escaped = raw.contains("%")
+        val v = when(nullish || escaped, lit(null)).otherwise(raw).cast(dt)
+        d.withColumn(s"${p}_min", v)
+          .withColumn(s"${p}_max", v)
+          .withColumn(s"${p}_nulls",
+            when(nullish, col("n_rows"))
+              .otherwise(when(escaped, lit(-1L)).otherwise(lit(0L))))
+      }
+    def mStats: DataFrame = withPartStats(mSnap)
 
     // SUM validity: on a mixed-schema manifest (an out-of-process append
     // beside pre-`_sum` rows) the old files' sums read as NULL and a
@@ -837,7 +976,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     val distinctMode = specs.forall(sp =>
       sp.isInstanceOf[GroupKey] || sp.isInstanceOf[DistinctCount])
     if (dcCol.isDefined && !distinctMode) return None
-    if (joinDim.isDefined && distinctMode)
+    if (joinDims.nonEmpty && distinctMode)
       return None // dim-join mode serves plain aggregates, never distincts
     val legsCols: Seq[MetaAgg.Grouping] = groupCols ++
       dcCol.map(MetaAgg.Grouping(_, None, monotone = true))
@@ -918,36 +1057,46 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         col(s"${g.base}_nulls") === col("n_rows")
     }.reduceOption(_ && _).getOrElse(lit(true))
 
-    // dim-join mode: a file serves only when HOMOGENEOUS in the join key
-    // (one key, zero nulls — its manifest row joins the dim as the whole
-    // file); files ALL-NULL in the key join nothing (null never equals)
-    // and are excluded from BOTH legs
-    val joinHomog = joinDim.fold(lit(true))(jd =>
-      col(s"${jd.factKeyCol}_nulls") === 0L &&
-        col(s"${jd.factKeyCol}_min") === col(s"${jd.factKeyCol}_max"))
-    val joinExcluded = joinDim.fold(lit(false))(jd =>
-      col(s"${jd.factKeyCol}_nulls") === col("n_rows"))
+    // dim-join mode: a file serves only when HOMOGENEOUS in every join
+    // key (one value each, zero nulls — its manifest row joins each dim
+    // as the whole file); files ALL-NULL in ANY key join nothing (null
+    // never equals) and are excluded from BOTH legs
+    val joinHomog = joinKeyCols.map(k =>
+        col(s"${k}_nulls") === 0L && col(s"${k}_min") === col(s"${k}_max"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val joinExcluded = joinKeyCols.map(k =>
+        col(s"${k}_nulls") === col("n_rows"))
+      .reduceOption(_ || _).getOrElse(lit(false))
     // files scanned raw: predicate-boundary files and (when grouping or
     // serving distincts) covered-but-mixed files — the original filter
     // re-applies there
     val servableM = covered && homog && joinHomog
     val partialFiles: Seq[String] =
-      if (ranges.isEmpty && legsCols.isEmpty && joinDim.isEmpty) Nil
+      if (ranges.isEmpty && legsCols.isEmpty && joinDims.isEmpty) Nil
       else {
-        val bk = ranges.map {
-          case r: ColRange => (r.c, "range",
-            r.lo.map(b => (keyStr(b.value), b.inclusive)).toString,
-            r.hi.map(b => (keyStr(b.value), b.inclusive)).toString)
-          case i: ColIn => (i.c, "in",
-            i.values.map(keyStr).sorted.mkString(","), "")
-        }.sortBy(t => (t._1, t._2, t._3, t._4)).toList
+        // STRUCTURED key elements, never flattened to one string: an
+        // IN-list mkString would collide x IN ('a,b') with x IN ('a','b')
+        // (same root/version) and silently reuse the other query's
+        // boundary-file list — rows dropped or double-counted. Option
+        // tuples and value lists keep their shape; only the SORT (for
+        // input-order insensitivity) goes through toString.
+        val bk: List[(String, String, Option[(String, Boolean)],
+                      Option[(String, Boolean)], List[String])] =
+          ranges.map {
+            case r: ColRange => (r.c, "range",
+              r.lo.map(b => (keyStr(b.value), b.inclusive)),
+              r.hi.map(b => (keyStr(b.value), b.inclusive)),
+              List.empty[String])
+            case i: ColIn => (i.c, "in", None, None,
+              i.values.map(keyStr).sorted.toList)
+          }.toList.sortBy(_.toString)
         // groupings key by canonicalized form — exprIds normalize away,
         // so the same query re-planned hits the cache
         val gk = legsCols.map(g => (g.base,
           g.f.map(_.canonicalized.toString).getOrElse(""), g.monotone)).toList ++
-          joinDim.map(jd => ("__joinkey", jd.factKeyCol, true)).toList
+          joinKeyCols.map(k => ("__joinkey", k, true)).toList
         cachedProbe(("metapartial", nroot, ver, bk, gk)) {
-          try Probed(mSnap
+          try Probed(mStats
             .filter(candidate && !servableM && !joinExcluded)
             .select("file").sort("file")
             .collect().map(_.getString(0)).toSeq)
@@ -960,7 +1109,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     // refuse instead of hijacking the join from the scan-pruning tier
     // ([[RewriteToBloomPrunedJoin]] runs after this rule and can still
     // prune the very same join when we stand aside)
-    if (joinDim.isDefined &&
+    if (joinDims.nonEmpty &&
         partialFiles.length + unknown.length >= listing.length)
       return None
 
@@ -996,29 +1145,32 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       GraftBridge.ofRows(spark,
         Aggregate(lp.output, lp.output, lp))
     }
-    val mBase = mSnap.filter(servableM)
-    val mleg = joinDim match {
-      case Some(jd) =>
-        // join the SERVED manifest rows against the dim on the zone's
-        // single key value: each dim match stands for the whole file, so
+    val mBase = mStats.filter(servableM)
+    val mleg =
+      if (joinDims.nonEmpty) {
+        // join the SERVED manifest rows against each dim on the zones'
+        // single key values: each dim match stands for the whole file, so
         // multiplicity replicates manifest rows exactly as the original
-        // join replicates fact rows. Statistic and group-value columns
-        // are computed onto a reserved prefix BEFORE the join — the dim
-        // may carry any column names.
+        // joins replicate fact rows (and across dims it multiplies).
+        // Statistic and group-value columns are computed onto a reserved
+        // prefix BEFORE the joins — the dims may carry any column names.
         val statCols: Seq[String] = ("n_rows" +: specs.collect {
           case CountCol(c) => Seq(s"${c}_nulls")
           case MinCol(c) => Seq(s"${c}_min")
           case MaxCol(c) => Seq(s"${c}_max")
           case SumCol(c, _) => Seq(s"${c}_sum")
-        }.flatten) :+ s"${jd.factKeyCol}_min"
+        }.flatten) ++ joinKeyCols.map(k => s"${k}_min")
         val gPre: Seq[Column] = gValsRaw.zipWithIndex.map { case (c, j) =>
           c.as(s"__zm_g$j") }
         val mPre = mBase.select(gPre ++ statCols.distinct.map(c =>
           col(c).as(s"__zm_$c")): _*)
-        val dimDF = GraftBridge.ofRows(spark, jd.dimPlan)
-        val joined = mPre.join(dimDF,
-          col(s"__zm_${jd.factKeyCol}_min") === GraftBridge.column(jd.dimKey),
-          "inner")
+        val joined = joinDims.foldLeft(mPre) { (df, jd) =>
+          val dimDF = GraftBridge.ofRows(spark, jd.dimPlan)
+          val cond = jd.keys.map { case (k, _, dk) =>
+            col(s"__zm_${k}_min") === GraftBridge.column(dk)
+          }.reduce(_ && _)
+          df.join(dimDF, cond, "inner")
+        }
         val jAggs: Seq[Column] = specs.zipWithIndex.collect {
           case (CountStar, i) => sum(col("__zm_n_rows")).as(aliasN(i))
           case (CountCol(c), i) =>
@@ -1031,11 +1183,11 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         else joined.groupBy(groupCols.indices.map(j =>
             col(s"__zm_g$j").as(gAlias(j))): _*)
           .agg(jAggs.head, jAggs.tail: _*)
-      case None =>
+      } else {
         if (distinctMode) distinctOf(mBase.select(gVals: _*))
         else if (groupCols.isEmpty) mBase.agg(mAggs.head, mAggs.tail: _*)
         else mBase.groupBy(gVals: _*).agg(mAggs.head, mAggs.tail: _*)
-    }
+      }
 
     // ---- partial leg: boundary + unknown files, original filter re-applied
     val scanFiles = partialFiles ++ unknown.sorted
@@ -1052,11 +1204,14 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         val filtered = conds.reduceOption(And)
           .map(c => Filter(c, Project(restored, scan)): LogicalPlan)
           .getOrElse(Project(restored, scan))
-        // dim-join mode: the raw-scanned files replay the ORIGINAL join
-        // (rebuilt on the restored fact attributes) before aggregating
-        val pplan = joinDim.fold(filtered)(jd =>
-          Join(filtered, jd.dimPlan, Inner,
-            Some(EqualTo(jd.factKeyRel, jd.dimKey)), JoinHint.NONE))
+        // dim-join mode: the raw-scanned files replay the ORIGINAL joins
+        // (rebuilt on the restored fact attributes, inner-first — the
+        // original association) before aggregating
+        val pplan = joinDims.foldLeft(filtered) { (p, jd) =>
+          Join(p, jd.dimPlan, Inner,
+            Some(jd.keys.map { case (_, fr, dk) =>
+              EqualTo(fr, dk): Expression }.reduce(And)), JoinHint.NONE)
+        }
         val pdf = GraftBridge.ofRows(spark, pplan)
         // reference fact columns by ATTRIBUTE, not name — the dim side
         // may carry identically-named columns
@@ -1132,7 +1287,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     if (!fplan.output.zip(aggExprs)
         .forall { case (a, o) => a.dataType == o.dataType }) return None
     MetaAgg.served.incrementAndGet()
-    if (joinDim.isDefined) MetaAgg.servedJoin.incrementAndGet()
+    if (joinDims.nonEmpty) MetaAgg.servedJoin.incrementAndGet()
     Some(Project(aggExprs.zip(fplan.output).map { case (o, a) =>
       Alias(a, o.name)(exprId = o.exprId)
     }, fplan))

@@ -77,6 +77,20 @@ private[graft] object Manifests {
 
   def baseName(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
+  /** Manifest `file` strings are URI-ENCODED (`input_file_name()` and
+    * `Path.toString` both emit URI form), but Spark's readers take RAW
+    * path strings — `Path(String)` does not decode, so a file under a
+    * Hive-escaped partition dir (on-disk name `p=a%3Ab`, manifest string
+    * `p=a%253Ab`) would be looked up by its ENCODED name and miss. Decode
+    * one level, keeping scheme and authority; strings without a scheme or
+    * that fail URI parsing pass through unchanged. */
+  private[graft] def rawPath(enc: String): String =
+    try {
+      val u = new java.net.URI(enc)
+      if (u.getScheme == null) enc
+      else s"${u.getScheme}://${Option(u.getAuthority).getOrElse("")}${u.getPath}"
+    } catch { case _: java.net.URISyntaxException => enc }
+
   /** Arm width for [[batchedRead]]: enough that a candidate set below it
     * plans as ONE parquet relation, small enough that a driver batch stays
     * metadata-sized. */
@@ -105,7 +119,7 @@ private[graft] object Manifests {
     val arms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     files.foreach { f =>
-      buf += f
+      buf += rawPath(f) // URI-encoded manifest string → raw reader path
       if (buf.length >= maxFilesPerArm) {
         arms += read(buf.toSeq); buf.clear()
       }

@@ -706,6 +706,199 @@ class MetaAggSpec extends SparkSpec
       .agg(count(lit(1))).collect().head.getLong(0) === 1L)
   }
 
+  test("multi-dim STAR: fact ⋈ dim1 ⋈ dim2 serves from the manifest when " +
+      "files are homogeneous in every join key — multiplicities multiply") {
+    // dimB keys b (k/25), dimB2 keys b2 (k/50) — every file is
+    // homogeneous in BOTH, so the whole star answers from manifest rows;
+    // dimB2 carries a DUPLICATE key row to prove cross-dim multiplicity
+    // multiplies exactly as the nested joins do
+    val dimB = Seq((0L, "x"), (1L, "y"), (3L, "z")).toDF("bk", "tag")
+    val dimB2 = Seq((0L, 10L), (0L, 11L), (1L, 12L)).toDF("b2k", "w")
+    val f = fact
+    def q() = f.join(dimB, f("b") === dimB("bk"))
+      .join(dimB2, f("b2") === dimB2("b2k"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"),
+        min(col("k")).as("mn"), max(col("n")).as("mx"))
+    val before = MetaAgg.servedJoin.get()
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && MetaAgg.servedJoin.get() === before + 1)
+    assert(dataFiles(df) === 0L,
+      "every file is homogeneous in b AND b2: the star must be answered " +
+        "from the manifest\n" + df.queryExecution.optimizedPlan.toString)
+    val r = df.collect().head
+    // replicate: each row i matches dimB (i/25 ∈ {0,1,3}) × dimB2
+    // (i/50 = 0 → 2 rows, i/50 = 1 → 1 row)
+    val exp = (0 until 100).filter(i => Set(0, 1, 3)(i / 25))
+      .flatMap(i => Seq.fill(if (i / 50 == 0) 2 else 1)(i))
+    assert(r.getLong(0) === exp.length.toLong)
+    assert(r.getLong(1) === exp.map(_.toLong).sum)
+    assert(r.getLong(2) === 0L)
+    assert(withoutRule(q().collect().head) === r)
+  }
+
+  test("multi-dim STAR composes with GROUP BY on a fact zone column") {
+    val dimB = Seq((0L, "x"), (2L, "y")).toDF("bk", "tag")
+    val dimB2 = Seq((0L, 1L), (1L, 2L)).toDF("b2k", "w")
+    val f = fact
+    def q() = f.join(dimB, f("b") === dimB("bk"))
+      .join(dimB2, f("b2") === dimB2("b2k"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && dataFiles(df) === 0L,
+      df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    // b∈{0,2} from dimB; b2 always matches (one row each): b=0 (25 rows,
+    // sum 0..24), b=2 (25 rows, sum 50..74)
+    assert(got === Seq(
+      (0L, 25L, (0 until 25).map(_.toLong).sum),
+      (2L, 25L, (50 until 75).map(_.toLong).sum)))
+    assert(withoutRule(q().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)) === got)
+  }
+
+  test("composite-key equi-join (fact.a = d.a AND fact.b = d.b) serves " +
+      "when files are homogeneous in every key column") {
+    val dim = Seq((0L, 0L, "x"), (1L, 0L, "y"), (3L, 1L, "z"),
+      (3L, 0L, "never-matches")).toDF("bk", "b2k", "tag")
+    val f = fact
+    def q() = f.join(dim,
+        f("b") === dim("bk") && f("b2") === dim("b2k"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val before = MetaAgg.servedJoin.get()
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && MetaAgg.servedJoin.get() === before + 1)
+    assert(dataFiles(df) === 0L,
+      "files are homogeneous in (b, b2): the composite key must serve\n" +
+        df.queryExecution.optimizedPlan.toString)
+    val r = df.collect().head
+    // (b, b2) pairs present in the data: (0,0) (1,0) (2,1) (3,1); dim
+    // matches (0,0), (1,0), (3,1) — 75 rows; (3,0) matches nothing
+    val exp = (0 until 100).filter(i =>
+      Set((0, 0), (1, 0), (3, 1))((i / 25, i / 50)))
+    assert(r.getLong(0) === exp.length.toLong)
+    assert(r.getLong(1) === exp.map(_.toLong).sum)
+    assert(withoutRule(q().collect().head) === r)
+  }
+
+  test("star refusals: a second dim on a NON-homogeneous key stands the " +
+      "whole star aside; a snowflake key (dim-on-dim) refuses") {
+    def refuses(tag: String)(q: => DataFrame): Unit = {
+      val before = MetaAgg.servedJoin.get()
+      val (df, fired) = servedBy(q)
+      assert(fired === 0L && MetaAgg.servedJoin.get() === before,
+        s"[$tag] must refuse:\n" + df.queryExecution.optimizedPlan.toString)
+    }
+    val dimB = Seq((0L, "x"), (1L, "y")).toDF("bk", "tag")
+    val dimK = Seq((10L, 7L)).toDF("kk", "w")
+    // k is not file-homogeneous: no file is homogeneous in EVERY key, so
+    // the star must stand aside for the pruning tier — not half-serve
+    val f = fact
+    refuses("non-homog-second-dim")(
+      f.join(dimB, f("b") === dimB("bk"))
+        .join(dimK, f("k") === dimK("kk"))
+        .agg(count(lit(1)).as("c")))
+    // snowflake: dim2 joins on DIM1's column, not the fact's — the key
+    // never resolves to a fact relation column and must refuse
+    val dim2 = Seq(("x", 1L), ("y", 2L)).toDF("tag2", "v2")
+    val f2 = fact
+    refuses("snowflake")(
+      f2.join(dimB, f2("b") === dimB("bk"))
+        .join(dim2, dimB("tag") === dim2("tag2"))
+        .agg(count(lit(1)).as("c")))
+    // and both shapes stay exact on the plain plan
+    val got = f.join(dimB, f("b") === dimB("bk"))
+      .join(dimK, f("k") === dimK("kk"))
+      .agg(count(lit(1))).collect().head.getLong(0)
+    assert(got === 1L)
+  }
+
+  test("HAVING composes above a served aggregate (Filter over Aggregate)") {
+    fact.createOrReplaceTempView("ma_fact_h")
+    def q = spark.sql(
+      """SELECT b, count(*) AS c, sum(k) AS sk
+        |FROM ma_fact_h GROUP BY b HAVING sum(k) > 1000""".stripMargin)
+    val (df, fired) = servedBy(q)
+    assert(fired === 1L,
+      "the rule must fire on the Aggregate under the HAVING filter\n" +
+        df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df) === 0L)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    // per-bucket sums: b=0 → 300, b=1 → 925, b=2 → 1550, b=3 → 2175
+    assert(got === Seq(
+      (2L, 25L, (50 until 75).map(_.toLong).sum),
+      (3L, 25L, (75 until 100).map(_.toLong).sum)))
+    assert(withoutRule(q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)) === got)
+  }
+
+  test("GROUP BY a Hive partition column serves from the manifest even " +
+      "though the zones never indexed it") {
+    val hp = s"$root/hivepart"
+    fs.delete(new org.apache.hadoop.fs.Path(hp), true)
+    // three string partitions plus a NULL partition (the SQL NULL group —
+    // Spark writes it as __HIVE_DEFAULT_PARTITION__); one file each
+    val src = (0 until 90).map(i =>
+      (i.toLong, if (i % 30 == 29) None else Some(s"p${i / 30}")))
+    src.toDF("k", "p").repartition(1)
+      .write.mode("overwrite").partitionBy("p").parquet(hp)
+    ZoneMap.write(spark, hp, Seq("k"), updateCatalog = false)
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(hp, "k"))
+    def q() = spark.read.parquet(hp).groupBy(col("p"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L, df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df, "meta-agg/hivepart") === 0L,
+      "partition-derived groups are homogeneous by construction: zero " +
+        "data files\n" + df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().toSeq.sortBy(_.mkString("|"))
+    val exp = withoutRule(q().collect().toSeq.sortBy(_.mkString("|")))
+    assert(got === exp)
+    assert(got.exists(r => r.isNullAt(0) && r.getLong(1) === 3L),
+      "the NULL partition must come back as the SQL NULL group")
+    // a KEY-DERIVED grouping over the partition column rides the same path
+    def q2() = spark.read.parquet(hp)
+      .groupBy(substring(col("p"), 1, 1).as("pp"))
+      .agg(count(lit(1)).as("c"))
+    val (df2, fired2) = servedBy(q2())
+    assert(fired2 === 1L && dataFiles(df2, "meta-agg/hivepart") === 0L)
+    assert(df2.collect().toSeq.sortBy(_.mkString("|")) ===
+      withoutRule(q2().collect().toSeq.sortBy(_.mkString("|"))))
+    // and a zone-range predicate composes: boundary files scan, interior
+    // partition groups keep serving
+    def q3() = spark.read.parquet(hp).where(col("k") >= 30L)
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val (df3, fired3) = servedBy(q3())
+    assert(fired3 === 1L)
+    assert(df3.collect().toSeq.sortBy(_.mkString("|")) ===
+      withoutRule(q3().collect().toSeq.sortBy(_.mkString("|"))))
+  }
+
+  test("a percent-escaped partition value routes its file to the raw " +
+      "leg — never a silently mis-decoded group") {
+    val hp = s"$root/hp-esc"
+    fs.delete(new org.apache.hadoop.fs.Path(hp), true)
+    // 'a:b' escapes to a%3Ab on disk — decoding it here would risk a
+    // wrong group value, so that file must scan raw instead
+    Seq((1L, "a:b"), (2L, "a:b"), (3L, "plain"), (4L, "plain"))
+      .toDF("k", "p").repartition(1)
+      .write.mode("overwrite").partitionBy("p").parquet(hp)
+    ZoneMap.write(spark, hp, Seq("k"), updateCatalog = false)
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(hp, "k"))
+    def q() = spark.read.parquet(hp).groupBy(col("p"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L, df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df, "meta-agg/hp-esc") === 1L,
+      "exactly the escaped file may scan\n" +
+        df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().toSeq.sortBy(_.mkString("|"))
+    assert(got === withoutRule(q().collect().toSeq.sortBy(_.mkString("|"))))
+    assert(got.exists(r => r.getString(0) == "a:b" && r.getLong(1) === 2L),
+      s"the escaped group must decode through Spark's own parser: $got")
+  }
+
   test("a mixed-schema manifest refuses SUM serving; min/max/count still serve") {
     val mixed = s"$root/mixedsum"
     writeRanged(mixed)

@@ -45,10 +45,13 @@ object Bench {
     // Criterion discipline. A single ambient-contention window (other
     // processes stealing the machine mid-run) then cannot poison the
     // recorded artifact: the min of n runs converges on the query's real
-    // cost, while a mean or a single sample records the noise. Default 1
-    // (the driver's per-round budget); pairs for BENCH_NOTES use 2-3.
+    // cost, while a mean or a single sample records the noise. DEFAULT 2:
+    // two consecutive rounds' official artifacts were recorded inside
+    // contention windows and had to be adjudicated away afterwards — the
+    // ~2× bench-leg wall cost buys a trustworthy artifact every round.
+    // Override to 1 for a quick triage run, 3 for a calm reference pair.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()

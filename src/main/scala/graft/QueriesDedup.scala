@@ -651,14 +651,30 @@ private[graft] trait QueriesDedup { this: QueryDomain =>
       .toDF("stage", "n_docs").orderBy("stage")
   }
 
-  register("stream_token_budget", None) { (s, dir) =>
+  register("stream_token_budget", Some(
+    """WITH t AS (SELECT doc_id, source,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      |    AND text IS NOT NULL),
+      |c AS (SELECT *, sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum FROM t)
+      |SELECT source, count(*) AS n_admitted,
+      |  CAST(sum(tok) AS BIGINT) AS n_tokens
+      |FROM c WHERE coalesce(cum, 0) < 800 GROUP BY 1""".stripMargin)) {
+    (s, dir) =>
     // Token-budget admission AT INGEST (the streaming twin of
     // corpus_sample_token_budget): each source admits documents in arrival
     // order until its budget is spent — state is one counter per source.
-    // Arrival-order semantics are inherently streaming (the batch twin
-    // ranks by content hash corpus-wide), so no SQL oracle;
-    // StreamingQuotaSpec proves equality with the sequential rule,
-    // cross-batch saturation, and the overshoot bound.
+    // ORACLED through the runtime: the source stages as ONE file under
+    // AvailableNow, so the whole corpus arrives in a single trigger and
+    // arrival order IS the operator's deterministic within-trigger id
+    // order — exactly the one-window-per-source prefix-sum the SQL
+    // replays (admit while tokens spent BEFORE < budget). The
+    // multi-trigger semantics (cross-batch saturation, the overshoot
+    // bound, replay determinism) stay spec'd in StreamingQuotaSpec —
+    // the oracle pins the single-trigger case end-to-end through the
+    // real streaming runtime, state store included.
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.documents(s, dir).schema
     val stream = s.readStream.schema(schema)

@@ -1439,6 +1439,114 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
         "approx_users", "exact_users")
   }
 
+  register("agg_meta_join_semi", Some(
+    """SELECT count(*) AS n_events, count(user_id) AS users_cnt,
+      |  min(value) AS v_min, max(value) AS v_max
+      |FROM events WHERE event_type IN (
+      |  SELECT event_type FROM events
+      |  WHERE event_type IN ('purchase', 'error'))""".stripMargin)) {
+    (s, dir) =>
+    // MANIFEST-SERVED aggregates under a LEFT SEMI join — the
+    // `IN (subquery)` dashboard shape: the fact layout is clustered by
+    // event_type, so key-homogeneous files semi-join the dim AS UNITS
+    // (kept once however many dim rows match — the dim here is the raw
+    // un-deduplicated feed, so multiplicity-freedom is load-bearing);
+    // only type-boundary files scan raw and replay the semi join.
+    // REQUIREs the dim-join rewrite fired AND fewer fact files than the
+    // layout holds were read. Rows hash-matched against DuckDB replaying
+    // the IN-subquery on the raw table.
+    val path =
+      s"$sinkRoot/agg_meta_join_semi-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.events(s, dir)
+      .repartitionByRange(8, col("event_type"), col("event_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path,
+      Seq("event_type", "user_id", "value"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.servedJoin.get()
+      val dim = Tables.events(s, dir)
+        .where(col("event_type").isin("purchase", "error"))
+        .select(col("event_type").as("d_type"))
+      val f = s.read.parquet(path)
+      val q = f.join(dim, f("event_type") === dim("d_type"), "left_semi")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("user_id")).as("users_cnt"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"))
+      val totalFiles = s.read.parquet(s"$path/_zonemap").count()
+      val dataFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fr: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if fr.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_join_semi") &&
+                    !p.toString.contains("_zonemap")) =>
+              fr.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.servedJoin.get() > fired0 &&
+          dataFiles < totalFiles,
+        s"agg_meta_join_semi: expected key-homogeneous files served under " +
+          s"the semi join ($dataFiles of $totalFiles)\n" +
+          q.queryExecution.optimizedPlan.toString)
+      q.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
+  register("agg_meta_part_filter", Some(
+    """SELECT event_type, count(*) AS n_events, min(value) AS v_min
+      |FROM events WHERE event_type IN ('purchase', 'click')
+      |GROUP BY 1""".stripMargin)) { (s, dir) =>
+    // WHERE + GROUP BY on a HIVE PARTITION COLUMN, both served from the
+    // manifest with NO zones on that column: partition files are
+    // single-valued by construction, so the IN-list covers the matching
+    // partitions whole and excludes the rest — ZERO data files read
+    // (REQUIREd). At 100 TB: "count per selected tenant" costs a
+    // files-sized manifest aggregate however many tenants the layout
+    // holds. Rows hash-matched against DuckDB filtering the raw table.
+    val path =
+      s"$sinkRoot/agg_meta_part_filter-${dir.replaceAll("[^0-9.]", "")}"
+    Tables.events(s, dir).repartition(2)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("user_id", "value"))
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.served.get()
+      val q = s.read.parquet(path)
+        .where(col("event_type").isin("purchase", "click"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), min(col("value")).as("v_min"))
+      val dataFiles = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fr: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if fr.location.rootPaths.exists(p =>
+                  p.toString.contains("agg_meta_part_filter") &&
+                    !p.toString.contains("_zonemap")) =>
+              fr.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.served.get() > fired0 && dataFiles == 0L,
+        s"agg_meta_part_filter: expected partition-filtered groups served " +
+          s"from the manifest alone ($dataFiles files read)\n" +
+          q.queryExecution.optimizedPlan.toString)
+      q.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+    }
+  }
+
   register("agg_meta_sketch_semijoin", None) { (s, dir) =>
     // The sketch tier UNDER A SEMI-JOIN (ZoneMap.metaApproxProfileSemiJoin):
     // "p50/p99 of value and distinct users, for the dim-selected event

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, Ceil, EqualTo, ExprId, Expression, Floor, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Substring, TruncDate, TruncTimestamp, Year}
 import org.apache.spark.sql.catalyst.expressions.EvalMode
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -436,10 +436,13 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       zls = BloomJoins.zoneLayoutsFor(root)
       if zls.nonEmpty
       zcols = zls.map(_.col).toSet
-      // groupings may also be Hive partition-derived columns — per-file
-      // homogeneous by construction; [[serve]] synthesizes their stats
-      groupCols <- resolveGroups(gexprs, sub, defs, rel,
-        zcols ++ partitionColsOf(rel))
+      // groupings AND predicates may also hit Hive partition-derived
+      // columns — per-file homogeneous by construction; [[serve]]
+      // synthesizes their statistics from part_dir (the path-based
+      // optimizer keeps the partition Filter in the logical plan and the
+      // relation's listing unpruned, so the stale check stays sound)
+      pcols = partitionColsOf(rel)
+      groupCols <- resolveGroups(gexprs, sub, defs, rel, zcols ++ pcols)
       specs <- parseSpecs(aggExprs, gexprs, sub, rel, zcols, groupCols)
       // shape validation: a DISTINCT COUNT never mixes with other
       // aggregates (Spark plans that mix through Expand — a different
@@ -448,7 +451,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         (!specs.exists(_.isInstanceOf[DistinctCount]) ||
           specs.forall(sp => sp.isInstanceOf[DistinctCount] ||
             sp.isInstanceOf[GroupKey]))
-      ranges <- parseConds(conds, zcols, sub, rel)
+      ranges <- parseConds(conds, zcols ++ pcols, sub, rel)
       plan <- serve(aggExprs, specs, groupCols, conds, ranges, rel, root)
     } yield plan
 
@@ -457,16 +460,21 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     * `keys` fact column against the dim on the zones' single values, the
     * partial leg replays the ORIGINAL joins under the rebuilt fact scan.
     * `keys` is one-or-more equi-key pairs (fact relation column, fact
-    * relation attr, dim attr) — the composite-key case ANDs them. */
+    * relation attr, dim attr) — the composite-key case ANDs them.
+    * `joinType` is Inner (multiplicities multiply), LeftSemi (the
+    * `k IN (subquery)` shape — all-or-none, once) or LeftAnti
+    * (`NOT EXISTS` — kept iff no match). */
   private final case class DimJoin(dimPlan: LogicalPlan,
-      keys: Seq[(String, AttributeReference, AttributeReference)])
+      keys: Seq[(String, AttributeReference, AttributeReference)],
+      joinType: JoinType)
 
   /** One dim side as EXTRACTED from the join tree, keys not yet resolved:
     * (fact-side attr, dim attr) pairs in the namespace where the join
     * condition was collected — the composed rename map resolves the fact
     * attrs to relation columns later ([[resolveDims]]). */
   private final case class DimSide(plan: LogicalPlan,
-      pairs: Seq[(AttributeReference, AttributeReference)])
+      pairs: Seq[(AttributeReference, AttributeReference)],
+      joinType: JoinType)
 
   /** Strip attribute/rename Projects, composing the rename map and
     * collecting GENERAL alias definitions (the analyzer's extracted
@@ -528,13 +536,19 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
               Map[ExprId, AttributeReference], Map[Long, Expression])] = {
     val (cur, sub, defs) = stripRenames(plan, sub0, defs0)
     cur match {
-      case Join(l, r, Inner, Some(cond), _) if budget > 0 =>
+      case Join(l, r, jt, Some(cond), _)
+          if budget > 0 &&
+            (jt == Inner || jt == LeftSemi || jt == LeftAnti) =>
         val eqs: Option[Seq[(AttributeReference, AttributeReference)]] = {
           val cs = conjunctsOf(cond).map {
             case EqualTo(x: AttributeReference, y: AttributeReference) =>
               Some((x, y))
             case _ => None
           }
+          // a NULL-AWARE anti join (NOT IN over nullables) carries an
+          // Or(EqualTo, IsNull) condition — it fails this parse and the
+          // whole shape refuses, as it must (its null semantics are not
+          // the plain anti's)
           if (cs.exists(_.isEmpty)) None else Some(cs.map(_.get))
         }
         eqs.toList.flatMap { pairs =>
@@ -551,14 +565,19 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
             }
             if (o.exists(_.isEmpty)) None else Some(o.map(_.get))
           }
-          orient(l, r).toList.flatMap(ps =>
+          val leftAsFact = orient(l, r).toList.flatMap(ps =>
             starCandidates(l, sub, defs, budget - 1).map {
-              case (f, ds, s2, d2) => (f, ds :+ DimSide(r, ps), s2, d2)
-            }) ++
-            orient(r, l).toList.flatMap(ps =>
+              case (f, ds, s2, d2) => (f, ds :+ DimSide(r, ps, jt), s2, d2)
+            })
+          // semi/anti joins emit the LEFT side only — the fact can never
+          // be the right side there
+          val rightAsFact =
+            if (jt != Inner) Nil
+            else orient(r, l).toList.flatMap(ps =>
               starCandidates(r, sub, defs, budget - 1).map {
-                case (f, ds, s2, d2) => (f, ds :+ DimSide(l, ps), s2, d2)
+                case (f, ds, s2, d2) => (f, ds :+ DimSide(l, ps, jt), s2, d2)
               })
+          leftAsFact ++ rightAsFact
         }
       case _ => List((cur, Nil, sub, defs))
     }
@@ -580,16 +599,25 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     * star-schema summary rewrite: inner equi-joins, fact-side aggregates
     * only, so each served file contributes n_rows (count), n_rows −
     * nulls (count(c)), min/max, and the per-file sum, once per
-    * combination of dim matches. GROUP BY composes when the groupings
-    * are fact-side zone columns (or key-derived expressions of one): a
-    * served file must then be homogeneous in every join key AND every
-    * grouping, and its group values are computed from the manifest row
-    * before the joins. Mixed files, boundary files and appended files
-    * scan raw and replay the original joins; files ALL-NULL in any key
-    * join nothing (null never equals) and are excluded from both legs.
-    * Scope is tight and everything else refuses: bare-attribute equality
-    * conditions only, DETERMINISTIC dim sub-plans (they execute in both
-    * legs), fact-side groupings only, no distinct aggregates, no filters
+    * combination of dim matches. LEFT SEMI dims serve too — the
+    * `k IN (SELECT …)` shape the analyzer plans as a semi join: a served
+    * file's rows share one fate (kept once iff the key matches,
+    * multiplicity-free), which is exactly what the semi join does to the
+    * manifest row; LEFT ANTI (`NOT EXISTS`) mirrors it with kept-iff-
+    * unmatched — and an anti key's all-NULL files are NOT excluded (no
+    * match = kept): they fall to the raw-scan leg, which replays the
+    * anti join and keeps them. A null-aware NOT IN carries an
+    * Or(EqualTo, IsNull) condition and refuses at the parse. GROUP BY
+    * composes when the groupings are fact-side zone columns (or
+    * key-derived expressions of one): a served file must then be
+    * homogeneous in every join key AND every grouping, and its group
+    * values are computed from the manifest row before the joins. Mixed
+    * files, boundary files and appended files scan raw and replay the
+    * original joins; files ALL-NULL in an inner/semi key join nothing
+    * (null never equals) and are excluded from both legs. Scope is tight
+    * and everything else refuses: bare-attribute equality conditions
+    * only, DETERMINISTIC dim sub-plans (they execute in both legs),
+    * fact-side groupings only, no distinct aggregates, no filters
     * remaining above the joins; snowflake keys (a dim joined on another
     * dim's column) refuse at fact-side key resolution. */
   private def tryServeJoin(gexprs: Seq[AttributeReference],
@@ -601,9 +629,11 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         else attemptJoinServe(gexprs, aggExprs, osub, odefs, factPlan, dims)
       }.nextOption()
 
-  /** Resolve each extracted dim's fact-side key attrs to zone-indexed
-    * relation columns; any unresolvable key (snowflake, non-zone column)
-    * refuses the candidate. */
+  /** Resolve each extracted dim's fact-side key attrs to zone-indexed OR
+    * partition relation columns (a Hive layout's natural join key is its
+    * partition column; [[serve]] synthesizes partition statistics); any
+    * unresolvable key (snowflake, non-zone non-partition column) refuses
+    * the candidate. */
   private def resolveDims(dims: List[DimSide],
                           fullSub: Map[ExprId, AttributeReference],
                           rel: LogicalRelation,
@@ -616,7 +646,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         }
       }
       if (keys.exists(_.isEmpty)) None
-      else Some(DimJoin(d.plan, keys.map(_.get)))
+      else Some(DimJoin(d.plan, keys.map(_.get), d.joinType))
     }
     if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
   }
@@ -638,7 +668,8 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       // nested-join candidates carry renames from Projects BETWEEN joins
       fullSub = osub.map { case (kk, v) =>
         kk -> sub.getOrElse(v.exprId, v) } ++ sub
-      rdims <- resolveDims(dims, fullSub, rel, zcols)
+      rdims <- resolveDims(dims, fullSub, rel,
+        zcols ++ partitionColsOf(rel))
       // the dims execute inside BOTH legs of the rewritten plan — a
       // non-deterministic dim would diverge between them
       if rdims.forall(_.dimPlan.find(p =>
@@ -652,11 +683,11 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
             fullSub(a.exprId)
         }
       }
-      groupCols <- resolveGroups(gexprs, fullSub, defs, rel,
-        zcols ++ partitionColsOf(rel))
+      pcols = partitionColsOf(rel)
+      groupCols <- resolveGroups(gexprs, fullSub, defs, rel, zcols ++ pcols)
       specs <- parseSpecs(aggExprs, gexprs, fullSub, rel, zcols, groupCols)
       if !specs.exists(_.isInstanceOf[DistinctCount])
-      ranges <- parseConds(conds, zcols, sub, rel)
+      ranges <- parseConds(conds, zcols ++ pcols, sub, rel)
       plan <- serve(aggExprs, specs, groupCols, conds, ranges, rel, root,
         rdims)
     } yield plan
@@ -875,10 +906,11 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     // per-file statistics from the directory name, and the schema check
     // below treats those synthetic names as present.
     val partCols: Set[String] = partitionColsOf(rel)
-    val partBases: Set[String] =
-      groupCols.map(_.base).filter(partCols.contains).toSet
     val joinKeyCols: Seq[String] =
       joinDims.flatMap(_.keys.map(_._1)).distinct
+    val partBases: Set[String] =
+      (groupCols.map(_.base) ++ ranges.map(_.c) ++ joinKeyCols)
+        .filter(partCols.contains).toSet
     val needed: Seq[String] = specs.flatMap {
       case CountStar => Nil
       case CountCol(c) => Seq(s"${c}_nulls")
@@ -890,11 +922,12 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         (if (ansi && integral(c)) Seq("built_ansi") else Nil)
       case GroupKey(_) => Nil
       case DistinctCount(c) => Seq(s"${c}_min", s"${c}_max", s"${c}_nulls")
-    } ++ ranges.flatMap(r =>
+    } ++ ranges.filterNot(r => partBases(r.c)).flatMap(r =>
       Seq(s"${r.c}_min", s"${r.c}_max", s"${r.c}_nulls")) ++
       groupCols.filterNot(g => partBases(g.base)).flatMap(g =>
         Seq(s"${g.base}_min", s"${g.base}_max", s"${g.base}_nulls")) ++
-      joinKeyCols.flatMap(k => Seq(s"${k}_min", s"${k}_max", s"${k}_nulls"))
+      joinKeyCols.filterNot(partBases).flatMap(k =>
+        Seq(s"${k}_min", s"${k}_max", s"${k}_nulls"))
     if (!needed.forall(fields.contains)) return None
 
     // Synthesize per-file statistics for partition-derived grouping
@@ -1020,21 +1053,28 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
           col(s"${i.c}_min") === col(s"${i.c}_max") &&
           col(s"${i.c}_min").isin(i.values: _*)
     }
-    def candidateTest(p: ZonePred): Column = p match {
-      case r: ColRange =>
-        val base = col(s"${r.c}_min").isNotNull // all-NULL zones never match
-        val loT = r.lo.fold(lit(true))(b =>
-          if (b.inclusive) col(s"${r.c}_max") >= lit(b.value)
-          else col(s"${r.c}_max") > lit(b.value))
-        val hiT = r.hi.fold(lit(true))(b =>
-          if (b.inclusive) col(s"${r.c}_min") <= lit(b.value)
-          else col(s"${r.c}_min") < lit(b.value))
-        base && loT && hiT
-      case i: ColIn =>
-        if (i.values.isEmpty) lit(false)
-        else col(s"${i.c}_min").isNotNull &&
-          i.values.map(v => col(s"${i.c}_min") <= lit(v) &&
-            col(s"${i.c}_max") >= lit(v)).reduce(_ || _)
+    def candidateTest(p: ZonePred): Column = {
+      val base = p match {
+        case r: ColRange =>
+          val nn = col(s"${r.c}_min").isNotNull // all-NULL zones never match
+          val loT = r.lo.fold(lit(true))(b =>
+            if (b.inclusive) col(s"${r.c}_max") >= lit(b.value)
+            else col(s"${r.c}_max") > lit(b.value))
+          val hiT = r.hi.fold(lit(true))(b =>
+            if (b.inclusive) col(s"${r.c}_min") <= lit(b.value)
+            else col(s"${r.c}_min") < lit(b.value))
+          nn && loT && hiT
+        case i: ColIn =>
+          if (i.values.isEmpty) lit(false)
+          else col(s"${i.c}_min").isNotNull &&
+            i.values.map(v => col(s"${i.c}_min") <= lit(v) &&
+              col(s"${i.c}_max") >= lit(v)).reduce(_ || _)
+      }
+      // a partition value this rule refused to decode (percent-escaped —
+      // synthetic nulls = -1) has UNKNOWN bounds: the file must stay a
+      // candidate (scan raw, Spark's own parser decides) — excluding it
+      // would silently drop its rows
+      if (partBases(p.c)) (col(s"${p.c}_nulls") === -1L) || base else base
     }
     val covered = ranges.map(coveredTest)
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -1059,12 +1099,17 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
 
     // dim-join mode: a file serves only when HOMOGENEOUS in every join
     // key (one value each, zero nulls — its manifest row joins each dim
-    // as the whole file); files ALL-NULL in ANY key join nothing (null
-    // never equals) and are excluded from BOTH legs
+    // as the whole file); files ALL-NULL in an INNER or SEMI key join
+    // nothing (null never equals) and are excluded from BOTH legs — but
+    // an ANTI key keeps null rows (no match = kept), so all-null files
+    // under an anti-only key fall to the raw-scan leg instead, where the
+    // replayed anti join keeps them
     val joinHomog = joinKeyCols.map(k =>
         col(s"${k}_nulls") === 0L && col(s"${k}_min") === col(s"${k}_max"))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val joinExcluded = joinKeyCols.map(k =>
+    val exclKeyCols = joinDims.filter(_.joinType != LeftAnti)
+      .flatMap(_.keys.map(_._1)).distinct
+    val joinExcluded = exclKeyCols.map(k =>
         col(s"${k}_nulls") === col("n_rows"))
       .reduceOption(_ || _).getOrElse(lit(false))
     // files scanned raw: predicate-boundary files and (when grouping or
@@ -1169,7 +1214,15 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
           val cond = jd.keys.map { case (k, _, dk) =>
             col(s"__zm_${k}_min") === GraftBridge.column(dk)
           }.reduce(_ && _)
-          df.join(dimDF, cond, "inner")
+          // a served file's rows all share the key values, so they share
+          // one FATE per dim: inner multiplies by the match count, semi
+          // keeps once iff matched, anti keeps once iff unmatched —
+          // exactly what the same join type does to the manifest row
+          df.join(dimDF, cond, jd.joinType match {
+            case LeftSemi => "left_semi"
+            case LeftAnti => "left_anti"
+            case _ => "inner"
+          })
         }
         val jAggs: Seq[Column] = specs.zipWithIndex.collect {
           case (CountStar, i) => sum(col("__zm_n_rows")).as(aliasN(i))
@@ -1208,7 +1261,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         // (rebuilt on the restored fact attributes, inner-first — the
         // original association) before aggregating
         val pplan = joinDims.foldLeft(filtered) { (p, jd) =>
-          Join(p, jd.dimPlan, Inner,
+          Join(p, jd.dimPlan, jd.joinType,
             Some(jd.keys.map { case (_, fr, dk) =>
               EqualTo(fr, dk): Expression }.reduce(And)), JoinHint.NONE)
         }

@@ -781,6 +781,100 @@ class MetaAggSpec extends SparkSpec
     assert(withoutRule(q().collect().head) === r)
   }
 
+  test("LEFT SEMI dim-join serving: `IN (subquery)` answers from the " +
+      "manifest, multiplicity-free") {
+    val dim = Seq((0L, "x"), (0L, "x2"), (3L, "z")).toDF("bk", "tag")
+    val f = fact
+    // DataFrame semi form: kept once per file despite the duplicate key
+    def q() = f.join(dim, f("b") === dim("bk"), "left_semi")
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val before = MetaAgg.servedJoin.get()
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && MetaAgg.servedJoin.get() === before + 1,
+      df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df) === 0L,
+      "b-homogeneous files semi-join the dim as units\n" +
+        df.queryExecution.optimizedPlan.toString)
+    val r = df.collect().head
+    assert(r.getLong(0) === 50L) // b ∈ {0, 3}: kept ONCE, not twice
+    assert(r.getLong(1) ===
+      ((0 until 25) ++ (75 until 100)).map(_.toLong).sum)
+    assert(withoutRule(q().collect().head) === r)
+    // the SQL spelling — the analyzer plans IN (subquery) as a semi join
+    fact.createOrReplaceTempView("ma_fact_semi")
+    def q2 = spark.sql(
+      """SELECT count(*) AS c, max(k) AS mx FROM ma_fact_semi
+        |WHERE b IN (SELECT bk FROM VALUES (0L), (3L) AS d(bk))""".stripMargin)
+    val (df2, fired2) = servedBy(q2)
+    assert(fired2 === 1L, df2.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df2) === 0L)
+    val r2 = df2.collect().head
+    assert(r2.getLong(0) === 50L && r2.getLong(1) === 99L)
+    assert(withoutRule(q2.collect().head) === r2)
+  }
+
+  test("LEFT ANTI dim-join serving: NOT-EXISTS keeps unmatched files " +
+      "whole; all-NULL-key files keep their rows through the raw leg") {
+    val dim = Seq((0L, "x"), (3L, "z")).toDF("bk", "tag")
+    val f = fact
+    def q() = f.join(dim, f("b") === dim("bk"), "left_anti")
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val before = MetaAgg.servedJoin.get()
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && MetaAgg.servedJoin.get() === before + 1,
+      df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df) === 0L)
+    val r = df.collect().head
+    assert(r.getLong(0) === 50L) // b ∈ {1, 2} survive the anti join
+    assert(r.getLong(1) ===
+      ((25 until 50) ++ (50 until 75)).map(_.toLong).sum)
+    assert(withoutRule(q().collect().head) === r)
+    // anti semantics on NULL keys: no match means KEPT — the all-null-g
+    // file must contribute its rows (via the raw leg), never be excluded
+    val ng = s"$root/nullgroup" // built by the null-group test above
+    val gdim = Seq((1L, "a")).toDF("gk", "tag")
+    val nf = spark.read.parquet(ng)
+    def qa() = nf.join(gdim, nf("g") === gdim("gk"), "left_anti")
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (dfa, fireda) = servedBy(qa())
+    assert(fireda === 1L, dfa.queryExecution.optimizedPlan.toString)
+    val ra = dfa.collect().head
+    assert(ra.getLong(0) === 2L && ra.getLong(1) === 7L,
+      s"the all-NULL-key file's rows must survive the anti join: $ra")
+    assert(withoutRule(qa().collect().head) === ra)
+    // null-aware NOT IN (Or(EqualTo, IsNull) condition) must refuse —
+    // its null semantics are not the plain anti's
+    nf.createOrReplaceTempView("ma_fact_anti")
+    def qn = spark.sql(
+      """SELECT count(*) AS c FROM ma_fact_anti
+        |WHERE g NOT IN (SELECT gk FROM VALUES (1L) AS d(gk))""".stripMargin)
+    val (dfn, firedn) = servedBy(qn)
+    assert(firedn === 0L,
+      "null-aware NOT IN must refuse\n" +
+        dfn.queryExecution.optimizedPlan.toString)
+    assert(dfn.collect().head.getLong(0) ===
+      withoutRule(qn.collect().head.getLong(0)))
+  }
+
+  test("mixed star: an inner dim and a semi dim compose — inner " +
+      "multiplies, semi gates") {
+    val dimB = Seq((0L, "x"), (0L, "x2"), (1L, "y")).toDF("bk", "tag")
+    val dimB2 = Seq((0L, 7L)).toDF("b2k", "w")
+    val f = fact
+    def q() = f.join(dimB, f("b") === dimB("bk"))
+      .join(dimB2, f("b2") === dimB2("b2k"), "left_semi")
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && dataFiles(df) === 0L,
+      df.queryExecution.optimizedPlan.toString)
+    val r = df.collect().head
+    // inner dim: b=0 ×2, b=1 ×1; semi dim keeps only b2=0 (k < 50)
+    assert(r.getLong(0) === 2L * 25L + 25L)
+    assert(r.getLong(1) ===
+      2L * (0 until 25).map(_.toLong).sum + (25 until 50).map(_.toLong).sum)
+    assert(withoutRule(q().collect().head) === r)
+  }
+
   test("star refusals: a second dim on a NON-homogeneous key stands the " +
       "whole star aside; a snowflake key (dim-on-dim) refuses") {
     def refuses(tag: String)(q: => DataFrame): Unit = {
@@ -875,6 +969,74 @@ class MetaAggSpec extends SparkSpec
       withoutRule(q3().collect().toSeq.sortBy(_.mkString("|"))))
   }
 
+  test("WHERE on a Hive partition column serves: matching partitions " +
+      "covered, non-matching excluded, zero data files") {
+    val hp = s"$root/hivepart" // the layout built by the previous test
+    def q() = spark.read.parquet(hp)
+      .where(col("p") === "p1")
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L, df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df, "meta-agg/hivepart") === 0L,
+      "an equality on the partition column is covered per file\n" +
+        df.queryExecution.optimizedPlan.toString)
+    val r = df.collect().head
+    assert(r.getLong(0) === withoutRule(q().collect().head.getLong(0)))
+    // p1 holds i in [30, 60) minus the i%30==29 null rows (i=59)
+    assert(r.getLong(0) === 29L)
+    // IN-list on the partition column: single-valued files on a listed
+    // value are covered — still zero data files
+    def q2() = spark.read.parquet(hp)
+      .where(col("p").isin("p0", "p2"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val (df2, fired2) = servedBy(q2())
+    assert(fired2 === 1L && dataFiles(df2, "meta-agg/hivepart") === 0L)
+    assert(df2.collect().toSeq.sortBy(_.mkString("|")) ===
+      withoutRule(q2().collect().toSeq.sortBy(_.mkString("|"))))
+    // the NULL partition fails every comparison (range predicates are
+    // null-rejecting): excluded from both legs, answers exact
+    def q3() = spark.read.parquet(hp)
+      .where(col("p") >= "p0").agg(count(lit(1)).as("c"))
+    val (df3, fired3) = servedBy(q3())
+    assert(fired3 === 1L && dataFiles(df3, "meta-agg/hivepart") === 0L)
+    assert(df3.collect().head.getLong(0) === 87L) // 90 minus 3 null-p rows
+  }
+
+  test("dim-join serving on a Hive PARTITION key: partition files join " +
+      "the dim as units — the tenant-dim shape on a partitioned lake") {
+    val hp = s"$root/hivepart" // the layout built two tests up
+    val dim = Seq(("p0", 1L), ("p2", 2L), ("p2", 3L)).toDF("pk", "w")
+    val f = spark.read.parquet(hp)
+    def q() = f.join(dim, f("p") === dim("pk"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val before = MetaAgg.servedJoin.get()
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && MetaAgg.servedJoin.get() === before + 1,
+      df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df, "meta-agg/hivepart") === 0L,
+      "every partition file is key-homogeneous by construction; the " +
+        "NULL partition joins nothing\n" +
+        df.queryExecution.optimizedPlan.toString)
+    val r = df.collect().head
+    // p0 = k 0..28 (29 rows, k=29 is the null partition), matched once;
+    // p2 = k 60..88, matched TWICE (duplicate dim key)
+    assert(r.getLong(0) === 29L + 2L * 29L)
+    assert(r.getLong(1) ===
+      (0 to 28).map(_.toLong).sum + 2L * (60 to 88).map(_.toLong).sum)
+    assert(withoutRule(q().collect().head) === r)
+    // GROUP BY the partition column composes under the join
+    val f2 = spark.read.parquet(hp)
+    def q2() = f2.join(dim, f2("p") === dim("pk"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val (df2, fired2) = servedBy(q2())
+    assert(fired2 === 1L && dataFiles(df2, "meta-agg/hivepart") === 0L)
+    val got2 = df2.collect().map(r2 => (r2.getString(0), r2.getLong(1)))
+      .toSeq.sortBy(_._1)
+    assert(got2 === Seq(("p0", 29L), ("p2", 58L)))
+    assert(withoutRule(q2().collect().map(r2 =>
+      (r2.getString(0), r2.getLong(1))).toSeq.sortBy(_._1)) === got2)
+  }
+
   test("a percent-escaped partition value routes its file to the raw " +
       "leg — never a silently mis-decoded group") {
     val hp = s"$root/hp-esc"
@@ -897,6 +1059,19 @@ class MetaAggSpec extends SparkSpec
     assert(got === withoutRule(q().collect().toSeq.sortBy(_.mkString("|"))))
     assert(got.exists(r => r.getString(0) == "a:b" && r.getLong(1) === 2L),
       s"the escaped group must decode through Spark's own parser: $got")
+    // under a PREDICATE on the partition column, the escaped file's
+    // bounds are unknown — it must stay a CANDIDATE (scan raw, Spark's
+    // parser decides), never be excluded: rows would silently vanish
+    def q2() = spark.read.parquet(hp).where(col("p") === "a:b")
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df2, fired2) = servedBy(q2())
+    assert(fired2 === 1L, df2.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df2, "meta-agg/hp-esc") === 1L,
+      "the escaped file scans; the plain file is excluded")
+    val r2 = df2.collect().head
+    assert(r2.getLong(0) === 2L && r2.getLong(1) === 3L,
+      s"escaped-partition rows must survive the predicate: $r2")
+    assert(withoutRule(q2().collect().head) === r2)
   }
 
   test("a mixed-schema manifest refuses SUM serving; min/max/count still serve") {

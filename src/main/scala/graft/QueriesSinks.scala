@@ -1598,6 +1598,54 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
         "approx_users", "exact_users")
   }
 
+  register("agg_meta_sketch_by", None) { (s, dir) =>
+    // The sketch tier GROUPED (ZoneMap.metaApproxProfileBy): "p50 of
+    // value and distinct users PER EVENT TYPE" from the manifest —
+    // homogeneous files' blobs merge straight into their group, the
+    // type-boundary files re-sketch their rows grouped, per-group n_rows
+    // exact. No DuckDB oracle (engine-specific estimates — the standing
+    // sketch-tier argument); REQUIREs gate every group against exact
+    // answers instead: n_rows exact, KLL rank error ≤ 2·1.65%, HLL
+    // relative error ≤ 5%. ZoneMapSpec pins the exact regime, the leg
+    // split and the Hive-partition form.
+    val path =
+      s"$sinkRoot/agg_meta_sketch_by-${dir.replaceAll("[^0-9.]", "")}"
+    val ev = Tables.events(s, dir)
+    ev.repartitionByRange(8, col("event_type"), col("event_id"))
+      .write.mode("overwrite").parquet(path)
+    graft.sources.ZoneMap.write(s, path,
+      Seq("event_type", "value", "user_id"),
+      updateCatalog = false, sketchCols = Seq("value", "user_id"))
+    val prof = graft.sources.ZoneMap.metaApproxProfileBy(
+        s, path, "event_type", Seq("value", "user_id"), Seq(0.5))
+      .select(col("event_type").as("et"), col("n_rows"),
+        col("value_p50"), col("user_id_approx_distinct"))
+    val gated = ev.join(broadcast(prof), ev("event_type") === col("et"))
+      .groupBy(col("et"), col("n_rows"), col("value_p50"),
+        col("user_id_approx_distinct"))
+      .agg(count(lit(1)).as("n_exact"),
+        countDistinct(col("user_id")).as("du_exact"),
+        (count(when(col("value") <= col("value_p50"), 1)) /
+          count(col("value"))).as("rank50"))
+    val rows = gated.collect()
+    require(rows.nonEmpty, "agg_meta_sketch_by: no groups came back")
+    rows.foreach { r =>
+      val et = r.getAs[String]("et")
+      require(r.getAs[Long]("n_rows") == r.getAs[Long]("n_exact"),
+        s"[$et] per-group n_rows must be exact: " +
+          s"${r.getAs[Long]("n_rows")} vs ${r.getAs[Long]("n_exact")}")
+      require(math.abs(r.getAs[Double]("rank50") - 0.5) <= 0.033,
+        s"[$et] KLL rank contract violated: ${r.getAs[Double]("rank50")}")
+      val du = r.getAs[Long]("user_id_approx_distinct")
+      val duE = r.getAs[Long]("du_exact")
+      require(math.abs(du - duE).toDouble / duE <= 0.05,
+        s"[$et] HLL estimate off: $du vs $duE")
+    }
+    gated.select(col("et").as("event_type"), col("n_rows"),
+      col("value_p50"), col("user_id_approx_distinct"),
+      col("du_exact").as("exact_users"))
+  }
+
   register("agg_mv_rewrite_catalog", Some(
     """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  count(*) AS n_docs

@@ -757,10 +757,12 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     case _ => false
   }
 
-  /** Casts that preserve order and can never wrap: timestamp ↔ date and
-    * integral widening. (Narrowing wraps; numeric → string is not
-    * lexicographically monotone; fractional → integral is floor-like but
-    * ANSI-mode may error — excluded for simplicity.) */
+  /** Casts that preserve order and can never wrap: timestamp ↔ date,
+    * timestamp → long (floor division of micros to epoch seconds — a
+    * monotone floor, never overflows) and integral widening. (Narrowing
+    * wraps; numeric → string is not lexicographically monotone across
+    * signs/widths; fractional → integral is floor-like but ANSI-mode may
+    * error — excluded for simplicity.) */
   private def monoCast(from: DataType, to: DataType): Boolean = {
     def rank(dt: DataType): Int = dt match {
       case ByteType => 1; case ShortType => 2
@@ -770,6 +772,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     (from, to) match {
       case (TimestampType, DateType) => true
       case (DateType, TimestampType) => true
+      case (TimestampType, LongType) => true
       case _ => rank(from) > 0 && rank(to) >= rank(from)
     }
   }

@@ -512,6 +512,139 @@ object ZoneMap {
     merged.select(outs: _*)
   }
 
+  /** [[metaApproxProfile]] GROUPED — "p99 of value and distinct users,
+    * PER TENANT/DAY/SOURCE" from the manifest's sketch tier: one output
+    * row per `groupCol` value. A file HOMOGENEOUS in the group column
+    * (one value throughout, or all-NULL — the SQL NULL group) belongs to
+    * exactly one group, so its per-file blobs merge into that group's
+    * sketch directly; mixed files scan raw with their rows grouped and
+    * re-sketched at the same FIXED parameters (mergeable with the
+    * manifest blobs by construction). `groupCol` may be a zone-indexed
+    * DATA column or a HIVE PARTITION column — a directory-derived value
+    * is homogeneous per file by construction and parses from the
+    * manifest's own `part_dir` (percent-escaped values route to the scan
+    * leg rather than risk a wrong decode). Per-group `n_rows` is exact;
+    * quantile/distinct error contracts as [[metaApproxProfile]]. At
+    * 100 TB over a clustered or partitioned layout the per-group profile
+    * costs a files-sized manifest job plus the group-boundary files,
+    * never a data scan. */
+  def metaApproxProfileBy(spark: SparkSession, path: String,
+                          groupCol: String, cols: Seq[String],
+                          quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+      : DataFrame = {
+    require(quantiles.forall(q => q > 0 && q <= 1), s"bad quantiles: $quantiles")
+    val m = spark.read.parquet(s"$path/_zonemap")
+    val fields = m.schema.fieldNames.toSet
+    require(cols.nonEmpty && cols.forall(c =>
+        fields.contains(s"${c}_kll") || fields.contains(s"${c}_hll")),
+      s"no sketch tier for ${cols.filterNot(c => fields.contains(s"${c}_kll") ||
+        fields.contains(s"${c}_hll")).mkString(",")} — " +
+        s"rebuild the manifest with sketchCols")
+    // group-column statistics: from the zones, or synthesized from
+    // part_dir for a directory-derived column (same discipline as the
+    // optimizer rule's partition groupings)
+    val zoned = fields.contains(s"${groupCol}_min") &&
+      fields.contains(s"${groupCol}_nulls")
+    val mg: DataFrame =
+      if (zoned) m
+      else {
+        // the group value TYPE comes from the layout schema; a layout
+        // whose data files are all gone (retention wipe — the manifest
+        // still answers) can't be read, so its partition values stay
+        // strings, exactly as they sit in part_dir
+        val dt =
+          try spark.read.parquet(path).schema.fields
+            .find(_.name == groupCol)
+            .getOrElse(throw new IllegalArgumentException(
+              s"unknown group column '$groupCol' — not zone-indexed and " +
+                s"not in the layout schema")).dataType
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              org.apache.spark.sql.types.StringType
+          }
+        val raw = regexp_extract(col("part_dir"),
+          "(?:^|/)" + java.util.regex.Pattern.quote(groupCol) + "=([^/]*)", 1)
+        val nullish = raw === "__HIVE_DEFAULT_PARTITION__" || raw === ""
+        val escaped = raw.contains("%")
+        val v = when(nullish || escaped, lit(null)).otherwise(raw).cast(dt)
+        m.withColumn(s"${groupCol}_min", v)
+          .withColumn(s"${groupCol}_max", v)
+          .withColumn(s"${groupCol}_nulls",
+            when(nullish, col("n_rows"))
+              .otherwise(when(escaped, lit(-1L)).otherwise(lit(0L))))
+      }
+    val homog = (col(s"${groupCol}_nulls") === 0L &&
+        col(s"${groupCol}_min") === col(s"${groupCol}_max")) ||
+      col(s"${groupCol}_nulls") === col("n_rows")
+    val gVal = when(col(s"${groupCol}_nulls") === col("n_rows"), lit(null))
+      .otherwise(col(s"${groupCol}_min"))
+    // leg 1 — homogeneous files' blobs, grouped by each file's single value
+    val servedBlobs = {
+      val aggs: Seq[Column] = sum(col("n_rows")).as("__n") +:
+        cols.flatMap { c =>
+          (if (fields.contains(s"${c}_kll"))
+             Seq(expr(s"kll_merge_agg_double(`${c}_kll`)").as(s"${c}_b_kll"))
+           else Nil) ++
+            (if (fields.contains(s"${c}_hll"))
+               Seq(expr(s"hll_union_agg(`${c}_hll`, true)").as(s"${c}_b_hll"))
+             else Nil)
+        }
+      mg.filter(homog).groupBy(gVal.as("__g")).agg(aggs.head, aggs.tail: _*)
+    }
+    // leg 2 — mixed files scan raw, grouped by the real column and
+    // re-sketched at the same k/lgK
+    val boundary = mg.filter(!((col(s"${groupCol}_nulls") === 0L &&
+          col(s"${groupCol}_min") === col(s"${groupCol}_max")) ||
+        col(s"${groupCol}_nulls") === col("n_rows")))
+      .select("part_dir", "file").sort("part_dir", "file").toLocalIterator()
+    val rawBlobs = Manifests.batchedRead(spark,
+        scala.jdk.CollectionConverters.IteratorHasAsScala(boundary)
+          .asScala.map(_.getString(1)),
+        basePath = Some(path))
+      .map { df =>
+        val aggs: Seq[Column] = count(lit(1)).as("__n") +:
+          cols.flatMap { c =>
+            (if (fields.contains(s"${c}_kll"))
+               Seq(expr(s"kll_sketch_agg_double(CAST(`$c` AS DOUBLE), $KllK)")
+                 .as(s"${c}_b_kll"))
+             else Nil) ++
+              (if (fields.contains(s"${c}_hll"))
+                 Seq(expr(s"hll_sketch_agg(`$c`, $HllLgK)").as(s"${c}_b_hll"))
+               else Nil)
+          }
+        df.groupBy(df.col(groupCol).as("__g")).agg(aggs.head, aggs.tail: _*)
+      }
+    val both = rawBlobs.fold(servedBlobs)(servedBlobs.unionByName(_))
+    val merges: Seq[Column] = sum(col("__n")).as("n_rows") +:
+      cols.flatMap { c =>
+        (if (fields.contains(s"${c}_kll"))
+           Seq(expr(s"kll_merge_agg_double(`${c}_b_kll`)").as(s"${c}_mk"))
+         else Nil) ++
+          (if (fields.contains(s"${c}_hll"))
+             Seq(expr(s"hll_union_agg(`${c}_b_hll`, true)").as(s"${c}_mh"))
+           else Nil)
+      }
+    val merged = both.groupBy(col("__g").as(groupCol))
+      .agg(merges.head, merges.tail: _*)
+    def pct(q: Double): String = {
+      val v = q * 100
+      if (v == v.floor) f"${v.toInt}%d" else f"$v%.4f".replace('.', '_')
+    }
+    val outs: Seq[Column] = col(groupCol) +: col("n_rows") +:
+      cols.flatMap { c =>
+        (if (fields.contains(s"${c}_kll"))
+           quantiles.map(q =>
+             expr(s"kll_sketch_get_quantile_double(`${c}_mk`, $q)")
+               .as(s"${c}_p${pct(q)}"))
+         else Nil) ++
+          (if (fields.contains(s"${c}_hll"))
+             Seq(round(expr(s"hll_sketch_estimate(`${c}_mh`)")).cast("long")
+               .as(s"${c}_approx_distinct"))
+           else Nil)
+      }
+    merged.select(outs: _*)
+  }
+
   /** [[metaApproxProfile]] under a SEMI-JOIN: approximate quantiles and
     * distinct counts of the fact rows whose `factKey` matches a key in
     * `dim` — "p99 of value and distinct users, for the dim-selected

@@ -479,6 +479,20 @@ class MetaAggSpec extends SparkSpec
       withoutRule(q().collect().toSeq.sortBy(_.mkString("|"))))
   }
 
+  test("cast(timestamp AS long) is whitelisted monotone: composes with " +
+      "date_trunc under the squeeze test") {
+    val dpath = s"$root/derived"
+    def q() = spark.read.parquet(dpath)
+      .groupBy(date_trunc("week", col("ts")).cast("long").as("wk_s"))
+      .agg(count(lit(1)).as("c"), sum(col("amt")).as("sa"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L, df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df, "meta-agg/derived") === 1L,
+      "week-homogeneous files must serve through the cast too")
+    assert(df.collect().toSeq.sortBy(_.mkString("|")) ===
+      withoutRule(q().collect().toSeq.sortBy(_.mkString("|"))))
+  }
+
   test("a PERIODIC expression (month over a multi-year file) is not " +
       "whitelisted: f(min)==f(max) alone must not serve — answers exact") {
     val tpath = s"$root/periodic"

@@ -185,6 +185,73 @@ class ZoneMapSpec extends SparkSpec {
     check()
   }
 
+  test("metaApproxProfileBy: per-group profiles from blobs for " +
+      "homogeneous files, re-sketched matching rows for mixed files, " +
+      "the SQL NULL group — exact in the small regime") {
+    import spark.implicits._
+    val path = fresh("sketch-by")
+    def write(rows: Seq[(Long, Option[Long])]): Unit =
+      rows.toDF("k", "g").coalesce(1).write.mode("append").parquet(path)
+    write((0 until 25).map(i => (i.toLong, Some(0L))))   // A: g=0
+    write((25 until 50).map(i => (i.toLong, Some(1L))))  // B: g=1
+    write((50 until 75).map(i =>                          // C: MIXED g∈{1,2}
+      (i.toLong, Some(if (i < 60) 1L else 2L))))
+    write((75 until 100).map(i => (i.toLong, None: Option[Long]))) // D: null
+    ZoneMap.write(spark, path, Seq("k", "g"), updateCatalog = false,
+      sketchCols = Seq("k"))
+    def check(): Unit = {
+      val rows = ZoneMap.metaApproxProfileBy(spark, path, "g",
+        Seq("k"), Seq(0.5)).collect()
+        .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+          r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        .sortBy(_._1.getOrElse(Long.MaxValue))
+      // per group: (n exact, p50 = true order statistic at n ≤ k,
+      // distinct exact below sparse capacity)
+      assert(rows === Seq(
+        (Some(0L), 25L, 12.0, 25L),   // ceil(.5·25) = 13th of 0..24
+        (Some(1L), 35L, 42.0, 35L),   // 25..59: 18th = 42
+        (Some(2L), 15L, 67.0, 15L),   // 60..74: 8th = 67
+        (None, 25L, 87.0, 25L)),      // the SQL NULL group: 75..99
+        s"got $rows")
+    }
+    check()
+    // only the MIXED file may be read: delete every homogeneous file —
+    // their groups answer from blobs alone
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mixedNames = spark.read.parquet(s"$path/_zonemap")
+      .filter(col("g_min") =!= col("g_max")).select("file")
+      .collect().map(r => Manifests.baseName(r.getString(0))).toSet
+    assert(mixedNames.size === 1)
+    Manifests.listDataFiles(fs, new org.apache.hadoop.fs.Path(path))
+      .filterNot(f => mixedNames.contains(f.getName))
+      .foreach(f => fs.delete(f, false))
+    check()
+    // the HIVE PARTITION form: groupCol parses from part_dir, every
+    // partition file is homogeneous by construction — answers survive
+    // the loss of ALL data files
+    val hp = fresh("sketch-by-part")
+    (0 until 60).map(i => (i.toLong, s"t${i / 20}"))
+      .toDF("k", "p").repartition(1)
+      .write.mode("overwrite").partitionBy("p").parquet(hp)
+    ZoneMap.write(spark, hp, Seq("k"), updateCatalog = false,
+      sketchCols = Seq("k"))
+    def checkPart(): Unit = {
+      val rows = ZoneMap.metaApproxProfileBy(spark, hp, "p",
+        Seq("k"), Seq(0.5)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        .sortBy(_._1)
+      assert(rows === Seq(("t0", 20L, 9.0), ("t1", 20L, 29.0),
+        ("t2", 20L, 49.0)), s"got $rows")
+    }
+    checkPart()
+    val hfs = new org.apache.hadoop.fs.Path(hp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Manifests.listDataFiles(hfs, new org.apache.hadoop.fs.Path(hp))
+      .foreach(f => hfs.delete(f, false))
+    checkPart()
+  }
+
   test("update(sketchCols=…) builds the sketch tier: fresh layouts get it " +
       "incrementally, pre-sketch manifests rebuild once then tick") {
     import spark.implicits._

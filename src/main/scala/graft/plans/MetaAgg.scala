@@ -614,12 +614,17 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     * values are computed from the manifest row before the joins. Mixed
     * files, boundary files and appended files scan raw and replay the
     * original joins; files ALL-NULL in an inner/semi key join nothing
-    * (null never equals) and are excluded from both legs. Scope is tight
-    * and everything else refuses: bare-attribute equality conditions
-    * only, DETERMINISTIC dim sub-plans (they execute in both legs),
-    * fact-side groupings only, no distinct aggregates, no filters
-    * remaining above the joins; snowflake keys (a dim joined on another
-    * dim's column) refuse at fact-side key resolution. */
+    * (null never equals) and are excluded from both legs. DISTINCT
+    * shapes (`SELECT DISTINCT g`, `count(DISTINCT c)` [GROUP BY …])
+    * serve under the joins too: the output value set is
+    * multiplicity-free, so every dim — inner included — acts as a pure
+    * SEMI gate (anti as its complement) on the served files' values.
+    * Scope is tight and everything else refuses: bare-attribute equality
+    * conditions only, DETERMINISTIC dim sub-plans (they execute in both
+    * legs), fact-side groupings only, distinct counts never mixed with
+    * plain aggregates, no filters remaining above the joins; snowflake
+    * keys (a dim joined on another dim's column) refuse at fact-side key
+    * resolution. */
   private def tryServeJoin(gexprs: Seq[AttributeReference],
                            aggExprs: Seq[NamedExpression],
                            child: LogicalPlan): Option[LogicalPlan] =
@@ -686,7 +691,14 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
       pcols = partitionColsOf(rel)
       groupCols <- resolveGroups(gexprs, fullSub, defs, rel, zcols ++ pcols)
       specs <- parseSpecs(aggExprs, gexprs, fullSub, rel, zcols, groupCols)
-      if !specs.exists(_.isInstanceOf[DistinctCount])
+      // same distinct-shape validation as [[tryServe]]: distinct counts
+      // never mix with plain aggregates (DISTINCT shapes themselves DO
+      // serve under joins — the value set is multiplicity-free, see
+      // [[serve]]'s distinct legs)
+      if specs.count(_.isInstanceOf[DistinctCount]) <= 1 &&
+        (!specs.exists(_.isInstanceOf[DistinctCount]) ||
+          specs.forall(sp => sp.isInstanceOf[DistinctCount] ||
+            sp.isInstanceOf[GroupKey]))
       ranges <- parseConds(conds, zcols ++ pcols, sub, rel)
       plan <- serve(aggExprs, specs, groupCols, conds, ranges, rel, root,
         rdims)
@@ -1012,8 +1024,6 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     val distinctMode = specs.forall(sp =>
       sp.isInstanceOf[GroupKey] || sp.isInstanceOf[DistinctCount])
     if (dcCol.isDefined && !distinctMode) return None
-    if (joinDims.nonEmpty && distinctMode)
-      return None // dim-join mode serves plain aggregates, never distincts
     val legsCols: Seq[MetaAgg.Grouping] = groupCols ++
       dcCol.map(MetaAgg.Grouping(_, None, monotone = true))
 
@@ -1139,10 +1149,16 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
               i.values.map(keyStr).sorted.toList)
           }.toList.sortBy(_.toString)
         // groupings key by canonicalized form — exprIds normalize away,
-        // so the same query re-planned hits the cache
+        // so the same query re-planned hits the cache. Join keys carry
+        // their EXCLUSION ELIGIBILITY (non-anti), because joinExcluded —
+        // and so the probed file list — depends on it: an anti and an
+        // inner join on the same key column must never share a boundary
+        // list (the anti's all-null-key files go to the raw leg, the
+        // inner's to neither).
         val gk = legsCols.map(g => (g.base,
           g.f.map(_.canonicalized.toString).getOrElse(""), g.monotone)).toList ++
-          joinKeyCols.map(k => ("__joinkey", k, true)).toList
+          joinDims.flatMap(jd => jd.keys.map(k =>
+            ("__joinkey", k._1, jd.joinType != LeftAnti))).toList
         cachedProbe(("metapartial", nroot, ver, bk, gk)) {
           try Probed(mStats
             .filter(candidate && !servableM && !joinExcluded)
@@ -1195,7 +1211,29 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     }
     val mBase = mStats.filter(servableM)
     val mleg =
-      if (joinDims.nonEmpty) {
+      if (joinDims.nonEmpty && distinctMode) {
+        // DISTINCT shapes under dim joins: the output value set is
+        // MULTIPLICITY-FREE, so every dim acts as a pure gate on the
+        // served files — an inner dim contributes exactly its semi
+        // gate (a file's value reaches the output iff ≥1 dim row
+        // matches), a semi dim likewise, an anti dim the complement.
+        // Group/distinct values are computed from the manifest row
+        // BEFORE the gating joins, exactly as in the plain-agg branch.
+        val keyMins = joinKeyCols.map(k => s"${k}_min").distinct
+        val mPre = mBase.select(
+          gValsRaw.zipWithIndex.map { case (c, j) => c.as(gAlias(j)) } ++
+            keyMins.map(c => col(c).as(s"__zm_$c")): _*)
+        val gated = joinDims.foldLeft(mPre) { (df, jd) =>
+          val dimDF = GraftBridge.ofRows(spark, jd.dimPlan)
+          val cond = jd.keys.map { case (k, _, dk) =>
+            col(s"__zm_${k}_min") === GraftBridge.column(dk)
+          }.reduce(_ && _)
+          df.join(dimDF, cond,
+            if (jd.joinType == LeftAnti) "left_anti" else "left_semi")
+        }
+        distinctOf(gated.select(legsCols.indices.map(j =>
+          col(gAlias(j))): _*))
+      } else if (joinDims.nonEmpty) {
         // join the SERVED manifest rows against each dim on the zones'
         // single key values: each dim match stands for the whole file, so
         // multiplicity replicates manifest rows exactly as the original
@@ -1239,9 +1277,10 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         else joined.groupBy(groupCols.indices.map(j =>
             col(s"__zm_g$j").as(gAlias(j))): _*)
           .agg(jAggs.head, jAggs.tail: _*)
+      } else if (distinctMode) {
+        distinctOf(mBase.select(gVals: _*))
       } else {
-        if (distinctMode) distinctOf(mBase.select(gVals: _*))
-        else if (groupCols.isEmpty) mBase.agg(mAggs.head, mAggs.tail: _*)
+        if (groupCols.isEmpty) mBase.agg(mAggs.head, mAggs.tail: _*)
         else mBase.groupBy(gVals: _*).agg(mAggs.head, mAggs.tail: _*)
       }
 

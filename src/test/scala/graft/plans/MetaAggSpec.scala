@@ -870,6 +870,42 @@ class MetaAggSpec extends SparkSpec
       withoutRule(qn.collect().head.getLong(0)))
   }
 
+  test("DISTINCT shapes serve under dim joins: every dim gates as a " +
+      "semi (values are multiplicity-free), anti as the complement") {
+    val dim = Seq((0L, "x"), (0L, "x2"), (3L, "z")).toDF("bk", "tag")
+    val f = fact
+    // SELECT DISTINCT under an INNER join with DUPLICATE dim keys — the
+    // value set must be multiplicity-free
+    def q() = f.join(dim, f("b") === dim("bk")).select(col("b2")).distinct()
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L && dataFiles(df) === 0L,
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
+    assert(withoutRule(q().collect().map(_.getLong(0)).sorted.toSeq) ===
+      Seq(0L, 1L))
+    // count(DISTINCT) under a SEMI join
+    val f2 = fact
+    def q2() = f2.join(dim, f2("b") === dim("bk"), "left_semi")
+      .agg(countDistinct(col("b")).as("db"))
+    val (df2, fired2) = servedBy(q2())
+    assert(fired2 === 1L && dataFiles(df2) === 0L)
+    assert(df2.collect().head.getLong(0) === 2L)
+    assert(withoutRule(q2().collect().head.getLong(0)) === 2L)
+    // grouped count(DISTINCT) under an ANTI join
+    val adim = Seq((0L, "x")).toDF("bk", "tag")
+    val f3 = fact
+    def q3() = f3.join(adim, f3("b") === adim("bk"), "left_anti")
+      .groupBy(col("b2")).agg(countDistinct(col("b")).as("db"))
+    val (df3, fired3) = servedBy(q3())
+    assert(fired3 === 1L && dataFiles(df3) === 0L,
+      df3.queryExecution.optimizedPlan.toString)
+    val got3 = df3.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sortBy(_._1)
+    assert(got3 === Seq((0L, 1L), (1L, 2L))) // anti drops b=0
+    assert(withoutRule(q3().collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)) === got3)
+  }
+
   test("mixed star: an inner dim and a semi dim compose — inner " +
       "multiplies, semi gates") {
     val dimB = Seq((0L, "x"), (0L, "x2"), (1L, "y")).toDF("bk", "tag")

@@ -564,7 +564,16 @@ object ZoneMap {
           }
         val raw = regexp_extract(col("part_dir"),
           "(?:^|/)" + java.util.regex.Pattern.quote(groupCol) + "=([^/]*)", 1)
-        val nullish = raw === "__HIVE_DEFAULT_PARTITION__" || raw === ""
+        // a data column that was never zone-indexed extracts "" from
+        // every part_dir — lumping the whole layout into one NULL group
+        // would be a SILENT wrong answer, so refuse loudly instead (a
+        // real partition level appears in every file's directory; null
+        // and empty partition VALUES both write the default dir, so ""
+        // can only mean "not a partition level")
+        require(m.filter(raw === "").limit(1).count() == 0L,
+          s"'$groupCol' is neither zone-indexed nor a partition level " +
+            s"of this layout — add it to the zone map's cols")
+        val nullish = raw === "__HIVE_DEFAULT_PARTITION__"
         val escaped = raw.contains("%")
         val v = when(nullish || escaped, lit(null)).otherwise(raw).cast(dt)
         m.withColumn(s"${groupCol}_min", v)

@@ -231,8 +231,8 @@ class ZoneMapSpec extends SparkSpec {
     // partition file is homogeneous by construction — answers survive
     // the loss of ALL data files
     val hp = fresh("sketch-by-part")
-    (0 until 60).map(i => (i.toLong, s"t${i / 20}"))
-      .toDF("k", "p").repartition(1)
+    (0 until 60).map(i => (i.toLong, i * 2.0, s"t${i / 20}"))
+      .toDF("k", "w", "p").repartition(1)
       .write.mode("overwrite").partitionBy("p").parquet(hp)
     ZoneMap.write(spark, hp, Seq("k"), updateCatalog = false,
       sketchCols = Seq("k"))
@@ -245,6 +245,11 @@ class ZoneMapSpec extends SparkSpec {
         ("t2", 20L, 49.0)), s"got $rows")
     }
     checkPart()
+    // a DATA column that was never zone-indexed must refuse loudly —
+    // silently lumping the layout into one NULL group would be wrong
+    val boom = intercept[IllegalArgumentException](
+      ZoneMap.metaApproxProfileBy(spark, hp, "w", Seq("k")))
+    assert(boom.getMessage.contains("neither zone-indexed nor a partition"))
     val hfs = new org.apache.hadoop.fs.Path(hp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Manifests.listDataFiles(hfs, new org.apache.hadoop.fs.Path(hp))

@@ -947,28 +947,35 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
 
     // Synthesize per-file statistics for partition-derived grouping
     // columns from `part_dir`: min = max = the parsed value, nulls = 0
-    // (or n_rows for the __HIVE_DEFAULT_PARTITION__ / empty-value null
-    // group — Spark writes null AND empty-string partition values as the
-    // default dir, and reads both back as null). A raw value carrying a
-    // '%' escape is NOT decoded here (Hive path-escaping is not plain URL
-    // decoding — a wrong decode would be a silent wrong group value):
-    // such files get nulls = -1, which fails BOTH homogeneity disjuncts
-    // and routes them to the raw-scan leg, where Spark's own partition
-    // parsing supplies the value — exact answers either way.
+    // (or n_rows for the __HIVE_DEFAULT_PARTITION__ null group — Spark
+    // writes null AND empty-string partition values as that default dir,
+    // so a real partition level NEVER extracts as ""). A raw value
+    // carrying a '%' escape is NOT decoded here (Hive path-escaping is
+    // not plain URL decoding — a wrong decode would be a silent wrong
+    // group value): such files get nulls = -1, which fails BOTH
+    // homogeneity disjuncts, keeps the file a CANDIDATE under partition
+    // predicates, and routes it to the raw-scan leg, where Spark's own
+    // partition parsing supplies the value — exact answers either way.
+    // An EMPTY extraction gets the same nulls = -1 routing: it means the
+    // `key=` segment is missing from part_dir — a shard key derived from
+    // a root the encoder mishandled, or an escaped column NAME the
+    // pattern can't see — and serving it as the NULL group (or excluding
+    // it under a predicate) would be a silent wrong answer, while the
+    // raw-scan leg stays exact at the cost of scanning that exotic file.
     def withPartStats(df: DataFrame): DataFrame =
       partBases.foldLeft(df) { (d, p) =>
         val dt = rel.output.find(_.name == p).map(_.dataType)
           .getOrElse(StringType)
         val raw = regexp_extract(col("part_dir"),
           "(?:^|/)" + java.util.regex.Pattern.quote(p) + "=([^/]*)", 1)
-        val nullish = raw === "__HIVE_DEFAULT_PARTITION__" || raw === ""
-        val escaped = raw.contains("%")
-        val v = when(nullish || escaped, lit(null)).otherwise(raw).cast(dt)
+        val nullish = raw === "__HIVE_DEFAULT_PARTITION__"
+        val unknown = raw.contains("%") || raw === ""
+        val v = when(nullish || unknown, lit(null)).otherwise(raw).cast(dt)
         d.withColumn(s"${p}_min", v)
           .withColumn(s"${p}_max", v)
           .withColumn(s"${p}_nulls",
             when(nullish, col("n_rows"))
-              .otherwise(when(escaped, lit(-1L)).otherwise(lit(0L))))
+              .otherwise(when(unknown, lit(-1L)).otherwise(lit(0L))))
       }
     def mStats: DataFrame = withPartStats(mSnap)
 

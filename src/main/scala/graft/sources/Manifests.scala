@@ -66,11 +66,27 @@ private[graft] object Manifests {
   /** Derive the manifest shard key from the data-file path column `file`:
     * the file's leaf directory relative to the layout root ("." for
     * root-level files). Pure column arithmetic — stays inside the stats
-    * job's codegen. */
+    * job's codegen.
+    *
+    * `file` comes from `input_file_name()` / `Path.toString`, which emit
+    * URI-ENCODED strings, while `rootAbs` is the DECODED URI path: a root
+    * containing a URI-encodable character (a space, '#', …) would never
+    * locate under the decoded marker and every shard key would silently
+    * derive from a garbage offset. Locate the ENCODED form of the marker
+    * first (exact for such roots), falling back to the decoded marker
+    * (identical for plain-ASCII roots, and the right form for `file`
+    * values that were never URI-encoded). */
   def partDirCol(rootAbs: String): Column = {
     val marker = rootAbs.stripSuffix("/") + "/"
-    val rel = col("file").substr(
-      locate(marker, col("file")) + marker.length, length(col("file")))
+    val encMarker =
+      try new java.net.URI(null, null, marker, null).getRawPath
+      catch { case _: java.net.URISyntaxException => marker }
+    def relAfter(mk: String): Column = col("file").substr(
+      locate(mk, col("file")) + mk.length, length(col("file")))
+    val rel =
+      if (encMarker == marker) relAfter(marker)
+      else when(locate(encMarker, col("file")) > 0, relAfter(encMarker))
+        .otherwise(relAfter(marker))
     when(locate("/", rel) === 0, lit("."))
       .otherwise(rel.substr(lit(1), length(rel) - locate("/", reverse(rel))))
   }

@@ -1124,6 +1124,87 @@ class MetaAggSpec extends SparkSpec
     assert(withoutRule(q2().collect().head) === r2)
   }
 
+  test("a layout root containing a URI-encodable character (space) still " +
+      "derives shard keys: partition groups serve, zero data files") {
+    // input_file_name() URI-encodes ('/tmp/a b' → 'file:/tmp/a%20b') while
+    // the root marker is the DECODED path — before the encoded-marker fix
+    // the shard key derived from a garbage offset and GROUP BY the
+    // partition column silently served every file into the NULL group
+    val hp = s"$root/hp space/lake"
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/hp space"), true)
+    Seq((1L, "p0"), (2L, "p0"), (3L, "p1"), (4L, "p1"), (5L, "p1"))
+      .toDF("k", "p").repartition(1)
+      .write.mode("overwrite").partitionBy("p").parquet(hp)
+    ZoneMap.write(spark, hp, Seq("k"), updateCatalog = false)
+    // the shard keys themselves must be the partition dirs, not offsets
+    // into an encoded string the decoded marker missed
+    val shards = spark.read.parquet(s"$hp/_zonemap")
+      .select("part_dir").distinct().collect().map(_.getString(0)).toSet
+    assert(shards === Set("p=p0", "p=p1"),
+      s"encoded-root shard keys must still be the partition dirs: $shards")
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(hp, "k"))
+    def q() = spark.read.parquet(hp).groupBy(col("p"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L, df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df, "hp space/lake") === 0L,
+      df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got === Seq(("p0", 2L, 3L), ("p1", 3L, 12L)))
+    assert(withoutRule(q().collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq.sortBy(_._1)) === got)
+  }
+
+  test("a manifest whose part_dir lacks the key= segment routes to the " +
+      "raw-scan leg — never the silent NULL group, never dropped rows") {
+    // the defense-in-depth behind the encoded-marker fix: if shard keys
+    // ever DO derive wrong (an exotic filesystem's encoding the marker
+    // logic mishandles), the partition extraction comes back empty — and
+    // empty must mean "bounds unknown, scan raw", not "the NULL group"
+    val hp = s"$root/hp-broken"
+    fs.delete(new org.apache.hadoop.fs.Path(hp), true)
+    Seq((1L, "p0"), (2L, "p0"), (3L, "p1"), (4L, "p1"))
+      .toDF("k", "p").repartition(1)
+      .write.mode("overwrite").partitionBy("p").parquet(hp)
+    ZoneMap.write(spark, hp, Seq("k"), updateCatalog = false)
+    // damage the manifest: shard keys lose their `p=` segment (what a
+    // mis-located marker produced before the fix)
+    val m = spark.read.parquet(s"$hp/_zonemap")
+      .withColumn("part_dir", concat(lit("x"), col("part_dir")))
+    val staging = s"$root/hp-broken-manifest"
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    m.write.partitionBy("part_dir").parquet(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$hp/_zonemap"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(s"$hp/_zonemap"))
+    graft.sources.Manifests.bumpManifestVersion(hp, "_zonemap")
+    BloomJoins.registerZone(BloomJoins.ZoneLayout(hp, "k"))
+    // GROUP BY the partition column: every file's group value is
+    // unknowable from the damaged manifest — all must scan raw, exact
+    def q() = spark.read.parquet(hp).groupBy(col("p"))
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df, fired) = servedBy(q())
+    assert(fired === 1L, df.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df, "hp-broken") === 2L,
+      "unknown group values must scan raw\n" +
+        df.queryExecution.optimizedPlan.toString)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got === Seq(("p0", 2L, 3L), ("p1", 2L, 7L)),
+      s"groups must come from Spark's own parser, never a NULL lump: $got")
+    // under a PREDICATE on the partition column the files' bounds are
+    // unknown: they must stay CANDIDATES (scan raw), not be excluded
+    def q2() = spark.read.parquet(hp).where(col("p") === "p1")
+      .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    val (df2, fired2) = servedBy(q2())
+    assert(fired2 === 1L, df2.queryExecution.optimizedPlan.toString)
+    val r2 = df2.collect().head
+    assert(r2.getLong(0) === 2L && r2.getLong(1) === 7L,
+      s"rows must not silently vanish under the predicate: $r2")
+    assert(withoutRule(q2().collect().head) === r2)
+  }
+
   test("a mixed-schema manifest refuses SUM serving; min/max/count still serve") {
     val mixed = s"$root/mixedsum"
     writeRanged(mixed)

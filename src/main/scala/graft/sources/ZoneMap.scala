@@ -245,41 +245,59 @@ object ZoneMap {
     * is never cached: it triggers a rebuild (new fingerprint) and must
     * be re-evaluated if the rebuild failed. */
   private val schemaVerdict =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Seq[String]),
-      java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, String, Seq[String]), java.lang.Boolean]()
 
-  /** Hash of the sorted `_zonemap` part-file listing — the cheap on-disk
-    * identity that changes whenever ANY process rewrites the manifest. */
-  private def manifestFingerprint(spark: SparkSession, path: String): Int =
+  /** Strong digest (SHA-256, hex) of the sorted `_zonemap` part-file
+    * listing — the on-disk identity that changes whenever ANY process
+    * rewrites the manifest (parquet part files are immutable-by-name).
+    * A 32-bit hash was not enough here: a collision across an
+    * out-of-process rewrite would reuse a stale TRUE verdict and let
+    * [[update]] incrementally union mismatched schemas — the exact
+    * failure the fingerprint exists to prevent. Listing failure returns
+    * None (a distinct never-cached state, NOT a fingerprint value):
+    * the verdict is then computed uncached, so two unrelated failure
+    * states can never alias each other. */
+  private def manifestFingerprint(spark: SparkSession,
+                                  path: String): Option[String] =
     try {
       val (mfs, mp) = Manifests.fsFor(spark, s"$path/_zonemap")
-      Manifests.listDataFiles(mfs, mp).map(_.toString).sorted.hashCode()
-    } catch { case _: Exception => 0 }
+      val joined = Manifests.listDataFiles(mfs, mp).map(_.toString)
+        .sorted.mkString("\n")
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Some(d.map(b => f"$b%02x").mkString)
+    } catch { case _: Exception => None }
 
   /** Does the on-disk manifest carry exactly the statistic columns
     * [[statsFor]] would emit today for `cols` over this layout? */
   private def schemaMatches(spark: SparkSession, path: String,
                             cols: Seq[String],
-                            sketchCols: Seq[String] = Nil): Boolean = {
-    val key = (Manifests.fsFor(spark, path)._2.toUri.getPath,
-      Manifests.manifestVersion(path, "_zonemap"),
-      manifestFingerprint(spark, path),
-      cols.sorted ++ ("|" +: sketchCols.sorted))
-    Option(schemaVerdict.get(key)) match {
-      case Some(v) => v.booleanValue()
+                            sketchCols: Seq[String] = Nil): Boolean =
+    manifestFingerprint(spark, path) match {
       case None =>
-        val v = schemaMatchesUncached(spark, path, cols, sketchCols)
-        if (v) {
-          // stale-version entries accumulate one per maintenance tick —
-          // a wholesale clear past a generous cap bounds the map without
-          // an LRU's bookkeeping (re-probing after a clear is one tick's
-          // round-trips)
-          if (schemaVerdict.size() > 4096) schemaVerdict.clear()
-          schemaVerdict.put(key, java.lang.Boolean.TRUE)
+        // the on-disk identity is unknowable right now — never cache
+        // (and never consult a cache keyed on a made-up identity)
+        schemaMatchesUncached(spark, path, cols, sketchCols)
+      case Some(fp) =>
+        val key = (Manifests.fsFor(spark, path)._2.toUri.getPath,
+          Manifests.manifestVersion(path, "_zonemap"), fp,
+          cols.sorted ++ ("|" +: sketchCols.sorted))
+        Option(schemaVerdict.get(key)) match {
+          case Some(v) => v.booleanValue()
+          case None =>
+            val v = schemaMatchesUncached(spark, path, cols, sketchCols)
+            if (v) {
+              // stale-version entries accumulate one per maintenance tick —
+              // a wholesale clear past a generous cap bounds the map without
+              // an LRU's bookkeeping (re-probing after a clear is one tick's
+              // round-trips)
+              if (schemaVerdict.size() > 4096) schemaVerdict.clear()
+              schemaVerdict.put(key, java.lang.Boolean.TRUE)
+            }
+            v
         }
-        v
     }
-  }
 
   private def schemaMatchesUncached(spark: SparkSession, path: String,
                                     cols: Seq[String],

@@ -524,7 +524,7 @@ object GraftCatalog {
     val r = norm(root)
     val legs = Seq("literal-scan", "zone-scan", "join", "zone-join",
       "filter-scan", "catalog-load", "catalog-merge", "catalog-save",
-      "self-describe", "summary-state", "meta-agg")
+      "self-describe", "summary-state", "meta-agg", "meta-agg-budget")
     def perLeg(layout: String): Seq[(String, Long)] =
       legs.map(l => l -> graft.streaming.GraftMetrics
           .counter(BloomJoins.RefusalMetric, "layout" -> layout, "leg" -> l))

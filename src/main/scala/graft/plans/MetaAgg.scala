@@ -526,16 +526,27 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     * whole sub-plans, never decomposed — a snowflake key (dim2 joined on
     * dim1's column) fails fact-side key resolution downstream and
     * refuses. `budget` bounds the walk (stars past 4 dims refuse — the
-    * summary-view tier is the right home for those). Dims come back
-    * INNER-FIRST, the original join order for the replay leg. */
+    * summary-view tier is the right home for those; `budgetHit` records
+    * that the bound — not the shape — stopped the walk, so
+    * [[tryServeJoin]] can surface the skip through the refusal counter
+    * instead of silently standing aside). Dims come back INNER-FIRST,
+    * the original join order for the replay leg. */
   private def starCandidates(plan: LogicalPlan,
       sub0: Map[ExprId, AttributeReference],
       defs0: Map[Long, Expression],
-      budget: Int)
+      budget: Int,
+      budgetHit: java.util.concurrent.atomic.AtomicBoolean)
       : List[(LogicalPlan, List[DimSide],
               Map[ExprId, AttributeReference], Map[Long, Expression])] = {
     val (cur, sub, defs) = stripRenames(plan, sub0, defs0)
     cur match {
+      case Join(_, _, jt, Some(_), _)
+          if budget <= 0 &&
+            (jt == Inner || jt == LeftSemi || jt == LeftAnti) =>
+        // a join the walk WOULD have decomposed, stopped only by the
+        // budget — the whole star stands aside, and that must be visible
+        budgetHit.set(true)
+        List((cur, Nil, sub, defs))
       case Join(l, r, jt, Some(cond), _)
           if budget > 0 &&
             (jt == Inner || jt == LeftSemi || jt == LeftAnti) =>
@@ -566,7 +577,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
             if (o.exists(_.isEmpty)) None else Some(o.map(_.get))
           }
           val leftAsFact = orient(l, r).toList.flatMap(ps =>
-            starCandidates(l, sub, defs, budget - 1).map {
+            starCandidates(l, sub, defs, budget - 1, budgetHit).map {
               case (f, ds, s2, d2) => (f, ds :+ DimSide(r, ps, jt), s2, d2)
             })
           // semi/anti joins emit the LEFT side only — the fact can never
@@ -574,7 +585,7 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
           val rightAsFact =
             if (jt != Inner) Nil
             else orient(r, l).toList.flatMap(ps =>
-              starCandidates(r, sub, defs, budget - 1).map {
+              starCandidates(r, sub, defs, budget - 1, budgetHit).map {
                 case (f, ds, s2, d2) => (f, ds :+ DimSide(l, ps, jt), s2, d2)
               })
           leftAsFact ++ rightAsFact
@@ -627,12 +638,33 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
     * resolution. */
   private def tryServeJoin(gexprs: Seq[AttributeReference],
                            aggExprs: Seq[NamedExpression],
-                           child: LogicalPlan): Option[LogicalPlan] =
-    starCandidates(child, Map.empty, Map.empty, budget = 4)
-      .iterator.flatMap { case (factPlan, dims, osub, odefs) =>
-        if (dims.isEmpty) None
-        else attemptJoinServe(gexprs, aggExprs, osub, odefs, factPlan, dims)
-      }.nextOption()
+                           child: LogicalPlan): Option[LogicalPlan] = {
+    val budgetHit = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val served =
+      starCandidates(child, Map.empty, Map.empty, budget = 4, budgetHit)
+        .iterator.flatMap { case (factPlan, dims, osub, odefs) =>
+          if (dims.isEmpty) None
+          else attemptJoinServe(gexprs, aggExprs, osub, odefs, factPlan, dims)
+        }.nextOption()
+    // a star WIDER than the serving budget stood the tier aside: count it
+    // per registered layout under its own leg (visible in describe()'s
+    // refusal_detail) instead of skipping silently — at 100 TB "the
+    // dashboard got slow because the star grew a fifth dim" must be
+    // diagnosable from the metrics, not from a plan diff. Only layouts
+    // this tier COULD have served refuse (leaf relations resolving to a
+    // registered zone root); plans over unregistered tables stay silent.
+    if (served.isEmpty && budgetHit.get())
+      child.collect { case lr: LogicalRelation => lr }
+        .flatMap(lr => BloomJoins.singleRootOf(spark, lr))
+        .filter(r => BloomJoins.zoneLayoutsFor(r).nonEmpty)
+        .distinct
+        .foreach(r => BloomJoins.refused(r, "meta-agg-budget",
+          new IllegalStateException("star join exceeds the 4-dim serving " +
+            "budget — the manifest tier stands aside (answers stay exact, " +
+            "the aggregate runs raw); materialize a summary view for " +
+            "wide stars")))
+    served
+  }
 
   /** Resolve each extracted dim's fact-side key attrs to zone-indexed OR
     * partition relation columns (a Hive layout's natural join key is its

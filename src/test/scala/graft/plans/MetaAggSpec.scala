@@ -957,6 +957,51 @@ class MetaAggSpec extends SparkSpec
     assert(got === 1L)
   }
 
+  test("a star past the 4-dim budget stands aside LOUDLY: the skip lands " +
+      "on the meta-agg-budget refusal leg and in describe(); 4 dims serve") {
+    // five homogeneous-key dims: the SHAPE is servable, only the budget
+    // stops the walk — exactly the case that must not be silent (at scale
+    // "the dashboard got slow because the star grew a fifth dim" has to
+    // be diagnosable from the metrics, not a plan diff)
+    val d1 = Seq((0L, 1L), (1L, 2L)).toDF("bk1", "w1")
+    val d2 = Seq((0L, 1L), (1L, 2L)).toDF("b2k2", "w2")
+    val d3 = Seq((0L, 1L), (2L, 2L)).toDF("bk3", "w3")
+    val d4 = Seq((0L, 1L), (1L, 2L)).toDF("b2k4", "w4")
+    val d5 = Seq((0L, 1L), (3L, 2L)).toDF("bk5", "w5")
+    val f = fact
+    def star(n: Int) = {
+      val joins = Seq(
+        (d1, f("b") === d1("bk1")), (d2, f("b2") === d2("b2k2")),
+        (d3, f("b") === d3("bk3")), (d4, f("b2") === d4("b2k4")),
+        (d5, f("b") === d5("bk5"))).take(n)
+      joins.foldLeft(f) { case (acc, (d, c)) => acc.join(d, c) }
+        .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+    }
+    // 4 dims: inside the budget — serves from the manifest
+    val (df4, fired4) = servedBy(star(4))
+    assert(fired4 === 1L, df4.queryExecution.optimizedPlan.toString)
+    assert(dataFiles(df4) === 0L)
+    // 5 dims: the budget refuses; the answer stays exact on the raw plan
+    val leg = Seq("layout" -> BloomJoins.norm(layout),
+      "leg" -> "meta-agg-budget")
+    val before = graft.streaming.GraftMetrics.counter(
+      BloomJoins.RefusalMetric, leg: _*)
+    val (df5, fired5) = servedBy(star(5))
+    assert(fired5 === 0L,
+      "5 dims must refuse\n" + df5.queryExecution.optimizedPlan.toString)
+    assert(graft.streaming.GraftMetrics.counter(
+      BloomJoins.RefusalMetric, leg: _*) > before,
+      "the budget skip must increment the meta-agg-budget refusal leg")
+    val r5 = df5.collect().head
+    assert(withoutRule(star(5).collect().head) === r5)
+    // and describe() renders the leg in refusal_detail — the operator's
+    // one-stop "pruning off, WHY" view
+    val d = GraftCatalog.describe(spark, layout).collect()
+      .filter(_.getString(1) == "zone").head
+    assert(d.getString(6).contains("meta-agg-budget="),
+      s"describe() must surface the budget leg: ${d.getString(6)}")
+  }
+
   test("HAVING composes above a served aggregate (Filter over Aggregate)") {
     fact.createOrReplaceTempView("ma_fact_h")
     def q = spark.sql(

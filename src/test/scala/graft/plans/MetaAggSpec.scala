@@ -1022,6 +1022,92 @@ class MetaAggSpec extends SparkSpec
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)) === got)
   }
 
+  test("MetaAgg ∘ SummaryViews: both rewrite tiers fire in ONE plan tree — " +
+      "an MV-served dim under a manifest-served star, and sibling " +
+      "subquery aggregates each served by their own tier") {
+    // the two tiers are both plan-local rewrites in the user-provided
+    // batch (RewriteToSummary ordered before RewriteToMetaAggregate);
+    // this pins that they actually COMPOSE — neither stands the other
+    // aside — in both nesting directions the dashboards produce
+    val mvBase = s"$root/mv-base"
+    val mvState = s"$root/mv-state"
+    fs.delete(new org.apache.hadoop.fs.Path(mvBase), true)
+    fs.delete(new org.apache.hadoop.fs.Path(mvState), true)
+    Seq.tabulate(40)(i => ((i % 4).toLong, i.toLong)).toDF("g", "x")
+      .write.parquet(mvBase)
+    graft.streaming.IncrementalAgg.applyDelta(spark, mvState,
+      spark.read.parquet(mvBase)
+        .select(col("g"), col("x"), lit(1L).as("cnt")),
+      keyCols = Seq("g"), sumCols = Seq("x", "cnt"), nBuckets = 4,
+      batchId = 0L)
+    SummaryViews.register(SummaryViews.View(
+      mvBase, mvState, Seq("g"), Set("x"), Some("cnt")))
+    SummaryViews.install(spark)
+    def relPaths(df: DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case hf: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => hf.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+    def withoutBoth[T](f: => T): T = {
+      SummaryViews.uninstall(spark)
+      try withoutRule(f) finally SummaryViews.install(spark)
+    }
+    try {
+      // shape 1 — NESTED: the star's dim is `SELECT DISTINCT g FROM
+      // mvBase`, which RewriteToSummary serves from the state table;
+      // RewriteToMetaAggregate then serves the fact aggregate around it.
+      // The optimized plan must read manifest + state ONLY.
+      val f = fact
+      val dim = spark.read.parquet(mvBase).select(col("g")).distinct()
+      def q1() = f.join(dim, f("b") === dim("g"))
+        .agg(count(lit(1)).as("c"), sum(col("k")).as("sk"))
+      val beforeJ = MetaAgg.servedJoin.get()
+      val (df1, fired1) = servedBy(q1())
+      assert(fired1 === 1L && MetaAgg.servedJoin.get() === beforeJ + 1,
+        df1.queryExecution.optimizedPlan.toString)
+      val rels1 = relPaths(df1)
+      assert(rels1.exists(_.contains("mv-state")),
+        s"the dim must be MV-served from the state table: $rels1\n" +
+          df1.queryExecution.optimizedPlan.toString)
+      assert(!rels1.exists(_.contains("mv-base")),
+        s"the MV base must never be read: $rels1")
+      assert(dataFiles(df1) === 0L,
+        "every fact file is homogeneous in b — manifest-only I/O\n" +
+          df1.queryExecution.optimizedPlan.toString)
+      val r1 = df1.collect().head
+      assert(r1.getLong(0) === 100L && r1.getLong(1) === 4950L)
+      assert(withoutBoth(q1().collect().head) === r1)
+      // shape 2 — SIBLINGS: two aggregate subqueries join; the MV tier
+      // serves one, the manifest tier the other, in the same plan tree
+      def q2() = {
+        val a = spark.read.parquet(mvBase).groupBy(col("g"))
+          .agg(sum(col("x")).as("sx"))
+        val b = fact.groupBy(col("b")).agg(sum(col("k")).as("sk"))
+        a.join(b, a("g") === b("b")).select(col("g"), col("sx"), col("sk"))
+      }
+      val (df2, fired2) = servedBy(q2())
+      assert(fired2 === 1L, df2.queryExecution.optimizedPlan.toString)
+      val rels2 = relPaths(df2)
+      assert(rels2.exists(_.contains("mv-state")) &&
+        !rels2.exists(_.contains("mv-base")),
+        s"the sibling MV aggregate must serve from state: $rels2")
+      assert(dataFiles(df2) === 0L,
+        df2.queryExecution.optimizedPlan.toString)
+      val got2 = df2.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+      assert(withoutBoth(q2().collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1))
+        === got2)
+    } finally {
+      SummaryViews.uninstall(spark)
+      SummaryViews.unregister(mvBase)
+    }
+  }
+
   test("GROUP BY a Hive partition column serves from the manifest even " +
       "though the zones never indexed it") {
     val hp = s"$root/hivepart"

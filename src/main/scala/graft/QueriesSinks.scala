@@ -1617,7 +1617,7 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
       Seq("event_type", "value", "user_id"),
       updateCatalog = false, sketchCols = Seq("value", "user_id"))
     val prof = graft.sources.ZoneMap.metaApproxProfileBy(
-        s, path, "event_type", Seq("value", "user_id"), Seq(0.5))
+        s, path, Seq("event_type"), Seq("value", "user_id"), Seq(0.5))
       .select(col("event_type").as("et"), col("n_rows"),
         col("value_p50"), col("user_id_approx_distinct"))
     val gated = ev.join(broadcast(prof), ev("event_type") === col("et"))
@@ -1642,6 +1642,76 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
         s"[$et] HLL estimate off: $du vs $duE")
     }
     gated.select(col("et").as("event_type"), col("n_rows"),
+      col("value_p50"), col("user_id_approx_distinct"),
+      col("du_exact").as("exact_users"))
+  }
+
+  register("agg_meta_sketch_semijoin_by", None) { (s, dir) =>
+    // The sketch tier GROUPED AND GATED in one call
+    // (ZoneMap.metaApproxProfileSemiJoinBy) — the real monitoring query:
+    // "p50 of value and distinct users PER DAY, for the dim-selected
+    // event types". Group values come from the Hive partition dirs (zero
+    // zone configuration), the gate from the event_type zones; files
+    // homogeneous in both merge their blobs straight into their day iff
+    // their type matches the dim, type-boundary files re-sketch their
+    // MATCHING rows grouped, per-day n_rows exact over matching rows
+    // only. No DuckDB oracle (engine-specific estimates — the standing
+    // sketch-tier argument); REQUIREs gate every group against exact
+    // answers AND the group SET itself (no day may vanish or appear).
+    // ZoneMapSpec pins the exact regime, the per-leg routing and the
+    // never-touched all-null-key files.
+    val path = s"$sinkRoot/agg_meta_sketch_semijoin_by-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val ev = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    ev.repartitionByRange(8, col("day"), col("event_type"), col("event_id"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    graft.sources.ZoneMap.write(s, path,
+      Seq("event_type", "value", "user_id"),
+      updateCatalog = false, sketchCols = Seq("value", "user_id"))
+    val dim = ev.where(col("event_type").isin("purchase", "click"))
+      .select(col("event_type").as("d_type")).distinct()
+    val prof = graft.sources.ZoneMap.metaApproxProfileSemiJoinBy(
+        s, path, "event_type", dim, "d_type", Seq("day"),
+        Seq("value", "user_id"), Seq(0.5))
+      // the partition dirs read back as DATE under Spark's partition
+      // type inference — compare as the strings the feed carries
+      .select(col("day").cast("string").as("d"), col("n_rows"),
+        col("value_p50"), col("user_id_approx_distinct"))
+    val matching = ev.where(col("event_type").isin("purchase", "click"))
+    // the group SET must match exactly — a silently dropped or invented
+    // day would survive a join-only comparison
+    val profDays = prof.select("d").collect().map(_.getString(0)).toSet
+    val exactDays = matching.select("day").distinct().collect()
+      .map(_.getString(0)).toSet
+    require(profDays == exactDays,
+      s"agg_meta_sketch_semijoin_by: group sets differ — " +
+        s"missing ${exactDays -- profDays}, spurious ${profDays -- exactDays}")
+    val gated = matching.join(broadcast(prof), matching("day") === col("d"))
+      .groupBy(col("d"), col("n_rows"), col("value_p50"),
+        col("user_id_approx_distinct"))
+      .agg(count(lit(1)).as("n_exact"),
+        countDistinct(col("user_id")).as("du_exact"),
+        (count(when(col("value") <= col("value_p50"), 1)) /
+          count(col("value"))).as("rank50"))
+    val rows = gated.collect()
+    require(rows.nonEmpty, "agg_meta_sketch_semijoin_by: no groups came back")
+    rows.foreach { r =>
+      val d = r.getAs[String]("d")
+      require(r.getAs[Long]("n_rows") == r.getAs[Long]("n_exact"),
+        s"[$d] per-group n_rows over MATCHING rows must be exact: " +
+          s"${r.getAs[Long]("n_rows")} vs ${r.getAs[Long]("n_exact")}")
+      // + 1/n: a tiny group's EXACT median is itself ceil(n/2)/n — up to
+      // one item-rank off the nominal 0.5 (sf0.001 days carry ~10 rows)
+      require(math.abs(r.getAs[Double]("rank50") - 0.5) <=
+          0.033 + 1.0 / r.getAs[Long]("n_exact"),
+        s"[$d] KLL rank contract violated: ${r.getAs[Double]("rank50")}")
+      val du = r.getAs[Long]("user_id_approx_distinct")
+      val duE = r.getAs[Long]("du_exact")
+      require(math.abs(du - duE).toDouble / duE <= 0.05,
+        s"[$d] HLL estimate off: $du vs $duE")
+    }
+    gated.select(col("d").as("day"), col("n_rows"),
       col("value_p50"), col("user_id_approx_distinct"),
       col("du_exact").as("exact_users"))
   }

@@ -494,182 +494,34 @@ object ZoneMap {
   def metaApproxProfile(spark: SparkSession, path: String,
                         cols: Seq[String],
                         quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
-      : DataFrame = {
-    require(quantiles.forall(q => q > 0 && q <= 1), s"bad quantiles: $quantiles")
-    val m = spark.read.parquet(s"$path/_zonemap")
-    val fields = m.schema.fieldNames.toSet
-    require(cols.nonEmpty && cols.forall(c =>
-        fields.contains(s"${c}_kll") || fields.contains(s"${c}_hll")),
-      s"no sketch tier for ${cols.filterNot(c => fields.contains(s"${c}_kll") ||
-        fields.contains(s"${c}_hll")).mkString(",")} — " +
-        s"rebuild the manifest with sketchCols")
-    def pct(q: Double): String = {
-      val v = q * 100
-      if (v == v.floor) f"${v.toInt}%d" else f"$v%.4f".replace('.', '_')
-    }
-    val merges: Seq[Column] = lit(1).as("one") +: cols.flatMap { c =>
-      (if (fields.contains(s"${c}_kll"))
-         Seq(expr(s"kll_merge_agg_double(`${c}_kll`)").as(s"${c}_mk"))
-       else Nil) ++
-        (if (fields.contains(s"${c}_hll"))
-           Seq(expr(s"hll_union_agg(`${c}_hll`, true)").as(s"${c}_mh"))
-         else Nil)
-    } :+ sum(col("n_rows")).as("n_rows")
-    val merged = m.agg(merges.head, merges.tail: _*)
-    val outs: Seq[Column] = col("n_rows") +: cols.flatMap { c =>
-      (if (fields.contains(s"${c}_kll"))
-         quantiles.map(q =>
-           expr(s"kll_sketch_get_quantile_double(`${c}_mk`, $q)")
-             .as(s"${c}_p${pct(q)}"))
-       else Nil) ++
-        (if (fields.contains(s"${c}_hll"))
-           Seq(round(expr(s"hll_sketch_estimate(`${c}_mh`)")).cast("long")
-             .as(s"${c}_approx_distinct"))
-         else Nil)
-    }
-    merged.select(outs: _*)
-  }
+      : DataFrame =
+    profileCore(spark, path, Nil, None, cols, quantiles)
 
   /** [[metaApproxProfile]] GROUPED — "p99 of value and distinct users,
-    * PER TENANT/DAY/SOURCE" from the manifest's sketch tier: one output
-    * row per `groupCol` value. A file HOMOGENEOUS in the group column
-    * (one value throughout, or all-NULL — the SQL NULL group) belongs to
-    * exactly one group, so its per-file blobs merge into that group's
-    * sketch directly; mixed files scan raw with their rows grouped and
-    * re-sketched at the same FIXED parameters (mergeable with the
-    * manifest blobs by construction). `groupCol` may be a zone-indexed
-    * DATA column or a HIVE PARTITION column — a directory-derived value
-    * is homogeneous per file by construction and parses from the
-    * manifest's own `part_dir` (percent-escaped values route to the scan
-    * leg rather than risk a wrong decode). Per-group `n_rows` is exact;
+    * PER (TENANT, DAY, SOURCE)" from the manifest's sketch tier: one
+    * output row per `groupCols` value TUPLE. A file HOMOGENEOUS in EVERY
+    * group column (one value throughout, or all-NULL — the SQL NULL
+    * group) belongs to exactly one tuple, so its per-file blobs merge
+    * into that tuple's sketch directly; files mixed in ANY group column
+    * scan raw with their rows grouped and re-sketched at the same FIXED
+    * parameters (mergeable with the manifest blobs by construction).
+    * Each group column independently may be a zone-indexed DATA column
+    * or a HIVE PARTITION column — a directory-derived value is
+    * homogeneous per file by construction and parses from the manifest's
+    * own `part_dir` (percent-escaped values route to the scan leg rather
+    * than risk a wrong decode; a column that is neither zone-indexed nor
+    * a partition level refuses loudly). Per-group `n_rows` is exact;
     * quantile/distinct error contracts as [[metaApproxProfile]]. At
     * 100 TB over a clustered or partitioned layout the per-group profile
     * costs a files-sized manifest job plus the group-boundary files,
     * never a data scan. */
   def metaApproxProfileBy(spark: SparkSession, path: String,
-                          groupCol: String, cols: Seq[String],
+                          groupCols: Seq[String], cols: Seq[String],
                           quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
       : DataFrame = {
-    require(quantiles.forall(q => q > 0 && q <= 1), s"bad quantiles: $quantiles")
-    val m = spark.read.parquet(s"$path/_zonemap")
-    val fields = m.schema.fieldNames.toSet
-    require(cols.nonEmpty && cols.forall(c =>
-        fields.contains(s"${c}_kll") || fields.contains(s"${c}_hll")),
-      s"no sketch tier for ${cols.filterNot(c => fields.contains(s"${c}_kll") ||
-        fields.contains(s"${c}_hll")).mkString(",")} — " +
-        s"rebuild the manifest with sketchCols")
-    // group-column statistics: from the zones, or synthesized from
-    // part_dir for a directory-derived column (same discipline as the
-    // optimizer rule's partition groupings)
-    val zoned = fields.contains(s"${groupCol}_min") &&
-      fields.contains(s"${groupCol}_nulls")
-    val mg: DataFrame =
-      if (zoned) m
-      else {
-        // the group value TYPE comes from the layout schema; a layout
-        // whose data files are all gone (retention wipe — the manifest
-        // still answers) can't be read, so its partition values stay
-        // strings, exactly as they sit in part_dir
-        val dt =
-          try spark.read.parquet(path).schema.fields
-            .find(_.name == groupCol)
-            .getOrElse(throw new IllegalArgumentException(
-              s"unknown group column '$groupCol' — not zone-indexed and " +
-                s"not in the layout schema")).dataType
-          catch {
-            case _: org.apache.spark.sql.AnalysisException =>
-              org.apache.spark.sql.types.StringType
-          }
-        val raw = regexp_extract(col("part_dir"),
-          "(?:^|/)" + java.util.regex.Pattern.quote(groupCol) + "=([^/]*)", 1)
-        // a data column that was never zone-indexed extracts "" from
-        // every part_dir — lumping the whole layout into one NULL group
-        // would be a SILENT wrong answer, so refuse loudly instead (a
-        // real partition level appears in every file's directory; null
-        // and empty partition VALUES both write the default dir, so ""
-        // can only mean "not a partition level")
-        require(m.filter(raw === "").limit(1).count() == 0L,
-          s"'$groupCol' is neither zone-indexed nor a partition level " +
-            s"of this layout — add it to the zone map's cols")
-        val nullish = raw === "__HIVE_DEFAULT_PARTITION__"
-        val escaped = raw.contains("%")
-        val v = when(nullish || escaped, lit(null)).otherwise(raw).cast(dt)
-        m.withColumn(s"${groupCol}_min", v)
-          .withColumn(s"${groupCol}_max", v)
-          .withColumn(s"${groupCol}_nulls",
-            when(nullish, col("n_rows"))
-              .otherwise(when(escaped, lit(-1L)).otherwise(lit(0L))))
-      }
-    val homog = (col(s"${groupCol}_nulls") === 0L &&
-        col(s"${groupCol}_min") === col(s"${groupCol}_max")) ||
-      col(s"${groupCol}_nulls") === col("n_rows")
-    val gVal = when(col(s"${groupCol}_nulls") === col("n_rows"), lit(null))
-      .otherwise(col(s"${groupCol}_min"))
-    // leg 1 — homogeneous files' blobs, grouped by each file's single value
-    val servedBlobs = {
-      val aggs: Seq[Column] = sum(col("n_rows")).as("__n") +:
-        cols.flatMap { c =>
-          (if (fields.contains(s"${c}_kll"))
-             Seq(expr(s"kll_merge_agg_double(`${c}_kll`)").as(s"${c}_b_kll"))
-           else Nil) ++
-            (if (fields.contains(s"${c}_hll"))
-               Seq(expr(s"hll_union_agg(`${c}_hll`, true)").as(s"${c}_b_hll"))
-             else Nil)
-        }
-      mg.filter(homog).groupBy(gVal.as("__g")).agg(aggs.head, aggs.tail: _*)
-    }
-    // leg 2 — mixed files scan raw, grouped by the real column and
-    // re-sketched at the same k/lgK
-    val boundary = mg.filter(!((col(s"${groupCol}_nulls") === 0L &&
-          col(s"${groupCol}_min") === col(s"${groupCol}_max")) ||
-        col(s"${groupCol}_nulls") === col("n_rows")))
-      .select("part_dir", "file").sort("part_dir", "file").toLocalIterator()
-    val rawBlobs = Manifests.batchedRead(spark,
-        scala.jdk.CollectionConverters.IteratorHasAsScala(boundary)
-          .asScala.map(_.getString(1)),
-        basePath = Some(path))
-      .map { df =>
-        val aggs: Seq[Column] = count(lit(1)).as("__n") +:
-          cols.flatMap { c =>
-            (if (fields.contains(s"${c}_kll"))
-               Seq(expr(s"kll_sketch_agg_double(CAST(`$c` AS DOUBLE), $KllK)")
-                 .as(s"${c}_b_kll"))
-             else Nil) ++
-              (if (fields.contains(s"${c}_hll"))
-                 Seq(expr(s"hll_sketch_agg(`$c`, $HllLgK)").as(s"${c}_b_hll"))
-               else Nil)
-          }
-        df.groupBy(df.col(groupCol).as("__g")).agg(aggs.head, aggs.tail: _*)
-      }
-    val both = rawBlobs.fold(servedBlobs)(servedBlobs.unionByName(_))
-    val merges: Seq[Column] = sum(col("__n")).as("n_rows") +:
-      cols.flatMap { c =>
-        (if (fields.contains(s"${c}_kll"))
-           Seq(expr(s"kll_merge_agg_double(`${c}_b_kll`)").as(s"${c}_mk"))
-         else Nil) ++
-          (if (fields.contains(s"${c}_hll"))
-             Seq(expr(s"hll_union_agg(`${c}_b_hll`, true)").as(s"${c}_mh"))
-           else Nil)
-      }
-    val merged = both.groupBy(col("__g").as(groupCol))
-      .agg(merges.head, merges.tail: _*)
-    def pct(q: Double): String = {
-      val v = q * 100
-      if (v == v.floor) f"${v.toInt}%d" else f"$v%.4f".replace('.', '_')
-    }
-    val outs: Seq[Column] = col(groupCol) +: col("n_rows") +:
-      cols.flatMap { c =>
-        (if (fields.contains(s"${c}_kll"))
-           quantiles.map(q =>
-             expr(s"kll_sketch_get_quantile_double(`${c}_mk`, $q)")
-               .as(s"${c}_p${pct(q)}"))
-         else Nil) ++
-          (if (fields.contains(s"${c}_hll"))
-             Seq(round(expr(s"hll_sketch_estimate(`${c}_mh`)")).cast("long")
-               .as(s"${c}_approx_distinct"))
-           else Nil)
-      }
-    merged.select(outs: _*)
+    require(groupCols.nonEmpty && groupCols.distinct == groupCols,
+      s"bad group columns: $groupCols")
+    profileCore(spark, path, groupCols, None, cols, quantiles)
   }
 
   /** [[metaApproxProfile]] under a SEMI-JOIN: approximate quantiles and
@@ -686,39 +538,153 @@ object ZoneMap {
     * join — each fact row counted once however many dim rows match, the
     * natural reading of "rows matching this dim" (an INNER-join profile
     * would weight rows by dim multiplicity, which a quantile/distinct
-    * question never wants). `n_rows` is exact; quantile/distinct error
-    * contracts as [[metaApproxProfile]]. The dim evaluates once per
-    * leg — pass a small, deterministic key set. At 100 TB over a
-    * key-clustered layout the cost is a files-sized manifest job plus
-    * the key-boundary files, never a fact scan. */
+    * question never wants). `factKey` may be a zone-indexed column or a
+    * Hive partition column (a tenant-dim gate on a partitioned lake).
+    * `n_rows` is exact; quantile/distinct error contracts as
+    * [[metaApproxProfile]]. The dim evaluates once per leg — pass a
+    * small, deterministic key set. At 100 TB over a key-clustered layout
+    * the cost is a files-sized manifest job plus the key-boundary files,
+    * never a fact scan. */
   def metaApproxProfileSemiJoin(spark: SparkSession, path: String,
                                 factKey: String,
                                 dim: DataFrame, dimKey: String,
                                 cols: Seq[String],
                                 quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+      : DataFrame =
+    profileCore(spark, path, Nil, Some((factKey, dim, dimKey)), cols,
+      quantiles)
+
+  /** [[metaApproxProfileBy]] ∘ [[metaApproxProfileSemiJoin]] — the real
+    * monitoring query: "p99 of value PER TENANT/DAY, for the
+    * dim-selected keys". One output row per `groupCols` tuple, over only
+    * the fact rows whose `factKey` matches a key in `dim` (SEMI
+    * semantics — rows counted once however many dim rows match). A file
+    * serves from its manifest blobs when it is homogeneous in EVERY
+    * group column AND in the key (its single key then matches the dim
+    * entirely or not at all, and its blobs are the sketches of its
+    * matching rows, already in the right group); files mixed in any of
+    * them scan raw with their matching rows grouped and re-sketched at
+    * the same FIXED parameters; files all-NULL in the key match nothing
+    * and are never touched. Group columns and the key independently may
+    * be zone-indexed data columns or Hive partition columns. Per-group
+    * `n_rows` is exact; error contracts as [[metaApproxProfile]]. At
+    * 100 TB the cost is a files-sized manifest job plus the boundary
+    * files — never a fact scan. */
+  def metaApproxProfileSemiJoinBy(spark: SparkSession, path: String,
+                                  factKey: String,
+                                  dim: DataFrame, dimKey: String,
+                                  groupCols: Seq[String], cols: Seq[String],
+                                  quantiles: Seq[Double] =
+                                    Seq(0.5, 0.9, 0.99))
       : DataFrame = {
+    require(groupCols.nonEmpty && groupCols.distinct == groupCols,
+      s"bad group columns: $groupCols")
+    profileCore(spark, path, groupCols, Some((factKey, dim, dimKey)), cols,
+      quantiles)
+  }
+
+  /** The one engine behind the four profile fronts ([[metaApproxProfile]]
+    * global / [[metaApproxProfileBy]] grouped /
+    * [[metaApproxProfileSemiJoin]] gated /
+    * [[metaApproxProfileSemiJoinBy]] both): split the manifest into a
+    * SERVED leg (files homogeneous in every group column and — when
+    * gated — in the key, matched against the dim's distinct keys; their
+    * per-file blobs merge directly, grouped by each file's single value
+    * tuple) and a BOUNDARY leg (everything else except all-NULL-key
+    * files under a gate, which match nothing; scanned raw, gated,
+    * grouped, re-sketched at the same fixed k/lgK so the blobs merge
+    * losslessly with the manifest's), then merge the two legs' blobs per
+    * group tuple and read the estimates out. Group/key statistics come
+    * from the zone tier, or are synthesized from `part_dir` for Hive
+    * partition columns (the NULL group for `__HIVE_DEFAULT_PARTITION__`;
+    * percent-escaped values get `nulls = -1`, failing homogeneity and
+    * routing to the boundary leg rather than risking a wrong decode; a
+    * column that is neither refuses loudly — lumping the layout into one
+    * NULL group would be a silent wrong answer). */
+  private def profileCore(spark: SparkSession, path: String,
+                          groupCols: Seq[String],
+                          gate: Option[(String, DataFrame, String)],
+                          cols: Seq[String],
+                          quantiles: Seq[Double]): DataFrame = {
     require(quantiles.forall(q => q > 0 && q <= 1), s"bad quantiles: $quantiles")
     val m = spark.read.parquet(s"$path/_zonemap")
     val fields = m.schema.fieldNames.toSet
-    require(Seq("_min", "_max", "_nulls").forall(sfx =>
-        fields.contains(s"$factKey$sfx")),
-      s"fact key '$factKey' is not zone-indexed in this manifest")
     require(cols.nonEmpty && cols.forall(c =>
         fields.contains(s"${c}_kll") || fields.contains(s"${c}_hll")),
       s"no sketch tier for ${cols.filterNot(c => fields.contains(s"${c}_kll") ||
         fields.contains(s"${c}_hll")).mkString(",")} — " +
         s"rebuild the manifest with sketchCols")
-    val keys = dim.select(col(dimKey).as("__graft_dim_key")).distinct()
-    val homog = col(s"${factKey}_nulls") === 0L &&
-      col(s"${factKey}_min") === col(s"${factKey}_max")
-    // leg 1 — served: key-homogeneous files whose single key matches the
-    // dim contribute their manifest blobs as whole files
-    val served = m.filter(homog)
-      .join(keys, col(s"${factKey}_min") === col("__graft_dim_key"),
-        "left_semi")
+    // per-file statistics for every column the serving decision needs:
+    // the zone tier's, or synthesized from part_dir for partition levels
+    val statCols = (groupCols ++ gate.map(_._1)).distinct
+    val mg = statCols.foldLeft(m) { (d, gc) =>
+      if (fields.contains(s"${gc}_min") && fields.contains(s"${gc}_nulls")) d
+      else {
+        // the value TYPE comes from the layout schema; a layout whose
+        // data files are all gone (retention wipe — the manifest still
+        // answers) can't be read, so its partition values stay strings,
+        // exactly as they sit in part_dir
+        val dt =
+          try spark.read.parquet(path).schema.fields
+            .find(_.name == gc)
+            .getOrElse(throw new IllegalArgumentException(
+              s"unknown column '$gc' — not zone-indexed and not in the " +
+                s"layout schema")).dataType
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              org.apache.spark.sql.types.StringType
+          }
+        val raw = regexp_extract(col("part_dir"),
+          "(?:^|/)" + java.util.regex.Pattern.quote(gc) + "=([^/]*)", 1)
+        // a data column that was never zone-indexed extracts "" from
+        // every part_dir — lumping the whole layout into one NULL group
+        // would be a SILENT wrong answer, so refuse loudly instead (a
+        // real partition level appears in every file's directory; null
+        // and empty partition VALUES both write the default dir, so ""
+        // can only mean "not a partition level")
+        require(d.filter(raw === "").limit(1).count() == 0L,
+          s"'$gc' is neither zone-indexed nor a partition level " +
+            s"of this layout — add it to the zone map's cols")
+        val nullish = raw === "__HIVE_DEFAULT_PARTITION__"
+        val escaped = raw.contains("%")
+        val v = when(nullish || escaped, lit(null)).otherwise(raw).cast(dt)
+        d.withColumn(s"${gc}_min", v)
+          .withColumn(s"${gc}_max", v)
+          .withColumn(s"${gc}_nulls",
+            when(nullish, col("n_rows"))
+              .otherwise(when(escaped, lit(-1L)).otherwise(lit(0L))))
+      }
+    }
+    // a group column is servable homogeneous when one value throughout
+    // OR all-NULL (the SQL NULL group); the gate key strictly (all-NULL
+    // files match NOTHING — excluded from both legs, null never equals)
+    def groupHomog(c: String): Column = (col(s"${c}_nulls") === 0L &&
+        col(s"${c}_min") === col(s"${c}_max")) ||
+      col(s"${c}_nulls") === col("n_rows")
+    val keyHomog = gate.map { case (k, _, _) =>
+      col(s"${k}_nulls") === 0L && col(s"${k}_min") === col(s"${k}_max") }
+    val excluded = gate.map { case (k, _, _) =>
+      col(s"${k}_nulls") === col("n_rows") }.getOrElse(lit(false))
+    val servedCond = (groupCols.map(groupHomog) ++ keyHomog)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val keys = gate.map { case (_, dim, dimKey) =>
+      dim.select(col(dimKey).as("__graft_dim_key")).distinct() }
+    // leg 1 — served: whole files answer from their manifest blobs,
+    // grouped by each file's single value tuple (and, under a gate,
+    // kept iff the file's single key matches the dim)
+    val servedRows = (gate, keys) match {
+      case (Some((k, _, _)), Some(ks)) =>
+        mg.filter(servedCond && !excluded)
+          .join(ks, col(s"${k}_min") === col("__graft_dim_key"), "left_semi")
+      case _ => mg.filter(servedCond && !excluded)
+    }
+    def gVal(c: String): Column =
+      when(col(s"${c}_nulls") === col("n_rows"), lit(null))
+        .otherwise(col(s"${c}_min"))
     val servedBlobs = {
       val aggs: Seq[Column] =
-        coalesce(sum(col("n_rows")), lit(0L)).as("__n") +:
+        (if (groupCols.isEmpty) coalesce(sum(col("n_rows")), lit(0L))
+         else sum(col("n_rows"))).as("__n") +:
           cols.flatMap { c =>
             (if (fields.contains(s"${c}_kll"))
                Seq(expr(s"kll_merge_agg_double(`${c}_kll`)").as(s"${c}_b_kll"))
@@ -727,22 +693,25 @@ object ZoneMap {
                  Seq(expr(s"hll_union_agg(`${c}_hll`, true)").as(s"${c}_b_hll"))
                else Nil)
           }
-      served.agg(aggs.head, aggs.tail: _*)
+      servedRows.groupBy(groupCols.zipWithIndex.map { case (c, i) =>
+          gVal(c).as(s"__g$i") }: _*)
+        .agg(aggs.head, aggs.tail: _*)
     }
-    // leg 2 — boundary: key-mixed files scan raw, their matching rows
-    // re-sketched at the SAME k/lgK so the blobs merge losslessly; files
-    // all-NULL in the key are excluded (they match nothing)
-    val boundary = m.filter(!(col(s"${factKey}_nulls") === 0L &&
-          col(s"${factKey}_min") === col(s"${factKey}_max")) &&
-        col(s"${factKey}_nulls") =!= col("n_rows"))
+    // leg 2 — boundary files scan raw, their (matching) rows grouped by
+    // the real columns and re-sketched at the SAME k/lgK so the blobs
+    // merge losslessly with the manifest's
+    val boundary = mg.filter(!servedCond && !excluded)
       .select("part_dir", "file").sort("part_dir", "file").toLocalIterator()
     val rawBlobs = Manifests.batchedRead(spark,
         scala.jdk.CollectionConverters.IteratorHasAsScala(boundary)
           .asScala.map(_.getString(1)),
         basePath = Some(path))
       .map { df =>
-        val rows = df.join(keys,
-          df.col(factKey) === col("__graft_dim_key"), "left_semi")
+        val gated = (gate, keys) match {
+          case (Some((k, _, _)), Some(ks)) =>
+            df.join(ks, df.col(k) === col("__graft_dim_key"), "left_semi")
+          case _ => df
+        }
         val aggs: Seq[Column] = count(lit(1)).as("__n") +:
           cols.flatMap { c =>
             (if (fields.contains(s"${c}_kll"))
@@ -753,7 +722,9 @@ object ZoneMap {
                  Seq(expr(s"hll_sketch_agg(`$c`, $HllLgK)").as(s"${c}_b_hll"))
                else Nil)
           }
-        rows.agg(aggs.head, aggs.tail: _*)
+        gated.groupBy(groupCols.zipWithIndex.map { case (c, i) =>
+            gated.col(c).as(s"__g$i") }: _*)
+          .agg(aggs.head, aggs.tail: _*)
       }
     val both = rawBlobs.fold(servedBlobs)(servedBlobs.unionByName(_))
     val merges: Seq[Column] = sum(col("__n")).as("n_rows") +:
@@ -765,22 +736,25 @@ object ZoneMap {
              Seq(expr(s"hll_union_agg(`${c}_b_hll`, true)").as(s"${c}_mh"))
            else Nil)
       }
-    val merged = both.agg(merges.head, merges.tail: _*)
+    val merged = both.groupBy(groupCols.zipWithIndex.map { case (c, i) =>
+        col(s"__g$i").as(c) }: _*)
+      .agg(merges.head, merges.tail: _*)
     def pct(q: Double): String = {
       val v = q * 100
       if (v == v.floor) f"${v.toInt}%d" else f"$v%.4f".replace('.', '_')
     }
-    val outs: Seq[Column] = col("n_rows") +: cols.flatMap { c =>
-      (if (fields.contains(s"${c}_kll"))
-         quantiles.map(q =>
-           expr(s"kll_sketch_get_quantile_double(`${c}_mk`, $q)")
-             .as(s"${c}_p${pct(q)}"))
-       else Nil) ++
-        (if (fields.contains(s"${c}_hll"))
-           Seq(round(expr(s"hll_sketch_estimate(`${c}_mh`)")).cast("long")
-             .as(s"${c}_approx_distinct"))
-         else Nil)
-    }
+    val outs: Seq[Column] = groupCols.map(col) ++ (col("n_rows") +:
+      cols.flatMap { c =>
+        (if (fields.contains(s"${c}_kll"))
+           quantiles.map(q =>
+             expr(s"kll_sketch_get_quantile_double(`${c}_mk`, $q)")
+               .as(s"${c}_p${pct(q)}"))
+         else Nil) ++
+          (if (fields.contains(s"${c}_hll"))
+             Seq(round(expr(s"hll_sketch_estimate(`${c}_mh`)")).cast("long")
+               .as(s"${c}_approx_distinct"))
+           else Nil)
+      })
     merged.select(outs: _*)
   }
 

@@ -200,7 +200,7 @@ class ZoneMapSpec extends SparkSpec {
     ZoneMap.write(spark, path, Seq("k", "g"), updateCatalog = false,
       sketchCols = Seq("k"))
     def check(): Unit = {
-      val rows = ZoneMap.metaApproxProfileBy(spark, path, "g",
+      val rows = ZoneMap.metaApproxProfileBy(spark, path, Seq("g"),
         Seq("k"), Seq(0.5)).collect()
         .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
           r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
@@ -237,7 +237,7 @@ class ZoneMapSpec extends SparkSpec {
     ZoneMap.write(spark, hp, Seq("k"), updateCatalog = false,
       sketchCols = Seq("k"))
     def checkPart(): Unit = {
-      val rows = ZoneMap.metaApproxProfileBy(spark, hp, "p",
+      val rows = ZoneMap.metaApproxProfileBy(spark, hp, Seq("p"),
         Seq("k"), Seq(0.5)).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
         .sortBy(_._1)
@@ -248,13 +248,117 @@ class ZoneMapSpec extends SparkSpec {
     // a DATA column that was never zone-indexed must refuse loudly —
     // silently lumping the layout into one NULL group would be wrong
     val boom = intercept[IllegalArgumentException](
-      ZoneMap.metaApproxProfileBy(spark, hp, "w", Seq("k")))
+      ZoneMap.metaApproxProfileBy(spark, hp, Seq("w"), Seq("k")))
     assert(boom.getMessage.contains("neither zone-indexed nor a partition"))
     val hfs = new org.apache.hadoop.fs.Path(hp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     Manifests.listDataFiles(hfs, new org.apache.hadoop.fs.Path(hp))
       .foreach(f => hfs.delete(f, false))
     checkPart()
+  }
+
+  test("metaApproxProfileBy with MULTIPLE group columns: per-(p, g) " +
+      "tuples mixing a partition level and a zone column; a file mixed " +
+      "in ONE column routes to the scan leg") {
+    import spark.implicits._
+    val hp = fresh("sketch-by-multi")
+    // p is a Hive partition level (homogeneous per file by construction);
+    // g is a zone-indexed data column. Three files: two homogeneous in
+    // BOTH, one homogeneous in p but MIXED in g — the tuple is unknowable
+    // from its manifest row, so it must scan raw (grouped), never lump
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "g", "p").coalesce(1)
+        .write.mode("append").partitionBy("p").parquet(hp)
+    write((0 until 20).map(i => (i.toLong, 0L, "a")))
+    write((20 until 40).map(i =>
+      (i.toLong, if (i < 30) 1L else 2L, "a")))   // MIXED in g
+    write((40 until 60).map(i => (i.toLong, 0L, "b")))
+    ZoneMap.write(spark, hp, Seq("k", "g"), updateCatalog = false,
+      sketchCols = Seq("k"))
+    def check(): Unit = {
+      val rows = ZoneMap.metaApproxProfileBy(spark, hp, Seq("p", "g"),
+        Seq("k"), Seq(0.5)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq.sortBy(t => (t._1, t._2))
+      // exact in the small regime: n ≤ k keeps every item, p50 = the
+      // ceil(.5·n)-th order statistic
+      assert(rows === Seq(
+        ("a", 0L, 20L, 9.0),    // k 0..19: 10th = 9
+        ("a", 1L, 10L, 24.0),   // k 20..29: 5th = 24
+        ("a", 2L, 10L, 34.0),   // k 30..39: 5th = 34
+        ("b", 0L, 20L, 49.0)),  // k 40..59: 10th = 49
+        s"got $rows")
+    }
+    check()
+    // only the g-mixed file may be read: delete both tuple-homogeneous
+    // files — their groups must answer from blobs alone
+    val fs = new org.apache.hadoop.fs.Path(hp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mixedNames = spark.read.parquet(s"$hp/_zonemap")
+      .filter(col("g_min") =!= col("g_max")).select("file")
+      .collect().map(r => Manifests.baseName(r.getString(0))).toSet
+    assert(mixedNames.size === 1)
+    Manifests.listDataFiles(fs, new org.apache.hadoop.fs.Path(hp))
+      .filterNot(f => mixedNames.contains(f.getName))
+      .foreach(f => fs.delete(f, false))
+    check()
+  }
+
+  test("metaApproxProfileSemiJoinBy: grouped AND gated in one call — " +
+      "served blobs land in their group iff the file's key matches, " +
+      "boundary files re-sketch MATCHING rows grouped, all-null-key " +
+      "files are never touched") {
+    import spark.implicits._
+    val path = fresh("sketch-semijoin-by")
+    def write(rows: Seq[(Long, Option[Long], Long)]): Unit =
+      rows.toDF("k", "g", "t").coalesce(1).write.mode("append").parquet(path)
+    // g is the gate key, t the group column:
+    //   A: g=0, t=0 — homogeneous in both, key matches
+    //   B: g=1, t=0 — homogeneous, key matches NOTHING (dropped whole)
+    //   C: g MIXED {1,2}, t=1 — boundary via the KEY; only g=2 rows match
+    //   D: g=2 (matches), t MIXED {1,2} — boundary via the GROUP column
+    //   E: g all-NULL — matches nothing, excluded from BOTH legs
+    write((0 until 25).map(i => (i.toLong, Some(0L), 0L)))
+    write((25 until 50).map(i => (i.toLong, Some(1L), 0L)))
+    write((50 until 75).map(i =>
+      (i.toLong, Some(if (i < 60) 1L else 2L), 1L)))
+    write((75 until 100).map(i =>
+      (i.toLong, Some(2L), if (i < 90) 1L else 2L)))
+    write((100 until 125).map(i => (i.toLong, None: Option[Long], 3L)))
+    ZoneMap.write(spark, path, Seq("k", "g", "t"), updateCatalog = false,
+      sketchCols = Seq("k"))
+    // a DUPLICATE dim key proves semi semantics (rows counted once)
+    val dim = Seq((0L, "x"), (2L, "y"), (2L, "y2")).toDF("gk", "tag")
+    def check(): Unit = {
+      val rows = ZoneMap.metaApproxProfileSemiJoinBy(spark, path, "g",
+        dim, "gk", Seq("t"), Seq("k"), Seq(0.5)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+      // t=0: file A only (B never matches) → k 0..24, 13th = 12
+      // t=1: C's g=2 rows (k 60..74) ∪ D's t=1 rows (k 75..89) → 30
+      //      rows, 15th of the sorted matches = 74
+      // t=2: D's t=2 rows (k 90..99) → 10 rows, 5th = 94
+      // t=3 (file E) must NOT appear — null keys match nothing
+      assert(rows === Seq(
+        (0L, 25L, 12.0, 25L),
+        (1L, 30L, 74.0, 30L),
+        (2L, 10L, 94.0, 10L)), s"got $rows")
+    }
+    check()
+    // only the two BOUNDARY files may be read: delete A, B and E — the
+    // served group answers from its blob, the dropped files are never
+    // opened
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val boundaryNames = spark.read.parquet(s"$path/_zonemap")
+      .filter(col("g_min") =!= col("g_max") ||
+        col("t_min") =!= col("t_max")).select("file")
+      .collect().map(r => Manifests.baseName(r.getString(0))).toSet
+    assert(boundaryNames.size === 2)
+    Manifests.listDataFiles(fs, new org.apache.hadoop.fs.Path(path))
+      .filterNot(f => boundaryNames.contains(f.getName))
+      .foreach(f => fs.delete(f, false))
+    check()
   }
 
   test("update(sketchCols=…) builds the sketch tier: fresh layouts get it " +

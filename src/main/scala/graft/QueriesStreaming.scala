@@ -125,6 +125,79 @@ private[graft] trait QueriesStreaming { this: QueryDomain =>
     }
   }
 
+  register("stream_meta_grouped_part", Some(
+    """SELECT 'c_' || CAST(user_id % 8 AS VARCHAR) AS collection,
+      |  count(*) AS n_events, CAST(sum(user_id) AS BIGINT) AS sum_users,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY 1""".stripMargin)) { (s, dir) =>
+    import graft.streaming._
+    // Stream ingest FEEDS the manifest-serving tier end-to-end: the feed
+    // streams through CdcPipeline into a Hive-partitioned parquet
+    // FileDestination that maintains the zone manifest AS EACH BATCH
+    // LANDS and writes the layout catalog at first batch; every registry
+    // is then cleared (the state a brand-new session starts from) and a
+    // plain GROUP BY on the PARTITION column must be served from the
+    // manifest alone — ZERO data files opened, ZERO register calls, the
+    // zone layouts admitted purely through catalog DISCOVERY (REQUIREd)
+    // — rows hashed against DuckDB over the ORIGINAL events table. The
+    // sink's incremental manifest maintenance, the catalog
+    // self-description, and the partition-column serving leg all sit
+    // under one oracle. At 100 TB this is the streaming lakehouse
+    // pattern: ingest keeps the metadata tier current, and the
+    // per-tenant dashboard costs a files-sized manifest aggregate from
+    // the moment the batch commits.
+    val tag = dir.replaceAll("[^0-9.]", "")
+    val base = s"$sinkRoot/stream-metapart-$tag"
+    val src = sharedStreamSource(s, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    Seq("checkpoint", "out").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/$d"), true))
+    val out = s"$base/out"
+    val dest = new FileDestination(out, graft.sources.OutFormat.Parquet,
+      graft.sources.OutCompression.Snappy,
+      graft.operators.KeyStrategy.CollectionBased,
+      zoneMapCols = Seq("event_id", "user_id"))
+    val cfg = PipelineConfig(sourceDir = src, schemaDDL = streamDDL,
+      checkpointDir = s"$base/checkpoint", queryName = s"stream-mp-$tag",
+      triggerInterval = None) // AvailableNow: drain-and-stop
+    val q = CdcPipeline.start(s, cfg, dest)
+    q.awaitTermination(300000)
+    // fresh-session state: only the catalog the SINK wrote can register
+    // the zone layouts that admit the serving rule
+    graft.plans.BloomJoins.clear()
+    graft.plans.GraftCatalog.clearCache()
+    graft.plans.MetaAgg.install(s)
+    try {
+      val fired0 = graft.plans.MetaAgg.served.get()
+      val qq = s.read.parquet(out).groupBy(col("collection"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("user_id")).as("sum_users"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+      val dataFiles = qq.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fr: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+                if fr.location.rootPaths.exists(p =>
+                  p.toString.contains("stream-metapart") &&
+                    !p.toString.contains("_zonemap")) =>
+              fr.location.inputFiles.length.toLong
+            case _ => 0L
+          }
+      }.sum
+      require(graft.plans.MetaAgg.served.get() > fired0 && dataFiles == 0L,
+        s"stream_meta_grouped_part: expected the stream-maintained " +
+          s"manifest to serve the partition groups with zero data files " +
+          s"($dataFiles read)\n" + qq.queryExecution.optimizedPlan.toString)
+      qq.localCheckpoint()
+    } finally {
+      graft.plans.MetaAgg.uninstall(s)
+      graft.plans.BloomJoins.clear()
+      graft.plans.GraftCatalog.clearCache()
+    }
+  }
+
   register("stream_windowed_counts", Some(
     """SELECT date_trunc('hour', ts) AS window_start,
       |  event_type AS operation, count(*) AS n_events

@@ -202,4 +202,53 @@ object Sketches {
   /** The sketch's deterministic error envelope: 0 iff every estimate it
     * reports is exact (the sketch never purged). */
   def freqMaxError(sketch: Column): Column = freqMaxErrorUdf(sketch)
+
+  // --- frequent items over STRINGS (event types, domains, languages) -------
+
+  import org.apache.datasketches.frequencies.{ItemsSketch => DsItemsSketch}
+  import org.apache.datasketches.common.ArrayOfStringsSerDe
+  import graft.functions.expressions.{FreqStringsMergeAgg, FreqStringsSketchAgg}
+
+  /** One reported string heavy hitter — [[FreqItem]]'s categorical twin. */
+  case class FreqStrItem(item: String, est: Long, lb: Long, ub: Long)
+
+  /** Aggregate: frequent-items sketch of a STRING column (DataSketches
+    * `ItemsSketch<String>`). Exactness/error regimes as [[freqSketch]]. */
+  def freqSketchStr(value: Column, maxMapSize: Int = 1024): Column =
+    GraftBridge.column(
+      FreqStringsSketchAgg(GraftBridge.expression(value), maxMapSize)
+        .toAggregateExpression())
+
+  /** Aggregate: merge serialized STRING frequency sketches. */
+  def freqMergeStr(sketch: Column, maxMapSize: Int = 1024): Column =
+    GraftBridge.column(
+      FreqStringsMergeAgg(GraftBridge.expression(sketch), maxMapSize)
+        .toAggregateExpression())
+
+  private val freqTopKStrUdf =
+    org.apache.spark.sql.functions.udf((sk: Array[Byte], k: Int) =>
+      if (sk == null) null
+      else {
+        val s = DsItemsSketch.getInstance(Memory.wrap(sk),
+          new ArrayOfStringsSerDe)
+        s.getFrequentItems(0L, ErrorType.NO_FALSE_NEGATIVES)
+          .map(r => FreqStrItem(r.getItem, r.getEstimate, r.getLowerBound,
+            r.getUpperBound))
+          .sortBy(r => (-r.est, r.item))
+          .take(k).toSeq
+      })
+
+  /** Top-k string heavy hitters, ordered (estimate desc, item asc) —
+    * deterministic, and equal to the true top-k in the exact regime. */
+  def freqTopKStr(sketch: Column, k: Int): Column =
+    freqTopKStrUdf(sketch, org.apache.spark.sql.functions.lit(k))
+
+  private val freqMaxErrorStrUdf =
+    org.apache.spark.sql.functions.udf((sk: Array[Byte]) =>
+      if (sk == null) null
+      else java.lang.Long.valueOf(DsItemsSketch.getInstance(Memory.wrap(sk),
+        new ArrayOfStringsSerDe).getMaximumError))
+
+  /** [[freqMaxError]] for string sketches. */
+  def freqMaxErrorStr(sketch: Column): Column = freqMaxErrorStrUdf(sketch)
 }

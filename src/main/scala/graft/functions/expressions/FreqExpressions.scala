@@ -144,3 +144,140 @@ final case class FreqMergeAgg(
   override protected def withNewChildInternal(newChild: Expression): FreqMergeAgg =
     copy(child = newChild)
 }
+
+/** [[FreqSketchAgg]] for STRING items (DataSketches `ItemsSketch<String>`
+  * + `ArrayOfStringsSerDe`) — heavy hitters over event types, domains,
+  * languages, template ids: the categorical columns a training-data
+  * pipeline actually ranks. Identical Misra-Gries semantics and error
+  * envelope; the buffer holds at most maxMapSize (string, counter)
+  * entries, so the footprint is bounded by the retained strings'
+  * lengths, not the stream. */
+final case class FreqStringsSketchAgg(
+    child: Expression,
+    maxMapSize: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    org.apache.datasketches.frequencies.ItemsSketch[String]]
+  with UnaryLike[Expression] {
+
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"maxMapSize must be a power of 2 >= 8 (got $maxMapSize)")
+
+  private def serde = new org.apache.datasketches.common.ArrayOfStringsSerDe
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"freq_strings_sketch_agg requires a string column, got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_strings_sketch_agg"
+
+  override def createAggregationBuffer()
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+
+  override def update(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      input: InternalRow)
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.toString)
+    buffer
+  }
+
+  override def merge(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      other: org.apache.datasketches.frequencies.ItemsSketch[String])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    buffer.merge(other)
+
+  override def eval(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String]): Any =
+    buffer.toByteArray(serde)
+
+  override def serialize(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String])
+      : Array[Byte] = buffer.toByteArray(serde)
+  override def deserialize(bytes: Array[Byte])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+      Memory.wrap(bytes), serde)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : FreqStringsSketchAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : FreqStringsSketchAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : FreqStringsSketchAgg = copy(child = newChild)
+}
+
+/** Re-aggregate serialized STRING frequency sketches — [[FreqMergeAgg]]'s
+  * string twin, same empty-group and error-composition semantics. */
+final case class FreqStringsMergeAgg(
+    child: Expression,
+    maxMapSize: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[
+    org.apache.datasketches.frequencies.ItemsSketch[String]]
+  with UnaryLike[Expression] {
+
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"maxMapSize must be a power of 2 >= 8 (got $maxMapSize)")
+
+  private def serde = new org.apache.datasketches.common.ArrayOfStringsSerDe
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"freq_strings_merge_agg requires a binary sketch column, got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_strings_merge_agg"
+
+  override def createAggregationBuffer()
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    new org.apache.datasketches.frequencies.ItemsSketch[String](maxMapSize)
+
+  override def update(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      input: InternalRow)
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else buffer.merge(
+      org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+        Memory.wrap(v.asInstanceOf[Array[Byte]]), serde))
+  }
+
+  override def merge(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String],
+      other: org.apache.datasketches.frequencies.ItemsSketch[String])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    buffer.merge(other)
+
+  override def eval(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String]): Any =
+    buffer.toByteArray(serde)
+
+  override def serialize(
+      buffer: org.apache.datasketches.frequencies.ItemsSketch[String])
+      : Array[Byte] = buffer.toByteArray(serde)
+  override def deserialize(bytes: Array[Byte])
+      : org.apache.datasketches.frequencies.ItemsSketch[String] =
+    org.apache.datasketches.frequencies.ItemsSketch.getInstance(
+      Memory.wrap(bytes), serde)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : FreqStringsMergeAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : FreqStringsMergeAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression)
+      : FreqStringsMergeAgg = copy(child = newChild)
+}

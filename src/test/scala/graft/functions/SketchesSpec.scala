@@ -166,4 +166,33 @@ class SketchesSpec extends SparkSpec {
       assert(top.map(_.getLong(0)).take(3).toSet === Set(1L, 2L, 3L))
     }
   }
+
+  test("freq STRING sketches: exact-regime estimates survive partial " +
+      "merge; top-k order is (est desc, item asc), bounds collapse") {
+    import spark.implicits._
+    // the categorical twin of the long fixture: item "itNN" appears
+    // 2000/NN times, split round-robin over parts and merged back
+    val rows = for {
+      i <- 1 to 40
+      j <- 1 to 2000 / i
+    } yield (((i * 7919 + j) % 8).toLong, f"it$i%02d")
+    val sk = rows.toDF("part", "item")
+      .groupBy("part")
+      .agg(Sketches.freqSketchStr(col("item"), 1024).as("sk"))
+      .agg(Sketches.freqMergeStr(col("sk"), 1024).as("sk"))
+    val maxErr = sk.select(Sketches.freqMaxErrorStr(col("sk")))
+      .head().getLong(0)
+    assert(maxErr === 0L, "exact regime must report maxError 0")
+    val top = sk.select(explode(Sketches.freqTopKStr(col("sk"), 10)).as("hh"))
+      .select("hh.item", "hh.est", "hh.lb", "hh.ub").collect()
+    assert(top.length === 10)
+    top.zipWithIndex.foreach { case (r, rank) =>
+      val (item, est) = (r.getString(0), r.getLong(1))
+      assert(item === f"it${rank + 1}%02d",
+        s"rank $rank should be it${rank + 1}")
+      assert(est === 2000L / (rank + 1), s"item $item estimate must be exact")
+      assert(r.getLong(2) === est && r.getLong(3) === est,
+        s"item $item bounds collapse when exact")
+    }
+  }
 }

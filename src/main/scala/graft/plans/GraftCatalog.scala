@@ -484,12 +484,13 @@ object GraftCatalog {
     attempted.remove(norm(root))
   }
 
-  /** The zone manifest's sketch columns (KLL list, HLL list) for `root`,
-    * or None when the root has no zone layouts or no sketch tier —
-    * [[describe]]'s "sketch" row. Version-cached through the shared probe
-    * cache; a read failure refuses (the row is absent, never a crash). */
-  private def sketchColsFor(spark: SparkSession,
-                            root: String): Option[(Seq[String], Seq[String])] = {
+  /** The zone manifest's sketch columns (KLL list, HLL list,
+    * frequent-items list) for `root`, or None when the root has no zone
+    * layouts or no sketch tier — [[describe]]'s "sketch" row.
+    * Version-cached through the shared probe cache; a read failure
+    * refuses (the row is absent, never a crash). */
+  private def sketchColsFor(spark: SparkSession, root: String)
+      : Option[(Seq[String], Seq[String], Seq[String])] = {
     val r = norm(root)
     if (BloomJoins.zoneLayoutsFor(root).isEmpty) return None
     val ver = graft.sources.Manifests.manifestVersion(r, "_zonemap")
@@ -501,7 +502,11 @@ object GraftCatalog {
           fields.filter(_.endsWith("_kll"))
             .map(f => "kll:" + f.stripSuffix("_kll")).sorted ++
             fields.filter(_.endsWith("_hll"))
-              .map(f => "hll:" + f.stripSuffix("_hll")).sorted)
+              .map(f => "hll:" + f.stripSuffix("_hll")).sorted ++
+            (fields.filter(_.endsWith("_frqs")).map(_.stripSuffix("_frqs")) ++
+              fields.filter(f => f.endsWith("_frq") && !f.endsWith("_frqs"))
+                .map(_.stripSuffix("_frq")))
+              .sorted.map("frq:" + _))
       } catch { case e: Exception =>
         BloomJoins.refused(r, "self-describe", e)
         BloomJoins.RefusedTransient
@@ -509,7 +514,8 @@ object GraftCatalog {
     }.getOrElse(Nil)
     if (tagged.isEmpty) None
     else Some((tagged.collect { case s if s.startsWith("kll:") => s.drop(4) },
-      tagged.collect { case s if s.startsWith("hll:") => s.drop(4) }))
+      tagged.collect { case s if s.startsWith("hll:") => s.drop(4) },
+      tagged.collect { case s if s.startsWith("frq:") => s.drop(4) }))
   }
 
   /** The lake's self-documentation, read back from the artifacts: one row
@@ -549,10 +555,11 @@ object GraftCatalog {
       // the "can I approx-profile this lake from metadata alone" row.
       // Read from the manifest schema, cached per manifest version (one
       // footer round-trip per rewrite, not per describe).
-      sketchColsFor(spark, root).toSeq.map { case (klls, hlls) =>
+      sketchColsFor(spark, root).toSeq.map { case (klls, hlls, frqs) =>
         val detail =
           (if (klls.isEmpty) Nil else Seq(s"kll=${klls.mkString("+")}")) ++
-            (if (hlls.isEmpty) Nil else Seq(s"hll=${hlls.mkString("+")}"))
+            (if (hlls.isEmpty) Nil else Seq(s"hll=${hlls.mkString("+")}")) ++
+            (if (frqs.isEmpty) Nil else Seq(s"frq=${frqs.mkString("+")}"))
         (r, "sketch", r, detail.mkString(";"),
           graft.sources.Manifests.manifestVersion(r, "_zonemap"),
           refusals, detailFor(r))

@@ -76,6 +76,26 @@ object ZoneMap {
   private[graft] val KllK = 200
   private[graft] val HllLgK = 12
 
+  /** Heavy-hitters map size: exact while a merged scope holds fewer than
+    * ~0.75·1024 distinct items (event types, languages, sources —
+    * categorical columns sit far under this), ~0.34% relative error
+    * beyond. Fixed for the same merge-compatibility reason as k/lgK. */
+  private[graft] val FreqMapSize = 1024
+
+  /** Frequent-items records LONG/INT columns (DataSketches LongsSketch)
+    * under the `_frq` suffix and STRING columns (`ItemsSketch<String>`)
+    * under `_frqs` — two suffixes because the blob FAMILIES differ and a
+    * reader must pick the right deserializer from the manifest schema
+    * alone. */
+  private def freqableLong(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+  private def freqableStr(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.StringType]
+
   /** KLL records NUMERIC columns (sketched as double — quantiles of an
     * integral column come back as exact item values cast to double). */
   private def kllable(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -108,7 +128,10 @@ object ZoneMap {
                                         path: String): Seq[String] = {
     val fields = spark.read.parquet(s"$path/_zonemap").schema.fieldNames
     (fields.filter(_.endsWith("_kll")).map(_.stripSuffix("_kll")) ++
-      fields.filter(_.endsWith("_hll")).map(_.stripSuffix("_hll")))
+      fields.filter(_.endsWith("_hll")).map(_.stripSuffix("_hll")) ++
+      fields.filter(_.endsWith("_frqs")).map(_.stripSuffix("_frqs")) ++
+      fields.filter(f => f.endsWith("_frq") && !f.endsWith("_frqs"))
+        .map(_.stripSuffix("_frq")))
       .distinct.sorted.toSeq
   }
 
@@ -141,16 +164,25 @@ object ZoneMap {
              Seq(sum(col(c)).as(s"${c}_sum"))
            else Nil)
       } ++ sketchCols.distinct.sorted.flatMap { c =>
-        // the sketch tier: one KLL (quantiles) and one HLL (distincts)
-        // blob per file per column, type-permitting — both fixed-size and
-        // MERGEABLE, so any later union of manifest rows answers the
-        // approx profile of exactly those files
+        // the sketch tier: one KLL (quantiles), one HLL (distincts) and
+        // one frequent-items (heavy hitters) blob per file per column,
+        // type-permitting — all fixed-size and MERGEABLE, so any later
+        // union of manifest rows answers the approx profile of exactly
+        // those files
         (if (types.get(c).exists(kllable))
            Seq(expr(s"kll_sketch_agg_double(CAST(`$c` AS DOUBLE), $KllK)")
              .as(s"${c}_kll"))
          else Nil) ++
           (if (types.get(c).exists(hllable))
              Seq(expr(s"hll_sketch_agg(`$c`, $HllLgK)").as(s"${c}_hll"))
+           else Nil) ++
+          (if (types.get(c).exists(freqableLong))
+             Seq(graft.functions.Sketches.freqSketch(col(c), FreqMapSize)
+               .as(s"${c}_frq"))
+           else Nil) ++
+          (if (types.get(c).exists(freqableStr))
+             Seq(graft.functions.Sketches.freqSketchStr(col(c), FreqMapSize)
+               .as(s"${c}_frqs"))
            else Nil)
       })
     df.groupBy(input_file_name().as("file"))
@@ -317,7 +349,9 @@ object ZoneMap {
       } ++
       sketchCols.flatMap { c =>
         (if (types.get(c).exists(kllable)) Seq(s"${c}_kll") else Nil) ++
-          (if (types.get(c).exists(hllable)) Seq(s"${c}_hll") else Nil)
+          (if (types.get(c).exists(hllable)) Seq(s"${c}_hll") else Nil) ++
+          (if (types.get(c).exists(freqableLong)) Seq(s"${c}_frq") else Nil) ++
+          (if (types.get(c).exists(freqableStr)) Seq(s"${c}_frqs") else Nil)
       }
     spark.read.parquet(s"$path/_zonemap")
       .schema.fieldNames.toSet == expected
@@ -493,9 +527,11 @@ object ZoneMap {
     * the caller asked for a tier the layout doesn't carry. */
   def metaApproxProfile(spark: SparkSession, path: String,
                         cols: Seq[String],
-                        quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+                        quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                        bands: Seq[(String, Any, Any)] = Nil,
+                        topK: Int = 0)
       : DataFrame =
-    profileCore(spark, path, Nil, None, cols, quantiles)
+    profileCore(spark, path, Nil, None, cols, quantiles, bands, topK)
 
   /** [[metaApproxProfile]] GROUPED — "p99 of value and distinct users,
     * PER (TENANT, DAY, SOURCE)" from the manifest's sketch tier: one
@@ -517,11 +553,13 @@ object ZoneMap {
     * never a data scan. */
   def metaApproxProfileBy(spark: SparkSession, path: String,
                           groupCols: Seq[String], cols: Seq[String],
-                          quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+                          quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                          bands: Seq[(String, Any, Any)] = Nil,
+                          topK: Int = 0)
       : DataFrame = {
     require(groupCols.nonEmpty && groupCols.distinct == groupCols,
       s"bad group columns: $groupCols")
-    profileCore(spark, path, groupCols, None, cols, quantiles)
+    profileCore(spark, path, groupCols, None, cols, quantiles, bands, topK)
   }
 
   /** [[metaApproxProfile]] under a SEMI-JOIN: approximate quantiles and
@@ -549,10 +587,12 @@ object ZoneMap {
                                 factKey: String,
                                 dim: DataFrame, dimKey: String,
                                 cols: Seq[String],
-                                quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99))
+                                quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                                bands: Seq[(String, Any, Any)] = Nil,
+                                topK: Int = 0)
       : DataFrame =
     profileCore(spark, path, Nil, Some((factKey, dim, dimKey)), cols,
-      quantiles)
+      quantiles, bands, topK)
 
   /** [[metaApproxProfileBy]] ∘ [[metaApproxProfileSemiJoin]] — the real
     * monitoring query: "p99 of value PER TENANT/DAY, for the
@@ -575,12 +615,14 @@ object ZoneMap {
                                   dim: DataFrame, dimKey: String,
                                   groupCols: Seq[String], cols: Seq[String],
                                   quantiles: Seq[Double] =
-                                    Seq(0.5, 0.9, 0.99))
+                                    Seq(0.5, 0.9, 0.99),
+                                  bands: Seq[(String, Any, Any)] = Nil,
+                                  topK: Int = 0)
       : DataFrame = {
     require(groupCols.nonEmpty && groupCols.distinct == groupCols,
       s"bad group columns: $groupCols")
     profileCore(spark, path, groupCols, Some((factKey, dim, dimKey)), cols,
-      quantiles)
+      quantiles, bands, topK)
   }
 
   /** The one engine behind the four profile fronts ([[metaApproxProfile]]
@@ -594,7 +636,12 @@ object ZoneMap {
     * files under a gate, which match nothing; scanned raw, gated,
     * grouped, re-sketched at the same fixed k/lgK so the blobs merge
     * losslessly with the manifest's), then merge the two legs' blobs per
-    * group tuple and read the estimates out. Group/key statistics come
+    * group tuple and read the estimates out. `bands` (closed ranges,
+    * ANDed — every front takes them) adds the predicate axis: fully
+    * covered files serve whole, disjoint and all-NULL files are
+    * excluded, partial files re-apply the exact predicate on the raw
+    * leg — "p99 of value for k ∈ [a, b], per tenant, for dim-selected
+    * keys" in one files-sized call. Group/key/band statistics come
     * from the zone tier, or are synthesized from `part_dir` for Hive
     * partition columns (the NULL group for `__HIVE_DEFAULT_PARTITION__`;
     * percent-escaped values get `nulls = -1`, failing homogeneity and
@@ -605,7 +652,9 @@ object ZoneMap {
                           groupCols: Seq[String],
                           gate: Option[(String, DataFrame, String)],
                           cols: Seq[String],
-                          quantiles: Seq[Double]): DataFrame = {
+                          quantiles: Seq[Double],
+                          bands: Seq[(String, Any, Any)] = Nil,
+                          topK: Int = 0): DataFrame = {
     require(quantiles.forall(q => q > 0 && q <= 1), s"bad quantiles: $quantiles")
     val m = spark.read.parquet(s"$path/_zonemap")
     val fields = m.schema.fieldNames.toSet
@@ -616,7 +665,7 @@ object ZoneMap {
         s"rebuild the manifest with sketchCols")
     // per-file statistics for every column the serving decision needs:
     // the zone tier's, or synthesized from part_dir for partition levels
-    val statCols = (groupCols ++ gate.map(_._1)).distinct
+    val statCols = (groupCols ++ gate.map(_._1) ++ bands.map(_._1)).distinct
     val mg = statCols.foldLeft(m) { (d, gc) =>
       if (fields.contains(s"${gc}_min") && fields.contains(s"${gc}_nulls")) d
       else {
@@ -657,15 +706,30 @@ object ZoneMap {
     }
     // a group column is servable homogeneous when one value throughout
     // OR all-NULL (the SQL NULL group); the gate key strictly (all-NULL
-    // files match NOTHING — excluded from both legs, null never equals)
+    // files match NOTHING — excluded from both legs, null never equals).
+    // A band (closed range predicate, ANDed) splits files three ways:
+    // fully COVERED (every row passes — zero nulls required, since a
+    // null row fails a range predicate) serve whole, DISJOINT (no row
+    // can pass; all-NULL included — range comparisons are
+    // null-rejecting) are excluded from both legs, anything else —
+    // partial overlap, some-null files, unknown bounds (nulls = -1) —
+    // scans raw with the exact predicate re-applied.
     def groupHomog(c: String): Column = (col(s"${c}_nulls") === 0L &&
         col(s"${c}_min") === col(s"${c}_max")) ||
       col(s"${c}_nulls") === col("n_rows")
     val keyHomog = gate.map { case (k, _, _) =>
       col(s"${k}_nulls") === 0L && col(s"${k}_min") === col(s"${k}_max") }
-    val excluded = gate.map { case (k, _, _) =>
-      col(s"${k}_nulls") === col("n_rows") }.getOrElse(lit(false))
-    val servedCond = (groupCols.map(groupHomog) ++ keyHomog)
+    def covered(b: (String, Any, Any)): Column =
+      col(s"${b._1}_nulls") === 0L &&
+        col(s"${b._1}_min") >= lit(b._2) && col(s"${b._1}_max") <= lit(b._3)
+    def disjoint(b: (String, Any, Any)): Column =
+      col(s"${b._1}_max") < lit(b._2) || col(s"${b._1}_min") > lit(b._3) ||
+        col(s"${b._1}_nulls") === col("n_rows")
+    val excluded = (gate.map { case (k, _, _) =>
+        col(s"${k}_nulls") === col("n_rows") } ++ bands.map(disjoint))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val servedCond = (groupCols.map(groupHomog) ++ keyHomog ++
+        bands.map(covered))
       .reduceOption(_ && _).getOrElse(lit(true))
     val keys = gate.map { case (_, dim, dimKey) =>
       dim.select(col(dimKey).as("__graft_dim_key")).distinct() }
@@ -691,6 +755,16 @@ object ZoneMap {
              else Nil) ++
               (if (fields.contains(s"${c}_hll"))
                  Seq(expr(s"hll_union_agg(`${c}_hll`, true)").as(s"${c}_b_hll"))
+               else Nil) ++
+              (if (topK > 0 && fields.contains(s"${c}_frq"))
+                 Seq(graft.functions.Sketches
+                   .freqMerge(col(s"${c}_frq"), FreqMapSize)
+                   .as(s"${c}_b_frq"))
+               else Nil) ++
+              (if (topK > 0 && fields.contains(s"${c}_frqs"))
+                 Seq(graft.functions.Sketches
+                   .freqMergeStr(col(s"${c}_frqs"), FreqMapSize)
+                   .as(s"${c}_b_frqs"))
                else Nil)
           }
       servedRows.groupBy(groupCols.zipWithIndex.map { case (c, i) =>
@@ -707,10 +781,16 @@ object ZoneMap {
           .asScala.map(_.getString(1)),
         basePath = Some(path))
       .map { df =>
+        // exact band predicate re-applied — zones are necessary, not
+        // sufficient, on partially-overlapping files
+        val banded = bands.map(b =>
+            df.col(b._1) >= lit(b._2) && df.col(b._1) <= lit(b._3))
+          .reduceOption(_ && _).map(df.filter).getOrElse(df)
         val gated = (gate, keys) match {
           case (Some((k, _, _)), Some(ks)) =>
-            df.join(ks, df.col(k) === col("__graft_dim_key"), "left_semi")
-          case _ => df
+            banded.join(ks, banded.col(k) === col("__graft_dim_key"),
+              "left_semi")
+          case _ => banded
         }
         val aggs: Seq[Column] = count(lit(1)).as("__n") +:
           cols.flatMap { c =>
@@ -720,6 +800,15 @@ object ZoneMap {
              else Nil) ++
               (if (fields.contains(s"${c}_hll"))
                  Seq(expr(s"hll_sketch_agg(`$c`, $HllLgK)").as(s"${c}_b_hll"))
+               else Nil) ++
+              (if (topK > 0 && fields.contains(s"${c}_frq"))
+                 Seq(graft.functions.Sketches
+                   .freqSketch(gated.col(c), FreqMapSize).as(s"${c}_b_frq"))
+               else Nil) ++
+              (if (topK > 0 && fields.contains(s"${c}_frqs"))
+                 Seq(graft.functions.Sketches
+                   .freqSketchStr(gated.col(c), FreqMapSize)
+                   .as(s"${c}_b_frqs"))
                else Nil)
           }
         gated.groupBy(groupCols.zipWithIndex.map { case (c, i) =>
@@ -734,6 +823,15 @@ object ZoneMap {
          else Nil) ++
           (if (fields.contains(s"${c}_hll"))
              Seq(expr(s"hll_union_agg(`${c}_b_hll`, true)").as(s"${c}_mh"))
+           else Nil) ++
+          (if (topK > 0 && fields.contains(s"${c}_frq"))
+             Seq(graft.functions.Sketches
+               .freqMerge(col(s"${c}_b_frq"), FreqMapSize).as(s"${c}_mf"))
+           else Nil) ++
+          (if (topK > 0 && fields.contains(s"${c}_frqs"))
+             Seq(graft.functions.Sketches
+               .freqMergeStr(col(s"${c}_b_frqs"), FreqMapSize)
+               .as(s"${c}_mfs"))
            else Nil)
       }
     val merged = both.groupBy(groupCols.zipWithIndex.map { case (c, i) =>
@@ -753,6 +851,14 @@ object ZoneMap {
           (if (fields.contains(s"${c}_hll"))
              Seq(round(expr(s"hll_sketch_estimate(`${c}_mh`)")).cast("long")
                .as(s"${c}_approx_distinct"))
+           else Nil) ++
+          (if (topK > 0 && fields.contains(s"${c}_frq"))
+             Seq(graft.functions.Sketches.freqTopK(col(s"${c}_mf"), topK)
+               .as(s"${c}_topk"))
+           else Nil) ++
+          (if (topK > 0 && fields.contains(s"${c}_frqs"))
+             Seq(graft.functions.Sketches.freqTopKStr(col(s"${c}_mfs"), topK)
+               .as(s"${c}_topk"))
            else Nil)
       })
     merged.select(outs: _*)

@@ -591,8 +591,9 @@ class GraftCatalogSpec extends SparkSpec
     val srow = d.where(col("kind") === "sketch").collect()
     assert(srow.length === 1,
       "a sketch-carrying lake must self-document the tier")
-    // id is numeric (KLL + HLL); s is string (HLL only); v never sketched
-    assert(srow.head.getString(3) === "kll=id;hll=id+s",
+    // id is numeric (KLL + HLL + frequent-items); s is string (HLL +
+    // frequent-items, no KLL); v never sketched
+    assert(srow.head.getString(3) === "kll=id;hll=id+s;frq=id+s",
       s"sketch detail: ${srow.head.getString(3)}")
     // a layout with zones but NO sketch tier carries no sketch row — the
     // row answers "can I approx-profile this from metadata", so absence

@@ -361,6 +361,116 @@ class ZoneMapSpec extends SparkSpec {
     check()
   }
 
+  test("profile BANDS: fully-covered files serve whole blobs, partial " +
+      "files re-sketch only passing rows, disjoint files are never " +
+      "touched — grouped and global fronts alike") {
+    import spark.implicits._
+    val path = fresh("sketch-band")
+    def write(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("k", "g").coalesce(1).write.mode("append").parquet(path)
+    // k range-clustered per file; band [20, 79] splits them:
+    //   A: k 0..24,    g=0 — PARTIAL (20..24 pass)
+    //   B: k 25..49,   g=1 — COVERED
+    //   C: k 50..74,   g=1 — COVERED (merges with B in the same group)
+    //   D: k 75..99,   g=2 — PARTIAL (75..79 pass)
+    //   E: k 100..124, g=3 — DISJOINT (its group must not appear)
+    write((0 until 25).map(i => (i.toLong, 0L)))
+    write((25 until 50).map(i => (i.toLong, 1L)))
+    write((50 until 75).map(i => (i.toLong, 1L)))
+    write((75 until 100).map(i => (i.toLong, 2L)))
+    write((100 until 125).map(i => (i.toLong, 3L)))
+    ZoneMap.write(spark, path, Seq("k", "g"), updateCatalog = false,
+      sketchCols = Seq("k"))
+    val band = Seq(("k", 20L: Any, 79L: Any))
+    def check(): Unit = {
+      val rows = ZoneMap.metaApproxProfileBy(spark, path, Seq("g"),
+        Seq("k"), Seq(0.5), bands = band).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq.sortBy(_._1)
+      // exact in the small regime (n ≤ k): p50 = ceil(.5·n)-th item
+      assert(rows === Seq(
+        (0L, 5L, 22.0, 5L),     // A's passing rows 20..24: 3rd = 22
+        (1L, 50L, 49.0, 50L),   // B ∪ C blobs whole: 25..74, 25th = 49
+        (2L, 5L, 77.0, 5L)),    // D's passing rows 75..79: 3rd = 77
+        s"got $rows")
+      // the GLOBAL front takes the same bands
+      val p = ZoneMap.metaApproxProfile(spark, path, Seq("k"), Seq(0.5),
+        bands = band).head()
+      assert(p.getLong(0) === 60L && p.getDouble(1) === 49.0 &&
+        p.getLong(2) === 60L, s"got $p")
+    }
+    check()
+    // only the two PARTIAL files may be read: delete B, C and E — the
+    // covered group answers from blobs, the disjoint file is never opened
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partialNames = spark.read.parquet(s"$path/_zonemap")
+      .filter(col("k_min") < 20L && col("k_max") >= 20L ||
+        col("k_min") <= 79L && col("k_max") > 79L).select("file")
+      .collect().map(r => Manifests.baseName(r.getString(0))).toSet
+    assert(partialNames.size === 2)
+    Manifests.listDataFiles(fs, new org.apache.hadoop.fs.Path(path))
+      .filterNot(f => partialNames.contains(f.getName))
+      .foreach(f => fs.delete(f, false))
+    check()
+  }
+
+  test("profile topK: per-group heavy hitters from the manifest's " +
+      "frequent-items blobs — string AND long columns, boundary files " +
+      "re-sketched, exact regime") {
+    import spark.implicits._
+    val path = fresh("sketch-topk")
+    def write(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("k", "g", "src", "uid").coalesce(1)
+        .write.mode("append").parquet(path)
+    // A: g=0 homogeneous — src a×15 b×7 c×3, uid 1×20 2×5
+    write((0 until 25).map(i => (i.toLong, 0L,
+      if (i < 15) "a" else if (i < 22) "b" else "c",
+      if (i < 20) 1L else 2L)))
+    // B: g=1 homogeneous — src b×20 d×5, uid 3×25
+    write((25 until 50).map(i => (i.toLong, 1L,
+      if (i < 45) "b" else "d", 3L)))
+    // C: g MIXED {1,2} — its rows re-sketch grouped from raw:
+    //   g=1 rows: src e×10, uid 4×10; g=2 rows: src a×15, uid 5×15
+    write((50 until 75).map(i =>
+      (i.toLong, if (i < 60) 1L else 2L,
+        if (i < 60) "e" else "a", if (i < 60) 4L else 5L)))
+    ZoneMap.write(spark, path, Seq("k", "g"), updateCatalog = false,
+      sketchCols = Seq("src", "uid"))
+    // string col → _frqs blob, long col → _frq blob, both alongside hll
+    val mf = spark.read.parquet(s"$path/_zonemap").schema.fieldNames.toSet
+    assert(mf.contains("src_frqs") && mf.contains("uid_frq"),
+      s"expected both frequent-items families in the manifest: $mf")
+    def check(): Unit = {
+      val rows = ZoneMap.metaApproxProfileBy(spark, path, Seq("g"),
+        Seq("src", "uid"), Seq(0.5), topK = 2).collect()
+        .map(r => (r.getAs[Long]("g"),
+          r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("src_topk")
+            .map(h => (h.getString(0), h.getLong(1))),
+          r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("uid_topk")
+            .map(h => (h.getLong(0), h.getLong(1)))))
+        .toSeq.sortBy(_._1)
+      // far below saturation: estimates are EXACT and the (est desc,
+      // item asc) order is the true top-k
+      assert(rows === Seq(
+        (0L, Seq(("a", 15L), ("b", 7L)), Seq((1L, 20L), (2L, 5L))),
+        (1L, Seq(("b", 20L), ("e", 10L)), Seq((3L, 25L), (4L, 10L))),
+        (2L, Seq(("a", 15L)), Seq((5L, 15L)))), s"got $rows")
+    }
+    check()
+    // only the g-mixed file may be read — served groups answer from blobs
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mixedNames = spark.read.parquet(s"$path/_zonemap")
+      .filter(col("g_min") =!= col("g_max")).select("file")
+      .collect().map(r => Manifests.baseName(r.getString(0))).toSet
+    assert(mixedNames.size === 1)
+    Manifests.listDataFiles(fs, new org.apache.hadoop.fs.Path(path))
+      .filterNot(f => mixedNames.contains(f.getName))
+      .foreach(f => fs.delete(f, false))
+    check()
+  }
+
   test("update(sketchCols=…) builds the sketch tier: fresh layouts get it " +
       "incrementally, pre-sketch manifests rebuild once then tick") {
     import spark.implicits._

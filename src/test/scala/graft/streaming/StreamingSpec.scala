@@ -159,6 +159,20 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(du - ex.getAs[Long]("du")).toDouble /
           ex.getAs[Long]("du") <= 0.05,
         s"HLL estimate off: $du vs ${ex.getAs[Long]("du")}")
+      // the ingest-maintained frequent-items blobs too: the tiny feed's
+      // distinct user count sits far below saturation, so the manifest
+      // top-3 must equal the exact (count desc, user asc) top-3
+      val top = ZoneMap.metaApproxProfile(spark, out, Seq("user_id"),
+          Seq(0.5), topK = 3).head()
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("user_id_topk")
+        .map(h => (h.getLong(0), h.getLong(1)))
+      val exactTop = env.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id").asc).limit(3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(top === exactTop,
+        s"ingest-built heavy hitters must be exact below saturation: " +
+          s"$top vs $exactTop")
     }
     gate()
     val manifestRows =

@@ -1620,6 +1620,14 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
         s, path, Seq("event_type"), Seq("value", "user_id"), Seq(0.5))
       .select(col("event_type").as("et"), col("n_rows"),
         col("value_p50"), col("user_id_approx_distinct"))
+    // the group SET must match exactly — a silently dropped or invented
+    // group would survive the join-based per-group comparison below
+    val profTypes = prof.select("et").collect().map(_.getString(0)).toSet
+    val exactTypes = ev.select("event_type").distinct().collect()
+      .map(_.getString(0)).toSet
+    require(profTypes == exactTypes,
+      s"agg_meta_sketch_by: group sets differ — " +
+        s"missing ${exactTypes -- profTypes}, spurious ${profTypes -- exactTypes}")
     val gated = ev.join(broadcast(prof), ev("event_type") === col("et"))
       .groupBy(col("et"), col("n_rows"), col("value_p50"),
         col("user_id_approx_distinct"))
@@ -1714,6 +1722,102 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
     gated.select(col("d").as("day"), col("n_rows"),
       col("value_p50"), col("user_id_approx_distinct"),
       col("du_exact").as("exact_users"))
+  }
+
+  register("agg_meta_sketch_banded", None) { (s, dir) =>
+    // The sketch tier under a RANGE PREDICATE (the `bands` axis of the
+    // profile engine): "p50 of value and distinct users PER DAY, for
+    // value in [lo, hi]" over a layout range-clustered on value within
+    // each day partition — value-covered files serve their blobs whole,
+    // partially-overlapping files re-sketch only their passing rows,
+    // disjoint files are never opened. No DuckDB oracle (engine-specific
+    // estimates); REQUIREs gate every group against exact answers over
+    // the band rows, plus group-SET equality. ZoneMapSpec pins the
+    // covered/partial/disjoint routing in the exact regime.
+    val path = s"$sinkRoot/agg_meta_sketch_banded-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val ev = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    ev.repartitionByRange(8, col("day"), col("value"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("value", "user_id"),
+      updateCatalog = false, sketchCols = Seq("value", "user_id"))
+    // a deterministic mid-mass band from the feed's own quartiles
+    val qs = ev.stat.approxQuantile("value", Array(0.25, 0.75), 0.0)
+    val (lo, hi) = (qs(0), qs(1))
+    val prof = graft.sources.ZoneMap.metaApproxProfileBy(
+        s, path, Seq("day"), Seq("value", "user_id"), Seq(0.5),
+        bands = Seq(("value", lo, hi)))
+      .select(col("day").cast("string").as("d"), col("n_rows"),
+        col("value_p50"), col("user_id_approx_distinct"))
+    val matching = ev.where(col("value") >= lo && col("value") <= hi)
+    val profDays = prof.select("d").collect().map(_.getString(0)).toSet
+    val exactDays = matching.select("day").distinct().collect()
+      .map(_.getString(0)).toSet
+    require(profDays == exactDays,
+      s"agg_meta_sketch_banded: group sets differ — " +
+        s"missing ${exactDays -- profDays}, spurious ${profDays -- exactDays}")
+    val gated = matching.join(broadcast(prof), matching("day") === col("d"))
+      .groupBy(col("d"), col("n_rows"), col("value_p50"),
+        col("user_id_approx_distinct"))
+      .agg(count(lit(1)).as("n_exact"),
+        countDistinct(col("user_id")).as("du_exact"),
+        (count(when(col("value") <= col("value_p50"), 1)) /
+          count(col("value"))).as("rank50"))
+    val rows = gated.collect()
+    require(rows.nonEmpty, "agg_meta_sketch_banded: no groups came back")
+    rows.foreach { r =>
+      val d = r.getAs[String]("d")
+      require(r.getAs[Long]("n_rows") == r.getAs[Long]("n_exact"),
+        s"[$d] per-group n_rows over BAND rows must be exact: " +
+          s"${r.getAs[Long]("n_rows")} vs ${r.getAs[Long]("n_exact")}")
+      require(math.abs(r.getAs[Double]("rank50") - 0.5) <=
+          0.033 + 1.0 / r.getAs[Long]("n_exact"),
+        s"[$d] KLL rank contract violated: ${r.getAs[Double]("rank50")}")
+      val du = r.getAs[Long]("user_id_approx_distinct")
+      val duE = r.getAs[Long]("du_exact")
+      require(math.abs(du - duE).toDouble / duE <= 0.05,
+        s"[$d] HLL estimate off: $du vs $duE")
+    }
+    gated.select(col("d").as("day"), col("n_rows"),
+      col("value_p50"), col("user_id_approx_distinct"),
+      col("du_exact").as("exact_users"))
+  }
+
+  register("agg_meta_topk_by", Some(
+    """SELECT day, event_type, n_events, rk FROM (
+      |  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      |    count(*) AS n_events,
+      |    row_number() OVER (PARTITION BY CAST(CAST(ts AS DATE) AS VARCHAR)
+      |      ORDER BY count(*) DESC, event_type) AS rk
+      |  FROM events GROUP BY 1, 2)
+      |WHERE rk <= 3""".stripMargin)) { (s, dir) =>
+    // HEAVY HITTERS from the manifest: "top event types per day" answered
+    // by merging the per-file frequent-items blobs (`_frqs`,
+    // ItemsSketch<String>) — the manifest's third sketch family beside
+    // KLL and HLL. This one IS DuckDB-oracled: the per-day distinct item
+    // count sits far below the 0.75·1024 saturation threshold, so no
+    // sketch ever purges, every estimate is the exact count, and the
+    // (est desc, item asc) report order is the true top-k — the driver
+    // hash-matches day/item/count/rank against DuckDB's row_number over
+    // the raw feed. At 100 TB "which templates dominate per day" costs a
+    // files-sized manifest job plus the day-boundary files; saturated
+    // regimes degrade to the deterministic Misra-Gries error envelope
+    // (SketchesSpec pins both regimes).
+    val path = s"$sinkRoot/agg_meta_topk_by-${dir.replaceAll("[^0-9.]", "")}"
+    val ev = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    ev.repartitionByRange(8, col("day"), col("event_type"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("event_type"),
+      updateCatalog = false, sketchCols = Seq("event_type"))
+    val prof = graft.sources.ZoneMap.metaApproxProfileBy(
+      s, path, Seq("day"), Seq("event_type"), Seq(0.5), topK = 3)
+    prof.select(col("day").cast("string").as("day"),
+        posexplode(col("event_type_topk")).as(Seq("pos", "hh")))
+      .select(col("day"), col("hh.item").as("event_type"),
+        col("hh.est").as("n_events"),
+        (col("pos") + 1).cast("long").as("rk"))
   }
 
   register("agg_mv_rewrite_catalog", Some(

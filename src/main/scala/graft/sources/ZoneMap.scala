@@ -130,8 +130,7 @@ object ZoneMap {
     (fields.filter(_.endsWith("_kll")).map(_.stripSuffix("_kll")) ++
       fields.filter(_.endsWith("_hll")).map(_.stripSuffix("_hll")) ++
       fields.filter(_.endsWith("_frqs")).map(_.stripSuffix("_frqs")) ++
-      fields.filter(f => f.endsWith("_frq") && !f.endsWith("_frqs"))
-        .map(_.stripSuffix("_frq")))
+      fields.filter(_.endsWith("_frq")).map(_.stripSuffix("_frq")))
       .distinct.sorted.toSeq
   }
 
@@ -529,9 +528,10 @@ object ZoneMap {
                         cols: Seq[String],
                         quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
                         bands: Seq[(String, Any, Any)] = Nil,
-                        topK: Int = 0)
+                        topK: Int = 0,
+                        cdfAt: Seq[(String, Double)] = Nil)
       : DataFrame =
-    profileCore(spark, path, Nil, None, cols, quantiles, bands, topK)
+    profileCore(spark, path, Nil, None, cols, quantiles, bands, topK, cdfAt)
 
   /** [[metaApproxProfile]] GROUPED — "p99 of value and distinct users,
     * PER (TENANT, DAY, SOURCE)" from the manifest's sketch tier: one
@@ -555,11 +555,13 @@ object ZoneMap {
                           groupCols: Seq[String], cols: Seq[String],
                           quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
                           bands: Seq[(String, Any, Any)] = Nil,
-                          topK: Int = 0)
+                          topK: Int = 0,
+                          cdfAt: Seq[(String, Double)] = Nil)
       : DataFrame = {
     require(groupCols.nonEmpty && groupCols.distinct == groupCols,
       s"bad group columns: $groupCols")
-    profileCore(spark, path, groupCols, None, cols, quantiles, bands, topK)
+    profileCore(spark, path, groupCols, None, cols, quantiles, bands, topK,
+      cdfAt)
   }
 
   /** [[metaApproxProfile]] under a SEMI-JOIN: approximate quantiles and
@@ -589,10 +591,11 @@ object ZoneMap {
                                 cols: Seq[String],
                                 quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
                                 bands: Seq[(String, Any, Any)] = Nil,
-                                topK: Int = 0)
+                                topK: Int = 0,
+                                cdfAt: Seq[(String, Double)] = Nil)
       : DataFrame =
     profileCore(spark, path, Nil, Some((factKey, dim, dimKey)), cols,
-      quantiles, bands, topK)
+      quantiles, bands, topK, cdfAt)
 
   /** [[metaApproxProfileBy]] ∘ [[metaApproxProfileSemiJoin]] — the real
     * monitoring query: "p99 of value PER TENANT/DAY, for the
@@ -617,12 +620,13 @@ object ZoneMap {
                                   quantiles: Seq[Double] =
                                     Seq(0.5, 0.9, 0.99),
                                   bands: Seq[(String, Any, Any)] = Nil,
-                                  topK: Int = 0)
+                                  topK: Int = 0,
+                                  cdfAt: Seq[(String, Double)] = Nil)
       : DataFrame = {
     require(groupCols.nonEmpty && groupCols.distinct == groupCols,
       s"bad group columns: $groupCols")
     profileCore(spark, path, groupCols, Some((factKey, dim, dimKey)), cols,
-      quantiles, bands, topK)
+      quantiles, bands, topK, cdfAt)
   }
 
   /** The one engine behind the four profile fronts ([[metaApproxProfile]]
@@ -654,7 +658,8 @@ object ZoneMap {
                           cols: Seq[String],
                           quantiles: Seq[Double],
                           bands: Seq[(String, Any, Any)] = Nil,
-                          topK: Int = 0): DataFrame = {
+                          topK: Int = 0,
+                          cdfAt: Seq[(String, Double)] = Nil): DataFrame = {
     require(quantiles.forall(q => q > 0 && q <= 1), s"bad quantiles: $quantiles")
     val m = spark.read.parquet(s"$path/_zonemap")
     val fields = m.schema.fieldNames.toSet
@@ -663,6 +668,30 @@ object ZoneMap {
       s"no sketch tier for ${cols.filterNot(c => fields.contains(s"${c}_kll") ||
         fields.contains(s"${c}_hll")).mkString(",")} — " +
         s"rebuild the manifest with sketchCols")
+    // a CDF probe against a column that is not requested, or that carries
+    // no KLL blob (non-numeric), would silently produce NO output column
+    // — refuse loudly instead; same for non-finite probes (NaN would
+    // reach the SQL parser as an identifier) and duplicate probes
+    // (duplicate output column names)
+    require(cdfAt.forall { case (c, _) =>
+        cols.contains(c) && fields.contains(s"${c}_kll") },
+      s"cdfAt columns must be requested cols carrying a KLL blob: " +
+        s"${cdfAt.collect { case (c, _) if !cols.contains(c) ||
+          !fields.contains(s"${c}_kll") => c }.distinct.mkString(",")}")
+    require(cdfAt.forall(p => java.lang.Double.isFinite(p._2)) &&
+        cdfAt.distinct == cdfAt,
+      s"cdfAt probes must be finite and distinct: $cdfAt")
+    // topK against a manifest with NO frequent-items blobs on any
+    // requested column (pre-heavy-hitters build, or all-double cols)
+    // would silently emit no _topk output at all — refuse loudly; a
+    // per-column absence among several requested cols stays the
+    // established by-TYPE convention (doubles carry no freq blob, the
+    // column is absent, not wrong)
+    require(topK == 0 || cols.exists(c =>
+        fields.contains(s"${c}_frq") || fields.contains(s"${c}_frqs")),
+      s"topK requested but no requested column carries a frequent-items " +
+        s"blob — rebuild the manifest (sketchCols) to add the " +
+        s"heavy-hitters tier")
     // per-file statistics for every column the serving decision needs:
     // the zone tier's, or synthesized from part_dir for partition levels
     val statCols = (groupCols ++ gate.map(_._1) ++ bands.map(_._1)).distinct
@@ -686,22 +715,27 @@ object ZoneMap {
         val raw = regexp_extract(col("part_dir"),
           "(?:^|/)" + java.util.regex.Pattern.quote(gc) + "=([^/]*)", 1)
         // a data column that was never zone-indexed extracts "" from
-        // every part_dir — lumping the whole layout into one NULL group
-        // would be a SILENT wrong answer, so refuse loudly instead (a
-        // real partition level appears in every file's directory; null
-        // and empty partition VALUES both write the default dir, so ""
-        // can only mean "not a partition level")
-        require(d.filter(raw === "").limit(1).count() == 0L,
+        // EVERY part_dir — lumping the whole layout into one NULL group
+        // would be a SILENT wrong answer, so refuse loudly (a real
+        // partition level appears in every file's directory; null and
+        // empty partition VALUES both write the default dir, so
+        // all-empty can only mean "not a partition level"). A PARTIAL
+        // empty extraction — a damaged or exotically-encoded shard-key
+        // subset of a real partition level — instead routes those files
+        // to the boundary leg (nulls = -1, same discipline as the
+        // optimizer rule and as percent-escaped values): degraded cost,
+        // never a refused layout or a wrong group
+        require(d.filter(raw =!= "").limit(1).count() > 0L,
           s"'$gc' is neither zone-indexed nor a partition level " +
             s"of this layout — add it to the zone map's cols")
         val nullish = raw === "__HIVE_DEFAULT_PARTITION__"
-        val escaped = raw.contains("%")
-        val v = when(nullish || escaped, lit(null)).otherwise(raw).cast(dt)
+        val unknown = raw.contains("%") || raw === ""
+        val v = when(nullish || unknown, lit(null)).otherwise(raw).cast(dt)
         d.withColumn(s"${gc}_min", v)
           .withColumn(s"${gc}_max", v)
           .withColumn(s"${gc}_nulls",
             when(nullish, col("n_rows"))
-              .otherwise(when(escaped, lit(-1L)).otherwise(lit(0L))))
+              .otherwise(when(unknown, lit(-1L)).otherwise(lit(0L))))
       }
     }
     // a group column is servable homogeneous when one value throughout
@@ -725,12 +759,22 @@ object ZoneMap {
     def disjoint(b: (String, Any, Any)): Column =
       col(s"${b._1}_max") < lit(b._2) || col(s"${b._1}_min") > lit(b._3) ||
         col(s"${b._1}_nulls") === col("n_rows")
-    val excluded = (gate.map { case (k, _, _) =>
-        col(s"${k}_nulls") === col("n_rows") } ++ bands.map(disjoint))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    val servedCond = (groupCols.map(groupHomog) ++ keyHomog ++
-        bands.map(covered))
-      .reduceOption(_ && _).getOrElse(lit(true))
+    // three-valued logic, resolved DELIBERATELY: a file with unknown
+    // bounds (synthesized nulls = -1 leaves min/max NULL, making a band
+    // comparison NULL) must land on the BOUNDARY leg — a NULL verdict is
+    // "can't prove it serves, can't prove it's excluded", and only a
+    // definite TRUE may serve or exclude. Without the coalesce a NULL
+    // `excluded` would fail BOTH legs' filters and silently drop the
+    // file's rows.
+    val excluded = coalesce(
+      (gate.map { case (k, _, _) =>
+          col(s"${k}_nulls") === col("n_rows") } ++ bands.map(disjoint))
+        .reduceOption(_ || _).getOrElse(lit(false)),
+      lit(false))
+    val servedCond = coalesce(
+      (groupCols.map(groupHomog) ++ keyHomog ++ bands.map(covered))
+        .reduceOption(_ && _).getOrElse(lit(true)),
+      lit(false))
     val keys = gate.map { case (_, dim, dimKey) =>
       dim.select(col(dimKey).as("__graft_dim_key")).distinct() }
     // leg 1 — served: whole files answer from their manifest blobs,
@@ -841,6 +885,9 @@ object ZoneMap {
       val v = q * 100
       if (v == v.floor) f"${v.toInt}%d" else f"$v%.4f".replace('.', '_')
     }
+    def fmtV(v: Double): String =
+      (if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString
+       else v.toString).replace('.', '_').replace("-", "m")
     val outs: Seq[Column] = groupCols.map(col) ++ (col("n_rows") +:
       cols.flatMap { c =>
         (if (fields.contains(s"${c}_kll"))
@@ -859,7 +906,17 @@ object ZoneMap {
           (if (topK > 0 && fields.contains(s"${c}_frqs"))
              Seq(graft.functions.Sketches.freqTopKStr(col(s"${c}_mfs"), topK)
                .as(s"${c}_topk"))
-           else Nil)
+           else Nil) ++
+          // inverse quantiles — "what share of rows sits at or below v"
+          // (inclusive rank; in the exact regime this IS the exact
+          // fraction). Requested per (column, value); a probe against a
+          // column with no KLL blob refuses via the same cols require.
+          cdfAt.collect {
+            case (cc, v) if cc == c && fields.contains(s"${c}_kll") =>
+              expr(s"kll_sketch_get_rank_double(`${c}_mk`, " +
+                  s"CAST($v AS DOUBLE))")
+                .as(s"${c}_cdf_${fmtV(v)}")
+          }
       })
     merged.select(outs: _*)
   }

@@ -471,6 +471,62 @@ class ZoneMapSpec extends SparkSpec {
     check()
   }
 
+  test("profile BANDS on a partition column with an ESCAPED value: the " +
+      "unknown-bounds file lands on the BOUNDARY leg — never silently " +
+      "dropped from both legs") {
+    import spark.implicits._
+    val hp = fresh("sketch-band-esc")
+    // 'a:b' escapes to a%3Ab on disk → synthesized stats are NULL with
+    // nulls = -1; a band comparison over NULL bounds is SQL NULL, and
+    // before the three-valued-logic fix the file failed BOTH legs'
+    // filters and its rows vanished from the profile
+    Seq((1L, "a:b"), (2L, "a:b"), (3L, "aa"), (4L, "zz"))
+      .toDF("k", "p").repartition(1)
+      .write.mode("overwrite").partitionBy("p").parquet(hp)
+    ZoneMap.write(spark, hp, Seq("k"), updateCatalog = false,
+      sketchCols = Seq("k"))
+    // band [a, b]: the 'aa' file is covered, 'zz' disjoint, and the
+    // escaped file has UNKNOWN bounds — it must scan raw, where Spark's
+    // own partition parsing decodes 'a:b' (inside the band: rows kept)
+    val p = ZoneMap.metaApproxProfile(spark, hp, Seq("k"), Seq(0.5),
+      bands = Seq(("p", "a", "b"))).head()
+    assert(p.getLong(0) === 3L,
+      s"the escaped file's rows must not vanish: $p")
+    assert(p.getLong(2) === 3L, s"distinct k of the kept rows: $p")
+  }
+
+  test("profile cdfAt: inverse quantiles per group — exact inclusive " +
+      "fractions in the small regime; probes without a KLL blob refuse") {
+    import spark.implicits._
+    val path = fresh("sketch-cdf")
+    def write(rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "g", "s").coalesce(1).write.mode("append").parquet(path)
+    write((0 until 25).map(i => (i.toLong, 0L, "x")))    // g=0: k 0..24
+    write((25 until 50).map(i => (i.toLong, 1L, "x")))   // g=1: k 25..49
+    ZoneMap.write(spark, path, Seq("k", "g"), updateCatalog = false,
+      sketchCols = Seq("k", "s"))
+    val rows = ZoneMap.metaApproxProfileBy(spark, path, Seq("g"), Seq("k"),
+        Seq(0.5), cdfAt = Seq(("k", 9.0), ("k", 40.0))).collect()
+      .map(r => (r.getAs[Long]("g"), r.getAs[Double]("k_cdf_9"),
+        r.getAs[Double]("k_cdf_40"))).toSeq.sortBy(_._1)
+    // inclusive rank, exact at n ≤ 200: share of rows with k <= v
+    assert(rows === Seq(
+      (0L, 10.0 / 25, 1.0),       // g=0: 10 of 25 at or below 9; all ≤ 40
+      (1L, 0.0, 16.0 / 25)),      // g=1: none ≤ 9; 25..40 = 16 of 25
+      s"got $rows")
+    // the global front too, with a negative/fractional probe name-mangled
+    val p = ZoneMap.metaApproxProfile(spark, path, Seq("k"), Seq(0.5),
+      cdfAt = Seq(("k", 24.5))).head()
+    assert(p.getAs[Double]("k_cdf_24_5") === 25.0 / 50)
+    // a probe against a column with no KLL blob must refuse loudly —
+    // silently dropping the output column would be a wrong answer by
+    // omission
+    val boom = intercept[IllegalArgumentException](
+      ZoneMap.metaApproxProfile(spark, path, Seq("s"), Seq(0.5),
+        cdfAt = Seq(("s", 1.0))))
+    assert(boom.getMessage.contains("KLL blob"))
+  }
+
   test("update(sketchCols=…) builds the sketch tier: fresh layouts get it " +
       "incrementally, pre-sketch manifests rebuild once then tick") {
     import spark.implicits._

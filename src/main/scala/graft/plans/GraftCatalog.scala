@@ -504,8 +504,7 @@ object GraftCatalog {
             fields.filter(_.endsWith("_hll"))
               .map(f => "hll:" + f.stripSuffix("_hll")).sorted ++
             (fields.filter(_.endsWith("_frqs")).map(_.stripSuffix("_frqs")) ++
-              fields.filter(f => f.endsWith("_frq") && !f.endsWith("_frqs"))
-                .map(_.stripSuffix("_frq")))
+              fields.filter(_.endsWith("_frq")).map(_.stripSuffix("_frq")))
               .sorted.map("frq:" + _))
       } catch { case e: Exception =>
         BloomJoins.refused(r, "self-describe", e)

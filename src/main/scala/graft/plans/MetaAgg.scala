@@ -540,11 +540,18 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
               Map[ExprId, AttributeReference], Map[Long, Expression])] = {
     val (cur, sub, defs) = stripRenames(plan, sub0, defs0)
     cur match {
-      case Join(_, _, jt, Some(_), _)
+      case Join(_, _, jt, Some(cond), _)
           if budget <= 0 &&
-            (jt == Inner || jt == LeftSemi || jt == LeftAnti) =>
-        // a join the walk WOULD have decomposed, stopped only by the
-        // budget — the whole star stands aside, and that must be visible
+            (jt == Inner || jt == LeftSemi || jt == LeftAnti) &&
+            conjunctsOf(cond).forall {
+              case EqualTo(_: AttributeReference, _: AttributeReference) =>
+                true
+              case _ => false
+            } =>
+        // a bare-attribute equi-join the walk WOULD have decomposed,
+        // stopped only by the budget — record it so the stand-aside is
+        // visible (a non-equi or null-aware join at this depth refuses
+        // on SHAPE and stays silent, as it would at any budget)
         budgetHit.set(true)
         List((cur, Nil, sub, defs))
       case Join(l, r, jt, Some(cond), _)
@@ -659,10 +666,11 @@ final case class RewriteToMetaAggregate(spark: SparkSession)
         .filter(r => BloomJoins.zoneLayoutsFor(r).nonEmpty)
         .distinct
         .foreach(r => BloomJoins.refused(r, "meta-agg-budget",
-          new IllegalStateException("star join exceeds the 4-dim serving " +
-            "budget — the manifest tier stands aside (answers stay exact, " +
-            "the aggregate runs raw); materialize a summary view for " +
-            "wide stars")))
+          new IllegalStateException("a join tree deeper than the 4-dim " +
+            "serving budget stood the manifest tier aside (answers stay " +
+            "exact, the aggregate runs raw); the tier did not attempt " +
+            "serving beyond that depth — shallower refusal reasons may " +
+            "also apply. Wide stars belong in the summary-view tier")))
     served
   }
 

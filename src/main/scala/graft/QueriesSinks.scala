@@ -1620,6 +1620,10 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
         s, path, Seq("event_type"), Seq("value", "user_id"), Seq(0.5))
       .select(col("event_type").as("et"), col("n_rows"),
         col("value_p50"), col("user_id_approx_distinct"))
+      // materialize once: the group-set check and the gated join below
+      // would otherwise each re-run the whole manifest merge + boundary
+      // scan
+      .localCheckpoint()
     // the group SET must match exactly — a silently dropped or invented
     // group would survive the join-based per-group comparison below
     val profTypes = prof.select("et").collect().map(_.getString(0)).toSet
@@ -1686,6 +1690,8 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
       // type inference — compare as the strings the feed carries
       .select(col("day").cast("string").as("d"), col("n_rows"),
         col("value_p50"), col("user_id_approx_distinct"))
+      // materialize once (group-set check + gated join both read it)
+      .localCheckpoint()
     val matching = ev.where(col("event_type").isin("purchase", "click"))
     // the group SET must match exactly — a silently dropped or invented
     // day would survive a join-only comparison
@@ -1750,6 +1756,8 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
         bands = Seq(("value", lo, hi)))
       .select(col("day").cast("string").as("d"), col("n_rows"),
         col("value_p50"), col("user_id_approx_distinct"))
+      // materialize once (group-set check + gated join both read it)
+      .localCheckpoint()
     val matching = ev.where(col("value") >= lo && col("value") <= hi)
     val profDays = prof.select("d").collect().map(_.getString(0)).toSet
     val exactDays = matching.select("day").distinct().collect()

@@ -527,6 +527,104 @@ class ZoneMapSpec extends SparkSpec {
     assert(boom.getMessage.contains("KLL blob"))
   }
 
+  test("the FULL profile algebra composes in one call: dim gate × " +
+      "grouping × band × topK × cdfAt, every leg routed, exact regime") {
+    import spark.implicits._
+    val path = fresh("sketch-algebra")
+    def write(rows: Seq[(Long, Option[Long], Long, String)]): Unit =
+      rows.toDF("k", "g", "t", "src").coalesce(1)
+        .write.mode("append").parquet(path)
+    // g gates (dim keys {0, 2}), t groups, band on k = [10, 89]:
+    //   A: g=0 t=0, k 0..24,   src a — matches, PARTIAL band → boundary
+    //   B: g=0 t=0, k 30..49,  src b — matches, covered → served whole
+    //   C: g=1 t=1, k 50..69,  src d — key never matches → dropped
+    //   D: g=2 t=1, k 70..89,  src a/c — matches, covered → served
+    //   E: g=2 t=2, k 90..109, src e — DISJOINT from the band → excluded
+    //   F: g null,  k 110..119 — all-null key → excluded
+    write((0 until 25).map(i => (i.toLong, Some(0L), 0L, "a")))
+    write((30 until 50).map(i => (i.toLong, Some(0L), 0L, "b")))
+    write((50 until 70).map(i => (i.toLong, Some(1L), 1L, "d")))
+    write((70 until 90).map(i =>
+      (i.toLong, Some(2L), 1L, if (i < 80) "a" else "c")))
+    write((90 until 110).map(i => (i.toLong, Some(2L), 2L, "e")))
+    write((110 until 120).map(i => (i.toLong, None: Option[Long], 3L, "f")))
+    ZoneMap.write(spark, path, Seq("k", "g", "t"), updateCatalog = false,
+      sketchCols = Seq("k", "src"))
+    val dim = Seq((0L, "x"), (2L, "y"), (2L, "y2")).toDF("gk", "tag")
+    def check(): Unit = {
+      val rows = ZoneMap.metaApproxProfileSemiJoinBy(spark, path, "g",
+        dim, "gk", Seq("t"), Seq("k", "src"), Seq(0.5),
+        bands = Seq(("k", 10L, 89L)), topK = 2,
+        cdfAt = Seq(("k", 40.0))).collect()
+        .map(r => (r.getAs[Long]("t"), r.getAs[Long]("n_rows"),
+          r.getAs[Double]("k_p50"),
+          r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("src_topk")
+            .map(h => (h.getString(0), h.getLong(1))).toSeq,
+          r.getAs[Double]("k_cdf_40"))).toSeq.sortBy(_._1)
+      // t=0: A's band rows (k 10..24) ∪ B whole (k 30..49) → 35 rows,
+      //      18th of the sorted matches = 32; src b×20 beats a×15;
+      //      cdf(40) = (15 + 11)/35
+      // t=1: D only (C's key matches nothing) → k 70..89, 10th = 79;
+      //      a×10 and c×10 tie — (est desc, item asc) orders a first;
+      //      cdf(40) = 0
+      // t=2 and the null-key file must be ABSENT (disjoint / no match)
+      assert(rows === Seq(
+        (0L, 35L, 32.0, Seq(("b", 20L), ("a", 15L)), 26.0 / 35),
+        (1L, 20L, 79.0, Seq(("a", 10L), ("c", 10L)), 0.0)), s"got $rows")
+    }
+    check()
+    // only the PARTIAL file may ever be read: delete everything but A —
+    // served files answer from blobs, dropped/excluded files are never
+    // opened
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partialNames = spark.read.parquet(s"$path/_zonemap")
+      .filter(col("k_min") < 10L && col("k_max") >= 10L).select("file")
+      .collect().map(r => Manifests.baseName(r.getString(0))).toSet
+    assert(partialNames.size === 1)
+    Manifests.listDataFiles(fs, new org.apache.hadoop.fs.Path(path))
+      .filterNot(f => partialNames.contains(f.getName))
+      .foreach(f => fs.delete(f, false))
+    check()
+  }
+
+  test("a pre-heavy-hitters manifest (KLL/HLL only) drift-rebuilds once " +
+      "on the next update and gains the frequent-items tier") {
+    import spark.implicits._
+    val path = fresh("sketch-frq-upgrade")
+    (0 until 50).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("k", "src").repartition(2)
+      .write.mode("overwrite").parquet(path)
+    ZoneMap.write(spark, path, Seq("k"), updateCatalog = false,
+      sketchCols = Seq("src"))
+    // simulate a manifest built BEFORE the heavy-hitters family: drop
+    // the _frqs column and bump the version (what an old build left)
+    val legacy = spark.read.parquet(s"$path/_zonemap").drop("src_frqs")
+    val staging = s"$path-legacy"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    legacy.write.partitionBy("part_dir").parquet(staging)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_zonemap"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(s"$path/_zonemap"))
+    Manifests.bumpManifestVersion(path, "_zonemap")
+    // topK against the legacy manifest refuses loudly (no silent absence)
+    val boom = intercept[IllegalArgumentException](
+      ZoneMap.metaApproxProfile(spark, path, Seq("src"), Seq(0.5),
+        topK = 2))
+    assert(boom.getMessage.contains("frequent-items"))
+    // the next maintenance tick detects the schema drift and rebuilds —
+    // the upgrade path for manifests that predate the family
+    ZoneMap.update(spark, path, Seq("k"))
+    val top = ZoneMap.metaApproxProfile(spark, path, Seq("src"), Seq(0.5),
+        topK = 2).head()
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("src_topk")
+      .map(h => (h.getString(0), h.getLong(1))).toSeq
+    assert(top === Seq(("s0", 17L), ("s1", 17L)),
+      s"rebuilt manifest must answer heavy hitters: $top")
+  }
+
   test("update(sketchCols=…) builds the sketch tier: fresh layouts get it " +
       "incrementally, pre-sketch manifests rebuild once then tick") {
     import spark.implicits._

@@ -64,7 +64,7 @@ object Queries
     "agg_meta_join_star", "agg_meta_grouped_part", "agg_meta_sketch_semijoin",
     "agg_meta_part_filter", "agg_meta_join_semi", "agg_meta_sketch_by",
     "agg_meta_sketch_semijoin_by", "agg_meta_sketch_banded",
-    "agg_meta_topk_by",
+    "agg_meta_topk_by", "agg_meta_overlap_days",
     "sink_bucketed_colocated_join", "sink_compact_small_files",
     "dedup_incremental_index",
     // ANN index train + build (k-means / codebooks persisted, then probed)

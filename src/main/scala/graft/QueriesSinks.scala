@@ -1828,6 +1828,69 @@ private[graft] trait QueriesSinks { this: QueryDomain =>
         (col("pos") + 1).cast("long").as("rk"))
   }
 
+  register("agg_meta_overlap_days", None) { (s, dir) =>
+    // SET OVERLAP from the manifest's THETA tier
+    // (ZoneMap.metaApproxOverlap): "how many users were active in the
+    // first half of the window AND the second" — the retention question
+    // HLL cannot answer (no sound intersection), served by merging
+    // per-file theta blobs per scope, intersecting once. No DuckDB
+    // oracle (engine-specific estimates); REQUIREs gate every output
+    // against the exact answers computed from the raw feed: scope row
+    // counts exact, per-scope distincts within 5%, overlap/only-in
+    // within 10% (the published intersection envelope at lgK=12 and
+    // these set sizes). ZoneMapSpec pins the exact regime, the
+    // boundary-file routing and maintenance preservation.
+    val path = s"$sinkRoot/agg_meta_overlap_days-${
+      dir.replaceAll("[^0-9.]", "")}"
+    val ev = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    ev.repartitionByRange(8, col("day"), col("event_id"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    graft.sources.ZoneMap.write(s, path, Seq("event_id"),
+      updateCatalog = false,
+      sketchCols = Seq(graft.sources.ZoneMap.ThetaTag + "user_id"))
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getString(0))
+    val (daysA, daysB) = days.splitAt(days.length / 2)
+    val r = graft.sources.ZoneMap.metaApproxOverlap(s, path, "user_id",
+      Seq(("day", daysA.head, daysA.last)),
+      Seq(("day", daysB.head, daysB.last))).head()
+    val exact = ev.agg(
+      count(when(col("day").between(daysA.head, daysA.last), 1)).as("na"),
+      count(when(col("day").between(daysB.head, daysB.last), 1)).as("nb"),
+      countDistinct(when(col("day").between(daysA.head, daysA.last),
+        col("user_id"))).as("da"),
+      countDistinct(when(col("day").between(daysB.head, daysB.last),
+        col("user_id"))).as("db")).head()
+    val exactOverlap = ev
+      .filter(col("day").between(daysA.head, daysA.last))
+      .select("user_id").distinct()
+      .intersect(ev.filter(col("day").between(daysB.head, daysB.last))
+        .select("user_id").distinct())
+      .count()
+    require(r.getAs[Long]("n_rows_a") == exact.getAs[Long]("na") &&
+        r.getAs[Long]("n_rows_b") == exact.getAs[Long]("nb"),
+      s"agg_meta_overlap_days: scope row counts must be exact: $r vs $exact")
+    def within(got: Long, want: Long, tol: Double, what: String): Unit =
+      require(math.abs(got - want).toDouble / math.max(want, 1L) <= tol,
+        s"agg_meta_overlap_days: $what off: $got vs $want")
+    within(r.getAs[Long]("user_id_distinct_a"), exact.getAs[Long]("da"),
+      0.05, "distinct_a")
+    within(r.getAs[Long]("user_id_distinct_b"), exact.getAs[Long]("db"),
+      0.05, "distinct_b")
+    within(r.getAs[Long]("user_id_overlap"), exactOverlap, 0.10, "overlap")
+    within(r.getAs[Long]("user_id_only_a"),
+      exact.getAs[Long]("da") - exactOverlap, 0.10, "only_a")
+    within(r.getAs[Long]("user_id_only_b"),
+      exact.getAs[Long]("db") - exactOverlap, 0.10, "only_b")
+    import s.implicits._
+    Seq((r.getAs[Long]("n_rows_a"), r.getAs[Long]("n_rows_b"),
+      r.getAs[Long]("user_id_distinct_a"), r.getAs[Long]("user_id_distinct_b"),
+      r.getAs[Long]("user_id_overlap"), exactOverlap))
+      .toDF("n_rows_a", "n_rows_b", "distinct_a", "distinct_b",
+        "overlap_approx", "overlap_exact")
+  }
+
   register("agg_mv_rewrite_catalog", Some(
     """SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  count(*) AS n_docs

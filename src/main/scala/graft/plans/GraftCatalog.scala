@@ -490,7 +490,7 @@ object GraftCatalog {
     * Version-cached through the shared probe cache; a read failure
     * refuses (the row is absent, never a crash). */
   private def sketchColsFor(spark: SparkSession, root: String)
-      : Option[(Seq[String], Seq[String], Seq[String])] = {
+      : Option[(Seq[String], Seq[String], Seq[String], Seq[String])] = {
     val r = norm(root)
     if (BloomJoins.zoneLayoutsFor(root).isEmpty) return None
     val ver = graft.sources.Manifests.manifestVersion(r, "_zonemap")
@@ -505,7 +505,9 @@ object GraftCatalog {
               .map(f => "hll:" + f.stripSuffix("_hll")).sorted ++
             (fields.filter(_.endsWith("_frqs")).map(_.stripSuffix("_frqs")) ++
               fields.filter(_.endsWith("_frq")).map(_.stripSuffix("_frq")))
-              .sorted.map("frq:" + _))
+              .sorted.map("frq:" + _) ++
+            fields.filter(_.endsWith("_tht"))
+              .map(f => "tht:" + f.stripSuffix("_tht")).sorted)
       } catch { case e: Exception =>
         BloomJoins.refused(r, "self-describe", e)
         BloomJoins.RefusedTransient
@@ -514,7 +516,8 @@ object GraftCatalog {
     if (tagged.isEmpty) None
     else Some((tagged.collect { case s if s.startsWith("kll:") => s.drop(4) },
       tagged.collect { case s if s.startsWith("hll:") => s.drop(4) },
-      tagged.collect { case s if s.startsWith("frq:") => s.drop(4) }))
+      tagged.collect { case s if s.startsWith("frq:") => s.drop(4) },
+      tagged.collect { case s if s.startsWith("tht:") => s.drop(4) }))
   }
 
   /** The lake's self-documentation, read back from the artifacts: one row
@@ -554,11 +557,12 @@ object GraftCatalog {
       // the "can I approx-profile this lake from metadata alone" row.
       // Read from the manifest schema, cached per manifest version (one
       // footer round-trip per rewrite, not per describe).
-      sketchColsFor(spark, root).toSeq.map { case (klls, hlls, frqs) =>
+      sketchColsFor(spark, root).toSeq.map { case (klls, hlls, frqs, thts) =>
         val detail =
           (if (klls.isEmpty) Nil else Seq(s"kll=${klls.mkString("+")}")) ++
             (if (hlls.isEmpty) Nil else Seq(s"hll=${hlls.mkString("+")}")) ++
-            (if (frqs.isEmpty) Nil else Seq(s"frq=${frqs.mkString("+")}"))
+            (if (frqs.isEmpty) Nil else Seq(s"frq=${frqs.mkString("+")}")) ++
+            (if (thts.isEmpty) Nil else Seq(s"tht=${thts.mkString("+")}"))
         (r, "sketch", r, detail.mkString(";"),
           graft.sources.Manifests.manifestVersion(r, "_zonemap"),
           refusals, detailFor(r))

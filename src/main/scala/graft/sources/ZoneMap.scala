@@ -96,6 +96,26 @@ object ZoneMap {
   private def freqableStr(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt.isInstanceOf[org.apache.spark.sql.types.StringType]
 
+  /** Theta set-sketch size: exact below 2^12 distinct values per merged
+    * scope, ~1.6% RSE beyond, compact blob ≤ 32 KB per file. OPT-IN per
+    * column (a `theta:<col>` entry in `sketchCols`) rather than
+    * type-driven: intersections are the one question HLL cannot answer,
+    * but the blob is the heaviest of the four families — pay it only on
+    * the identity columns you will ask overlap questions about. */
+  private[graft] val ThetaLgK = 12
+
+  /** The `sketchCols` tag that opts a column into the theta family. */
+  private[graft] val ThetaTag = "theta:"
+
+  private def thetable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _: org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+
   /** KLL records NUMERIC columns (sketched as double — quantiles of an
     * integral column come back as exact item values cast to double). */
   private def kllable(dt: org.apache.spark.sql.types.DataType): Boolean =
@@ -130,7 +150,9 @@ object ZoneMap {
     (fields.filter(_.endsWith("_kll")).map(_.stripSuffix("_kll")) ++
       fields.filter(_.endsWith("_hll")).map(_.stripSuffix("_hll")) ++
       fields.filter(_.endsWith("_frqs")).map(_.stripSuffix("_frqs")) ++
-      fields.filter(_.endsWith("_frq")).map(_.stripSuffix("_frq")))
+      fields.filter(_.endsWith("_frq")).map(_.stripSuffix("_frq")) ++
+      fields.filter(_.endsWith("_tht"))
+        .map(f => ThetaTag + f.stripSuffix("_tht")))
       .distinct.sorted.toSeq
   }
 
@@ -162,7 +184,11 @@ object ZoneMap {
           (if (types.get(c).exists(sumable))
              Seq(sum(col(c)).as(s"${c}_sum"))
            else Nil)
-      } ++ sketchCols.distinct.sorted.flatMap { c =>
+      } ++ {
+        val (tagged, plainCols) =
+          sketchCols.distinct.partition(_.startsWith(ThetaTag))
+        val thetaCols = tagged.map(_.stripPrefix(ThetaTag)).distinct.sorted
+        plainCols.sorted.flatMap { c =>
         // the sketch tier: one KLL (quantiles), one HLL (distincts) and
         // one frequent-items (heavy hitters) blob per file per column,
         // type-permitting — all fixed-size and MERGEABLE, so any later
@@ -183,6 +209,15 @@ object ZoneMap {
              Seq(graft.functions.Sketches.freqSketchStr(col(c), FreqMapSize)
                .as(s"${c}_frqs"))
            else Nil)
+        } ++ thetaCols.flatMap { c =>
+          // the SET family: mergeable theta sketches answer overlap /
+          // only-in-A questions across any two file scopes
+          // ([[metaApproxOverlap]]) — opt-in, see [[ThetaLgK]]
+          if (types.get(c).exists(thetable))
+            Seq(graft.functions.Sketches.thetaSketch(col(c), ThetaLgK)
+              .as(s"${c}_tht"))
+          else Nil
+        }
       })
     df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -346,12 +381,16 @@ object ZoneMap {
         Seq(s"${c}_min", s"${c}_max", s"${c}_nulls") ++
           (if (types.get(c).exists(sumable)) Seq(s"${c}_sum") else Nil)
       } ++
-      sketchCols.flatMap { c =>
+      sketchCols.filterNot(_.startsWith(ThetaTag)).flatMap { c =>
         (if (types.get(c).exists(kllable)) Seq(s"${c}_kll") else Nil) ++
           (if (types.get(c).exists(hllable)) Seq(s"${c}_hll") else Nil) ++
           (if (types.get(c).exists(freqableLong)) Seq(s"${c}_frq") else Nil) ++
           (if (types.get(c).exists(freqableStr)) Seq(s"${c}_frqs") else Nil)
-      }
+      } ++
+      sketchCols.filter(_.startsWith(ThetaTag))
+        .map(_.stripPrefix(ThetaTag)).flatMap { c =>
+          if (types.get(c).exists(thetable)) Seq(s"${c}_tht") else Nil
+        }
     spark.read.parquet(s"$path/_zonemap")
       .schema.fieldNames.toSet == expected
   }
@@ -629,6 +668,51 @@ object ZoneMap {
       quantiles, bands, topK, cdfAt)
   }
 
+  /** Per-file statistics for every column a metadata-serving decision
+    * needs: the zone tier's own `_min/_max/_nulls` when present, else
+    * synthesized from `part_dir` for a Hive partition level — the value
+    * TYPE comes from the layout schema (a retention-wiped layout can't
+    * be read, so its partition values stay strings, exactly as they sit
+    * in part_dir). A column that extracts empty from EVERY part_dir is
+    * genuinely not a partition level and refuses loudly (lumping the
+    * layout into one NULL group would be a silent wrong answer); a
+    * PARTIAL empty extraction — a damaged or exotically-encoded
+    * shard-key subset — routes those files to the caller's boundary leg
+    * via `nulls = -1` (the same discipline as the optimizer rule and as
+    * percent-escaped values): degraded cost, never a refused layout or
+    * a wrong group. */
+  private def withSynthStats(spark: SparkSession, path: String,
+                             m: DataFrame, fields: Set[String],
+                             statCols: Seq[String]): DataFrame =
+    statCols.foldLeft(m) { (d, gc) =>
+      if (fields.contains(s"${gc}_min") && fields.contains(s"${gc}_nulls")) d
+      else {
+        val dt =
+          try spark.read.parquet(path).schema.fields
+            .find(_.name == gc)
+            .getOrElse(throw new IllegalArgumentException(
+              s"unknown column '$gc' — not zone-indexed and not in the " +
+                s"layout schema")).dataType
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              org.apache.spark.sql.types.StringType
+          }
+        val raw = regexp_extract(col("part_dir"),
+          "(?:^|/)" + java.util.regex.Pattern.quote(gc) + "=([^/]*)", 1)
+        require(d.filter(raw =!= "").limit(1).count() > 0L,
+          s"'$gc' is neither zone-indexed nor a partition level " +
+            s"of this layout — add it to the zone map's cols")
+        val nullish = raw === "__HIVE_DEFAULT_PARTITION__"
+        val unknown = raw.contains("%") || raw === ""
+        val v = when(nullish || unknown, lit(null)).otherwise(raw).cast(dt)
+        d.withColumn(s"${gc}_min", v)
+          .withColumn(s"${gc}_max", v)
+          .withColumn(s"${gc}_nulls",
+            when(nullish, col("n_rows"))
+              .otherwise(when(unknown, lit(-1L)).otherwise(lit(0L))))
+      }
+    }
+
   /** The one engine behind the four profile fronts ([[metaApproxProfile]]
     * global / [[metaApproxProfileBy]] grouped /
     * [[metaApproxProfileSemiJoin]] gated /
@@ -695,49 +779,7 @@ object ZoneMap {
     // per-file statistics for every column the serving decision needs:
     // the zone tier's, or synthesized from part_dir for partition levels
     val statCols = (groupCols ++ gate.map(_._1) ++ bands.map(_._1)).distinct
-    val mg = statCols.foldLeft(m) { (d, gc) =>
-      if (fields.contains(s"${gc}_min") && fields.contains(s"${gc}_nulls")) d
-      else {
-        // the value TYPE comes from the layout schema; a layout whose
-        // data files are all gone (retention wipe — the manifest still
-        // answers) can't be read, so its partition values stay strings,
-        // exactly as they sit in part_dir
-        val dt =
-          try spark.read.parquet(path).schema.fields
-            .find(_.name == gc)
-            .getOrElse(throw new IllegalArgumentException(
-              s"unknown column '$gc' — not zone-indexed and not in the " +
-                s"layout schema")).dataType
-          catch {
-            case _: org.apache.spark.sql.AnalysisException =>
-              org.apache.spark.sql.types.StringType
-          }
-        val raw = regexp_extract(col("part_dir"),
-          "(?:^|/)" + java.util.regex.Pattern.quote(gc) + "=([^/]*)", 1)
-        // a data column that was never zone-indexed extracts "" from
-        // EVERY part_dir — lumping the whole layout into one NULL group
-        // would be a SILENT wrong answer, so refuse loudly (a real
-        // partition level appears in every file's directory; null and
-        // empty partition VALUES both write the default dir, so
-        // all-empty can only mean "not a partition level"). A PARTIAL
-        // empty extraction — a damaged or exotically-encoded shard-key
-        // subset of a real partition level — instead routes those files
-        // to the boundary leg (nulls = -1, same discipline as the
-        // optimizer rule and as percent-escaped values): degraded cost,
-        // never a refused layout or a wrong group
-        require(d.filter(raw =!= "").limit(1).count() > 0L,
-          s"'$gc' is neither zone-indexed nor a partition level " +
-            s"of this layout — add it to the zone map's cols")
-        val nullish = raw === "__HIVE_DEFAULT_PARTITION__"
-        val unknown = raw.contains("%") || raw === ""
-        val v = when(nullish || unknown, lit(null)).otherwise(raw).cast(dt)
-        d.withColumn(s"${gc}_min", v)
-          .withColumn(s"${gc}_max", v)
-          .withColumn(s"${gc}_nulls",
-            when(nullish, col("n_rows"))
-              .otherwise(when(unknown, lit(-1L)).otherwise(lit(0L))))
-      }
-    }
+    val mg = withSynthStats(spark, path, m, fields, statCols)
     // a group column is servable homogeneous when one value throughout
     // OR all-NULL (the SQL NULL group); the gate key strictly (all-NULL
     // files match NOTHING — excluded from both legs, null never equals).
@@ -919,6 +961,91 @@ object ZoneMap {
           }
       })
     merged.select(outs: _*)
+  }
+
+  /** Set OVERLAP between two file scopes from the manifest's theta tier
+    * — the retention question HLL cannot answer: how many distinct `c`
+    * values appear in scope A, in scope B, in BOTH, only in A, only in
+    * B. A scope is a conjunction of closed bands over zone-indexed or
+    * Hive-partition columns (Nil = the whole layout) — "users active on
+    * day X vs day Y", "keys in tenant T vs everywhere else". Files
+    * fully covered by a scope contribute their `_tht` blobs whole,
+    * partially-overlapping files re-sketch their passing rows at the
+    * same lgK (mergeable by construction), disjoint and
+    * indefinite-verdict files follow the same three-valued discipline
+    * as [[metaApproxProfile]]'s bands (definite TRUE serves or
+    * excludes; anything else scans). Estimates are EXACT while a
+    * scope's distinct count stays below 2^[[ThetaLgK]]; beyond, ~1.6%
+    * RSE per scope and the published theta intersection envelope.
+    * `n_rows_a`/`n_rows_b` are exact scope row counts. Requires a
+    * `theta:<c>` entry in the layout's sketchCols. At 100 TB the cost
+    * is a files-sized manifest job plus each scope's boundary files —
+    * never two full scans and a distinct-join. */
+  def metaApproxOverlap(spark: SparkSession, path: String, c: String,
+                        bandsA: Seq[(String, Any, Any)],
+                        bandsB: Seq[(String, Any, Any)]): DataFrame = {
+    val m = spark.read.parquet(s"$path/_zonemap")
+    val fields = m.schema.fieldNames.toSet
+    require(fields.contains(s"${c}_tht"),
+      s"no theta blobs for '$c' — rebuild the manifest with a " +
+        s"'$ThetaTag$c' entry in sketchCols")
+    def scopeSketch(bands: Seq[(String, Any, Any)]): DataFrame = {
+      val mg = withSynthStats(spark, path, m, fields,
+        bands.map(_._1).distinct)
+      def covered(b: (String, Any, Any)): Column =
+        col(s"${b._1}_nulls") === 0L &&
+          col(s"${b._1}_min") >= lit(b._2) &&
+          col(s"${b._1}_max") <= lit(b._3)
+      def disjoint(b: (String, Any, Any)): Column =
+        col(s"${b._1}_max") < lit(b._2) ||
+          col(s"${b._1}_min") > lit(b._3) ||
+          col(s"${b._1}_nulls") === col("n_rows")
+      val servedCond = coalesce(bands.map(covered)
+        .reduceOption(_ && _).getOrElse(lit(true)), lit(false))
+      val excluded = coalesce(bands.map(disjoint)
+        .reduceOption(_ || _).getOrElse(lit(false)), lit(false))
+      val served = mg.filter(servedCond).agg(
+        coalesce(sum(col("n_rows")), lit(0L)).as("__n"),
+        graft.functions.Sketches.thetaUnion(col(s"${c}_tht"), ThetaLgK)
+          .as("__sk"))
+      val boundary = mg.filter(!servedCond && !excluded)
+        .select("part_dir", "file").sort("part_dir", "file")
+        .toLocalIterator()
+      val raw = Manifests.batchedRead(spark,
+          scala.jdk.CollectionConverters.IteratorHasAsScala(boundary)
+            .asScala.map(_.getString(1)),
+          basePath = Some(path))
+        .map { df =>
+          val pass = bands.map(b =>
+              df.col(b._1) >= lit(b._2) && df.col(b._1) <= lit(b._3))
+            .reduceOption(_ && _).map(df.filter).getOrElse(df)
+          pass.agg(count(lit(1)).as("__n"),
+            graft.functions.Sketches.thetaSketch(pass.col(c), ThetaLgK)
+              .as("__sk"))
+        }
+      raw.fold(served)(served.unionByName(_))
+        .agg(sum(col("__n")).as("__n"),
+          graft.functions.Sketches.thetaUnion(col("__sk"), ThetaLgK)
+            .as("__sk"))
+    }
+    val a = scopeSketch(bandsA)
+      .select(col("__n").as("n_rows_a"), col("__sk").as("__ska"))
+    val b = scopeSketch(bandsB)
+      .select(col("__n").as("n_rows_b"), col("__sk").as("__skb"))
+    import graft.functions.Sketches
+    // two one-row frames — the broadcast-totals crossJoin pattern
+    a.crossJoin(b).select(
+      col("n_rows_a"), col("n_rows_b"),
+      round(Sketches.thetaEstimate(col("__ska"))).cast("long")
+        .as(s"${c}_distinct_a"),
+      round(Sketches.thetaEstimate(col("__skb"))).cast("long")
+        .as(s"${c}_distinct_b"),
+      round(Sketches.thetaIntersectEstimate(col("__ska"), col("__skb")))
+        .cast("long").as(s"${c}_overlap"),
+      round(Sketches.thetaAnotBEstimate(col("__ska"), col("__skb")))
+        .cast("long").as(s"${c}_only_a"),
+      round(Sketches.thetaAnotBEstimate(col("__skb"), col("__ska")))
+        .cast("long").as(s"${c}_only_b"))
   }
 
   /** Clustering diagnostic per indexed NUMERIC column: mean zone width

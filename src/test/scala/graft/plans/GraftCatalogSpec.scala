@@ -585,15 +585,15 @@ class GraftCatalogSpec extends SparkSpec
     Seq((1L, 1.5, "a"), (2L, 2.5, "b")).toDF("id", "v", "s")
       .write.parquet(sroot)
     graft.sources.ZoneMap.write(spark, sroot, Seq("id", "v"),
-      sketchCols = Seq("id", "s"))
+      sketchCols = Seq("id", "s", graft.sources.ZoneMap.ThetaTag + "id"))
     freshSession()
     val d = GraftCatalog.describe(spark, sroot)
     val srow = d.where(col("kind") === "sketch").collect()
     assert(srow.length === 1,
       "a sketch-carrying lake must self-document the tier")
-    // id is numeric (KLL + HLL + frequent-items); s is string (HLL +
-    // frequent-items, no KLL); v never sketched
-    assert(srow.head.getString(3) === "kll=id;hll=id+s;frq=id+s",
+    // id is numeric (KLL + HLL + frequent-items, theta opted in); s is
+    // string (HLL + frequent-items, no KLL); v never sketched
+    assert(srow.head.getString(3) === "kll=id;hll=id+s;frq=id+s;tht=id",
       s"sketch detail: ${srow.head.getString(3)}")
     // a layout with zones but NO sketch tier carries no sketch row — the
     // row answers "can I approx-profile this from metadata", so absence

@@ -625,6 +625,49 @@ class ZoneMapSpec extends SparkSpec {
       s"rebuilt manifest must answer heavy hitters: $top")
   }
 
+  test("metaApproxOverlap: distinct overlap between two band scopes from " +
+      "theta blobs — exact below 2^12, boundary files re-sketch passing " +
+      "rows, maintenance preserves the family") {
+    import spark.implicits._
+    val path = fresh("sketch-overlap")
+    def write(day: String, us: Seq[Long]): Unit =
+      us.map(u => (u, day)).toDF("u", "p").coalesce(1)
+        .write.mode("append").partitionBy("p").parquet(path)
+    write("d1", 0L until 50L)     // users 0..49
+    write("d2", 30L until 80L)    // users 30..79
+    write("d3", 100L until 120L)  // users 100..119
+    ZoneMap.write(spark, path, Seq("u"), updateCatalog = false,
+      sketchCols = Seq(ZoneMap.ThetaTag + "u"))
+    // partition-band scopes: every file covered or excluded, zero reads
+    val r = ZoneMap.metaApproxOverlap(spark, path, "u",
+      Seq(("p", "d1", "d1")), Seq(("p", "d2", "d2"))).head()
+    assert((r.getAs[Long]("n_rows_a"), r.getAs[Long]("n_rows_b"),
+      r.getAs[Long]("u_distinct_a"), r.getAs[Long]("u_distinct_b"),
+      r.getAs[Long]("u_overlap"), r.getAs[Long]("u_only_a"),
+      r.getAs[Long]("u_only_b")) === ((50L, 50L, 50L, 50L, 20L, 30L, 30L)),
+      s"got $r")
+    // a ZONE-column scope that half-covers two files: their passing rows
+    // re-sketch and UNION (the shared users dedup across files), while
+    // the disjoint day never participates
+    val r2 = ZoneMap.metaApproxOverlap(spark, path, "u",
+      Seq(("u", 0L, 39L)), Seq(("p", "d2", "d2"))).head()
+    // scope A = u ∈ [0, 39]: d1's rows 0..39 ∪ d2's rows 30..39 →
+    // 50 rows, 40 distinct; overlap with d2 (30..79) = 30..39
+    assert((r2.getAs[Long]("n_rows_a"), r2.getAs[Long]("u_distinct_a"),
+      r2.getAs[Long]("u_overlap"), r2.getAs[Long]("u_only_a"),
+      r2.getAs[Long]("u_only_b")) === ((50L, 40L, 10L, 30L, 40L)),
+      s"got $r2")
+    // maintenance preserves the family with zero re-configuration: a new
+    // day appends, update() learns it from the manifest schema alone
+    write("d4", 40L until 60L)
+    val d = ZoneMap.update(spark, path, Seq("u"))
+    assert(d.added === 1L)
+    val r3 = ZoneMap.metaApproxOverlap(spark, path, "u",
+      Seq(("p", "d1", "d1")), Seq(("p", "d4", "d4"))).head()
+    assert((r3.getAs[Long]("u_distinct_b"), r3.getAs[Long]("u_overlap"))
+      === ((20L, 10L)), s"got $r3")   // d4 = 40..59; ∩ d1 = 40..49
+  }
+
   test("update(sketchCols=…) builds the sketch tier: fresh layouts get it " +
       "incrementally, pre-sketch manifests rebuild once then tick") {
     import spark.implicits._

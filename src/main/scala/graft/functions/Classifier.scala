@@ -89,29 +89,43 @@ object Classifier {
         explode(termsOf(textCol, wordNgrams)).as("__tok"))
       .select(col(idCol), col("__pos"),
         bucketOf(col("__tok"), nBuckets).as("__bkt"))
+    // totals ride a single-partition window over the nBuckets-bounded
+    // count table instead of a second aggregate over a SECOND tokenize
+    // pass — the training side now explodes the corpus exactly once
+    // (guide §2.4: the duplicated counts subtree was a whole extra scan +
+    // explode + exchange; the window moves <= nBuckets rows once).
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val counts = toks.groupBy(col("__bkt"))
       .agg(count(when(col("__pos"), lit(1))).as("__pos_n"),
         count(when(!col("__pos"), lit(1))).as("__neg_n"))
-    val totals = counts.agg(
-      sum(col("__pos_n")).as("__pos_total"),
-      sum(col("__neg_n")).as("__neg_total"))
     val denomShift = lit(smoothing * nBuckets)
-    val model = counts.crossJoin(broadcast(totals))
+    val model = counts
+      .withColumn("__pos_total", sum(col("__pos_n")).over(wAll))
+      .withColumn("__neg_total", sum(col("__neg_n")).over(wAll))
       .select(col("__bkt"),
         (log((col("__pos_n") + lit(smoothing)) /
             (col("__pos_total") + denomShift)) -
           log((col("__neg_n") + lit(smoothing)) /
             (col("__neg_total") + denomShift))).as("__lo"))
+    // __pos rides the score aggregate's grouping key (constant per doc),
+    // so the doc-keyed result is already labeled — the only rows the old
+    // LEFT JOIN back to `flagged` added are docs with NO terms, and a
+    // non-null text always yields >= 1 term (split never returns an empty
+    // array), so those are exactly the null-text docs: a pushed-filter
+    // scan unions them in with the zero scores the join's coalesce
+    // produced. SortMergeJoin LeftOuter + its two exchanges -> one
+    // filtered scan (guide §2.4).
     val scores = toks
       .join(broadcast(model), "__bkt")
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("__pos"))
       .agg(count(lit(1)).as("n_toks"),
         round(dsum(col("__lo"), 9) / count(lit(1)), 6).as("nb_logodds"))
-    flagged.select(col(idCol), col("__pos").as("is_positive"))
-      .join(scores, Seq(idCol), "left")
-      .select(col(idCol), col("is_positive"),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        coalesce(col("nb_logodds"), lit(0.0)).as("nb_logodds"))
+    scores.select(col(idCol), col("__pos").as("is_positive"),
+        col("n_toks"), col("nb_logodds"))
+      .unionAll(flagged.filter(col(textCol).isNull)
+        .select(col(idCol), col("__pos").as("is_positive"),
+          lit(0L).as("n_toks"), lit(0.0).as("nb_logodds")))
   }
 
   /** Logistic-regression seed classifier — the iterative sibling of
@@ -173,15 +187,21 @@ object Classifier {
     import spark.implicits._
 
     val flagged = docs.withColumn("__pos", isPositive)
-    // (doc, bucket, x) feature triples + per-doc label; checkpointed —
-    // every epoch re-reads them, and at fixture scale the cache is tiny
-    // while at 100 TB a real deployment would persist this projection
-    // once.
+    // (doc, bucket, x) feature triples + per-doc label; REPARTITIONED BY
+    // DOC before the grouped build (hashpartitioning(id) clusters the
+    // (id, pos, bkt) grouping keys too, so the build still pays exactly
+    // one exchange) and checkpointed — every epoch re-reads them, and
+    // because the stored partitioning already clusters by doc, the
+    // per-epoch doc-keyed aggregate and the err-side join below need NO
+    // exchange at all (guide §2.4: establish the partitioning once).
+    // At fixture scale the cache is tiny; at 100 TB a real deployment
+    // would persist this projection once.
     val feats = flagged
       .select(col(idCol), col("__pos"),
         explode(termsOf(textCol, wordNgrams)).as("__tok"))
       .select(col(idCol), col("__pos"),
         bucketOf(col("__tok"), nBuckets).as("__bkt"))
+      .repartition(col(idCol))
       .groupBy(col(idCol), col("__pos"), col("__bkt"))
       .agg(count(lit(1)).cast("double").as("__tf"))
       .select(col(idCol), col("__pos"), col("__bkt"),
@@ -189,45 +209,63 @@ object Classifier {
       .localCheckpoint()
     val nDocs = flagged.count().toDouble
 
-    // Labels for EVERY doc — token-less docs have the zero feature vector
-    // but still belong to the bias gradient (err = sigmoid(bias) - y).
-    val labels = flagged.select(col(idCol), col("__pos")).localCheckpoint()
+    // Docs with the ZERO feature vector still belong to the bias gradient
+    // (err = sigmoid(bias) - y). A non-null text always yields >= 1 term
+    // (split never returns an empty array), so those are exactly the
+    // null-text docs — a pushed-filter scan, not a per-epoch join of
+    // every label against every dot.
+    val nullLabels = flagged.filter(col(textCol).isNull)
+      .select(col(idCol), col("__pos")).localCheckpoint()
 
     val adaEps = 1e-8
     var weights = Map.empty[Long, Double]
     var gradSq = Map.empty[Long, Double] // AdaGrad per-feature accumulators
     var bias = 0.0
     var biasSq = 0.0
+    val BIAS = -1L // bucketOf is a pmod into [0, nBuckets) — -1 is free
     for (_ <- 1 to epochs) {
       val wDf = broadcast(
         weights.toSeq.toDF("__bkt", "__w"))
-      val dots = feats
+      // bias rides a 1-row broadcast column, NOT a literal: a changed
+      // literal makes every epoch's generated code unique, so whole-stage
+      // codegen recompiled per epoch — as data, the epoch plans share one
+      // compiled class and the Janino cache hits (guide §1.2 step 2:
+      // per-task work — here per-EPOCH driver work).
+      val biasDf = broadcast(Seq(bias).toDF("__bias"))
+      // __pos rides the doc-keyed grouping (constant per doc), so err is
+      // computable straight off the aggregate — no labels join.
+      val errs = feats
         .join(wDf, Seq("__bkt"), "left")
-        .groupBy(col(idCol))
+        .groupBy(col(idCol), col("__pos"))
         .agg(dsum(coalesce(col("__w"), lit(0.0)) * col("__x"), 12)
           .as("__dot"))
-      // persisted (NOT localCheckpoint'd — checkpoint blocks cannot be
-      // released and would accumulate across epochs): __err is consumed
-      // twice within this epoch only, and both parents are checkpointed,
-      // so the lineage is one join deep — unpersist frees the blocks the
-      // moment the second collect lands
-      val margins = labels
-        .join(dots, Seq(idCol), "left")
+        .crossJoin(biasDf)
         .select(col(idCol),
-          (lit(1.0) / (lit(1.0) +
-              exp(-(coalesce(col("__dot"), lit(0.0)) + lit(bias)))) -
+          (lit(1.0) / (lit(1.0) + exp(-(col("__dot") + col("__bias")))) -
             when(col("__pos"), lit(1.0)).otherwise(lit(0.0))).as("__err"))
-        .persist()
-      // bucket-keyed gradient: one nBuckets-bounded aggregate
-      val (grad, biasGrad) = try {
-        val g = feats.join(margins, idCol)
+        .persist() // consumed by two branches of ONE action below
+      // ONE nBuckets-bounded aggregate answers both gradients per epoch
+      // (the old shape paid two actions: a bucket-keyed collect plus a
+      // separate bias-sum collect). The bias gradient rides the sentinel
+      // bucket: per feat-doc err from the errs branch, per null-text doc
+      // the same closed-form err the joined shape produced — the decimal
+      // sum sees the identical value multiset, so training is
+      // bit-identical to the two-action form.
+      val gradRows = try {
+        errs.join(feats, idCol)
+          .select(col("__bkt"), (col("__err") * col("__x")).as("__t"))
+          .unionAll(errs.select(lit(BIAS).as("__bkt"), col("__err").as("__t")))
+          .unionAll(nullLabels.crossJoin(biasDf).select(lit(BIAS).as("__bkt"),
+            (lit(1.0) / (lit(1.0) + exp(-(lit(0.0) + col("__bias")))) -
+              when(col("__pos"), lit(1.0)).otherwise(lit(0.0))).as("__t")))
           .groupBy(col("__bkt"))
-          .agg(dsum(col("__err") * col("__x"), 12).as("__g"))
-          .collect().map(r => r.getLong(0) -> r.getDouble(1) / nDocs).toMap
-        val bg = margins.agg(dsum(col("__err"), 12)).collect()(0)
-          .getDouble(0) / nDocs
-        (g, bg)
-      } finally margins.unpersist(false)
+          .agg(dsum(col("__t"), 12).as("__g"))
+          .collect()
+      } finally errs.unpersist(false)
+      val grad = gradRows.iterator.filter(_.getLong(0) != BIAS)
+        .map(r => r.getLong(0) -> r.getDouble(1) / nDocs).toMap
+      val biasGrad = gradRows.find(_.getLong(0) == BIAS)
+        .map(_.getDouble(1) / nDocs).getOrElse(0.0)
       gradSq = (gradSq.keySet ++ grad.keySet).iterator.map { b =>
         val g = grad.getOrElse(b, 0.0)
         b -> (gradSq.getOrElse(b, 0.0) + g * g)
@@ -244,15 +282,13 @@ object Classifier {
     val wFinal = broadcast(weights.toSeq.toDF("__bkt", "__w"))
     val scored = feats
       .join(wFinal, Seq("__bkt"), "left")
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col("__pos"))
       .agg((dsum(coalesce(col("__w"), lit(0.0)) * col("__x"), 12)
         + lit(bias)).as("__m"))
-      .select(col(idCol),
+      .select(col(idCol), col("__pos").as("is_positive"),
         round(lit(1.0) / (lit(1.0) + exp(-col("__m"))), 6).as("lr_score"))
-    flagged.select(col(idCol), col("__pos").as("is_positive"))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol), col("is_positive"),
-        coalesce(col("lr_score"),
-          round(lit(1.0) / (lit(1.0) + exp(lit(-bias))), 6)).as("lr_score"))
+    scored.unionAll(nullLabels
+      .select(col(idCol), col("__pos").as("is_positive"),
+        round(lit(1.0) / (lit(1.0) + exp(lit(-bias))), 6).as("lr_score")))
   }
 }

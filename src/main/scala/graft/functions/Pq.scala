@@ -237,9 +237,10 @@ object Pq {
   private def encodedLists(vectors: DataFrame, cents: Array[Array[Double]],
                            cb: Array[Array[Array[Float]]],
                            idCol: String, vecCol: String): DataFrame =
-    encode(vectors, cb, idCol, vecCol)
-      .join(Similarity.assignToCentroids(vectors, cents, idCol, vecCol)
-        .select(col("__id").as("neighbor_id"), col("cid")), "neighbor_id")
+    vectors.select(col(idCol).as("neighbor_id"),
+      graft.functions.expressions.PqExpressions
+        .encodeNative(col(vecCol), cb).as("codes"),
+      Similarity.assignStruct(col(vecCol), cents).getField("c").as("cid"))
 
   /** Incremental growth: assign + encode the delta under the PERSISTED
     * models, landing inside `cid=<list>/gen=<g>/` sub-partitions — cost

@@ -160,8 +160,11 @@ object Similarity {
                     iters: Int = 2, idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val cents = ivfCentroids(vectors, nLists, iters, idCol, vecCol)
-    val assigned = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .join(assignToCentroids(vectors, cents, idCol, vecCol), "__id")
+    val assigned = vectors
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        assignStruct(col(vecCol), cents).as("m"))
+      .select(col("__id"), col("__v"),
+        col("m.c").as("cid"), col("m.cos").as("cent_cos"))
     val a = assigned.select(col("cid").as("cid_a"), col("__id").as("id_a"),
       col("__v").as("va"))
     val b = assigned.select(col("cid").as("cid_b"), col("__id").as("id_b"),
@@ -362,11 +365,12 @@ object Similarity {
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var cents = seeds
     for (_ <- 0 until iters) {
-      val assigned = assignToCentroids(train, cents, idCol, vecCol)
+      // assignment is a projection (see assignStruct) — each Lloyd round
+      // is ONE scan + one (cid, dim)-bounded aggregate; the old shape paid
+      // a corpus-wide assignment shuffle plus an id-keyed join per round
       val dims = train
-        .select(col(idCol).as("__id"), col(vecCol).as("__v"))
-        .join(assigned, "__id")
-        .select(col("cid"), posexplode(col("__v")).as(Seq("dim", "x")))
+        .select(assignStruct(col(vecCol), cents).getField("c").as("cid"),
+          posexplode(col(vecCol)).as(Seq("dim", "x")))
         .groupBy(col("cid"), col("dim"))
         .agg(avg(col("x").cast("double")).as("m"))
         .collect()
@@ -382,20 +386,34 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment: (id, cid, cos). Argmax via a codegen'd
-    * max(struct(cos, cid)) — deterministic (ties break to the larger cid). */
-  private[functions] def assignToCentroids(df: DataFrame, cents: Array[Array[Double]],
-                                idCol: String, vecCol: String): DataFrame = {
-    val centLit = typedLit(cents.map(_.toSeq).toSeq).cast("array<array<float>>")
-    df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .select(col("__id"), col("__v"), posexplode(centLit).as(Seq("c", "cv")))
-      .select(col("__id"),
-        struct(cosineFast(col("__v"), col("cv")).as("cos"),
-          col("c").as("c")).as("sc"))
-      .groupBy(col("__id"))
-      .agg(max(col("sc")).as("m"))
-      .select(col("__id"), col("m.c").as("cid"), col("m.cos").as("cent_cos"))
+  /** Nearest-centroid argmax as ONE scan-local codegen'd projection:
+    * `greatest` folds the per-centroid (cos, cid) structs with exactly the
+    * struct ordering the old explode + max(struct) aggregation used (same
+    * cosine expression per centroid, ties break to the larger cid), so the
+    * assignment is value-identical — but there is no explode, NO exchange,
+    * and callers no longer join the assignment back to the vectors
+    * (guide §2.4: the old shape shuffled the whole corpus once per
+    * assignment and once more for the join-back). */
+  private[functions] def assignStruct(v: Column,
+                                      cents: Array[Array[Double]]): Column = {
+    val native = graft.functions.expressions.VectorExpressions
+      .nearestCentroidNative(v, cents.map(_.map(_.toFloat)))
+    // the exploded form gave a NULL vector a (null cos, k-1) struct — the
+    // null cosine sorted below everything and the tie broke to the larger
+    // cid; preserve that edge around the null-safe native expression
+    when(v.isNull,
+      struct(lit(null).cast("double").as("cos"),
+        lit(cents.length - 1).as("c")))
+      .otherwise(native)
   }
+
+  /** Nearest-centroid assignment: (id, cid, cos) — a pure projection over
+    * [[assignStruct]]; deterministic (ties break to the larger cid). */
+  private[functions] def assignToCentroids(df: DataFrame, cents: Array[Array[Double]],
+                                idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+        assignStruct(col(vecCol), cents).as("m"))
+      .select(col("__id"), col("m.c").as("cid"), col("m.cos").as("cent_cos"))
 
   /** ANN top-k via an IVF index — the other standard scale path next to
     * [[lshTopK]]: corpus vectors are bucketed by nearest centroid
@@ -431,9 +449,8 @@ object Similarity {
   private def invertedLists(corpus: DataFrame, cents: Array[Array[Double]],
                             idCol: String, vecCol: String): DataFrame =
     corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(assignToCentroids(corpus, cents, idCol, vecCol)
-        .select(col("__id").as("neighbor_id"), col("cid")), "neighbor_id")
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        assignStruct(col(vecCol), cents).getField("c").as("cid"))
 
   /** Probe lists: each query's `nProbe` nearest centroids, as
     * (query_id, qv, cid) — shared by [[ivfTopK]] and [[searchIvfIndex]],

@@ -372,11 +372,169 @@ final case class RandomProject(child: Expression, signs: Array[Array[Byte]])
     copy(child = newChild)
 }
 
+/** Nearest-centroid argmax over a static centroid matrix, as ONE fused
+  * codegen'd pass: `struct(cos, c)` of the best centroid under exactly the
+  * ordering the old explode + `max(struct(cosineFast, c))` aggregation
+  * used — per-centroid cosine arithmetic is [[CosineSimilarity]]'s to the
+  * bit (same left-to-right double sums, zero-norm → 0.0 first, THEN
+  * length-mismatch with live norms → NULL cos), null cos sorts below any
+  * value, ties break to the LARGER centroid index. The input's norm and
+  * every centroid's norm are each computed once (identical left-to-right
+  * sums, so the shared values are bit-equal to the per-pair recomputation).
+  * A `greatest(struct…)` fold was tried first and rejected: k inlined
+  * cosine expressions explode the generated source, and the per-iteration
+  * centroid literals defeat the codegen cache — this expression keeps one
+  * compact loop over a referenced float[] (the [[PqEncode]] pattern). */
+final case class NearestCentroid(child: Expression, cents: Array[Array[Float]])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  private val k: Int = cents.length
+  private val dim: Int = cents(0).length
+  require(k >= 1 && dim >= 1 && cents.forall(_.length == dim),
+    s"ragged centroid matrix: k=$k dim=$dim")
+  private val flat: Array[Float] = {
+    val out = new Array[Float](k * dim)
+    var c = 0
+    while (c < k) { System.arraycopy(cents(c), 0, out, c * dim, dim); c += 1 }
+    out
+  }
+  // sqrt of each centroid's left-to-right squared-norm sum — the same
+  // double CosineSimilarity computes per pair
+  private val sny: Array[Double] = cents.map { cv =>
+    var s = 0.0; var i = 0
+    while (i < dim) { val v = cv(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cos", DoubleType, nullable = true),
+    StructField("c", IntegerType, nullable = false)))
+  override def nullable: Boolean = true // null input only; callers wrap
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var bestNull = true
+    var bestCos = 0.0
+    var bestC = 0
+    var first = true
+    if (n == dim) {
+      var nx = 0.0
+      var i = 0
+      while (i < n) { val a = x.getFloat(i).toDouble; nx += a * a; i += 1 }
+      val snx = math.sqrt(nx)
+      var c = 0
+      while (c < k) {
+        var dot = 0.0
+        var j = 0
+        while (j < dim) {
+          dot += x.getFloat(j).toDouble * flat(c * dim + j).toDouble; j += 1
+        }
+        val nn = snx * sny(c)
+        val cos = if (nn > 0.0) dot / nn else 0.0
+        if (first || bestNull || cos >= bestCos) {
+          bestNull = false; bestCos = cos; bestC = c; first = false
+        }
+        c += 1
+      }
+    } else {
+      var nx = 0.0
+      var i = 0
+      while (i < n) { val a = x.getFloat(i).toDouble; nx += a * a; i += 1 }
+      val snx = math.sqrt(nx)
+      var c = 0
+      while (c < k) {
+        val isNull = snx * sny(c) > 0.0 // live norms, mismatched → NULL cos
+        if (first || (if (isNull) bestNull else true)) {
+          if (isNull) { bestNull = true; bestC = c }
+          else if (bestNull || 0.0 >= bestCos) {
+            bestNull = false; bestCos = 0.0; bestC = c
+          }
+          first = false
+        }
+        c += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (bestNull) null else bestCos, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val cb = ctx.addReferenceObj("ncFlat", flat, "float[]")
+      val snyRef = ctx.addReferenceObj("ncSny", sny, "double[]")
+      val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx")
+      val snx = ctx.freshName("snx")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val a = ctx.freshName("a")
+      val dot = ctx.freshName("dot")
+      val nn = ctx.freshName("nn")
+      val cos = ctx.freshName("cos")
+      val bestNull = ctx.freshName("bestNull")
+      val bestCos = ctx.freshName("bestCos")
+      val bestC = ctx.freshName("bestC")
+      val first = ctx.freshName("first")
+      val isN = ctx.freshName("isN")
+      val vals = ctx.freshName("vals")
+      s"""
+         |int $n = $x.numElements();
+         |boolean $bestNull = true; double $bestCos = 0.0; int $bestC = 0;
+         |boolean $first = true;
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $a = (double) $x.getFloat($i); $nx += $a * $a;
+         |}
+         |double $snx = java.lang.Math.sqrt($nx);
+         |if ($n == $dim) {
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $dot += ((double) $x.getFloat($j)) * ((double) $cb[$c * $dim + $j]);
+         |    }
+         |    double $nn = $snx * $snyRef[$c];
+         |    double $cos = ($nn > 0.0) ? ($dot / $nn) : 0.0;
+         |    if ($first || $bestNull || $cos >= $bestCos) {
+         |      $bestNull = false; $bestCos = $cos; $bestC = $c; $first = false;
+         |    }
+         |  }
+         |} else {
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    boolean $isN = $snx * $snyRef[$c] > 0.0;
+         |    if ($first || ($isN ? $bestNull : true)) {
+         |      if ($isN) { $bestNull = true; $bestC = $c; }
+         |      else if ($bestNull || 0.0 >= $bestCos) {
+         |        $bestNull = false; $bestCos = 0.0; $bestC = $c;
+         |      }
+         |      $first = false;
+         |    }
+         |  }
+         |}
+         |Object[] $vals = new Object[2];
+         |$vals[0] = $bestNull ? null : (Object) java.lang.Double.valueOf($bestCos);
+         |$vals[1] = (Object) java.lang.Integer.valueOf($bestC);
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow($vals);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Codegen'd cosine similarity over two `array<float>` columns. */
   def cosineNative(a: Column, b: Column): Column =
     GraftBridge.column(CosineSimilarity(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Codegen'd fused nearest-centroid argmax: struct(cos, c). */
+  def nearestCentroidNative(vec: Column, cents: Array[Array[Float]]): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec), cents))
 
   /** Codegen'd MinHash signature-agreement fraction (Jaccard estimate). */
   def agreementNative(a: Column, b: Column): Column =

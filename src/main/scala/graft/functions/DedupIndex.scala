@@ -153,8 +153,16 @@ object DedupIndex {
                textCol: String = "text"): DataFrame = {
     val spark = newDocs.sparkSession
     val (shingleN, k, bands) = readMeta(spark, path)
+    // The delta's signature pipeline (shingle + minhash + band explode)
+    // feeds SIX branches of this plan (cap keys, stored semi-join, keep,
+    // the union, and both sides of the pair join) — without
+    // materialization Spark recomputes it per branch. It is delta-sized
+    // (one ingest batch, never the corpus), so checkpoint it once
+    // (guide §5: reuse beats recompute when the reused thing is small
+    // and the recompute is a whole scan+aggregate pipeline).
     val delta = entries(newDocs, shingleN, k, bands, idCol, textCol)
       .withColumn("is_new", lit(true))
+      .localCheckpoint()
     val stored = spark.read.parquet(s"$path/entries")
       .drop("gen")
       .withColumn("is_new", lit(false))

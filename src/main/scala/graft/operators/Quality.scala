@@ -291,17 +291,26 @@ object Quality {
   /** The PSI finisher over two bucket-count tables `(col_name, bucket,
     * n)` — model-sized inputs (k·(nBuckets+2) rows), so this runs in
     * milliseconds wherever the counts came from: [[driftPsi]]'s batch
-    * aggregation or a streaming monitor's state store. Full-outer aligns
-    * buckets empty on one side; proportions are ε-smoothed; terms sum
+    * aggregation or a streaming monitor's state store. A zero-padded
+    * union + per-key sum aligns buckets empty on one side; proportions are ε-smoothed; terms sum
     * decimal-routed so accumulation order cannot move the reported PSI.
     * Output: `(col_name, psi, n_ref, n_cur)`. */
   def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
                     eps: Double = 1e-4): DataFrame = {
-    val ref = refCounts.withColumnRenamed("n", "n_ref")
-    val cur = curCounts.withColumnRenamed("n", "n_cur")
+    // Bucket alignment is a union + one summed aggregate, not a FULL
+    // OUTER join: each side carries its key at most once, so summing
+    // zero-padded sides per key is exactly the join's coalesce-to-0 —
+    // same rows, same longs — without the SortMergeJoin FullOuter and
+    // its two sorted exchanges (guide §2.4; the inputs are
+    // k·(nBuckets+2)-bounded count tables).
+    val ref = refCounts.select(col("col_name"), col("bucket"),
+      col("n").as("n_ref"), lit(0L).as("n_cur"))
+    val cur = curCounts.select(col("col_name"), col("bucket"),
+      lit(0L).as("n_ref"), col("n").as("n_cur"))
     val totals = Window.partitionBy(col("col_name"))
-    ref.join(cur, Seq("col_name", "bucket"), "full_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+    ref.unionAll(cur)
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
       .withColumn("__tr", sum(col("n_ref")).over(totals))
       .withColumn("__tc", sum(col("n_cur")).over(totals))
       .withColumn("__pr",
@@ -327,9 +336,9 @@ object Quality {
     *
     * Plan shape: ONE pass per table melts the k columns into
     * (col, value) pairs and partial-aggregates counts, so the shuffle
-    * carries one row per DISTINCT value per column, never data rows; the
-    * full-outer merge plus a per-column running sum turns counts into
-    * CDFs. The per-column window sorts NDV rows with parallelism = k —
+    * carries one row per DISTINCT value per column, never data rows; a
+    * zero-padded union merge plus a per-column running sum turns counts
+    * into CDFs. The per-column window sorts NDV rows with parallelism = k —
     * fine for ids/categories/quantized metrics; for a truly continuous
     * 100 TB column, round upstream or take quantiles from the mergeable
     * KLL sketch ([[graft.functions.Sketches]]) and difference those
@@ -357,12 +366,17 @@ object Quality {
         .groupBy(col("col_name"), col("v"))
         .agg(count(lit(1)).as("n"))
     }
-    val ref = counted(reference).withColumnRenamed("n", "n_ref")
-    val cur = counted(current).withColumnRenamed("n", "n_cur")
+    // same union-instead-of-FULL-OUTER alignment as [[psiFromCounts]]:
+    // per-key sums of zero-padded sides == the join's coalesce-to-0
+    val ref = counted(reference).select(col("col_name"), col("v"),
+      col("n").as("n_ref"), lit(0L).as("n_cur"))
+    val cur = counted(current).select(col("col_name"), col("v"),
+      lit(0L).as("n_ref"), col("n").as("n_cur"))
     val byVal = Window.partitionBy(col("col_name")).orderBy(col("v"))
     val whole = Window.partitionBy(col("col_name"))
-    ref.join(cur, Seq("col_name", "v"), "full_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+    ref.unionAll(cur)
+      .groupBy(col("col_name"), col("v"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
       .withColumn("__cr", sum(col("n_ref")).over(byVal))
       .withColumn("__cc", sum(col("n_cur")).over(byVal))
       .withColumn("__tr", sum(col("n_ref")).over(whole))
@@ -503,7 +517,7 @@ object Quality {
     *
     * Plan shape: ONE melted pass per table partial-aggregates
     * (col, category) counts — the shuffle carries one row per category
-    * per column, never data rows; a full-outer merge aligns the two
+    * per column, never data rows; a zero-padded union + per-key sum aligns the two
     * sides so categories seen on only one side still contribute. NULL is
     * a first-class category (sentinel '∅' — a null-rate change IS mix
     * drift here, matching driftPsi's bucket −1 policy). PSI proportions
@@ -531,11 +545,15 @@ object Quality {
         .groupBy(col("p.col_name").as("col_name"), col("p.cat").as("cat"))
         .agg(count(lit(1)).as("n"))
     }
-    val ref = counted(reference).withColumnRenamed("n", "n_ref")
-    val cur = counted(current).withColumnRenamed("n", "n_cur")
+    // same union-instead-of-FULL-OUTER alignment as [[psiFromCounts]]
+    val ref = counted(reference).select(col("col_name"), col("cat"),
+      col("n").as("n_ref"), lit(0L).as("n_cur"))
+    val cur = counted(current).select(col("col_name"), col("cat"),
+      lit(0L).as("n_ref"), col("n").as("n_cur"))
     val whole = Window.partitionBy(col("col_name"))
-    ref.join(cur, Seq("col_name", "cat"), "full_outer")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+    ref.unionAll(cur)
+      .groupBy(col("col_name"), col("cat"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
       .withColumn("__tr", sum(col("n_ref")).over(whole))
       .withColumn("__tc", sum(col("n_cur")).over(whole))
       .withColumn("__k", count(lit(1)).over(whole))

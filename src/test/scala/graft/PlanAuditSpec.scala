@@ -81,10 +81,12 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("BroadcastNestedLoopJoin"),
         s"$n uses a nested-loop join:\n$plan")
     }
-    // the drift legs shuffle COUNT partials, never rows: every aggregate
-    // partial-aggregates map-side before its exchange
+    // the drift legs shuffle COUNT partials, never rows — and since the
+    // r15 optimization round the two sides align via a zero-padded union
+    // + per-key sum instead of a FULL OUTER join, so the drift plans
+    // contain NO join node at all
     val ks = physical(run("quality_drift_ks"))
-    assert(ks.contains("FullOuter"), s"count merge must be full outer:\n$ks")
+    assert(!ks.contains("Join"), s"drift must not join at all:\n$ks")
   }
 
   test("repetition signal is scan-local: no exchange, no join") {

@@ -15,12 +15,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF="k=v;k=v": extra session confs for paired config
+    // A/B runs (guide §9 — config LAST, and only measured pairs decide
+    // what gets promoted to a default). Unset in the driver's invocation,
+    // so the official artifact never depends on it.
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(builder) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen warmup so the first measured query isn't charged
     // for JIT compilation of the whole scan/agg/join machinery
@@ -71,7 +79,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // 3-decimal seconds: 1 ms resolution sits far below the bench's
+    // run-to-run noise floor and roughly halves the one-line JSON, which
+    // downstream tooling stores as a bounded stdout tail
+    def jnum(v: Double): String =
+      if (v < 0) "-1.0"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${jnum(v)}" }
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -81,8 +96,20 @@ object Bench {
     val fixedTotal = results.collect {
       case (k, v) if v >= 0 && Queries.fixedCost(k) => v }.sum
     val perRowTotal = total - fixedTotal
-    println(s"""{"metric":"total","value":$total,"unit":"sec","fixed_cost_total":$fixedTotal,"per_row_total":$perRowTotal,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","fixed_cost_total":${jnum(fixedTotal)},"per_row_total":${jnum(perRowTotal)},"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // the identical JSON also lands in a file artifact: two consecutive
+    // rounds' stdout-tail parses failed (the ~7 KB line started before the
+    // stored tail's cap and sbt appended [warn]/[success] lines after it),
+    // so the artifact is the recoverable copy
+    try {
+      val p = java.nio.file.Paths.get("target/bench_last.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
+    // printed AFTER spark.stop() so no late Spark output can land between
+    // the JSON and the end of the program's own stdout
+    println(json)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

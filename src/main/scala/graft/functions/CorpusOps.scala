@@ -754,13 +754,19 @@ object CorpusOps {
     *     shuffles only (md5, doc_id) pairs (text never rides the wire).
     *  2. the repeated set joins back UNHINTED — AQE promotes to broadcast
     *     from observed size (same policy as [[dropRepeatedSegments]]).
-    *  3. marked window starts merge into maximal disjoint islands FIRST
-    *     (gaps-and-islands, the [[repeatedSpans]] machinery), and covered
-    *     token positions explode from the MERGED spans — the blow-up is
-    *     bounded by covered tokens, not marked-windows × width (a doc
-    *     that is one long repeat yields one island, not n_tokens windows).
-    *  4. rebuild: one doc-keyed shuffle carrying (position, token) — the
-    *     same unavoidable reassembly pass the segment form pays.
+    *  3. marked window starts merge into maximal disjoint islands
+    *     (gaps-and-islands, the [[repeatedSpans]] machinery), then
+    *     COLLAPSE to one (doc, sorted range array) row per affected doc —
+    *     model-thin rows, islands-bounded, never a per-position explode.
+    *  4. rebuild is SCAN-LOCAL: the range table left-joins the corpus (the
+    *     only operation that touches doc text after the scan — AQE
+    *     broadcasts the range side from observed size) and each doc's
+    *     surviving text is the concatenation of the gap slices between its
+    *     ranges, computed inside the projection. The old shape posexploded
+    *     every token, equi-joined (doc, position) against exploded covered
+    *     positions, and re-aggregated tokens per doc — two corpus-token
+    *     shuffles and a collect_list sort that this form simply deletes
+    *     (guide §2.3/§2.4: shuffle range METADATA, not the token stream).
     *
     * Output: (idCol, clean_text, n_kept, n_tokens); every input document
     * appears — untouched docs (and docs shorter than `width`) survive
@@ -778,44 +784,43 @@ object CorpusOps {
       .filter(col("__df") >= 2)
       .select("__h")
     // islands merge when consecutive starts are within width (overlap or
-    // exact adjacency) — merged spans are disjoint AND non-adjacent, so
-    // the covered-position explode below emits each position exactly once
+    // exact adjacency) — merged spans are disjoint AND non-adjacent; each
+    // covered token position lies in exactly one range
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
-    val covered = grams.join(repeated, "__h")
+    val ranges = grams.join(repeated, "__h")
       .select(col(idCol), col("__pos"))
       .withColumn("__brk",
         when(col("__pos") - lag(col("__pos"), 1).over(byPos) > width, 1)
           .otherwise(0))
       .withColumn("__island", sum(col("__brk"))
         .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // both aggregates cluster by a superset of the window's doc key, so
+      // the island merge and the range collapse reuse its exchange
       .groupBy(col(idCol), col("__island"))
       .agg(min(col("__pos")).as("__lo"),
         (max(col("__pos")) + lit(width) - 1).as("__hi"))
-      .select(col(idCol),
-        explode(sequence(col("__lo"), col("__hi"))).as("__tp"),
-        lit(1).as("__cov"))
-    val toks = docs
-      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))))
-      .withColumnRenamed("pos", "__tp")
-      .withColumnRenamed("col", "__tok")
-    val rebuilt = toks
-      .join(covered, Seq(idCol, "__tp"), "left")
       .groupBy(col(idCol))
-      .agg(
-        // collect_list skips nulls → covered tokens vanish before the
-        // sort; __tp is unique per doc so array_sort is a total order
-        array_join(transform(
-          array_sort(collect_list(
-            when(col("__cov").isNull, struct(col("__tp"), col("__tok"))))),
-          s => s("__tok")), " ").as("clean_text"),
-        count(when(col("__cov").isNull, lit(1))).as("n_kept"),
-        count(lit(1)).as("n_tokens"))
-    docs.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(sort_array(collect_list(struct(col("__lo"), col("__hi"))))
+        .as("__ranges"))
+    // gap k of a doc spans [prevHi_k + 1, nextLo_k - 1]; slicing the token
+    // array over the gaps IS the strip — ranges are in-bounds, sorted,
+    // disjoint and non-adjacent, so gap lengths are >= 0 and the slices
+    // partition the kept tokens in original order
+    val toks = TextFunctions.tokens(col(textCol))
+    val rng = coalesce(col("__ranges"),
+      array().cast("array<struct<__lo:int,__hi:int>>"))
+    val gapStarts = concat(array(lit(0)), transform(rng, r => r("__hi") + lit(1)))
+    val gapEnds = concat(transform(rng, r => r("__lo")), array(size(toks)))
+    val kept = flatten(zip_with(gapStarts, gapEnds,
+      (s, e) => slice(toks, s + lit(1), greatest(e - s, lit(0)))))
+    docs.join(ranges, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+        when(toks.isNull, lit("")).otherwise(array_join(kept, " "))
+          .as("clean_text"),
+        when(toks.isNull, lit(0L)).otherwise(size(kept).cast("long"))
+          .as("n_kept"),
+        when(toks.isNull, lit(0L)).otherwise(size(toks).cast("long"))
+          .as("n_tokens"))
   }
 
   /** Best-fit sequence packing — the waste-minimizing sibling of

@@ -47,20 +47,21 @@ object Pq {
   def trainCodebooks(corpus: DataFrame, m: Int, k: Int, iters: Int = 3,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     maxTrainRows: Long = 200000L): Array[Array[Array[Float]]] = {
+                     maxTrainRows: Long = 200000L): Array[Array[Array[Float]]] =
+    trainCodebooksOn(
+      Similarity.trainingSample(corpus, idCol, vecCol, maxTrainRows),
+      m, k, iters, idCol, vecCol)
+
+  /** Lloyd iterations over an already-sampled training frame
+    * ([[Similarity.trainingSample]]) — the split lets
+    * [[writeIvfPqIndex]] feed the IVF trainer and the PQ trainer from ONE
+    * materialized sample instead of each running its own count + seed +
+    * per-round corpus scans. Value-identical to the pre-split form. */
+  private[functions] def trainCodebooksOn(train: DataFrame, m: Int, k: Int,
+                                          iters: Int, idCol: String,
+                                          vecCol: String): Array[Array[Array[Float]]] = {
     require(m >= 1 && k >= 2 && k <= 256,
       s"PQ shape out of range: m=$m k=$k (k in [2, 256])")
-    val train =
-      if (maxTrainRows <= 0) corpus
-      else {
-        val n = corpus.count()
-        if (n <= maxTrainRows) corpus
-        else {
-          val buckets = 1000000L
-          val cut = (maxTrainRows.toDouble / n * buckets).toLong.max(1L)
-          corpus.filter(pmod(xxhash64(col(idCol)), lit(buckets)) < cut)
-        }
-      }
     val seedRows = train
       .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
       .orderBy(col("h")).limit(k)
@@ -191,14 +192,20 @@ object Pq {
                       updateCatalog: Boolean = true): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = Similarity.ivfCentroids(corpus, nLists, ivfIters, idCol,
-      vecCol, maxTrainRows)
+    // ONE sampled, materialized training frame feeds BOTH trainers: the
+    // IVF trainer and the PQ trainer used to each run their own count()
+    // + seed pass + per-Lloyd-round scans over the same corpus (guide §5
+    // reuse-beats-recompute; §1.2 step 1 — fewer passes). Identical
+    // sampling semantics, so both models are value-identical to separate
+    // ivfCentroids/trainCodebooks calls (PqSpec pins this).
+    val train = Similarity.trainingSample(corpus, idCol, vecCol, maxTrainRows)
+    val cents = Similarity.ivfCentroidsOn(train, nLists, ivfIters, idCol,
+      vecCol)
     cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cid", "centroid")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val cb = trainCodebooks(corpus, m, kCodes, pqIters, idCol, vecCol,
-      maxTrainRows)
+    val cb = trainCodebooksOn(train, m, kCodes, pqIters, idCol, vecCol)
     cb.zipWithIndex.flatMap { case (sub, s) =>
       sub.zipWithIndex.map { case (cent, c) => (s, c, cent.toSeq) }
     }.toSeq.toDF("s", "c", "vals")

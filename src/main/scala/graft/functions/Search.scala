@@ -62,7 +62,17 @@ object Search {
     val wanted = queryTerms.select(col("term")).distinct()
 
     // corpus pass: tokens die against the broadcast term set inside the
-    // scan; dl rides along so matched postings never re-join the corpus
+    // scan; dl rides along so matched postings never re-join the corpus.
+    // The matched-postings table feeds TWO consumers (the df aggregate and
+    // the scoring join) and Spark would otherwise recompute the whole
+    // tokenize + explode + semi-join + aggregate pipeline per consumer —
+    // one localCheckpoint makes it one corpus pass (guide §5, the
+    // DedupIndex delta pattern). Size note for 100 TB: postings are
+    // query-term-bounded (|docs matching any query term| × |query terms|),
+    // the standard BM25 intermediate — orders of magnitude below the
+    // corpus; the lineage cut means an executor loss re-runs the query
+    // instead of recomputing blocks, the accepted trade for bounded
+    // intermediates.
     val postings = docs
       .select(col(idCol),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("dl"),
@@ -70,6 +80,7 @@ object Search {
       .join(broadcast(wanted), "term")
       .groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
 
     val df = postings.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))

@@ -345,19 +345,50 @@ object Similarity {
   def ivfCentroids(corpus: DataFrame, nLists: Int, iters: Int = 2,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding",
-                   maxTrainRows: Long = 200000L): Array[Array[Double]] = {
-    import org.apache.spark.sql.Row
-    val train =
-      if (maxTrainRows <= 0) corpus
+                   maxTrainRows: Long = 200000L): Array[Array[Double]] =
+    ivfCentroidsOn(trainingSample(corpus, idCol, vecCol, maxTrainRows),
+      nLists, iters, idCol, vecCol)
+
+  /** The deterministic hash-gated training sample, projected to
+    * (id, vector) — shared by the IVF and PQ trainers so the IVF+PQ build
+    * ([[Pq.writeIvfPqIndex]]) sizes/samples the corpus ONCE instead of per
+    * trainer. When the sample BINDS (n > maxTrainRows) it is additionally
+    * `localCheckpoint`ed: without that, the seed pass and every Lloyd/PQ
+    * round would re-run the hash-gate filter over the FULL corpus — at
+    * 100 TB that is iters+1 full scans to read a ~maxTrainRows-vector
+    * sample. The materialized state is bounded by ~`maxTrainRows` vectors
+    * (model-scale, like [[graft.functions.DedupIndex]]'s batch-sized
+    * delta), which is what makes the localCheckpoint trade acceptable:
+    * lineage is severed, so an executor loss during training fails the job
+    * instead of recomputing blocks — cheap to re-run for a bounded sample.
+    * Below the bound the corpus IS the training frame and is left alone
+    * (re-reading a small input per round costs less than an extra eager
+    * materialization job — measured on the fixtures); sampling semantics
+    * are unchanged: `xxhash64(id) mod 1e6 < frac·1e6`, scan-local, stable
+    * across runs and partitionings. */
+  private[functions] def trainingSample(corpus: DataFrame, idCol: String,
+                                        vecCol: String,
+                                        maxTrainRows: Long): DataFrame = {
+    val narrow = corpus.select(col(idCol), col(vecCol))
+    if (maxTrainRows <= 0) narrow
+    else {
+      val n = narrow.count() // metadata/column-pruned count, one cheap job
+      if (n <= maxTrainRows) narrow
       else {
-        val n = corpus.count() // metadata/column-pruned count, one cheap job
-        if (n <= maxTrainRows) corpus
-        else {
-          val buckets = 1000000L
-          val cut = (maxTrainRows.toDouble / n * buckets).toLong.max(1L)
-          corpus.filter(pmod(xxhash64(col(idCol)), lit(buckets)) < cut)
-        }
+        val buckets = 1000000L
+        val cut = (maxTrainRows.toDouble / n * buckets).toLong.max(1L)
+        narrow.filter(pmod(xxhash64(col(idCol)), lit(buckets)) < cut)
+          .localCheckpoint()
       }
+    }
+  }
+
+  /** Lloyd iterations over an already-sampled training frame (see
+    * [[trainingSample]]); value-identical to the pre-split form — same
+    * seeds, same assignment expression, same mean update. */
+  private[functions] def ivfCentroidsOn(train: DataFrame, nLists: Int,
+                                        iters: Int, idCol: String,
+                                        vecCol: String): Array[Array[Double]] = {
     val seeds = train
       .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("h"))
       .orderBy(col("h")).limit(nLists)

@@ -116,6 +116,26 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.8, f"PQ recall $recall%.3f < 0.8")
   }
 
+  test("IVF-PQ build: the shared training sample trains the SAME models " +
+      "as standalone ivfCentroids/trainCodebooks calls") {
+    // writeIvfPqIndex now materializes ONE training sample feeding both
+    // trainers (one corpus pass instead of two count+seed+Lloyd pipelines);
+    // the persisted models must be value-identical to what the standalone
+    // trainer entry points produce on the same corpus
+    val path = "/root/repo/target/test-out/ivfpq/fused-train"
+    Pq.writeIvfPqIndex(emb, path, nLists = 8, m = M, kCodes = KCodes)
+    val gotCents = Similarity.readCentroids(spark, path)
+    val wantCents = Similarity.ivfCentroids(emb, nLists = 8, iters = 2)
+    assert(gotCents.length === wantCents.length)
+    assert(gotCents.zip(wantCents).forall { case (a, b) => a.sameElements(b) },
+      "fused-build centroids differ from standalone ivfCentroids")
+    val gotCb = Pq.readCodebooks(spark, path)
+    val wantCb = Pq.trainCodebooks(emb, m = M, k = KCodes, iters = 3)
+    assert(gotCb.zip(wantCb).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) }
+    }, "fused-build codebooks differ from standalone trainCodebooks")
+  }
+
   test("IVF-PQ index: probe-all + deep re-rank == brute force exactly") {
     val path = "/root/repo/target/test-out/ivfpq/exact"
     val n = emb.count().toInt
